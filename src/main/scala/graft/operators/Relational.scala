@@ -1,0 +1,328 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.Parity._
+
+/** Core relational operators from SURVEY.md §2.1-2.8, expressed over the
+  * driver's TPC-H-ish testdata.
+  *
+  * Reference behaviors covered (file:line cites into /root/reference):
+  *  - conditional aggregation of the season_results table (README.md:251-266)
+  *  - champion/ranking semantics (README.md:276) -> window rank
+  *  - lookup joins (.github/workflows/main.yml:144, config/leagues.json)
+  *  - dedup/idempotency (README.md:114) -> anti join / dropDuplicates
+  *  - unpivot fix for per-team aggregation (README.md:268) -> union
+  *  - rolling/lag features (README.md:135,143) -> window frames
+  *
+  * Scale notes (100 TB design point): every query below is a pure
+  * declarative plan — scans prune columns and push filters, small dims
+  * (region/nation) are broadcast explicitly, fact-fact joins shuffle on
+  * their join keys and rely on AQE for skew; no driver-side collection.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Q1: pricing summary — grouped exact-decimal aggregation (A1/A2).
+    * Maps the reference's grouped SUM aggregation (README.md:258,265). */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dec2(sum(money(col("l_quantity")))).as("sum_qty"),
+        dec2(sum(money(col("l_extendedprice")))).as("sum_base_price"),
+        dec2(sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))).as("sum_disc_price"),
+        // the 3-way product is cast to DECIMAL(18,4) mid-way: the full
+        // product would exceed precision 38 and Spark/DuckDB round
+        // differently on overflow; scale 4 holds the exact value.
+        dec2(sum((money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))).cast("decimal(18,4)") * (lit(1) + money(col("l_tax"))))).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+      | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DECIMAL(38,2)) AS sum_disc_price,
+      | CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DECIMAL(38,2)) AS sum_charge,
+      | COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Q2 (flagship): standings — the reference's season_results table
+    * (README.md:253-266) re-expressed on testdata: nation = team,
+    * order-year = season, order status = match result; conditional
+    * aggregation (A2) + points derivation (D7) + tiebreak sort (T2). */
+  def standings(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .withColumn("season", year(col("o_orderdate")).cast("bigint"))
+      .groupBy(col("n_name").as("team"), col("season"))
+      .agg(
+        count(lit(1)).as("played"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("wins"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("draws"),
+        sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("losses"),
+        dec2(sum(money(col("o_totalprice")))).as("goal_value"))
+      .withColumn("points", col("wins") * 3 + col("draws"))
+      .withColumn("rank",
+        rank().over(Window.partitionBy(col("season"))
+          .orderBy(col("points").desc, col("goal_value").desc, col("team"))).cast("bigint"))
+      .select("season", "team", "played", "wins", "draws", "losses", "points", "goal_value", "rank")
+      .orderBy(col("season"), col("rank"), col("team"))
+  }
+
+  val standingsSql: String =
+    """WITH per AS (
+      |  SELECT n_name AS team, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS season,
+      |    COUNT(*) AS played,
+      |    CAST(SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+      |    CAST(SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS draws,
+      |    CAST(SUM(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS losses,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS goal_value
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2)
+      |SELECT season, team, played, wins, draws, losses,
+      |  wins*3 + draws AS points, goal_value,
+      |  CAST(RANK() OVER (PARTITION BY season ORDER BY wins*3 + draws DESC, goal_value DESC, team) AS BIGINT) AS rank
+      |FROM per
+      |ORDER BY season, rank, team""".stripMargin
+
+  /** Q3: broadcast lookup join (J1) — the league-code -> name map pattern
+    * (main.yml:144) as region/nation dimension lookup. */
+  def regionRollup(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        countDistinct(col("n_name")).as("n_nations"),
+        dec2(sum(money(col("c_acctbal")))).as("sum_acctbal"))
+      .orderBy(col("r_name"))
+  }
+
+  val regionRollupSql: String =
+    """SELECT r_name,
+      |  COUNT(*) AS n_customers,
+      |  COUNT(DISTINCT n_name) AS n_nations,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_acctbal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  /** Q4: semi join (P8 known-key filter / EXISTS). */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val semiJoinSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Q5: anti join (J3 idempotency dedup / NOT EXISTS; README.md:114). */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val n = Tables.nation(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .join(broadcast(n), col("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers_no_orders"))
+      .orderBy(col("n_name"))
+  }
+
+  val antiJoinSql: String =
+    """SELECT n_name, COUNT(*) AS n_customers_no_orders
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Q6: unpivot-via-union (SO1) — the home/away perspective fix the
+    * reference needs for per-team aggregation (README.md:268). Here:
+    * customer-side vs supplier-side ledger of the same transactions. */
+  def unpivotLedger(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val buy = o.select(lit("customer").as("role"), col("o_custkey").as("party"),
+      money(col("o_totalprice")).as("amount"))
+    val sell = li.select(lit("supplier").as("role"), col("l_suppkey").as("party"),
+      money(col("l_extendedprice")).as("amount"))
+    buy.unionByName(sell)
+      .groupBy(col("role"), col("party"))
+      .agg(count(lit(1)).as("n"), dec2(sum(col("amount"))).as("total"))
+      .orderBy(col("role"), col("party"))
+  }
+
+  val unpivotLedgerSql: String =
+    """SELECT role, party, COUNT(*) AS n, CAST(SUM(amount) AS DECIMAL(38,2)) AS total
+      |FROM (
+      |  SELECT 'customer' AS role, o_custkey AS party, CAST(o_totalprice AS DECIMAL(18,2)) AS amount FROM orders
+      |  UNION ALL
+      |  SELECT 'supplier' AS role, l_suppkey AS party, CAST(l_extendedprice AS DECIMAL(18,2)) AS amount FROM lineitem)
+      |GROUP BY role, party ORDER BY role, party""".stripMargin
+
+  /** Q7: window rank top-3 (W1/A4 champion label, README.md:276). */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val rev = o.groupBy(col("o_custkey"))
+      .agg(dec2(sum(money(col("o_totalprice")))).as("revenue"))
+    rev.join(c, rev("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .withColumn("rnk",
+        rank().over(Window.partitionBy(col("n_name"))
+          .orderBy(col("revenue").desc, col("c_custkey"))).cast("bigint"))
+      .filter(col("rnk") <= 3)
+      .select(col("n_name"), col("rnk"), col("c_custkey"), col("revenue"))
+      .orderBy(col("n_name"), col("rnk"), col("c_custkey"))
+  }
+
+  val windowRankSql: String =
+    """WITH rev AS (
+      |  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT n_name, rnk, c_custkey, revenue FROM (
+      |  SELECT n_name, c_custkey, revenue,
+      |    CAST(RANK() OVER (PARTITION BY n_name ORDER BY revenue DESC, c_custkey) AS BIGINT) AS rnk
+      |  FROM rev JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey)
+      |WHERE rnk <= 3 ORDER BY n_name, rnk, c_custkey""".stripMargin
+
+  /** Q8: lag window (W2 previous-season feature, README.md:135,143). */
+  def windowLag(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    o.withColumn("prev_price", lag(money(col("o_totalprice")), 1).over(w))
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("order_date"),
+        dec2(money(col("o_totalprice")) - col("prev_price")).as("delta"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val windowLagSql: String =
+    """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2))
+      |    - LAG(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |    AS DECIMAL(38,2)) AS delta
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Q9: bounded rows frame (W3/A8 rolling average, README.md:135).
+    * Average expressed as exact SUM/COUNT to avoid engine-specific AVG
+    * result types. */
+  def windowRolling(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-3, -1)
+    o.withColumn("roll_sum", sum(money(col("o_totalprice"))).over(w))
+      .withColumn("roll_n", count(lit(1)).over(w))
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        dec6(col("roll_sum") / col("roll_n")).as("rolling_avg"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val windowRollingSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+      |    / COUNT(*) OVER w, 6) AS DECIMAL(38,6)) AS rolling_avg
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Q10: deterministic top-k (T1/T2 ordering + limit). */
+  def topK(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    p.select(col("p_partkey"), col("p_name"), col("p_brand"),
+        money(col("p_retailprice")).as("p_retailprice"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      .limit(10)
+  }
+
+  val topKSql: String =
+    """SELECT p_partkey, p_name, p_brand, CAST(p_retailprice AS DECIMAL(18,2)) AS p_retailprice
+      |FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 10""".stripMargin
+
+  /** Q11: set difference (SO2 incremental anti-diff) on the
+    * (part, supplier) pair domain. */
+  def setExcept(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val r = li.filter(col("l_returnflag") === "R").select(col("l_partkey"), col("l_suppkey"))
+    val a = li.filter(col("l_returnflag") === "A").select(col("l_partkey"), col("l_suppkey"))
+    r.except(a).orderBy(col("l_partkey"), col("l_suppkey"))
+  }
+
+  val setExceptSql: String =
+    """SELECT l_partkey, l_suppkey FROM lineitem WHERE l_returnflag='R'
+      |EXCEPT
+      |SELECT l_partkey, l_suppkey FROM lineitem WHERE l_returnflag='A'
+      |ORDER BY l_partkey, l_suppkey""".stripMargin
+
+  /** Q12: set intersection (free via Spark SQL, SURVEY §2.8). */
+  def setIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val r = li.filter(col("l_returnflag") === "R").select(col("l_partkey"), col("l_suppkey"))
+    val a = li.filter(col("l_returnflag") === "A").select(col("l_partkey"), col("l_suppkey"))
+    r.intersect(a).orderBy(col("l_partkey"), col("l_suppkey"))
+  }
+
+  val setIntersectSql: String =
+    """SELECT l_partkey, l_suppkey FROM lineitem WHERE l_returnflag='R'
+      |INTERSECT
+      |SELECT l_partkey, l_suppkey FROM lineitem WHERE l_returnflag='A'
+      |ORDER BY l_partkey, l_suppkey""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "q1_pricing_summary" -> (pricingSummary _),
+    "q2_standings" -> (standings _),
+    "q3_region_rollup" -> (regionRollup _),
+    "q4_semi_join" -> (semiJoin _),
+    "q5_anti_join" -> (antiJoin _),
+    "q6_unpivot_ledger" -> (unpivotLedger _),
+    "q7_window_rank" -> (windowRank _),
+    "q8_window_lag" -> (windowLag _),
+    "q9_window_rolling" -> (windowRolling _),
+    "q10_topk" -> (topK _),
+    "q11_set_except" -> (setExcept _),
+    "q12_set_intersect" -> (setIntersect _),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> pricingSummarySql,
+    "q2_standings" -> standingsSql,
+    "q3_region_rollup" -> regionRollupSql,
+    "q4_semi_join" -> semiJoinSql,
+    "q5_anti_join" -> antiJoinSql,
+    "q6_unpivot_ledger" -> unpivotLedgerSql,
+    "q7_window_rank" -> windowRankSql,
+    "q8_window_lag" -> windowLagSql,
+    "q9_window_rolling" -> windowRollingSql,
+    "q10_topk" -> topKSql,
+    "q11_set_except" -> setExceptSql,
+    "q12_set_intersect" -> setIntersectSql,
+  )
+}
