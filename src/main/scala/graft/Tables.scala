@@ -20,7 +20,18 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = table(s, d, "events")
+  /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark's reader
+    * rejects ([PARQUET_TYPE_ILLEGAL]). Read it as a raw nanos long via the
+    * legacy conf and expose BOTH `ts_ns: long` (exact, for ordering/gap
+    * math) and `ts: timestamp` (µs, for calendar ops — the testdata is
+    * µs-aligned so the downcast is lossless). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts_ns div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Parity._
+
+/** Derived scalar expressions from SURVEY.md §2.3 — string/date/math/
+  * conditional derivations the reference performs in bash/jq
+  * (.github/workflows/main.yml:56-148) and in the Beam/SQL specs
+  * (README.md:200-266).
+  *
+  * All are pure `Column` expressions (whole-stage-codegen friendly, no
+  * UDFs) so Catalyst folds/pushes them freely at any scale.
+  */
+object Derivations {
+
+  /** Q13: CASE WHEN derivation (D6/D7 winner+points analog,
+    * README.md:79-81) — bucket orders by price tier. */
+  def caseWhen(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.withColumn("tier",
+        when(col("o_totalprice") > 200000d, "high")
+          .when(col("o_totalprice") > 100000d, "mid")
+          .otherwise("low"))
+      .groupBy(col("tier"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dec2(sum(money(col("o_totalprice")))).as("total"))
+      .orderBy(col("tier"), col("o_orderstatus"))
+  }
+
+  val caseWhenSql: String =
+    """SELECT CASE WHEN o_totalprice > 200000 THEN 'high'
+      |            WHEN o_totalprice > 100000 THEN 'mid'
+      |            ELSE 'low' END AS tier,
+      |  o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+      |FROM orders GROUP BY 1, 2 ORDER BY tier, o_orderstatus""".stripMargin
+
+  /** Q14: date-part derivation (D5 date parse, README.md:71). */
+  def dateParts(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.withColumn("yr", year(col("o_orderdate")).cast("bigint"))
+      .withColumn("mo", month(col("o_orderdate")).cast("bigint"))
+      .groupBy(col("yr"), col("mo"))
+      .agg(count(lit(1)).as("n_orders"), dec2(sum(money(col("o_totalprice")))).as("total"))
+      .orderBy(col("yr"), col("mo"))
+  }
+
+  val datePartsSql: String =
+    """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+      |  CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+      |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin
+
+  /** Q15: regex extract/replace (D1 prefix extract main.yml:57, D2 strip
+    * suffix main.yml:71-73). Patterns kept in the common Java/RE2 subset. */
+  def regexDerive(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    p.withColumn("first_word", regexp_extract(col("p_name"), "^[a-z]+", 0))
+      .withColumn("brand_num",
+        nullif(regexp_extract(col("p_brand"), "([0-9]+)", 1), lit("")).cast("bigint"))
+      .withColumn("name_nodigits", regexp_replace(col("p_name"), "[0-9]+", ""))
+      .groupBy(col("first_word"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        min(col("brand_num")).as("min_brand"),
+        max(col("brand_num")).as("max_brand"),
+        countDistinct(col("name_nodigits")).as("n_names"))
+      .orderBy(col("first_word"))
+  }
+
+  val regexDeriveSql: String =
+    """SELECT regexp_extract(p_name, '^[a-z]+', 0) AS first_word,
+      |  COUNT(*) AS n_parts,
+      |  MIN(CAST(NULLIF(regexp_extract(p_brand, '([0-9]+)', 1), '') AS BIGINT)) AS min_brand,
+      |  MAX(CAST(NULLIF(regexp_extract(p_brand, '([0-9]+)', 1), '') AS BIGINT)) AS max_brand,
+      |  COUNT(DISTINCT regexp_replace(p_name, '[0-9]+', '', 'g')) AS n_names
+      |FROM part GROUP BY 1 ORDER BY first_word""".stripMargin
+
+  /** Q16: string functions (D3 trim, D10 escape/concat; main.yml:75,87). */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    c.select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        lower(col("c_mktsegment")).as("seg_lower"),
+        length(col("c_name")).cast("bigint").as("name_len"),
+        substring(col("c_name"), 10, 9).as("name_digits"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("tagged"),
+        trim(lit("  x  ")).as("trimmed"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val stringFuncsSql: String =
+    """SELECT c_custkey,
+      |  UPPER(c_name) AS name_upper,
+      |  LOWER(c_mktsegment) AS seg_lower,
+      |  CAST(LENGTH(c_name) AS BIGINT) AS name_len,
+      |  SUBSTRING(c_name, 10, 9) AS name_digits,
+      |  c_mktsegment || '|' || c_name AS tagged,
+      |  TRIM('  x  ') AS trimmed
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** Q17: JSON field extraction with default (D9, main.yml:66,144; X5 on
+    * the events.props testdata column). */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        dec2(sum(money(col("value")))).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val jsonExtractSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Q18: deterministic first-wins lookup build (D8, main.yml:60-63) —
+    * `first()` under parallelism is non-deterministic, so the engine uses
+    * min_by over an explicit ordering key (SURVEY §7 risk 4). */
+  def firstWins(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.groupBy(col("lang"))
+      .agg(
+        min_by(col("source"), col("doc_id")).as("first_source"),
+        min(col("doc_id")).as("first_doc"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"))
+  }
+
+  val firstWinsSql: String =
+    """SELECT lang, MIN_BY(source, doc_id) AS first_source,
+      |  MIN(doc_id) AS first_doc, COUNT(*) AS n_docs
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Q19: exact distinct counts ([EXT] per SURVEY §2.5 note). */
+  def distinctCounts(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val distinctCountsSql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  def queries: Map[String, Relational.Q] = Map(
+    "q13_case_when" -> (caseWhen _),
+    "q14_date_parts" -> (dateParts _),
+    "q15_regex_derive" -> (regexDerive _),
+    "q16_string_funcs" -> (stringFuncs _),
+    "q17_json_extract" -> (jsonExtract _),
+    "q18_first_wins" -> (firstWins _),
+    "q19_distinct_counts" -> (distinctCounts _),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q13_case_when" -> caseWhenSql,
+    "q14_date_parts" -> datePartsSql,
+    "q15_regex_derive" -> regexDeriveSql,
+    "q16_string_funcs" -> stringFuncsSql,
+    "q17_json_extract" -> jsonExtractSql,
+    "q18_first_wins" -> firstWinsSql,
+    "q19_distinct_counts" -> distinctCountsSql,
+  )
+}

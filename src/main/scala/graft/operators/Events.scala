@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.Parity._
+
+/** Event-table operators: the reference's idempotency/latest-version
+  * semantics (README.md:114, main.yml:136-141) plus batch equivalents of
+  * the event-time operations SURVEY §2.10 maps to Structured Streaming.
+  *
+  * Time arithmetic is done on the exact nanosecond long (`ts_ns`) so gap
+  * math is engine-independent; calendar bucketing uses the µs timestamp.
+  */
+object Events {
+
+  /** Q20: latest record per key (A7/W4, main.yml:137 `sort -V | tail -1`
+    * analog — the window row_number idiom). */
+  def latestPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns").desc, col("event_id").desc)
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("user_id"), col("event_id"), col("event_type"),
+        col("ts").cast("date").as("event_day"),
+        money(col("value")).as("value"))
+      .orderBy(col("user_id"))
+  }
+
+  val latestPerUserSql: String =
+    """SELECT user_id, event_id, event_type,
+      |  CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_day,
+      |  CAST(value AS DECIMAL(18,2)) AS value
+      |FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** Q21: tumbling event-time window as a batch aggregation (§2.10;
+    * streaming form lives in graft.streaming.EventStream). */
+  def tumblingHour(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.withColumn("event_day", col("ts").cast("date"))
+      .withColumn("hr", hour(col("ts")).cast("bigint"))
+      .groupBy(col("event_day"), col("hr"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        dec2(sum(money(col("value")))).as("sum_value"))
+      .orderBy(col("event_day"), col("hr"), col("event_type"))
+  }
+
+  val tumblingHourSql: String =
+    """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_day,
+      |  CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
+      |  event_type, COUNT(*) AS n,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+      |FROM events GROUP BY 1, 2, 3 ORDER BY event_day, hr, event_type""".stripMargin
+
+  /** Q22: gap-based sessionization — two stacked windows (lag to flag
+    * session starts, running sum to number sessions). Gap math on exact
+    * nanos; 30-minute gap. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    val gapNs = 30L * 60 * 1000 * 1000 * 1000
+    ev.withColumn("prev_ns", lag(col("ts_ns"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > gapNs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("session_id")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val sessionizeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id,
+      |    CASE WHEN LAG(epoch_ns(ts)) OVER w IS NULL
+      |           OR epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w > 30*60*1000000000::BIGINT
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id))
+      |SELECT user_id,
+      |  CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+      |  COUNT(*) AS n_events
+      |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Q23: dedup by key (A6, README.md:114 idempotent re-delivery) —
+    * exact duplicate drop on a business key, keeping the earliest. */
+  def dedupEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_first_events"))
+      .orderBy(col("event_type"))
+  }
+
+  val dedupEventsSql: String =
+    """SELECT event_type, COUNT(*) AS n_first_events FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY epoch_ns(ts), event_id) AS rn
+      |  FROM events)
+      |WHERE rn = 1 GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  def queries: Map[String, Relational.Q] = Map(
+    "q20_latest_per_user" -> (latestPerUser _),
+    "q21_tumbling_hour" -> (tumblingHour _),
+    "q22_sessionize" -> (sessionize _),
+    "q23_dedup_events" -> (dedupEvents _),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q20_latest_per_user" -> latestPerUserSql,
+    "q21_tumbling_hour" -> tumblingHourSql,
+    "q22_sessionize" -> sessionizeSql,
+    "q23_dedup_events" -> dedupEventsSql,
+  )
+}
