@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.operators.{Derivations, Events, Relational}
+import graft.operators.{Dedup, Derivations, Events, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,10 +18,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Derivations.queries ++ Events.queries
+    Relational.queries ++ Derivations.queries ++ Events.queries ++
+      TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Derivations.oracles ++ Events.oracles
+    Relational.oracles ++ Derivations.oracles ++ Events.oracles ++
+      TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles
 }

@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns, built entirely from
+  * codegen'd higher-order functions (`zip_with`/`aggregate`/`transform`)
+  * — no UDFs, so expressions inline into whole-stage codegen and
+  * distribute with no serialization cost ([EXT] X3, SURVEY §2.11).
+  *
+  * Elements are widened float->double (exact) before any arithmetic so
+  * results are reproducible across engines.
+  */
+object VectorFunctions {
+
+  /** Cast array<float> -> array<double> (exact widening). */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Left-to-right double dot product. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  /** Euclidean norm. */
+  def l2Norm(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x * x))
+
+  /** Cosine similarity = dot(a,b) / (|a| * |b|). Inputs must be double
+    * arrays (use [[toDouble]] for float embeddings). */
+  def cosineSimilarity(a: Column, b: Column): Column =
+    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Random-hyperplane (SimHash) LSH signature for ANN bucketing: `bits`
+    * pseudo-random hyperplanes, each derived deterministically from
+    * xxhash64(plane, dim) — no RNG state, so executors agree on the
+    * planes with no broadcast and re-runs are reproducible.
+    * Signature = integer in [0, 2^bits). Vectors in the same bucket are
+    * ANN candidates; cosine-rerank the bucket for the final answer. */
+  def hyperplaneSignature(v: Column, bits: Int, dims: Int): Column = {
+    require(bits <= 30, "signature must fit an int")
+    // plane(p) . v  where plane(p)(d) = centered hash in [-0.5, 0.5)
+    def planeDot(p: Int): Column =
+      aggregate(
+        zip_with(
+          v,
+          transform(sequence(lit(0), lit(dims - 1)),
+            d => (pmod(xxhash64(lit(p), d), lit(1000000)).cast("double") / 1000000.0d) - 0.5d),
+          (x, w) => x * w),
+        lit(0.0d), (acc, x) => acc + x)
+    (0 until bits).map(p => when(planeDot(p) >= 0, lit(1 << p)).otherwise(lit(0)))
+      .reduce(_ + _)
+  }
+}

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Parity._
+import graft.functions.TextFunctions._
+
+/** [EXT] X1/X2 deduplication operators (SURVEY §2.11): exact hash-group
+  * dedup, blocked n-gram Jaccard near-dup, native MinHash+LSH banding,
+  * and SimHash — each as a `queries()` entry over `documents`.
+  *
+  * Scale design: the exact/minhash/simhash paths are linear scans plus a
+  * shuffle keyed on (hash | band | signature) — the classic 100 TB dedup
+  * shape where candidate generation is O(n) and verification touches only
+  * colliding groups. The Jaccard query uses an equality blocking key
+  * (n_chars) instead of an O(n²) cross join.
+  */
+object Dedup {
+
+  /** Q29: exact dedup (X1) — keep the lowest doc_id per distinct text.
+    * Grouping on md5(text) rather than the full text keeps shuffle rows
+    * small (16 bytes vs KBs of text) — the at-scale idiom. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.groupBy(md5(col("text")).as("fp"))
+      .agg(
+        min(col("doc_id")).as("kept_doc"),
+        count(lit(1)).as("n_copies"),
+        min(col("n_chars")).as("n_chars"))
+      .select(col("kept_doc"), col("n_copies"), col("n_chars"))
+      .orderBy(col("kept_doc"))
+  }
+
+  val dedupExactSql: String =
+    """SELECT MIN(doc_id) AS kept_doc, COUNT(*) AS n_copies, MIN(n_chars) AS n_chars
+      |FROM documents GROUP BY md5(text) ORDER BY kept_doc""".stripMargin
+
+  /** Q30: near-dup detection via token-set Jaccard with equality blocking
+    * on n_chars (X2 exact-verification path). Near-identical docs have
+    * (near-)identical lengths, so blocking turns the O(n²) pair space
+    * into per-block products — at sf0.1 ~12 docs/block. */
+  def neardupJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        array_distinct(tokens(col("text"))).as("toks"))
+    val a = d.select(col("doc_id").as("doc_a"), col("n_chars"), col("toks").as("toks_a"))
+    val b = d.select(col("doc_id").as("doc_b"), col("n_chars"), col("toks").as("toks_b"))
+    a.join(b, Seq("n_chars"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard",
+        dec6(size(array_intersect(col("toks_a"), col("toks_b"))).cast("decimal(18,0)")
+          / size(array_union(col("toks_a"), col("toks_b")))))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val neardupJaccardSql: String =
+    """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(ROUND(CAST(len(list_intersect(list_distinct(string_split(a.text,' ')), list_distinct(string_split(b.text,' ')))) AS DECIMAL(18,0))
+      |    / len(list_distinct(list_concat(list_distinct(string_split(a.text,' ')), list_distinct(string_split(b.text,' '))))), 6) AS DECIMAL(38,6)) AS jaccard
+      |FROM documents a JOIN documents b
+      |  ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(list_distinct(string_split(a.text,' ')), list_distinct(string_split(b.text,' ')))) AS DOUBLE)
+      |    / len(list_distinct(list_concat(list_distinct(string_split(a.text,' ')), list_distinct(string_split(b.text,' '))))) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Q31: MinHash + LSH banding (X2 scale path) — 32-permutation
+    * signature, 8 bands x 4 rows; pairs colliding in any band are
+    * candidates, verified with exact shingle-Jaccard >= 0.5.
+    * No oracle (xxhash64 is Spark-specific); the ScalaTest spec checks it
+    * against the exact Jaccard query instead. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val perms = 32
+    val bands = 8
+    val rowsPerBand = perms / bands
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), minHashSignature(col("text"), 3, perms).as("sig"),
+        array_distinct(wordShingles(col("text"), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    // band key = (band index, hash of the band's signature slice)
+    val banded = d.select(col("doc_id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(lit("band"), b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+    val l = banded.select(col("band"), col("band_hash"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("band"), col("band_hash"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b")).distinct()
+      .withColumn("jaccard",
+        dec6(size(array_intersect(col("sh_a"), col("sh_b"))).cast("decimal(18,0)")
+          / size(array_union(col("sh_a"), col("sh_b")))))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Q32: SimHash near-dup (X2) — 32-bit signature from per-bit majority
+    * vote over token hashes; exact-signature collisions are dup
+    * candidates. No oracle (xxhash64); spec-tested. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val bits = 32
+    val d = Tables.documents(spark, dir)
+      .withColumn("toks", array_distinct(tokens(col("text"))))
+      .withColumn("n_toks", size(col("toks")))
+      .withColumn("sig",
+        (0 until bits).map { b =>
+          when(
+            size(filter(col("toks"),
+              t => shiftright(xxhash64(t), b).bitwiseAND(1) === 1)) * 2 > col("n_toks"),
+            lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _))
+    d.groupBy(col("sig"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") > 1)
+      .select(col("sig"), col("n_docs"), col("first_doc"))
+      .orderBy(col("first_doc"))
+  }
+
+  def queries: Map[String, Relational.Q] = Map(
+    "q29_dedup_exact" -> (dedupExact _),
+    "q30_neardup_jaccard" -> (neardupJaccard _),
+    "q31_minhash_lsh" -> (minhashLsh _),
+    "q32_simhash" -> (simhash _),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q29_dedup_exact" -> dedupExactSql,
+    "q30_neardup_jaccard" -> neardupJaccardSql,
+    // q31/q32 intentionally omitted: xxhash64-based, not expressible in
+    // portable SQL; covered by DedupSpec against the exact-Jaccard oracle.
+  )
+}

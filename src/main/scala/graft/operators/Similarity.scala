@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.Parity._
+import graft.functions.VectorFunctions._
+
+/** [EXT] X3 similarity search over the embeddings table (SURVEY §2.11):
+  * brute-force cosine top-k as the correctness baseline and a
+  * random-hyperplane LSH bucketed variant as the scale path.
+  *
+  * Scale design: the query side is tiny and explicitly broadcast, so the
+  * brute-force pass is a single map-side scan of the corpus (no shuffle
+  * until the per-query top-k). The LSH variant buckets the corpus by a
+  * deterministic signature so each query probes one bucket — the shape
+  * that survives a 100 TB corpus where a full scan per query won't.
+  */
+object Similarity {
+
+  private val K = 10
+  private val NQueries = 5
+
+  /** Q33: brute-force cosine top-k (baseline). Queries = vec_id < 5. */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val sims = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("sim", dec6(round(cosineSimilarity(col("q_emb"), col("emb")), 6)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= K)
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val cosineTopKSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+       |  FROM embeddings WHERE vec_id < $NQueries),
+       |sims AS (
+       |  SELECT q.query_id, e.vec_id,
+       |    CAST(ROUND(list_cosine_similarity(q.q_emb, e.embedding::DOUBLE[]), 6) AS DECIMAL(38,6)) AS sim
+       |  FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+       |SELECT query_id, rnk, vec_id, sim FROM (
+       |  SELECT query_id, vec_id, sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk
+       |  FROM sims)
+       |WHERE rnk <= $K ORDER BY query_id, rnk""".stripMargin
+
+  /** Q34: ANN via random-hyperplane LSH (scale path) — 4-bit signatures
+    * bucket the corpus (~n/16 candidates per query); each query reranks
+    * only its own bucket with exact cosine. No oracle (signature uses
+    * xxhash64); SimilaritySpec measures recall against the brute-force
+    * baseline. At larger corpora, raise `bits` and probe multiple
+    * buckets (multi-probe LSH) to hold recall while shrinking scans. */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val dims = 64
+    val bits = 4
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+      .withColumn("bucket", hyperplaneSignature(col("emb"), bits, dims))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("bucket"))
+    val sims = e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", dec6(round(cosineSimilarity(col("q_emb"), col("emb")), 6)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= K)
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("sim"), col("bucket"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Q35: pairwise label-centroid similarity — grouped vector averaging
+    * (elementwise mean via aggregate/transform) then all-pairs cosine of
+    * the tiny centroid set. Exercises array aggregation at reduce side. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val dims = 64
+    val e = Tables.embeddings(spark, dir)
+      .select(col("label"), toDouble(col("embedding")).as("emb"))
+    // elementwise sum via reduce over each dimension: explode to
+    // (label, dim, value) — the shuffle-friendly layout for wide vectors.
+    val byDim = e.select(col("label"), posexplode(col("emb")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+    val centroids = byDim
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), (col("s") / col("n")).as("v")))).as("pv"))
+      .select(col("label"), transform(col("pv"), p => p.getField("v")).as("centroid"))
+    val a = centroids.select(col("label").as("label_a"), col("centroid").as("c_a"))
+    val b = centroids.select(col("label").as("label_b"), col("centroid").as("c_b"))
+    a.join(b, col("label_a") < col("label_b"))
+      .withColumn("sim", dec6(round(cosineSimilarity(col("c_a"), col("c_b")), 6)))
+      .select(col("label_a"), col("label_b"), col("sim"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
+  val labelCentroidsSql: String =
+    """WITH byd AS (
+      |  SELECT label, g.generate_series AS pos, SUM(embedding[g.generate_series + 1]::DOUBLE) AS s, COUNT(*) AS n
+      |  FROM embeddings, generate_series(0, 63) g
+      |  GROUP BY label, pos),
+      |cent AS (
+      |  SELECT label, list(s / n ORDER BY pos) AS centroid
+      |  FROM byd GROUP BY label)
+      |SELECT a.label AS label_a, b.label AS label_b,
+      |  CAST(ROUND(list_cosine_similarity(a.centroid, b.centroid), 6) AS DECIMAL(38,6)) AS sim
+      |FROM cent a JOIN cent b ON a.label < b.label
+      |ORDER BY label_a, label_b""".stripMargin
+
+  def queries: Map[String, Relational.Q] = Map(
+    "q33_cosine_topk" -> (cosineTopK _),
+    "q34_ann_lsh" -> (annLsh _),
+    "q35_label_centroids" -> (labelCentroids _),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q33_cosine_topk" -> cosineTopKSql,
+    // q34 omitted: xxhash64-based bucketing, checked by SimilaritySpec
+    // recall test against q33.
+    "q35_label_centroids" -> labelCentroidsSql,
+  )
+}

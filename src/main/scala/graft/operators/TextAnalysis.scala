@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Parity._
+import graft.functions.TextFunctions._
+
+/** [EXT] X4 text-analysis operators over the documents table: token
+  * stats, quality scoring, language-ID heuristic, token frequency, and
+  * md5 fingerprinting (SURVEY §2.11; driver north star).
+  *
+  * Everything is per-row Column algebra + one hash aggregation — linear
+  * scans that partition trivially at 100 TB (no self-joins here; the
+  * near-dup joins live in Dedup.scala).
+  */
+object TextAnalysis {
+
+  private val stopwordSqlList = EnglishStopwords.map(s => s"'$s'").mkString(", ")
+
+  /** Q24: per-language token statistics. */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.withColumn("n_tokens", tokenCount(col("text")))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val textStatsSql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Q25: global token frequency, top 20. */
+  def tokenFreq(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+  }
+
+  val tokenFreqSql: String =
+    """SELECT token, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
+
+  /** Q26: per-document quality score — length, lexical diversity
+    * (type-token ratio), stopword ratio. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.withColumn("n_tokens", tokenCount(col("text")))
+      .withColumn("n_types", size(distinctTokens(col("text"))).cast("bigint"))
+      .withColumn("n_stop", stopwordCount(col("text")))
+      .select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        col("n_tokens"), col("n_types"),
+        dec6(col("n_types").cast("decimal(18,0)") / col("n_tokens")).as("ttr"),
+        dec6(col("n_stop").cast("decimal(18,0)") / col("n_tokens")).as("stopword_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityScoreSql: String =
+    s"""SELECT doc_id, lang, n_chars,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
+       |  CAST(ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DECIMAL(18,0))
+       |    / len(string_split(text, ' ')), 6) AS DECIMAL(38,6)) AS ttr,
+       |  CAST(ROUND(CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopwordSqlList))) AS DECIMAL(18,0))
+       |    / len(string_split(text, ' ')), 6) AS DECIMAL(38,6)) AS stopword_ratio
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Q27: language-ID heuristic — English function-word hit ratio vs the
+    * labeled lang column (accuracy readout per label). */
+  def langGuess(spark: SparkSession, dir: String): DataFrame = {
+    val withRatio = Tables.documents(spark, dir)
+      .withColumn("guess_en",
+        when(stopwordCount(col("text")).cast("double") / tokenCount(col("text")) >= 0.10, 1L)
+          .otherwise(0L))
+    withRatio.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("guess_en")).as("n_guessed_en"))
+      .orderBy(col("lang"))
+  }
+
+  val langGuessSql: String =
+    s"""SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopwordSqlList))) AS DOUBLE)
+       |    / len(string_split(text, ' ')) >= 0.10 THEN 1 ELSE 0 END) AS BIGINT) AS n_guessed_en
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Q28: md5 document fingerprinting; duplicate groups surface as
+    * fingerprints with count > 1 (engine-portable content hash). */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.withColumn("fp", fingerprint(col("text")))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_copies") > 1)
+      .orderBy(col("fp"))
+  }
+
+  val fingerprintsSql: String =
+    """SELECT md5(text) AS fp, COUNT(*) AS n_copies, MIN(doc_id) AS first_doc
+      |FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY fp""".stripMargin
+
+  def queries: Map[String, Relational.Q] = Map(
+    "q24_text_stats" -> (textStats _),
+    "q25_token_freq" -> (tokenFreq _),
+    "q26_quality_score" -> (qualityScore _),
+    "q27_lang_guess" -> (langGuess _),
+    "q28_fingerprints" -> (fingerprints _),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q24_text_stats" -> textStatsSql,
+    "q25_token_freq" -> tokenFreqSql,
+    "q26_quality_score" -> qualityScoreSql,
+    "q27_lang_guess" -> langGuessSql,
+    "q28_fingerprints" -> fingerprintsSql,
+  )
+}
