@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.operators.{Dedup, Derivations, Events, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Derivations, Events, Relational, Similarity, Soccer, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +19,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Derivations.queries ++ Events.queries ++
-      TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries
+      TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
+      Soccer.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
