@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.operators.{Dedup, Derivations, Events, Relational, Similarity, Soccer, TextAnalysis}
+import graft.operators.{Dedup, Derivations, Events, MlQueries, Relational, Similarity, Soccer, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,7 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Derivations.queries ++ Events.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
-      Soccer.queries
+      Soccer.queries ++ MlQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

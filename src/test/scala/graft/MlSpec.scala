@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.ChampionModel
+import graft.operators.{MlQueries, Relational}
+
+/** M1-M4 (SURVEY §2.9): champion classification over season standings. */
+class MlSpec extends SparkSuite {
+
+  private lazy val standings = Relational.standings(spark, Sf0001)
+    .select(
+      lit("tpch").as("league"),
+      col("season").cast("string").as("season"),
+      col("team"),
+      col("points").cast("double").as("points"),
+      col("goal_value").cast("double").as("goal_diff"),
+      col("rank"),
+      (col("rank") === 1).as("is_champion"))
+
+  test("features: lag/rolling drop first season per team, keep schema") {
+    val f = ChampionModel.features(standings)
+    assert(f.columns.contains("prev_points") && f.columns.contains("roll_points"))
+    val firstSeason = standings.agg(min("season")).head().getString(0)
+    assert(f.filter(col("season") === firstSeason).count() === 0)
+    assert(f.filter(col("prev_points").isNull).count() === 0)
+  }
+
+  test("temporal split is disjoint and ordered") {
+    val f = ChampionModel.features(standings)
+    val seasons = f.select("season").distinct().orderBy("season")
+      .collect().map(_.getString(0))
+    assert(seasons.length >= 3)
+    val (train, valid, testDf) =
+      ChampionModel.temporalSplit(f, seasons.last, seasons(seasons.length - 2))
+    val maxTrain = train.agg(max("season")).head().getString(0)
+    assert(maxTrain < seasons(seasons.length - 2))
+    assert(valid.select("season").distinct().count() === 1)
+    assert(testDf.select("season").distinct().count() === 1)
+  }
+
+  test("walk-forward folds: train strictly precedes test season") {
+    val f = ChampionModel.features(standings)
+    val folds = ChampionModel.walkForwardFolds(f, minTrain = 2)
+    assert(folds.nonEmpty)
+    folds.foreach { case (s, train, testDf) =>
+      assert(train.filter(col("season") >= s).count() === 0)
+      assert(testDf.filter(col("season") =!= s).count() === 0)
+    }
+  }
+
+  test("pipeline trains, evaluates, and beats coin-flip AUC") {
+    val f = ChampionModel.features(standings).cache()
+    val last = f.agg(max("season")).head().getString(0)
+    val model = ChampionModel.fitServing(f.filter(col("season") < last))
+    val preds = model.transform(f)
+    val (auc, top1, top3) = ChampionModel.evaluate(preds)
+    assert(auc > 0.5, s"auc=$auc")
+    assert(top1 >= 0.0 && top3 >= top1)
+  }
+
+  test("q37_ml_champion: deterministic rank output, exactly one champion") {
+    val out = MlQueries.championPrediction(spark, Sf0001)
+    assert(out.count() > 0)
+    assert(out.filter(col("actual_champion") === 1).count() === 1)
+    val ranks = out.select("pred_rank").collect().map(_.getLong(0))
+    assert(ranks.toSeq === (1L to ranks.length).toSeq)
+  }
+
+  test("previous-champion baseline is a valid probability") {
+    val b = ChampionModel.previousChampionBaseline(standings)
+    assert(b >= 0.0 && b <= 1.0)
+  }
+}
