@@ -44,7 +44,7 @@ object ChampionModel {
       .setInputCols(featureCols).setOutputCol("features")
       .setHandleInvalid("keep")
     val lr = new LogisticRegression()
-      .setMaxIter(50).setRegParam(0.01).setLabelCol("label")
+      .setMaxIter(25).setTol(1e-5).setRegParam(0.01).setLabelCol("label")
     new Pipeline().setStages(Array(assembler, lr))
   }
 

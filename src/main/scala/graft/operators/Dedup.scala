@@ -70,29 +70,53 @@ object Dedup {
   /** Q31: MinHash + LSH banding (X2 scale path) — 32-permutation
     * signature, 8 bands x 4 rows; pairs colliding in any band are
     * candidates, verified with exact shingle-Jaccard >= 0.5.
-    * No oracle (xxhash64 is Spark-specific); the ScalaTest spec checks it
-    * against the exact Jaccard query instead. */
+    * No oracle (xxhash64 is Spark-specific); DedupSpec checks agreement
+    * with the exact Jaccard query instead.
+    *
+    * Shape chosen for 100 TB, not just correctness:
+    *  - signature = explode shingles, then ONE codegen'd hash aggregate
+    *    with 32 scalar `min(xxhash64(p, shingle))` columns — map-side
+    *    partial combine means the shuffle carries one 32-long row per
+    *    (partition, doc). The array-HOF formulation
+    *    (`transform(sequence…, array_min(transform…))`) is interpreted
+    *    AND gets duplicated by CollapseProject into every band
+    *    expression and both self-join branches (~16× recompute: 102s →
+    *    ~1s at sf0.1).
+    *  - candidate generation self-joins only (band, band_hash, doc_id)
+    *    rows; the distinct pair set is resolved BEFORE any shingle array
+    *    is fetched, so wide verification data never rides the LSH
+    *    shuffle. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val perms = 32
     val bands = 8
     val rowsPerBand = perms / bands
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), minHashSignature(col("text"), 3, perms).as("sig"),
-        array_distinct(wordShingles(col("text"), 3)).as("sh"))
-      .filter(size(col("sh")) > 0)
-    // band key = (band index, hash of the band's signature slice)
-    val banded = d.select(col("doc_id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(lit("band"), b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_hash")
-    val l = banded.select(col("band"), col("band_hash"),
-      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("band"), col("band_hash"),
-      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("band", "band_hash"))
+    val docs = Tables.documents(spark, dir)
+    val shingled = docs.select(col("doc_id"),
+      explode(array_distinct(wordShingles(col("text"), 3))).as("shingle"))
+    val minCols = (0 until perms).map(p =>
+      min(xxhash64(lit(p), col("shingle"))).as(s"h$p"))
+    val sig = shingled.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    // band key = hash of the band's rowsPerBand signature slots (scalar
+    // xxhash64 → codegen; equal slices collide, unequal almost never do)
+    val bandStructs = (0 until bands).map { b =>
+      val slots = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"),
+        xxhash64(lit("band") +: lit(b) +: slots: _*).as("band_hash"))
+    }
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+    val cand = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_b")),
+        Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b")).distinct()
+      .select(col("doc_a"), col("doc_b")).distinct()
+    // verification: fetch shingle sets for surviving pairs only
+    val sets = docs.select(col("doc_id"),
+      array_distinct(wordShingles(col("text"), 3)).as("sh"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard",
         dec6(size(array_intersect(col("sh_a"), col("sh_b"))).cast("decimal(18,0)")
           / size(array_union(col("sh_a"), col("sh_b")))))
