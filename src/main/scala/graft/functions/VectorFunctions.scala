@@ -34,8 +34,10 @@ object VectorFunctions {
     * xxhash64(plane, dim) — no RNG state, so executors agree on the
     * planes with no broadcast and re-runs are reproducible.
     * Signature = integer in [0, 2^bits). Vectors in the same bucket are
-    * ANN candidates; cosine-rerank the bucket for the final answer. */
-  def hyperplaneSignature(v: Column, bits: Int, dims: Int): Column = {
+    * ANN candidates; cosine-rerank the bucket for the final answer.
+    * `planeOffset` selects a disjoint plane set so multi-table LSH
+    * (OR-amplification) can derive independent signatures. */
+  def hyperplaneSignature(v: Column, bits: Int, dims: Int, planeOffset: Int = 0): Column = {
     require(bits <= 30, "signature must fit an int")
     // plane(p) . v  where plane(p)(d) = centered hash in [-0.5, 0.5)
     def planeDot(p: Int): Column =
@@ -46,7 +48,7 @@ object VectorFunctions {
             d => (pmod(xxhash64(lit(p), d), lit(1000000)).cast("double") / 1000000.0d) - 0.5d),
           (x, w) => x * w),
         lit(0.0d), (acc, x) => acc + x)
-    (0 until bits).map(p => when(planeDot(p) >= 0, lit(1 << p)).otherwise(lit(0)))
+    (0 until bits).map(i => when(planeDot(planeOffset + i) >= 0, lit(1 << i)).otherwise(lit(0)))
       .reduce(_ + _)
   }
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.functions.TextFunctions._
+
+/** Dedup operators (X1/X2, SURVEY §2.11). q31/q32 have no DuckDB oracle
+  * (xxhash64 is Spark-specific), so these tests carry their correctness:
+  * LSH output is checked against a brute-force exact-Jaccard sweep. */
+class DedupSpec extends SparkSuite {
+
+  test("q29 exact dedup: copies partition the corpus, keepers are unique") {
+    val d = Dedup.dedupExact(spark, Sf0001).cache()
+    val total = Tables.documents(spark, Sf0001).count()
+    assert(d.agg(sum("n_copies")).head().getLong(0) === total)
+    assert(d.select("kept_doc").distinct().count() === d.count())
+    d.unpersist()
+  }
+
+  test("q31 minhash-lsh: subset of true pairs; full recall on exact dups") {
+    // brute force: all pairs with shingle-Jaccard >= 0.5 (50 docs -> 1225 pairs)
+    val sets = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), array_distinct(wordShingles(col("text"), 3)).as("sh"))
+    val truePairs = sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      .crossJoin(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+        / size(array_union(col("sh_a"), col("sh_b"))) >= 0.5)
+      .select("doc_a", "doc_b")
+    val lsh = Dedup.minhashLsh(spark, Sf0001).select("doc_a", "doc_b")
+    // verification step guarantees precision 1.0
+    assert(lsh.exceptAll(truePairs).count() === 0)
+    // identical texts have identical signatures -> always collide
+    val exactDupPairs = Tables.documents(spark, Sf0001).as("a")
+      .join(Tables.documents(spark, Sf0001).as("b"),
+        col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    assert(exactDupPairs.exceptAll(lsh).count() === 0)
+    // and overall recall on the near-dup ground truth is high
+    val nTrue = truePairs.count()
+    val nFound = lsh.intersect(truePairs).count()
+    assert(nTrue === 0 || nFound.toDouble / nTrue >= 0.8, s"recall $nFound/$nTrue")
+  }
+
+  test("q30 jaccard values are valid and symmetric-canonical") {
+    val j = Dedup.neardupJaccard(spark, Sf0001)
+    assert(j.filter(col("jaccard") < 0.8 || col("jaccard") > 1).count() === 0)
+    assert(j.filter(col("doc_a") >= col("doc_b")).count() === 0)
+  }
+
+  test("q32 simhash groups exact duplicates together") {
+    // identical texts tokenize identically -> identical 32-bit signature,
+    // so every exact-dup group (n_copies > 1) must land in some sig group
+    val nDupDocs = Tables.documents(spark, Sf0001)
+      .groupBy("text").count().filter(col("count") > 1)
+      .agg(coalesce(sum("count"), lit(0L))).head().getLong(0)
+    val grouped = Dedup.simhash(spark, Sf0001)
+    val nGrouped = grouped.agg(coalesce(sum("n_docs"), lit(0L))).head().getLong(0)
+    assert(nGrouped >= nDupDocs)
+    // every surfaced group is a real collision group
+    assert(grouped.filter(col("n_docs") < 2).count() === 0)
+  }
+}

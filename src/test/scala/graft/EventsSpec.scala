@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Events
+import graft.functions.TextFunctions.naturalSortKey
+
+/** Event-time operators (A6/A7/W4, §2.10 batch forms) + the natural
+  * version-sort key (SURVEY §7 hard part 2). */
+class EventsSpec extends SparkSuite {
+
+  test("q20 latest-per-user: exactly one row per user") {
+    val l = Events.latestPerUser(spark, Sf0001)
+    val users = Tables.events(spark, Sf0001).select("user_id").distinct().count()
+    assert(l.count() === users)
+    assert(l.select("user_id").distinct().count() === users)
+  }
+
+  test("q21 tumbling-hour counts partition all events") {
+    val t = Events.tumblingHour(spark, Sf0001)
+    val total = Tables.events(spark, Sf0001).count()
+    assert(t.agg(sum("n")).head().getLong(0) === total)
+  }
+
+  test("q22 sessionize: session counts bounded by event counts") {
+    val s = Events.sessionize(spark, Sf0001)
+    assert(s.filter(col("n_sessions") < 1).count() === 0)
+    assert(s.filter(col("n_sessions") > col("n_events")).count() === 0)
+  }
+
+  test("q23 dedup keeps at most one event per (user, type)") {
+    val d = Events.dedupEvents(spark, Sf0001)
+    val pairs = Tables.events(spark, Sf0001)
+      .select("user_id", "event_type").distinct().count()
+    assert(d.agg(sum("n_first_events")).head().getLong(0) === pairs)
+  }
+
+  test("naturalSortKey orders like sort -V (digit runs numerically)") {
+    import spark.implicits._
+    // openfootball-style names: en.2 < en.10, 1-bundesliga versions, etc.
+    val names = Seq("en.10", "en.2", "en.1", "at.10a", "at.2a",
+      "file9", "file10", "file1", "v1.2.3", "v1.10.0", "v1.2.10")
+    val expected = Seq("at.2a", "at.10a", "en.1", "en.2", "en.10",
+      "file1", "file9", "file10", "v1.2.3", "v1.2.10", "v1.10.0")
+    val sorted = names.toDF("name")
+      .orderBy(naturalSortKey(col("name")))
+      .collect().map(_.getString(0)).toSeq
+    assert(sorted === expected)
+  }
+}

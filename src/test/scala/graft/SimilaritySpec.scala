@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.functions.VectorFunctions._
+
+/** Similarity search (X3, SURVEY §2.11). q34 has no oracle; its recall
+  * is measured here against the brute-force q33 baseline. */
+class SimilaritySpec extends SparkSuite {
+
+  test("q33 brute-force top-k: dense ranks, monotone sims, no self-match") {
+    val t = Similarity.cosineTopK(spark, Sf0001).cache()
+    assert(t.filter(col("query_id") === col("vec_id")).count() === 0)
+    // per query: ranks are 1..k and sim is non-increasing in rank
+    val perQuery = t.groupBy("query_id").agg(
+      count(lit(1)).as("k"),
+      max("rnk").as("max_rnk"),
+      min("rnk").as("min_rnk"))
+    assert(perQuery.filter(col("max_rnk") =!= col("k") || col("min_rnk") =!= 1).count() === 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy("rnk")
+    val monotone = t.withColumn("prev_sim", lag(col("sim"), 1).over(w))
+      .filter(col("prev_sim").isNotNull && col("sim") > col("prev_sim"))
+    assert(monotone.count() === 0)
+    t.unpersist()
+  }
+
+  test("q34 ann-lsh: sims agree with brute force; bucket recall is useful") {
+    val ann = Similarity.annLsh(spark, Sf0001)
+      .select(col("query_id"), col("vec_id"), col("sim").as("ann_sim"))
+    val bf = Similarity.cosineTopK(spark, Sf0001)
+      .select(col("query_id"), col("vec_id"), col("sim").as("bf_sim"))
+    // every (query, vec) pair ANN returns that brute force also ranked
+    // must carry the identical cosine value (same math, same rounding)
+    val joined = ann.join(bf, Seq("query_id", "vec_id"))
+    assert(joined.filter(col("ann_sim") =!= col("bf_sim")).count() === 0)
+    // the top-1 brute-force neighbor is found for most queries (identical/
+    // near-identical vectors share the 4-bit hyperplane signature)
+    val top1 = bf.join(Similarity.cosineTopK(spark, Sf0001).filter(col("rnk") === 1)
+      .select(col("query_id"), col("vec_id")), Seq("query_id", "vec_id"), "left_semi")
+    val found = top1.join(ann, Seq("query_id", "vec_id"), "left_semi").count()
+    assert(found.toDouble / top1.count() >= 0.6, s"top-1 recall $found/${top1.count()}")
+  }
+
+  test("q35 centroids: one pair per unordered label pair, sims in [-1,1]") {
+    val labels = Tables.embeddings(spark, Sf0001).select("label").distinct().count()
+    val c = Similarity.labelCentroids(spark, Sf0001).cache()
+    assert(c.count() === labels * (labels - 1) / 2)
+    assert(c.filter(col("sim") < -1 || col("sim") > 1).count() === 0)
+    c.unpersist()
+  }
+
+  test("cosineSimilarity column function matches hand computation") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0), 0.0),
+      (Array(1.0, 2.0, 3.0), Array(1.0, 2.0, 3.0), 1.0),
+      (Array(1.0, 0.0, 0.0), Array(-1.0, 0.0, 0.0), -1.0),
+    ).toDF("a", "b", "expected")
+    val bad = df.withColumn("sim", cosineSimilarity(col("a"), col("b")))
+      .filter(abs(col("sim") - col("expected")) > 1e-12)
+    assert(bad.count() === 0)
+  }
+
+  test("q33 plan: query side is broadcast (no corpus-x-corpus shuffle)") {
+    val p = Similarity.cosineTopK(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+}

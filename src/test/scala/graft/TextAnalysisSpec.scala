@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** Text-analysis operators (X4, SURVEY §2.11). */
+class TextAnalysisSpec extends SparkSuite {
+
+  test("q26 quality scores: ratios bounded, type count <= token count") {
+    val q = TextAnalysis.qualityScore(spark, Sf0001).cache()
+    assert(q.filter(col("ttr") > 1 || col("ttr") <= 0).count() === 0)
+    assert(q.filter(col("stopword_ratio") < 0 || col("stopword_ratio") > 1).count() === 0)
+    assert(q.filter(col("n_types") > col("n_tokens")).count() === 0)
+    assert(q.count() === Tables.documents(spark, Sf0001).count())
+    q.unpersist()
+  }
+
+  test("q25 token freq: descending counts, limit respected") {
+    val rows = TextAnalysis.tokenFreq(spark, Sf0001).collect()
+    assert(rows.length <= 20)
+    val counts = rows.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q24 text stats partition the corpus by language") {
+    val t = TextAnalysis.textStats(spark, Sf0001)
+    val total = Tables.documents(spark, Sf0001).count()
+    assert(t.agg(sum("n_docs")).head().getLong(0) === total)
+    assert(t.filter(col("min_chars") > col("max_chars")).count() === 0)
+  }
+
+  test("q27 lang guess: counts bounded and corpus-complete") {
+    // the synthetic corpus shares one vocabulary across all lang labels,
+    // so discrimination accuracy is not assertable — structure is.
+    val g = TextAnalysis.langGuess(spark, Sf0001)
+    assert(g.filter(col("n_guessed_en") > col("n_docs")).count() === 0)
+    assert(g.filter(col("n_guessed_en") < 0).count() === 0)
+    val total = Tables.documents(spark, Sf0001).count()
+    assert(g.agg(sum("n_docs")).head().getLong(0) === total)
+  }
+
+  test("q28 fingerprint groups match exact-text duplicate groups") {
+    val fp = TextAnalysis.fingerprints(spark, Sf0001).count()
+    val textDups = Tables.documents(spark, Sf0001)
+      .groupBy("text").count().filter(col("count") > 1).count()
+    assert(fp === textDups)
+  }
+}
