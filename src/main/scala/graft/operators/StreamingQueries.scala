@@ -1,0 +1,105 @@
+package graft.operators
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.functions.Parity._
+import graft.streaming.EventStream
+
+/** Streaming operators surfaced through the driver harness: each query
+  * runs a real Structured Streaming job (file source -> stateful
+  * transform -> memory sink, Trigger.AvailableNow) to completion and
+  * returns the materialized table, so the DuckDB oracle verifies the
+  * streaming path end-to-end — not a batch stand-in.
+  */
+object StreamingQueries {
+
+  private val runId = new AtomicInteger(0)
+  private def sinkName(prefix: String) = s"${prefix}_${runId.incrementAndGet()}"
+
+  /** Q38: watermarked tumbling-hour aggregation over the event stream
+    * (§2.10). Complete mode emits every window, so the result is exactly
+    * the batch answer. */
+  def streamTumbling(spark: SparkSession, dir: String): DataFrame = {
+    val ev = EventStream.readEvents(spark, s"$dir/events.parquet")
+    val agg = EventStream.tumblingCounts(ev)
+      .select(col("window_start"), col("event_type"), col("n"))
+    EventStream.runToTable(agg, sinkName("stream_tumbling"), OutputMode.Complete())
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  val streamTumblingSql: String =
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+      |  event_type, COUNT(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  /** Q39: streaming re-delivery dedup (README.md:114) — then a stateless
+    * rollup of the deduped stream. Append mode emits first-seen rows. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = EventStream.readEvents(spark, s"$dir/events.parquet")
+    val deduped = EventStream.dedupRedelivery(ev)
+    val out = EventStream.runToTable(
+      deduped.select(col("event_id"), col("event_type")),
+      sinkName("stream_dedup"), OutputMode.Append())
+    out.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique_events"))
+      .orderBy(col("event_type"))
+  }
+
+  val streamDedupSql: String =
+    """SELECT event_type, COUNT(DISTINCT event_id) AS n_unique_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Q40: flatMapGroupsWithState sessionization (30-min gap). Append
+    * mode emits CLOSED sessions; each user's open tail session stays in
+    * state — the oracle drops the last session per user to match.
+    * Timestamps are emitted at µs precision: DuckDB truncates the ns
+    * parquet timestamp to µs on read, and `div 1000` floors identically. */
+  def streamSessions(spark: SparkSession, dir: String): DataFrame = {
+    val ev = EventStream.readEvents(spark, s"$dir/events.parquet")
+    val gapNs = 30L * 60 * 1000 * 1000 * 1000
+    val sessions = EventStream.sessionize(ev, gapNs)
+    EventStream.runToTable(sessions, sinkName("stream_sessions"), OutputMode.Append())
+      .select(col("user_id"),
+        expr("session_start_ns div 1000").as("session_start_us"),
+        expr("session_end_ns div 1000").as("session_end_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start_us"))
+  }
+
+  val streamSessionsSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, epoch_ns(ts) AS ns,
+      |    CASE WHEN LAG(epoch_ns(ts)) OVER w IS NULL
+      |           OR epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w > 30*60*1000000000::BIGINT
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+      |numbered AS (
+      |  SELECT user_id, ns,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ns ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged),
+      |sessions AS (
+      |  SELECT user_id, sid, MIN(ns) // 1000 AS session_start_us,
+      |    MAX(ns) // 1000 AS session_end_us, COUNT(*) AS n_events
+      |  FROM numbered GROUP BY user_id, sid),
+      |maxsid AS (SELECT user_id, MAX(sid) AS m FROM sessions GROUP BY user_id)
+      |SELECT s.user_id AS user_id, session_start_us, session_end_us, n_events
+      |FROM sessions s JOIN maxsid ON s.user_id = maxsid.user_id
+      |WHERE sid < m
+      |ORDER BY s.user_id, session_start_us""".stripMargin
+
+  def queries: Map[String, Relational.Q] = Map(
+    "q38_stream_tumbling" -> (streamTumbling _),
+    "q39_stream_dedup" -> (streamDedup _),
+    "q40_stream_sessions" -> (streamSessions _),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q38_stream_tumbling" -> streamTumblingSql,
+    "q39_stream_dedup" -> streamDedupSql,
+    "q40_stream_sessions" -> streamSessionsSql,
+  )
+}

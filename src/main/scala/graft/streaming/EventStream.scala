@@ -1,0 +1,132 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY §2.10).
+  *
+  * The reference is batch (README.md:28, streaming=False README.md:223);
+  * what it *does* have is event-driven incremental triggering — a Cloud
+  * Function launching a run per GCS upload (README.md:104) and idempotent
+  * re-delivery dedup (README.md:114). Spark equivalents:
+  *  - file-source stream + `Trigger.AvailableNow()` = run-to-completion
+  *    per invocation, exactly the reference's batch-per-event model;
+  *  - `dropDuplicatesWithinWatermark` = bounded-state re-delivery dedup;
+  *  - watermark + tumbling `window()` aggregation and a
+  *    `flatMapGroupsWithState` sessionizer cover the [EXT] event-time
+  *    operators the `events` table supports.
+  *
+  * Scale notes: every stream below keys its state by a high-cardinality
+  * column (event_id / user_id / window start), so state distributes
+  * across executors; watermarks bound state size; AvailableNow runs
+  * backfill without unbounded-source semantics.
+  */
+object EventStream {
+
+  /** events.parquet physical schema (ts read as nanos long via the
+    * legacy conf, mirrored from [[graft.Tables.events]]). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over events parquet — the streaming twin of
+    * Tables.events (ts_ns exact long + µs timestamp). `path` may be a
+    * directory or a single file; FileStreamSource needs a directory
+    * basePath, so a bare file is turned into a glob under its parent. */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamPath =
+      if (path.endsWith(".parquet")) {
+        val slash = path.lastIndexOf('/')
+        path.substring(0, slash + 1) + "{" + path.substring(slash + 1) + "}"
+      } else path
+    spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(streamPath)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+
+  /** Tumbling event-time window aggregation with watermark. In streaming
+    * mode windows finalize `delay` after their end; the same expression
+    * runs unchanged on a batch frame (batch ignores the watermark). */
+  def tumblingCounts(events: DataFrame, delay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Idempotent re-delivery dedup (README.md:114 semantics): drop
+    * duplicate event_ids arriving within the watermark horizon. State is
+    * bounded — ids older than the watermark are evicted. */
+  def dedupRedelivery(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Per-user session state for [[sessionize]]. */
+  case class SessionState(start: Long, lastNs: Long, nEvents: Long)
+  /** Emitted closed session. */
+  case class Session(user_id: Long, session_start_ns: Long,
+      session_end_ns: Long, n_events: Long)
+  /** Input row shape for [[sessionize]]. */
+  case class Ev(user_id: Long, ts_ns: Long)
+
+  /** Custom stateful operator: gap-based sessionization with
+    * `flatMapGroupsWithState` (the KeyValueGroupedDataset state API the
+    * brief calls for). Emits a session whenever a user's gap exceeds
+    * `gapNs`; the open session rides in GroupState across batches.
+    * Batch-equivalent logic: Events.sessionize (q22). */
+  def sessionize(events: DataFrame, gapNs: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("ts_ns")).as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts_ns)
+          var cur = state.getOption
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.ts_ns - s.lastNs <= gapNs =>
+                cur = Some(s.copy(lastNs = e.ts_ns, nEvents = s.nEvents + 1))
+              case Some(s) =>
+                closed += Session(user, s.start, s.lastNs, s.nEvents)
+                cur = Some(SessionState(e.ts_ns, e.ts_ns, 1))
+              case None =>
+                cur = Some(SessionState(e.ts_ns, e.ts_ns, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }.toDF()
+  }
+
+  /** Run a streaming frame to completion into an in-memory table
+    * (AvailableNow = the reference's run-per-trigger model) and return
+    * the materialized result. Complete mode emits every window, so the
+    * result matches the batch oracle exactly. */
+  def runToTable(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.operators.StreamingQueries
+import graft.streaming.EventStream
+
+/** Structured Streaming operators (SURVEY §2.10). The harness queries
+  * run single-batch (AvailableNow); these tests drive MemoryStream in
+  * multiple batches to prove watermark eviction and GroupState carry-over
+  * — the genuinely streaming behaviors. */
+class StreamingSpec extends SparkSuite {
+
+  private def hourNs(h: Long): Long = h * 3600L * 1000 * 1000 * 1000
+
+  private def evDf(rows: Seq[(Long, Long)]) = {
+    // (event_id, ts_ns) -> full event shape
+    import spark.implicits._
+    rows.toDF("event_id", "ts_ns")
+      .withColumn("user_id", col("event_id") % 3)
+      .withColumn("event_type", lit("t"))
+      .withColumn("value", lit(1.0))
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+
+  test("q38/q39/q40 harness queries match their batch equivalents") {
+    val t = StreamingQueries.streamTumbling(spark, Sf0001)
+    val expected = Tables.events(spark, Sf0001)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(t.exceptAll(expected).isEmpty && expected.exceptAll(t).isEmpty)
+  }
+
+  test("dedupRedelivery drops in-watermark duplicate event_ids across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val events = mem.toDF().toDF("event_id", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withColumn("event_type", lit("t"))
+    val deduped = EventStream.dedupRedelivery(events)
+      .select(col("event_id"))
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_test").outputMode(OutputMode.Append()).start()
+    mem.addData((1L, hourNs(1)), (2L, hourNs(1) + 1))
+    q.processAllAvailable()
+    mem.addData((1L, hourNs(1) + 2), (3L, hourNs(1) + 3)) // 1 is a re-delivery
+    q.processAllAvailable()
+    val got = spark.table("dedup_test").collect().map(_.getLong(0)).sorted.toSeq
+    q.stop()
+    assert(got === Seq(1L, 2L, 3L))
+  }
+
+  test("sessionize carries open sessions in GroupState across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val events = mem.toDF().toDF("user_id", "ts_ns")
+    val gapNs = 30L * 60 * 1000 * 1000 * 1000
+    val sessions = EventStream.sessionize(events, gapNs)
+    val q = sessions.writeStream.format("memory")
+      .queryName("session_test").outputMode(OutputMode.Append()).start()
+    // batch 1: user 7 events 5 min apart -> one open session, nothing emitted
+    mem.addData((7L, hourNs(1)), (7L, hourNs(1) + gapNs / 6))
+    q.processAllAvailable()
+    assert(spark.table("session_test").count() === 0)
+    // batch 2: a > gap event closes the carried session (2 events), opens a new one
+    mem.addData((7L, hourNs(3)))
+    q.processAllAvailable()
+    val closed = spark.table("session_test").as[EventStream.Session].collect()
+    q.stop()
+    assert(closed.length === 1)
+    assert(closed.head.user_id === 7L)
+    assert(closed.head.n_events === 2L)
+    assert(closed.head.session_start_ns === hourNs(1))
+  }
+
+  test("tumbling append mode finalizes only below-watermark windows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val events = mem.toDF().toDF("event_id", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withColumn("event_type", lit("t"))
+      .withColumn("value", lit(1.0))
+    val agg = EventStream.tumblingCounts(events, delay = "1 hour")
+    val q = agg.writeStream.format("memory")
+      .queryName("tumbling_test").outputMode(OutputMode.Append()).start()
+    mem.addData((1L, hourNs(1)), (2L, hourNs(1) + 1))
+    q.processAllAvailable()
+    // watermark still inside hour-1's finalization horizon -> nothing out
+    assert(spark.table("tumbling_test").count() === 0)
+    // an hour-4 event pushes the watermark past hour 1+1h -> window emits
+    mem.addData((3L, hourNs(4)))
+    q.processAllAvailable()
+    val out = spark.table("tumbling_test").collect()
+    q.stop()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("n") === 2L)
+  }
+}
