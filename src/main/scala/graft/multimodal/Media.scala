@@ -1,0 +1,123 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** [EXT] Multimodal columns (driver brief): image/audio/video as opaque
+  * `binary` columns with typed metadata, plus the batch plumbing a real
+  * decode/feature/resize/frame-sample stage needs.
+  *
+  * No media codecs exist in this environment, so the DECODE step is a
+  * clearly-marked deterministic stub ([[DecodeStub]]); everything
+  * around it — binary columns, metadata struct, per-partition batched
+  * processing (the Scala analog of `mapInPandas` arrow batches), frame
+  * slicing, partition-by-kind layout — is real and tested.
+  *
+  * Scale notes: content rides as `binary` through narrow stages only;
+  * feature extraction is mapPartitions (no shuffle); frame sampling
+  * explodes bounded slices; grouping/aggregation happens on small
+  * derived columns, never on the blob itself.
+  */
+object Media {
+
+  /** One media asset: opaque bytes + typed metadata. */
+  case class Asset(asset_id: Long, kind: String, content: Array[Byte])
+
+  /** Extracted feature row (fixed-dim vector, unit L1 norm). */
+  case class Features(asset_id: Long, kind: String, features: Array[Double])
+
+  /** The media table, derived deterministically from `documents`
+    * (content = UTF-8 bytes of the text; kind round-robins the three
+    * modalities). In production this is a parquet/Lance table of real
+    * blobs; every operator below only assumes (id, kind, binary). */
+  def assets(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id").as("asset_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("content"))
+
+  /** DECODE — STUB. A real implementation hands each batch of blobs to
+    * a codec (image decode / audio PCM / container demux) exactly here;
+    * this environment has none, so dimensions are derived
+    * deterministically from the bytes themselves. The call shape
+    * (binary in, typed metadata struct out, pure Column pipeline) is
+    * the real contract. */
+  object DecodeStub {
+    /** Fake "decoded" metadata: width/height (image), sample rate
+      * (audio), duration (video) — all functions of content length and
+      * a stable content hash, so re-runs and engines agree. */
+    def metadata(df: DataFrame): DataFrame =
+      df.withColumn("n_bytes", octet_length(col("content")).cast("bigint"))
+        .withColumn("fp", md5(col("content")))
+        .withColumn("width",
+          when(col("kind") === "image", pmod(col("n_bytes"), lit(640)) + 1))
+        .withColumn("height",
+          when(col("kind") === "image", pmod(col("n_bytes"), lit(480)) + 1))
+        .withColumn("sample_rate",
+          when(col("kind") === "audio",
+            element_at(array(lit(16000L), lit(44100L), lit(48000L)),
+              (pmod(col("n_bytes"), lit(3)) + 1).cast("int"))))
+        .withColumn("duration_ms",
+          when(col("kind") === "video", col("n_bytes") * 10))
+        .select(col("asset_id"), col("kind"), col("n_bytes"), col("fp"),
+          struct(col("width"), col("height"), col("sample_rate"),
+            col("duration_ms")).as("meta"))
+  }
+
+  /** Feature extraction over batches of assets — the mapInPandas shape:
+    * each partition's iterator is consumed in `batchSize` groups (a real
+    * extractor would tensorize one batch at a time), emitting one
+    * fixed-dim vector per asset. The byte histogram itself is a genuine
+    * (if simple) content feature; swap the per-batch function for a
+    * model call and nothing else changes. */
+  def byteHistogramFeatures(assets: Dataset[Asset], dim: Int = 16,
+      batchSize: Int = 64): Dataset[Features] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { a =>
+          val hist = new Array[Double](dim)
+          a.content.foreach { b => hist(java.lang.Byte.toUnsignedInt(b) % dim) += 1d }
+          val total = hist.sum
+          val norm = if (total == 0) hist else hist.map(_ / total)
+          Features(a.asset_id, a.kind, norm)
+        }
+      }
+    }
+  }
+
+  /** RESIZE — STUB. A real resize re-encodes pixels; here the contract
+    * (binary -> smaller binary + updated meta) is modeled by truncating
+    * bytes to the target "area", which preserves the plumbing a codec
+    * drop-in needs. */
+  def resizeStub(df: DataFrame, maxBytes: Int): DataFrame =
+    df.withColumn("content",
+        when(octet_length(col("content")) > maxBytes,
+          substring(col("content"), 1, maxBytes)).otherwise(col("content")))
+      .withColumn("resized", octet_length(col("content")) === maxBytes)
+
+  /** Frame sampling: slice the blob into fixed-size frames and keep
+    * every `every`-th — real binary slicing via substring over a
+    * generated index (a container demuxer would replace the slicer, not
+    * the plan shape). One output row per sampled frame. */
+  def sampleFrames(df: DataFrame, frameBytes: Int, every: Int): DataFrame = {
+    val nFrames = ceil(octet_length(col("content")).cast("double") / frameBytes)
+      .cast("bigint")
+    df.withColumn("n_frames", nFrames)
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(every.toLong))))
+      .withColumn("frame",
+        substring_index_bytes(col("content"), col("frame_idx"), frameBytes))
+      .select(col("asset_id"), col("kind"), col("n_frames"),
+        col("frame_idx"), col("frame"))
+  }
+
+  /** substring on binary with a Column start offset (frame_idx *
+    * frameBytes), 1-based. */
+  private def substring_index_bytes(content: org.apache.spark.sql.Column,
+      frameIdx: org.apache.spark.sql.Column, frameBytes: Int) =
+    expr(s"substring(content, cast(frame_idx * $frameBytes + 1 as int), $frameBytes)")
+}

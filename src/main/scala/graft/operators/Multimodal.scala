@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Parity._
+import graft.multimodal.Media
+
+/** [EXT] Multimodal operators surfaced through the harness. The decode
+  * stub's fake metadata is pure arithmetic on byte length, so q41/q43
+  * carry full DuckDB oracles — the binary plumbing (encode, octet_length,
+  * md5-of-blob, frame explode) is verified end-to-end; only the
+  * codec call itself is faked (none exists in this container). */
+object Multimodal {
+
+  /** Q41: decoded-metadata rollup per modality. */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame = {
+    val meta = Media.DecodeStub.metadata(Media.assets(spark, dir))
+    meta.groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum(col("n_bytes")).as("total_bytes"),
+        countDistinct(col("fp")).as("n_distinct_contents"),
+        max(col("meta.width")).as("max_width"),
+        max(col("meta.sample_rate")).as("max_sample_rate"),
+        max(col("meta.duration_ms")).as("max_duration_ms"))
+      .orderBy(col("kind"))
+  }
+
+  val mediaMetaSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS asset_id,
+      |    ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+      |    octet_length(encode(text)) AS n_bytes,
+      |    md5(text) AS fp -- duckdb md5 hashes the UTF-8 string bytes = md5(BLOB content)
+      |  FROM documents)
+      |SELECT kind, COUNT(*) AS n_assets,
+      |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+      |  COUNT(DISTINCT fp) AS n_distinct_contents,
+      |  MAX(CASE WHEN kind='image' THEN n_bytes % 640 + 1 END) AS max_width,
+      |  MAX(CASE WHEN kind='audio'
+      |    THEN [16000,44100,48000][(n_bytes % 3) + 1] END) AS max_sample_rate,
+      |  MAX(CASE WHEN kind='video' THEN n_bytes * 10 END) AS max_duration_ms
+      |FROM m GROUP BY kind ORDER BY kind""".stripMargin
+
+  /** Q42: batched feature extraction (mapPartitions) — per-modality mean
+    * of the first histogram bins. No oracle (per-partition batch path is
+    * not SQL); MultimodalSpec pins determinism and normalization. */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val a = Media.assets(spark, dir).as[Media.Asset]
+    Media.byteHistogramFeatures(a).toDF()
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n_assets"),
+        dec6(avg(element_at(col("features"), 1))).as("mean_bin0"),
+        dec6(avg(element_at(col("features"), 2))).as("mean_bin1"))
+      .orderBy(col("kind"))
+  }
+
+  /** Q43: video frame sampling — every 4th 16-byte frame; counts are
+    * pure arithmetic on byte length, so the explode is oracle-checked. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    val vids = Media.assets(spark, dir).filter(col("kind") === "video")
+    Media.sampleFrames(vids, frameBytes = 16, every = 4)
+      .groupBy(col("asset_id"))
+      .agg(
+        max(col("n_frames")).as("n_frames"),
+        count(lit(1)).as("n_sampled"),
+        sum(octet_length(col("frame"))).as("sampled_bytes"))
+      .orderBy(col("asset_id"))
+  }
+
+  val frameSampleSql: String =
+    """WITH v AS (
+      |  SELECT doc_id AS asset_id, octet_length(encode(text)) AS n_bytes
+      |  FROM documents WHERE (doc_id % 3) + 1 = 3),
+      |f AS (
+      |  SELECT asset_id, n_bytes,
+      |    CAST(CEIL(n_bytes / 16.0) AS BIGINT) AS n_frames
+      |  FROM v)
+      |SELECT asset_id, n_frames,
+      |  CAST((n_frames + 3) // 4 AS BIGINT) AS n_sampled,
+      |  -- all sampled frames are full 16B except possibly the last slice
+      |  CAST((n_frames + 3) // 4 * 16
+      |    - CASE WHEN (n_frames - 1) % 4 = 0 AND n_bytes % 16 <> 0
+      |           THEN 16 - n_bytes % 16 ELSE 0 END AS BIGINT) AS sampled_bytes
+      |FROM f ORDER BY asset_id""".stripMargin
+
+  def queries: Map[String, Relational.Q] = Map(
+    "q41_media_meta" -> (mediaMeta _),
+    "q42_media_features" -> (mediaFeatures _),
+    "q43_frame_sample" -> (frameSample _),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q41_media_meta" -> mediaMetaSql,
+    // q42 omitted: mapPartitions batch path, spec-tested instead.
+    "q43_frame_sample" -> frameSampleSql,
+  )
+}

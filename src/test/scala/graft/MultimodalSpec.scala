@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Media
+import graft.operators.Multimodal
+
+/** Multimodal binary-column plumbing ([EXT] driver brief). The decode
+  * codec is stubbed; these tests pin the REAL parts: binary schema,
+  * batch shape, determinism, frame arithmetic. */
+class MultimodalSpec extends SparkSuite {
+
+  test("assets table: binary content with stable modality assignment") {
+    val a = Media.assets(spark, Sf0001).cache()
+    assert(a.schema("content").dataType.typeName === "binary")
+    assert(a.select("kind").distinct().count() === 3)
+    // kind is a pure function of asset_id
+    val clash = a.groupBy("asset_id")
+      .agg(countDistinct("kind").as("k")).filter(col("k") > 1)
+    assert(clash.count() === 0)
+    a.unpersist()
+  }
+
+  test("decode stub: metadata present exactly for the matching modality") {
+    val m = Media.DecodeStub.metadata(Media.assets(spark, Sf0001)).cache()
+    assert(m.filter(col("kind") === "image" && col("meta.width").isNull).count() === 0)
+    assert(m.filter(col("kind") =!= "image" && col("meta.width").isNotNull).count() === 0)
+    assert(m.filter(col("kind") === "audio" && col("meta.sample_rate").isNull).count() === 0)
+    assert(m.filter(col("kind") === "video" && col("meta.duration_ms").isNull).count() === 0)
+    m.unpersist()
+  }
+
+  test("byte-histogram features: fixed dim, unit L1 norm, deterministic") {
+    import spark.implicits._
+    val a = Media.assets(spark, Sf0001).as[Media.Asset]
+    val f1 = Media.byteHistogramFeatures(a, dim = 16, batchSize = 7).cache()
+    assert(f1.filter(size(col("features")) =!= 16).count() === 0)
+    val norms = f1.select(aggregate(col("features"), lit(0.0), (acc, x) => acc + x).as("s"))
+    assert(norms.filter(abs(col("s") - 1.0) > 1e-9).count() === 0)
+    // batch size must not affect results (mapInPandas-shape contract)
+    val f2 = Media.byteHistogramFeatures(a, dim = 16, batchSize = 1000)
+    assert(f1.toDF().exceptAll(f2.toDF()).count() === 0)
+    f1.unpersist()
+  }
+
+  test("resize stub caps content size and flags resized rows") {
+    val r = Media.resizeStub(Media.assets(spark, Sf0001), maxBytes = 100)
+    assert(r.filter(octet_length(col("content")) > 100).count() === 0)
+    assert(r.filter(col("resized") && octet_length(col("content")) =!= 100).count() === 0)
+  }
+
+  test("frame sampling: every 4th frame, bytes reassemble arithmetically") {
+    val out = Multimodal.frameSample(spark, Sf0001).cache()
+    // n_sampled = ceil(n_frames / 4)
+    val bad = out.filter(col("n_sampled") =!= ceil(col("n_frames") / 4.0).cast("bigint"))
+    assert(bad.count() === 0)
+    // sampled bytes never exceed full frames, never undershoot by > 15
+    val range = out.filter(col("sampled_bytes") > col("n_sampled") * 16 ||
+      col("sampled_bytes") <= (col("n_sampled") - 1) * 16)
+    assert(range.count() === 0)
+    out.unpersist()
+  }
+}
