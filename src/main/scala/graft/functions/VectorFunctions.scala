@@ -1,12 +1,14 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftSqlShim}
 import org.apache.spark.sql.functions._
 
-/** Vector math over `array<float>` embedding columns, built entirely from
-  * codegen'd higher-order functions (`zip_with`/`aggregate`/`transform`)
-  * — no UDFs, so expressions inline into whole-stage codegen and
-  * distribute with no serialization cost ([EXT] X3, SURVEY §2.11).
+/** Vector math over `array<float>` embedding columns ([EXT] X3, SURVEY
+  * §2.11). The hot kernels (dot product, norm) are native Catalyst
+  * expressions with `doGenCode` ([[graft.functions.DotProduct]]) — a
+  * compiled primitive loop in whole-stage codegen, because the
+  * higher-order-function formulation evaluates interpreted per element
+  * and dominates run time when applied per candidate pair.
   *
   * Elements are widened float->double (exact) before any arithmetic so
   * results are reproducible across engines.
@@ -16,13 +18,14 @@ object VectorFunctions {
   /** Cast array<float> -> array<double> (exact widening). */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Left-to-right double dot product. */
+  /** Left-to-right double dot product (codegen'd native expression). */
   def dotProduct(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    GraftSqlShim.column(DotProduct(
+      GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
 
-  /** Euclidean norm. */
+  /** Euclidean norm (codegen'd native expression). */
   def l2Norm(v: Column): Column =
-    sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x * x))
+    GraftSqlShim.column(L2Norm(GraftSqlShim.expression(v)))
 
   /** Cosine similarity = dot(a,b) / (|a| * |b|). Inputs must be double
     * arrays (use [[toDouble]] for float embeddings). */

@@ -147,11 +147,55 @@ object Dedup {
       .orderBy(col("first_doc"))
   }
 
+  /** Q44: embedding-cosine near-dup (X2 embedding path) — hyperplane-LSH
+    * bucket join proposes candidates, exact cosine >= threshold verifies.
+    * Same candidate-pairs-before-payload shape as minhashLsh; the
+    * threshold is low because the synthetic embeddings are near-isotropic
+    * (real near-dup corpora use ~0.9 with far fewer tables). No oracle
+    * (xxhash64 buckets); DedupSpec checks against brute force. */
+  def neardupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val dims = 64
+    val bits = 4
+    val tables = 6
+    val threshold = 0.4
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+    val sigs = (0 until tables).map { t =>
+      struct(lit(t).as("tbl"),
+        hyperplaneSignature(col("emb"), bits, dims, planeOffset = t * bits).as("bucket"))
+    }
+    val bucketed = e.select(col("vec_id"), explode(array(sigs: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val cand = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"))
+      .join(bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("id_b")),
+        Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    // verification math trimmed to one dot product: unit-normalize each
+    // vector ONCE on the (small, broadcastable) corpus side instead of
+    // evaluating two norms per candidate pair.
+    // transform-over-singleton binds the norm once per row (a bare
+    // `x / l2Norm(emb)` lambda would re-aggregate the norm per element,
+    // and CollapseProject folds any precomputed column back in).
+    val unit = e.select(col("vec_id"),
+      transform(array(l2Norm(col("emb"))),
+        n => transform(col("emb"), x => x / n)).getItem(0).as("u"))
+    cand
+      .join(unit.select(col("vec_id").as("id_a"), col("u").as("u_a")), Seq("id_a"))
+      .join(unit.select(col("vec_id").as("id_b"), col("u").as("u_b")), Seq("id_b"))
+      .withColumn("cosine", dec6(round(dotProduct(col("u_a"), col("u_b")), 6)))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   def queries: Map[String, Relational.Q] = Map(
     "q29_dedup_exact" -> (dedupExact _),
     "q30_neardup_jaccard" -> (neardupJaccard _),
     "q31_minhash_lsh" -> (minhashLsh _),
     "q32_simhash" -> (simhash _),
+    "q44_neardup_embedding" -> (neardupEmbedding _),
   )
 
   def oracles: Map[String, String] = Map(

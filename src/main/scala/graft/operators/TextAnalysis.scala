@@ -113,8 +113,55 @@ object TextAnalysis {
     """SELECT md5(text) AS fp, COUNT(*) AS n_copies, MIN(doc_id) AS first_doc
       |FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY fp""".stripMargin
 
+  /** Q45: BPE-ish regex tokenization (driver brief "whitespace + a
+    * BPE-ish regex") — letter runs / digit runs / punctuation runs, the
+    * GPT-2-style pre-tokenizer shape restricted to ASCII classes so both
+    * engines agree. Compares regex-token vs whitespace-token counts. */
+  def bpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.withColumn("n_ws_tokens", tokenCount(col("text")))
+      .withColumn("bpe",
+        regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"), lit(0)))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("bpe"))).as("total_bpe_tokens"),
+        sum(col("n_ws_tokens")).as("total_ws_tokens"),
+        max(size(col("bpe"))).as("max_doc_bpe_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  val bpeTokensSql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+'))) AS BIGINT) AS total_bpe_tokens,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+      |  CAST(MAX(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+'))) AS BIGINT) AS max_doc_bpe_tokens
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Q46: rolling-hash document fingerprint (driver brief) — min over
+    * the char-8-gram rolling hash window, computed in the scalable
+    * explode -> codegen'd hash-agg shape (same as minhash): robust to
+    * token reordering that md5 (q28) is not. No oracle (xxhash64);
+    * TextAnalysisSpec pins exact-dup agreement and determinism. */
+  def rollingFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val d = Tables.documents(spark, dir)
+    val gramHashes = d.select(col("doc_id"),
+      explode(transform(
+        sequence(lit(1), greatest(length(col("text")) - (k - 1), lit(1))),
+        i => xxhash64(col("text").substr(i, lit(k))))).as("gram_hash"))
+    gramHashes.groupBy(col("doc_id"))
+      .agg(min(col("gram_hash")).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("first_doc"))
+  }
+
   def queries: Map[String, Relational.Q] = Map(
     "q24_text_stats" -> (textStats _),
+    "q45_bpe_tokens" -> (bpeTokens _),
+    "q46_rolling_fingerprint" -> (rollingFingerprint _),
     "q25_token_freq" -> (tokenFreq _),
     "q26_quality_score" -> (qualityScore _),
     "q27_lang_guess" -> (langGuess _),
@@ -123,6 +170,8 @@ object TextAnalysis {
 
   def oracles: Map[String, String] = Map(
     "q24_text_stats" -> textStatsSql,
+    "q45_bpe_tokens" -> bpeTokensSql,
+    // q46 omitted: xxhash64-based, spec-tested.
     "q25_token_freq" -> tokenFreqSql,
     "q26_quality_score" -> qualityScoreSql,
     "q27_lang_guess" -> langGuessSql,

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Storage, TextAnalysis}
+import graft.functions.VectorFunctions._
+
+/** Storage-layout queries + the oracle-less q44/q46 ground truths. */
+class StorageSpec extends SparkSuite {
+
+  test("q47 partitioned readback prunes to one partition") {
+    val df = Storage.partitionedPrune(spark, Sf0001)
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(order_year"), plan)
+    // the pruned scan reads only the 1995 directory
+    val scanLine = plan.linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(!scanLine.contains("order_year=1996"), scanLine)
+  }
+
+  test("q48 sql surface matches the DataFrame expression of the same query") {
+    val viaSql = Storage.sqlSurface(spark, Sf0001)
+    val o = Tables.orders(spark, Sf0001)
+    val c = Tables.customer(spark, Sf0001)
+    val n = Tables.nation(spark, Sf0001)
+    val viaDf = o.filter(col("o_orderstatus") =!= "P")
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(countDistinct(col("c_custkey")).as("n_customers"))
+    assert(viaSql.count() === viaDf.count())
+    assert(viaSql.agg(sum("n_customers")).head().getLong(0) ===
+      viaDf.agg(sum("n_customers")).head().getLong(0))
+  }
+
+  test("q44 embedding near-dup: exact pairs above threshold only") {
+    val got = Dedup.neardupEmbedding(spark, Sf0001).cache()
+    assert(got.filter(col("cosine") < 0.4).count() === 0)
+    // precision 1.0: every reported pair verified by brute force
+    val e = Tables.embeddings(spark, Sf0001)
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+    val brute = e.select(col("vec_id").as("id_a"), col("emb").as("emb_a"))
+      .crossJoin(e.select(col("vec_id").as("id_b"), col("emb").as("emb_b")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(cosineSimilarity(col("emb_a"), col("emb_b")), 6))
+      .filter(col("cosine") >= 0.4)
+      .select("id_a", "id_b")
+    assert(got.select("id_a", "id_b").exceptAll(brute).count() === 0)
+    // recall: bits=3 x 8 tables finds most of the (weakly similar) tail
+    val nTrue = brute.count()
+    val nGot = got.count()
+    assert(nTrue === 0 || nGot.toDouble / nTrue >= 0.5, s"recall $nGot/$nTrue")
+    got.unpersist()
+  }
+
+  test("q46 rolling fingerprint groups every exact-duplicate text") {
+    val fp = TextAnalysis.rollingFingerprint(spark, Sf0001)
+    // exact dups share all 8-grams -> identical min rolling hash
+    val nDupTexts = Tables.documents(spark, Sf0001)
+      .groupBy("text").count().filter(col("count") > 1).count()
+    assert(fp.count() >= nDupTexts)
+    // determinism across runs
+    val fp2 = TextAnalysis.rollingFingerprint(spark, Sf0001)
+    assert(fp.exceptAll(fp2).count() === 0)
+  }
+}
