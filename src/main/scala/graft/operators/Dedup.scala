@@ -111,9 +111,14 @@ object Dedup {
         Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    // verification: fetch shingle sets for surviving pairs only
+    // verification: fetch shingle sets for surviving pairs only — as
+    // 64-bit hashes, not strings: array_intersect/union compare longs
+    // instead of variable-length text, and the join payload shrinks ~6x
+    // (Jaccard over distinct 64-bit hashes equals Jaccard over the
+    // shingles themselves up to negligible collision probability).
     val sets = docs.select(col("doc_id"),
-      array_distinct(wordShingles(col("text"), 3)).as("sh"))
+      array_distinct(transform(wordShingles(col("text"), 3),
+        s => xxhash64(s))).as("sh"))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))

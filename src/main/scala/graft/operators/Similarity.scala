@@ -99,22 +99,19 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  /** Q35: pairwise label-centroid similarity — grouped vector averaging
-    * (elementwise mean via aggregate/transform) then all-pairs cosine of
-    * the tiny centroid set. Exercises array aggregation at reduce side. */
+  /** Q35: pairwise label-centroid similarity — element-wise vector mean
+    * via a typed `Aggregator` (graft.functions.VectorMeanAggregator):
+    * ONE hash aggregate with map-side partial combine (the shuffle moves
+    * one (sum[], count) row per group per partition), then all-pairs
+    * cosine of the tiny centroid set. The posexplode-per-dimension
+    * alternative shuffles 64 rows per input row and needs a second
+    * shuffle to reassemble. */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
-    val dims = 64
+    val centroidOf = udaf(graft.functions.VectorMeanAggregator)
     val e = Tables.embeddings(spark, dir)
       .select(col("label"), toDouble(col("embedding")).as("emb"))
-    // elementwise sum via reduce over each dimension: explode to
-    // (label, dim, value) — the shuffle-friendly layout for wide vectors.
-    val byDim = e.select(col("label"), posexplode(col("emb")))
-      .groupBy(col("label"), col("pos"))
-      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
-    val centroids = byDim
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), (col("s") / col("n")).as("v")))).as("pv"))
-      .select(col("label"), transform(col("pv"), p => p.getField("v")).as("centroid"))
+    val centroids = e.groupBy(col("label"))
+      .agg(centroidOf(col("emb")).as("centroid"))
     val a = centroids.select(col("label").as("label_a"), col("centroid").as("c_a"))
     val b = centroids.select(col("label").as("label_b"), col("centroid").as("c_b"))
     a.join(b, col("label_a") < col("label_b"))

@@ -73,6 +73,14 @@ object Ingest {
       .partitionBy("league", "season")
       .parquet(root)
 
+  /** Emit the league map as JSON config lines (D10, main.yml:80-97):
+    * `to_json` handles quote/backslash escaping natively — the part the
+    * workflow does by hand at main.yml:87. One `{"code":..,"league":..}`
+    * object per row; collect-side assembly into a single config file is
+    * a driver concern (48 rows). */
+  def leagueConfigJson(leagueMap: DataFrame): DataFrame =
+    leagueMap.select(to_json(struct(col("code"), col("league"))).as("json"))
+
   /** Run-level observability (A5, README.md:112): row/error counters
     * attached via observe() — read from a QueryExecutionListener or the
     * returned map after an action. */

@@ -69,6 +69,15 @@ class IngestSpec extends SparkSuite {
     assert(Ingest.dedupAgainst(incoming, merged, Seq("commit", "path")).count() === 0)
   }
 
+  test("league config emit escapes JSON natively (D10, main.yml:87)") {
+    val lm = Seq(("xx", """Liga "Especial" \ 2020""")).toDF("code", "league")
+    val line = Ingest.leagueConfigJson(lm).as[String].head()
+    assert(line === """{"code":"xx","league":"Liga \"Especial\" \\ 2020"}""")
+    // and it parses back to the same value
+    val back = spark.read.json(Seq(line).toDS).select($"league").as[String].head()
+    assert(back === """Liga "Especial" \ 2020""")
+  }
+
   test("partitioned clustered write round-trips (S5/S7)") {
     val raw = Normalize.readRaw(spark, fixturePath("2011-12") + "/*.json")
     val n = Normalize.normalize(raw, "sha1")
