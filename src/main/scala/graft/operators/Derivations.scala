@@ -164,8 +164,51 @@ object Derivations {
       |  COUNT(*) AS n_rows
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Q49: HLL++ approximate distinct counts ([EXT] per SURVEY §2.5 note).
+    * Sketch-only on purpose: mixing approx_count_distinct with exact
+    * COUNT(DISTINCT) in ONE aggregate triggers Catalyst's Expand-based
+    * mixed-distinct rewrite, which re-evaluates the HLL buffers per
+    * expanded row (measured 18x slower) — exactly the single-pass
+    * sketch's reason to exist. No oracle (estimates are
+    * engine-specific); DerivationsSpec bounds the error vs q19's exact
+    * counts. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey"), rsd = 0.02).as("approx_supps"),
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Q50: ROLLUP — hierarchical subtotals (returnflag -> linestatus ->
+    * grand total) in one pass; grouping() disambiguates genuine NULL
+    * keys from subtotal rows. Oracle-checked: DuckDB shares ROLLUP
+    * semantics; ordering pins NULLS FIRST explicitly (SURVEY §7 risk 1). */
+  def rollupCounts(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        dec2(sum(money(col("l_quantity")))).as("sum_qty"),
+        grouping(col("l_returnflag")).cast("bigint").as("g_flag"),
+        grouping(col("l_linestatus")).cast("bigint").as("g_status"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  val rollupCountsSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+      |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q13_case_when" -> (caseWhen _),
+    "q49_approx_distinct" -> (approxDistinct _),
+    "q50_rollup" -> (rollupCounts _),
     "q14_date_parts" -> (dateParts _),
     "q15_regex_derive" -> (regexDerive _),
     "q16_string_funcs" -> (stringFuncs _),
@@ -176,6 +219,8 @@ object Derivations {
 
   def oracles: Map[String, String] = Map(
     "q13_case_when" -> caseWhenSql,
+    "q50_rollup" -> rollupCountsSql,
+    // q49 omitted: HLL sketch estimates are engine-specific; spec-bounded.
     "q14_date_parts" -> datePartsSql,
     "q15_regex_derive" -> regexDeriveSql,
     "q16_string_funcs" -> stringFuncsSql,

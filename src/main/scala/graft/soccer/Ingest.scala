@@ -81,6 +81,39 @@ object Ingest {
   def leagueConfigJson(leagueMap: DataFrame): DataFrame =
     leagueMap.select(to_json(struct(col("code"), col("league"))).as("json"))
 
+  /** The full ingest job (SURVEY §3.1): both workflow passes composed as
+    * ONE Spark plan over `repoRoot/<seasonDir>/<file>.json`.
+    *
+    *   pass 1  league map: prefix regex -> first-wins display name
+    *   pass 2  validate (corrupt / missing-required side-outputs),
+    *           latest-version-per-(season,prefix) via sort -V window,
+    *           known-league whitelist, normalize, stage
+    *
+    * Returns the normalized, league-joined frame; callers stage it with
+    * [[writePartitioned]]. Control flow the workflow does per-file
+    * becomes set operations: one scan, one broadcast, one window
+    * shuffle — the EP1 lifecycle traced in SURVEY §3.1. */
+  def run(spark: SparkSession, repoRoot: String, sourceCommit: String): DataFrame = {
+    val raw = Normalize.readRaw(spark, repoRoot + "/*/*.json").cache()
+    val leagueMap = buildLeagueMap(raw)
+    val valid = raw
+      .filter(col("_corrupt_record").isNull)
+      .filter(col("name").isNotNull &&
+        (col("matches").isNotNull || col("rounds").isNotNull))
+      .withColumn("code", leagueCode(col("source_file")))
+      .withColumn("season_dir",
+        element_at(split(col("source_file"), "/"), -2))
+      .withColumn("season_year", seasonYear(col("season_dir")))
+    val latest = latestVersionPerKey(valid, Seq("season_dir", "code"), "source_file")
+    val known = filterKnownLeagues(latest, leagueMap)
+    Normalize.normalize(known, sourceCommit)
+      .withColumn("code", leagueCode(col("source_file")))
+      .join(broadcast(leagueMap.withColumnRenamed("league", "league_name")),
+        Seq("code"), "left")
+      .withColumn("league", coalesce(col("league_name"), col("league")))
+      .drop("league_name", "code")
+  }
+
   /** Run-level observability (A5, README.md:112): row/error counters
     * attached via observe() — read from a QueryExecutionListener or the
     * returned map after an action. */

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Derivations
+
+/** Scalar-derivation + aggregation-extension operators. Oracled queries
+  * are value-checked by the driver gate; these pin the sketch bound and
+  * rollup algebra. */
+class DerivationsSpec extends SparkSuite {
+
+  test("q49 approx distinct: HLL estimate within the configured rsd") {
+    // exact side from q19 (same grouping) — kept OUT of q49 itself
+    // because the mixed-distinct rewrite is pathological (see scaladoc)
+    val a = Derivations.approxDistinct(spark, Sf0001)
+      .join(Derivations.distinctCounts(spark, Sf0001), Seq("l_returnflag"))
+    // rsd 2% → allow 3 sigma ≈ 6%
+    val bad = a.filter(
+      abs(col("approx_parts") - col("n_parts")) > col("n_parts") * 0.06 ||
+      abs(col("approx_supps") - col("n_supps")) > col("n_supps") * 0.06 ||
+      abs(col("approx_orders") - col("n_orders")) > col("n_orders") * 0.06)
+    assert(bad.count() === 0, bad.collect().mkString(","))
+  }
+
+  test("q50 rollup: subtotal rows sum to the grand total") {
+    val r = Derivations.rollupCounts(spark, Sf0001).cache()
+    val grand = r.filter(col("g_flag") === 1 && col("g_status") === 1)
+    assert(grand.count() === 1)
+    val total = grand.head().getAs[Long]("n")
+    val leaves = r.filter(col("g_flag") === 0 && col("g_status") === 0)
+      .agg(sum("n")).head().getLong(0)
+    val mids = r.filter(col("g_flag") === 0 && col("g_status") === 1)
+      .agg(sum("n")).head().getLong(0)
+    assert(leaves === total)
+    assert(mids === total)
+    r.unpersist()
+  }
+}

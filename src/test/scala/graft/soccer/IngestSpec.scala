@@ -69,6 +69,20 @@ class IngestSpec extends SparkSuite {
     assert(Ingest.dedupAgainst(incoming, merged, Seq("commit", "path")).count() === 0)
   }
 
+  test("full ingest run: validates, picks sort -V latest, joins league names (§3.1)") {
+    // fixtures/versions/2011-12 holds en.{1,2,10}.json; sort -V latest = en.10
+    val root = fixturePath("versions")
+    val out = Ingest.run(spark, root, sourceCommit = "shaX")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // only the latest version's matches survive (en.10: Matchday 10, ft 10-0)
+    assert(rows.forall(_.getAs[String]("round") === "Matchday 10"))
+    assert(rows.forall(_.getAs[Long]("ft_home") === 10L))
+    // league name resolved through the built map (season suffix stripped)
+    assert(rows.forall(_.getAs[String]("league") === "English Premier League"))
+    assert(rows.forall(_.getAs[String]("source_commit") === "shaX"))
+  }
+
   test("league config emit escapes JSON natively (D10, main.yml:87)") {
     val lm = Seq(("xx", """Liga "Especial" \ 2020""")).toDF("code", "league")
     val line = Ingest.leagueConfigJson(lm).as[String].head()
