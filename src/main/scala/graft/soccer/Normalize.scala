@@ -1,6 +1,6 @@
 package graft.soccer
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import Schemas._
@@ -127,6 +127,15 @@ object Normalize {
       .withColumn("schema_version", lit(SchemaVersion))
       .withColumn("source_commit", lit(sourceCommit))
       .withColumn("ingestion_ts", lit(ingestionTs))
+  }
+
+  /** Typed view of the normalized table (SURVEY §1.4): the schema is
+    * fixed and closed, so a `Dataset[NormalizedMatch]` is the honest
+    * API — the encoder enforces column names, types, and nullability at
+    * conversion time (a schema test in itself). */
+  def typed(normalized: DataFrame): Dataset[Schemas.NormalizedMatch] = {
+    import normalized.sparkSession.implicits._
+    normalized.drop("source_file").as[Schemas.NormalizedMatch]
   }
 
   /** Team-name standardization via broadcast alias lookup (J2,
