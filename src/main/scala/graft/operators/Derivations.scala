@@ -176,9 +176,9 @@ object Derivations {
     val li = Tables.lineitem(spark, dir)
     li.groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey"), rsd = 0.02).as("approx_supps"),
-        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"))
+        approx_count_distinct(col("l_partkey"), rsd = 0.05).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey"), rsd = 0.05).as("approx_supps"),
+        approx_count_distinct(col("l_orderkey"), rsd = 0.05).as("approx_orders"))
       .orderBy(col("l_returnflag"))
   }
 

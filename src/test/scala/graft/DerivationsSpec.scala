@@ -13,11 +13,11 @@ class DerivationsSpec extends SparkSuite {
     // because the mixed-distinct rewrite is pathological (see scaladoc)
     val a = Derivations.approxDistinct(spark, Sf0001)
       .join(Derivations.distinctCounts(spark, Sf0001), Seq("l_returnflag"))
-    // rsd 2% → allow 3 sigma ≈ 6%
+    // rsd 5% → allow 3 sigma ≈ 15%
     val bad = a.filter(
-      abs(col("approx_parts") - col("n_parts")) > col("n_parts") * 0.06 ||
-      abs(col("approx_supps") - col("n_supps")) > col("n_supps") * 0.06 ||
-      abs(col("approx_orders") - col("n_orders")) > col("n_orders") * 0.06)
+      abs(col("approx_parts") - col("n_parts")) > col("n_parts") * 0.15 ||
+      abs(col("approx_supps") - col("n_supps")) > col("n_supps") * 0.15 ||
+      abs(col("approx_orders") - col("n_orders")) > col("n_orders") * 0.15)
     assert(bad.count() === 0, bad.collect().mkString(","))
   }
 

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.TextFunctions.naturalSortKey
+import graft.soccer.{Ingest, Normalize, Standings}
+
+/** ScalaCheck property tests (SURVEY §5.2.2): algebraic invariants of
+  * the domain derivations under generated inputs. */
+class PropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Deterministic stand-in for the scalatest-scalacheck bridge (not in
+    * the offline cache, and build.sbt deps are frozen): sample `n`
+    * generated values from a fixed seed and run the property on each. */
+  private def forAllSampled[A](gen: Gen[A], n: Int = 12)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(42L + i))
+        .foreach(body)
+    }
+
+  private val versionGen: Gen[String] = for {
+    alpha <- Gen.oneOf("en", "de", "at", "v", "file")
+    parts <- Gen.listOfN(2, Gen.choose(0, 120))
+  } yield alpha + parts.mkString(".")
+
+  test("naturalSortKey: lexicographic key order == numeric-aware order (A7)") {
+    forAllSampled(Gen.listOfN(30, versionGen)) { names: List[String] =>
+      if (names.nonEmpty) {
+        val byKey = names.distinct.toDF("n")
+          .orderBy(naturalSortKey(col("n")), col("n"))
+          .as[String].collect().toList
+        // reference comparator: split digit runs, compare numerically
+        def chunks(s: String): List[Either[String, Long]] =
+          "([0-9]+)|([^0-9]+)".r.findAllIn(s).toList.map { c =>
+            if (c.head.isDigit) Right(c.toLong) else Left(c)
+          }
+        val expected = names.distinct.sortWith { (a, b) =>
+          val cmp = chunks(a).zip(chunks(b)).collectFirst {
+            case (x, y) if x != y => (x, y) match {
+              case (Right(i), Right(j)) => i < j
+              case (Left(i), Left(j)) => i < j
+              case (Right(_), Left(_)) => true // digits sort before letters
+              case (Left(_), Right(_)) => false
+            }
+          }
+          cmp.getOrElse(chunks(a).size < chunks(b).size || (chunks(a) == chunks(b) && a < b))
+        }
+        assert(byKey === expected, s"names=$names")
+      }
+    }
+  }
+
+  test("winner/points algebra: 3W+1D bookkeeping holds for any scoreline (D6/D7)") {
+    forAllSampled(Gen.listOfN(40, Gen.zip(Gen.choose(0L, 12L), Gen.choose(0L, 12L)))) {
+      scores: List[(Long, Long)] =>
+      if (scores.nonEmpty) {
+        val df = scores.toDF("h", "a")
+          .withColumn("w", Normalize.winnerCol($"h", $"a"))
+          .withColumn("ph", Normalize.pointsCol($"h", $"a"))
+          .withColumn("pa", Normalize.pointsCol($"a", $"h"))
+        // total points = 3 * decisive + 2 * draws
+        val agg = df.agg(
+          sum($"ph" + $"pa").as("total"),
+          sum(when($"w" === "draw", 1L).otherwise(0L)).as("draws"),
+          count(lit(1)).as("n")).head()
+        assert(agg.getAs[Long]("total") ===
+          3L * (agg.getAs[Long]("n") - agg.getAs[Long]("draws")) + 2L * agg.getAs[Long]("draws"))
+      }
+    }
+  }
+
+  test("dedup idempotence: applying dedupAgainst twice adds nothing (A6/J3)") {
+    forAllSampled(Gen.listOfN(25, Gen.zip(Gen.choose(1, 5), Gen.choose(1, 4)))) {
+      keys: List[(Int, Int)] =>
+      if (keys.nonEmpty) {
+        val incoming = keys.map { case (c, p) => (s"sha$c", s"f$p", c * 10 + p) }
+          .toDF("commit", "path", "v")
+        val empty = Seq.empty[(String, String, Int)].toDF("commit", "path", "v")
+        val once = Ingest.dedupAgainst(incoming, empty, Seq("commit", "path"))
+        // exactly one row per distinct key survives
+        assert(once.count() === keys.map(k => (k._1, k._2)).distinct.size)
+        val merged = empty.unionByName(once)
+        assert(Ingest.dedupAgainst(incoming, merged, Seq("commit", "path")).count() === 0)
+      }
+    }
+  }
+
+  test("unpivot conservation: per-team points sum to league bookkeeping (SO1)") {
+    val matchGen = for {
+      h <- Gen.choose(0, 5); a <- Gen.choose(0, 5)
+      t1 <- Gen.choose(0, 4); t2 <- Gen.choose(0, 4)
+      if t1 != t2
+    } yield (s"T$t1", s"T$t2", h.toLong, a.toLong)
+    forAllSampled(Gen.listOfN(20, matchGen)) { ms: List[(String, String, Long, Long)] =>
+      if (ms.nonEmpty) {
+        val matches = ms.toDF("team_home", "team_away", "ft_home", "ft_away")
+          .withColumn("league", lit("L")).withColumn("season", lit("S"))
+          .withColumn("winner", Normalize.winnerCol($"ft_home", $"ft_away"))
+          .withColumn("points_home", Normalize.pointsCol($"ft_home", $"ft_away"))
+          .withColumn("points_away", Normalize.pointsCol($"ft_away", $"ft_home"))
+        val table = Standings.seasonResults(matches)
+        val draws = ms.count(m => m._3 == m._4)
+        val totalPoints = table.agg(sum("points")).head().getLong(0)
+        assert(totalPoints === 3L * (ms.size - draws) + 2L * draws)
+        // played conservation: sum(played) = 2 * matches
+        assert(table.agg(sum("played")).head().getLong(0) === 2L * ms.size)
+      }
+    }
+  }
+}

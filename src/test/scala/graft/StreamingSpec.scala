@@ -77,6 +77,37 @@ class StreamingSpec extends SparkSuite {
     assert(closed.head.session_start_ns === hourNs(1))
   }
 
+  test("file sink + checkpoint: AvailableNow re-runs are exactly-once") {
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("graft_stream_in").toString
+    val out = Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    def writeBatch(name: String, rows: Seq[(Long, Long)]): Unit =
+      evDf(rows).write.mode("overwrite").parquet(s"$in/$name")
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(evDf(Seq((0L, 0L))).schema)
+        .option("latestFirst", "false").parquet(s"$in/*")
+      val q = stream.select(col("event_id"), col("ts_ns"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    writeBatch("b1", Seq((1L, hourNs(1)), (2L, hourNs(2))))
+    runOnce()
+    assert(spark.read.parquet(out).count() === 2)
+    // re-run with no new data: checkpoint prevents reprocessing
+    runOnce()
+    assert(spark.read.parquet(out).count() === 2)
+    // new file arrives: only the increment is processed
+    writeBatch("b2", Seq((3L, hourNs(3))))
+    runOnce()
+    val ids = spark.read.parquet(out).select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === Seq(1L, 2L, 3L))
+  }
+
   test("tumbling append mode finalizes only below-watermark windows") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
