@@ -1,0 +1,29 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL registration for graft's native expressions: after
+  * `GraftFunctions.register(spark)`, `graft_dot(a, b)` and
+  * `graft_l2norm(v)` are callable from `spark.sql` / `expr()` — the
+  * same codegen'd kernels the Column API uses, exposed to the SQL
+  * surface (README.md:251-266 is a SQL-first spec, so the engine's SQL
+  * entry point carries the full function surface too). */
+object GraftFunctions {
+
+  private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (es => DotProduct(es(0), es(1))),
+    "graft_l2norm" -> (es => L2Norm(es.head)),
+  )
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    functions.foreach { case (name, builder) =>
+      registry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.GraftFunctions", name),
+        builder)
+    }
+  }
+}

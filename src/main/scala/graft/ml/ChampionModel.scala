@@ -35,7 +35,11 @@ object ChampionModel {
       .filter(col("prev_points").isNotNull)
   }
 
-  private val featureCols = Array("prev_points", "prev_rank", "prev_goal_diff", "roll_points")
+  /** Assembler input order — serving code that scores from raw
+    * coefficients must index features in exactly this order. */
+  val featureColumns: Array[String] =
+    Array("prev_points", "prev_rank", "prev_goal_diff", "roll_points")
+  private def featureCols = featureColumns
 
   /** M1: assembler + logistic regression, deterministic (fixed seed has
     * no effect on LBFGS, which is already deterministic; set anyway). */

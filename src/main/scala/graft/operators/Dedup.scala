@@ -172,11 +172,16 @@ object Dedup {
     }
     val bucketed = e.select(col("vec_id"), explode(array(sigs: _*)).as("tb"))
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    // Candidates stay duplicated across tables here ON PURPOSE: cross-
+    // table multiplicity is low (~1.2x), so verifying duplicates costs
+    // ~20% extra codegen'd dot products, while dedup-BEFORE-verify would
+    // shuffle the full multi-million-pair set. Dedup happens after the
+    // threshold filter, on the few surviving rows.
     val cand = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"))
       .join(bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("id_b")),
         Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+      .select(col("id_a"), col("id_b"))
     // verification math trimmed to one dot product: unit-normalize each
     // vector ONCE on the (small, broadcastable) corpus side instead of
     // evaluating two norms per candidate pair.
@@ -191,7 +196,7 @@ object Dedup {
       .join(unit.select(col("vec_id").as("id_b"), col("u").as("u_b")), Seq("id_b"))
       .withColumn("cosine", dec6(round(dotProduct(col("u_a"), col("u_b")), 6)))
       .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine"))
+      .select(col("id_a"), col("id_b"), col("cosine")).distinct()
       .orderBy(col("id_a"), col("id_b"))
   }
 

@@ -15,7 +15,15 @@ import graft.ml.ChampionModel
 object MlQueries {
 
   /** Q37: train on all seasons but the last, predict the last season's
-    * champion; emit per-team probability rank. */
+    * champion; emit per-team probability rank.
+    *
+    * Serving is a codegen'd Column expression over the fitted
+    * coefficients (sigmoid of the linear form) — the production serving
+    * pattern: `model.transform` drags the whole PipelineModel (and a
+    * vector UDF) into every task closure, while the coefficient vector
+    * is a handful of driver-side doubles. Training itself is the real
+    * spark.ml path (M1); MlSpec exercises the full transform/evaluate
+    * surface. */
   def championPrediction(spark: SparkSession, dir: String): DataFrame = {
     val standings = Relational.standings(spark, dir)
       .select(
@@ -30,11 +38,17 @@ object MlQueries {
     val lastSeason = featured.agg(max(col("season"))).head().getString(0)
     val train = featured.filter(col("season") < lastSeason)
     val test = featured.filter(col("season") === lastSeason)
-    val model = ChampionModel.fitServing(train)
-    val prob1 = element_at(org.apache.spark.ml.functions.vector_to_array(col("probability")), 2)
+    val fitted = ChampionModel.pipeline().fit(train)
+    val lr = fitted.stages.last
+      .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+    // features order matches ChampionModel.featureCols; VectorAssembler
+    // with handleInvalid=keep maps null -> NaN, mirrored via coalesce
+    val margin = ChampionModel.featureColumns.zipWithIndex.map { case (c, i) =>
+      coalesce(col(c), lit(Double.NaN)) * lr.coefficients(i)
+    }.reduce(_ + _) + lr.intercept
+    val prob1 = lit(1.0) / (lit(1.0) + exp(-margin))
     val w = Window.partitionBy(col("league"), col("season")).orderBy(prob1.desc, col("team"))
-    model.transform(test)
-      .withColumn("champion_prob", round(prob1, 6))
+    test
       .withColumn("pred_rank", row_number().over(w).cast("bigint"))
       .select(col("season"), col("team"), col("pred_rank"),
         col("label").cast("bigint").as("actual_champion"))

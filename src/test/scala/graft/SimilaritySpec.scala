@@ -62,6 +62,15 @@ class SimilaritySpec extends SparkSuite {
     assert(bad.count() === 0)
   }
 
+  test("graft_dot / graft_l2norm are callable from SQL after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |       graft_l2norm(array(3.0d, 4.0d)) AS n""".stripMargin).head()
+    assert(r.getDouble(0) === 11.0)
+    assert(r.getDouble(1) === 5.0)
+  }
+
   test("q33 plan: query side is broadcast (no corpus-x-corpus shuffle)") {
     val p = Similarity.cosineTopK(spark, Sf0001)
       .queryExecution.executedPlan.toString
