@@ -17,6 +17,21 @@ class StorageSpec extends SparkSuite {
     assert(!scanLine.contains("order_year=1996"), scanLine)
   }
 
+  test("dynamic partition pruning fires on a dim-filtered join") {
+    import spark.implicits._
+    Storage.partitionedPrune(spark, Sf0001).count() // materialize the layout
+    val part = spark.read.parquet(
+      s"${System.getProperty("java.io.tmpdir")}/graft_orders_partitioned")
+    val dimPath = s"${System.getProperty("java.io.tmpdir")}/graft_year_dim"
+    Seq((1995, "target"), (1996, "other"), (1997, "other"))
+      .toDF("order_year", "tag").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val joined = part.join(dim.filter($"tag" === "target"), Seq("order_year"))
+      .groupBy($"order_year").count()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan)
+  }
+
   test("q48 sql surface matches the DataFrame expression of the same query") {
     val viaSql = Storage.sqlSurface(spark, Sf0001)
     val o = Tables.orders(spark, Sf0001)
