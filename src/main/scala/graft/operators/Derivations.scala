@@ -205,10 +205,33 @@ object Derivations {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** Q51: exact percentiles — Spark `percentile` and DuckDB
+    * `quantile_cont` share linear-interpolation semantics, so the
+    * medians oracle-match. The approximate sketch variant
+    * (`percentile_approx`, Greenwald-Khanna) returns engine-specific
+    * picks and lives in DerivationsSpec with an error bound instead. */
+  def quantiles(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.groupBy(col("o_orderstatus"))
+      .agg(
+        dec6(expr("percentile(o_totalprice, 0.5)")).as("median"),
+        dec6(expr("percentile(o_totalprice, 0.95)")).as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val quantilesSql: String =
+    """SELECT o_orderstatus,
+      |  CAST(ROUND(quantile_cont(o_totalprice, 0.5), 6) AS DECIMAL(38,6)) AS median,
+      |  CAST(ROUND(quantile_cont(o_totalprice, 0.95), 6) AS DECIMAL(38,6)) AS p95,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q13_case_when" -> (caseWhen _),
     "q49_approx_distinct" -> (approxDistinct _),
     "q50_rollup" -> (rollupCounts _),
+    "q51_quantiles" -> (quantiles _),
     "q14_date_parts" -> (dateParts _),
     "q15_regex_derive" -> (regexDerive _),
     "q16_string_funcs" -> (stringFuncs _),
@@ -220,6 +243,7 @@ object Derivations {
   def oracles: Map[String, String] = Map(
     "q13_case_when" -> caseWhenSql,
     "q50_rollup" -> rollupCountsSql,
+    "q51_quantiles" -> quantilesSql,
     // q49 omitted: HLL sketch estimates are engine-specific; spec-bounded.
     "q14_date_parts" -> datePartsSql,
     "q15_regex_derive" -> regexDeriveSql,

@@ -29,8 +29,9 @@ object Standings {
   }
 
   /** Full league table per (league, season): played/W/D/L/GF/GA/GD/points,
-    * rank, champion flag. Unplayed matches (null winner) are excluded
-    * from W/D/L and points but keep teams visible in `entered`. */
+    * rank, champion flag. Unplayed matches (null winner/points) don't
+    * count toward played/W/D/L/points, but still surface their teams as
+    * zero-point rows, so a season's table lists every entered team. */
   def seasonResults(normalized: DataFrame): DataFrame = {
     val pt = perTeam(normalized)
     val won = (col("winner") === "home" && col("side") === "home") ||

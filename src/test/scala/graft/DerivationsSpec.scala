@@ -21,6 +21,15 @@ class DerivationsSpec extends SparkSuite {
     assert(bad.count() === 0, bad.collect().mkString(","))
   }
 
+  test("percentile_approx tracks the exact percentile") {
+    val o = Tables.orders(spark, Sf0001)
+    val r = o.agg(
+      percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("approx"),
+      expr("percentile(o_totalprice, 0.5)").as("exact")).head()
+    val (a, e) = (r.getDouble(0), r.getDouble(1))
+    assert(math.abs(a - e) <= e * 0.01, s"approx=$a exact=$e")
+  }
+
   test("q50 rollup: subtotal rows sum to the grand total") {
     val r = Derivations.rollupCounts(spark, Sf0001).cache()
     val grand = r.filter(col("g_flag") === 1 && col("g_status") === 1)
