@@ -112,14 +112,18 @@ object Normalize {
         leagueCol.as("league"),
         seasonCol.as("season"),
         col("round_label").as("round"),
-        to_date(col("m.date"), "yyyy-MM-dd").as("match_date"),
+        // try_* variants: Spark 4 runs ANSI mode by default, where a
+        // malformed date or a short score array would fail the whole
+        // job — the reference demands dirt tolerance instead
+        // (README.md:61-63): unparseable/missing -> NULL.
+        try_to_date(col("m.date"), "yyyy-MM-dd").as("match_date"),
         col("m.time").as("match_time"),
         col("m.team1").as("team_home"),
         col("m.team2").as("team_away"),
-        element_at(col("m.score.ht"), 1).as("ht_home"),
-        element_at(col("m.score.ht"), 2).as("ht_away"),
-        element_at(col("m.score.ft"), 1).as("ft_home"),
-        element_at(col("m.score.ft"), 2).as("ft_away"),
+        try_element_at(col("m.score.ht"), lit(1)).as("ht_home"),
+        try_element_at(col("m.score.ht"), lit(2)).as("ht_away"),
+        try_element_at(col("m.score.ft"), lit(1)).as("ft_home"),
+        try_element_at(col("m.score.ft"), lit(2)).as("ft_away"),
         col("source_file"))
       .withColumn("winner", winnerCol(col("ft_home"), col("ft_away")))
       .withColumn("points_home", pointsCol(col("ft_home"), col("ft_away")))

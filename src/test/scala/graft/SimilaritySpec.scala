@@ -62,8 +62,8 @@ class SimilaritySpec extends SparkSuite {
     assert(bad.count() === 0)
   }
 
-  test("graft_dot / graft_l2norm are callable from SQL after registration") {
-    graft.functions.GraftFunctions.register(spark)
+  test("graft_dot / graft_l2norm injected by GraftExtensions (no manual register)") {
+    // SparkSuite's session carries spark.sql.extensions=graft.GraftExtensions
     val r = spark.sql(
       """SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
         |       graft_l2norm(array(3.0d, 4.0d)) AS n""".stripMargin).head()

@@ -35,6 +35,26 @@ class NormalizeSpec extends SparkSuite {
     assert(de.select("season").distinct().as[String].collect() === Array("2015/16"))
   }
 
+  test("dirt: short score arrays, bad date, null team propagate as nulls (P3)") {
+    val dirty = Seq(
+      """{"name":"Dirt League 2020","matches":[
+        |{"round":"R1","team1":"A","team2":"B","score":{"ft":[1]}},
+        |{"round":"R1","date":"13/08/2020","team1":"C","team2":null},
+        |{"round":"R1","date":"2020-01-01","team1":"D","team2":"E","score":{"ht":[0,0]}}
+        |]}""".stripMargin.replaceAll("\n", ""))
+    val n = Normalize.normalize(Normalize.fromJsonStrings(spark, dirty), "sha")
+    val a = n.filter($"team_home" === "A").head()
+    assert(a.getAs[Long]("ft_home") === 1L)      // present element
+    assert(a.isNullAt(a.fieldIndex("ft_away")))  // short array -> null, no ANSI error
+    assert(a.isNullAt(a.fieldIndex("winner")))
+    val c = n.filter($"team_home" === "C").head()
+    assert(c.isNullAt(c.fieldIndex("match_date"))) // unparseable date -> null
+    assert(c.isNullAt(c.fieldIndex("team_away")))
+    val d = n.filter($"team_home" === "D").head()
+    assert(d.getAs[Long]("ht_home") === 0L)
+    assert(d.isNullAt(d.fieldIndex("ft_home")))    // ht-only match
+  }
+
   test("normalized golden row (P2-P4, D5)") {
     val n = Normalize.normalize(raw, "shaX")
     val r = n.filter($"team_home" === "Arsenal FC" && $"round" === "Matchday 1").head()
