@@ -12,7 +12,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * entry point carries the full function surface too). */
 object GraftFunctions {
 
-  private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  /** Single source of truth for the SQL function surface — consumed
+    * both by [[register]] and by [[graft.GraftExtensions]]. */
+  private[graft] val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (es => DotProduct(es(0), es(1))),
     "graft_l2norm" -> (es => L2Norm(es.head)),
   )

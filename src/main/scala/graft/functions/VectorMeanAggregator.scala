@@ -25,25 +25,27 @@ object VectorMeanAggregator
 
   override def zero: (Array[Double], Long) = (Array.emptyDoubleArray, 0L)
 
+  /** Element-wise sum into the LONGER array (shorter inputs contribute
+    * to their prefix; missing dims count as 0) so ragged inputs are
+    * never silently truncated to whichever vector arrived first. */
+  private def addInto(a: Array[Double], b: Array[Double]): Array[Double] = {
+    val (long, short) = if (a.length >= b.length) (a, b) else (b.clone(), a)
+    var i = 0
+    while (i < short.length) { long(i) += short(i); i += 1 }
+    long
+  }
+
   override def reduce(b: (Array[Double], Long), v: Array[Double]): (Array[Double], Long) = {
     val (sum, n) = b
-    if (sum.isEmpty) (v.clone(), n + 1)
-    else {
-      var i = 0
-      while (i < sum.length && i < v.length) { sum(i) += v(i); i += 1 }
-      (sum, n + 1)
-    }
+    if (v == null || v.isEmpty) b // empty rows contribute nothing, including to the count
+    else if (sum.isEmpty) (v.clone(), n + 1)
+    else (addInto(sum, v), n + 1)
   }
 
   override def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) =
     if (a._1.isEmpty) b
     else if (b._1.isEmpty) a
-    else {
-      var i = 0
-      val s = a._1
-      while (i < s.length && i < b._1.length) { s(i) += b._1(i); i += 1 }
-      (s, a._2 + b._2)
-    }
+    else (addInto(a._1, b._1), a._2 + b._2)
 
   override def finish(r: (Array[Double], Long)): Array[Double] =
     if (r._2 == 0L) Array.emptyDoubleArray else r._1.map(_ / r._2)

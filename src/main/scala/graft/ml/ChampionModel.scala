@@ -99,9 +99,12 @@ object ChampionModel {
     val ranked = predictions.withColumn("pred_rank", row_number().over(w))
     val champs = ranked.filter(col("label") === 1.0)
     val n = champs.count().toDouble
-    val top1 = champs.filter(col("pred_rank") <= 1).count() / n
-    val top3 = champs.filter(col("pred_rank") <= 3).count() / n
-    (auc, top1, top3)
+    if (n == 0) (auc, 0.0, 0.0) // no positive rows in this fold
+    else {
+      val top1 = champs.filter(col("pred_rank") <= 1).count() / n
+      val top3 = champs.filter(col("pred_rank") <= 3).count() / n
+      (auc, top1, top3)
+    }
   }
 
   /** M4 baseline: previous champion repeats (README.md:143). Accuracy of

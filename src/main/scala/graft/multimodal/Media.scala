@@ -106,7 +106,10 @@ object Media {
   def sampleFrames(df: DataFrame, frameBytes: Int, every: Int): DataFrame = {
     val nFrames = ceil(octet_length(col("content")).cast("double") / frameBytes)
       .cast("bigint")
-    df.withColumn("n_frames", nFrames)
+    // zero-byte blobs have no frames; without the filter sequence(0,-1)
+    // raises an illegal-boundaries error
+    df.filter(octet_length(col("content")) > 0)
+      .withColumn("n_frames", nFrames)
       .withColumn("frame_idx",
         explode(sequence(lit(0L), col("n_frames") - 1, lit(every.toLong))))
       .withColumn("frame",

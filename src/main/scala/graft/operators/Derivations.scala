@@ -107,7 +107,9 @@ object Derivations {
     * the events.props testdata column). */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-    ev.withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+    // try_cast: under default ANSI mode a non-numeric props.k would
+    // abort the job; dirty JSON must degrade to NULL at scale
+    ev.withColumn("k", get_json_object(col("props"), "$.k").try_cast("bigint"))
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
@@ -120,9 +122,9 @@ object Derivations {
 
   val jsonExtractSql: String =
     """SELECT event_type, COUNT(*) AS n,
-      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-      |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+      |  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 

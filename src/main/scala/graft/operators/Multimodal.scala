@@ -74,7 +74,8 @@ object Multimodal {
   val frameSampleSql: String =
     """WITH v AS (
       |  SELECT doc_id AS asset_id, octet_length(encode(text)) AS n_bytes
-      |  FROM documents WHERE (doc_id % 3) + 1 = 3),
+      |  FROM documents
+      |  WHERE (doc_id % 3) + 1 = 3 AND octet_length(encode(text)) > 0),
       |f AS (
       |  SELECT asset_id, n_bytes,
       |    CAST(CEIL(n_bytes / 16.0) AS BIGINT) AS n_frames

@@ -19,7 +19,10 @@ object Storage {
     * PartitionFilters (pruning) — asserted by StorageSpec; values are
     * oracle-checked against the unpartitioned source. */
   def partitionedPrune(spark: SparkSession, dir: String): DataFrame = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_orders_partitioned"
+    // per-process path: a fixed name would let a concurrent Verify/Bench
+    // JVM overwrite partitions mid-read
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_orders_partitioned_" +
+      ProcessHandle.current().pid()
     Tables.orders(spark, dir)
       .withColumn("order_year", year(col("o_orderdate")))
       .repartition(col("order_year"))

@@ -72,14 +72,14 @@ object StreamingQueries {
 
   val streamSessionsSql: String =
     """WITH flagged AS (
-      |  SELECT user_id, epoch_ns(ts) AS ns,
+      |  SELECT user_id, event_id, epoch_ns(ts) AS ns,
       |    CASE WHEN LAG(epoch_ns(ts)) OVER w IS NULL
       |           OR epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w > 30*60*1000000000::BIGINT
       |         THEN 1 ELSE 0 END AS new_s
       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
       |numbered AS (
       |  SELECT user_id, ns,
-      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ns ROWS UNBOUNDED PRECEDING) AS sid
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ns, event_id ROWS UNBOUNDED PRECEDING) AS sid
       |  FROM flagged),
       |sessions AS (
       |  SELECT user_id, sid, MIN(ns) // 1000 AS session_start_us,

@@ -103,11 +103,15 @@ object Ingest {
       .withColumn("code", leagueCode(col("source_file")))
       .withColumn("season_dir",
         element_at(split(col("source_file"), "/"), -2))
-      .withColumn("season_year", seasonYear(col("season_dir")))
     val latest = latestVersionPerKey(valid, Seq("season_dir", "code"), "source_file")
     val known = filterKnownLeagues(latest, leagueMap)
     Normalize.normalize(known, sourceCommit)
       .withColumn("code", leagueCode(col("source_file")))
+      // season fallback chain ends at the directory-derived year
+      // (main.yml:111-115): record field > name suffix > season dir
+      .withColumn("season",
+        coalesce(col("season"),
+          seasonYear(element_at(split(col("source_file"), "/"), -2))))
       .join(broadcast(leagueMap.withColumnRenamed("league", "league_name")),
         Seq("code"), "left")
       .withColumn("league", coalesce(col("league_name"), col("league")))

@@ -80,8 +80,9 @@ object EventStream {
   /** Emitted closed session. */
   case class Session(user_id: Long, session_start_ns: Long,
       session_end_ns: Long, n_events: Long)
-  /** Input row shape for [[sessionize]]. */
-  case class Ev(user_id: Long, ts_ns: Long)
+  /** Input row shape for [[sessionize]]. `event_id` exists only as the
+    * deterministic tiebreak for same-timestamp events. */
+  case class Ev(user_id: Long, ts_ns: Long, event_id: Long)
 
   /** Custom stateful operator: gap-based sessionization with
     * `flatMapGroupsWithState` (the KeyValueGroupedDataset state API the
@@ -91,12 +92,13 @@ object EventStream {
   def sessionize(events: DataFrame, gapNs: Long): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.select(col("user_id"), col("ts_ns")).as[Ev]
+    val eid = if (events.columns.contains("event_id")) col("event_id") else lit(0L)
+    events.select(col("user_id"), col("ts_ns"), eid.as("event_id")).as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (user: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(_.ts_ns)
+          val sorted = rows.toSeq.sortBy(e => (e.ts_ns, e.event_id))
           var cur = state.getOption
           val closed = Seq.newBuilder[Session]
           sorted.foreach { e =>
