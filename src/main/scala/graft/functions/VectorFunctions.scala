@@ -32,26 +32,32 @@ object VectorFunctions {
   def cosineSimilarity(a: Column, b: Column): Column =
     dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
 
-  /** Random-hyperplane (SimHash) LSH signature for ANN bucketing: `bits`
-    * pseudo-random hyperplanes, each derived deterministically from
-    * xxhash64(plane, dim) — no RNG state, so executors agree on the
-    * planes with no broadcast and re-runs are reproducible.
-    * Signature = integer in [0, 2^bits). Vectors in the same bucket are
+  /** Deterministic plane weight in [-0.5, 0.5): splitmix64 finalizer of
+    * (plane, dim) — pure driver-side arithmetic, so every executor and
+    * every run derives identical planes with no RNG state or broadcast. */
+  private def planeWeight(p: Int, d: Int): Double = {
+    var z = p.toLong * 0x9E3779B97F4A7C15L + d.toLong + 0x7F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (java.lang.Math.floorMod(z, 1000000L).toDouble / 1000000.0) - 0.5
+  }
+
+  /** Random-hyperplane (SimHash) LSH signature for ANN bucketing.
+    * Signature = integer in [0, 2^bits); vectors in the same bucket are
     * ANN candidates; cosine-rerank the bucket for the final answer.
     * `planeOffset` selects a disjoint plane set so multi-table LSH
-    * (OR-amplification) can derive independent signatures. */
+    * (OR-amplification) can derive independent signatures.
+    *
+    * The planes are CONSTANTS: computed once on the driver and embedded
+    * as literal arrays, so each bit is one codegen'd [[dotProduct]]
+    * against a foldable array — the earlier formulation rebuilt the
+    * plane via interpreted HOF lambdas (64 hash evals) per row per bit. */
   def hyperplaneSignature(v: Column, bits: Int, dims: Int, planeOffset: Int = 0): Column = {
     require(bits <= 30, "signature must fit an int")
-    // plane(p) . v  where plane(p)(d) = centered hash in [-0.5, 0.5)
-    def planeDot(p: Int): Column =
-      aggregate(
-        zip_with(
-          v,
-          transform(sequence(lit(0), lit(dims - 1)),
-            d => (pmod(xxhash64(lit(p), d), lit(1000000)).cast("double") / 1000000.0d) - 0.5d),
-          (x, w) => x * w),
-        lit(0.0d), (acc, x) => acc + x)
-    (0 until bits).map(i => when(planeDot(planeOffset + i) >= 0, lit(1 << i)).otherwise(lit(0)))
-      .reduce(_ + _)
+    (0 until bits).map { i =>
+      val plane = Array.tabulate(dims)(d => planeWeight(planeOffset + i, d))
+      when(dotProduct(v, lit(plane)) >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
   }
 }
