@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Cast array<float> -> array<double> (exact widening). */
-  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  /** Cast array<float> -> array<double> (exact widening) — a native
+    * array cast, not a per-element HOF lambda. */
+  def toDouble(v: Column): Column = v.cast("array<double>")
 
   /** Left-to-right double dot product (codegen'd native expression). */
   def dotProduct(a: Column, b: Column): Column =

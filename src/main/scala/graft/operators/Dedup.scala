@@ -132,20 +132,27 @@ object Dedup {
 
   /** Q32: SimHash near-dup (X2) — 32-bit signature from per-bit majority
     * vote over token hashes; exact-signature collisions are dup
-    * candidates. No oracle (xxhash64); spec-tested. */
+    * candidates. No oracle (xxhash64); spec-tested.
+    *
+    * Shape: explode distinct tokens -> ONE codegen'd hash aggregate
+    * computing the per-bit set-counts (sum of (hash>>b)&1, 32 scalar
+    * columns with map-side combine) -> majority comparison per bit. The
+    * HOF alternative (32 `filter` lambdas per doc) evaluates
+    * interpreted, ~32x tokens lambda calls per row. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val bits = 32
-    val d = Tables.documents(spark, dir)
-      .withColumn("toks", array_distinct(tokens(col("text"))))
-      .withColumn("n_toks", size(col("toks")))
-      .withColumn("sig",
-        (0 until bits).map { b =>
-          when(
-            size(filter(col("toks"),
-              t => shiftright(xxhash64(t), b).bitwiseAND(1) === 1)) * 2 > col("n_toks"),
-            lit(1L << b)).otherwise(lit(0L))
-        }.reduce(_ + _))
-    d.groupBy(col("sig"))
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitCounts = (0 until bits).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"c$b")) :+
+      count(lit(1)).as("n_toks")
+    val sigExpr = (0 until bits).map { b =>
+      when(col(s"c$b") * 2 > col("n_toks"), lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    toks.groupBy(col("doc_id")).agg(bitCounts.head, bitCounts.tail: _*)
+      .withColumn("sig", sigExpr)
+      .groupBy(col("sig"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") > 1)
       .select(col("sig"), col("n_docs"), col("first_doc"))
