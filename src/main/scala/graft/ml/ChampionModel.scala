@@ -61,9 +61,17 @@ object ChampionModel {
     * lean and serializable regardless of session state. */
   def fitServing(train: DataFrame): PipelineModel = {
     val fitted = pipeline().fit(train)
-    val dir = java.nio.file.Files.createTempDirectory("graft-model").toString
-    fitted.write.overwrite().save(dir)
-    PipelineModel.load(dir)
+    val dir = java.nio.file.Files.createTempDirectory("graft-model")
+    try {
+      fitted.write.overwrite().save(dir.toString)
+      PipelineModel.load(dir.toString)
+    } finally {
+      // the loaded model is fully in memory; the on-disk copy would
+      // otherwise leak one directory per fit (walk-forward = per fold)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   /** M3: temporal split — train <= T-2, validate T-1, test T
@@ -91,20 +99,27 @@ object ChampionModel {
     * accuracy (README.md:136): rank teams per (league, season) by
     * predicted champion probability. */
   def evaluate(predictions: DataFrame): (Double, Double, Double) = {
-    val auc = new BinaryClassificationEvaluator()
-      .setLabelCol("label").setRawPredictionCol("rawPrediction")
-      .setMetricName("areaUnderROC").evaluate(predictions)
-    val prob1 = element_at(vector_to_array(col("probability")), 2)
-    val w = Window.partitionBy(col("league"), col("season")).orderBy(prob1.desc, col("team"))
-    val ranked = predictions.withColumn("pred_rank", row_number().over(w))
-    val champs = ranked.filter(col("label") === 1.0)
-    val n = champs.count().toDouble
-    if (n == 0) (auc, 0.0, 0.0) // no positive rows in this fold
-    else {
-      val top1 = champs.filter(col("pred_rank") <= 1).count() / n
-      val top3 = champs.filter(col("pred_rank") <= 3).count() / n
-      (auc, top1, top3)
-    }
+    // several actions follow (evaluator + rank aggregates); without the
+    // cache each one would re-run the model transform and feature plan
+    val preds = predictions.cache()
+    try {
+      val auc = new BinaryClassificationEvaluator()
+        .setLabelCol("label").setRawPredictionCol("rawPrediction")
+        .setMetricName("areaUnderROC").evaluate(preds)
+      val prob1 = element_at(vector_to_array(col("probability")), 2)
+      val w = Window.partitionBy(col("league"), col("season")).orderBy(prob1.desc, col("team"))
+      // one aggregate pass for n / top-1 / top-3 instead of three counts
+      val row = preds.withColumn("pred_rank", row_number().over(w))
+        .filter(col("label") === 1.0)
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("pred_rank") <= 1, 1L).otherwise(0L)).as("t1"),
+          sum(when(col("pred_rank") <= 3, 1L).otherwise(0L)).as("t3"))
+        .head()
+      val n = row.getAs[Long]("n").toDouble
+      if (n == 0) (auc, 0.0, 0.0) // no positive rows in this fold
+      else (auc, row.getAs[Long]("t1") / n, row.getAs[Long]("t3") / n)
+    } finally preds.unpersist()
   }
 
   /** M4 baseline: previous champion repeats (README.md:143). Accuracy of

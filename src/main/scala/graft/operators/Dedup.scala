@@ -164,7 +164,8 @@ object Dedup {
     * Same candidate-pairs-before-payload shape as minhashLsh; the
     * threshold is low because the synthetic embeddings are near-isotropic
     * (real near-dup corpora use ~0.9 with far fewer tables). No oracle
-    * (xxhash64 buckets); DedupSpec checks against brute force. */
+    * (the plane-signature chains are impractical to mirror in SQL);
+    * DedupSpec checks precision and recall against brute force. */
   def neardupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions._
     val dims = 64

@@ -36,15 +36,18 @@ object MlQueries {
         (col("rank") === 1).as("is_champion"))
     val featured = ChampionModel.features(standings).cache()
     val lastSeason = featured.agg(max(col("season"))).head().getString(0)
-    if (lastSeason == null) {
-      // degenerate input (a single season leaves no lag features):
-      // empty result with the contract schema, not a fit crash
+    def emptyResult() = {
       featured.unpersist()
-      return featured.select(col("season"), col("team"),
+      featured.select(col("season"), col("team"),
         lit(0L).as("pred_rank"), lit(0L).as("actual_champion")).limit(0)
     }
+    // degenerate inputs: no featured rows at all, or featured rows in
+    // only one season (no training data) — empty contract-schema frame,
+    // not a fit crash
+    if (lastSeason == null) return emptyResult()
     val train = featured.filter(col("season") < lastSeason)
     val test = featured.filter(col("season") === lastSeason)
+    if (train.isEmpty) return emptyResult()
     val fitted = ChampionModel.pipeline().fit(train)
     // the cache existed for LBFGS's repeated passes over train; the
     // returned frame recomputes test once without it

@@ -54,14 +54,15 @@ object Similarity {
        |WHERE rnk <= $K ORDER BY query_id, rnk""".stripMargin
 
   /** Q34: ANN via multi-table random-hyperplane LSH (scale path).
-    * `tables` independent 4-bit signatures bucket the corpus; a pair is a
-    * candidate if it collides in ANY table (OR-amplification — single
-    * tables miss true neighbors at ~(1-p) rate, L tables at (1-p)^L).
-    * Candidates are resolved as bare (query_id, vec_id) pairs BEFORE
-    * embeddings are fetched for the exact cosine rerank, so the L-fold
-    * bucket explosion never carries vector payloads through a shuffle.
-    * No oracle (signature uses xxhash64); SimilaritySpec checks sim
-    * values against brute force and measures top-1 recall. */
+    * `tables` independent `bits`-bit signatures bucket the corpus; a
+    * pair is a candidate if it collides in ANY table (OR-amplification —
+    * single tables miss true neighbors at ~(1-p) rate, L tables at
+    * (1-p)^L). Candidates are resolved as bare (query_id, vec_id) pairs
+    * BEFORE embeddings are fetched for the exact cosine rerank, so the
+    * L-fold bucket explosion never carries vector payloads through a
+    * shuffle. No oracle (24 plane dot-sign chains are impractical to
+    * mirror in SQL); SimilaritySpec checks sim values against brute
+    * force and measures top-1 recall. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     // Parameter note: the synthetic corpus is near-isotropic (top-1
     // neighbors at cosine ~0.35), the hardest case for LSH — 3 bits x 8

@@ -18,11 +18,25 @@ object Storage {
     * partition, and aggregates. The readback scan must show
     * PartitionFilters (pruning) — asserted by StorageSpec; values are
     * oracle-checked against the unpartitioned source. */
-  def partitionedPrune(spark: SparkSession, dir: String): DataFrame = {
-    // per-process path: a fixed name would let a concurrent Verify/Bench
-    // JVM overwrite partitions mid-read
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_orders_partitioned_" +
+  /** Per-process scratch path, removed on JVM exit: a fixed name would
+    * let a concurrent Verify/Bench JVM overwrite partitions mid-read,
+    * and a pid-suffixed path without cleanup would accumulate a full
+    * orders copy per driver round. */
+  private[graft] lazy val scratchDir: String = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_orders_partitioned_" +
       ProcessHandle.current().pid()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }))
+    path
+  }
+
+  def partitionedPrune(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratchDir
     Tables.orders(spark, dir)
       .withColumn("order_year", year(col("o_orderdate")))
       .repartition(col("order_year"))

@@ -31,8 +31,7 @@ object Ingest {
   def buildLeagueMap(raw: DataFrame): DataFrame =
     raw.filter(col("name").isNotNull)
       .withColumn("code", leagueCode(col("source_file")))
-      .withColumn("league",
-        trim(regexp_replace(col("name"), " [0-9]{4}(-[0-9]{2}|/[0-9]{2})?.*$", "")))
+      .withColumn("league", Normalize.stripSeasonSuffix(col("name")))
       .filter(col("code") =!= "")
       .groupBy(col("code"))
       .agg(min_by(col("league"), col("source_file")).as("league"))
@@ -96,10 +95,10 @@ object Ingest {
   def run(spark: SparkSession, repoRoot: String, sourceCommit: String): DataFrame = {
     val raw = Normalize.readRaw(spark, repoRoot + "/*/*.json").cache()
     val leagueMap = buildLeagueMap(raw)
+    // valid = parseable rows passing the SAME required-fields rule the
+    // warn side-output uses (shared predicate — the two can't diverge)
     val valid = raw
-      .filter(col("_corrupt_record").isNull)
-      .filter(col("name").isNotNull &&
-        (col("matches").isNotNull || col("rounds").isNotNull))
+      .filter(col("_corrupt_record").isNull && !Normalize.missingRequiredCond)
       .withColumn("code", leagueCode(col("source_file")))
       .withColumn("season_dir",
         element_at(split(col("source_file"), "/"), -2))

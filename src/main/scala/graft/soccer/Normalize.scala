@@ -50,12 +50,16 @@ object Normalize {
   def corruptRecords(raw: DataFrame): DataFrame =
     raw.cache().filter(col("_corrupt_record").isNotNull)
 
-  /** Rows missing the required fields the workflow warns on
-    * (main.yml:132-134, P7): parseable JSON but neither a matches array
-    * nor rounds. */
+  /** The required-fields rule (main.yml:132-134, P7), shared between the
+    * warn side-output and the ingest valid-row filter so the two can
+    * never diverge. */
+  private[soccer] def missingRequiredCond: Column =
+    col("name").isNull || (col("matches").isNull && col("rounds").isNull)
+
+  /** Rows missing the required fields the workflow warns on (P7):
+    * parseable JSON but neither a matches array nor rounds. */
   def missingRequired(raw: DataFrame): DataFrame =
-    raw.filter(col("_corrupt_record").isNull &&
-      (col("name").isNull || (col("matches").isNull && col("rounds").isNull)))
+    raw.filter(col("_corrupt_record").isNull && missingRequiredCond)
 
   /** Coalesce layout A (`rounds[].matches[]`) and layout B (`matches[]`)
     * into one exploded (record, round_label, match) row set (P1). */
@@ -97,10 +101,14 @@ object Normalize {
     coalesce(col("season"),
       nullif(regexp_extract(col("name"), "([0-9]{4}([/-][0-9]{2,4})?)\\s*$", 1), lit("")))
 
-  /** League display name: record name with the season suffix stripped
-    * (D2, main.yml:71-73) and trimmed (D3). */
-  private def leagueCol: Column =
-    trim(regexp_replace(col("name"), " [0-9]{4}([/-][0-9]{2,4})?.*$", ""))
+  /** Season-suffix strip + trim (D2/D3, main.yml:71-75) — the ONE
+    * definition shared by the normalized `league` column and the ingest
+    * league-map build, so the two can never disagree on display names. */
+  def stripSeasonSuffix(name: Column): Column =
+    trim(regexp_replace(name, " [0-9]{4}([/-][0-9]{2,4})?.*$", ""))
+
+  /** League display name: record name with the season suffix stripped. */
+  private def leagueCol: Column = stripSeasonSuffix(col("name"))
 
   /** Full normalization: raw JSON rows -> the README.md:66-84 table.
     * `ingestionTs` is injected (not current_timestamp()) so runs are

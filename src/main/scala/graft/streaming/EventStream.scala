@@ -88,7 +88,15 @@ object EventStream {
     * `flatMapGroupsWithState` (the KeyValueGroupedDataset state API the
     * brief calls for). Emits a session whenever a user's gap exceeds
     * `gapNs`; the open session rides in GroupState across batches.
-    * Batch-equivalent logic: Events.sessionize (q22). */
+    * Batch-equivalent logic: Events.sessionize (q22).
+    *
+    * Ordering contract: rows are sorted within each batch; ACROSS
+    * batches events are processed at arrival (the reference's
+    * batch-per-upload model). A late event lands in the open session if
+    * it falls inside the gap window (lastNs never regresses); late
+    * events beyond the gap start a new session at their own time — a
+    * watermark+buffer design would be needed for full event-time
+    * reordering, which the reference does not require. */
   def sessionize(events: DataFrame, gapNs: Long): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -103,8 +111,12 @@ object EventStream {
           val closed = Seq.newBuilder[Session]
           sorted.foreach { e =>
             cur match {
-              case Some(s) if e.ts_ns - s.lastNs <= gapNs =>
-                cur = Some(s.copy(lastNs = e.ts_ns, nEvents = s.nEvents + 1))
+              case Some(s) if math.abs(e.ts_ns - s.lastNs) <= gapNs =>
+                // in-gap (possibly a late arrival): extend, never regress
+                cur = Some(s.copy(
+                  start = math.min(s.start, e.ts_ns),
+                  lastNs = math.max(s.lastNs, e.ts_ns),
+                  nEvents = s.nEvents + 1))
               case Some(s) =>
                 closed += Session(user, s.start, s.lastNs, s.nEvents)
                 cur = Some(SessionState(e.ts_ns, e.ts_ns, 1))
@@ -120,8 +132,13 @@ object EventStream {
   /** Run a streaming frame to completion into an in-memory table
     * (AvailableNow = the reference's run-per-trigger model) and return
     * the materialized result. Complete mode emits every window, so the
-    * result matches the batch oracle exactly. */
+    * result matches the batch oracle exactly.
+    *
+    * The memory-sink temp view would otherwise pin the materialized
+    * rows for the process lifetime (one leak per invocation); the
+    * result is copied into an evictable cache and the view dropped. */
   def runToTable(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val spark = df.sparkSession
     val q = df.writeStream
       .format("memory")
       .queryName(name)
@@ -129,6 +146,9 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    df.sparkSession.table(name)
+    val result = spark.table(name).cache()
+    result.count() // materialize before the backing view disappears
+    spark.catalog.dropTempView(name)
+    result
   }
 }

@@ -34,6 +34,14 @@ class EventsSpec extends SparkSuite {
     assert(d.agg(sum("n_first_events")).head().getLong(0) === pairs)
   }
 
+  test("naturalSortKey: space-containing names stay distinct from collapsed forms") {
+    import spark.implicits._
+    val keys = Seq("en 2", "en2", "en 2.json").toDF("n")
+      .select(graft.functions.TextFunctions.naturalSortKey(col("n")).as("k"))
+      .as[String].collect()
+    assert(keys.distinct.length === 3, keys.mkString("|"))
+  }
+
   test("naturalSortKey orders like sort -V (digit runs numerically)") {
     import spark.implicits._
     // openfootball-style names: en.2 < en.10, 1-bundesliga versions, etc.

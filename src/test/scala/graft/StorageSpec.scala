@@ -20,9 +20,7 @@ class StorageSpec extends SparkSuite {
   test("dynamic partition pruning fires on a dim-filtered join") {
     import spark.implicits._
     Storage.partitionedPrune(spark, Sf0001).count() // materialize the layout
-    val part = spark.read.parquet(
-      s"${System.getProperty("java.io.tmpdir")}/graft_orders_partitioned_" +
-        ProcessHandle.current().pid())
+    val part = spark.read.parquet(Storage.scratchDir)
     val dimPath = s"${System.getProperty("java.io.tmpdir")}/graft_year_dim"
     Seq((1995, "target"), (1996, "other"), (1997, "other"))
       .toDF("order_year", "tag").write.mode("overwrite").parquet(dimPath)
