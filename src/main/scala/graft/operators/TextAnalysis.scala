@@ -127,7 +127,7 @@ object TextAnalysis {
         count(lit(1)).as("n_docs"),
         sum(size(col("bpe"))).as("total_bpe_tokens"),
         sum(col("n_ws_tokens")).as("total_ws_tokens"),
-        max(size(col("bpe"))).as("max_doc_bpe_tokens"))
+        max(size(col("bpe"))).cast("bigint").as("max_doc_bpe_tokens"))
       .orderBy(col("lang"))
   }
 
