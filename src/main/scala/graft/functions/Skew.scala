@@ -16,7 +16,7 @@ object Skew {
   /** Deterministic salt in [0, salt): hashes the whole row, so the same
     * input always lands in the same bucket (rerun-stable, unlike rand()),
     * while distinct rows of a hot key spread across buckets. */
-  private def saltCol(df: DataFrame, salt: Int): Column =
+  private[graft] def saltCol(df: DataFrame, salt: Int): Column =
     pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), lit(salt))
 
   /** Salted equi-join: scatter the (possibly skewed) fact side into

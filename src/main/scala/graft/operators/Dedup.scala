@@ -72,6 +72,9 @@ object Dedup {
     * candidates, verified with exact shingle-Jaccard >= 0.5.
     * No oracle (xxhash64 is Spark-specific); DedupSpec checks agreement
     * with the exact Jaccard query instead.
+    * Scope: documents with fewer than 3 tokens produce no shingles and
+    * are invisible to this operator BY DESIGN — exact dedup (q29)
+    * covers them; near-dup semantics are meaningless at that length.
     *
     * Shape chosen for 100 TB, not just correctness:
     *  - signature = explode shingles, then ONE codegen'd hash aggregate

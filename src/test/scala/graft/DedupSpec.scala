@@ -30,9 +30,14 @@ class DedupSpec extends SparkSuite {
     val lsh = Dedup.minhashLsh(spark, Sf0001).select("doc_a", "doc_b")
     // verification step guarantees precision 1.0
     assert(lsh.exceptAll(truePairs).count() === 0)
-    // identical texts have identical signatures -> always collide
-    val exactDupPairs = Tables.documents(spark, Sf0001).as("a")
-      .join(Tables.documents(spark, Sf0001).as("b"),
+    // identical texts have identical signatures -> always collide.
+    // Scoped to docs with >= 3 tokens: shorter docs yield no shingles,
+    // are invisible to MinHash BY DESIGN, and are covered by q29's
+    // exact dedup instead (see minhashLsh scaladoc).
+    val longEnough = Tables.documents(spark, Sf0001)
+      .filter(size(split(col("text"), " ")) >= 3)
+    val exactDupPairs = longEnough.as("a")
+      .join(longEnough.as("b"),
         col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     assert(exactDupPairs.exceptAll(lsh).count() === 0)

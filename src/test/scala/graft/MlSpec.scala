@@ -22,7 +22,17 @@ class MlSpec extends SparkSuite {
     assert(f.columns.contains("prev_points") && f.columns.contains("roll_points"))
     val firstSeason = standings.agg(min("season")).head().getString(0)
     assert(f.filter(col("season") === firstSeason).count() === 0)
-    assert(f.filter(col("prev_points").isNull).count() === 0)
+    // verify actual lag SEMANTICS, not the implementation's own filter:
+    // prev_points of (team, season) must equal that team's points in
+    // the immediately preceding season
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("league", "team").orderBy("season")
+    val expectedLag = standings
+      .withColumn("expected_prev", lag(col("points"), 1).over(w))
+      .select(col("team"), col("season"), col("expected_prev"))
+    val joined = f.join(expectedLag, Seq("team", "season"))
+    assert(joined.filter(col("prev_points") =!= col("expected_prev")).count() === 0)
+    assert(joined.count() === f.count())
   }
 
   test("temporal split is disjoint and ordered") {
@@ -34,8 +44,12 @@ class MlSpec extends SparkSuite {
       ChampionModel.temporalSplit(f, seasons.last, seasons(seasons.length - 2))
     val maxTrain = train.agg(max("season")).head().getString(0)
     assert(maxTrain < seasons(seasons.length - 2))
-    assert(valid.select("season").distinct().count() === 1)
-    assert(testDf.select("season").distinct().count() === 1)
+    // pin WHICH season each split holds — symmetric count assertions
+    // would not catch a (valid, test) swap (test-set leakage)
+    assert(valid.select("season").distinct().collect().map(_.getString(0))
+      === Array(seasons(seasons.length - 2)))
+    assert(testDf.select("season").distinct().collect().map(_.getString(0))
+      === Array(seasons.last))
   }
 
   test("walk-forward folds: train strictly precedes test season") {

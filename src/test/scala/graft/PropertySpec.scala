@@ -14,12 +14,22 @@ class PropertySpec extends SparkSuite {
 
   /** Deterministic stand-in for the scalatest-scalacheck bridge (not in
     * the offline cache, and build.sbt deps are frozen): sample `n`
-    * generated values from a fixed seed and run the property on each. */
-  private def forAllSampled[A](gen: Gen[A], n: Int = 12)(body: A => Unit): Unit =
-    (0 until n).foreach { i =>
-      gen.apply(Gen.Parameters.default, Seed(42L + i))
-        .foreach(body)
+    * generated values from fixed seeds and run the property on each.
+    * Gen.apply returns None when a `suchThat`/guard sieve fails (no
+    * retries in ScalaCheck 1.18) — seeds are advanced until `n` REAL
+    * samples ran, and producing none at all is a test failure, so a
+    * filtered-out generator can never make a property silently vacuous. */
+  private def forAllSampled[A](gen: Gen[A], n: Int = 12)(body: A => Unit): Unit = {
+    var produced = 0
+    var seed = 0
+    while (produced < n && seed < n * 50) {
+      gen.apply(Gen.Parameters.default, Seed(42L + seed)).foreach { a =>
+        body(a); produced += 1
+      }
+      seed += 1
     }
+    assert(produced == n, s"generator produced only $produced/$n samples")
+  }
 
   private val versionGen: Gen[String] = for {
     alpha <- Gen.oneOf("en", "de", "at", "v", "file")
@@ -89,11 +99,15 @@ class PropertySpec extends SparkSuite {
   }
 
   test("unpivot conservation: per-team points sum to league bookkeeping (SO1)") {
+    // guard-free distinct-team generation: offset the second pick past
+    // the first (a `if t1 != t2` sieve would None-out most seeds)
     val matchGen = for {
       h <- Gen.choose(0, 5); a <- Gen.choose(0, 5)
-      t1 <- Gen.choose(0, 4); t2 <- Gen.choose(0, 4)
-      if t1 != t2
-    } yield (s"T$t1", s"T$t2", h.toLong, a.toLong)
+      t1 <- Gen.choose(0, 4); t2r <- Gen.choose(0, 3)
+    } yield {
+      val t2 = if (t2r >= t1) t2r + 1 else t2r
+      (s"T$t1", s"T$t2", h.toLong, a.toLong)
+    }
     forAllSampled(Gen.listOfN(20, matchGen)) { ms: List[(String, String, Long, Long)] =>
       if (ms.nonEmpty) {
         val matches = ms.toDF("team_home", "team_away", "ft_home", "ft_away")

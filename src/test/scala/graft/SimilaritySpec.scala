@@ -45,8 +45,12 @@ class SimilaritySpec extends SparkSuite {
   test("q35 centroids: one pair per unordered label pair, sims in [-1,1]") {
     val labels = Tables.embeddings(spark, Sf0001).select("label").distinct().count()
     val c = Similarity.labelCentroids(spark, Sf0001).cache()
-    assert(c.count() === labels * (labels - 1) / 2)
-    assert(c.filter(col("sim") < -1 || col("sim") > 1).count() === 0)
+    val total = c.count()
+    assert(total === labels * (labels - 1) / 2)
+    // complement form: NaN/NULL sims fail a `sim NOT between` filter
+    // silently, so count the VALID rows instead
+    assert(c.filter(col("sim").isNotNull && !col("sim").isNaN &&
+      col("sim") >= -1 && col("sim") <= 1).count() === total)
     c.unpersist()
   }
 

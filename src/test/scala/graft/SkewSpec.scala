@@ -25,8 +25,9 @@ class SkewSpec extends SparkSuite {
   }
 
   test("saltedJoin actually splits the hot key across salt buckets") {
-    val salted = skewedFact.withColumn("__salt",
-      pmod(xxhash64(struct(col("k"), col("v"))), lit(8)))
+    // uses Skew's own salt expression — an inline re-implementation
+    // would keep passing if the production salt regressed to key-only
+    val salted = skewedFact.withColumn("__salt", Skew.saltCol(skewedFact, 8))
     val buckets = salted.filter($"k" === 1L).select("__salt").distinct().count()
     assert(buckets >= 6, s"hot key spread over only $buckets buckets")
   }

@@ -21,7 +21,7 @@ class StorageSpec extends SparkSuite {
     import spark.implicits._
     Storage.partitionedPrune(spark, Sf0001).count() // materialize the layout
     val part = spark.read.parquet(Storage.scratchDir)
-    val dimPath = s"${System.getProperty("java.io.tmpdir")}/graft_year_dim"
+    val dimPath = java.nio.file.Files.createTempDirectory("graft_year_dim").toString
     Seq((1995, "target"), (1996, "other"), (1997, "other"))
       .toDF("order_year", "tag").write.mode("overwrite").parquet(dimPath)
     val dim = spark.read.parquet(dimPath)

@@ -25,12 +25,44 @@ class StreamingSpec extends SparkSuite {
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
   }
 
-  test("q38/q39/q40 harness queries match their batch equivalents") {
+  test("q38 streaming tumbling counts match the batch aggregation") {
     val t = StreamingQueries.streamTumbling(spark, Sf0001)
     val expected = Tables.events(spark, Sf0001)
       .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
       .agg(count(lit(1)).as("n"))
     assert(t.exceptAll(expected).isEmpty && expected.exceptAll(t).isEmpty)
+  }
+
+  test("q39 streaming dedup rollup matches batch distinct counts") {
+    val d = StreamingQueries.streamDedup(spark, Sf0001)
+    val expected = Tables.events(spark, Sf0001)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("event_id")).as("n_unique_events"))
+    assert(d.exceptAll(expected).isEmpty && expected.exceptAll(d).isEmpty)
+  }
+
+  test("q40 streaming sessions match the batch gap computation minus open tails") {
+    val s = StreamingQueries.streamSessions(spark, Sf0001)
+    // batch equivalent: number sessions by gap, drop each user's last
+    val gapNs = 30L * 60 * 1000 * 1000 * 1000
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val numbered = Tables.events(spark, Sf0001)
+      .withColumn("prev", lag(col("ts_ns"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("ts_ns") - col("prev") > gapNs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val sessions = numbered.groupBy(col("user_id"), col("sid"))
+      .agg(
+        expr("min(ts_ns) div 1000").as("session_start_us"),
+        expr("max(ts_ns) div 1000").as("session_end_us"),
+        count(lit(1)).as("n_events"))
+    val lastSid = sessions.groupBy(col("user_id")).agg(max(col("sid")).as("m"))
+    val expected = sessions.join(lastSid, Seq("user_id"))
+      .filter(col("sid") < col("m"))
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+    assert(s.exceptAll(expected).isEmpty && expected.exceptAll(s).isEmpty)
   }
 
   test("dedupRedelivery drops in-watermark duplicate event_ids across batches") {

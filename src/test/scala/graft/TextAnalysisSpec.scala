@@ -8,10 +8,14 @@ class TextAnalysisSpec extends SparkSuite {
 
   test("q26 quality scores: ratios bounded, type count <= token count") {
     val q = TextAnalysis.qualityScore(spark, Sf0001).cache()
-    assert(q.filter(col("ttr") > 1 || col("ttr") <= 0).count() === 0)
-    assert(q.filter(col("stopword_ratio") < 0 || col("stopword_ratio") > 1).count() === 0)
-    assert(q.filter(col("n_types") > col("n_tokens")).count() === 0)
-    assert(q.count() === Tables.documents(spark, Sf0001).count())
+    val total = q.count()
+    assert(total === Tables.documents(spark, Sf0001).count())
+    // complement form so NULL ratios can't slip past a negated filter
+    assert(q.filter(col("ttr").isNotNull &&
+      col("ttr") > 0 && col("ttr") <= 1).count() === total)
+    assert(q.filter(col("stopword_ratio").isNotNull &&
+      col("stopword_ratio") >= 0 && col("stopword_ratio") <= 1).count() === total)
+    assert(q.filter(col("n_types") <= col("n_tokens")).count() === total)
     q.unpersist()
   }
 

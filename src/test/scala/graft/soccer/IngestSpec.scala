@@ -25,7 +25,7 @@ class IngestSpec extends SparkSuite {
 
   test("natural sort key property: order equals numeric order for vN") {
     val versions = (1 to 120).map(i => s"v$i")
-    val sorted = scala.util.Random.shuffle(versions).toDF("f")
+    val sorted = new scala.util.Random(7).shuffle(versions).toDF("f")
       .orderBy(naturalSortKey($"f")).as[String].collect()
     assert(sorted === versions.toArray)
   }
