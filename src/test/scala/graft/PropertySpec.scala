@@ -63,6 +63,22 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("wordShingles: count = max(0, tokens - w + 1); identical docs hash equal") {
+    val textGen = Gen.listOfN(12,
+      Gen.oneOf("spark", "data", "query", "row", "batch")).map(_.mkString(" "))
+    forAllSampled(Gen.listOfN(8, textGen)) { texts: List[String] =>
+      if (texts.nonEmpty) {
+        val df = texts.toDF("text")
+          .withColumn("n_toks", size(split(col("text"), " ")))
+          .withColumn("n_sh",
+            size(graft.functions.TextFunctions.wordShingles(col("text"), 3)))
+        val bad = df.filter(col("n_sh") =!=
+          greatest(col("n_toks") - 2, lit(0)))
+        assert(bad.count() === 0)
+      }
+    }
+  }
+
   test("winner/points algebra: 3W+1D bookkeeping holds for any scoreline (D6/D7)") {
     forAllSampled(Gen.listOfN(40, Gen.zip(Gen.choose(0L, 12L), Gen.choose(0L, 12L)))) {
       scores: List[(Long, Long)] =>

@@ -66,6 +66,22 @@ class SimilaritySpec extends SparkSuite {
     assert(bad.count() === 0)
   }
 
+  test("DotProduct/L2Norm null and length semantics") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Array(1.0, 2.0)), Some(Array(3.0, 4.0, 99.0))), // ragged: prefix
+      (None, Some(Array(1.0))),                              // null left
+      (Some(Array(1.0)), None),                              // null right
+    ).toDF("a", "b")
+      .withColumn("d", graft.functions.VectorFunctions.dotProduct(col("a"), col("b")))
+      .withColumn("n", graft.functions.VectorFunctions.l2Norm(col("a")))
+    val rows = df.collect()
+    assert(rows(0).getDouble(rows(0).fieldIndex("d")) === 11.0) // shorter prefix
+    assert(rows(1).isNullAt(rows(1).fieldIndex("d")))
+    assert(rows(2).isNullAt(rows(2).fieldIndex("d")))
+    assert(rows(1).isNullAt(rows(1).fieldIndex("n")))
+  }
+
   test("graft_dot / graft_l2norm injected by GraftExtensions (no manual register)") {
     // SparkSuite's session carries spark.sql.extensions=graft.GraftExtensions
     val r = spark.sql(
