@@ -229,11 +229,55 @@ object Derivations {
       |  COUNT(*) AS n
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Q52: CUBE — all grouping-set combinations (vs ROLLUP's hierarchy);
+    * grouping() flags distinguish subtotal shapes. */
+  def cubeCounts(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        grouping(col("o_orderstatus")).cast("bigint").as("g_status"),
+        grouping(col("o_orderpriority")).cast("bigint").as("g_prio"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first,
+        col("g_status"), col("g_prio"))
+  }
+
+  val cubeCountsSql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST,
+      |  g_status, g_prio""".stripMargin
+
+  /** Q53: PIVOT — BigQuery-style wide conditional aggregation; the
+    * explicit value list keeps the output schema static (required for
+    * a deterministic plan at scale AND for the oracle's column set). */
+  def pivotStatus(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.withColumn("yr", year(col("o_orderdate")).cast("bigint"))
+      .groupBy(col("yr"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(dec2(sum(money(col("o_totalprice")))))
+      .withColumnsRenamed(Map("F" -> "total_f", "O" -> "total_o", "P" -> "total_p"))
+      .orderBy(col("yr"))
+  }
+
+  val pivotStatusSql: String =
+    """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+      |  CAST(SUM(CASE WHEN o_orderstatus='F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS total_f,
+      |  CAST(SUM(CASE WHEN o_orderstatus='O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS total_o,
+      |  CAST(SUM(CASE WHEN o_orderstatus='P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS total_p
+      |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q13_case_when" -> (caseWhen _),
     "q49_approx_distinct" -> (approxDistinct _),
     "q50_rollup" -> (rollupCounts _),
     "q51_quantiles" -> (quantiles _),
+    "q52_cube" -> (cubeCounts _),
+    "q53_pivot" -> (pivotStatus _),
     "q14_date_parts" -> (dateParts _),
     "q15_regex_derive" -> (regexDerive _),
     "q16_string_funcs" -> (stringFuncs _),
@@ -246,6 +290,8 @@ object Derivations {
     "q13_case_when" -> caseWhenSql,
     "q50_rollup" -> rollupCountsSql,
     "q51_quantiles" -> quantilesSql,
+    "q52_cube" -> cubeCountsSql,
+    "q53_pivot" -> pivotStatusSql,
     // q49 omitted: HLL sketch estimates are engine-specific; spec-bounded.
     "q14_date_parts" -> datePartsSql,
     "q15_regex_derive" -> regexDeriveSql,

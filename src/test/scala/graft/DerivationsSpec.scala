@@ -30,6 +30,29 @@ class DerivationsSpec extends SparkSuite {
     assert(math.abs(a - e) <= e * 0.01, s"approx=$a exact=$e")
   }
 
+  test("q52 cube: every grouping-set shape present, totals consistent") {
+    val c = Derivations.cubeCounts(spark, Sf0001).cache()
+    // cube of 2 cols = 4 grouping-set shapes
+    assert(c.select("g_status", "g_prio").distinct().count() === 4)
+    val grand = c.filter(col("g_status") === 1 && col("g_prio") === 1)
+      .head().getAs[Long]("n")
+    val leaves = c.filter(col("g_status") === 0 && col("g_prio") === 0)
+      .agg(sum("n")).head().getLong(0)
+    assert(leaves === grand)
+    c.unpersist()
+  }
+
+  test("q53 pivot: wide columns partition the yearly total") {
+    val p = Derivations.pivotStatus(spark, Sf0001)
+    val o = Tables.orders(spark, Sf0001)
+    val total = o.agg(sum(col("o_totalprice").cast("decimal(18,2)")))
+      .head().getDecimal(0)
+    val pivotTotal = p.agg(
+      sum(coalesce(col("total_f"), lit(0)) + coalesce(col("total_o"), lit(0))
+        + coalesce(col("total_p"), lit(0)))).head().getDecimal(0)
+    assert(pivotTotal.compareTo(total) === 0)
+  }
+
   test("q50 rollup: subtotal rows sum to the grand total") {
     val r = Derivations.rollupCounts(spark, Sf0001).cache()
     val grand = r.filter(col("g_flag") === 1 && col("g_status") === 1)
