@@ -113,8 +113,60 @@ object Events {
       |  FROM events)
       |WHERE rn = 1 GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Q54: as-of join — each purchase matched to the user's latest click
+    * at-or-before it (the canonical event-attribution shape; named in
+    * the brief as an operator Spark lacks natively).
+    *
+    * Implementation follows the brief's preference (a), composition:
+    * union the two tagged streams, ONE window pass per user carries the
+    * last-seen click forward (last_value ignoreNulls over an unbounded
+    * preceding frame), keep purchase rows. One shuffle on user_id —
+    * same cost as a plain window — vs a range-join's quadratic
+    * per-user pair space. Ties (click.ts == purchase.ts) match, with
+    * event_id as the deterministic inner tiebreak; the oracle mirrors
+    * this with an ordered LATERAL LIMIT 1. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    // all comparisons in µs space: the oracle only sees µs-truncated
+    // timestamps, so ordering/gaps on exact nanos could diverge inside
+    // a microsecond
+    val ev = Tables.events(spark, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("event_id"), lit(0).as("side"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id"), lit(1).as("side"))
+    // clicks sort before same-ts purchases (side 0 < 1) => "<=" semantics
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    clicks.unionByName(purchases)
+      .withColumn("click_id",
+        last(when(col("side") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_ts_us",
+        last(when(col("side") === 0, col("ts_us")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(
+        col("user_id"), col("event_id").as("purchase_id"), col("click_id"),
+        (col("ts_us") - col("click_ts_us")).as("gap_us"))
+      .orderBy(col("user_id"), col("purchase_id"))
+  }
+
+  val asofJoinSql: String =
+    """SELECT b.user_id, b.event_id AS purchase_id, a.event_id AS click_id,
+      |  epoch_us(b.ts) - a.us AS gap_us
+      |FROM events b
+      |LEFT JOIN LATERAL (
+      |  SELECT c.event_id, epoch_us(c.ts) AS us
+      |  FROM events c
+      |  WHERE c.event_type = 'click' AND c.user_id = b.user_id
+      |    AND epoch_us(c.ts) <= epoch_us(b.ts)
+      |  ORDER BY epoch_us(c.ts) DESC, c.event_id DESC
+      |  LIMIT 1) a ON TRUE
+      |WHERE b.event_type = 'purchase'
+      |ORDER BY b.user_id, purchase_id""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q20_latest_per_user" -> (latestPerUser _),
+    "q54_asof_join" -> (asofJoin _),
     "q21_tumbling_hour" -> (tumblingHour _),
     "q22_sessionize" -> (sessionize _),
     "q23_dedup_events" -> (dedupEvents _),
@@ -122,6 +174,7 @@ object Events {
 
   def oracles: Map[String, String] = Map(
     "q20_latest_per_user" -> latestPerUserSql,
+    "q54_asof_join" -> asofJoinSql,
     "q21_tumbling_hour" -> tumblingHourSql,
     "q22_sessionize" -> sessionizeSql,
     "q23_dedup_events" -> dedupEventsSql,

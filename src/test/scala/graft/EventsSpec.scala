@@ -34,6 +34,19 @@ class EventsSpec extends SparkSuite {
     assert(d.agg(sum("n_first_events")).head().getLong(0) === pairs)
   }
 
+  test("q54 as-of join: one row per purchase, matched click precedes it") {
+    val a = Events.asofJoin(spark, Sf0001).cache()
+    val purchases = Tables.events(spark, Sf0001)
+      .filter(col("event_type") === "purchase").count()
+    assert(a.count() === purchases)
+    assert(a.select("purchase_id").distinct().count() === purchases)
+    // matched clicks never come from the future
+    assert(a.filter(col("gap_us") < 0).count() === 0)
+    // purchases before any click have no match (null click_id, null gap)
+    assert(a.filter(col("click_id").isNull && col("gap_us").isNotNull).count() === 0)
+    a.unpersist()
+  }
+
   test("naturalSortKey: space-containing names stay distinct from collapsed forms") {
     import spark.implicits._
     val keys = Seq("en 2", "en2", "en 2.json").toDF("n")
