@@ -164,9 +164,46 @@ object Events {
       |WHERE b.event_type = 'purchase'
       |ORDER BY b.user_id, purchase_id""".stripMargin
 
+  /** Q55: band (range) join — same-user error/click pairs within ±1
+    * hour. The scalable shape for big-big range joins: bucketize time
+    * to the band width, explode one side into its 3 candidate buckets
+    * ({b-1, b, b+1}), EQUI-join on (user, bucket), then verify the
+    * exact band predicate — candidate space is O(rows in adjacent
+    * buckets), not the O(n_a x n_b) a raw theta-join (BNLJ) scans.
+    * All in µs (oracle's truncated-timestamp domain). */
+  def bandJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bandUs = 3600L * 1000 * 1000
+    val ev = Tables.events(spark, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"),
+        col("ts_us").as("err_us"))
+      .withColumn("bucket",
+        explode(array((-1 to 1).map(d => expr(s"err_us div $bandUs + $d")): _*)))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_us").as("click_us"))
+      .withColumn("bucket", expr(s"click_us div $bandUs"))
+    errors.join(clicks, Seq("user_id", "bucket"))
+      .filter(abs(col("err_us") - col("click_us")) <= bandUs)
+      .select(col("user_id"), col("error_id"), col("click_id"),
+        (col("err_us") - col("click_us")).as("delta_us"))
+      .distinct() // an in-band pair can collide in two adjacent buckets
+      .orderBy(col("user_id"), col("error_id"), col("click_id"))
+  }
+
+  val bandJoinSql: String =
+    """SELECT e.user_id, e.event_id AS error_id, c.event_id AS click_id,
+      |  epoch_us(e.ts) - epoch_us(c.ts) AS delta_us
+      |FROM events e JOIN events c
+      |  ON e.user_id = c.user_id
+      | AND e.event_type = 'error' AND c.event_type = 'click'
+      | AND ABS(epoch_us(e.ts) - epoch_us(c.ts)) <= 3600000000
+      |ORDER BY e.user_id, error_id, click_id""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q20_latest_per_user" -> (latestPerUser _),
     "q54_asof_join" -> (asofJoin _),
+    "q55_band_join" -> (bandJoin _),
     "q21_tumbling_hour" -> (tumblingHour _),
     "q22_sessionize" -> (sessionize _),
     "q23_dedup_events" -> (dedupEvents _),
@@ -175,6 +212,7 @@ object Events {
   def oracles: Map[String, String] = Map(
     "q20_latest_per_user" -> latestPerUserSql,
     "q54_asof_join" -> asofJoinSql,
+    "q55_band_join" -> bandJoinSql,
     "q21_tumbling_hour" -> tumblingHourSql,
     "q22_sessionize" -> sessionizeSql,
     "q23_dedup_events" -> dedupEventsSql,

@@ -47,6 +47,25 @@ class EventsSpec extends SparkSuite {
     a.unpersist()
   }
 
+  test("q55 band join: every pair in band, matches brute-force theta join") {
+    val b = Events.bandJoin(spark, Sf0001).cache()
+    val bandUs = 3600L * 1000 * 1000
+    assert(b.filter(abs(col("delta_us")) > bandUs).count() === 0)
+    // bucket-explode candidates must equal the exact theta-join result
+    val ev = Tables.events(spark, Sf0001)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+    val brute = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"), col("ts_us").as("e_us"))
+      .join(ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts_us").as("c_us")),
+        Seq("user_id"))
+      .filter(abs(col("e_us") - col("c_us")) <= bandUs)
+      .select("user_id", "error_id", "click_id")
+    assert(b.select("user_id", "error_id", "click_id").exceptAll(brute).count() === 0)
+    assert(brute.exceptAll(b.select("user_id", "error_id", "click_id")).count() === 0)
+    b.unpersist()
+  }
+
   test("naturalSortKey: space-containing names stay distinct from collapsed forms") {
     import spark.implicits._
     val keys = Seq("en 2", "en2", "en 2.json").toDF("n")
