@@ -2,16 +2,24 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Column helpers that keep Spark results bit-identical to the DuckDB
   * oracle (SURVEY.md §7 risk 1).
   *
   * Double-typed money columns are cast to DECIMAL(18,2) *before* any
   * arithmetic/aggregation so sums are exact and order-independent
-  * (float summation order would otherwise differ between engines), and
-  * final aggregates are cast to a fixed DECIMAL(38,x) so the parquet
-  * logical type matches the oracle's output exactly.
+  * (float summation order would otherwise differ between engines AND
+  * between runs at different parallelism). Final aggregates are rounded
+  * at a fixed decimal scale, then cast to DOUBLE for output: the
+  * driver's hash compare stringifies DECIMAL columns differently on the
+  * Spark-parquet and DuckDB-oracle read paths (round-1 lesson: every
+  * decimal-typed output hash-mismatched at the driver while matching
+  * cell-by-cell locally), whereas a DOUBLE written by Spark and a DOUBLE
+  * returned by DuckDB are the same IEEE-754 bits. The decimal→double
+  * conversion is correctly rounded in both engines while the unscaled
+  * value stays below 2^53 (true for every aggregate here), so the two
+  * sides produce identical doubles deterministically.
   */
 object Parity {
   // Oracle-side discipline (verified against DuckDB 1.0.0):
@@ -22,14 +30,19 @@ object Parity {
   //    BIGINT -> derived integer columns are cast to BIGINT on both sides.
   //  * decimal multiplication chains must stay within precision 38 on the
   //    Spark side (cast intermediates down) or Spark rounds on overflow.
+  //  * numeric outputs are DOUBLE, never DECIMAL (see class doc); the
+  //    oracle mirrors dec2/dec6 with CAST(<decimal expr> AS DOUBLE).
 
-  /** Exact money value: double -> DECIMAL(18,2). Oracle mirror:
-    * CAST(x AS DECIMAL(18,2)). */
+  /** Exact money value for INTERNAL arithmetic: double -> DECIMAL(18,2).
+    * Oracle mirror: CAST(x AS DECIMAL(18,2)). Not for output columns —
+    * wrap outputs in [[dec2]]. */
   def money(c: Column): Column = c.cast(DecimalType(18, 2))
 
-  /** Final aggregate type. Oracle mirror: CAST(x AS DECIMAL(38,2)). */
-  def dec2(c: Column): Column = c.cast(DecimalType(38, 2))
+  /** Final aggregate output: exact HALF_UP round to scale 2, emitted as
+    * DOUBLE. Oracle mirror: CAST(<DECIMAL(38,2) expr> AS DOUBLE). */
+  def dec2(c: Column): Column = c.cast(DecimalType(38, 2)).cast(DoubleType)
 
-  /** Final ratio/average type. Oracle mirror: CAST(x AS DECIMAL(38,6)). */
-  def dec6(c: Column): Column = c.cast(DecimalType(38, 6))
+  /** Final ratio/average output: exact HALF_UP round to scale 6, emitted
+    * as DOUBLE. Oracle mirror: CAST(<DECIMAL(38,6) expr> AS DOUBLE). */
+  def dec6(c: Column): Column = c.cast(DecimalType(38, 6)).cast(DoubleType)
 }

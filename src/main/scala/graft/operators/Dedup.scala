@@ -49,18 +49,22 @@ object Dedup {
     val b = d.select(col("doc_id").as("doc_b"), col("n_chars"), col("toks").as("toks_b"))
     a.join(b, Seq("n_chars"))
       .filter(col("doc_a") < col("doc_b"))
+      // threshold on the UNROUNDED ratio, matching the oracle's WHERE:
+      // filtering on the rounded output value would pass a true jaccard
+      // in [0.7999995, 0.8) that the oracle rejects
+      .withColumn("n_inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("n_union", size(array_union(col("toks_a"), col("toks_b"))))
+      .filter(col("n_inter").cast("double") / col("n_union") >= 0.8)
       .withColumn("jaccard",
-        dec6(size(array_intersect(col("toks_a"), col("toks_b"))).cast("decimal(18,0)")
-          / size(array_union(col("toks_a"), col("toks_b")))))
-      .filter(col("jaccard") >= 0.8)
+        dec6(col("n_inter").cast("decimal(18,0)") / col("n_union")))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
   val neardupJaccardSql: String =
     """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |  CAST(ROUND(CAST(len(list_intersect(list_distinct(string_split(a.text,' ')), list_distinct(string_split(b.text,' ')))) AS DECIMAL(18,0))
-      |    / len(list_distinct(list_concat(list_distinct(string_split(a.text,' ')), list_distinct(string_split(b.text,' '))))), 6) AS DECIMAL(38,6)) AS jaccard
+      |  CAST(CAST(ROUND(CAST(len(list_intersect(list_distinct(string_split(a.text,' ')), list_distinct(string_split(b.text,' ')))) AS DECIMAL(18,0))
+      |    / len(list_distinct(list_concat(list_distinct(string_split(a.text,' ')), list_distinct(string_split(b.text,' '))))), 6) AS DECIMAL(38,6)) AS DOUBLE) AS jaccard
       |FROM documents a JOIN documents b
       |  ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id
       |WHERE CAST(len(list_intersect(list_distinct(string_split(a.text,' ')), list_distinct(string_split(b.text,' ')))) AS DOUBLE)
@@ -125,10 +129,12 @@ object Dedup {
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("n_union", size(array_union(col("sh_a"), col("sh_b"))))
+      // unrounded-ratio threshold (same discipline as q30)
+      .filter(col("n_inter").cast("double") / col("n_union") >= 0.5)
       .withColumn("jaccard",
-        dec6(size(array_intersect(col("sh_a"), col("sh_b"))).cast("decimal(18,0)")
-          / size(array_union(col("sh_a"), col("sh_b")))))
-      .filter(col("jaccard") >= 0.5)
+        dec6(col("n_inter").cast("decimal(18,0)") / col("n_union")))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }

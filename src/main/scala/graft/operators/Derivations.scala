@@ -34,7 +34,7 @@ object Derivations {
       |            WHEN o_totalprice > 100000 THEN 'mid'
       |            ELSE 'low' END AS tier,
       |  o_orderstatus, COUNT(*) AS n,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total
       |FROM orders GROUP BY 1, 2 ORDER BY tier, o_orderstatus""".stripMargin
 
   /** Q14: date-part derivation (D5 date parse, README.md:71). */
@@ -51,7 +51,7 @@ object Derivations {
     """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
       |  CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
       |  COUNT(*) AS n_orders,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total
       |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin
 
   /** Q15: regex extract/replace (D1 prefix extract main.yml:57, D2 strip
@@ -125,7 +125,7 @@ object Derivations {
       |  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
       |  MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Q18: deterministic first-wins lookup build (D8, main.yml:60-63) —
@@ -201,7 +201,7 @@ object Derivations {
 
   val rollupCountsSql: String =
     """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
       |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
       |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -224,8 +224,8 @@ object Derivations {
 
   val quantilesSql: String =
     """SELECT o_orderstatus,
-      |  CAST(ROUND(quantile_cont(o_totalprice, 0.5), 6) AS DECIMAL(38,6)) AS median,
-      |  CAST(ROUND(quantile_cont(o_totalprice, 0.95), 6) AS DECIMAL(38,6)) AS p95,
+      |  CAST(CAST(ROUND(quantile_cont(o_totalprice, 0.5), 6) AS DECIMAL(38,6)) AS DOUBLE) AS median,
+      |  CAST(CAST(ROUND(quantile_cont(o_totalprice, 0.95), 6) AS DECIMAL(38,6)) AS DOUBLE) AS p95,
       |  COUNT(*) AS n
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
@@ -266,9 +266,9 @@ object Derivations {
 
   val pivotStatusSql: String =
     """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
-      |  CAST(SUM(CASE WHEN o_orderstatus='F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS total_f,
-      |  CAST(SUM(CASE WHEN o_orderstatus='O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS total_o,
-      |  CAST(SUM(CASE WHEN o_orderstatus='P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS total_p
+      |  CAST(CAST(SUM(CASE WHEN o_orderstatus='F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS DOUBLE) AS total_f,
+      |  CAST(CAST(SUM(CASE WHEN o_orderstatus='O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS DOUBLE) AS total_o,
+      |  CAST(CAST(SUM(CASE WHEN o_orderstatus='P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS DOUBLE) AS total_p
       |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin
 
   def queries: Map[String, Relational.Q] = Map(

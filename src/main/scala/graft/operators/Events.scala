@@ -27,14 +27,14 @@ object Events {
       .select(
         col("user_id"), col("event_id"), col("event_type"),
         col("ts").cast("date").as("event_day"),
-        money(col("value")).as("value"))
+        dec2(money(col("value"))).as("value"))
       .orderBy(col("user_id"))
   }
 
   val latestPerUserSql: String =
     """SELECT user_id, event_id, event_type,
       |  CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_day,
-      |  CAST(value AS DECIMAL(18,2)) AS value
+      |  CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value
       |FROM (
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
       |  FROM events)
@@ -59,7 +59,7 @@ object Events {
       |  CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
       |  event_type, COUNT(*) AS n,
       |  COUNT(DISTINCT user_id) AS n_users,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2, 3 ORDER BY event_day, hr, event_type""".stripMargin
 
   /** Q22: gap-based sessionization — two stacked windows (lag to flag
@@ -186,8 +186,10 @@ object Events {
     errors.join(clicks, Seq("user_id", "bucket"))
       .filter(abs(col("err_us") - col("click_us")) <= bandUs)
       .select(col("user_id"), col("error_id"), col("click_id"),
+        // no distinct needed: the 3 exploded error buckets are distinct
+        // values and each click has exactly one bucket, so a given
+        // (error, click) pair matches in at most one bucket
         (col("err_us") - col("click_us")).as("delta_us"))
-      .distinct() // an in-band pair can collide in two adjacent buckets
       .orderBy(col("user_id"), col("error_id"), col("click_id"))
   }
 

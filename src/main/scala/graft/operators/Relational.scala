@@ -46,10 +46,10 @@ object Relational {
 
   val pricingSummarySql: String =
     """SELECT l_returnflag, l_linestatus,
-      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-      | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DECIMAL(38,2)) AS sum_disc_price,
-      | CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DECIMAL(38,2)) AS sum_charge,
+      | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+      | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
+      | CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DECIMAL(38,2)) AS DOUBLE) AS sum_disc_price,
+      | CAST(CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DECIMAL(38,2)) AS DOUBLE) AS sum_charge,
       | COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -89,7 +89,7 @@ object Relational {
       |    CAST(SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS wins,
       |    CAST(SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS draws,
       |    CAST(SUM(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS losses,
-      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS goal_value
+      |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS goal_value
       |  FROM orders JOIN customer ON o_custkey = c_custkey
       |  JOIN nation ON c_nationkey = n_nationkey
       |  GROUP BY 1, 2)
@@ -119,7 +119,7 @@ object Relational {
     """SELECT r_name,
       |  COUNT(*) AS n_customers,
       |  COUNT(DISTINCT n_name) AS n_nations,
-      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_acctbal
+      |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_acctbal
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name ORDER BY r_name""".stripMargin
@@ -175,7 +175,7 @@ object Relational {
   }
 
   val unpivotLedgerSql: String =
-    """SELECT role, party, COUNT(*) AS n, CAST(SUM(amount) AS DECIMAL(38,2)) AS total
+    """SELECT role, party, COUNT(*) AS n, CAST(CAST(SUM(amount) AS DECIMAL(38,2)) AS DOUBLE) AS total
       |FROM (
       |  SELECT 'customer' AS role, o_custkey AS party, CAST(o_totalprice AS DECIMAL(18,2)) AS amount FROM orders
       |  UNION ALL
@@ -201,7 +201,7 @@ object Relational {
 
   val windowRankSql: String =
     """WITH rev AS (
-      |  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+      |  SELECT o_custkey, CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS revenue
       |  FROM orders GROUP BY o_custkey)
       |SELECT n_name, rnk, c_custkey, revenue FROM (
       |  SELECT n_name, c_custkey, revenue,
@@ -225,9 +225,9 @@ object Relational {
 
   val windowLagSql: String =
     """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
-      |  CAST(CAST(o_totalprice AS DECIMAL(18,2))
+      |  CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
       |    - LAG(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-      |    AS DECIMAL(38,2)) AS delta
+      |    AS DECIMAL(38,2)) AS DOUBLE) AS delta
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
 
   /** Q9: bounded rows frame (W3/A8 rolling average, README.md:135).
@@ -248,8 +248,8 @@ object Relational {
 
   val windowRollingSql: String =
     """SELECT o_custkey, o_orderkey,
-      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
-      |    / COUNT(*) OVER w, 6) AS DECIMAL(38,6)) AS rolling_avg
+      |  CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+      |    / COUNT(*) OVER w, 6) AS DECIMAL(38,6)) AS DOUBLE) AS rolling_avg
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
@@ -258,13 +258,13 @@ object Relational {
   def topK(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir)
     p.select(col("p_partkey"), col("p_name"), col("p_brand"),
-        money(col("p_retailprice")).as("p_retailprice"))
+        dec2(money(col("p_retailprice"))).as("p_retailprice"))
       .orderBy(col("p_retailprice").desc, col("p_partkey"))
       .limit(10)
   }
 
   val topKSql: String =
-    """SELECT p_partkey, p_name, p_brand, CAST(p_retailprice AS DECIMAL(18,2)) AS p_retailprice
+    """SELECT p_partkey, p_name, p_brand, CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS p_retailprice
       |FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 10""".stripMargin
 
   /** Q11: set difference (SO2 incremental anti-diff) on the

@@ -45,7 +45,7 @@ object Similarity {
        |  FROM embeddings WHERE vec_id < $NQueries),
        |sims AS (
        |  SELECT q.query_id, e.vec_id,
-       |    CAST(ROUND(list_cosine_similarity(q.q_emb, e.embedding::DOUBLE[]), 6) AS DECIMAL(38,6)) AS sim
+       |    CAST(CAST(ROUND(list_cosine_similarity(q.q_emb, e.embedding::DOUBLE[]), 6) AS DECIMAL(38,6)) AS DOUBLE) AS sim
        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id)
        |SELECT query_id, rnk, vec_id, sim FROM (
        |  SELECT query_id, vec_id, sim,
@@ -130,7 +130,7 @@ object Similarity {
       |  SELECT label, list(s / n ORDER BY pos) AS centroid
       |  FROM byd GROUP BY label)
       |SELECT a.label AS label_a, b.label AS label_b,
-      |  CAST(ROUND(list_cosine_similarity(a.centroid, b.centroid), 6) AS DECIMAL(38,6)) AS sim
+      |  CAST(CAST(ROUND(list_cosine_similarity(a.centroid, b.centroid), 6) AS DECIMAL(38,6)) AS DOUBLE) AS sim
       |FROM cent a JOIN cent b ON a.label < b.label
       |ORDER BY label_a, label_b""".stripMargin
 

@@ -55,7 +55,7 @@ object Storage {
 
   val partitionedPruneSql: String =
     """SELECT o_orderstatus, COUNT(*) AS n_orders,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total
       |FROM orders
       |WHERE EXTRACT(year FROM o_orderdate) = 1995
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
@@ -65,7 +65,7 @@ object Storage {
     * equivalent, README.md:251-266). Same text runs on DuckDB. */
   val revenueByNationSql: String =
     """SELECT n_name, COUNT(DISTINCT c_custkey) AS n_customers,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS revenue
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey

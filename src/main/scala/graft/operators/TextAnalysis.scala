@@ -74,10 +74,10 @@ object TextAnalysis {
     s"""SELECT doc_id, lang, n_chars,
        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
-       |  CAST(ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DECIMAL(18,0))
-       |    / len(string_split(text, ' ')), 6) AS DECIMAL(38,6)) AS ttr,
-       |  CAST(ROUND(CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopwordSqlList))) AS DECIMAL(18,0))
-       |    / len(string_split(text, ' ')), 6) AS DECIMAL(38,6)) AS stopword_ratio
+       |  CAST(CAST(ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DECIMAL(18,0))
+       |    / len(string_split(text, ' ')), 6) AS DECIMAL(38,6)) AS DOUBLE) AS ttr,
+       |  CAST(CAST(ROUND(CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopwordSqlList))) AS DECIMAL(18,0))
+       |    / len(string_split(text, ' ')), 6) AS DECIMAL(38,6)) AS DOUBLE) AS stopword_ratio
        |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Q27: language-ID heuristic — English function-word hit ratio vs the

@@ -134,9 +134,12 @@ object EventStream {
     * the materialized result. Complete mode emits every window, so the
     * result matches the batch oracle exactly.
     *
-    * The memory-sink temp view would otherwise pin the materialized
-    * rows for the process lifetime (one leak per invocation); the
-    * result is copied into an evictable cache and the view dropped. */
+    * The memory sink is already driver-resident by design (it is the
+    * test/verification sink — production streams write to files/kafka),
+    * so the rows are copied into a fresh local DataFrame and the sink's
+    * temp view dropped: nothing stays pinned after the caller's action,
+    * unlike a `.cache()` which would grow the block-manager's cache set
+    * by one entry per invocation for the process lifetime. */
   def runToTable(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
     val spark = df.sparkSession
     val q = df.writeStream
@@ -146,9 +149,10 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val result = spark.table(name).cache()
-    result.count() // materialize before the backing view disappears
+    val sink = spark.table(name)
+    val rows = java.util.Arrays.asList(sink.collect(): _*)
+    val schema = sink.schema
     spark.catalog.dropTempView(name)
-    result
+    spark.createDataFrame(rows, schema)
   }
 }

@@ -47,9 +47,12 @@ class DerivationsSpec extends SparkSuite {
     val o = Tables.orders(spark, Sf0001)
     val total = o.agg(sum(col("o_totalprice").cast("decimal(18,2)")))
       .head().getDecimal(0)
+    // outputs are DOUBLE (driver-hash discipline); the values are exact
+    // 2-decimal quantities, so casting back to decimal recovers them
     val pivotTotal = p.agg(
-      sum(coalesce(col("total_f"), lit(0)) + coalesce(col("total_o"), lit(0))
-        + coalesce(col("total_p"), lit(0)))).head().getDecimal(0)
+      sum(coalesce(col("total_f"), lit(0)).cast("decimal(38,2)")
+        + coalesce(col("total_o"), lit(0)).cast("decimal(38,2)")
+        + coalesce(col("total_p"), lit(0)).cast("decimal(38,2)"))).head().getDecimal(0)
     assert(pivotTotal.compareTo(total) === 0)
   }
 

@@ -50,12 +50,15 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rows {len(s)} vs {len(d)}")
             n_fail += 1
             continue
-        # the driver also checks schema: surface dtype drift (int32 vs
-        # int64, float vs decimal) even when the string repr matches
+        # the driver also checks schema: dtype drift (int32 vs int64,
+        # float vs decimal) is a FAILURE here even when the string repr
+        # matches — the driver's schema check would fail on it
         sd, dd = list(map(str, s.dtypes)), list(map(str, d.dtypes))
         if sd != dd:
             diff = [(c, a, b) for c, a, b in zip(s.columns, sd, dd) if a != b]
-            print(f"WARN {name}: dtype drift {diff}")
+            print(f"FAIL {name}: dtype drift {diff}")
+            n_fail += 1
+            continue
         # exact string-repr compare per cell
         mism = None
         for c in s.columns:
