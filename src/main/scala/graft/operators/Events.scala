@@ -62,6 +62,35 @@ object Events {
       |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2, 3 ORDER BY event_day, hr, event_type""".stripMargin
 
+  /** Q57: sliding event-time window (1 h size / 30 min slide) as a batch
+    * aggregation — each event contributes to exactly 2 overlapping
+    * windows. Spark's `window()` generates the window set natively; the
+    * oracle mirrors it by unioning the two epoch-aligned bucket
+    * assignments. Complements q21 (tumbling) and q38 (streaming). */
+  def slidingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        dec2(sum(money(col("value")))).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  val slidingWindowSql: String =
+    """WITH assigned AS (
+      |  SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 1800000000) * 1800000000) AS window_start,
+      |    event_type, value
+      |  FROM events
+      |  UNION ALL
+      |  SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 1800000000) * 1800000000) - INTERVAL 30 MINUTE AS window_start,
+      |    event_type, value
+      |  FROM events)
+      |SELECT window_start, event_type, COUNT(*) AS n,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+      |FROM assigned GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
   /** Q22: gap-based sessionization — two stacked windows (lag to flag
     * session starts, running sum to number sessions). Gap math on exact
     * nanos; 30-minute gap. */
@@ -209,12 +238,14 @@ object Events {
     "q21_tumbling_hour" -> (tumblingHour _),
     "q22_sessionize" -> (sessionize _),
     "q23_dedup_events" -> (dedupEvents _),
+    "q57_sliding_window" -> (slidingWindow _),
   )
 
   def oracles: Map[String, String] = Map(
     "q20_latest_per_user" -> latestPerUserSql,
     "q54_asof_join" -> asofJoinSql,
     "q55_band_join" -> bandJoinSql,
+    "q57_sliding_window" -> slidingWindowSql,
     "q21_tumbling_hour" -> tumblingHourSql,
     "q22_sessionize" -> sessionizeSql,
     "q23_dedup_events" -> dedupEventsSql,

@@ -134,16 +134,94 @@ object Similarity {
       |FROM cent a JOIN cent b ON a.label < b.label
       |ORDER BY label_a, label_b""".stripMargin
 
+  /** Q59: persisted IVF-style ANN index ([EXT] X3 scale path, NOTES
+    * round-1 candidate #3). Same multi-table hyperplane-LSH math as q34,
+    * but the bucket assignment is built ONCE and persisted as an
+    * inverted-file layout — parquet partitioned by (tbl, bucket) whose
+    * files hold only vec_ids. A probe equi-joins the broadcast query
+    * signatures against the index, so dynamic partition pruning limits
+    * the scan to the probed buckets (~tables/2^bits of the index; at
+    * 100 TB the probe reads the candidate id-lists, never the corpus),
+    * then reranks by exact cosine exactly like q34. SimilaritySpec
+    * asserts result-identity with q34 and partition pruning in the plan. */
+  private val ivfDims = 64
+  private val ivfBits = 3
+  private val ivfTables = 8
+
+  private[graft] def ivfIndexPath(dir: String): String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_" +
+      s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+    p
+  }
+
+  private def ivfSignatures(e: DataFrame): DataFrame = {
+    val sigs = (0 until ivfTables).map { t =>
+      struct(lit(t).as("tbl"),
+        hyperplaneSignature(col("emb"), ivfBits, ivfDims, planeOffset = t * ivfBits).as("bucket"))
+    }
+    e.select(col("vec_id"), explode(array(sigs: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
+
+  private[graft] def buildIvfIndex(spark: SparkSession, dir: String): String = {
+    val path = ivfIndexPath(dir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+      // per-process scratch index, removed on JVM exit (same discipline
+      // as Storage.scratchDir — no accumulation across driver rounds)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import scala.jdk.CollectionConverters._
+        val p = java.nio.file.Paths.get(path)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }))
+      val e = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+      ivfSignatures(e)
+        .repartition(col("tbl"), col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("tbl", "bucket")
+        .parquet(path)
+    }
+    path
+  }
+
+  def ivfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val path = buildIvfIndex(spark, dir)
+    val index = spark.read.parquet(path) // (vec_id) under tbl=/bucket= dirs
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+    val qBuckets = ivfSignatures(e.filter(col("vec_id") < NQueries))
+      .withColumnRenamed("vec_id", "query_id")
+    val cand = index.join(broadcast(qBuckets), Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
+    val qEmb = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val sims = cand
+      .join(e, Seq("vec_id"))
+      .join(broadcast(qEmb), Seq("query_id"))
+      .withColumn("sim", dec6(round(cosineSimilarity(col("q_emb"), col("emb")), 6)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= K)
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   def queries: Map[String, Relational.Q] = Map(
     "q33_cosine_topk" -> (cosineTopK _),
     "q34_ann_lsh" -> (annLsh _),
     "q35_label_centroids" -> (labelCentroids _),
+    "q59_ivf_ann" -> (ivfAnn _),
   )
 
   def oracles: Map[String, String] = Map(
     "q33_cosine_topk" -> cosineTopKSql,
-    // q34 omitted: xxhash64-based bucketing, checked by SimilaritySpec
-    // recall test against q33.
+    // q34/q59 omitted: hyperplane-signature bucketing is impractical to
+    // mirror in SQL; SimilaritySpec checks q34 recall against q33 and
+    // q59 result-identity with q34 (+ partition pruning).
     "q35_label_centroids" -> labelCentroidsSql,
   )
 }

@@ -91,15 +91,57 @@ object StreamingQueries {
       |WHERE sid < m
       |ORDER BY s.user_id, session_start_us""".stripMargin
 
+  /** Q58: stream-stream interval join — every (click, purchase) pair for
+    * the same user with the purchase at most 1 hour after the click.
+    * Both sides are real streams with watermarks; the time-interval join
+    * condition is what lets Spark evict click state once the purchase
+    * watermark passes click_ts + 1h (unbounded state otherwise — the
+    * make-or-break property at scale). Inner joins emit matches as they
+    * arrive, so the AvailableNow run produces exactly the batch answer,
+    * which the oracle verifies as a theta join. */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val clicks = EventStream.readEvents(spark, path)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = EventStream.readEvents(spark, path)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+    EventStream.runToTable(joined, sinkName("stream_join"), OutputMode.Append())
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
+  val streamStreamJoinSql: String =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND epoch_us(p.ts) >= epoch_us(c.ts)
+      | AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+      |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q38_stream_tumbling" -> (streamTumbling _),
     "q39_stream_dedup" -> (streamDedup _),
     "q40_stream_sessions" -> (streamSessions _),
+    "q58_stream_join" -> (streamStreamJoin _),
   )
 
   def oracles: Map[String, String] = Map(
     "q38_stream_tumbling" -> streamTumblingSql,
     "q39_stream_dedup" -> streamDedupSql,
     "q40_stream_sessions" -> streamSessionsSql,
+    "q58_stream_join" -> streamStreamJoinSql,
   )
 }

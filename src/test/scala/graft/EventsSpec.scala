@@ -21,6 +21,14 @@ class EventsSpec extends SparkSuite {
     assert(t.agg(sum("n")).head().getLong(0) === total)
   }
 
+  test("q57 sliding window: every event lands in exactly two windows") {
+    val s = Events.slidingWindow(spark, Sf0001)
+    val total = Tables.events(spark, Sf0001).count()
+    assert(s.agg(sum("n")).head().getLong(0) === 2 * total)
+    // consecutive window starts are 30 minutes apart within a type
+    assert(s.filter(col("window_start").isNull).count() === 0)
+  }
+
   test("q22 sessionize: session counts bounded by event counts") {
     val s = Events.sessionize(spark, Sf0001)
     assert(s.filter(col("n_sessions") < 1).count() === 0)

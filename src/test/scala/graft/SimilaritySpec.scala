@@ -42,6 +42,18 @@ class SimilaritySpec extends SparkSuite {
     assert(found.toDouble / top1.count() >= 0.6, s"top-1 recall $found/${top1.count()}")
   }
 
+  test("q59 ivf index probe: identical answer to q34, partition-pruned scan") {
+    val ivf = Similarity.ivfAnn(spark, Sf0001)
+    val ann = Similarity.annLsh(spark, Sf0001)
+    // same signatures, same rerank => bit-identical result set
+    assert(ivf.exceptAll(ann).count() === 0)
+    assert(ann.exceptAll(ivf).count() === 0)
+    // the probe must not scan the whole index: the broadcast signature
+    // join prunes (tbl, bucket) partitions dynamically
+    val plan = ivf.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan.take(2000))
+  }
+
   test("q35 centroids: one pair per unordered label pair, sims in [-1,1]") {
     val labels = Tables.embeddings(spark, Sf0001).select("label").distinct().count()
     val c = Similarity.labelCentroids(spark, Sf0001).cache()

@@ -31,6 +31,35 @@ class StorageSpec extends SparkSuite {
     assert(plan.contains("dynamicpruning"), plan)
   }
 
+  test("q56 bucketed join: no shuffle below the join, values match parquet") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = Storage.bucketedJoin(spark, Sf0001)
+    def collectAll(p: SparkPlan): Seq[SparkPlan] = {
+      val self = p match {
+        case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)
+        case _ => Seq(p)
+      }
+      self ++ p.children.flatMap(collectAll)
+    }
+    val nodes = collectAll(df.queryExecution.executedPlan)
+    val join = nodes.find(_.nodeName.contains("Join"))
+    assert(join.isDefined, nodes.map(_.nodeName).mkString(","))
+    // the join's subtree reads co-located buckets: zero exchanges
+    val below = join.toSeq.flatMap(_.children.flatMap(collectAll))
+    assert(below.count(_.isInstanceOf[ShuffleExchangeExec]) === 0,
+      below.map(_.nodeName).mkString(","))
+    // same values as the plain-parquet computation
+    val o = Tables.orders(spark, Sf0001)
+    val c = Tables.customer(spark, Sf0001)
+    val plain = o.join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_orders"))
+    val got = df.select("c_mktsegment", "n_orders")
+    assert(got.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(got).count() === 0)
+  }
+
   test("q48 sql surface matches the DataFrame expression of the same query") {
     val viaSql = Storage.sqlSurface(spark, Sf0001)
     val o = Tables.orders(spark, Sf0001)

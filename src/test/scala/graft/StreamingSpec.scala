@@ -65,6 +65,21 @@ class StreamingSpec extends SparkSuite {
     assert(s.exceptAll(expected).isEmpty && expected.exceptAll(s).isEmpty)
   }
 
+  test("q58 stream-stream join matches the batch theta join") {
+    val s = StreamingQueries.streamStreamJoin(spark, Sf0001)
+    val ev = Tables.events(spark, Sf0001).withColumn("ts_us", expr("ts_ns div 1000"))
+    val expected = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts_us").as("c_us"))
+      .join(ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts_us").as("p_us")),
+        Seq("user_id"))
+      .filter(col("p_us") >= col("c_us") &&
+        col("p_us") - col("c_us") <= 3600L * 1000 * 1000)
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (col("p_us") - col("c_us")).as("gap_us"))
+    assert(s.exceptAll(expected).isEmpty && expected.exceptAll(s).isEmpty)
+  }
+
   test("dedupRedelivery drops in-watermark duplicate event_ids across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
