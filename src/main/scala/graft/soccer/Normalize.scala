@@ -62,7 +62,11 @@ object Normalize {
     raw.filter(col("_corrupt_record").isNull && missingRequiredCond)
 
   /** Coalesce layout A (`rounds[].matches[]`) and layout B (`matches[]`)
-    * into one exploded (record, round_label, match) row set (P1). */
+    * into one exploded (record, round_label, match) row set (P1).
+    * If a record carries BOTH arrays, the flat `matches` layout wins and
+    * `rounds` is ignored — openfootball files have one or the other, and
+    * reading both would double-count a file that duplicates its matches
+    * in both shapes (pinned in NormalizeSpec). */
   private def explodeMatches(raw: DataFrame): DataFrame = {
     val fromB = raw
       .filter(col("matches").isNotNull)

@@ -55,6 +55,31 @@ class NormalizeSpec extends SparkSuite {
     assert(d.isNullAt(d.fieldIndex("ft_home")))    // ht-only match
   }
 
+  test("dirt: 3-element scores, duplicate round names, both layouts in one file") {
+    val dirty = Seq(
+      // length-3 ft array: elements 1-2 used, the extra ignored
+      """{"name":"X League 2020","matches":[
+        |{"round":"R1","team1":"A","team2":"B","score":{"ft":[2,1,9]}}]}""",
+      // duplicate round names in layout A: every match kept
+      """{"name":"Y League 2020","rounds":[
+        |{"name":"R1","matches":[{"team1":"C","team2":"D","score":{"ft":[0,0]}}]},
+        |{"name":"R1","matches":[{"team1":"E","team2":"F","score":{"ft":[1,0]}}]}]}""",
+      // both matches[] and rounds[] present: flat layout wins, no double count
+      """{"name":"Z League 2020","matches":[
+        |{"round":"R1","team1":"G","team2":"H","score":{"ft":[1,1]}}],
+        |"rounds":[{"name":"R1","matches":[{"team1":"G","team2":"H","score":{"ft":[1,1]}}]}]}""",
+    ).map(_.stripMargin.replaceAll("\n", ""))
+    val n = Normalize.normalize(Normalize.fromJsonStrings(spark, dirty), "sha")
+    val a = n.filter($"team_home" === "A").head()
+    assert(a.getAs[Long]("ft_home") === 2L)
+    assert(a.getAs[Long]("ft_away") === 1L)
+    assert(a.getAs[String]("winner") === "home")
+    assert(n.filter($"league" === "Y League").count() === 2)
+    assert(n.filter($"league" === "Y League").select("round")
+      .distinct().as[String].collect() === Array("R1"))
+    assert(n.filter($"league" === "Z League").count() === 1)
+  }
+
   test("normalized golden row (P2-P4, D5)") {
     val n = Normalize.normalize(raw, "shaX")
     val r = n.filter($"team_home" === "Arsenal FC" && $"round" === "Matchday 1").head()
