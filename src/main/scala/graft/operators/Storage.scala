@@ -121,7 +121,11 @@ object Storage {
         .bucketBy(8, "c_custkey").sortBy("c_custkey")
         .saveAsTable(customerT)
     }
-    spark.table(ordersT)
+    // merge hint: at test scale the planner would broadcast the tiny
+    // customer side, silently bypassing the bucketed layout this query
+    // demonstrates; SMJ over co-bucketed tables is the shape that holds
+    // at 100 TB (no exchange on either side — asserted in StorageSpec)
+    spark.table(ordersT).hint("merge")
       .join(spark.table(customerT), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(

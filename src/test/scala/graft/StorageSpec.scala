@@ -44,9 +44,14 @@ class StorageSpec extends SparkSuite {
       self ++ p.children.flatMap(collectAll)
     }
     val nodes = collectAll(df.queryExecution.executedPlan)
-    val join = nodes.find(_.nodeName.contains("Join"))
+    val join = nodes.find(_.nodeName.contains("SortMergeJoin"))
     assert(join.isDefined, nodes.map(_.nodeName).mkString(","))
-    // the join's subtree reads co-located buckets: zero exchanges
+    // the join's subtree reads co-located buckets: zero exchanges. (A
+    // within-partition Sort remains: Spark 3+ no longer propagates
+    // sorted-bucket output ordering unless the legacy
+    // bucketedTableScan.outputOrdering conf is on — the exchange is the
+    // cost that matters at scale, the sort runs over already-sorted
+    // runs.)
     val below = join.toSeq.flatMap(_.children.flatMap(collectAll))
     assert(below.count(_.isInstanceOf[ShuffleExchangeExec]) === 0,
       below.map(_.nodeName).mkString(","))
