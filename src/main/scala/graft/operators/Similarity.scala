@@ -165,16 +165,16 @@ object Similarity {
 
   private[graft] def buildIvfIndex(spark: SparkSession, dir: String): String = {
     val path = ivfIndexPath(dir)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+    // completeness = Spark's _SUCCESS marker, not bare dir existence: a
+    // build that died mid-write must be discarded and rebuilt, never
+    // silently probed as a truncated index
+    val complete = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/_SUCCESS"))
+    if (!complete) {
+      graft.Scratch.deleteNow(path)
       // per-process scratch index, removed on JVM exit (same discipline
       // as Storage.scratchDir — no accumulation across driver rounds)
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import scala.jdk.CollectionConverters._
-        val p = java.nio.file.Paths.get(path)
-        if (java.nio.file.Files.exists(p))
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-            .foreach(f => java.nio.file.Files.deleteIfExists(f))
-      }))
+      graft.Scratch.deleteOnExit(path)
       val e = Tables.embeddings(spark, dir)
         .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
       ivfSignatures(e)

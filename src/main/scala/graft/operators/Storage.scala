@@ -25,13 +25,7 @@ object Storage {
   private[graft] lazy val scratchDir: String = {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_orders_partitioned_" +
       ProcessHandle.current().pid()
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import scala.jdk.CollectionConverters._
-      val p = java.nio.file.Paths.get(path)
-      if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(f => java.nio.file.Files.deleteIfExists(f))
-    }))
+    graft.Scratch.deleteOnExit(path)
     path
   }
 
@@ -96,20 +90,14 @@ object Storage {
     (s"graft_bkt_orders_$tag", s"graft_bkt_customer_$tag")
   }
 
-  private def deleteOnExit(path: String): Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import scala.jdk.CollectionConverters._
-      val p = java.nio.file.Paths.get(path)
-      if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(f => java.nio.file.Files.deleteIfExists(f))
-    }))
-
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     val (ordersT, customerT) = bucketedNames(spark, dir)
-    if (!spark.catalog.tableExists(ordersT)) {
+    // guard on BOTH tables: a build that died between the two
+    // saveAsTable calls must rebuild, not serve the torso forever
+    if (!spark.catalog.tableExists(ordersT) || !spark.catalog.tableExists(customerT)) {
+      Seq(ordersT, customerT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      Seq(ordersT, customerT).foreach(t => deleteOnExit(s"$wh/$t"))
+      Seq(ordersT, customerT).foreach(t => graft.Scratch.deleteOnExit(s"$wh/$t"))
       Tables.orders(spark, dir)
         .repartition(8, col("o_custkey"))
         .write.mode("overwrite")

@@ -134,12 +134,12 @@ object EventStream {
     * the materialized result. Complete mode emits every window, so the
     * result matches the batch oracle exactly.
     *
-    * The memory sink is already driver-resident by design (it is the
-    * test/verification sink — production streams write to files/kafka),
-    * so the rows are copied into a fresh local DataFrame and the sink's
-    * temp view dropped: nothing stays pinned after the caller's action,
-    * unlike a `.cache()` which would grow the block-manager's cache set
-    * by one entry per invocation for the process lifetime. */
+    * The result is materialized with an eager `localCheckpoint` (block-
+    * manager storage, distributed across executors in cluster mode — no
+    * driver collect) and the sink's temp view dropped: the blocks are
+    * released by the ContextCleaner once the returned frame is
+    * unreachable, unlike a `.cache()` which would grow the pinned cache
+    * set by one entry per invocation for the process lifetime. */
   def runToTable(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
     val spark = df.sparkSession
     val q = df.writeStream
@@ -149,10 +149,8 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val sink = spark.table(name)
-    val rows = java.util.Arrays.asList(sink.collect(): _*)
-    val schema = sink.schema
+    val result = spark.table(name).localCheckpoint(true)
     spark.catalog.dropTempView(name)
-    spark.createDataFrame(rows, schema)
+    result
   }
 }

@@ -32,6 +32,28 @@ class SkewSpec extends SparkSuite {
     assert(buckets >= 6, s"hot key spread over only $buckets buckets")
   }
 
+  test("duplicate-row hot key: extra entropy spreads what row-hash can't") {
+    // 900 IDENTICAL rows of hot key 1 — the documented saltCol blind spot
+    val dupFact = ((1 to 900).map(_ => (1L, 7L)) ++
+      (1 to 100).map(i => ((i % 7 + 2).toLong, i.toLong))).toDF("k", "v")
+      .repartition(4) // several input splits so partition ids differ
+    // row-hash alone: all duplicates land in ONE bucket
+    val plainBuckets = dupFact.withColumn("__salt", Skew.saltCol(dupFact, 8))
+      .filter($"k" === 1L).select("__salt").distinct().count()
+    assert(plainBuckets === 1, s"expected collapse, got $plainBuckets buckets")
+    // with partition-id entropy: spreads, and the join stays row-identical
+    val salted = Skew.saltedJoin(dupFact, dim, "k", salt = 8,
+      extra = Some(spark_partition_id())).select("k", "v", "name")
+    val plain = dupFact.join(dim, Seq("k")).select("k", "v", "name")
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+    val entropic = dupFact.withColumn("__salt",
+      Skew.saltCol(dupFact, 8, Some(spark_partition_id())))
+      .filter($"k" === 1L).select("__salt").distinct().count()
+    assert(entropic > 1, s"partition-id entropy still collapsed to $entropic bucket")
+  }
+
   test("saltedAgg matches the plain aggregation") {
     val plain = skewedFact.groupBy("k")
       .agg(count(lit(1)).as("n"), sum($"v").as("s"))
