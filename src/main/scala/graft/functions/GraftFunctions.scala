@@ -17,6 +17,9 @@ object GraftFunctions {
   private[graft] val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (es => DotProduct(es(0), es(1))),
     "graft_l2norm" -> (es => L2Norm(es.head)),
+    // gram size must be a foldable int literal
+    "graft_rolling_minhash" -> (es => RollingMinHash(es(0),
+      es(1).eval().asInstanceOf[Int])),
   )
 
   def register(spark: SparkSession): Unit = {

@@ -42,6 +42,14 @@ object TextFunctions {
     * via md5). */
   def fingerprint(text: Column): Column = md5(text)
 
+  /** Min over the xxhash64 of every k-char gram — the rolling-hash
+    * fingerprint, as one codegen'd loop per row
+    * ([[graft.functions.RollingMinHash]]); robust to token reordering
+    * that md5 is not. */
+  def rollingMinHash(text: Column, k: Int): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      RollingMinHash(org.apache.spark.sql.GraftSqlShim.expression(text), k))
+
   /** MinHash signature over the distinct word shingles: for each of
     * `perms` permutations, min over shingles of xxhash64(perm, shingle).
     * Deterministic (seeded by the permutation index). */

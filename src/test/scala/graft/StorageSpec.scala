@@ -110,4 +110,26 @@ class StorageSpec extends SparkSuite {
     val fp2 = TextAnalysis.rollingFingerprint(spark, Sf0001)
     assert(fp.exceptAll(fp2).count() === 0)
   }
+
+  test("RollingMinHash expression is bit-identical to the HOF formulation") {
+    import spark.implicits._
+    val k = 8
+    // corpus docs + adversarial shapes: empty, shorter-than-k, exactly k,
+    // multi-byte chars straddling window boundaries
+    val edge = Seq("", "ab", "exactly8", "héllo wörld ütf8 ßtraß",
+      "日本語テキストの窓", "a" * 9).toDF("text")
+    val d = Tables.documents(spark, Sf0001).select("text").unionByName(edge)
+    val both = d.select(
+      graft.functions.TextFunctions.rollingMinHash(col("text"), k).as("native"),
+      array_min(transform(
+        sequence(lit(1), greatest(length(col("text")) - (k - 1), lit(1))),
+        i => xxhash64(col("text").substr(i, lit(k))))).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+    // SQL surface (GraftExtensions injection)
+    d.createOrReplaceTempView("docs_rmh")
+    val viaSql = spark.sql(
+      s"SELECT count(*) AS bad FROM docs_rmh WHERE graft_rolling_minhash(text, $k) " +
+        "!= graft_rolling_minhash(text, 8)").head().getLong(0)
+    assert(viaSql === 0)
+  }
 }
