@@ -50,6 +50,19 @@ object TextFunctions {
     org.apache.spark.sql.GraftSqlShim.column(
       RollingMinHash(org.apache.spark.sql.GraftSqlShim.expression(text), k))
 
+  /** MinHash-LSH band hashes in one compiled pass
+    * ([[graft.functions.LshBands]]): array of (band, band_hash) structs,
+    * NULL when the text has fewer than `w` tokens. */
+  def lshBands(text: Column, w: Int, perms: Int, bands: Int): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      LshBands(org.apache.spark.sql.GraftSqlShim.expression(text), w, perms, bands))
+
+  /** Distinct xxhash64 shingle hashes ([[graft.functions.ShingleHashSet]])
+    * — the LSH verification payload. */
+  def shingleHashes(text: Column, w: Int): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      ShingleHashSet(org.apache.spark.sql.GraftSqlShim.expression(text), w))
+
   /** MinHash signature over the distinct word shingles: for each of
     * `perms` permutations, min over shingles of xxhash64(perm, shingle).
     * Deterministic (seeded by the permutation index). */

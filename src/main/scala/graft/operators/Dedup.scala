@@ -81,14 +81,14 @@ object Dedup {
     * covers them; near-dup semantics are meaningless at that length.
     *
     * Shape chosen for 100 TB, not just correctness:
-    *  - signature = explode shingles, then ONE codegen'd hash aggregate
-    *    with 32 scalar `min(xxhash64(p, shingle))` columns — map-side
-    *    partial combine means the shuffle carries one 32-long row per
-    *    (partition, doc). The array-HOF formulation
-    *    (`transform(sequence…, array_min(transform…))`) is interpreted
-    *    AND gets duplicated by CollapseProject into every band
-    *    expression and both self-join branches (~16× recompute: 102s →
-    *    ~1s at sf0.1).
+    *  - banding = ONE native compiled pass per document
+    *    ([[graft.functions.LshBands]]): shingle byte-spans hashed in
+    *    place, per-permutation mins via a 64-bit mix, band hashes
+    *    chained — no explode, no signature aggregate, no shuffle until
+    *    the (band, hash, id) self-join. Replaced the explode → 32-min-
+    *    column hash-agg shape (itself 100x over the naive HOF form):
+    *    3.4 s → 1.0 s at sf0.1. Lineage of rejected formulations in
+    *    NOTES.md.
     *  - candidate generation self-joins only (band, band_hash, doc_id)
     *    rows; the distinct pair set is resolved BEFORE any shingle array
     *    is fetched, so wide verification data never rides the LSH
@@ -96,22 +96,10 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val perms = 32
     val bands = 8
-    val rowsPerBand = perms / bands
     val docs = Tables.documents(spark, dir)
-    val shingled = docs.select(col("doc_id"),
-      explode(array_distinct(wordShingles(col("text"), 3))).as("shingle"))
-    val minCols = (0 until perms).map(p =>
-      min(xxhash64(lit(p), col("shingle"))).as(s"h$p"))
-    val sig = shingled.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
-    // band key = hash of the band's rowsPerBand signature slots (scalar
-    // xxhash64 → codegen; equal slices collide, unequal almost never do)
-    val bandStructs = (0 until bands).map { b =>
-      val slots = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"),
-        xxhash64(lit("band") +: lit(b) +: slots: _*).as("band_hash"))
-    }
-    val banded = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+    val banded = docs
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.lshBands(col("text"), 3, perms, bands)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
     val cand = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
       .join(banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_b")),
@@ -124,8 +112,7 @@ object Dedup {
     // (Jaccard over distinct 64-bit hashes equals Jaccard over the
     // shingles themselves up to negligible collision probability).
     val sets = docs.select(col("doc_id"),
-      array_distinct(transform(wordShingles(col("text"), 3),
-        s => xxhash64(s))).as("sh"))
+      graft.functions.TextFunctions.shingleHashes(col("text"), 3).as("sh"))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))

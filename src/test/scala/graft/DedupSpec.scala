@@ -47,6 +47,36 @@ class DedupSpec extends SparkSuite {
     assert(nTrue === 0 || nFound.toDouble / nTrue >= 0.8, s"recall $nFound/$nTrue")
   }
 
+  test("ShingleHashSet kernel equals the HOF formulation as a set") {
+    import spark.implicits._
+    val edge = Seq("", "one two", "a b c", "x  y z ", "日本 語 テキスト 窓").toDF("text")
+    val d = Tables.documents(spark, Sf0001).select("text").unionByName(edge)
+    val both = d.select(
+      graft.functions.TextFunctions.shingleHashes(col("text"), 3).as("native"),
+      array_distinct(transform(wordShingles(col("text"), 3),
+        s => xxhash64(s))).as("hof"))
+    val bad = both.filter(
+      size(array_except(col("native"), col("hof"))) =!= 0 ||
+      size(array_except(col("hof"), col("native"))) =!= 0)
+    assert(bad.count() === 0)
+  }
+
+  test("LshBands: null below w tokens, bands complete, dups share all bands") {
+    import spark.implicits._
+    val df = Seq("a b", "a b c d e", "a b c d e", "different text here now")
+      .toDF("text")
+      .select(col("text"),
+        graft.functions.TextFunctions.lshBands(col("text"), 3, 32, 8).as("bands"))
+    val rows = df.collect()
+    assert(rows(0).isNullAt(1)) // 2 tokens < w=3
+    val b1 = rows(1).getSeq[org.apache.spark.sql.Row](1)
+    assert(b1.map(_.getInt(0)) === (0 until 8))
+    // identical texts -> identical band hashes (exact-dup recall 1.0)
+    assert(b1.map(_.getLong(1)) === rows(2).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)))
+    // different texts -> (almost surely) different band hashes
+    assert(b1.map(_.getLong(1)) !== rows(3).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)))
+  }
+
   test("q30 jaccard values are valid and symmetric-canonical") {
     val j = Dedup.neardupJaccard(spark, Sf0001)
     assert(j.filter(col("jaccard") < 0.8 || col("jaccard") > 1).count() === 0)
