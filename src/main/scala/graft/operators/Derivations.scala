@@ -251,6 +251,31 @@ object Derivations {
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST,
       |  g_status, g_prio""".stripMargin
 
+  /** Q60: explicit GROUPING SETS — the general form ROLLUP (q50) and
+    * CUBE (q52) specialize: an arbitrary set list (here both one-column
+    * marginals but NOT the grand total, a shape neither rollup nor cube
+    * can express). One Expand-based pass, same engine machinery. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        dec2(sum(money(col("l_quantity")))).as("sum_qty"),
+        grouping(col("l_returnflag")).cast("bigint").as("g_flag"),
+        grouping(col("l_linestatus")).cast("bigint").as("g_status"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  val groupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+      |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+      |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   /** Q53: PIVOT — BigQuery-style wide conditional aggregation; the
     * explicit value list keeps the output schema static (required for
     * a deterministic plan at scale AND for the oracle's column set). */
@@ -278,6 +303,7 @@ object Derivations {
     "q51_quantiles" -> (quantiles _),
     "q52_cube" -> (cubeCounts _),
     "q53_pivot" -> (pivotStatus _),
+    "q60_grouping_sets" -> (groupingSets _),
     "q14_date_parts" -> (dateParts _),
     "q15_regex_derive" -> (regexDerive _),
     "q16_string_funcs" -> (stringFuncs _),
@@ -292,6 +318,7 @@ object Derivations {
     "q51_quantiles" -> quantilesSql,
     "q52_cube" -> cubeCountsSql,
     "q53_pivot" -> pivotStatusSql,
+    "q60_grouping_sets" -> groupingSetsSql,
     // q49 omitted: HLL sketch estimates are engine-specific; spec-bounded.
     "q14_date_parts" -> datePartsSql,
     "q15_regex_derive" -> regexDeriveSql,

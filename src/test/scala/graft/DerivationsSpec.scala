@@ -56,6 +56,18 @@ class DerivationsSpec extends SparkSuite {
     assert(pivotTotal.compareTo(total) === 0)
   }
 
+  test("q60 grouping sets: exactly the two marginal shapes, no grand total") {
+    val g = Derivations.groupingSets(spark, Sf0001).cache()
+    val shapes = g.select("g_flag", "g_status").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(shapes === Set((0L, 1L), (1L, 0L))) // marginals only — not expressible as ROLLUP/CUBE
+    val total = Tables.lineitem(spark, Sf0001).count()
+    // each marginal partitions all rows
+    assert(g.filter(col("g_status") === 1).agg(sum("n")).head().getLong(0) === total)
+    assert(g.filter(col("g_flag") === 1).agg(sum("n")).head().getLong(0) === total)
+    g.unpersist()
+  }
+
   test("q50 rollup: subtotal rows sum to the grand total") {
     val r = Derivations.rollupCounts(spark, Sf0001).cache()
     val grand = r.filter(col("g_flag") === 1 && col("g_status") === 1)
