@@ -118,6 +118,33 @@ case class ShingleHashSet(child: Expression, w: Int)
     copy(child = newChild)
 }
 
+/** SimHash signature in one compiled pass per document (q32's hot
+  * path): distinct single-space tokens, xxhash64 each token's byte span
+  * in place, per-bit majority vote over the distinct-token hashes.
+  * Signature semantics match the explode → 32-bit-count hash-agg
+  * formulation exactly (distinct-by-string ≡ distinct-by-hash up to
+  * 64-bit collision; pinned in DedupSpec). Returns NULL for null input
+  * only — an empty text votes over the single empty token, as
+  * `array_distinct(split(text, " "))` does. */
+case class SimHashSig(child: Expression, bits: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(bits >= 1 && bits <= 64, s"bits must be in [1,64], got $bits")
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(s: Any): Any =
+    RollingHashKernel.simHash(s.asInstanceOf[UTF8String], bits)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.RollingHashKernel.simHash($t, $bits);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Static kernel shared by interpreted eval and generated code.
   * Hashes each gram's byte slice IN PLACE (no per-gram UTF8String
   * allocation): one pass records the byte offset of every char, then
@@ -216,6 +243,34 @@ object RollingHashKernel {
       b += 1
     }
     new GenericArrayData(out)
+  }
+
+  def simHash(t: UTF8String, bits: Int): Long = {
+    val bytes = t.getBytes
+    val starts = tokenStarts(bytes)
+    val nTok = starts.length - 1
+    // distinct token hashes (token i = shingle of width 1)
+    val hashes = new Array[Long](nTok)
+    var i = 0
+    while (i < nTok) { hashes(i) = shingleHash(bytes, starts, i, 1); i += 1 }
+    java.util.Arrays.sort(hashes)
+    var n = 0
+    var j = 0
+    while (j < hashes.length) {
+      if (j == 0 || hashes(j) != hashes(j - 1)) { hashes(n) = hashes(j); n += 1 }
+      j += 1
+    }
+    // per-bit majority vote
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      var c = 0
+      var x = 0
+      while (x < n) { c += ((hashes(x) >>> b) & 1L).toInt; x += 1 }
+      if (2 * c > n) sig |= 1L << b
+      b += 1
+    }
+    sig
   }
 
   def shingleHashSet(t: UTF8String, w: Int): ArrayData = {

@@ -63,6 +63,12 @@ object TextFunctions {
     org.apache.spark.sql.GraftSqlShim.column(
       ShingleHashSet(org.apache.spark.sql.GraftSqlShim.expression(text), w))
 
+  /** SimHash signature (per-bit majority over distinct-token hashes) in
+    * one compiled pass ([[graft.functions.SimHashSig]]). */
+  def simHashSig(text: Column, bits: Int): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      SimHashSig(org.apache.spark.sql.GraftSqlShim.expression(text), bits))
+
   /** MinHash signature over the distinct word shingles: for each of
     * `perms` permutations, min over shingles of xxhash64(perm, shingle).
     * Deterministic (seeded by the permutation index). */

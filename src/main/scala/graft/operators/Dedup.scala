@@ -127,27 +127,20 @@ object Dedup {
   }
 
   /** Q32: SimHash near-dup (X2) — 32-bit signature from per-bit majority
-    * vote over token hashes; exact-signature collisions are dup
+    * vote over distinct-token hashes; exact-signature collisions are dup
     * candidates. No oracle (xxhash64); spec-tested.
     *
-    * Shape: explode distinct tokens -> ONE codegen'd hash aggregate
-    * computing the per-bit set-counts (sum of (hash>>b)&1, 32 scalar
-    * columns with map-side combine) -> majority comparison per bit. The
-    * HOF alternative (32 `filter` lambdas per doc) evaluates
-    * interpreted, ~32x tokens lambda calls per row. */
+    * Shape: ONE native compiled pass per document
+    * ([[graft.functions.SimHashSig]]) — token byte-spans hashed in
+    * place, majority vote in a register loop; no explode, no 32-column
+    * aggregate, no shuffle before the signature groupBy. (The prior
+    * explode → bit-count hash-agg shape was itself ~32x over the HOF
+    * form; equivalence with it is pinned in DedupSpec.) */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val bits = 32
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitCounts = (0 until bits).map(b =>
-      sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"c$b")) :+
-      count(lit(1)).as("n_toks")
-    val sigExpr = (0 until bits).map { b =>
-      when(col(s"c$b") * 2 > col("n_toks"), lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    toks.groupBy(col("doc_id")).agg(bitCounts.head, bitCounts.tail: _*)
-      .withColumn("sig", sigExpr)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.simHashSig(col("text"), bits).as("sig"))
       .groupBy(col("sig"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") > 1)

@@ -131,11 +131,30 @@ object StreamingQueries {
       | AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
       |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
 
+  /** Q61: watermarked SLIDING-window aggregation over the stream (1 h
+    * window / 30 min slide — each event counts in 2 overlapping
+    * windows). Streaming twin of batch q57, sharing its oracle; state
+    * is keyed by (window, event_type) and bounded by the watermark. */
+  def streamSliding(spark: SparkSession, dir: String): DataFrame = {
+    val ev = EventStream.readEvents(spark, s"$dir/events.parquet")
+    val agg = ev
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        dec2(sum(money(col("value")))).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+    EventStream.runToTable(agg, sinkName("stream_sliding"), OutputMode.Complete())
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   def queries: Map[String, Relational.Q] = Map(
     "q38_stream_tumbling" -> (streamTumbling _),
     "q39_stream_dedup" -> (streamDedup _),
     "q40_stream_sessions" -> (streamSessions _),
     "q58_stream_join" -> (streamStreamJoin _),
+    "q61_stream_sliding" -> (streamSliding _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -143,5 +162,7 @@ object StreamingQueries {
     "q39_stream_dedup" -> streamDedupSql,
     "q40_stream_sessions" -> streamSessionsSql,
     "q58_stream_join" -> streamStreamJoinSql,
+    // same answer as the batch sliding window — shared oracle text
+    "q61_stream_sliding" -> Events.slidingWindowSql,
   )
 }

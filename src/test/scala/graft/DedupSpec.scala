@@ -77,6 +77,27 @@ class DedupSpec extends SparkSuite {
     assert(b1.map(_.getLong(1)) !== rows(3).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)))
   }
 
+  test("SimHashSig kernel equals the explode/bit-count formulation") {
+    import spark.implicits._
+    val bits = 32
+    val edge = Seq("", "one", "a a a b", "tok " * 50).toDF("text")
+      .withColumn("doc_id", monotonically_increasing_id() + 1000000)
+    val d = Tables.documents(spark, Sf0001).select("doc_id", "text").unionByName(edge)
+    val native = d.select(col("doc_id"),
+      graft.functions.TextFunctions.simHashSig(col("text"), bits).as("sig_n"))
+    val toks = d.select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitCounts = (0 until bits).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"c$b")) :+ count(lit(1)).as("n_toks")
+    val sigExpr = (0 until bits).map { b =>
+      when(col(s"c$b") * 2 > col("n_toks"), lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val hof = toks.groupBy(col("doc_id")).agg(bitCounts.head, bitCounts.tail: _*)
+      .select(col("doc_id"), sigExpr.as("sig_h"))
+    val joined = native.join(hof, Seq("doc_id"))
+    assert(joined.filter(col("sig_n") =!= col("sig_h")).count() === 0)
+  }
+
   test("q30 jaccard values are valid and symmetric-canonical") {
     val j = Dedup.neardupJaccard(spark, Sf0001)
     assert(j.filter(col("jaccard") < 0.8 || col("jaccard") > 1).count() === 0)

@@ -65,6 +65,12 @@ class StreamingSpec extends SparkSuite {
     assert(s.exceptAll(expected).isEmpty && expected.exceptAll(s).isEmpty)
   }
 
+  test("q61 streaming sliding window matches the batch q57") {
+    val s = StreamingQueries.streamSliding(spark, Sf0001)
+    val b = graft.operators.Events.slidingWindow(spark, Sf0001)
+    assert(s.exceptAll(b).isEmpty && b.exceptAll(s).isEmpty)
+  }
+
   test("q58 stream-stream join matches the batch theta join") {
     val s = StreamingQueries.streamStreamJoin(spark, Sf0001)
     val ev = Tables.events(spark, Sf0001).withColumn("ts_us", expr("ts_ns div 1000"))
