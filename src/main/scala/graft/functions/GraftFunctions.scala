@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
 /** SQL registration for graft's native expressions: after
   * `GraftFunctions.register(spark)`, `graft_dot(a, b)` and
@@ -17,9 +18,18 @@ object GraftFunctions {
   private[graft] val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (es => DotProduct(es(0), es(1))),
     "graft_l2norm" -> (es => L2Norm(es.head)),
-    // gram size must be a foldable int literal
-    "graft_rolling_minhash" -> (es => RollingMinHash(es(0),
-      es(1).eval().asInstanceOf[Int])),
+    "graft_rolling_minhash" -> (es => {
+      // proper analysis errors beat raw CCE/Unevaluable from a blind
+      // eval(): require exactly (text, INT literal)
+      if (es.length != 2)
+        throw new IllegalArgumentException(
+          s"graft_rolling_minhash(text, k) expects 2 arguments, got ${es.length}")
+      es(1) match {
+        case Literal(k: Int, IntegerType) => RollingMinHash(es(0), k)
+        case other => throw new IllegalArgumentException(
+          s"graft_rolling_minhash gram size must be an INT literal, got ${other.sql}")
+      }
+    }),
   )
 
   def register(spark: SparkSession): Unit = {

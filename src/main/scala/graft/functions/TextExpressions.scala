@@ -1,10 +1,10 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native rolling-fingerprint kernel for q46: min over the xxhash64 of
@@ -20,7 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * from the plan entirely.
   *
   * Semantics are bit-identical to the HOF form (pinned in
-  * TextAnalysisSpec): 1-based char windows, `max(numChars - k + 1, 1)`
+  * StorageSpec): 1-based char windows, `max(numChars - k + 1, 1)`
   * windows (so texts shorter than `k` hash their whole content once),
   * Spark's xxhash64 seed 42 over the gram's UTF-8 bytes.
   */
@@ -70,6 +70,9 @@ case class LshBands(child: Expression, w: Int, perms: Int, bands: Int)
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("band", IntegerType, nullable = false),
     StructField("band_hash", LongType, nullable = false))), containsNull = false)
+  // returns null for NON-NULL inputs with < w tokens — must not inherit
+  // child.nullable or downstream codegen would skip the null check
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_lsh_bands"
 
   override def nullSafeEval(s: Any): Any =
@@ -153,6 +156,11 @@ case class SimHashSig(child: Expression, bits: Int)
   * to `xxhash64(substr(...))` (pinned in StorageSpec, incl. the SQL
   * surface). */
 object RollingHashKernel {
+  private val Offset = Platform.BYTE_ARRAY_OFFSET
+  /** Spark's xxhash64() default seed — every hash here must use it so
+    * kernel outputs equal their Column-function formulations. */
+  private val Seed = 42L
+
   def minGram(t: UTF8String, k: Int): Long = {
     val nBytes = t.numBytes()
     val bytes = t.getBytes // may copy if unaligned; one copy per row max
@@ -173,18 +181,12 @@ object RollingHashKernel {
     while (i < windows) {
       val start = charOffs(i)
       val end = charOffs(math.min(i + k, nChars))
-      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start,
-        end - start, 42L)
+      val h = XXH64.hashUnsafeBytes(bytes, Offset + start, end - start, Seed)
       if (h < min) min = h
       i += 1
     }
     min
   }
-
-  private val Offset = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
-  private val Seed = 42L
-  import org.apache.spark.sql.catalyst.expressions.XXH64
 
   /** Token boundaries of `bytes` split on single spaces (0x20), exactly
     * like `split(text, " ")`: returns starts array with a sentinel end.

@@ -141,6 +141,9 @@ object Dedup {
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         graft.functions.TextFunctions.simHashSig(col("text"), bits).as("sig"))
+      // null text -> null sig; the replaced explode shape dropped such
+      // docs, and a shared NULL group would be a fake dup cluster
+      .filter(col("sig").isNotNull)
       .groupBy(col("sig"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") > 1)

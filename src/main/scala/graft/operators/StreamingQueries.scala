@@ -131,10 +131,14 @@ object StreamingQueries {
       | AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
       |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
 
-  /** Q61: watermarked SLIDING-window aggregation over the stream (1 h
-    * window / 30 min slide — each event counts in 2 overlapping
-    * windows). Streaming twin of batch q57, sharing its oracle; state
-    * is keyed by (window, event_type) and bounded by the watermark. */
+  /** Q61: SLIDING-window aggregation over the stream (1 h window /
+    * 30 min slide — each event counts in 2 overlapping windows).
+    * Streaming twin of batch q57, sharing its oracle. Complete mode is
+    * the verification-harness compromise (like q38): it emits every
+    * window so the result equals the batch answer, but it also makes
+    * Spark retain all window state — a production deployment uses
+    * Append/Update, where the watermark declared here evicts windows
+    * past the horizon and bounds state. */
   def streamSliding(spark: SparkSession, dir: String): DataFrame = {
     val ev = EventStream.readEvents(spark, s"$dir/events.parquet")
     val agg = ev

@@ -144,12 +144,15 @@ object TextAnalysis {
     * row ([[graft.functions.RollingMinHash]]); the earlier explode +
     * hash-agg shape paid an interpreted lambda per gram (~1000/doc) and
     * a whole extra aggregate pass (measured 2.5 s → 0.4 s at sf0.1).
-    * No oracle (xxhash64); TextAnalysisSpec pins exact-dup agreement,
+    * No oracle (xxhash64); StorageSpec pins exact-dup agreement,
     * determinism, and bit-equality with the HOF formulation. */
   def rollingFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     d.select(col("doc_id"),
         graft.functions.TextFunctions.rollingMinHash(col("text"), 8).as("fingerprint"))
+      // null text -> null fingerprint; the replaced explode shape dropped
+      // such docs, and a shared NULL group would be a fake dup cluster
+      .filter(col("fingerprint").isNotNull)
       .groupBy(col("fingerprint"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") > 1)

@@ -125,11 +125,17 @@ class StorageSpec extends SparkSuite {
         sequence(lit(1), greatest(length(col("text")) - (k - 1), lit(1))),
         i => xxhash64(col("text").substr(i, lit(k))))).as("hof"))
     assert(both.filter(col("native") =!= col("hof")).count() === 0)
-    // SQL surface (GraftExtensions injection)
-    d.createOrReplaceTempView("docs_rmh")
+    // SQL surface (GraftExtensions injection): compare the SQL call
+    // against the Column API at a DIFFERENT k than the default, so a
+    // mis-wired gram-size argument cannot slip through
+    d.filter(col("text").isNotNull).createOrReplaceTempView("docs_rmh")
     val viaSql = spark.sql(
-      s"SELECT count(*) AS bad FROM docs_rmh WHERE graft_rolling_minhash(text, $k) " +
-        "!= graft_rolling_minhash(text, 8)").head().getLong(0)
-    assert(viaSql === 0)
+      "SELECT count(*) AS bad FROM docs_rmh WHERE graft_rolling_minhash(text, 4) IS DISTINCT FROM graft_rolling_minhash(text, 8)")
+      .head().getLong(0)
+    assert(viaSql > 0, "k must change the fingerprint for real texts")
+    val sqlVsColumn = spark.sql("SELECT text, graft_rolling_minhash(text, 4) AS s FROM docs_rmh")
+      .withColumn("c", graft.functions.TextFunctions.rollingMinHash(col("text"), 4))
+      .filter(col("s") =!= col("c")).count()
+    assert(sqlVsColumn === 0)
   }
 }
