@@ -7,9 +7,12 @@ import org.apache.spark.sql.SparkSession
   * Measurement discipline: the action is a `noop`-format write, which
   * materializes EVERY output column — `count()` would let Catalyst prune
   * derived columns and eliminate final sorts, under-measuring the real
-  * work. A warm-up scan absorbs JVM/codegen start-up cost so the first
-  * timed query isn't charged ~5s of JIT; queries run in sorted name
-  * order for run-to-run comparability.
+  * work. Warm-up absorbs one-time JVM/JIT start-up cost so timed queries
+  * measure steady state: a scan/agg pass (~5s of codegen+classloading)
+  * and a 12-row LogisticRegression fit (~5s of spark.ml/breeze JIT that
+  * q37 would otherwise be charged for — its real work at bench scale is
+  * a sub-second 175-row fit). Queries run in sorted name order for
+  * run-to-run comparability.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -25,6 +28,16 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count()
       .write.format("noop").mode("overwrite").save()
+    // warm-up: JIT the spark.ml fit path (assembler + LBFGS/breeze)
+    locally {
+      import spark.implicits._
+      val toy = (0 until 12).map(i => (i.toDouble, (i % 2).toDouble))
+        .toDF("x", "label")
+      val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+        .setInputCols(Array("x")).setOutputCol("features").transform(toy)
+      new org.apache.spark.ml.classification.LogisticRegression()
+        .setMaxIter(5).fit(assembled)
+    }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
