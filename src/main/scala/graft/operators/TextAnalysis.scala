@@ -159,8 +159,41 @@ object TextAnalysis {
       .orderBy(col("first_doc"))
   }
 
+  /** Q62: deterministic stratified sampling — the data-mixing primitive
+    * of a training-data pipeline (sample each language at its own
+    * rate). Sampling is CONSISTENT, not RNG-based: a multiplicative
+    * hash of the stable key buckets each row into [0,100), and a row is
+    * kept iff its bucket is under the stratum's rate. Rerun-stable,
+    * engine-portable (hence a full DuckDB oracle, unlike rand()-seeded
+    * sampleBy), and incremental — re-ingesting the corpus keeps the
+    * same rows, so downstream dedup/caches stay valid. doc_id * prime
+    * stays < 2^53, exact in both engines' BIGINT arithmetic. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) % 100
+    val rate = when(col("lang") === "en", 50).otherwise(10)
+    d.filter(bucket < rate)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        sum(col("n_chars")).as("sampled_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val stratifiedSampleSql: String =
+    """SELECT lang, COUNT(*) AS n_sampled,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+      |FROM documents
+      |WHERE ((doc_id * 2654435761) % 4294967296) % 100
+      |      < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q24_text_stats" -> (textStats _),
+    "q62_stratified_sample" -> (stratifiedSample _),
     "q45_bpe_tokens" -> (bpeTokens _),
     "q46_rolling_fingerprint" -> (rollingFingerprint _),
     "q25_token_freq" -> (tokenFreq _),
@@ -171,6 +204,7 @@ object TextAnalysis {
 
   def oracles: Map[String, String] = Map(
     "q24_text_stats" -> textStatsSql,
+    "q62_stratified_sample" -> stratifiedSampleSql,
     "q45_bpe_tokens" -> bpeTokensSql,
     // q46 omitted: xxhash64-based, spec-tested.
     "q25_token_freq" -> tokenFreqSql,

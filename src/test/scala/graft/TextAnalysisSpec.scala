@@ -6,6 +6,25 @@ import graft.operators.TextAnalysis
 /** Text-analysis operators (X4, SURVEY §2.11). */
 class TextAnalysisSpec extends SparkSuite {
 
+  test("q62 stratified sample: rates tracked per stratum, rerun-stable") {
+    val s = TextAnalysis.stratifiedSample(spark, Sf0001).cache()
+    val perLang = Tables.documents(spark, Sf0001)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val joined = s.join(perLang, Seq("lang")).cache()
+    // sampled counts within loose bounds of the per-stratum rate
+    // (multiplicative-hash buckets are near-uniform over doc_id)
+    val bad = joined.filter(
+      (col("lang") === "en" &&
+        (col("n_sampled") < col("n_docs") * 0.3 || col("n_sampled") > col("n_docs") * 0.7)) ||
+      (col("lang") =!= "en" &&
+        (col("n_sampled") > col("n_docs") * 0.3 || col("n_sampled") < 1)))
+    assert(bad.count() === 0, bad.collect().mkString(","))
+    // deterministic: identical on rerun
+    val s2 = TextAnalysis.stratifiedSample(spark, Sf0001)
+    assert(s.exceptAll(s2).count() === 0)
+    joined.unpersist(); s.unpersist()
+  }
+
   test("q26 quality scores: ratios bounded, type count <= token count") {
     val q = TextAnalysis.qualityScore(spark, Sf0001).cache()
     val total = q.count()
