@@ -35,8 +35,10 @@ object VectorFunctions {
 
   /** Deterministic plane weight in [-0.5, 0.5): splitmix64 finalizer of
     * (plane, dim) — pure driver-side arithmetic, so every executor and
-    * every run derives identical planes with no RNG state or broadcast. */
-  private def planeWeight(p: Int, d: Int): Double = {
+    * every run derives identical planes with no RNG state or broadcast.
+    * Shared with [[HyperplaneBuckets]]' kernel, which must produce
+    * bit-identical buckets. */
+  private[functions] def planeWeight(p: Int, d: Int): Double = {
     var z = p.toLong * 0x9E3779B97F4A7C15L + d.toLong + 0x7F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
@@ -61,4 +63,12 @@ object VectorFunctions {
       when(dotProduct(v, lit(plane)) >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
   }
+
+  /** Every table's bucket in one fused kernel pass —
+    * array<struct<tbl,bucket>>, bit-identical to `tables` separate
+    * [[hyperplaneSignature]] columns at planeOffset = tbl*bits
+    * ([[HyperplaneBuckets]]). */
+  def hyperplaneBuckets(v: Column, bits: Int, tables: Int, dims: Int): Column =
+    org.apache.spark.sql.GraftSqlShim.column(HyperplaneBuckets(
+      org.apache.spark.sql.GraftSqlShim.expression(v), bits, tables, dims))
 }

@@ -166,11 +166,9 @@ object Dedup {
     val threshold = 0.4
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
-    val sigs = (0 until tables).map { t =>
-      struct(lit(t).as("tbl"),
-        hyperplaneSignature(col("emb"), bits, dims, planeOffset = t * bits).as("bucket"))
-    }
-    val bucketed = e.select(col("vec_id"), explode(array(sigs: _*)).as("tb"))
+    val bucketed = e
+      .select(col("vec_id"),
+        explode(hyperplaneBuckets(col("emb"), bits, tables, dims)).as("tb"))
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     // Candidates stay duplicated across tables here ON PURPOSE: cross-
     // table multiplicity is low (~1.2x), so verifying duplicates costs

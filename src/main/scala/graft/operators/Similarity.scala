@@ -74,12 +74,10 @@ object Similarity {
     val tables = 8
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
-    val tableSigs = (0 until tables).map { t =>
-      struct(lit(t).as("tbl"),
-        hyperplaneSignature(col("emb"), bits, dims, planeOffset = t * bits).as("bucket"))
-    }
+    // fused kernel: all 8 buckets in one pass (bit-identical to the
+    // per-table hyperplaneSignature columns — SimilaritySpec pins it)
     val bucketed = e
-      .select(col("vec_id"), explode(array(tableSigs: _*)).as("tb"))
+      .select(col("vec_id"), explode(hyperplaneBuckets(col("emb"), bits, tables, dims)).as("tb"))
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val qBuckets = bucketed.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
@@ -154,14 +152,10 @@ object Similarity {
     p
   }
 
-  private def ivfSignatures(e: DataFrame): DataFrame = {
-    val sigs = (0 until ivfTables).map { t =>
-      struct(lit(t).as("tbl"),
-        hyperplaneSignature(col("emb"), ivfBits, ivfDims, planeOffset = t * ivfBits).as("bucket"))
-    }
-    e.select(col("vec_id"), explode(array(sigs: _*)).as("tb"))
+  private def ivfSignatures(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+        explode(hyperplaneBuckets(col("emb"), ivfBits, ivfTables, ivfDims)).as("tb"))
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-  }
 
   private[graft] def buildIvfIndex(spark: SparkSession, dir: String): String = {
     val path = ivfIndexPath(dir)
