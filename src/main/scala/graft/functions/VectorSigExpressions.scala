@@ -18,7 +18,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType,
   * expressions each re-reading the array column.
   *
   * Ragged/short vectors use the shorter-prefix semantics of
-  * [[DotProduct]]; null embedding -> null result. */
+  * [[DotProduct]]. Null embedding -> null result, which `explode`
+  * drops — a DELIBERATE semantic upgrade over the per-table columns it
+  * replaced (those swallowed the null dot product into bucket 0 of
+  * every table, making a null embedding a candidate everywhere). */
 case class HyperplaneBuckets(child: Expression, bits: Int, tables: Int, dims: Int)
     extends UnaryExpression with ExpectsInputTypes {
   require(bits >= 1 && bits <= 30 && tables >= 1, s"bad params bits=$bits tables=$tables")
@@ -29,12 +32,20 @@ case class HyperplaneBuckets(child: Expression, bits: Int, tables: Int, dims: In
     StructField("bucket", IntegerType, nullable = false))), containsNull = false)
   override def prettyName: String = "graft_hyperplane_buckets"
 
-  override def nullSafeEval(v: Any): Any =
-    HyperplaneKernel.buckets(v.asInstanceOf[ArrayData], bits, tables, dims)
+  // resolved once per expression instance — NOT per row; pure function
+  // of (bits, tables, dims), so executor-side re-derivation after
+  // serialization yields identical planes
+  @transient private lazy val planeMatrix: Array[Double] =
+    HyperplaneKernel.planes(bits, tables, dims)
 
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override def nullSafeEval(v: Any): Any =
+    HyperplaneKernel.buckets(v.asInstanceOf[ArrayData], planeMatrix, bits, tables, dims)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("hyperplanes", planeMatrix, "double[]")
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.HyperplaneKernel.buckets($a, $bits, $tables, $dims);")
+      s"${ev.value} = graft.functions.HyperplaneKernel.buckets($a, $planesRef, $bits, $tables, $dims);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -47,7 +58,7 @@ object HyperplaneKernel {
     * memoization — executors and driver agree by construction. */
   private val planeCache = new ConcurrentHashMap[(Int, Int, Int), Array[Double]]()
 
-  private def planes(bits: Int, tables: Int, dims: Int): Array[Double] =
+  private[functions] def planes(bits: Int, tables: Int, dims: Int): Array[Double] =
     planeCache.computeIfAbsent((bits, tables, dims), { case (b, t, d) =>
       val m = new Array[Double](t * b * d)
       var p = 0
@@ -59,8 +70,7 @@ object HyperplaneKernel {
       m
     })
 
-  def buckets(v: ArrayData, bits: Int, tables: Int, dims: Int): ArrayData = {
-    val m = planes(bits, tables, dims)
+  def buckets(v: ArrayData, m: Array[Double], bits: Int, tables: Int, dims: Int): ArrayData = {
     val n = math.min(dims, v.numElements())
     val out = new Array[Any](tables)
     var t = 0

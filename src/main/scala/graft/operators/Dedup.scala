@@ -166,10 +166,7 @@ object Dedup {
     val threshold = 0.4
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
-    val bucketed = e
-      .select(col("vec_id"),
-        explode(hyperplaneBuckets(col("emb"), bits, tables, dims)).as("tb"))
-      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val bucketed = Similarity.bucketedIds(e, bits, tables, dims)
     // Candidates stay duplicated across tables here ON PURPOSE: cross-
     // table multiplicity is low (~1.2x), so verifying duplicates costs
     // ~20% extra codegen'd dot products, while dedup-BEFORE-verify would

@@ -23,6 +23,15 @@ object Similarity {
   private val K = 10
   private val NQueries = 5
 
+  /** (vec_id, emb) -> one (vec_id, tbl, bucket) row per LSH table, via
+    * the fused [[graft.functions.HyperplaneBuckets]] kernel. Shared by
+    * q34/q59 and Dedup's q44 so the unpack shape cannot drift. */
+  private[operators] def bucketedIds(e: DataFrame, bits: Int, tables: Int,
+      dims: Int): DataFrame =
+    e.select(col("vec_id"),
+        explode(hyperplaneBuckets(col("emb"), bits, tables, dims)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+
   /** Q33: brute-force cosine top-k (baseline). Queries = vec_id < 5. */
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
@@ -76,9 +85,7 @@ object Similarity {
       .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
     // fused kernel: all 8 buckets in one pass (bit-identical to the
     // per-table hyperplaneSignature columns — SimilaritySpec pins it)
-    val bucketed = e
-      .select(col("vec_id"), explode(hyperplaneBuckets(col("emb"), bits, tables, dims)).as("tb"))
-      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val bucketed = bucketedIds(e, bits, tables, dims)
     val qBuckets = bucketed.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
     val cand = bucketed.join(broadcast(qBuckets), Seq("tbl", "bucket"))
@@ -153,9 +160,7 @@ object Similarity {
   }
 
   private def ivfSignatures(e: DataFrame): DataFrame =
-    e.select(col("vec_id"),
-        explode(hyperplaneBuckets(col("emb"), ivfBits, ivfTables, ivfDims)).as("tb"))
-      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    bucketedIds(e, ivfBits, ivfTables, ivfDims)
 
   private[graft] def buildIvfIndex(spark: SparkSession, dir: String): String = {
     val path = ivfIndexPath(dir)

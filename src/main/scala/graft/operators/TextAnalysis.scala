@@ -167,10 +167,12 @@ object TextAnalysis {
     * engine-portable (hence a full DuckDB oracle, unlike rand()-seeded
     * sampleBy), and incremental — re-ingesting the corpus keeps the
     * same rows, so downstream dedup/caches stay valid. doc_id * prime
-    * stays < 2^53, exact in both engines' BIGINT arithmetic. */
+    * stays far below 2^63, exact in both engines' BIGINT arithmetic;
+    * `%` (not pmod) matches DuckDB's sign-of-dividend remainder should
+    * a key ever be negative. */
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) % 100
+    val bucket = (col("doc_id") * lit(2654435761L)) % lit(4294967296L) % 100
     val rate = when(col("lang") === "en", 50).otherwise(10)
     d.filter(bucket < rate)
       .groupBy(col("lang"))

@@ -67,18 +67,20 @@ class SimilaritySpec extends SparkSuite {
   }
 
   test("HyperplaneBuckets kernel is bit-identical to per-table signatures") {
-    val (bits, tables, dims) = (3, 8, 64)
     val e = Tables.embeddings(spark, Sf0001)
       .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
-    val fused = e.select(col("vec_id"),
-        explode(graft.functions.VectorFunctions.hyperplaneBuckets(col("emb"), bits, tables, dims)).as("tb"))
-      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val perTable = (0 until tables).map { t =>
-      e.select(col("vec_id"), lit(t).as("tbl"),
-        hyperplaneSignature(col("emb"), bits, dims, planeOffset = t * bits).as("bucket"))
-    }.reduce(_ unionByName _)
-    assert(fused.exceptAll(perTable).count() === 0)
-    assert(perTable.exceptAll(fused).count() === 0)
+    // both production geometries: q34/q59 (3,8) and q44 (4,6)
+    for ((bits, tables, dims) <- Seq((3, 8, 64), (4, 6, 64))) {
+      val fused = e.select(col("vec_id"),
+          explode(graft.functions.VectorFunctions.hyperplaneBuckets(col("emb"), bits, tables, dims)).as("tb"))
+        .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      val perTable = (0 until tables).map { t =>
+        e.select(col("vec_id"), lit(t).as("tbl"),
+          hyperplaneSignature(col("emb"), bits, dims, planeOffset = t * bits).as("bucket"))
+      }.reduce(_ unionByName _)
+      assert(fused.exceptAll(perTable).count() === 0, s"bits=$bits tables=$tables")
+      assert(perTable.exceptAll(fused).count() === 0, s"bits=$bits tables=$tables")
+    }
   }
 
   test("cosineSimilarity column function matches hand computation") {
