@@ -34,7 +34,12 @@ object MlQueries {
         col("goal_value").cast("double").as("goal_diff"),
         col("rank"),
         (col("rank") === 1).as("is_champion"))
-    val featured = ChampionModel.features(standings).cache()
+    // the feature frame is tiny (teams x seasons, ~175 rows at sf0.1)
+    // but downstream of a 32-partition shuffle: coalesce(1) makes every
+    // LBFGS pass a single task instead of a 32-task job — training is
+    // driver-coordinated iteration, so scheduling dominates at this size
+    // (a genuinely large feature frame would keep its partitioning)
+    val featured = ChampionModel.features(standings).coalesce(1).cache()
     val lastSeason = featured.agg(max(col("season"))).head().getString(0)
     def emptyResult() = {
       featured.unpersist()
