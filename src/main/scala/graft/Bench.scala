@@ -8,11 +8,13 @@ import org.apache.spark.sql.SparkSession
   * materializes EVERY output column — `count()` would let Catalyst prune
   * derived columns and eliminate final sorts, under-measuring the real
   * work. Warm-up absorbs one-time JVM/JIT start-up cost so timed queries
-  * measure steady state: a scan/agg pass (~5s of codegen+classloading)
-  * and a 12-row LogisticRegression fit (~5s of spark.ml/breeze JIT that
-  * q37 would otherwise be charged for — its real work at bench scale is
-  * a sub-second 175-row fit). Queries run in sorted name order for
-  * run-to-run comparability.
+  * measure steady state: a scan/agg pass (~5s of codegen+classloading),
+  * a 12-row LogisticRegression fit (~5s of spark.ml/breeze JIT that q37
+  * would otherwise be charged for — its real work at bench scale is a
+  * sub-second 175-row fit), and a 3-row stateful stream (microbatch
+  * planner + state-store init, ~0.5s otherwise charged to the first
+  * streaming query). Queries run in sorted name order for run-to-run
+  * comparability.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -37,6 +39,24 @@ object Bench {
         .setInputCols(Array("x")).setOutputCol("features").transform(toy)
       new org.apache.spark.ml.classification.LogisticRegression()
         .setMaxIter(5).fit(assembled)
+    }
+    // warm-up: JIT the streaming machinery (microbatch planner, state
+    // store provider, memory sink) with a 3-row stateful stream
+    locally {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      implicit val sq = spark.sqlContext
+      val ms = MemoryStream[Long]
+      ms.addData(1L, 2L, 3L)
+      val q = ms.toDF().withColumn("ts", timestamp_micros(col("value")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 minute")).count()
+        .writeStream.format("memory").queryName("bench_warmup_stream")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.catalog.dropTempView("bench_warmup_stream")
     }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
