@@ -28,5 +28,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Derivations.oracles ++ Events.oracles ++
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
+      Soccer.oracles ++ MlQueries.oracles ++
       StreamingQueries.oracles ++ Multimodal.oracles ++ Storage.oracles
 }

@@ -64,7 +64,9 @@ case class RollingMinHash(child: Expression, k: Int)
   * near-dup recall >= 0.8 against brute force). */
 case class LshBands(child: Expression, w: Int, perms: Int, bands: Int)
     extends UnaryExpression with ExpectsInputTypes {
-  require(perms % bands == 0, s"perms=$perms must divide into bands=$bands")
+  require(w >= 1 && perms >= 1 && bands >= 1,
+    s"w=$w, perms=$perms, bands=$bands must all be >= 1")
+  require(perms % bands == 0, s"bands=$bands must divide perms=$perms")
 
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(StructType(Seq(

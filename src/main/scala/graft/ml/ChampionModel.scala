@@ -86,7 +86,13 @@ object ChampionModel {
 
   /** Walk-forward CV folds (M3): for each season with at least
     * `minTrain` prior seasons, (train = strictly before, test = that
-    * season). */
+    * season).
+    *
+    * The collect() here is driver-side CONTROL FLOW, not a data path:
+    * its cardinality is the number of distinct seasons (dozens at most —
+    * one row per year of history), and each fold's train/test frames
+    * stay fully distributed. Do not copy this pattern for any column
+    * whose cardinality grows with the data. */
   def walkForwardFolds(featured: DataFrame, minTrain: Int): Seq[(String, DataFrame, DataFrame)] = {
     val seasons = featured.select(col("season")).distinct()
       .orderBy(col("season")).collect().map(_.getString(0)).toSeq

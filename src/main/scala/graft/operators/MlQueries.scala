@@ -8,11 +8,26 @@ import graft.ml.ChampionModel
 
 /** M1-M4 surfaced through the harness: the champion-classification path
   * run on the TPC-H-shaped standings (nation = team, order-year =
-  * season). No oracle — model output isn't SQL — but fully
-  * deterministic (LBFGS), so the rows-only check is stable; MlSpec
-  * asserts quality floors.
+  * season).
+  *
+  * Oracle strategy: training itself isn't SQL, but everything around it
+  * is — the standings, the lag/rolling feature derivation, the linear
+  * form over the fitted coefficients, and the rank. The query exports
+  * the ONE non-SQL artifact (5 fitted doubles) to
+  * [[modelExportPath]]; the DuckDB oracle recomputes standings ->
+  * features -> margin -> rank from the sfDir tables plus those
+  * coefficients, so the entire serving path is verified independently.
+  * LBFGS is deterministic, so the coefficients are stable per SF.
   */
 object MlQueries {
+
+  /** Cross-process export dir for the fitted coefficient row, suffixed
+    * by the sfDir basename: Verify (sf0.01) and Bench (sf0.1) train on
+    * different data and must not clobber each other's export before the
+    * driver's DuckDB pass reads it. The oracle text pins the sf0.01
+    * path — the driver's correctness contract runs at sf0.01. */
+  def modelExportPath(dir: String): String =
+    s"/tmp/graft_q37_model_${dir.stripSuffix("/").split('/').last}"
 
   /** Q37: train on all seasons but the last, predict the last season's
     * champion; emit per-team probability rank.
@@ -59,13 +74,28 @@ object MlQueries {
     featured.unpersist()
     val lr = fitted.stages.last
       .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+    // export the fitted coefficients (the only non-SQL artifact) for the
+    // DuckDB oracle; parquet holds the exact double bits
+    locally {
+      import spark.implicits._
+      Seq((lr.coefficients(0), lr.coefficients(1), lr.coefficients(2),
+        lr.coefficients(3), lr.intercept))
+        .toDF("w_prev_points", "w_prev_rank", "w_prev_goal_diff",
+          "w_roll_points", "intercept")
+        .coalesce(1).write.mode("overwrite").parquet(modelExportPath(dir))
+    }
     // features order matches ChampionModel.featureCols; VectorAssembler
     // with handleInvalid=keep maps null -> NaN, mirrored via coalesce
     val margin = ChampionModel.featureColumns.zipWithIndex.map { case (c, i) =>
       coalesce(col(c), lit(Double.NaN)) * lr.coefficients(i)
     }.reduce(_ + _) + lr.intercept
-    val prob1 = lit(1.0) / (lit(1.0) + exp(-margin))
-    val w = Window.partitionBy(col("league"), col("season")).orderBy(prob1.desc, col("team"))
+    // rank by the raw margin, not sigmoid(margin): sigmoid is strictly
+    // monotone so the order is identical, but exp() ulp differences
+    // between the JVM and the oracle engine's libm could flip
+    // near-equal probabilities, and saturated probabilities (exp
+    // underflow -> exactly 1.0) would collapse distinct margins into
+    // ties — margins stay exact IEEE arithmetic on both engines
+    val w = Window.partitionBy(col("league"), col("season")).orderBy(margin.desc, col("team"))
     test
       .withColumn("pred_rank", row_number().over(w).cast("bigint"))
       .select(col("season"), col("team"), col("pred_rank"),
@@ -73,7 +103,61 @@ object MlQueries {
       .orderBy(col("pred_rank"))
   }
 
+  /** DuckDB twin of the full q37 serving path: standings (q2's oracle
+    * CTE) -> lag/rolling features (ChampionModel.features) -> linear
+    * form over the exported coefficients, summed in the same
+    * left-to-right order as the Spark Column chain (IEEE double ops in
+    * identical order are bit-deterministic) -> margin rank. league is
+    * the constant 'tpch', so team-only window partitions match Spark's
+    * (league, team) ones. */
+  val championPredictionSql: String = {
+    val model = modelExportPath("sf0.01")
+    s"""WITH per AS (
+      |  SELECT n_name AS team, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS season,
+      |    CAST(SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+      |    CAST(SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS draws,
+      |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS goal_value
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2),
+      |st AS (
+      |  SELECT CAST(season AS VARCHAR) AS season, team,
+      |    CAST(wins*3 + draws AS DOUBLE) AS points,
+      |    goal_value AS goal_diff,
+      |    CAST(RANK() OVER (PARTITION BY season
+      |      ORDER BY wins*3 + draws DESC, goal_value DESC, team) AS BIGINT) AS rank
+      |  FROM per),
+      |feat AS (
+      |  SELECT season, team,
+      |    LAG(points) OVER w AS prev_points,
+      |    LAG(rank) OVER w AS prev_rank,
+      |    LAG(goal_diff) OVER w AS prev_goal_diff,
+      |    AVG(points) OVER (PARTITION BY team ORDER BY season
+      |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS roll_points,
+      |    CASE WHEN rank = 1 THEN 1.0 ELSE 0.0 END AS label
+      |  FROM st WINDOW w AS (PARTITION BY team ORDER BY season)),
+      |f AS (SELECT * FROM feat WHERE prev_points IS NOT NULL),
+      |m AS (SELECT * FROM read_parquet('$model/*.parquet')),
+      |scored AS (
+      |  SELECT season, team, label,
+      |    COALESCE(prev_points, 'NaN'::DOUBLE) * w_prev_points
+      |      + COALESCE(CAST(prev_rank AS DOUBLE), 'NaN'::DOUBLE) * w_prev_rank
+      |      + COALESCE(prev_goal_diff, 'NaN'::DOUBLE) * w_prev_goal_diff
+      |      + COALESCE(roll_points, 'NaN'::DOUBLE) * w_roll_points
+      |      + intercept AS margin
+      |  FROM f CROSS JOIN m
+      |  WHERE season = (SELECT MAX(season) FROM f))
+      |SELECT season, team,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY margin DESC, team) AS BIGINT) AS pred_rank,
+      |  CAST(label AS BIGINT) AS actual_champion
+      |FROM scored ORDER BY pred_rank""".stripMargin
+  }
+
   def queries: Map[String, Relational.Q] = Map(
     "q37_ml_champion" -> (championPrediction _),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q37_ml_champion" -> championPredictionSql,
   )
 }

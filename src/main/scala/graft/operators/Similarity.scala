@@ -120,6 +120,10 @@ object Similarity {
       .agg(centroidOf(col("emb")).as("centroid"))
     val a = centroids.select(col("label").as("label_a"), col("centroid").as("c_a"))
     val b = centroids.select(col("label").as("label_b"), col("centroid").as("c_b"))
+    // theta join (label_a < label_b) plans as a nested loop — fine ONLY
+    // because both sides are the centroid set, bounded by label
+    // cardinality (~10 rows/side), never the corpus; do not copy this
+    // shape for a join keyed on embeddings or documents
     a.join(b, col("label_a") < col("label_b"))
       .withColumn("sim", dec6(round(cosineSimilarity(col("c_a"), col("c_b")), 6)))
       .select(col("label_a"), col("label_b"), col("sim"))
@@ -153,17 +157,19 @@ object Similarity {
   private val ivfBits = 3
   private val ivfTables = 8
 
-  private[graft] def ivfIndexPath(dir: String): String = {
+  /** One persisted index per (sf dir, LSH family): q59 probes the
+    * (3 bits x 8 tables) family; Dedup's q44 self-joins its own
+    * (4 x 6) family index. Parameters live in the path so distinct
+    * families can never serve each other's buckets. */
+  private[graft] def ivfIndexPath(dir: String, bits: Int, tables: Int): String = {
     val p = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_" +
-      s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}_${bits}x$tables"
     p
   }
 
-  private def ivfSignatures(e: DataFrame): DataFrame =
-    bucketedIds(e, ivfBits, ivfTables, ivfDims)
-
-  private[graft] def buildIvfIndex(spark: SparkSession, dir: String): String = {
-    val path = ivfIndexPath(dir)
+  private[graft] def buildIvfIndex(spark: SparkSession, dir: String,
+      bits: Int = ivfBits, tables: Int = ivfTables, dims: Int = ivfDims): String = {
+    val path = ivfIndexPath(dir, bits, tables)
     // completeness = Spark's _SUCCESS marker, not bare dir existence: a
     // build that died mid-write must be discarded and rebuilt, never
     // silently probed as a truncated index
@@ -176,7 +182,7 @@ object Similarity {
       graft.Scratch.deleteOnExit(path)
       val e = Tables.embeddings(spark, dir)
         .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
-      ivfSignatures(e)
+      bucketedIds(e, bits, tables, dims)
         .repartition(col("tbl"), col("bucket"))
         .write.mode("overwrite")
         .partitionBy("tbl", "bucket")
@@ -190,7 +196,8 @@ object Similarity {
     val index = spark.read.parquet(path) // (vec_id) under tbl=/bucket= dirs
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
-    val qBuckets = ivfSignatures(e.filter(col("vec_id") < NQueries))
+    val qBuckets = bucketedIds(e.filter(col("vec_id") < NQueries),
+        ivfBits, ivfTables, ivfDims)
       .withColumnRenamed("vec_id", "query_id")
     val cand = index.join(broadcast(qBuckets), Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))

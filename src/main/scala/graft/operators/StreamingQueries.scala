@@ -20,10 +20,29 @@ object StreamingQueries {
   private val runId = new AtomicInteger(0)
   private def sinkName(prefix: String) = s"${prefix}_${runId.incrementAndGet()}"
 
+  /** Plan the streaming query under a shuffle-partition count sized to
+    * its STATE volume, restoring the session's setting afterwards.
+    * Every stateful operator pays a fixed per-partition cost per
+    * microbatch (state-store open/commit/snapshot — a stream-stream join
+    * keeps FOUR stores per partition), so partition count is a
+    * state-volume knob, not a parallelism knob: at harness scale the
+    * state is a few MB and 32 partitions are pure overhead (q58 spent
+    * ~5s/run committing near-empty stores), while a 100 TB deployment
+    * sizes this to keep each store's state in executor memory — same
+    * reasoning as q37's coalesce(1), scoped to the streaming plan only
+    * (the conf is read at query START; batch queries planned after the
+    * restore are untouched). */
+  private def withStatePartitions[T](spark: SparkSession, n: Int = 8)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Q38: watermarked tumbling-hour aggregation over the event stream
     * (§2.10). Complete mode emits every window, so the result is exactly
     * the batch answer. */
-  def streamTumbling(spark: SparkSession, dir: String): DataFrame = {
+  def streamTumbling(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     val ev = EventStream.readEvents(spark, s"$dir/events.parquet")
     val agg = EventStream.tumblingCounts(ev)
       .select(col("window_start"), col("event_type"), col("n"))
@@ -38,7 +57,7 @@ object StreamingQueries {
 
   /** Q39: streaming re-delivery dedup (README.md:114) — then a stateless
     * rollup of the deduped stream. Append mode emits first-seen rows. */
-  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     val ev = EventStream.readEvents(spark, s"$dir/events.parquet")
     val deduped = EventStream.dedupRedelivery(ev)
     val out = EventStream.runToTable(
@@ -58,7 +77,7 @@ object StreamingQueries {
     * state — the oracle drops the last session per user to match.
     * Timestamps are emitted at µs precision: DuckDB truncates the ns
     * parquet timestamp to µs on read, and `div 1000` floors identically. */
-  def streamSessions(spark: SparkSession, dir: String): DataFrame = {
+  def streamSessions(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     val ev = EventStream.readEvents(spark, s"$dir/events.parquet")
     val gapNs = 30L * 60 * 1000 * 1000 * 1000
     val sessions = EventStream.sessionize(ev, gapNs)
@@ -98,8 +117,18 @@ object StreamingQueries {
     * watermark passes click_ts + 1h (unbounded state otherwise — the
     * make-or-break property at scale). Inner joins emit matches as they
     * arrive, so the AvailableNow run produces exactly the batch answer,
-    * which the oracle verifies as a theta join. */
-  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    * which the oracle verifies as a theta join.
+    *
+    * Batch-equality assumption: the file source here consumes the input
+    * in ONE microbatch (no maxFilesPerTrigger is set, and the input is a
+    * single parquet directory), so no watermark advances mid-stream. If
+    * the input were split across microbatches, a click older than
+    * (watermark - 1h) could be evicted before a late-file purchase
+    * arrives and a valid pair would be dropped — a production deployment
+    * feeding files over time relies on event-time-ordered arrival within
+    * the 2h watermark delay, which is the standard streaming contract,
+    * not an extra constraint. */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     val path = s"$dir/events.parquet"
     val clicks = EventStream.readEvents(spark, path)
       .filter(col("event_type") === "click")
@@ -139,7 +168,7 @@ object StreamingQueries {
     * Spark retain all window state — a production deployment uses
     * Append/Update, where the watermark declared here evicts windows
     * past the horizon and bounds state. */
-  def streamSliding(spark: SparkSession, dir: String): DataFrame = {
+  def streamSliding(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     val ev = EventStream.readEvents(spark, s"$dir/events.parquet")
     val agg = ev
       .withWatermark("ts", "2 hours")

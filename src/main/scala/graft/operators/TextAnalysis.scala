@@ -166,13 +166,18 @@ object TextAnalysis {
     * kept iff its bucket is under the stratum's rate. Rerun-stable,
     * engine-portable (hence a full DuckDB oracle, unlike rand()-seeded
     * sampleBy), and incremental — re-ingesting the corpus keeps the
-    * same rows, so downstream dedup/caches stay valid. doc_id * prime
-    * stays far below 2^63, exact in both engines' BIGINT arithmetic;
-    * `%` (not pmod) matches DuckDB's sign-of-dividend remainder should
-    * a key ever be negative. */
+    * same rows, so downstream dedup/caches stay valid. The key is
+    * reduced mod 2^31 BEFORE the multiply: (2^31-1) * 2654435761 ~=
+    * 5.7e18 < 2^63-1, so the product provably never overflows BIGINT
+    * (ANSI mode would throw) no matter how many billions of docs the
+    * corpus holds — a bare doc_id * prime would fail past doc_id
+    * ~3.47e9, exactly the scale this engine targets. Identical
+    * reduction on the DuckDB side; `%` (not pmod) matches DuckDB's
+    * sign-of-dividend remainder should a key ever be negative. */
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val bucket = (col("doc_id") * lit(2654435761L)) % lit(4294967296L) % 100
+    val bucket =
+      ((col("doc_id") % lit(2147483648L)) * lit(2654435761L)) % lit(4294967296L) % 100
     val rate = when(col("lang") === "en", 50).otherwise(10)
     d.filter(bucket < rate)
       .groupBy(col("lang"))
@@ -189,7 +194,7 @@ object TextAnalysis {
       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
       |  CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
       |FROM documents
-      |WHERE ((doc_id * 2654435761) % 4294967296) % 100
+      |WHERE (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100
       |      < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
       |GROUP BY lang ORDER BY lang""".stripMargin
 
