@@ -231,6 +231,96 @@ object Events {
       | AND ABS(epoch_us(e.ts) - epoch_us(c.ts)) <= 3600000000
       |ORDER BY e.user_id, error_id, click_id""".stripMargin
 
+  /** Q65: skew-mitigated aggregation — the event_type key is genuinely
+    * hot (a handful of distinct values over the whole corpus, so a plain
+    * groupBy funnels everything through ~5 reducers no matter how many
+    * executors exist). [[graft.functions.Skew.saltedAgg]] splits each
+    * hot group into 8 deterministic salt buckets for the partial
+    * aggregate, then combines per key — two small shuffles instead of
+    * one skewed one. Result-identical to the plain aggregation BY
+    * CONSTRUCTION for algebraic aggregates; the oracle is the plain
+    * GROUP BY. All aggregates here are order-independent (counts, exact
+    * decimal sums, min/max) so the salted regrouping cannot perturb
+    * values — a double sum would repartition the fp addition order. */
+  def saltedHotKeyAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"), col("ts_ns"))
+    graft.functions.Skew.saltedAgg(ev, "event_type", salt = 8)(
+      Seq(
+        count(lit(1)).as("n"),
+        sum(money(col("value"))).as("sv"),
+        min(col("ts_ns")).as("mn"),
+        max(col("ts_ns")).as("mx")),
+      Seq(
+        sum(col("n")).as("n_events"),
+        dec2(sum(col("sv"))).as("total_value"),
+        expr("min(mn) div 1000").as("first_us"),
+        expr("max(mx) div 1000").as("last_us")))
+      .orderBy(col("event_type"))
+  }
+
+  val saltedHotKeyAggSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_value,
+      |  MIN(epoch_ns(ts)) // 1000 AS first_us,
+      |  MAX(epoch_ns(ts)) // 1000 AS last_us
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Q67: funnel analysis — first-touch sequential conversion
+    * view -> click -> purchase per user: the first view, the first click
+    * AT OR AFTER that view, the first purchase at or after that click.
+    * Each stage is a (filter -> join on user -> min) chain, so the
+    * sequential dependency is expressed as equi-joins + hash aggregates
+    * on user_id (high cardinality — even reducers at scale), never a
+    * window over the full event stream. All time math on exact integer
+    * MICROSECONDS: the raw ns values carry sub-µs components that
+    * DuckDB's parquet reader floors away, so comparing at ns here vs µs
+    * there could flip a same-µs stage boundary — flooring BEFORE the
+    * min/compare (floor and min commute) makes both engines operate on
+    * identical integers. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"))
+    def stage(evType: String, after: DataFrame, afterCol: String, outCol: String) =
+      ev.filter(col("event_type") === evType)
+        .join(after, Seq("user_id"))
+        .filter(col("ts_us") >= col(afterCol))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as(outCol))
+    val viewed = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_view"))
+    val clicked = stage("click", viewed, "t_view", "t_click")
+    val purchased = stage("purchase", clicked, "t_click", "t_purchase")
+    viewed
+      .join(clicked.select(col("user_id"), col("t_click")), Seq("user_id"), "left")
+      .join(purchased.select(col("user_id"), col("t_purchase")), Seq("user_id"), "left")
+      .agg(
+        count(col("t_view")).as("n_viewed"),
+        count(col("t_click")).as("n_clicked_after_view"),
+        count(col("t_purchase")).as("n_purchased_after_click"))
+  }
+
+  val funnelSql: String =
+    """WITH v AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS t_view
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_click
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.t_view
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_purchase
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.t_click
+      |  GROUP BY e.user_id)
+      |SELECT COUNT(v.t_view) AS n_viewed,
+      |  COUNT(c.t_click) AS n_clicked_after_view,
+      |  COUNT(p.t_purchase) AS n_purchased_after_click
+      |FROM v
+      |LEFT JOIN c ON v.user_id = c.user_id
+      |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q20_latest_per_user" -> (latestPerUser _),
     "q54_asof_join" -> (asofJoin _),
@@ -239,6 +329,8 @@ object Events {
     "q22_sessionize" -> (sessionize _),
     "q23_dedup_events" -> (dedupEvents _),
     "q57_sliding_window" -> (slidingWindow _),
+    "q65_salted_hotkey_agg" -> (saltedHotKeyAgg _),
+    "q67_funnel" -> (funnel _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -249,5 +341,7 @@ object Events {
     "q21_tumbling_hour" -> tumblingHourSql,
     "q22_sessionize" -> sessionizeSql,
     "q23_dedup_events" -> dedupEventsSql,
+    "q65_salted_hotkey_agg" -> saltedHotKeyAggSql,
+    "q67_funnel" -> funnelSql,
   )
 }

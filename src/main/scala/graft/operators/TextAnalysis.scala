@@ -55,6 +55,59 @@ object TextAnalysis {
       |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
       |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
 
+  /** Q66: distinctive terms per document — the TF-IDF shape: term
+    * frequency per (doc, token), document frequency per token via a
+    * second aggregation, then a per-doc top-3 rank of tf x idf. The idf
+    * is the LINEAR rational N/df (score = tf*N/df as an exact decimal),
+    * not ln(N/df): the ranking shape is identical, but tf*N/df is exact
+    * integer/decimal arithmetic that both engines round identically,
+    * while ln() is a libm call with no cross-engine ulp guarantee — a
+    * rank built on it could flip on near-ties and poison the hash
+    * compare. Corpus size N enters as a broadcast 1-row aggregate, not
+    * a driver collect.
+    *
+    * Scale: tf is one hash-agg on (doc, token); df is a second on
+    * token (bounded by vocabulary size); the rank window partitions by
+    * doc_id — high cardinality, even reducers. */
+  def distinctiveTerms(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val toks = d.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    // tf only for the output docs (the filter prunes the first agg's
+    // input ~100x); df stays corpus-wide by definition
+    val tf = toks.filter(col("doc_id") < 5)
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = toks.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("token")).crossJoin(broadcast(n))
+      .withColumn("score",
+        dec6((col("tf") * col("n_docs")).cast("decimal(18,0)") / col("df")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("token"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  val distinctiveTermsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks WHERE doc_id < 5 GROUP BY 1, 2),
+      |df AS (SELECT token, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+      |    CAST(CAST(ROUND(CAST(tf.tf * n.n_docs AS DECIMAL(18,0)) / df.df, 6) AS DECIMAL(38,6)) AS DOUBLE) AS score
+      |  FROM tf JOIN df USING (token) CROSS JOIN n)
+      |SELECT doc_id, rnk, token, tf, df, score FROM (
+      |  SELECT doc_id, token, tf, df, score,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS BIGINT) AS rnk
+      |  FROM scored)
+      |WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin
+
   /** Q26: per-document quality score — length, lexical diversity
     * (type-token ratio), stopword ratio. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
@@ -201,6 +254,7 @@ object TextAnalysis {
   def queries: Map[String, Relational.Q] = Map(
     "q24_text_stats" -> (textStats _),
     "q62_stratified_sample" -> (stratifiedSample _),
+    "q66_distinctive_terms" -> (distinctiveTerms _),
     "q45_bpe_tokens" -> (bpeTokens _),
     "q46_rolling_fingerprint" -> (rollingFingerprint _),
     "q25_token_freq" -> (tokenFreq _),
@@ -212,6 +266,7 @@ object TextAnalysis {
   def oracles: Map[String, String] = Map(
     "q24_text_stats" -> textStatsSql,
     "q62_stratified_sample" -> stratifiedSampleSql,
+    "q66_distinctive_terms" -> distinctiveTermsSql,
     "q45_bpe_tokens" -> bpeTokensSql,
     // q46 omitted: xxhash64-based, spec-tested.
     "q25_token_freq" -> tokenFreqSql,

@@ -104,6 +104,43 @@ class DedupSpec extends SparkSuite {
     assert(j.filter(col("doc_a") >= col("doc_b")).count() === 0)
   }
 
+  test("connectedComponents: chains collapse, forests stay apart") {
+    import spark.implicits._
+    // two components: a 4-chain 10-2-7-5 (transitivity across 3 hops —
+    // min label must cross the whole chain, exercising >1 propagation
+    // round) and an isolated pair 20-21; plus a duplicate edge
+    val pairs = Seq((10L, 2L), (2L, 7L), (7L, 5L), (7L, 5L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(10L -> 2L, 2L -> 2L, 7L -> 2L, 5L -> 2L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("q63/q64: clusters are consistent with q30 pairs; one keeper per cluster") {
+    val pairs = Dedup.neardupJaccard(spark, Sf0001).select("doc_a", "doc_b").cache()
+    val clusters = Dedup.dupClusters(spark, Sf0001).cache()
+    // every verified pair lands in ONE cluster
+    val crossCluster = pairs
+      .join(clusters.select(col("doc_id").as("doc_a"), col("cluster").as("ca")), Seq("doc_a"))
+      .join(clusters.select(col("doc_id").as("doc_b"), col("cluster").as("cb")), Seq("doc_b"))
+      .filter(col("ca") =!= col("cb")).count()
+    assert(crossCluster === 0)
+    // cluster label = min doc_id of the cluster
+    assert(clusters.groupBy(col("cluster")).agg(min(col("doc_id")).as("mn"))
+      .filter(col("cluster") =!= col("mn")).count() === 0)
+    // cluster_size is the actual member count
+    assert(clusters.groupBy(col("cluster"), col("cluster_size")).count()
+      .filter(col("cluster_size") =!= col("count")).count() === 0)
+    val canonical = Dedup.canonicalDocs(spark, Sf0001).cache()
+    // exactly one kept doc per cluster, and it is the longest member
+    val keepers = canonical.filter(col("is_kept"))
+    assert(keepers.groupBy(col("cluster")).count().filter(col("count") =!= 1).count() === 0)
+    val maxLen = canonical.groupBy(col("cluster")).agg(max(col("n_chars")).as("mx"))
+    assert(keepers.join(maxLen, Seq("cluster"))
+      .filter(col("n_chars") =!= col("mx")).count() === 0)
+    pairs.unpersist(); clusters.unpersist(); canonical.unpersist()
+  }
+
   test("q32 simhash groups exact duplicates together") {
     // identical texts tokenize identically -> identical 32-bit signature,
     // so every exact-dup group (n_copies > 1) must land in some sig group
