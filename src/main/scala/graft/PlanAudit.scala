@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 
 /** Dev tool: per-query physical-plan diagnostics for the 100 TB design
@@ -22,6 +22,10 @@ object PlanAudit {
     def collectAll(p: SparkPlan): Seq[SparkPlan] = {
       val self = p match {
         case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)
+        // AQE wraps materialized stages in QueryStageExec whose inner
+        // plan hangs off a field, not children — without unwrapping,
+        // codegen spans and stage-local operators are invisible
+        case q: QueryStageExec => q +: collectAll(q.plan)
         case _ => Seq(p)
       }
       self ++ p.children.flatMap(collectAll) ++
@@ -30,7 +34,15 @@ object PlanAudit {
 
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val plan = fn(spark, sfDir).queryExecution.executedPlan
+        val df = fn(spark, sfDir)
+        // materialize THIS DataFrame's own plan instance: under AQE,
+        // join picks and codegen insertion happen per stage during
+        // execution, and a write would execute a cloned QueryExecution,
+        // leaving this instance's adaptive plan in its un-executed
+        // initial state (codegen spans invisible). collect() is safe —
+        // PlanAudit runs at sf0.001 where every result is tiny.
+        df.collect()
+        val plan = df.queryExecution.executedPlan
         val nodes = collectAll(plan)
         val names = nodes.map(_.nodeName)
         val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
