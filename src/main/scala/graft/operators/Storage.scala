@@ -128,15 +128,115 @@ object Storage {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Q68: small-file compaction — THE operational storage problem at
+    * 100 TB (a streaming or per-trigger ingest lands thousands of
+    * KB-sized files; scans then pay one task + one footer read per
+    * file). The operator rewrites a fragmented dataset into few
+    * range-clustered files: `repartitionByRange(o_orderdate)` gives
+    * globally non-overlapping date ranges per file, so min/max footer
+    * stats prune date predicates across files — compaction and
+    * clustering in one pass. The harness query builds a 64-fragment
+    * copy of orders, compacts it to 4 range-clustered files, and
+    * aggregates the compacted data; the oracle computes the same
+    * aggregate from the original table, proving the rewrite preserved
+    * content exactly. StorageSpec asserts the file counts and the
+    * non-overlapping range layout. */
+  private[graft] def fragmentedDir: String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_fragmented_" +
+      ProcessHandle.current().pid()
+    graft.Scratch.deleteOnExit(p)
+    p
+  }
+  private[graft] def compactedDir: String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_compacted_" +
+      ProcessHandle.current().pid()
+    graft.Scratch.deleteOnExit(p)
+    p
+  }
+
+  def compaction(spark: SparkSession, dir: String): DataFrame = {
+    // simulate the ingest-fragmented state: 64 small files
+    Tables.orders(spark, dir).repartition(64)
+      .write.mode("overwrite").parquet(fragmentedDir)
+    // compact: few files, globally range-clustered on the scan predicate
+    // column so footer min/max prune across AND within files
+    spark.read.parquet(fragmentedDir)
+      .repartitionByRange(4, col("o_orderdate"))
+      .sortWithinPartitions(col("o_orderdate"))
+      .write.mode("overwrite").parquet(compactedDir)
+    spark.read.parquet(compactedDir)
+      .withColumn("order_year", year(col("o_orderdate")))
+      .groupBy(col("order_year"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dec2(sum(money(col("o_totalprice")))).as("total"))
+      .orderBy(col("order_year"))
+  }
+
+  val compactionSql: String =
+    """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+      |  COUNT(*) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1 ORDER BY order_year""".stripMargin
+
+  /** Q69: schema-evolution read — a corpus written over months has
+    * files from multiple schema versions side by side; the engine must
+    * read them as ONE table with NULLs for columns a version lacks
+    * (the reference's schema_version column exists for exactly this,
+    * README.md:82). Two exported snapshots (v1: 3 columns; v2: adds
+    * n_chars + a source tag) are read with mergeSchema; the oracle
+    * reads the same files with union_by_name. Export paths carry the
+    * sf basename (the oracle text pins sf0.01 — the driver's
+    * correctness SF) so Verify and Bench runs cannot clobber each
+    * other's snapshots mid-compare. */
+  def schemaEvolutionPaths(dir: String): (String, String) = {
+    val sf = dir.stripSuffix("/").split('/').last
+    (s"/tmp/graft_q69_v1_$sf", s"/tmp/graft_q69_v2_$sf")
+  }
+
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val (v1, v2) = schemaEvolutionPaths(dir)
+    val d = Tables.documents(spark, dir)
+    d.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .write.mode("overwrite").parquet(v1)
+    d.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"), col("text"), col("n_chars"),
+        lit("v2").as("source_tag"))
+      .write.mode("overwrite").parquet(v2)
+    spark.read.option("mergeSchema", true).parquet(v1, v2)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(col("n_chars")).as("n_with_chars"),
+        count(col("source_tag")).as("n_v2"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("chars_total"))
+      .orderBy(col("lang"))
+  }
+
+  val schemaEvolutionSql: String = {
+    val (v1, v2) = ("/tmp/graft_q69_v1_sf0.01", "/tmp/graft_q69_v2_sf0.01")
+    s"""SELECT lang, COUNT(*) AS n_docs,
+      |  COUNT(n_chars) AS n_with_chars,
+      |  COUNT(source_tag) AS n_v2,
+      |  CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS chars_total
+      |FROM read_parquet(['$v1/*.parquet', '$v2/*.parquet'], union_by_name=true)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   def queries: Map[String, Relational.Q] = Map(
     "q47_partitioned_prune" -> (partitionedPrune _),
     "q48_sql_surface" -> (sqlSurface _),
     "q56_bucketed_join" -> (bucketedJoin _),
+    "q68_compaction" -> (compaction _),
+    "q69_schema_evolution" -> (schemaEvolution _),
   )
 
   def oracles: Map[String, String] = Map(
     "q47_partitioned_prune" -> partitionedPruneSql,
     "q48_sql_surface" -> revenueByNationSql,
     "q56_bucketed_join" -> bucketedJoinSql,
+    "q68_compaction" -> compactionSql,
+    "q69_schema_evolution" -> schemaEvolutionSql,
   )
 }

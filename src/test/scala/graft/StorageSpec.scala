@@ -65,6 +65,29 @@ class StorageSpec extends SparkSuite {
     assert(plain.exceptAll(got).count() === 0)
   }
 
+  test("q68 compaction: 64 fragments -> 4 files with non-overlapping date ranges") {
+    import graft.operators.Storage
+    Storage.compaction(spark, Sf0001).collect() // runs the rewrite
+    def parts(p: String) = new java.io.File(p).listFiles()
+      .filter(f => f.getName.startsWith("part-")).toSeq
+    assert(parts(Storage.fragmentedDir).size === 64)
+    val compacted = parts(Storage.compactedDir)
+    assert(compacted.size === 4)
+    // range clustering: per-file min/max date intervals must not overlap
+    // ISO timestamp strings sort lexicographically == chronologically
+    val ranges = compacted.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min(col("o_orderdate").cast("string")),
+          max(col("o_orderdate").cast("string"))).head()
+      (r.getString(0), r.getString(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi <= lo2,
+        s"file ranges overlap: $hi > $lo2")
+      case _ =>
+    }
+  }
+
   test("q48 sql surface matches the DataFrame expression of the same query") {
     val viaSql = Storage.sqlSurface(spark, Sf0001)
     val o = Tables.orders(spark, Sf0001)
