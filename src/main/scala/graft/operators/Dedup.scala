@@ -289,7 +289,7 @@ object Dedup {
     * diameter (near-dup clusters are near-cliques: 1-2 rounds). This is
     * the degenerate-but-sufficient form of the large-star/small-star CC
     * algorithm (Kiveris et al., "Connected Components in MapReduce and
-    * Beyond" — PAPERS.md) whose full form guarantees O(log n) rounds on
+    * Beyond", SoCC 2014 — public literature) whose full form guarantees O(log n) rounds on
     * adversarial graphs; the loop shape (join-aggregate-compare per
     * round over distributed frames) is identical, so swapping the step
     * function scales it.
