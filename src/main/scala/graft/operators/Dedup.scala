@@ -348,7 +348,11 @@ object Dedup {
         neardupVerified(spark, dir).select(col("doc_a"), col("doc_b")))
         .write.mode("overwrite").parquet(path)
     }
-    spark.read.parquet(path)
+    // explicit schema: a corpus with ZERO near-dup pairs writes only
+    // _SUCCESS (no part files), and schema inference on a file-less
+    // directory throws — the empty-cluster case must read as an empty
+    // frame, not crash
+    spark.read.schema("node BIGINT, lbl BIGINT").parquet(path)
   }
 
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {

@@ -141,13 +141,15 @@ object Storage {
     * aggregate from the original table, proving the rewrite preserved
     * content exactly. StorageSpec asserts the file counts and the
     * non-overlapping range layout. */
-  private[graft] def fragmentedDir: String = {
+  // lazy vals: deleteOnExit registers a JVM shutdown hook — a def would
+  // stack one hook per call (bench reps call these repeatedly)
+  private[graft] lazy val fragmentedDir: String = {
     val p = s"${System.getProperty("java.io.tmpdir")}/graft_fragmented_" +
       ProcessHandle.current().pid()
     graft.Scratch.deleteOnExit(p)
     p
   }
-  private[graft] def compactedDir: String = {
+  private[graft] lazy val compactedDir: String = {
     val p = s"${System.getProperty("java.io.tmpdir")}/graft_compacted_" +
       ProcessHandle.current().pid()
     graft.Scratch.deleteOnExit(p)
