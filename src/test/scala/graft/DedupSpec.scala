@@ -116,6 +116,31 @@ class DedupSpec extends SparkSuite {
     assert(got === Map(10L -> 2L, 2L -> 2L, 7L -> 2L, 5L -> 2L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents matches a driver-side union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val nNodes = 30 + trial * 10
+      val edges = Seq.fill(nNodes / 2)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(n => n -> find(n)).toMap
+      val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial $trial, ${edges.size} edges")
+    }
+  }
+
   test("q63/q64: clusters are consistent with q30 pairs; one keeper per cluster") {
     val pairs = Dedup.neardupJaccard(spark, Sf0001).select("doc_a", "doc_b").cache()
     val clusters = Dedup.dupClusters(spark, Sf0001).cache()
