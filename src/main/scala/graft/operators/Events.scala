@@ -321,6 +321,43 @@ object Events {
       |LEFT JOIN c ON v.user_id = c.user_id
       |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin
 
+  /** Q70: native session windows — Spark's `session_window` primitive
+    * (the idiomatic form of q22's hand-rolled lag/sum sessionizer and
+    * q40's flatMapGroupsWithState; unlike those, this one runs
+    * unchanged in batch AND streaming). Semantics pinned exactly: each
+    * event spans [ts, ts+gap) and overlapping spans merge, so two
+    * events split sessions iff their gap is >= 30 min — the oracle
+    * mirrors that boundary (q22's custom sessionizer uses strictly->,
+    * a deliberate semantic difference documented here). All boundary
+    * math lands in µs on both engines. */
+  def sessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start_us"))
+  }
+
+  val sessionWindowSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, epoch_us(ts) AS us,
+      |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 30*60*1000000::BIGINT
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+      |numbered AS (
+      |  SELECT user_id, us,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged)
+      |SELECT user_id, MIN(us) AS session_start_us,
+      |  MAX(us) + 30*60*1000000 AS session_end_us,
+      |  COUNT(*) AS n_events
+      |FROM numbered GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_us""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q20_latest_per_user" -> (latestPerUser _),
     "q54_asof_join" -> (asofJoin _),
@@ -331,6 +368,7 @@ object Events {
     "q57_sliding_window" -> (slidingWindow _),
     "q65_salted_hotkey_agg" -> (saltedHotKeyAgg _),
     "q67_funnel" -> (funnel _),
+    "q70_session_window" -> (sessionWindow _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -343,5 +381,6 @@ object Events {
     "q23_dedup_events" -> dedupEventsSql,
     "q65_salted_hotkey_agg" -> saltedHotKeyAggSql,
     "q67_funnel" -> funnelSql,
+    "q70_session_window" -> sessionWindowSql,
   )
 }
