@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.operators.{Dedup, Derivations, Events, MlQueries, Multimodal, Relational, Similarity, Soccer, Storage, StreamingQueries, TextAnalysis}
+import graft.operators.{Curation, Dedup, Derivations, Events, MlQueries, Multimodal, Relational, Similarity, Soccer, Storage, StreamingQueries, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,13 +21,13 @@ object SparkEntry {
     Relational.queries ++ Derivations.queries ++ Events.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Soccer.queries ++ MlQueries.queries ++ StreamingQueries.queries ++
-      Multimodal.queries ++ Storage.queries
+      Multimodal.queries ++ Storage.queries ++ Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Derivations.oracles ++ Events.oracles ++
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      Soccer.oracles ++ MlQueries.oracles ++
-      StreamingQueries.oracles ++ Multimodal.oracles ++ Storage.oracles
+      Soccer.oracles ++ MlQueries.oracles ++ StreamingQueries.oracles ++
+      Multimodal.oracles ++ Storage.oracles ++ Curation.oracles
 }

@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Parity._
+import graft.functions.TextFunctions._
+
+/** [EXT] Training-data curation operators over the documents table —
+  * the pipeline stages between raw-corpus dedup (Dedup.scala) and
+  * training: benchmark decontamination, denylist scrubbing,
+  * repetition-based quality signals, and sequence packing (driver
+  * brief "operations a large-scale training-data pipeline would
+  * need"; curation stages as published in the C4 and Gopher dataset
+  * papers).
+  *
+  * Everything here is linear scans plus one hash aggregation per
+  * stage; the only join (q71) is against a broadcast benchmark-gram
+  * set, so nothing in this file shuffles the corpus payload.
+  */
+object Curation {
+
+  /** Q71: benchmark decontamination — flag training documents that
+    * share a token 8-gram with the held-out evaluation set (the
+    * overlap rule used to decontaminate pretraining corpora against
+    * benchmarks; n-gram membership, not similarity). The eval set is
+    * the deterministic slice doc_id % 25 == 0, standing in for an
+    * external benchmark table.
+    *
+    * Scale shape: grams travel as md5 hashes (fixed 32 bytes, never
+    * the gram text); per-doc `distinct` happens BEFORE the join so
+    * multiplicity can't amplify; the eval side collapses to its
+    * distinct gram set and is broadcast — real benchmark suites are
+    * a few million grams, far under broadcast limits, while the
+    * train side streams map-side past them. One corpus-wide shuffle
+    * total (the distinct), grouped by high-cardinality doc_id.
+    */
+  def decontamination(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val isEval = col("doc_id") % 25 === 0
+    val grams = d
+      .select(col("doc_id"), explode(wordShingles(col("text"), 8)).as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("gh"))
+      .distinct()
+    val evalGrams = grams.filter(isEval)
+      .select(col("gh")).distinct()
+      .withColumn("hit", lit(1))
+    grams.filter(!isEval)
+      .join(broadcast(evalGrams), Seq("gh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_contaminated"))
+      .filter(col("n_contaminated") > 0)
+      .withColumn("contaminated_frac",
+        dec6(col("n_contaminated").cast("decimal(18,0)") / col("n_grams")))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminationSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-7)) AS g
+      |        FROM toks WHERE len(t) >= 8),
+      |grams AS (SELECT DISTINCT doc_id, md5(array_to_string(t[g:g+7], ' ')) AS gh FROM pos),
+      |eval_grams AS (SELECT DISTINCT gh FROM grams WHERE doc_id % 25 = 0)
+      |SELECT doc_id, COUNT(*) AS n_grams,
+      |  CAST(COUNT(e.gh) AS BIGINT) AS n_contaminated,
+      |  CAST(CAST(ROUND(CAST(COUNT(e.gh) AS DECIMAL(18,0)) / COUNT(*), 6) AS DECIMAL(38,6)) AS DOUBLE) AS contaminated_frac
+      |FROM (SELECT * FROM grams WHERE doc_id % 25 != 0) t
+      |LEFT JOIN eval_grams e USING (gh)
+      |GROUP BY doc_id HAVING COUNT(e.gh) > 0
+      |ORDER BY doc_id""".stripMargin
+
+  /** Stand-in content denylist — the C4-style badword scrub; a real
+    * deployment swaps in the published list, the operator shape is
+    * identical. */
+  val Denylist: Seq[String] = Seq("customer", "spark", "vector")
+
+  /** Q72: denylist scrubbing — token-level removal of denylisted
+    * terms with per-source accounting (docs touched, tokens removed,
+    * chars saved). Token-set membership, not regex, so both engines
+    * agree exactly and the scan stays a codegen'd array filter.
+    * Pure per-row map + one aggregation; partitions trivially. */
+  def denylistScrub(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val kept = filter(tokens(col("text")), t => !t.isInCollection(Denylist))
+    d.select(
+        col("source"), col("n_chars"),
+        tokenCount(col("text")).as("n_tokens"),
+        size(kept).cast("bigint").as("n_kept"),
+        length(array_join(kept, " ")).cast("bigint").as("scrubbed_chars"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_kept") < col("n_tokens"), 1L).otherwise(0L)).cast("bigint").as("docs_affected"),
+        sum(col("n_tokens") - col("n_kept")).cast("bigint").as("tokens_removed"),
+        sum(col("n_chars") - col("scrubbed_chars")).cast("bigint").as("chars_saved"))
+      .orderBy(col("source"))
+  }
+
+  val denylistScrubSql: String = {
+    val deny = Denylist.map(s => s"'$s'").mkString(", ")
+    s"""WITH per_doc AS (
+       |  SELECT source, n_chars,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    len(list_filter(string_split(text, ' '), t -> t NOT IN ($deny))) AS n_kept,
+       |    len(array_to_string(list_filter(string_split(text, ' '), t -> t NOT IN ($deny)), ' ')) AS scrubbed_chars
+       |  FROM documents)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN n_kept < n_tokens THEN 1 ELSE 0 END) AS BIGINT) AS docs_affected,
+       |  CAST(SUM(n_tokens - n_kept) AS BIGINT) AS tokens_removed,
+       |  CAST(SUM(n_chars - scrubbed_chars) AS BIGINT) AS chars_saved
+       |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** Q73: repetition quality signal — the Gopher-style "fraction of
+    * text in the most frequent n-gram" filter, here the top token
+    * 2-gram's share per document, rolled up per source with a flag
+    * count at the 8% threshold. The threshold compare is integer
+    * cross-multiplication (top_c * 100 >= total * 8), never a float
+    * ratio, so the flag cannot flip on a rounding boundary between
+    * engines. Two hash aggs (per (doc, gram), then per doc) on
+    * high-cardinality keys; no joins. */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val perGram = d
+      .select(col("doc_id"), col("source"), explode(wordShingles(col("text"), 2)).as("gram"))
+      .groupBy(col("doc_id"), col("source"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+    val perDoc = perGram.groupBy(col("doc_id"), col("source"))
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("total"))
+    perDoc.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("top_c") * 100 >= col("total") * 8, 1L).otherwise(0L))
+          .cast("bigint").as("n_flagged"),
+        max(dec6(col("top_c").cast("decimal(18,0)") / col("total"))).as("max_top_share"))
+      .orderBy(col("source"))
+  }
+
+  val repetitionSignalsSql: String =
+    """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      |pos AS (SELECT doc_id, source, t, unnest(generate_series(1, len(t)-1)) AS g
+      |        FROM toks WHERE len(t) >= 2),
+      |per_gram AS (SELECT doc_id, source, array_to_string(t[g:g+1], ' ') AS gram, COUNT(*) AS c
+      |             FROM pos GROUP BY 1, 2, 3),
+      |per_doc AS (SELECT doc_id, source, MAX(c) AS top_c, SUM(c) AS total
+      |            FROM per_gram GROUP BY 1, 2)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN top_c * 100 >= total * 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+      |  MAX(CAST(CAST(ROUND(CAST(top_c AS DECIMAL(18,0)) / total, 6) AS DECIMAL(38,6)) AS DOUBLE)) AS max_top_share
+      |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
+
+  /** Token budget per packed training sequence (the fixed context
+    * length documents are concatenated into). */
+  val PackBudget = 512
+
+  /** Q74: sequence packing — assign documents to fixed-budget
+    * training bins by cumulative token count in stable (source,
+    * doc_id) order: concatenate-and-split at the budget boundary,
+    * the packing rule LLM pretraining actually uses (greedy bin
+    * packing trades determinism for little gain). A document's bin is
+    * where its first token lands: floor((cumsum - n_tokens) /
+    * budget).
+    *
+    * Scale shape: the running sum partitions by source, so packing
+    * parallelizes across sources with no global order. A single
+    * giant source would serialize its window into one task; the
+    * remedy at 100 TB is a two-pass distributed prefix sum
+    * (per-partition subtotals broadcast back as offsets), same
+    * result, which this operator's per-source contract makes a
+    * drop-in replacement. Integer math throughout. */
+  def sequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    d.select(col("doc_id"), col("source"), tokenCount(col("text")).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      // floor, not a bare cast: Spark's double->bigint cast truncates
+      // while DuckDB's rounds half-even; floor is identical in both
+      // (all values non-negative, exact under 2^53)
+      .withColumn("bin", floor((col("cum") - col("n_tokens")) / PackBudget).cast("bigint"))
+      .groupBy(col("source"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("bin"))
+  }
+
+  val sequencePackingSql: String =
+    s"""WITH d AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM documents),
+       |c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum FROM d)
+       |SELECT source, CAST(FLOOR((cum - n_tokens) / $PackBudget) AS BIGINT) AS bin,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin
+
+  def queries: Map[String, Relational.Q] = Map(
+    "q71_decontamination" -> (decontamination _),
+    "q72_denylist_scrub" -> (denylistScrub _),
+    "q73_repetition_signals" -> (repetitionSignals _),
+    "q74_sequence_packing" -> (sequencePacking _),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q71_decontamination" -> decontaminationSql,
+    "q72_denylist_scrub" -> denylistScrubSql,
+    "q73_repetition_signals" -> repetitionSignalsSql,
+    "q74_sequence_packing" -> sequencePackingSql,
+  )
+}

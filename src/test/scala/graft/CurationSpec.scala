@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+
+/** Training-data curation operators (q71-q74). The DuckDB oracle is
+  * the primary correctness gate; these tests pin the semantic
+  * invariants the oracle's hash compare can't express.
+  */
+class CurationSpec extends SparkSuite {
+
+  test("q71 decontamination: flagged docs share a verbatim 8-gram with the eval slice") {
+    import spark.implicits._
+    val flagged = Curation.decontamination(spark, Sf0001)
+    val rows = flagged.collect()
+    // every flagged doc is a train doc with a sane fraction
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 25 != 0)
+      val frac = r.getAs[Double]("contaminated_frac")
+      assert(frac > 0.0 && frac <= 1.0, r)
+      assert(r.getAs[Long]("n_contaminated") <= r.getAs[Long]("n_grams"), r)
+    }
+    // independent witness: brute-force token-8-gram intersection for
+    // each flagged doc against the eval slice
+    if (rows.nonEmpty) {
+      val docs = Tables.documents(spark, Sf0001)
+        .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+      def grams(text: String): Set[Seq[String]] =
+        text.split(" ").toSeq.sliding(8).filter(_.size == 8).toSet.map((s: Seq[String]) => s)
+      val evalGrams = docs.filter(_._1 % 25 == 0).values.flatMap(grams).toSet
+      rows.foreach { r =>
+        val id = r.getAs[Long]("doc_id")
+        val shared = grams(docs(id)).count(evalGrams.contains)
+        assert(shared.toLong == r.getAs[Long]("n_contaminated"), s"doc $id")
+      }
+    }
+  }
+
+  test("q72 denylist scrub: removals reconcile with a direct token count") {
+    import spark.implicits._
+    val res = Curation.denylistScrub(spark, Sf0001).collect()
+    assert(res.nonEmpty)
+    val direct = Tables.documents(spark, Sf0001)
+      .select($"source", $"text").as[(String, String)].collect()
+      .groupBy(_._1)
+      .map { case (src, rows) =>
+        src -> rows.map(_._2.split(" ").count(Curation.Denylist.contains)).map(_.toLong).sum
+      }
+    res.foreach { r =>
+      assert(r.getAs[Long]("tokens_removed") == direct(r.getAs[String]("source")), r)
+      assert(r.getAs[Long]("docs_affected") <= r.getAs[Long]("n_docs"), r)
+    }
+  }
+
+  test("q73 repetition: flag threshold is integer-exact at the boundary") {
+    val res = Curation.repetitionSignals(spark, Sf0001).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      val share = r.getAs[Double]("max_top_share")
+      assert(share > 0.0 && share <= 1.0, r)
+      // if nothing is flagged, the max share must sit below the 8%
+      // threshold (up to the dec6 rounding of the reported max)
+      if (r.getAs[Long]("n_flagged") == 0) assert(share < 0.080001, r)
+      else assert(share >= 0.08 - 1e-6, r)
+    }
+  }
+
+  test("q74 packing: bins are contiguous per source and conserve every token") {
+    val bins = Curation.sequencePacking(spark, Sf0001).collect()
+    val total = bins.map(_.getAs[Long]("bin_tokens")).sum
+    val expected = Tables.documents(spark, Sf0001)
+      .select(sum(size(split(col("text"), " ")).cast("bigint")))
+      .collect()(0).getLong(0)
+    assert(total == expected, s"packed $total of $expected tokens")
+    bins.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      val ids = rows.map(_.getAs[Long]("bin")).sorted
+      assert(ids.head == 0L, src)
+      assert(ids.zipWithIndex.forall { case (b, i) => b == i.toLong }, src)
+      // doc ranges of consecutive bins do not overlap
+      val sorted = rows.sortBy(_.getAs[Long]("bin"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"), src)
+        case _ =>
+      }
+    }
+  }
+}
