@@ -226,12 +226,84 @@ object Storage {
       |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** Q75: incremental merge-upsert (SCD type 1) — the warehouse load
+    * step the reference's staging→table promotion implies
+    * (`README.md:229-249`): a staging frame of changed rows replaces
+    * matching base rows by key and the result is re-aggregated. Here
+    * staging is the deterministic slice o_orderkey % 10 == 0 with a
+    * repriced total (exact decimal round at scale 2) and status 'U'.
+    *
+    * Expressed as base ANTI-JOIN staging-keys UNION staging — the
+    * merge semantics without a transactional table format (Spark's
+    * MERGE INTO needs Delta/Iceberg, absent here by design). At scale
+    * the anti-join is a key-partitioned SMJ; a small change-set side
+    * broadcasts, and a lakehouse deployment swaps this operator for
+    * MERGE INTO with identical semantics. The oracle is an
+    * independent formulation: a per-row CASE on the same key
+    * predicate, never a join. */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+    val repriced = (money(col("o_totalprice")) * lit(BigDecimal("1.1")))
+      .cast(org.apache.spark.sql.types.DecimalType(18, 2))
+      .cast("double")
+    val staging = base.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", repriced)
+      .withColumn("o_orderstatus", lit("U"))
+    base
+      .join(staging.select(col("o_orderkey").as("sk")),
+        col("o_orderkey") === col("sk"), "left_anti")
+      .unionByName(staging)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dec2(sum(money(col("o_totalprice")))).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val mergeUpsertSql: String =
+    """SELECT
+      |  CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+      |  COUNT(*) AS n_orders,
+      |  CAST(CAST(SUM(CASE WHEN o_orderkey % 10 = 0
+      |    THEN CAST(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1, 2) AS DECIMAL(18,2)) AS DECIMAL(18,2))
+      |    ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+
+  /** Q76: subquery SQL surface — correlated scalar subqueries plus
+    * EXISTS, run as one statement through spark.sql (same text on
+    * DuckDB): customers strictly above their nation's average balance
+    * that have at least one finished order. The above-average test is
+    * the cross-multiplied integer/decimal form `bal * n > sum` —
+    * exact in both engines, where a floating AVG could flip a
+    * customer sitting on the boundary. Catalyst decorrelates the
+    * scalar subqueries into aggregate-then-join and the EXISTS into a
+    * semi-join — the plan a hand-written join would give, which is
+    * the point of the surface. */
+  val subqueriesSql: String =
+    """SELECT c_nationkey, COUNT(*) AS n_above
+      |FROM customer c
+      |WHERE CAST(c_acctbal AS DECIMAL(18,2))
+      |      * (SELECT COUNT(*) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+      |    > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer c3
+      |       WHERE c3.c_nationkey = c.c_nationkey)
+      |  AND EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  def subqueries(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(subqueriesSql)
+  }
+
   def queries: Map[String, Relational.Q] = Map(
     "q47_partitioned_prune" -> (partitionedPrune _),
     "q48_sql_surface" -> (sqlSurface _),
     "q56_bucketed_join" -> (bucketedJoin _),
     "q68_compaction" -> (compaction _),
     "q69_schema_evolution" -> (schemaEvolution _),
+    "q75_merge_upsert" -> (mergeUpsert _),
+    "q76_subqueries" -> (subqueries _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -240,5 +312,7 @@ object Storage {
     "q56_bucketed_join" -> bucketedJoinSql,
     "q68_compaction" -> compactionSql,
     "q69_schema_evolution" -> schemaEvolutionSql,
+    "q75_merge_upsert" -> mergeUpsertSql,
+    "q76_subqueries" -> subqueriesSql,
   )
 }

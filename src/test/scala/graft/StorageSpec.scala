@@ -161,4 +161,21 @@ class StorageSpec extends SparkSuite {
       .filter(col("s") =!= col("c")).count()
     assert(sqlVsColumn === 0)
   }
+
+  test("q75 merge upsert: row count preserved, exactly the staged slice updated") {
+    val base = Tables.orders(spark, Sf0001)
+    val merged = Storage.mergeUpsert(spark, Sf0001)
+    assert(merged.agg(sum("n_orders")).head().getLong(0) === base.count())
+    val updated = merged.filter(col("o_orderstatus") === "U")
+      .select("n_orders").head().getLong(0)
+    assert(updated === base.filter(col("o_orderkey") % 10 === 0).count())
+  }
+
+  test("q76 subqueries decorrelate: no nested-loop join in the plan") {
+    val df = Storage.subqueries(spark, Sf0001)
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
