@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.operators.{Curation, Dedup, Derivations, Events, MlQueries, Multimodal, Relational, Similarity, Soccer, Storage, StreamingQueries, TextAnalysis}
+import graft.operators.{Curation, Dedup, Derivations, Events, MlQueries, Multimodal, Quality, Relational, Similarity, Soccer, Storage, StreamingQueries, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +21,8 @@ object SparkEntry {
     Relational.queries ++ Derivations.queries ++ Events.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Soccer.queries ++ MlQueries.queries ++ StreamingQueries.queries ++
-      Multimodal.queries ++ Storage.queries ++ Curation.queries
+      Multimodal.queries ++ Storage.queries ++ Curation.queries ++
+      Quality.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
     Relational.oracles ++ Derivations.oracles ++ Events.oracles ++
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       Soccer.oracles ++ MlQueries.oracles ++ StreamingQueries.oracles ++
-      Multimodal.oracles ++ Storage.oracles ++ Curation.oracles
+      Multimodal.oracles ++ Storage.oracles ++ Curation.oracles ++
+      Quality.oracles
 }

@@ -358,8 +358,86 @@ object Events {
       |FROM numbered GROUP BY user_id, sid
       |ORDER BY user_id, session_start_us""".stripMargin
 
+  /** Q77: time-series gap filling — materialize the dense per-user
+    * hourly grid between each user's first and last active hour,
+    * zero-filling event counts and carrying the last known hourly
+    * value forward across gaps (`last(..., ignoreNulls)` over an
+    * explicit ROWS frame; IGNORE NULLS is the semantics regression
+    * tests usually miss). The grid generates from each user's own
+    * span (`sequence` + explode), so grid size is activity-bounded,
+    * not calendar-bounded.
+    *
+    * Scale: span aggregation and grid join both partition by
+    * user_id (high cardinality); the generated grid is O(active
+    * span), never a calendar cross-join. The user_id < 5 bound only
+    * sizes harness output. */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .filter(col("user_id") < 5)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dec2(sum(money(col("value")))).as("sum_value"))
+    val grid = hourly.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .select(
+        col("user_id"), col("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("sum_value"), ignoreNulls = true).over(w).as("carried_value"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+
+  val gapFillSql: String =
+    """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu, value FROM events WHERE user_id < 5),
+      |hourly AS (
+      |  SELECT user_id, date_trunc('hour', tsu) AS hour, COUNT(*) AS n_events,
+      |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+      |  FROM ev GROUP BY 1, 2),
+      |spans AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM hourly GROUP BY 1),
+      |grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM spans)
+      |SELECT g.user_id, g.hour, COALESCE(h.n_events, 0) AS n_events,
+      |  LAST_VALUE(h.sum_value IGNORE NULLS)
+      |    OVER (PARTITION BY g.user_id ORDER BY g.hour
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_value
+      |FROM grid g LEFT JOIN hourly h USING (user_id, hour)
+      |ORDER BY user_id, hour""".stripMargin
+
+  /** Q78: event-time RANGE frame — rolling trailing-hour count and sum
+    * per user where the frame is defined by VALUE distance (epoch
+    * seconds within 3599 of the current row), not row count: sparse
+    * users get small frames, bursts get large ones, and same-second
+    * peers share one frame — semantics a ROWS frame (q9) cannot
+    * express. One shuffle on user_id; the frame scan is a moving
+    * pointer over each partition's sort, same cost class as q9. */
+  def rangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("epoch_s"))
+      .rangeBetween(-3599, 0)
+    Tables.events(spark, dir)
+      .withColumn("epoch_s", expr("ts_ns div 1000000000"))
+      .select(
+        col("user_id"), col("event_id"), col("epoch_s"),
+        count(lit(1)).over(w).as("n_1h"),
+        dec2(sum(money(col("value"))).over(w)).as("sum_1h"))
+      .orderBy(col("user_id"), col("epoch_s"), col("event_id"))
+  }
+
+  val rangeFrameSql: String =
+    """SELECT user_id, event_id, epoch_s,
+      |  COUNT(*) OVER w AS n_1h,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS DOUBLE) AS sum_1h
+      |FROM (SELECT user_id, event_id, value, epoch_ns(ts) // 1000000000 AS epoch_s FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, epoch_s, event_id""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q20_latest_per_user" -> (latestPerUser _),
+    "q77_gap_fill" -> (gapFill _),
+    "q78_range_frame" -> (rangeFrame _),
     "q54_asof_join" -> (asofJoin _),
     "q55_band_join" -> (bandJoin _),
     "q21_tumbling_hour" -> (tumblingHour _),
@@ -373,6 +451,8 @@ object Events {
 
   def oracles: Map[String, String] = Map(
     "q20_latest_per_user" -> latestPerUserSql,
+    "q77_gap_fill" -> gapFillSql,
+    "q78_range_frame" -> rangeFrameSql,
     "q54_asof_join" -> asofJoinSql,
     "q55_band_join" -> bandJoinSql,
     "q57_sliding_window" -> slidingWindowSql,

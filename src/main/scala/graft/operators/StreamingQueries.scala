@@ -182,8 +182,61 @@ object StreamingQueries {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  // lazy: deleteOnExit registers a shutdown hook once, not per bench rep
+  private lazy val fileSinkBase: String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_stream_sink_" +
+      ProcessHandle.current().pid()
+    graft.Scratch.deleteOnExit(p)
+    p
+  }
+
+  /** Q81: streaming PARTITIONED FILE SINK — the ingest-to-lake leg the
+    * memory-sink queries don't exercise. The stream lands append-mode
+    * parquet partitioned by event_type with a checkpoint; the file
+    * sink's `_spark_metadata` commit log is what makes the write
+    * exactly-once (a batch readback lists committed files through the
+    * log, never half-written ones; re-running against the same
+    * checkpoint adds NO duplicate rows — pinned in StreamingSpec). The
+    * readback aggregates per partition so the oracle verifies the
+    * landed data, not the stream plan.
+    *
+    * Scale: stateless passthrough (no state store); sink partitioning
+    * makes downstream reads prune by event_type. At 100 TB the same
+    * job fans into per-trigger files whose compaction is exactly q68. */
+  def streamFileSink(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+    val ev = EventStream.readEvents(spark, s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value"))
+    // per-(process, sf) layout: Verify and Bench reuse, parallel JVMs don't collide
+    val tag = math.abs(dir.hashCode).toString
+    val out = s"$fileSinkBase/out_$tag"
+    val chk = s"$fileSinkBase/chk_$tag"
+    val q = ev.writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", chk)
+      .partitionBy("event_type")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("event_id")).as("n_ids"),
+        dec2(sum(money(col("value")))).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val streamFileSinkSql: String =
+    """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT event_id) AS n_ids,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q38_stream_tumbling" -> (streamTumbling _),
+    "q81_stream_file_sink" -> (streamFileSink _),
     "q39_stream_dedup" -> (streamDedup _),
     "q40_stream_sessions" -> (streamSessions _),
     "q58_stream_join" -> (streamStreamJoin _),
@@ -192,6 +245,7 @@ object StreamingQueries {
 
   def oracles: Map[String, String] = Map(
     "q38_stream_tumbling" -> streamTumblingSql,
+    "q81_stream_file_sink" -> streamFileSinkSql,
     "q39_stream_dedup" -> streamDedupSql,
     "q40_stream_sessions" -> streamSessionsSql,
     "q58_stream_join" -> streamStreamJoinSql,

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Events, StreamingQueries}
+import graft.operators.{Quality => Q}
+
+/** Pipeline-integrity (q79/q80), gap fill / range frame (q77/q78), and
+  * the streaming file sink (q81). Oracles are the primary gate; these
+  * pin invariants the hash compare can't express.
+  */
+class QualitySpec extends SparkSuite {
+
+  test("q79 constraint suite: five rules, clean corpus reports zero violations") {
+    val res = Q.constraintSuite(spark, Sf0001).collect()
+    assert(res.length === 5)
+    assert(res.map(_.getAs[String]("rule")).toSeq == res.map(_.getAs[String]("rule")).toSeq.sorted)
+    res.foreach { r =>
+      assert(r.getAs[Long]("n_violations") === 0L, r)
+      assert(r.getAs[Long]("n_checked") > 0L, r)
+    }
+    val ordersN = Tables.orders(spark, Sf0001).count()
+    val pk = res.find(_.getAs[String]("rule") == "orders_pk_unique").get
+    assert(pk.getAs[Long]("n_checked") === ordersN)
+  }
+
+  test("q80 snapshot diff: classes partition the union of both snapshots") {
+    val res = Q.snapshotDiff(spark, Sf0001).collect()
+    val byType = res.map(r => r.getAs[String]("change_type") -> r.getAs[Long]("n_docs")).toMap
+    val d = Tables.documents(spark, Sf0001)
+    val nOld = d.filter(col("doc_id") % 3 =!= 0).count()
+    val nNew = d.filter(col("doc_id") % 5 =!= 0).count()
+    val nBoth = d.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 5 =!= 0).count()
+    assert(byType.getOrElse("added", 0L) === nNew - nBoth)
+    assert(byType.getOrElse("removed", 0L) === nOld - nBoth)
+    assert(byType.getOrElse("changed", 0L) + byType.getOrElse("unchanged", 0L) === nBoth)
+    // the rewritten slice actually registers as changed
+    assert(byType.getOrElse("changed", 0L) > 0L)
+  }
+
+  test("q77 gap fill: grid is dense per user and conserves event counts") {
+    val grid = Events.gapFill(spark, Sf0001).collect().toSeq
+    assert(grid.nonEmpty)
+    val byUser = grid.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (u, rows) =>
+      val hours = rows.map(_.getAs[java.sql.Timestamp]("hour").getTime)
+      hours.sliding(2).foreach {
+        case Seq(a, b) => assert(b - a === 3600 * 1000L, s"user $u grid not hourly")
+        case _ =>
+      }
+      // carry-forward defined everywhere (first grid hour has data)
+      rows.foreach(r => assert(!r.isNullAt(r.fieldIndex("carried_value")), s"user $u"))
+    }
+    val gridEvents = grid.map(_.getAs[Long]("n_events")).sum
+    val trueEvents = Tables.events(spark, Sf0001).filter(col("user_id") < 5).count()
+    assert(gridEvents === trueEvents)
+  }
+
+  test("q78 range frame matches a brute-force interval count") {
+    import spark.implicits._
+    val got = Events.rangeFrame(spark, Sf0001)
+      .select($"user_id", $"event_id", $"epoch_s", $"n_1h").as[(Long, Long, Long, Long)]
+      .collect()
+    val ev = Tables.events(spark, Sf0001)
+      .select($"user_id", expr("ts_ns div 1000000000").as("s")).as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    got.foreach { case (u, eid, s, n) =>
+      val brute = ev(u).count(t => t >= s - 3599 && t <= s)
+      assert(n === brute.toLong, s"user $u event $eid")
+    }
+  }
+
+  test("q81 file sink is exactly-once: a second run adds no rows") {
+    val first = StreamingQueries.streamFileSink(spark, Sf0001).collect()
+    val second = StreamingQueries.streamFileSink(spark, Sf0001).collect()
+    assert(first.toSeq === second.toSeq)
+    val total = first.map(_.getAs[Long]("n")).sum
+    assert(total === Tables.events(spark, Sf0001).count())
+  }
+}
