@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.Tables
 import graft.functions.Parity._
@@ -296,8 +297,61 @@ object Derivations {
       |  CAST(CAST(SUM(CASE WHEN o_orderstatus='P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS DOUBLE) AS total_p
       |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin
 
+  /** Q82: numeric column profile with EXACT variance — the profiling
+    * pass a data-quality or feature-engineering stage runs per column.
+    * Variance uses the sufficient-statistics identity
+    * (n·Σx² − (Σx)²) / (n·(n−1)) computed entirely in decimal, so the
+    * result is bit-identical across engines and partition counts —
+    * Spark's `var_samp` (double accumulation) is order-sensitive and
+    * can't be hash-compared cross-engine. One scan, one hash agg;
+    * sufficient statistics combine associatively map-side, which is
+    * also why this shape streams and distributes (same property HLL
+    * exploits in q49).
+    *
+    * Precision bounds (documented contract, asserted nowhere cheaper
+    * than here): per-group n < 1e9 and Σx² < 1e24 keep every
+    * intermediate inside DECIMAL(38,4) — at 100 TB that means
+    * profiling per partition-group, not one global group, which is
+    * how profiles are consumed anyway. */
+  def numericProfile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val x = col("l_extendedprice").cast(DecimalType(18, 2))
+    val agg = li.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(x).cast(DoubleType).as("min_price"),
+        max(x).cast(DoubleType).as("max_price"),
+        sum(x).cast(DecimalType(19, 2)).as("s1"),
+        sum(x.cast(DecimalType(19, 2)) * x).cast(DecimalType(28, 4)).as("s2"))
+    agg.select(
+        col("l_returnflag"), col("n"), col("min_price"), col("max_price"),
+        dec6(col("s1") / col("n")).as("mean_price"),
+        dec6((col("n").cast(DecimalType(9, 0)) * col("s2")
+            - col("s1") * col("s1").cast(DecimalType(18, 2)))
+          / (col("n") * (col("n") - 1))).as("var_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val numericProfileSql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS min_price,
+      |    MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS max_price,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS s1,
+      |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(19,2))
+      |             * CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,4)) AS s2
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, n,
+      |  CAST(min_price AS DOUBLE) AS min_price,
+      |  CAST(max_price AS DOUBLE) AS max_price,
+      |  CAST(CAST(ROUND(s1 / n, 6) AS DECIMAL(38,6)) AS DOUBLE) AS mean_price,
+      |  CAST(CAST(ROUND((CAST(n AS DECIMAL(9,0)) * s2 - s1 * CAST(s1 AS DECIMAL(18,2)))
+      |    / (n * (n - 1)), 6) AS DECIMAL(38,6)) AS DOUBLE) AS var_price
+      |FROM s ORDER BY l_returnflag""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q13_case_when" -> (caseWhen _),
+    "q82_numeric_profile" -> (numericProfile _),
     "q49_approx_distinct" -> (approxDistinct _),
     "q50_rollup" -> (rollupCounts _),
     "q51_quantiles" -> (quantiles _),
@@ -314,6 +368,7 @@ object Derivations {
 
   def oracles: Map[String, String] = Map(
     "q13_case_when" -> caseWhenSql,
+    "q82_numeric_profile" -> numericProfileSql,
     "q50_rollup" -> rollupCountsSql,
     "q51_quantiles" -> quantilesSql,
     "q52_cube" -> cubeCountsSql,

@@ -434,10 +434,41 @@ object Events {
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, epoch_s, event_id""".stripMargin
 
+  /** Q83: behavioral sequence assembly — each user's ordered
+    * event-type trail as one string, the per-entity sequence a
+    * training pipeline feeds a behavioral model. `collect_list` alone
+    * is NOT deterministic under parallelism (arrival order differs per
+    * shuffle); determinism comes from collecting (ts_ns, event_id,
+    * type) structs and `array_sort`ing them post-agg — the struct
+    * comparator orders by field position, and event_id breaks ts
+    * ties. One hash agg on user_id; per-group memory is bounded by a
+    * user's own activity (cap with `slice` after the sort if a
+    * pathological entity needs it). */
+  def userSequences(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 10)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts_ns"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")),
+          ">").as("seq"))
+      .orderBy(col("user_id"))
+  }
+
+  val userSequencesSql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  string_agg(event_type, '>' ORDER BY epoch_ns(ts), event_id) AS seq
+      |FROM events WHERE user_id < 10
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q20_latest_per_user" -> (latestPerUser _),
     "q77_gap_fill" -> (gapFill _),
     "q78_range_frame" -> (rangeFrame _),
+    "q83_user_sequences" -> (userSequences _),
     "q54_asof_join" -> (asofJoin _),
     "q55_band_join" -> (bandJoin _),
     "q21_tumbling_hour" -> (tumblingHour _),
@@ -453,6 +484,7 @@ object Events {
     "q20_latest_per_user" -> latestPerUserSql,
     "q77_gap_fill" -> gapFillSql,
     "q78_range_frame" -> rangeFrameSql,
+    "q83_user_sequences" -> userSequencesSql,
     "q54_asof_join" -> asofJoinSql,
     "q55_band_join" -> bandJoinSql,
     "q57_sliding_window" -> slidingWindowSql,

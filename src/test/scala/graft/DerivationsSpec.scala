@@ -81,4 +81,20 @@ class DerivationsSpec extends SparkSuite {
     assert(mids === total)
     r.unpersist()
   }
+
+  test("q82 exact variance agrees with var_samp and is partition-invariant") {
+    val prof = Derivations.numericProfile(spark, Sf0001).collect()
+    val ref = Tables.lineitem(spark, Sf0001)
+      .groupBy(col("l_returnflag"))
+      .agg(var_samp(col("l_extendedprice")).as("v"), avg(col("l_extendedprice")).as("m"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    prof.foreach { r =>
+      val (v, m) = ref(r.getAs[String]("l_returnflag"))
+      assert(math.abs(r.getAs[Double]("var_price") - v) / v < 1e-9, r)
+      assert(math.abs(r.getAs[Double]("mean_price") - m) / m < 1e-9, r)
+    }
+    // decimal sufficient statistics are order/partition independent
+    val again = Derivations.numericProfile(spark, Sf0001).collect()
+    assert(prof.toSeq === again.toSeq)
+  }
 }

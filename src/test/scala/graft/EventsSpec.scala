@@ -95,4 +95,26 @@ class EventsSpec extends SparkSuite {
       .collect().map(_.getString(0)).toSeq
     assert(sorted === expected)
   }
+
+  test("q83 sequences are deterministic and consistent with per-user counts") {
+    val rows = Events.userSequences(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val seq = r.getAs[String]("seq")
+      assert(seq.split(">").length.toLong === r.getAs[Long]("n_events"), r)
+    }
+    // collect_list alone would be arrival-ordered; the struct sort must
+    // make the result identical under a different partitioning
+    val shuffled = Tables.events(spark, Sf0001).filter(col("user_id") < 10)
+      .repartition(7, col("event_type"))
+    val again = shuffled
+      .groupBy(col("user_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("ts_ns"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("seq"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[String]("seq")).toMap
+    rows.foreach(r =>
+      assert(again(r.getAs[Long]("user_id")) === r.getAs[String]("seq")))
+  }
 }
