@@ -171,6 +171,44 @@ class StorageSpec extends SparkSuite {
     assert(updated === base.filter(col("o_orderkey") % 10 === 0).count())
   }
 
+  test("q84 z-order: per-file spans contract in BOTH dimensions") {
+    Storage.zorderCompaction(spark, Sf0001).collect() // runs the rewrite
+    val files = new java.io.File(Storage.zorderDir).listFiles()
+      .filter(_.getName.startsWith("part-")).toSeq
+    assert(files.size === 8)
+    val global = spark.read.parquet(Storage.zorderDir)
+      .agg(min("o_custkey"), max("o_custkey"),
+        min("o_orderdate").cast("string"), max("o_orderdate").cast("string")).head()
+    val custSpan = global.getLong(1) - global.getLong(0)
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min("o_custkey"), max("o_custkey"),
+          min(datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))),
+          max(datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date")))).head()
+      (r.getLong(1) - r.getLong(0), (r.getInt(3) - r.getInt(2)).toLong)
+    }
+    val dateSpanGlobal = spark.read.parquet(Storage.zorderDir)
+      .agg(max(datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date")))
+        - min(datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date")))).head().getInt(0).toLong
+    // a single-column sort would leave the OTHER dimension's per-file
+    // span at ~the global span; z-order must contract both on average
+    val avgCust = spans.map(_._1).sum.toDouble / spans.size
+    val avgDate = spans.map(_._2).sum.toDouble / spans.size
+    assert(avgCust < 0.8 * custSpan, s"custkey avg span $avgCust vs global $custSpan")
+    assert(avgDate < 0.8 * dateSpanGlobal, s"date avg span $avgDate vs global $dateSpanGlobal")
+  }
+
+  test("q85 incremental agg: merge of partials equals aggregate of the union") {
+    val merged = Storage.incrementalAgg(spark, Sf0001)
+    val direct = Tables.orders(spark, Sf0001)
+      .withColumn("order_year", year(col("o_orderdate")).cast("int"))
+      .groupBy(col("order_year"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"))
+    assert(merged.count() === direct.count())
+    val m = merged.select("order_year", "o_orderstatus", "n_orders")
+    assert(m.exceptAll(direct.select("order_year", "o_orderstatus", "n_orders")).count() === 0)
+  }
+
   test("q76 subqueries decorrelate: no nested-loop join in the plan") {
     val df = Storage.subqueries(spark, Sf0001)
     assert(df.count() > 0)
