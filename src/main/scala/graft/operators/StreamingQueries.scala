@@ -234,9 +234,70 @@ object StreamingQueries {
       |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Q86: foreachBatch incremental-aggregate sink — the streaming twin
+    * of q85 and the third sink surface (memory, file, foreachBatch):
+    * each microbatch's partial aggregate merges into a stored
+    * aggregate table via a full outer join, so the stored table is
+    * refreshed in O(aggregate key space) per trigger regardless of
+    * history size. `localCheckpoint(eager)` materializes the merge
+    * BEFORE the overwrite — Spark cannot overwrite a parquet path
+    * that feeds the very plan being written (self-overwrite reads
+    * half-deleted input otherwise). Re-running against the same
+    * checkpoint is a no-op batch: the stored table survives untouched
+    * (exactly-once refresh).
+    *
+    * Scale: the merge never touches history; monoid aggregates only
+    * (count/sum), same contract as q85. foreachBatch is where a real
+    * deployment would issue MERGE INTO against a warehouse table. */
+  def streamIncrementalAgg(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+    val ev = EventStream.readEvents(spark, s"$dir/events.parquet")
+      .select(col("event_type"), col("value"))
+    val tag = math.abs(dir.hashCode).toString
+    val aggPath = s"$fileSinkBase/agg_$tag"
+    val chk = s"$fileSinkBase/aggchk_$tag"
+    val q = ev.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val partial = batch.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(money(col("value"))).as("s"))
+        val merged =
+          if (new java.io.File(aggPath).exists()) {
+            val cur = batch.sparkSession.read.parquet(aggPath)
+              .withColumnsRenamed(Map("n" -> "n_b", "s" -> "s_b"))
+            cur.join(partial, Seq("event_type"), "full_outer")
+              .select(
+                col("event_type"),
+                (coalesce(col("n_b"), lit(0L)) + coalesce(col("n"), lit(0L))).as("n"),
+                // sum(DECIMAL(18,2)) aggregates as DECIMAL(28,2); the
+                // zero literals must carry that type or the coalesce
+                // widens and the stored schema drifts between batches
+                (coalesce(col("s_b"), lit(0).cast("decimal(28,2)"))
+                  + coalesce(col("s"), lit(0).cast("decimal(28,2)")))
+                  // re-cast: decimal addition widens to (29,2) and the
+                  // stored schema would drift one digit per batch
+                  .cast("decimal(28,2)").as("s"))
+          } else partial
+        merged.localCheckpoint(true)
+          .write.mode("overwrite").parquet(aggPath)
+        ()
+      }
+      .option("checkpointLocation", chk)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(aggPath)
+      .select(col("event_type"), col("n"), dec2(col("s")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val streamIncrementalAggSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q38_stream_tumbling" -> (streamTumbling _),
     "q81_stream_file_sink" -> (streamFileSink _),
+    "q86_stream_incr_agg" -> (streamIncrementalAgg _),
     "q39_stream_dedup" -> (streamDedup _),
     "q40_stream_sessions" -> (streamSessions _),
     "q58_stream_join" -> (streamStreamJoin _),
@@ -246,6 +307,7 @@ object StreamingQueries {
   def oracles: Map[String, String] = Map(
     "q38_stream_tumbling" -> streamTumblingSql,
     "q81_stream_file_sink" -> streamFileSinkSql,
+    "q86_stream_incr_agg" -> streamIncrementalAggSql,
     "q39_stream_dedup" -> streamDedupSql,
     "q40_stream_sessions" -> streamSessionsSql,
     "q58_stream_join" -> streamStreamJoinSql,

@@ -69,6 +69,17 @@ class QualitySpec extends SparkSuite {
     }
   }
 
+  test("q86 foreachBatch merge: refresh is exactly-once and matches batch agg") {
+    val first = StreamingQueries.streamIncrementalAgg(spark, Sf0001).collect()
+    val second = StreamingQueries.streamIncrementalAgg(spark, Sf0001).collect()
+    assert(first.toSeq === second.toSeq)
+    val direct = Tables.events(spark, Sf0001)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    first.foreach(r =>
+      assert(r.getAs[Long]("n") === direct(r.getAs[String]("event_type")), r))
+  }
+
   test("q81 file sink is exactly-once: a second run adds no rows") {
     val first = StreamingQueries.streamFileSink(spark, Sf0001).collect()
     val second = StreamingQueries.streamFileSink(spark, Sf0001).collect()
