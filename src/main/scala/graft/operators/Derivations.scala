@@ -326,9 +326,13 @@ object Derivations {
     agg.select(
         col("l_returnflag"), col("n"), col("min_price"), col("max_price"),
         dec6(col("s1") / col("n")).as("mean_price"),
-        dec6((col("n").cast(DecimalType(9, 0)) * col("s2")
-            - col("s1") * col("s1").cast(DecimalType(18, 2)))
-          / (col("n") * (col("n") - 1))).as("var_price"))
+        // n >= 2 guard: a single-row group has n*(n-1) = 0 and sample
+        // variance is undefined — emit NULL (CaseWhen short-circuits,
+        // so ANSI mode never sees the zero divisor); oracle mirrors
+        when(col("n") >= 2,
+          dec6((col("n").cast(DecimalType(9, 0)) * col("s2")
+              - col("s1") * col("s1").cast(DecimalType(18, 2)))
+            / (col("n") * (col("n") - 1)))).as("var_price"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -345,8 +349,9 @@ object Derivations {
       |  CAST(min_price AS DOUBLE) AS min_price,
       |  CAST(max_price AS DOUBLE) AS max_price,
       |  CAST(CAST(ROUND(s1 / n, 6) AS DECIMAL(38,6)) AS DOUBLE) AS mean_price,
-      |  CAST(CAST(ROUND((CAST(n AS DECIMAL(9,0)) * s2 - s1 * CAST(s1 AS DECIMAL(18,2)))
-      |    / (n * (n - 1)), 6) AS DECIMAL(38,6)) AS DOUBLE) AS var_price
+      |  CASE WHEN n >= 2 THEN
+      |    CAST(CAST(ROUND((CAST(n AS DECIMAL(9,0)) * s2 - s1 * CAST(s1 AS DECIMAL(18,2)))
+      |      / (n * (n - 1)), 6) AS DECIMAL(38,6)) AS DOUBLE) END AS var_price
       |FROM s ORDER BY l_returnflag""".stripMargin
 
   def queries: Map[String, Relational.Q] = Map(

@@ -410,7 +410,10 @@ object Storage {
         sum(money(col("o_totalprice"))).as("s"))
     partial(orders.filter(col("order_year") < 1997))
       .write.mode("overwrite").parquet(basePath)
-    partial(orders.filter(col("order_year") >= 1997))
+    // the complement must be NULL-exhaustive: a NULL order date fails
+    // BOTH `< 1997` and `>= 1997` and the row would silently vanish
+    // from the refreshed aggregate (the oracle keeps a NULL-year group)
+    partial(orders.filter(col("order_year") >= 1997 || col("order_year").isNull))
       .write.mode("overwrite").parquet(deltaPath)
     val base = spark.read.parquet(basePath)
       .withColumnsRenamed(Map("n" -> "n_b", "s" -> "s_b"))
@@ -422,14 +425,17 @@ object Storage {
         (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L))).as("n_orders"),
         dec2(coalesce(col("s_b"), lit(0).cast(DecimalType(38, 2)))
           + coalesce(col("s_d"), lit(0).cast(DecimalType(38, 2)))).as("total"))
-      .orderBy(col("order_year"), col("o_orderstatus"))
+      // explicit NULLS FIRST: Spark's asc default, but DuckDB's is
+      // NULLS LAST — matters iff a NULL-year group exists (Parity doc)
+      .orderBy(col("order_year").asc_nulls_first, col("o_orderstatus"))
   }
 
   val incrementalAggSql: String =
     """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
       |  o_orderstatus, COUNT(*) AS n_orders,
       |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total
-      |FROM orders GROUP BY 1, 2 ORDER BY order_year, o_orderstatus""".stripMargin
+      |FROM orders GROUP BY 1, 2
+      |ORDER BY order_year ASC NULLS FIRST, o_orderstatus""".stripMargin
 
   def queries: Map[String, Relational.Q] = Map(
     "q47_partitioned_prune" -> (partitionedPrune _),

@@ -242,9 +242,16 @@ object StreamingQueries {
     * history size. `localCheckpoint(eager)` materializes the merge
     * BEFORE the overwrite — Spark cannot overwrite a parquet path
     * that feeds the very plan being written (self-overwrite reads
-    * half-deleted input otherwise). Re-running against the same
-    * checkpoint is a no-op batch: the stored table survives untouched
-    * (exactly-once refresh).
+    * half-deleted input otherwise).
+    *
+    * foreachBatch is an AT-LEAST-ONCE surface: a driver crash between
+    * the table rewrite and the checkpoint commit re-delivers the same
+    * batch on restart. The stored table therefore carries the last
+    * applied batch id and the merge SKIPS ids already applied — the
+    * standard idempotent-foreachBatch pattern; only with that guard
+    * is the refresh exactly-once. (The one-value max() read is
+    * driver-side control flow over a bounded aggregate table, per the
+    * walkForwardFolds contract.)
     *
     * Scale: the merge never touches history; monoid aggregates only
     * (count/sum), same contract as q85. foreachBatch is where a real
@@ -256,28 +263,37 @@ object StreamingQueries {
     val aggPath = s"$fileSinkBase/agg_$tag"
     val chk = s"$fileSinkBase/aggchk_$tag"
     val q = ev.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val partial = batch.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), sum(money(col("value"))).as("s"))
-        val merged =
-          if (new java.io.File(aggPath).exists()) {
-            val cur = batch.sparkSession.read.parquet(aggPath)
-              .withColumnsRenamed(Map("n" -> "n_b", "s" -> "s_b"))
-            cur.join(partial, Seq("event_type"), "full_outer")
-              .select(
-                col("event_type"),
-                (coalesce(col("n_b"), lit(0L)) + coalesce(col("n"), lit(0L))).as("n"),
-                // sum(DECIMAL(18,2)) aggregates as DECIMAL(28,2); the
-                // zero literals must carry that type or the coalesce
-                // widens and the stored schema drifts between batches
-                (coalesce(col("s_b"), lit(0).cast("decimal(28,2)"))
-                  + coalesce(col("s"), lit(0).cast("decimal(28,2)")))
-                  // re-cast: decimal addition widens to (29,2) and the
+        val existing =
+          if (new java.io.File(aggPath).exists())
+            Some(batch.sparkSession.read.parquet(aggPath))
+          else None
+        val alreadyApplied = existing.exists(
+          _.agg(max(col("last_batch"))).head().getLong(0) >= batchId)
+        if (!alreadyApplied) {
+          val merged = existing match {
+            case Some(cur) =>
+              cur.withColumnsRenamed(Map("n" -> "n_b", "s" -> "s_b"))
+                .drop("last_batch")
+                .join(partial, Seq("event_type"), "full_outer")
+                .select(
+                  col("event_type"),
+                  (coalesce(col("n_b"), lit(0L)) + coalesce(col("n"), lit(0L))).as("n"),
+                  // sum(DECIMAL(18,2)) aggregates as DECIMAL(28,2); the
+                  // zero literals must carry that type, and the result
+                  // re-casts — decimal addition widens to (29,2) and the
                   // stored schema would drift one digit per batch
-                  .cast("decimal(28,2)").as("s"))
-          } else partial
-        merged.localCheckpoint(true)
-          .write.mode("overwrite").parquet(aggPath)
+                  (coalesce(col("s_b"), lit(0).cast("decimal(28,2)"))
+                    + coalesce(col("s"), lit(0).cast("decimal(28,2)")))
+                    .cast("decimal(28,2)").as("s"))
+            case None => partial
+          }
+          merged.withColumn("last_batch", lit(batchId))
+            .localCheckpoint(true)
+            .write.mode("overwrite").parquet(aggPath)
+        }
         ()
       }
       .option("checkpointLocation", chk)

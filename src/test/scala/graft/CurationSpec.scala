@@ -25,8 +25,10 @@ class CurationSpec extends SparkSuite {
     if (rows.nonEmpty) {
       val docs = Tables.documents(spark, Sf0001)
         .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+      // split limit -1: Java's split drops trailing empty tokens but
+      // Spark's keeps them — the witness must tokenize identically
       def grams(text: String): Set[Seq[String]] =
-        text.split(" ").toSeq.sliding(8).filter(_.size == 8).toSet.map((s: Seq[String]) => s)
+        text.split(" ", -1).toSeq.sliding(8).filter(_.size == 8).toSet.map((s: Seq[String]) => s)
       val evalGrams = docs.filter(_._1 % 25 == 0).values.flatMap(grams).toSet
       rows.foreach { r =>
         val id = r.getAs[Long]("doc_id")
@@ -44,7 +46,7 @@ class CurationSpec extends SparkSuite {
       .select($"source", $"text").as[(String, String)].collect()
       .groupBy(_._1)
       .map { case (src, rows) =>
-        src -> rows.map(_._2.split(" ").count(Curation.Denylist.contains)).map(_.toLong).sum
+        src -> rows.map(_._2.split(" ", -1).count(Curation.Denylist.contains)).map(_.toLong).sum
       }
     res.foreach { r =>
       assert(r.getAs[Long]("tokens_removed") == direct(r.getAs[String]("source")), r)
