@@ -199,8 +199,74 @@ object Curation {
        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
        |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin
 
+  /** Q87: the END-TO-END curation pipeline as ONE Catalyst plan —
+    * exact dedup (keep-first per content hash) → denylist scrub →
+    * quality gate (≥ 20 surviving tokens) → deterministic stratified
+    * sample (q62's multiplicative-hash rule) → sequence packing
+    * (q74's concatenate-and-split). The point is composition: each
+    * stage is the operator family's own logic, fused by Catalyst into
+    * three shuffles total (content-hash window, per-source pack
+    * window, final agg) with every narrow stage pipelined between
+    * them — no materialization barriers, which is how the stages
+    * would actually be deployed over 100 TB rather than as five jobs
+    * with five intermediate tables. Null-text docs exit at the top
+    * (they can't train; the hash window would also conflate them into
+    * one fake dup group). */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val dedupW = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val deduped = d
+      .withColumn("rn", row_number().over(dedupW))
+      .filter(col("rn") === 1)
+    val kept = filter(tokens(col("text")), t => !t.isInCollection(Denylist))
+    val packW = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    deduped
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(kept).cast("bigint").as("n_kept"))
+      .filter(col("n_kept") >= 20)
+      .filter(
+        ((col("doc_id") % lit(2147483648L)) * lit(2654435761L)) % lit(4294967296L) % 100
+          < when(col("lang") === "en", 60).otherwise(20))
+      .withColumn("cum", sum(col("n_kept")).over(packW))
+      .withColumn("bin", floor((col("cum") - col("n_kept")) / PackBudget).cast("bigint"))
+      .groupBy(col("source"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_kept")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("bin"))
+  }
+
+  val curationPipelineSql: String = {
+    val deny = Denylist.map(s => s"'$s'").mkString(", ")
+    s"""WITH clean AS (SELECT * FROM documents WHERE text IS NOT NULL),
+       |dedup AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, source, lang, text,
+       |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |    FROM clean) WHERE rn = 1),
+       |qual AS (
+       |  SELECT doc_id, source, lang,
+       |    len(list_filter(string_split(text, ' '), t -> t NOT IN ($deny))) AS n_kept
+       |  FROM dedup
+       |  WHERE len(list_filter(string_split(text, ' '), t -> t NOT IN ($deny))) >= 20),
+       |samp AS (
+       |  SELECT * FROM qual
+       |  WHERE (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100
+       |        < CASE WHEN lang = 'en' THEN 60 ELSE 20 END),
+       |packed AS (
+       |  SELECT *, SUM(n_kept) OVER (PARTITION BY source ORDER BY doc_id) AS cum FROM samp)
+       |SELECT source, CAST(FLOOR((cum - n_kept) / $PackBudget) AS BIGINT) AS bin,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_kept) AS BIGINT) AS bin_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM packed GROUP BY 1, 2 ORDER BY source, bin""".stripMargin
+  }
+
   def queries: Map[String, Relational.Q] = Map(
     "q71_decontamination" -> (decontamination _),
+    "q87_curation_pipeline" -> (curationPipeline _),
     "q72_denylist_scrub" -> (denylistScrub _),
     "q73_repetition_signals" -> (repetitionSignals _),
     "q74_sequence_packing" -> (sequencePacking _),
@@ -208,6 +274,7 @@ object Curation {
 
   def oracles: Map[String, String] = Map(
     "q71_decontamination" -> decontaminationSql,
+    "q87_curation_pipeline" -> curationPipelineSql,
     "q72_denylist_scrub" -> denylistScrubSql,
     "q73_repetition_signals" -> repetitionSignalsSql,
     "q74_sequence_packing" -> sequencePackingSql,

@@ -67,6 +67,29 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("q87 pipeline: stage funnel is monotone and tokens reconcile") {
+    import spark.implicits._
+    val bins = Curation.curationPipeline(spark, Sf0001).collect()
+    assert(bins.nonEmpty)
+    // recompute the surviving doc set stage by stage, independently
+    val docs = Tables.documents(spark, Sf0001)
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select($"doc_id", $"source", $"lang", $"text").as[(Long, String, String, String)]
+      .collect()
+    val deduped = docs.groupBy(_._4).map { case (_, g) => g.minBy(_._1) }.toSeq
+    val survivors = deduped
+      .map { case (id, src, lang, text) =>
+        (id, src, lang, text.split(" ", -1).count(t => !Curation.Denylist.contains(t)).toLong)
+      }
+      .filter(_._4 >= 20)
+      .filter { case (id, _, lang, _) =>
+        ((id % 2147483648L) * 2654435761L) % 4294967296L % 100 <
+          (if (lang == "en") 60 else 20)
+      }
+    assert(bins.map(_.getAs[Long]("n_docs")).sum === survivors.size.toLong)
+    assert(bins.map(_.getAs[Long]("bin_tokens")).sum === survivors.map(_._4).sum)
+  }
+
   test("q74 packing: bins are contiguous per source and conserve every token") {
     val bins = Curation.sequencePacking(spark, Sf0001).collect()
     val total = bins.map(_.getAs[Long]("bin_tokens")).sum
