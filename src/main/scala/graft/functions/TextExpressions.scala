@@ -157,6 +157,50 @@ case class SimHashSig(child: Expression, bits: Int)
   * bytes `substr(text, i+1, k)` would copy, so the hash is identical
   * to `xxhash64(substr(...))` (pinned in StorageSpec, incl. the SQL
   * surface). */
+/** Per-document top-shingle statistics in one compiled pass (q73's hot
+  * path): struct(top_c = multiplicity of the most frequent w-token
+  * shingle, total = shingle count), or NULL when the text has fewer
+  * than `w` tokens (mirroring the explode formulation, which drops such
+  * docs). Shingles are counted BY 64-BIT HASH of their byte span —
+  * equal to counting by string up to xxhash64 collision, the same
+  * contract as [[SimHashSig]]'s distinct-by-hash (pinned against the
+  * explode/groupBy formulation in CurationSpec). Replaces an
+  * interpreted per-gram lambda plus two shuffles (per-(doc,gram) and
+  * per-doc aggregates) with a sort + run-length scan per row. */
+case class TopShingleStats(child: Expression, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(w >= 1, s"shingle width must be >= 1, got $w")
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("top_c", LongType, nullable = false),
+    StructField("total", LongType, nullable = false)))
+  // returns null for NON-NULL inputs with < w tokens — must not inherit
+  // child.nullable (same contract as LshBands)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_top_shingle_stats"
+
+  override def nullSafeEval(s: Any): Any =
+    RollingHashKernel.topShingleStats(s.asInstanceOf[UTF8String], w)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = true;
+      org.apache.spark.sql.catalyst.InternalRow ${ev.value} = null;
+      if (!${childGen.isNull}) {
+        ${ev.value} = graft.functions.RollingHashKernel.topShingleStats(
+          ${childGen.value}, $w);
+        ${ev.isNull} = ${ev.value} == null;
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object RollingHashKernel {
   private val Offset = Platform.BYTE_ARRAY_OFFSET
   /** Spark's xxhash64() default seed — every hash here must use it so
@@ -275,6 +319,28 @@ object RollingHashKernel {
       b += 1
     }
     sig
+  }
+
+  def topShingleStats(t: UTF8String, w: Int): GenericInternalRow = {
+    val bytes = t.getBytes
+    val starts = tokenStarts(bytes)
+    val nTok = starts.length - 1
+    if (nTok < w) return null
+    val n = nTok - w + 1
+    val hashes = new Array[Long](n)
+    var i = 0
+    while (i < n) { hashes(i) = shingleHash(bytes, starts, i, w); i += 1 }
+    java.util.Arrays.sort(hashes)
+    // longest equal-run = multiplicity of the most frequent shingle
+    var top = 1L
+    var run = 1L
+    var j = 1
+    while (j < n) {
+      if (hashes(j) == hashes(j - 1)) { run += 1; if (run > top) top = run }
+      else run = 1
+      j += 1
+    }
+    new GenericInternalRow(Array[Any](top, n.toLong))
   }
 
   def shingleHashSet(t: UTF8String, w: Int): ArrayData = {

@@ -69,6 +69,13 @@ object TextFunctions {
     org.apache.spark.sql.GraftSqlShim.column(
       SimHashSig(org.apache.spark.sql.GraftSqlShim.expression(text), bits))
 
+  /** struct(top_c, total) of the document's w-token shingles in one
+    * compiled pass ([[graft.functions.TopShingleStats]]); NULL when the
+    * text has fewer than `w` tokens. */
+  def topShingleStats(text: Column, w: Int): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      TopShingleStats(org.apache.spark.sql.GraftSqlShim.expression(text), w))
+
   /** MinHash signature over the distinct word shingles: for each of
     * `perms` permutations, min over shingles of xxhash64(perm, shingle).
     * Deterministic (seeded by the permutation index). */

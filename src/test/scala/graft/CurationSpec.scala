@@ -67,6 +67,26 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("TopShingleStats kernel equals the explode/groupBy formulation") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.{topShingleStats, wordShingles}
+    // corpus + adversarial shapes: empty, one token, all-same bigrams,
+    // tie between two bigrams, trailing space (empty trailing token)
+    val edge = Seq("", "one", "a b a b a b", "x y x y z w z w", "pad trail ")
+      .toDF("text")
+    val d = Tables.documents(spark, Sf0001).select("text").unionByName(edge)
+      .withColumn("id", monotonically_increasing_id())
+    val viaKernel = d.select($"id", topShingleStats($"text", 2).as("tb"))
+      .filter($"tb".isNotNull)
+      .select($"id", $"tb.top_c".as("top_c"), $"tb.total".as("total"))
+    val viaExplode = d
+      .select($"id", explode(wordShingles($"text", 2)).as("gram"))
+      .groupBy($"id", $"gram").agg(count(lit(1)).as("c"))
+      .groupBy($"id").agg(max($"c").as("top_c"), sum($"c").as("total"))
+    assert(viaKernel.exceptAll(viaExplode).count() === 0)
+    assert(viaExplode.exceptAll(viaKernel).count() === 0)
+  }
+
   test("q87 pipeline: stage funnel is monotone and tokens reconcile") {
     import spark.implicits._
     val bins = Curation.curationPipeline(spark, Sf0001).collect()
