@@ -157,6 +157,36 @@ case class SimHashSig(child: Expression, bits: Int)
   * bytes `substr(text, i+1, k)` would copy, so the hash is identical
   * to `xxhash64(substr(...))` (pinned in StorageSpec, incl. the SQL
   * surface). */
+/** The w-token shingle STRINGS of a document in one compiled pass —
+  * the materialized-gram twin of [[ShingleHashSet]] for consumers that
+  * need engine-portable gram identities (q71 joins md5(gram) against
+  * an eval set, so the gram text itself must exist). Each shingle is a
+  * byte-span slice of the source (tokens joined by the single spaces
+  * that already separate them), so values are bit-identical to
+  * `transform(sequence(...), i -> concat_ws(" ", slice(tokens, i, w)))`
+  * — pinned in CurationSpec — without the interpreted per-gram lambda
+  * and the two array allocations per shingle. Empty array when fewer
+  * than `w` tokens (explode then drops the doc, matching the HOF
+  * form); NULL only for NULL input. */
+case class WordShingleStrings(child: Expression, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(w >= 1, s"shingle width must be >= 1, got $w")
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_shingles"
+
+  override def nullSafeEval(s: Any): Any =
+    RollingHashKernel.shingleStrings(s.asInstanceOf[UTF8String], w)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.RollingHashKernel.shingleStrings($t, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Per-document top-shingle statistics in one compiled pass (q73's hot
   * path): struct(top_c = multiplicity of the most frequent w-token
   * shingle, total = shingle count), or NULL when the text has fewer
@@ -319,6 +349,22 @@ object RollingHashKernel {
       b += 1
     }
     sig
+  }
+
+  def shingleStrings(t: UTF8String, w: Int): ArrayData = {
+    val bytes = t.getBytes
+    val starts = tokenStarts(bytes)
+    val nTok = starts.length - 1
+    if (nTok < w) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](nTok - w + 1)
+    var i = 0
+    while (i <= nTok - w) {
+      val from = starts(i)
+      val until = starts(i + w) - 1 // strip the trailing separator
+      out(i) = UTF8String.fromBytes(bytes, from, until - from)
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   def topShingleStats(t: UTF8String, w: Int): GenericInternalRow = {

@@ -29,14 +29,14 @@ object TextFunctions {
     size(distinctTokens(text)).cast("double") / size(tokens(text)).cast("double")
 
   /** Word w-shingles as space-joined strings — the unit for MinHash /
-    * Jaccard near-dup detection. Empty array when fewer than w tokens. */
-  def wordShingles(text: Column, w: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) < w, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(0), size(toks) - w),
-        i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
-  }
+    * Jaccard near-dup detection. Empty array when fewer than w tokens.
+    * One compiled byte-span pass per row
+    * ([[graft.functions.WordShingleStrings]]); bit-equal to the HOF
+    * formulation it replaced (transform + concat_ws per gram,
+    * interpreted — pinned in CurationSpec). */
+  def wordShingles(text: Column, w: Int): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      WordShingleStrings(org.apache.spark.sql.GraftSqlShim.expression(text), w))
 
   /** Content-defined document fingerprint (deterministic, engine-portable
     * via md5). */

@@ -67,6 +67,26 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("wordShingles kernel is bit-equal to the HOF formulation") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.{tokens, wordShingles}
+    val edge = Seq("", "one", "a b", "a  b", "trailing ", " leading",
+      "héllo wörld ütf8 déjà vu", "a b c d e f g h i")
+      .toDF("text")
+    val d = Tables.documents(spark, Sf0001).select("text").unionByName(edge)
+      .filter(col("text").isNotNull)
+    for (w <- Seq(2, 3, 8)) {
+      val toks = tokens(col("text"))
+      val hof = when(size(toks) < w, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), size(toks) - w),
+          i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
+      val bad = d.select(wordShingles(col("text"), w).as("k"), hof.as("h"))
+        .filter(!(col("k") <=> col("h"))).count()
+      assert(bad === 0, s"w=$w")
+    }
+  }
+
   test("TopShingleStats kernel equals the explode/groupBy formulation") {
     import spark.implicits._
     import graft.functions.TextFunctions.{topShingleStats, wordShingles}
