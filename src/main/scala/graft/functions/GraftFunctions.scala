@@ -30,7 +30,23 @@ object GraftFunctions {
           s"graft_rolling_minhash gram size must be an INT literal, got ${other.sql}")
       }
     }),
+    "graft_word_shingles" -> (es =>
+      WordShingleStrings(es(0), intLit(es, 1, "graft_word_shingles", 2))),
+    "graft_top_shingle_stats" -> (es =>
+      TopShingleStats(es(0), intLit(es, 1, "graft_top_shingle_stats", 2))),
   )
+
+  /** Shared (text, INT literal) arg validation for width-taking kernels. */
+  private def intLit(es: Seq[Expression], i: Int, fn: String, arity: Int): Int = {
+    if (es.length != arity)
+      throw new IllegalArgumentException(
+        s"$fn expects $arity arguments, got ${es.length}")
+    es(i) match {
+      case Literal(w: Int, IntegerType) => w
+      case other => throw new IllegalArgumentException(
+        s"$fn width must be an INT literal, got ${other.sql}")
+    }
+  }
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -87,6 +87,22 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("kernel SQL surface: graft_word_shingles / graft_top_shingle_stats") {
+    Tables.documents(spark, Sf0001).filter(col("text").isNotNull)
+      .createOrReplaceTempView("docs_curation_sql")
+    val bad = spark.sql(
+      """SELECT count(*) AS bad FROM docs_curation_sql
+        |WHERE ((graft_top_shingle_stats(text, 2) IS NULL) !=
+        |       (cardinality(graft_word_shingles(text, 2)) = 0))
+        |   OR (graft_top_shingle_stats(text, 2) IS NOT NULL AND (
+        |        graft_top_shingle_stats(text, 2).total IS DISTINCT FROM
+        |          cardinality(graft_word_shingles(text, 2))
+        |     OR graft_top_shingle_stats(text, 2).top_c >
+        |          graft_top_shingle_stats(text, 2).total))""".stripMargin)
+      .head().getLong(0)
+    assert(bad === 0)
+  }
+
   test("TopShingleStats kernel equals the explode/groupBy formulation") {
     import spark.implicits._
     import graft.functions.TextFunctions.{topShingleStats, wordShingles}
