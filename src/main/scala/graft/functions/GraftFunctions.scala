@@ -19,24 +19,23 @@ object GraftFunctions {
     "graft_dot" -> (es => DotProduct(es(0), es(1))),
     "graft_l2norm" -> (es => L2Norm(es.head)),
     "graft_rolling_minhash" -> (es => {
-      // proper analysis errors beat raw CCE/Unevaluable from a blind
-      // eval(): require exactly (text, INT literal)
-      if (es.length != 2)
-        throw new IllegalArgumentException(
-          s"graft_rolling_minhash(text, k) expects 2 arguments, got ${es.length}")
-      es(1) match {
-        case Literal(k: Int, IntegerType) => RollingMinHash(es(0), k)
-        case other => throw new IllegalArgumentException(
-          s"graft_rolling_minhash gram size must be an INT literal, got ${other.sql}")
-      }
+      val k = intLit(es, 1, "graft_rolling_minhash", 2)
+      RollingMinHash(es(0), k)
     }),
-    "graft_word_shingles" -> (es =>
-      WordShingleStrings(es(0), intLit(es, 1, "graft_word_shingles", 2))),
-    "graft_top_shingle_stats" -> (es =>
-      TopShingleStats(es(0), intLit(es, 1, "graft_top_shingle_stats", 2))),
+    "graft_word_shingles" -> (es => {
+      val w = intLit(es, 1, "graft_word_shingles", 2)
+      WordShingleStrings(es(0), w)
+    }),
+    "graft_top_shingle_stats" -> (es => {
+      val w = intLit(es, 1, "graft_top_shingle_stats", 2)
+      TopShingleStats(es(0), w)
+    }),
   )
 
-  /** Shared (text, INT literal) arg validation for width-taking kernels. */
+  /** Shared (text, INT literal) arg validation for width-taking
+    * kernels — proper analysis errors beat raw CCE/IndexOutOfBounds
+    * from blind indexing. Called BEFORE es(0) is touched so a
+    * zero-argument call gets the arity message, not an index error. */
   private def intLit(es: Seq[Expression], i: Int, fn: String, arity: Int): Int = {
     if (es.length != arity)
       throw new IllegalArgumentException(

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -131,7 +131,12 @@ object Curation {
     * TWO extra shuffles — per-(doc,gram) and per-doc aggregates
     * (median-of-5 at sf0.1: 1.95 s → 0.40 s); kernel/explode equality is pinned
     * in CurationSpec, counting by 64-bit span hash ≡ by string up to
-    * xxhash64 collision (the SimHashSig contract). */
+    * xxhash64 collision (the SimHashSig contract).
+    *
+    * Input contract: doc_id is unique (the table's primary key). The
+    * replaced explode/groupBy formulation would MERGE two rows sharing
+    * a doc_id into one per-doc count, as the DuckDB oracle still does;
+    * the kernel treats each row as its own document. */
   def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     d.select(col("source"),
@@ -164,6 +169,38 @@ object Curation {
     * length documents are concatenated into). */
   val PackBudget = 512
 
+  /** The deterministic [0,100) sampling bucket of a stable integer key
+    * (q62's multiplicative hash — see stratifiedSample's scaladoc for
+    * the overflow-proof reduction). ONE definition shared by every
+    * sampling consumer (q62, q87): ADVICE.md round 2 flagged this
+    * exact expression for an overflow remedy, and a fix must land in
+    * one place, not drift across copies. [[sampleBucketSql]] is its
+    * oracle-side twin. */
+  private[graft] def sampleBucket(id: Column): Column =
+    ((id % lit(2147483648L)) * lit(2654435761L)) % lit(4294967296L) % 100
+
+  private[graft] def sampleBucketSql(idCol: String): String =
+    s"((($idCol % 2147483648) * 2654435761) % 4294967296) % 100"
+
+  /** Shared packing tail for q74/q87: per-source running sum of
+    * `tokCol` into PackBudget bins, aggregated per (source, bin).
+    * Input must carry doc_id, source, and `tokCol`. */
+  private[graft] def packBins(df: DataFrame, tokCol: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    df.withColumn("cum", sum(col(tokCol)).over(w))
+      // floor, not a bare cast: Spark's double->bigint cast truncates
+      // while DuckDB's rounds half-even; floor is identical in both
+      // (all values non-negative, exact under 2^53)
+      .withColumn("bin", floor((col("cum") - col(tokCol)) / PackBudget).cast("bigint"))
+      .groupBy(col("source"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(tokCol)).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("bin"))
+  }
+
   /** Q74: sequence packing — assign documents to fixed-budget
     * training bins by cumulative token count in stable (source,
     * doc_id) order: concatenate-and-split at the budget boundary,
@@ -181,20 +218,9 @@ object Curation {
     * drop-in replacement. Integer math throughout. */
   def sequencePacking(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-    d.select(col("doc_id"), col("source"), tokenCount(col("text")).as("n_tokens"))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
-      // floor, not a bare cast: Spark's double->bigint cast truncates
-      // while DuckDB's rounds half-even; floor is identical in both
-      // (all values non-negative, exact under 2^53)
-      .withColumn("bin", floor((col("cum") - col("n_tokens")) / PackBudget).cast("bigint"))
-      .groupBy(col("source"), col("bin"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("bin_tokens"),
-        min(col("doc_id")).as("first_doc"),
-        max(col("doc_id")).as("last_doc"))
-      .orderBy(col("source"), col("bin"))
+    packBins(
+      d.select(col("doc_id"), col("source"), tokenCount(col("text")).as("n_tokens")),
+      "n_tokens")
   }
 
   val sequencePackingSql: String =
@@ -209,40 +235,39 @@ object Curation {
   /** Q87: the END-TO-END curation pipeline as ONE Catalyst plan —
     * exact dedup (keep-first per content hash) → denylist scrub →
     * quality gate (≥ 20 surviving tokens) → deterministic stratified
-    * sample (q62's multiplicative-hash rule) → sequence packing
-    * (q74's concatenate-and-split). The point is composition: each
-    * stage is the operator family's own logic, fused by Catalyst into
-    * three shuffles total (content-hash window, per-source pack
-    * window, final agg) with every narrow stage pipelined between
-    * them — no materialization barriers, which is how the stages
-    * would actually be deployed over 100 TB rather than as five jobs
-    * with five intermediate tables. Null-text docs exit at the top
-    * (they can't train; the hash window would also conflate them into
-    * one fake dup group). */
+    * sample ([[sampleBucket]], q62's rule) → sequence packing
+    * ([[packBins]], q74's concatenate-and-split). The point is
+    * composition: each stage is the operator family's own logic,
+    * fused by Catalyst into three shuffles before the output sort
+    * (content-hash window, per-source pack window, final agg) with
+    * every narrow stage pipelined between them — no materialization
+    * barriers, which is how the stages would actually be deployed
+    * over 100 TB rather than as five jobs with five intermediate
+    * tables.
+    *
+    * The text payload is REDUCED BEFORE THE FIRST EXCHANGE: the scan
+    * projects (doc_id, source, lang, md5, n_kept) and drops the text,
+    * so the dedup window shuffles fixed-width columns, never document
+    * bodies (rows in a dup group share identical text, so computing
+    * n_kept pre-dedup gives the same value — and the file-header
+    * invariant that nothing here shuffles corpus payload holds).
+    * Null-text docs exit at the top (they can't train; the hash
+    * window would also conflate them into one fake dup group). */
   def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir).filter(col("text").isNotNull)
-    val dedupW = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-    val deduped = d
+    val kept = filter(tokens(col("text")), t => !t.isInCollection(Denylist))
+    val slim = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("lang"),
+        md5(col("text")).as("h"),
+        size(kept).cast("bigint").as("n_kept"))
+    val dedupW = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    val survivors = slim
       .withColumn("rn", row_number().over(dedupW))
       .filter(col("rn") === 1)
-    val kept = filter(tokens(col("text")), t => !t.isInCollection(Denylist))
-    val packW = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-    deduped
-      .select(col("doc_id"), col("source"), col("lang"),
-        size(kept).cast("bigint").as("n_kept"))
       .filter(col("n_kept") >= 20)
-      .filter(
-        ((col("doc_id") % lit(2147483648L)) * lit(2654435761L)) % lit(4294967296L) % 100
-          < when(col("lang") === "en", 60).otherwise(20))
-      .withColumn("cum", sum(col("n_kept")).over(packW))
-      .withColumn("bin", floor((col("cum") - col("n_kept")) / PackBudget).cast("bigint"))
-      .groupBy(col("source"), col("bin"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_kept")).as("bin_tokens"),
-        min(col("doc_id")).as("first_doc"),
-        max(col("doc_id")).as("last_doc"))
-      .orderBy(col("source"), col("bin"))
+      .filter(sampleBucket(col("doc_id"))
+        < when(col("lang") === "en", 60).otherwise(20))
+    packBins(survivors, "n_kept")
   }
 
   val curationPipelineSql: String = {
@@ -260,7 +285,7 @@ object Curation {
        |  WHERE len(list_filter(string_split(text, ' '), t -> t NOT IN ($deny))) >= 20),
        |samp AS (
        |  SELECT * FROM qual
-       |  WHERE (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100
+       |  WHERE ${sampleBucketSql("doc_id")}
        |        < CASE WHEN lang = 'en' THEN 60 ELSE 20 END),
        |packed AS (
        |  SELECT *, SUM(n_kept) OVER (PARTITION BY source ORDER BY doc_id) AS cum FROM samp)

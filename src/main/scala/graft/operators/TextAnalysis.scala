@@ -229,8 +229,9 @@ object TextAnalysis {
     * sign-of-dividend remainder should a key ever be negative. */
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val bucket =
-      ((col("doc_id") % lit(2147483648L)) * lit(2654435761L)) % lit(4294967296L) % 100
+    // single shared definition with q87's sampling stage — see
+    // Curation.sampleBucket (a fix there must not drift across copies)
+    val bucket = Curation.sampleBucket(col("doc_id"))
     val rate = when(col("lang") === "en", 50).otherwise(10)
     d.filter(bucket < rate)
       .groupBy(col("lang"))
@@ -243,11 +244,11 @@ object TextAnalysis {
   }
 
   val stratifiedSampleSql: String =
-    """SELECT lang, COUNT(*) AS n_sampled,
+    s"""SELECT lang, COUNT(*) AS n_sampled,
       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
       |  CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
       |FROM documents
-      |WHERE (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100
+      |WHERE ${Curation.sampleBucketSql("doc_id")}
       |      < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
       |GROUP BY lang ORDER BY lang""".stripMargin
 
