@@ -437,8 +437,56 @@ object Storage {
       |FROM orders GROUP BY 1, 2
       |ORDER BY order_year ASC NULLS FIRST, o_orderstatus""".stripMargin
 
+  /** Q88: CSV source/sink round-trip — the interchange format every
+    * warehouse ingest still meets. Documents export as headered CSV
+    * and read back under an EXPLICIT schema (header-based inference
+    * at 100 TB means one extra full scan and a silently-wrong dtype
+    * the first time a column goes all-null in a shard); the readback
+    * aggregate is oracled by DuckDB reading THE SAME CSV FILES, so
+    * the check covers Spark's writer + reader against an independent
+    * CSV parser, not just the aggregate. Export path carries the sf
+    * basename (q69's pattern) so Verify and Bench can't clobber each
+    * other; the oracle text pins sf0.01.
+    *
+    * Known CSV lossiness (both engines see it identically, the
+    * round-trip makes it visible): empty string and NULL collapse on
+    * write — count(text) after the trip undercounts docs whose text
+    * was the empty string. */
+  def csvExportPath(dir: String): String =
+    s"/tmp/graft_q88_csv_${dir.stripSuffix("/").split('/').last}"
+
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = csvExportPath(dir)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"), col("n_chars"))
+      .write.option("header", true).mode("overwrite").csv(out)
+    spark.read
+      .schema("doc_id BIGINT, lang STRING, source STRING, text STRING, n_chars BIGINT")
+      .option("header", true)
+      .csv(out)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(col("text")).as("docs_with_text"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(length(col("text"))).as("total_text_len"))
+      .orderBy(col("lang"))
+  }
+
+  val csvRoundtripSql: String = {
+    val out = csvExportPath("sf0.01")
+    s"""SELECT lang, COUNT(*) AS n_docs,
+       |  COUNT(text) AS docs_with_text,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(SUM(length(text)) AS BIGINT) AS total_text_len
+       |FROM read_csv('$out/*.csv', header=true,
+       |  columns={'doc_id':'BIGINT','lang':'VARCHAR','source':'VARCHAR','text':'VARCHAR','n_chars':'BIGINT'})
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   def queries: Map[String, Relational.Q] = Map(
     "q47_partitioned_prune" -> (partitionedPrune _),
+    "q88_csv_roundtrip" -> (csvRoundtrip _),
     "q48_sql_surface" -> (sqlSurface _),
     "q56_bucketed_join" -> (bucketedJoin _),
     "q68_compaction" -> (compaction _),
@@ -459,5 +507,6 @@ object Storage {
     "q76_subqueries" -> subqueriesSql,
     "q84_zorder_compaction" -> zorderCompactionSql,
     "q85_incremental_agg" -> incrementalAggSql,
+    "q88_csv_roundtrip" -> csvRoundtripSql,
   )
 }

@@ -209,6 +209,14 @@ class StorageSpec extends SparkSuite {
     assert(m.exceptAll(direct.select("order_year", "o_orderstatus", "n_orders")).count() === 0)
   }
 
+  test("q88 csv round-trip conserves rows and characters") {
+    val agg = Storage.csvRoundtrip(spark, Sf0001).collect()
+    val d = Tables.documents(spark, Sf0001)
+    assert(agg.map(_.getAs[Long]("n_docs")).sum === d.count())
+    val trueChars = d.agg(sum(col("n_chars"))).head().getLong(0)
+    assert(agg.map(_.getAs[Long]("total_chars")).sum === trueChars)
+  }
+
   test("q76 subqueries decorrelate: no nested-loop join in the plan") {
     val df = Storage.subqueries(spark, Sf0001)
     assert(df.count() > 0)
