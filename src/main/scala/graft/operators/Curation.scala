@@ -296,8 +296,53 @@ object Curation {
        |FROM packed GROUP BY 1, 2 ORDER BY source, bin""".stripMargin
   }
 
+  /** Q89: token-rarity quality score — the unigram language-model
+    * proxy corpus cleaning uses (documents whose tokens are rare in
+    * the corpus score high; gibberish and boilerplate sit at the
+    * extremes). Per token, rarity = N/tf as an EXACT rational decimal
+    * (corpus size over the token's corpus frequency) instead of
+    * -log p: monotone-equivalent for ranking/thresholds with zero
+    * libm exposure, the same trick as q66's linear idf. Per doc, the
+    * score is the mean token rarity.
+    *
+    * Scale shape: tf is vocabulary-bounded → broadcast; the doc
+    * filter prunes the probe side BEFORE the join; corpus size N
+    * rides a broadcast 1-row aggregate. One corpus-wide hash agg (tf)
+    * + one per-doc agg — no payload shuffles. */
+  def tokenRarity(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val toks = d.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val n = toks.agg(count(lit(1)).as("n_tok"))
+    toks.filter(col("doc_id") < 20)
+      .join(broadcast(tf), Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("rarity",
+        (col("n_tok").cast(org.apache.spark.sql.types.DecimalType(18, 0)) / col("tf"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        dec6(sum(col("rarity")) / count(lit(1))).as("avg_rarity"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tokenRaritySql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (SELECT token, COUNT(*) AS tf FROM toks GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_tok FROM toks),
+      |per_tok AS (
+      |  SELECT t.doc_id,
+      |    CAST(ROUND(CAST(n.n_tok AS DECIMAL(18,0)) / tf.tf, 6) AS DECIMAL(38,6)) AS rarity
+      |  FROM toks t JOIN tf USING (token) CROSS JOIN n
+      |  WHERE t.doc_id < 20)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  CAST(CAST(ROUND(SUM(rarity) / COUNT(*), 6) AS DECIMAL(38,6)) AS DOUBLE) AS avg_rarity
+      |FROM per_tok GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q71_decontamination" -> (decontamination _),
+    "q89_token_rarity" -> (tokenRarity _),
     "q87_curation_pipeline" -> (curationPipeline _),
     "q72_denylist_scrub" -> (denylistScrub _),
     "q73_repetition_signals" -> (repetitionSignals _),
@@ -307,6 +352,7 @@ object Curation {
   def oracles: Map[String, String] = Map(
     "q71_decontamination" -> decontaminationSql,
     "q87_curation_pipeline" -> curationPipelineSql,
+    "q89_token_rarity" -> tokenRaritySql,
     "q72_denylist_scrub" -> denylistScrubSql,
     "q73_repetition_signals" -> repetitionSignalsSql,
     "q74_sequence_packing" -> sequencePackingSql,

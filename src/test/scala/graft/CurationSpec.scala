@@ -146,6 +146,20 @@ class CurationSpec extends SparkSuite {
     assert(bins.map(_.getAs[Long]("bin_tokens")).sum === survivors.map(_._4).sum)
   }
 
+  test("q89 rarity: bounded below by 1 and token counts reconcile") {
+    import spark.implicits._
+    val res = Curation.tokenRarity(spark, Sf0001).collect()
+    assert(res.nonEmpty)
+    // rarity = N/tf >= 1 for every token, so the mean is >= 1
+    res.foreach(r => assert(r.getAs[Double]("avg_rarity") >= 1.0, r))
+    val direct = Tables.documents(spark, Sf0001)
+      .filter($"doc_id" < 20)
+      .select($"doc_id", size(split($"text", " ")).cast("bigint").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    res.foreach(r =>
+      assert(r.getAs[Long]("n_tokens") === direct(r.getAs[Long]("doc_id")), r))
+  }
+
   test("q74 packing: bins are contiguous per source and conserve every token") {
     val bins = Curation.sequencePacking(spark, Sf0001).collect()
     val total = bins.map(_.getAs[Long]("bin_tokens")).sum
