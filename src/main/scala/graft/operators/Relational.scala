@@ -296,8 +296,46 @@ object Relational {
       |SELECT l_partkey, l_suppkey FROM lineitem WHERE l_returnflag='A'
       |ORDER BY l_partkey, l_suppkey""".stripMargin
 
+  /** Q91: distribution windows — ntile quartile assignment (the
+    * missing member of the window family next to rank/lag/frames),
+    * rolled up per (flag, quartile). The window ORDER BY is made
+    * total with (orderkey, linenumber) tie-breaks: ntile on a
+    * non-total order is nondeterministic under parallelism, the same
+    * discipline every window query here follows. One shuffle on the
+    * partition key; the per-quartile rollup reuses it. */
+  def ntileQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p = money(col("l_extendedprice"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag"))
+      .orderBy(p, col("l_orderkey"), col("l_linenumber"))
+    li.select(col("l_returnflag"), p.as("p"),
+        ntile(4).over(w).cast("bigint").as("quartile"))
+      .groupBy(col("l_returnflag"), col("quartile"))
+      .agg(
+        count(lit(1)).as("n"),
+        dec2(sum(col("p"))).as("sum_price"),
+        min(col("p")).cast("double").as("min_price"),
+        max(col("p")).cast("double").as("max_price"))
+      .orderBy(col("l_returnflag"), col("quartile"))
+  }
+
+  val ntileQuartilesSql: String =
+    """WITH q AS (
+      |  SELECT l_returnflag,
+      |    CAST(NTILE(4) OVER (PARTITION BY l_returnflag
+      |      ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)), l_orderkey, l_linenumber) AS BIGINT) AS quartile,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) AS p
+      |  FROM lineitem)
+      |SELECT l_returnflag, quartile, COUNT(*) AS n,
+      |  CAST(CAST(SUM(p) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price,
+      |  CAST(MIN(p) AS DOUBLE) AS min_price,
+      |  CAST(MAX(p) AS DOUBLE) AS max_price
+      |FROM q GROUP BY 1, 2 ORDER BY l_returnflag, quartile""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> (pricingSummary _),
+    "q91_ntile_quartiles" -> (ntileQuartiles _),
     "q2_standings" -> (standings _),
     "q3_region_rollup" -> (regionRollup _),
     "q4_semi_join" -> (semiJoin _),
@@ -313,6 +351,7 @@ object Relational {
 
   def oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> pricingSummarySql,
+    "q91_ntile_quartiles" -> ntileQuartilesSql,
     "q2_standings" -> standingsSql,
     "q3_region_rollup" -> regionRollupSql,
     "q4_semi_join" -> semiJoinSql,

@@ -484,9 +484,50 @@ object Storage {
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** Q90: JSON-lines sink/source round-trip — q88's twin for the
+    * other interchange format (the reference emits JSON at ingest,
+    * `main.yml`; this closes the write side). Export is Spark's
+    * newline-delimited JSON writer; readback uses an explicit schema
+    * (same inference argument as q88); the oracle reads THE SAME
+    * files through DuckDB's independent JSON parser. Null fields are
+    * OMITTED by Spark's writer and resurface as NULL in both readers
+    * — unlike CSV, the empty string survives a JSON trip, so
+    * count(text) here is lossless. */
+  def jsonExportPath(dir: String): String =
+    s"/tmp/graft_q90_json_${dir.stripSuffix("/").split('/').last}"
+
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = jsonExportPath(dir)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"), col("n_chars"))
+      .write.mode("overwrite").json(out)
+    spark.read
+      .schema("doc_id BIGINT, lang STRING, source STRING, text STRING, n_chars BIGINT")
+      .json(out)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(col("text")).as("docs_with_text"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(length(col("text"))).as("total_text_len"))
+      .orderBy(col("lang"))
+  }
+
+  val jsonRoundtripSql: String = {
+    val out = jsonExportPath("sf0.01")
+    s"""SELECT lang, COUNT(*) AS n_docs,
+       |  COUNT(text) AS docs_with_text,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(SUM(length(text)) AS BIGINT) AS total_text_len
+       |FROM read_json('$out/*.json', format='newline_delimited',
+       |  columns={'doc_id':'BIGINT','lang':'VARCHAR','source':'VARCHAR','text':'VARCHAR','n_chars':'BIGINT'})
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   def queries: Map[String, Relational.Q] = Map(
     "q47_partitioned_prune" -> (partitionedPrune _),
     "q88_csv_roundtrip" -> (csvRoundtrip _),
+    "q90_json_roundtrip" -> (jsonRoundtrip _),
     "q48_sql_surface" -> (sqlSurface _),
     "q56_bucketed_join" -> (bucketedJoin _),
     "q68_compaction" -> (compaction _),
@@ -508,5 +549,6 @@ object Storage {
     "q84_zorder_compaction" -> zorderCompactionSql,
     "q85_incremental_agg" -> incrementalAggSql,
     "q88_csv_roundtrip" -> csvRoundtripSql,
+    "q90_json_roundtrip" -> jsonRoundtripSql,
   )
 }

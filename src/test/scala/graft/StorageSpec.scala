@@ -217,6 +217,30 @@ class StorageSpec extends SparkSuite {
     assert(agg.map(_.getAs[Long]("total_chars")).sum === trueChars)
   }
 
+  test("q90 json round-trip conserves rows and characters") {
+    val agg = Storage.jsonRoundtrip(spark, Sf0001).collect()
+    val d = Tables.documents(spark, Sf0001)
+    assert(agg.map(_.getAs[Long]("n_docs")).sum === d.count())
+    assert(agg.map(_.getAs[Long]("docs_with_text")).sum ===
+      d.filter(col("text").isNotNull).count())
+  }
+
+  test("q91 ntile: quartiles within a flag differ by at most one row") {
+    val q = graft.operators.Relational.ntileQuartiles(spark, Sf0001).collect()
+    q.groupBy(_.getAs[String]("l_returnflag")).foreach { case (flag, rows) =>
+      assert(rows.map(_.getAs[Long]("quartile")).sorted.toSeq === Seq(1L, 2L, 3L, 4L), flag)
+      val ns = rows.map(_.getAs[Long]("n"))
+      assert(ns.max - ns.min <= 1, s"$flag: ${ns.toSeq}")
+      // quartile boundaries are ordered: max of k <= min of k+1
+      val sorted = rows.sortBy(_.getAs[Long]("quartile"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("max_price") <= b.getAs[Double]("min_price"), flag)
+        case _ =>
+      }
+    }
+  }
+
   test("q76 subqueries decorrelate: no nested-loop join in the plan") {
     val df = Storage.subqueries(spark, Sf0001)
     assert(df.count() > 0)
