@@ -437,62 +437,78 @@ object Storage {
       |FROM orders GROUP BY 1, 2
       |ORDER BY order_year ASC NULLS FIRST, o_orderstatus""".stripMargin
 
-  /** Q88: CSV source/sink round-trip — the interchange format every
-    * warehouse ingest still meets. Documents export as headered CSV
-    * and read back under an EXPLICIT schema (header-based inference
-    * at 100 TB means one extra full scan and a silently-wrong dtype
-    * the first time a column goes all-null in a shard); the readback
-    * aggregate is oracled by DuckDB reading THE SAME CSV FILES, so
-    * the check covers Spark's writer + reader against an independent
-    * CSV parser, not just the aggregate. Export path carries the sf
+  /** Shared machinery for the interchange round-trips (q88 CSV, q90
+    * JSONL): one export projection, one explicit readback schema, one
+    * readback aggregate, one oracle template — a format fix lands in
+    * one place, not four (the sampling/packing-helper lesson).
+    * Explicit schema on readback: header/inference at 100 TB means an
+    * extra full scan and a silently-wrong dtype the first time a
+    * column goes all-null in a shard. Export paths carry the sf
     * basename (q69's pattern) so Verify and Bench can't clobber each
-    * other; the oracle text pins sf0.01.
-    *
-    * Known CSV lossiness (both engines see it identically, the
-    * round-trip makes it visible): empty string and NULL collapse on
-    * write — count(text) after the trip undercounts docs whose text
-    * was the empty string. */
-  def csvExportPath(dir: String): String =
-    s"/tmp/graft_q88_csv_${dir.stripSuffix("/").split('/').last}"
+    * other; the oracle texts pin sf0.01. */
+  private val docsRoundtripSchema =
+    "doc_id BIGINT, lang STRING, source STRING, text STRING, n_chars BIGINT"
 
-  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = csvExportPath(dir)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("source"), col("text"), col("n_chars"))
-      .write.option("header", true).mode("overwrite").csv(out)
-    spark.read
-      .schema("doc_id BIGINT, lang STRING, source STRING, text STRING, n_chars BIGINT")
-      .option("header", true)
-      .csv(out)
-      .groupBy(col("lang"))
+  private def docsRoundtripAgg(read: DataFrame): DataFrame =
+    read.groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
         count(col("text")).as("docs_with_text"),
         sum(col("n_chars")).as("total_chars"),
         sum(length(col("text"))).as("total_text_len"))
       .orderBy(col("lang"))
-  }
 
-  val csvRoundtripSql: String = {
-    val out = csvExportPath("sf0.01")
+  private def docsRoundtripSql(sourceExpr: String): String =
     s"""SELECT lang, COUNT(*) AS n_docs,
        |  COUNT(text) AS docs_with_text,
        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        |  CAST(SUM(length(text)) AS BIGINT) AS total_text_len
-       |FROM read_csv('$out/*.csv', header=true,
-       |  columns={'doc_id':'BIGINT','lang':'VARCHAR','source':'VARCHAR','text':'VARCHAR','n_chars':'BIGINT'})
+       |FROM $sourceExpr
        |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Q88: CSV source/sink round-trip — the interchange format every
+    * warehouse ingest still meets; the readback aggregate is oracled
+    * by DuckDB reading THE SAME CSV FILES, so the check covers
+    * Spark's writer + reader against an independent CSV parser, not
+    * just the aggregate.
+    *
+    * CSV cannot portably round-trip the empty-string/NULL
+    * distinction: Spark writes '' as a quoted `""` and reads it back
+    * as empty, while DuckDB's reader (allow_quoted_nulls default)
+    * turns `""` into NULL — so the operator NORMALIZES empty text to
+    * NULL before export and the collapse is explicit semantics
+    * applied identically for both readers, not a parser coin-flip.
+    * The readback sets multiLine: embedded newlines arrive quoted and
+    * a line-split read would shred them (DuckDB handles them
+    * natively). multiLine costs per-line file splitting — one more
+    * reason CSV is an EXCHANGE format here, never the at-rest one. */
+  def csvExportPath(dir: String): String =
+    s"/tmp/graft_q88_csv_${dir.stripSuffix("/").split('/').last}"
+
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = csvExportPath(dir)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        nullif(col("text"), lit("")).as("text"), col("n_chars"))
+      .write.option("header", true).mode("overwrite").csv(out)
+    docsRoundtripAgg(
+      spark.read
+        .schema(docsRoundtripSchema)
+        .option("header", true)
+        .option("multiLine", true)
+        .csv(out))
   }
+
+  val csvRoundtripSql: String = docsRoundtripSql(
+    s"""read_csv('${csvExportPath("sf0.01")}/*.csv', header=true,
+       |  columns={'doc_id':'BIGINT','lang':'VARCHAR','source':'VARCHAR','text':'VARCHAR','n_chars':'BIGINT'})""".stripMargin)
 
   /** Q90: JSON-lines sink/source round-trip — q88's twin for the
     * other interchange format (the reference emits JSON at ingest,
-    * `main.yml`; this closes the write side). Export is Spark's
-    * newline-delimited JSON writer; readback uses an explicit schema
-    * (same inference argument as q88); the oracle reads THE SAME
-    * files through DuckDB's independent JSON parser. Null fields are
-    * OMITTED by Spark's writer and resurface as NULL in both readers
-    * — unlike CSV, the empty string survives a JSON trip, so
-    * count(text) here is lossless. */
+    * `main.yml`; this closes the write side). Null fields are OMITTED
+    * by Spark's writer and resurface as NULL in both readers — and
+    * unlike CSV, JSON represents the empty string unambiguously, so
+    * no normalization is needed and count(text) is lossless. */
   def jsonExportPath(dir: String): String =
     s"/tmp/graft_q90_json_${dir.stripSuffix("/").split('/').last}"
 
@@ -501,28 +517,12 @@ object Storage {
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"), col("text"), col("n_chars"))
       .write.mode("overwrite").json(out)
-    spark.read
-      .schema("doc_id BIGINT, lang STRING, source STRING, text STRING, n_chars BIGINT")
-      .json(out)
-      .groupBy(col("lang"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        count(col("text")).as("docs_with_text"),
-        sum(col("n_chars")).as("total_chars"),
-        sum(length(col("text"))).as("total_text_len"))
-      .orderBy(col("lang"))
+    docsRoundtripAgg(spark.read.schema(docsRoundtripSchema).json(out))
   }
 
-  val jsonRoundtripSql: String = {
-    val out = jsonExportPath("sf0.01")
-    s"""SELECT lang, COUNT(*) AS n_docs,
-       |  COUNT(text) AS docs_with_text,
-       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-       |  CAST(SUM(length(text)) AS BIGINT) AS total_text_len
-       |FROM read_json('$out/*.json', format='newline_delimited',
-       |  columns={'doc_id':'BIGINT','lang':'VARCHAR','source':'VARCHAR','text':'VARCHAR','n_chars':'BIGINT'})
-       |GROUP BY lang ORDER BY lang""".stripMargin
-  }
+  val jsonRoundtripSql: String = docsRoundtripSql(
+    s"""read_json('${jsonExportPath("sf0.01")}/*.json', format='newline_delimited',
+       |  columns={'doc_id':'BIGINT','lang':'VARCHAR','source':'VARCHAR','text':'VARCHAR','n_chars':'BIGINT'})""".stripMargin)
 
   def queries: Map[String, Relational.Q] = Map(
     "q47_partitioned_prune" -> (partitionedPrune _),
