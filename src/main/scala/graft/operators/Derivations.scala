@@ -147,7 +147,13 @@ object Derivations {
       |  MIN(doc_id) AS first_doc, COUNT(*) AS n_docs
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
-  /** Q19: exact distinct counts ([EXT] per SURVEY §2.5 note). */
+  /** Q19: exact distinct counts ([EXT] per SURVEY §2.5 note).
+    * Three COUNT(DISTINCT) in one aggregate plan through Catalyst's
+    * Expand rewrite (4 rows per input row) — deliberately kept: at
+    * 100 TB one table read with in-memory row expansion beats the
+    * alternative of N separate scans + a join, because scan I/O
+    * dominates. The related trap (mixing a SKETCH into the same
+    * aggregate) is documented at q49. */
   def distinctCounts(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     li.groupBy(col("l_returnflag"))
