@@ -218,13 +218,17 @@ object Curation {
     * drop-in replacement. Integer math throughout. */
   def sequencePacking(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
+    // NULL text would yield a NULL bin, and Spark sorts NULLs first while
+    // DuckDB sorts them last — exclude untokenizable docs outright (a doc
+    // with no text has no tokens to pack); the oracle mirrors the filter.
     packBins(
-      d.select(col("doc_id"), col("source"), tokenCount(col("text")).as("n_tokens")),
+      d.filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"), tokenCount(col("text")).as("n_tokens")),
       "n_tokens")
   }
 
   val sequencePackingSql: String =
-    s"""WITH d AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM documents),
+    s"""WITH d AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM documents WHERE text IS NOT NULL),
        |c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum FROM d)
        |SELECT source, CAST(FLOOR((cum - n_tokens) / $PackBudget) AS BIGINT) AS bin,
        |  COUNT(*) AS n_docs,

@@ -273,11 +273,14 @@ object Events {
     * sequential dependency is expressed as equi-joins + hash aggregates
     * on user_id (high cardinality — even reducers at scale), never a
     * window over the full event stream. All time math on exact integer
-    * MICROSECONDS: the raw ns values carry sub-µs components that
-    * DuckDB's parquet reader floors away, so comparing at ns here vs µs
-    * there could flip a same-µs stage boundary — flooring BEFORE the
-    * min/compare (floor and min commute) makes both engines operate on
-    * identical integers. */
+    * MICROSECONDS: DuckDB's parquet reader floors TIMESTAMP(NANOS) to µs
+    * on read — an ENGINE property that holds regardless of the data.
+    * (Today's testdata happens to be µs-aligned with zero sub-µs rows,
+    * Tables.scala µs-alignment contract, so ns- and µs-granularity
+    * comparisons agree — but flooring BEFORE the min/compare, which
+    * commute, keeps both engines on identical integers even if a future
+    * corpus carries real sub-µs components.) q83's struct sort leans on
+    * the same contract. */
   def funnel(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"),
@@ -438,12 +441,17 @@ object Events {
     * event-type trail as one string, the per-entity sequence a
     * training pipeline feeds a behavioral model. `collect_list` alone
     * is NOT deterministic under parallelism (arrival order differs per
-    * shuffle); determinism comes from collecting (ts_ns, event_id,
+    * shuffle); determinism comes from collecting (ts_us, event_id,
     * type) structs and `array_sort`ing them post-agg — the struct
     * comparator orders by field position, and event_id breaks ts
-    * ties. One hash agg on user_id; per-group memory is bounded by a
-    * user's own activity (cap with `slice` after the sort if a
-    * pathological entity needs it). */
+    * ties. The sort key is ts FLOORED TO µs, not raw ns: DuckDB reads
+    * TIMESTAMP(NANOS) parquet µs-floored (see q67's contract), so its
+    * ORDER BY engages the event_id tiebreak at µs granularity — sorting
+    * here at the same granularity keeps the two engines' tiebreaks
+    * identical even for a corpus with real sub-µs components. One hash
+    * agg on user_id; per-group memory is bounded by a user's own
+    * activity (cap with `slice` after the sort if a pathological
+    * entity needs it). */
   def userSequences(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir)
       .filter(col("user_id") < 10)
@@ -452,7 +460,8 @@ object Events {
         count(lit(1)).as("n_events"),
         array_join(
           transform(
-            array_sort(collect_list(struct(col("ts_ns"), col("event_id"), col("event_type")))),
+            array_sort(collect_list(struct(
+              expr("ts_ns div 1000").as("ts_us"), col("event_id"), col("event_type")))),
             x => x.getField("event_type")),
           ">").as("seq"))
       .orderBy(col("user_id"))

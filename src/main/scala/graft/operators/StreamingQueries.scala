@@ -270,8 +270,12 @@ object StreamingQueries {
           if (new java.io.File(aggPath).exists())
             Some(batch.sparkSession.read.parquet(aggPath))
           else None
-        val alreadyApplied = existing.exists(
-          _.agg(max(col("last_batch"))).head().getLong(0) >= batchId)
+        // max() over a ZERO-row table (an empty first microbatch still
+        // writes a 0-row parquet) is NULL — treat absent/NULL as "no
+        // batch applied yet" (-1) instead of NPE-ing on getLong
+        val alreadyApplied = existing.exists(e =>
+          Option(e.agg(max(col("last_batch"))).head().get(0))
+            .map(_.asInstanceOf[Long]).getOrElse(-1L) >= batchId)
         if (!alreadyApplied) {
           val merged = existing match {
             case Some(cur) =>
