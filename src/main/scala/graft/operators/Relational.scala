@@ -296,14 +296,64 @@ object Relational {
       |SELECT l_partkey, l_suppkey FROM lineitem WHERE l_returnflag='A'
       |ORDER BY l_partkey, l_suppkey""".stripMargin
 
-  /** Q91: distribution windows — ntile quartile assignment (the
-    * missing member of the window family next to rank/lag/frames),
-    * rolled up per (flag, quartile). The window ORDER BY is made
-    * total with (orderkey, linenumber) tie-breaks: ntile on a
-    * non-total order is nondeterministic under parallelism, the same
-    * discipline every window query here follows. One shuffle on the
-    * partition key; the per-quartile rollup reuses it. */
+  /** Q91: distribution windows — exact NTILE(4) quartile rollup per
+    * flag (the missing member of the window family next to
+    * rank/lag/frames) WITHOUT a per-flag global row sort. ntile's
+    * bucket is a pure function of (rank, partition row count), and
+    * this rollup's aggregates (n, sum/min/max of price) never need to
+    * know WHICH row of a price tie-run landed in which bucket — only
+    * HOW MANY, because every row of a run shares the same price. So:
+    * reduce to one row per DISTINCT (flag, price) with a count, take a
+    * running total over the ordered price domain, and split each run
+    * across the exact ntile rank boundaries
+    * `b_q = q*(N div 4) + min(q, N mod 4)` by interval overlap — pure
+    * arithmetic, identical to `ntile(4)` with (orderkey, linenumber)
+    * tie-breaks because tie order can never move a row to a different
+    * price. The identity is spec-pinned against the literal
+    * ntile-window formulation ([[ntileQuartilesViaWindow]]).
+    *
+    * Scale: the old plan shuffled every lineitem row into 3 tasks
+    * (one per flag) and sorted ~N/3 rows in each — a single-task
+    * ~200M-row sort at 100x. Here the only ordered pass runs over the
+    * DISTINCT PRICE DOMAIN, which is bounded by the value domain and
+    * stops growing with the table (q82's sufficient-statistics trick);
+    * everything row-scale is hash aggregation with map-side combine. */
   def ntileQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p = money(col("l_extendedprice"))
+    val runs = li.groupBy(col("l_returnflag"), p.as("p"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_total"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag")).orderBy(col("p"))
+    runs
+      .withColumn("hi", sum(col("cnt")).over(wCum))
+      .withColumn("lo", col("hi") - col("cnt"))
+      .join(broadcast(totals), Seq("l_returnflag"))
+      // ranks (b_lo, b_hi] form ntile bucket q; a run's ranks are
+      // (lo, hi]; the run contributes the interval overlap to bucket q
+      .withColumn("quartile", explode(sequence(lit(1L), lit(4L))))
+      .withColumn("b_lo",
+        (col("quartile") - 1) * expr("n_total div 4")
+          + least(col("quartile") - 1, col("n_total") % 4))
+      .withColumn("b_hi",
+        col("quartile") * expr("n_total div 4")
+          + least(col("quartile"), col("n_total") % 4))
+      .withColumn("n_q", least(col("hi"), col("b_hi")) - greatest(col("lo"), col("b_lo")))
+      .filter(col("n_q") > 0)
+      .groupBy(col("l_returnflag"), col("quartile"))
+      .agg(
+        sum(col("n_q")).as("n"),
+        dec2(sum(col("p") * col("n_q"))).as("sum_price"),
+        min(col("p")).cast("double").as("min_price"),
+        max(col("p")).cast("double").as("max_price"))
+      .orderBy(col("l_returnflag"), col("quartile"))
+  }
+
+  /** The literal ntile-window formulation of q91 — NOT registered as a
+    * query (its per-flag global sort is the scale hazard q91 avoids);
+    * kept as the spec identity witness for [[ntileQuartiles]]. */
+  private[graft] def ntileQuartilesViaWindow(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val p = money(col("l_extendedprice"))
     val w = org.apache.spark.sql.expressions.Window

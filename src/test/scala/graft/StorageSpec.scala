@@ -225,6 +225,14 @@ class StorageSpec extends SparkSuite {
       d.filter(col("text").isNotNull).count())
   }
 
+  test("q91 ntile: run-splitting formulation is identical to the ntile window") {
+    val fast = graft.operators.Relational.ntileQuartiles(spark, Sf0001)
+    val slow = graft.operators.Relational.ntileQuartilesViaWindow(spark, Sf0001)
+    assert(fast.exceptAll(slow).count() === 0)
+    assert(slow.exceptAll(fast).count() === 0)
+    assert(fast.count() === slow.count())
+  }
+
   test("q91 ntile: quartiles within a flag differ by at most one row") {
     val q = graft.operators.Relational.ntileQuartiles(spark, Sf0001).collect()
     q.groupBy(_.getAs[String]("l_returnflag")).foreach { case (flag, rows) =>
