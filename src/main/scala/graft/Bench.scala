@@ -14,18 +14,22 @@ import org.apache.spark.sql.SparkSession
   * sub-second 175-row fit), and two 3-row stateful streams (microbatch
   * planner + state-store init + the stream-stream join's symmetric-hash
   * state manager, seconds otherwise charged to the first streaming
-  * queries). Queries run in sorted name order for run-to-run
-  * comparability.
+  * queries).
   *
   * Each query is timed SPARK_GRAFT_BENCH_REPS times (default 3) and the
   * per-query MEDIAN is reported (the JSON carries reps/agg so the number
-  * is self-describing). Rationale (round-2 lesson): single-shot timings
-  * on this container swing up to 7x on identical code/plans — e.g. a
-  * query that rewrites a partitioned table flushes the page cache for
-  * whichever query runs next alphabetically, and GC/disk noise adds
-  * multi-second spikes. The median of 3 reads through one cold-cache or
-  * GC outlier, so a reported regression reflects the plan, not the
-  * neighborhood.
+  * is self-describing). Reps are INTERLEAVED — the whole suite runs
+  * `reps` full passes, each pass visiting the queries in a fresh
+  * seeded-shuffled order — never back-to-back per query. Rationale
+  * (round-2/3 lesson): this container has multi-minute drift windows
+  * where everything runs 2-7x slower on identical code/plans. With
+  * back-to-back reps in a FIXED order, one query's entire sample lives
+  * in one time-neighborhood — round 3's artifact showed the
+  * alphabetically-last query at 6.9x on unchanged code because a drift
+  * window covered all of its reps. Interleaved shuffled passes spread
+  * any drift window thinly across many queries, so a per-query median
+  * reflects the plan, not the schedule position. SPARK_GRAFT_BENCH_SEED
+  * (default 421) makes the orders reproducible.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -98,8 +102,11 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.contains)) }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+    val seed = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEED", "421").toLong
+    val rng = new scala.util.Random(seed)
+    // `reps` full passes over the suite, each in a fresh shuffled order
+    val passes = (1 to reps).map { _ =>
+      rng.shuffle(selected).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
@@ -108,8 +115,11 @@ object Bench {
             System.err.println(s"[bench] $name failed: $e")
           }
         }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    }
+    val results = selected.map { case (name, _) =>
+      val times = passes.map(_(name)).sorted
       name -> times(times.length / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
