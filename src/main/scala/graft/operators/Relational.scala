@@ -298,53 +298,113 @@ object Relational {
 
   /** Q91: distribution windows — exact NTILE(4) quartile rollup per
     * flag (the missing member of the window family next to
-    * rank/lag/frames) WITHOUT a per-flag global row sort. ntile's
-    * bucket is a pure function of (rank, partition row count), and
-    * this rollup's aggregates (n, sum/min/max of price) never need to
-    * know WHICH row of a price tie-run landed in which bucket — only
-    * HOW MANY, because every row of a run shares the same price. So:
-    * reduce to one row per DISTINCT (flag, price) with a count, take a
-    * running total over the ordered price domain, and split each run
-    * across the exact ntile rank boundaries
-    * `b_q = q*(N div 4) + min(q, N mod 4)` by interval overlap — pure
-    * arithmetic, identical to `ntile(4)` with (orderkey, linenumber)
-    * tie-breaks because tie order can never move a row to a different
-    * price. The identity is spec-pinned against the literal
-    * ntile-window formulation ([[ntileQuartilesViaWindow]]).
+    * rank/lag/frames) WITHOUT a per-flag global row sort — a
+    * DISTRIBUTED RANK via the two-pass prefix-sum pattern q74's
+    * packing contract documents as the scale remedy:
     *
-    * Scale: the old plan shuffled every lineitem row into 3 tasks
-    * (one per flag) and sorted ~N/3 rows in each — a single-task
-    * ~200M-row sort at 100x. Here the only ordered pass runs over the
-    * DISTINCT PRICE DOMAIN, which is bounded by the value domain and
-    * stops growing with the table (q82's sufficient-statistics trick);
-    * everything row-scale is hash aggregation with map-side combine. */
+    *  - job 0: a mergeable percentile sketch (bounded memory, q82's
+    *    sufficient-statistics discipline) picks `shuffle.partitions`
+    *    price-bucket boundaries; no row-scale shuffle.
+    *  - job A: rows-per-(bucket, flag) via map-side-combining count;
+    *    the tiny result returns to the driver (bounded by
+    *    buckets x flags — control flow, not data) and becomes
+    *    broadcast rank offsets.
+    *  - job B: the ONE row-scale shuffle — row_number within
+    *    (bucket, flag), many balanced groups instead of one task per
+    *    3-value flag, plus the offset = the exact global rank; the
+    *    rank's ntile bucket follows in closed form and the 12-row
+    *    rollup aggregates per (flag, quartile).
+    *
+    * Exactness: bucketing is a monotone pure function of price, so
+    * offset + within-bucket rank is an exact global rank for ANY
+    * boundary choice — sketch accuracy only shapes balance. Tie order
+    * within a bucket is arbitrary, which cannot move anything across
+    * output cells: tied rows share a price, so the rollup is
+    * invariant to which of them takes which rank (the reason the
+    * literal `ntile(4)` with (orderkey, linenumber) tie-breaks agrees
+    * cell-for-cell — spec-pinned vs [[ntileQuartilesViaWindow]]).
+    * The oracle stays plain NTILE(4).
+    *
+    * Known bound: a single price carrying a large fraction of one
+    * flag's rows lands its whole tie-run in one (bucket, flag) group
+    * (a monotone bucket function cannot split equal keys). The
+    * remedy, if a corpus ever has such mass points, is pre-collapsing
+    * ties to (flag, price, count) runs and splitting runs across the
+    * quartile boundaries by interval overlap — one extra row-scale
+    * hash shuffle, same closed form. This corpus's prices are
+    * near-unique (583k distinct / 600k rows at sf0.1), the opposite
+    * regime. */
   def ntileQuartiles(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val p = money(col("l_extendedprice"))
-    val runs = li.groupBy(col("l_returnflag"), p.as("p"))
-      .agg(count(lit(1)).as("cnt"))
-    val totals = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_total"))
-    val wCum = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("l_returnflag")).orderBy(col("p"))
-    runs
-      .withColumn("hi", sum(col("cnt")).over(wCum))
-      .withColumn("lo", col("hi") - col("cnt"))
-      .join(broadcast(totals), Seq("l_returnflag"))
-      // ranks (b_lo, b_hi] form ntile bucket q; a run's ranks are
-      // (lo, hi]; the run contributes the interval overlap to bucket q
-      .withColumn("quartile", explode(sequence(lit(1L), lit(4L))))
-      .withColumn("b_lo",
-        (col("quartile") - 1) * expr("n_total div 4")
-          + least(col("quartile") - 1, col("n_total") % 4))
-      .withColumn("b_hi",
-        col("quartile") * expr("n_total div 4")
-          + least(col("quartile"), col("n_total") % 4))
-      .withColumn("n_q", least(col("hi"), col("b_hi")) - greatest(col("lo"), col("b_lo")))
-      .filter(col("n_q") > 0)
+    // price carried as exact cents (long) for sketch/bucket/rank math,
+    // as decimal for the output sums
+    def rows = li.select(col("l_returnflag"), p.as("p"),
+      (p * 100).cast("long").as("pc"))
+    val nBuckets = spark.conf.get("spark.sql.shuffle.partitions").toInt.max(2)
+    // job 0: boundary sketch — a MERGEABLE percentile sketch with
+    // bounded memory (q82's sufficient-statistics discipline), partial-
+    // aggregated map-side; no row-scale shuffle. Accuracy only shapes
+    // balance, never correctness.
+    val fracs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    // a seeded 5% sample is plenty for balance-only boundaries (and
+    // keeps job 0 cheap); exactness never depends on them
+    val bnds: Seq[Long] =
+      rows.sample(withReplacement = false, 0.05, seed = 42L)
+        .agg(percentile_approx(col("pc"), lit(fracs), lit(2000)).as("b"))
+        .head().getSeq[Long](0)
+    // bucket = #{boundaries < pc}: monotone in pc, ties never straddle
+    // buckets (strict less-than). A literal CASE chain, NOT an array
+    // HOF — interpreted HOFs get re-inlined into every downstream use
+    // by CollapseProject (NOTES trap) and fall out of codegen; the
+    // chain stays inside WholeStageCodegen.
+    def bucketOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      bnds.zipWithIndex.foldRight(lit(bnds.length): org.apache.spark.sql.Column) {
+        case ((b, i), rest) => when(lit(b) >= c, lit(i)).otherwise(rest)
+      }
+    // job A: rows per (bucket, flag) — map-side combine collapses to
+    // <= buckets x flags rows per task before the (tiny) shuffle; the
+    // collect is bounded driver-side control flow, not data
+    val sub = rows.withColumn("b", bucketOf(col("pc")))
+      .groupBy(col("b"), col("l_returnflag"))
+      .agg(count(lit(1)).as("rows_bf"))
+      .collect()
+    val offRows = sub.groupBy(_.getAs[String]("l_returnflag")).toSeq.flatMap {
+      case (flag, bs) =>
+        val sorted = bs.sortBy(_.getAs[Int]("b"))
+        val cum = sorted.scanLeft(0L)(_ + _.getAs[Long]("rows_bf"))
+        sorted.zip(cum).map { case (r, off) =>
+          (r.getAs[Int]("b"), flag, off, cum.last)
+        }
+    }
+    val offsets = spark.createDataFrame(offRows)
+      .toDF("b", "l_returnflag", "off", "n_total")
+    // job B: the one row-scale shuffle — rank within (bucket, flag)
+    // (many balanced groups, never one task per flag), plus the
+    // broadcast offset = the exact global rank. Tie order inside a
+    // bucket is arbitrary, which cannot change the rollup: tied rows
+    // share a price, so which of them takes which rank moves nothing
+    // across (flag, quartile) cells. The rank's ntile bucket follows
+    // from the closed form: the first (N mod 4) quartiles hold
+    // ceil(N/4) ranks, the rest floor(N/4) — inverted per row with
+    // pure integer arithmetic (ceil(a/b) = (a+b-1) div b).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("b"), col("l_returnflag")).orderBy(col("pc"))
+    rows.withColumn("b", bucketOf(col("pc")))
+      .join(broadcast(offsets), Seq("b", "l_returnflag"))
+      .withColumn("r", col("off") + row_number().over(w))
+      .withColumn("k", expr("n_total div 4"))
+      .withColumn("rem", col("n_total") % 4)
+      // greatest(k,1): k=0 only when N<4, where the first branch always
+      // fires (r <= N = rem) — the guard just keeps ANSI div happy
+      .withColumn("quartile",
+        expr("""CASE WHEN r <= rem * (k + 1) THEN (r + k) div (k + 1)
+               |ELSE rem + (r - rem * (k + 1) + greatest(k, 1L) - 1) div greatest(k, 1L)
+               |END""".stripMargin).cast("bigint"))
       .groupBy(col("l_returnflag"), col("quartile"))
       .agg(
-        sum(col("n_q")).as("n"),
-        dec2(sum(col("p") * col("n_q"))).as("sum_price"),
+        count(lit(1)).as("n"),
+        dec2(sum(col("p"))).as("sum_price"),
         min(col("p")).cast("double").as("min_price"),
         max(col("p")).cast("double").as("max_price"))
       .orderBy(col("l_returnflag"), col("quartile"))
