@@ -283,49 +283,81 @@ object Dedup {
     * selection: near-dup is not transitive, so A~B and B~C must collapse
     * into one cluster {A,B,C} before exactly one representative is kept.
     *
-    * Algorithm: alternating min-label propagation — each round every
-    * node takes the minimum label among itself and its neighbors; the
-    * component minimum spreads one hop per round, so rounds = component
-    * diameter (near-dup clusters are near-cliques: 1-2 rounds). This is
-    * the degenerate-but-sufficient form of the large-star/small-star CC
-    * algorithm (Kiveris et al., "Connected Components in MapReduce and
-    * Beyond", SoCC 2014 — public literature) whose full form guarantees O(log n) rounds on
-    * adversarial graphs; the loop shape (join-aggregate-compare per
-    * round over distributed frames) is identical, so swapping the step
-    * function scales it.
+    * Algorithm: alternating LARGE-STAR / SMALL-STAR edge contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014 — public literature). Each round rewrites the edge set:
+    * large-star re-roots every neighbor LARGER than u onto the minimum
+    * of u's closed neighborhood; small-star re-roots u and its smaller
+    * neighbors the same way. The edge set contracts toward a forest of
+    * stars centered at component minima in O(log n) rounds on ANY
+    * graph — unlike plain min-label propagation, whose round count is
+    * the component DIAMETER and degrades to O(n) on a chain (near-dup
+    * graphs are usually near-cliques, but "usually" is not a bound;
+    * DedupSpec pins a 1024-node chain to a logarithmic round count).
     *
-    * Driver-side loop discipline: the while loop is CONTROL FLOW bounded
-    * by graph diameter; per-round data stays distributed and the only
-    * driver value is the single-row changed-count. localCheckpoint(eager)
-    * per round truncates the lineage (otherwise round k replans k joins
-    * deep) and lets the ContextCleaner drop round k-1's blocks once
-    * unreferenced. */
-  /** Min-label propagation over an undirected pair graph: (doc_a, doc_b)
+    * Driver-side loop discipline: the while loop is CONTROL FLOW with
+    * a logarithmic bound; per-round data stays distributed and the
+    * only driver values are the convergence counts.
+    * localCheckpoint(eager) per round truncates the lineage (otherwise
+    * round k replans k rewrites deep) and lets the ContextCleaner drop
+    * round k-1's blocks once unreferenced. Each star step is ONE
+    * window over the high-cardinality node key (balanced groups) plus
+    * a distinct — no per-round global structure. */
+  /** Connected components over an undirected pair graph: (doc_a, doc_b)
     * rows -> (node, lbl) with lbl = component minimum. Extracted from
     * [[dupClusters]] so specs can pin it on synthetic graphs (chains,
     * forests) independent of the pair generator. */
-  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
-    // materialize once: every propagation round re-reads the edge set,
-    // which would otherwise re-run the upstream pair pipeline
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node")).localCheckpoint(true)
-    var changed = 1L
-    // terminates: labels only ever decrease and are bounded below by the
-    // component minimum, which propagates one hop per round
-    while (changed > 0) {
-      val nbrMin = edges.join(labels, col("dst") === col("node"))
-        .groupBy(col("src")).agg(min(col("lbl")).as("nbr_lbl"))
-      val next = labels.join(nbrMin, col("node") === col("src"), "left")
-        .select(col("node"), col("lbl"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("new_lbl"))
-        .localCheckpoint(true)
-      changed = next.filter(col("new_lbl") =!= col("lbl")).count()
-      labels = next.select(col("node"), col("new_lbl").as("lbl"))
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame =
+    starContract(pairs)._1
+
+  /** [[connectedComponents]] plus the round count, exposed so specs can
+    * assert the logarithmic convergence bound. */
+  private[graft] def starContract(pairs: DataFrame): (DataFrame, Int) = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+    // invariant: directed max -> min, deduped, no self-loops
+    def canon(e: DataFrame): DataFrame = e
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    // large-star: for each edge (u,v) with v > u, emit (v, min(N[u]));
+    // the minimum is over the closed SYMMETRIC neighborhood, so both
+    // directions of every edge feed the window
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      sym.withColumn("m", least(min(col("v")).over(w), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct() // m < u < v: stays max->min, never a self-loop
     }
-    labels
+    // small-star: per node u over its SMALLER neighbors (the max->min
+    // orientation already gives exactly those), emit (v, m) and (u, m)
+    def smallStar(e: DataFrame): DataFrame = {
+      val withM = e.withColumn("m", min(col("v")).over(w))
+      withM.filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(withM.select(col("u"), col("m").as("v")))
+        .distinct() // m = min of strictly-smaller neighbors: no self-loops
+    }
+    var edges = canon(pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+      .localCheckpoint(true)
+    var rounds = 0
+    var done = false
+    // terminates in O(log n) rounds (Kiveris et al. thm. 3/4); the cap
+    // is a regression guard far above that bound for any physical graph,
+    // never a tuning knob
+    while (!done) {
+      rounds += 1
+      require(rounds <= 200, s"star contraction failed to converge after $rounds rounds")
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      done = next.count() == edges.count() && next.exceptAll(edges).isEmpty
+      edges = next
+    }
+    // fixpoint = stars centered at component minima: every non-center
+    // node appears exactly once as u with its center as v; centers
+    // label themselves
+    val labels = edges.select(col("u").as("node"), col("v").as("lbl"))
+      .union(edges.select(col("v").as("node"), col("v").as("lbl")))
+      .distinct()
+    (labels, rounds)
   }
 
   /** Cluster assignment as a persisted artifact (same pattern as q56's

@@ -116,6 +116,20 @@ class DedupSpec extends SparkSuite {
     assert(got === Map(10L -> 2L, 2L -> 2L, 7L -> 2L, 5L -> 2L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("star contraction: a 1024-node chain converges in O(log n) rounds") {
+    import spark.implicits._
+    // the adversarial case for min-label propagation: a path graph,
+    // where label propagation needs diameter (= 1023) rounds; the
+    // large-star/small-star contraction must stay logarithmic
+    val n = 1024
+    val pairs = (0 until n - 1).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.starContract(pairs)
+    assert(rounds <= 25, s"chain took $rounds rounds — not logarithmic")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length === n)
+    assert(got.forall(_._2 == 0L), "every node must label to the chain minimum")
+  }
+
   test("connectedComponents matches a driver-side union-find on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
