@@ -141,12 +141,18 @@ object Storage {
     * aggregates the compacted data; the oracle computes the same
     * aggregate from the original table, proving the rewrite preserved
     * content exactly. StorageSpec asserts the file counts and the
-    * non-overlapping range layout. */
+    * non-overlapping range layout.
+    *
+    * The 64-fragment INPUT state is built once per (process, corpus)
+    * behind a _SUCCESS guard (the IVF-index discipline) — it is the
+    * fixture, not the operator; rebuilding it per invocation made
+    * every bench rep pay the setup write and evict page cache for
+    * its neighbors. The compaction rewrite itself runs every call. */
   // lazy vals: deleteOnExit registers a JVM shutdown hook — a def would
   // stack one hook per call (bench reps call these repeatedly)
-  private[graft] lazy val fragmentedDir: String = {
+  private[graft] def fragmentedDir(dir: String): String = {
     val p = s"${System.getProperty("java.io.tmpdir")}/graft_fragmented_" +
-      ProcessHandle.current().pid()
+      s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
     graft.Scratch.deleteOnExit(p)
     p
   }
@@ -158,12 +164,18 @@ object Storage {
   }
 
   def compaction(spark: SparkSession, dir: String): DataFrame = {
-    // simulate the ingest-fragmented state: 64 small files
-    Tables.orders(spark, dir).repartition(64)
-      .write.mode("overwrite").parquet(fragmentedDir)
+    // simulate the ingest-fragmented state: 64 small files, built once
+    // per (process, corpus); _SUCCESS-guarded so a half-written fixture
+    // is rebuilt, never compacted as truth
+    val fragged = fragmentedDir(dir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$fragged/_SUCCESS"))) {
+      graft.Scratch.deleteNow(fragged)
+      Tables.orders(spark, dir).repartition(64)
+        .write.mode("overwrite").parquet(fragged)
+    }
     // compact: few files, globally range-clustered on the scan predicate
     // column so footer min/max prune across AND within files
-    spark.read.parquet(fragmentedDir)
+    spark.read.parquet(fragged)
       .repartitionByRange(4, col("o_orderdate"))
       .sortWithinPartitions(col("o_orderdate"))
       .write.mode("overwrite").parquet(compactedDir)

@@ -70,7 +70,7 @@ class StorageSpec extends SparkSuite {
     Storage.compaction(spark, Sf0001).collect() // runs the rewrite
     def parts(p: String) = new java.io.File(p).listFiles()
       .filter(f => f.getName.startsWith("part-")).toSeq
-    assert(parts(Storage.fragmentedDir).size === 64)
+    assert(parts(Storage.fragmentedDir(Sf0001)).size === 64)
     val compacted = parts(Storage.compactedDir)
     assert(compacted.size === 4)
     // range clustering: per-file min/max date intervals must not overlap
