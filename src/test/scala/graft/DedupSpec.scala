@@ -104,6 +104,42 @@ class DedupSpec extends SparkSuite {
     assert(j.filter(col("doc_a") >= col("doc_b")).count() === 0)
   }
 
+  test("q30 honesty numbers (sf0.01): banded key 363 pairs, exact-length key 88, saturation ~24%") {
+    // pins the measured claims in neardupJaccard's scaladoc as assertions
+    val sf001 = "/root/testdata/sf0.01"
+    val toksDf = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("n_chars"),
+        array_distinct(tokens(col("text"))).as("toks"))
+      .withColumn("nt", size(col("toks"))).cache()
+    // the shipped (32-char band +-1, first token) blocking
+    assert(Dedup.neardupJaccard(spark, sf001).count() === 363)
+    // the pre-round-3 exact-n_chars blocking under the same verification:
+    // misses every length-changing edit
+    val a = toksDf.select(col("n_chars"),
+      col("doc_id").as("doc_a"), col("toks").as("ta"), col("nt").as("na"))
+    val b = toksDf.select(col("n_chars"),
+      col("doc_id").as("doc_b"), col("toks").as("tb"), col("nt").as("nb"))
+    val oldKey = a.join(b, Seq("n_chars")).filter(col("doc_a") < col("doc_b"))
+      .withColumn("ni", size(array_intersect(col("ta"), col("tb"))))
+      .filter(col("ni").cast("double") / (col("na") + col("nb") - col("ni")) >= 0.8)
+    assert(oldKey.count() === 88)
+    // vocabulary saturation: with a ~30-token vocabulary, a large share of
+    // ALL pairs clears 0.8 distinct-token jaccard without being edit-model
+    // near-dups — the reason sequence-sensitive q31 is the discriminative
+    // metric on this corpus
+    val l = toksDf.select(col("doc_id").as("doc_a"), col("toks").as("ta"), col("nt").as("na"))
+    val r = toksDf.select(col("doc_id").as("doc_b"), col("toks").as("tb"), col("nt").as("nb"))
+    val pairs = l.crossJoin(r).filter(col("doc_a") < col("doc_b"))
+      .withColumn("ni", size(array_intersect(col("ta"), col("tb"))))
+    val nAll = pairs.count()
+    val nSat = pairs
+      .filter(col("ni").cast("double") / (col("na") + col("nb") - col("ni")) >= 0.8)
+      .count()
+    val frac = nSat.toDouble / nAll
+    assert(frac > 0.15 && frac < 0.35, s"saturation fraction $frac ($nSat/$nAll)")
+    toksDf.unpersist()
+  }
+
   test("connectedComponents: chains collapse, forests stay apart") {
     import spark.implicits._
     // two components: a 4-chain 10-2-7-5 (transitivity across 3 hops —
