@@ -49,13 +49,18 @@ object MlQueries {
         col("goal_value").cast("double").as("goal_diff"),
         col("rank"),
         (col("rank") === 1).as("is_champion"))
-    // the feature frame is tiny (teams x seasons, ~175 rows at sf0.1)
-    // but downstream of a 32-partition shuffle: coalesce(1) makes every
-    // LBFGS pass a single task instead of a 32-task job — training is
-    // driver-coordinated iteration, so scheduling dominates at this size
-    // (a genuinely large feature frame would keep its partitioning)
-    val featured = ChampionModel.features(standings).coalesce(1).cache()
-    val lastSeason = featured.agg(max(col("season"))).head().getString(0)
+    // standings output is cardinality-BOUNDED at teams x seasons (~175
+    // rows at sf0.1, and still bounded at any corpus scale — league size
+    // doesn't grow with fact volume), so everything downstream of the
+    // standings aggregate runs single-task: the feature windows, every
+    // LBFGS pass, and the serving rank become 1-task jobs instead of
+    // 32-task jobs whose scheduling dominates at this cardinality
+    val featured = ChampionModel.features(standings.coalesce(1)).cache()
+    // one action: last season + distinct-season count (train is nonempty
+    // iff featured spans >= 2 seasons)
+    val stats = featured
+      .agg(max(col("season")).as("mx"), countDistinct(col("season")).as("ns")).head()
+    val lastSeason = stats.getString(0)
     def emptyResult() = {
       featured.unpersist()
       featured.select(col("season"), col("team"),
@@ -64,10 +69,9 @@ object MlQueries {
     // degenerate inputs: no featured rows at all, or featured rows in
     // only one season (no training data) — empty contract-schema frame,
     // not a fit crash
-    if (lastSeason == null) return emptyResult()
+    if (lastSeason == null || stats.getLong(1) < 2) return emptyResult()
     val train = featured.filter(col("season") < lastSeason)
     val test = featured.filter(col("season") === lastSeason)
-    if (train.isEmpty) return emptyResult()
     val fitted = ChampionModel.pipeline().fit(train)
     // the cache existed for LBFGS's repeated passes over train; the
     // returned frame recomputes test once without it
