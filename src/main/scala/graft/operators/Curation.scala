@@ -347,9 +347,197 @@ object Curation {
       |  CAST(CAST(ROUND(SUM(rarity) / COUNT(*), 6) AS DECIMAL(38,6)) AS DOUBLE) AS avg_rarity
       |FROM per_tok GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Stand-in PII-shaped redaction pattern — long alphabetic runs, the
+    * only regex class this synthetic vocabulary can exercise. A real
+    * deployment swaps in the published email/phone/id patterns; the
+    * operator shape (codegen'd regexp scan + replace, per-source
+    * accounting) is identical. Character-class + bounded-repetition
+    * syntax only, so Java regex (Spark) and RE2 (DuckDB) agree. */
+  val RedactPattern: String = "[a-z]{6,}"
+  private val RedactToken = "<PII>"
+
+  /** Q92: regex redaction scrub — replace every [[RedactPattern]] match
+    * with a fixed token and account for the damage per source (docs
+    * touched, matches redacted, chars saved). The PII-removal stage of
+    * a curation pipeline, as match-count + rewrite in ONE linear scan.
+    *
+    * Scale shape: pure per-row map (two codegen'd regexp evaluations)
+    * plus one map-side-combining aggregation keyed by source — no
+    * payload shuffle, partitions trivially. */
+  def regexRedaction(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.filter(col("text").isNotNull)
+      .select(
+        col("source"), col("n_chars"),
+        size(regexp_extract_all(col("text"), lit(RedactPattern), lit(0)))
+          .cast("bigint").as("n_hits"),
+        length(regexp_replace(col("text"), RedactPattern, RedactToken))
+          .cast("bigint").as("len_after"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_hits") > 0, 1L).otherwise(0L)).cast("bigint").as("docs_redacted"),
+        sum(col("n_hits")).cast("bigint").as("n_redactions"),
+        sum(col("n_chars") - col("len_after")).cast("bigint").as("chars_saved"))
+      .orderBy(col("source"))
+  }
+
+  val regexRedactionSql: String =
+    s"""WITH per_doc AS (
+       |  SELECT source, n_chars,
+       |    len(regexp_extract_all(text, '$RedactPattern')) AS n_hits,
+       |    len(regexp_replace(text, '$RedactPattern', '$RedactToken', 'g')) AS len_after
+       |  FROM documents WHERE text IS NOT NULL)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_redacted,
+       |  CAST(SUM(n_hits) AS BIGINT) AS n_redactions,
+       |  CAST(SUM(n_chars - len_after) AS BIGINT) AS chars_saved
+       |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
+
+  /** Sources the mixture targets upweight (4x the default weight). */
+  val HeavySources: Seq[String] = Seq("src0", "src1", "src2")
+
+  /** Q93: mixture resampling — downsample each source toward a target
+    * mixture weight (the domain-reweighting step training corpora
+    * apply before packing: upweighted domains keep everything, the
+    * rest keep proportionally less). Per source, keep-rate is
+    * (w_s/n_s) / max_t(w_t/n_t) — the max-ratio source keeps 100% and
+    * nothing is ever upsampled — applied via the deterministic
+    * [[sampleBucket]] hash, so membership is reproducible row-wise.
+    *
+    * Exactness: the keep test cross-multiplies the rate inequality to
+    * pure BIGINT arithmetic (bucket * w_max * n_s < 100 * w_s * n_max)
+    * — no double division anywhere, so both engines flag identical
+    * rows. The max-ratio representative is chosen by (double ratio,
+    * source) ordering; ANY representative of the same maximal rational
+    * yields an equivalent inequality (both sides scale by a positive
+    * rational), so double rounding in the argmax cannot change the
+    * kept set.
+    *
+    * Scale shape: per-source counts are source-cardinality-bounded →
+    * broadcast both them and the 1-row max; the corpus side is one
+    * linear scan + one map-side-combining agg. */
+  def mixtureResample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val w = when(col("source").isInCollection(HeavySources), lit(4L)).otherwise(lit(1L))
+    val counts = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_s")).withColumn("w_s", w)
+    val top = counts
+      .orderBy((col("w_s").cast("double") / col("n_s")).desc, col("source"))
+      .limit(1)
+      .select(col("w_s").as("w_max"), col("n_s").as("n_max"))
+    d.join(broadcast(counts), Seq("source"))
+      .crossJoin(broadcast(top)) // single-row broadcast scalar (q66/q89 pattern)
+      .filter(sampleBucket(col("doc_id")) * col("w_max") * col("n_s")
+        < lit(100L) * col("w_s") * col("n_max"))
+      .groupBy(col("source"), col("w_s"), col("n_s"))
+      .agg(count(lit(1)).as("n_kept"))
+      .select(
+        col("source"), col("w_s").as("target_w"), col("n_s").as("n_source"),
+        col("n_kept"),
+        dec6(col("n_kept").cast(org.apache.spark.sql.types.DecimalType(18, 0))
+          / col("n_s")).as("kept_frac"))
+      .orderBy(col("source"))
+  }
+
+  val mixtureResampleSql: String = {
+    val heavy = HeavySources.map(s => s"'$s'").mkString(", ")
+    s"""WITH counts AS (
+       |  SELECT source, COUNT(*) AS n_s,
+       |    CAST(CASE WHEN source IN ($heavy) THEN 4 ELSE 1 END AS BIGINT) AS w_s
+       |  FROM documents GROUP BY source),
+       |top AS (
+       |  SELECT w_s AS w_max, n_s AS n_max FROM counts
+       |  ORDER BY CAST(w_s AS DOUBLE) / n_s DESC, source LIMIT 1)
+       |SELECT d.source AS source, c.w_s AS target_w, c.n_s AS n_source,
+       |  COUNT(*) AS n_kept,
+       |  CAST(CAST(ROUND(CAST(COUNT(*) AS DECIMAL(18,0)) / c.n_s, 6) AS DECIMAL(38,6)) AS DOUBLE) AS kept_frac
+       |FROM documents d JOIN counts c USING (source) CROSS JOIN top
+       |WHERE ${sampleBucketSql("d.doc_id")} * w_max * n_s < 100 * w_s * n_max
+       |GROUP BY d.source, c.w_s, c.n_s ORDER BY source""".stripMargin
+  }
+
+  /** Token budget for q94's corpus selection. */
+  val TokenBudget = 12000L
+
+  /** Q94: token-budget corpus selection — take documents in quality
+    * order (score = n_chars desc, a stand-in for a model-based quality
+    * score; doc_id tiebreak) until the cumulative token count reaches
+    * the budget: "select the best B tokens", the step that turns a
+    * scored corpus into a training set of fixed size.
+    *
+    * The greedy rule needs a GLOBAL running sum in score order — the
+    * single-window formulation is a one-task global sort at scale, so
+    * this runs the same DISTRIBUTED two-pass prefix sum as q91's
+    * rank: a sampled percentile sketch picks score-bucket boundaries
+    * (balance only, never correctness); per-bucket token subtotals
+    * come back as bounded driver-side control flow and turn into
+    * broadcast offsets; one row-scale shuffle ranks within (bucket)
+    * and offset + within-bucket running sum is the EXACT global
+    * cumulative token count (the score bucketing is monotone and the
+    * (score, doc_id) order is total, so no tie can straddle a
+    * boundary decision). CurationSpec pins result-identity against
+    * the literal single-window formulation. */
+  def budgetedSelection(spark: SparkSession, dir: String): DataFrame =
+    budgetedSelectionAt(spark, dir, TokenBudget)
+
+  private[graft] def budgetedSelectionAt(spark: SparkSession, dir: String,
+      budget: Long): DataFrame = {
+    val d = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    // sc = negated score: ascending (sc, doc_id) = descending quality
+    def rows = d.select(col("doc_id"), col("source"),
+      (-col("n_chars")).as("sc"), tokenCount(col("text")).as("n_tokens"))
+    val nBuckets = spark.conf.get("spark.sql.shuffle.partitions").toInt.max(2)
+    val fracs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    // a null sketch (the 5% sample can be EMPTY on a tiny corpus) just
+    // means one bucket — balance degrades, exactness is unaffected
+    val bnds: Seq[Long] = Option(
+      rows.sample(withReplacement = false, 0.05, seed = 42L)
+        .agg(percentile_approx(col("sc"), lit(fracs), lit(2000)).as("b"))
+        .head().getSeq[Long](0)).getOrElse(Seq.empty)
+    // literal CASE chain (codegen-friendly, q91's note); strict >=
+    // keeps equal scores in one bucket
+    def bucketOf(c: Column): Column =
+      bnds.zipWithIndex.foldRight(lit(bnds.length): Column) {
+        case ((b, i), rest) => when(lit(b) >= c, lit(i)).otherwise(rest)
+      }
+    // per-bucket token subtotals: bounded by bucket count — driver-side
+    // control flow, not data
+    val sub = rows.withColumn("b", bucketOf(col("sc")))
+      .groupBy(col("b")).agg(sum(col("n_tokens")).as("t"))
+      .collect().sortBy(_.getAs[Int]("b"))
+    val cum = sub.scanLeft(0L)(_ + _.getAs[Long]("t"))
+    val offsets = spark.createDataFrame(
+      sub.zip(cum).map { case (r, off) => (r.getAs[Int]("b"), off) }.toSeq)
+      .toDF("b", "off")
+    val w = Window.partitionBy(col("b")).orderBy(col("sc"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    rows.withColumn("b", bucketOf(col("sc")))
+      .join(broadcast(offsets), Seq("b"))
+      .withColumn("cum", col("off") + sum(col("n_tokens")).over(w))
+      .filter(col("cum") <= budget)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_selected"),
+        sum(col("n_tokens")).cast("bigint").as("sel_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val budgetedSelectionSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, n_chars, len(string_split(text, ' ')) AS n_tokens
+       |  FROM documents WHERE text IS NOT NULL),
+       |c AS (SELECT *, SUM(n_tokens) OVER (ORDER BY n_chars DESC, doc_id) AS cum FROM d)
+       |SELECT source, COUNT(*) AS n_selected, CAST(SUM(n_tokens) AS BIGINT) AS sel_tokens
+       |FROM c WHERE cum <= $TokenBudget
+       |GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q71_decontamination" -> (decontamination _),
     "q89_token_rarity" -> (tokenRarity _),
+    "q92_regex_redaction" -> (regexRedaction _),
+    "q93_mixture_resample" -> (mixtureResample _),
+    "q94_budget_selection" -> (budgetedSelection _),
     "q87_curation_pipeline" -> (curationPipeline _),
     "q72_denylist_scrub" -> (denylistScrub _),
     "q73_repetition_signals" -> (repetitionSignals _),
@@ -360,6 +548,9 @@ object Curation {
     "q71_decontamination" -> decontaminationSql,
     "q87_curation_pipeline" -> curationPipelineSql,
     "q89_token_rarity" -> tokenRaritySql,
+    "q92_regex_redaction" -> regexRedactionSql,
+    "q93_mixture_resample" -> mixtureResampleSql,
+    "q94_budget_selection" -> budgetedSelectionSql,
     "q72_denylist_scrub" -> denylistScrubSql,
     "q73_repetition_signals" -> repetitionSignalsSql,
     "q74_sequence_packing" -> sequencePackingSql,

@@ -319,7 +319,46 @@ object StreamingQueries {
       |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Q95: STREAM-STATIC enrichment join — the dimension-enrich
+    * mechanism the matrix was missing next to q58's stream-stream
+    * join: a live stream broadcast-joined against a precomputed
+    * batch profile (here, per-type event counts and value sums read
+    * batch-side from the same store), then a stateful rollup of the
+    * enriched rows. Stream-static joins are STATELESS on the stream
+    * side (no watermark, no join state — the static side is planned
+    * as a broadcast into every microbatch), so the only state is the
+    * final aggregate, keyed by event_type (cardinality-bounded).
+    *
+    * Parity: "value above the type average" cross-multiplies to
+    * exact decimals (value * n_t > sum_t) — never a double division
+    * whose rounding could flip a flag between engines. */
+  def streamStaticEnrich(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+    val profile = graft.Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_t"), sum(money(col("value"))).as("s_t"))
+    val ev = EventStream.readEvents(spark, s"$dir/events.parquet")
+    val enriched = ev.join(broadcast(profile), Seq("event_type"))
+      .withColumn("above", money(col("value")) * col("n_t") > col("s_t"))
+    val agg = enriched.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("above"), 1L).otherwise(0L)).as("n_above"))
+    EventStream.runToTable(agg, sinkName("stream_static"), OutputMode.Complete())
+      .orderBy(col("event_type"))
+  }
+
+  val streamStaticEnrichSql: String =
+    """WITH prof AS (
+      |  SELECT event_type, COUNT(*) AS n_t,
+      |    SUM(CAST(value AS DECIMAL(18,2))) AS s_t
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_type AS event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN CAST(e.value AS DECIMAL(18,2)) * n_t > s_t THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+      |FROM events e JOIN prof USING (event_type)
+      |GROUP BY e.event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q95_stream_static_join" -> (streamStaticEnrich _),
     "q38_stream_tumbling" -> (streamTumbling _),
     "q81_stream_file_sink" -> (streamFileSink _),
     "q86_stream_incr_agg" -> (streamIncrementalAgg _),
@@ -330,6 +369,7 @@ object StreamingQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q95_stream_static_join" -> streamStaticEnrichSql,
     "q38_stream_tumbling" -> streamTumblingSql,
     "q81_stream_file_sink" -> streamFileSinkSql,
     "q86_stream_incr_agg" -> streamIncrementalAggSql,

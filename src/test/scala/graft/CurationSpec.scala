@@ -160,6 +160,65 @@ class CurationSpec extends SparkSuite {
       assert(r.getAs[Long]("n_tokens") === direct(r.getAs[Long]("doc_id")), r))
   }
 
+  test("q92 redaction: counts reconcile with a driver-side regex sweep") {
+    import spark.implicits._
+    val bySource = Curation.regexRedaction(spark, Sf0001).collect()
+    val docs = Tables.documents(spark, Sf0001)
+      .select($"source", $"text").as[(String, String)].collect()
+    val re = Curation.RedactPattern.r
+    val expected = docs.groupBy(_._1).map { case (src, rows) =>
+      val hits = rows.map(r => re.findAllIn(r._2).length)
+      src -> (rows.length.toLong, hits.count(_ > 0).toLong, hits.map(_.toLong).sum)
+    }
+    assert(bySource.length === expected.size)
+    bySource.foreach { r =>
+      val (nDocs, nRed, nHits) = expected(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") === nDocs)
+      assert(r.getAs[Long]("docs_redacted") === nRed)
+      assert(r.getAs[Long]("n_redactions") === nHits)
+      // every redacted match is >= 6 chars replaced by a 5-char token
+      assert(r.getAs[Long]("chars_saved") >= r.getAs[Long]("n_redactions"))
+    }
+  }
+
+  test("q93 mixture: heavy sources keep everything, nothing upsampled, membership deterministic") {
+    val out = Curation.mixtureResample(spark, Sf0001).collect()
+    out.foreach { r =>
+      val kept = r.getAs[Long]("n_kept")
+      val n = r.getAs[Long]("n_source")
+      assert(kept <= n, r) // downsampling only
+      if (Curation.HeavySources.contains(r.getAs[String]("source")))
+        assert(kept === n, s"max-ratio source must keep 100%: $r")
+      else assert(r.getAs[Long]("target_w") === 1L, r)
+    }
+    // deterministic: a second run selects the identical per-source counts
+    val again = Curation.mixtureResample(spark, Sf0001).collect()
+    assert(out.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+  }
+
+  test("q94 budget selection matches the literal single-window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    // small budget so the boundary binds at sf0.001 (total ~2.7k tokens)
+    val budget = 1500L
+    val got = Curation.budgetedSelectionAt(spark, Sf0001, budget)
+    val w = Window.orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val expected = Tables.documents(spark, Sf0001)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .filter(col("cum") <= budget)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_selected"),
+        sum(col("n_tokens")).cast("bigint").as("sel_tokens"))
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    // and the selection actually binds: selected tokens within budget,
+    // adding the next-best doc would exceed it
+    val selTok = got.agg(sum(col("sel_tokens"))).head().getLong(0)
+    assert(selTok <= budget)
+  }
+
   test("q74 packing: bins are contiguous per source and conserve every token") {
     val bins = Curation.sequencePacking(spark, Sf0001).collect()
     val total = bins.map(_.getAs[Long]("bin_tokens")).sum

@@ -86,6 +86,19 @@ class StreamingSpec extends SparkSuite {
     assert(s.exceptAll(expected).isEmpty && expected.exceptAll(s).isEmpty)
   }
 
+  test("q95 stream-static enrich matches the batch join") {
+    import graft.functions.Parity.money
+    val s = StreamingQueries.streamStaticEnrich(spark, Sf0001)
+    val ev = Tables.events(spark, Sf0001)
+    val prof = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_t"), sum(money(col("value"))).as("s_t"))
+    val expected = ev.join(prof, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(money(col("value")) * col("n_t") > col("s_t"), 1L).otherwise(0L)).as("n_above"))
+    assert(s.exceptAll(expected).isEmpty && expected.exceptAll(s).isEmpty)
+  }
+
   test("dedupRedelivery drops in-watermark duplicate event_ids across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
