@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -218,15 +219,118 @@ object Derivations {
     * `quantile_cont` share linear-interpolation semantics, so the
     * medians oracle-match. The approximate sketch variant
     * (`percentile_approx`, Greenwald-Khanna) returns engine-specific
-    * picks and lives in DerivationsSpec with an error bound instead. */
-  def quantiles(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
-    o.groupBy(col("o_orderstatus"))
-      .agg(
-        dec6(expr("percentile(o_totalprice, 0.5)")).as("median"),
-        dec6(expr("percentile(o_totalprice, 0.95)")).as("p95"),
-        count(lit(1)).as("n"))
-      .orderBy(col("o_orderstatus"))
+    * picks and lives in DerivationsSpec with an error bound instead.
+    *
+    * NOT the `percentile` aggregate: that operator's merged per-group
+    * state is a map of every distinct value in the group, and the
+    * group key here has THREE values — at 100 TB each of three
+    * reducers would hold its group's whole value set (the memory
+    * cousin of the single-task-sort hazard q91's rank avoids).
+    * Instead, a distributed TARGETED RANK LOOKUP with bounded state
+    * everywhere, the q91/q94 two-pass pattern specialized to "fetch
+    * two ranks per group":
+    *
+    *  - job 0: sampled value-bucket boundaries (balance only — any
+    *    boundaries are correct);
+    *  - job A: per-(status, bucket) counts, map-side combined; the
+    *    histogram returns to the driver (bounded by buckets x
+    *    statuses — control flow, not data), which locates for each
+    *    requested quantile the bucket + local rank of the two values
+    *    linear interpolation needs;
+    *  - job B: one scan fetches exactly those values — a broadcast
+    *    lookup join on (status, bucket) prunes to the hit buckets,
+    *    a within-(status, bucket) row_number picks the local ranks
+    *    (each hit bucket sorts ~1/buckets of one group, never the
+    *    group).
+    *
+    * The interpolation applies Spark's own `Percentile` formula
+    * (lower*(ceil-pos) + higher*(pos-floor)) to the fetched doubles,
+    * so the output is bit-identical to the `percentile` aggregate —
+    * DerivationsSpec pins that identity plus n=1/n=2/tie edge
+    * groups. */
+  def quantiles(spark: SparkSession, dir: String): DataFrame =
+    quantilesDistributed(spark, Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_totalprice")))
+
+  /** The distributed form over any (group: string, value: double)
+    * 2-column frame; exposed for the spec's edge-case frames. */
+  private[graft] def quantilesDistributed(spark: SparkSession, in: DataFrame): DataFrame = {
+    val Seq(grpCol, valCol) = in.columns.toSeq
+    def rows = in.select(col(grpCol).as("st"), col(valCol).as("v"))
+    val ps = Seq(0.5, 0.95)
+    val nBuckets = spark.conf.get("spark.sql.shuffle.partitions").toInt.max(2)
+    val fracs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    // null sketch (empty sample on a tiny corpus) = one bucket; exactness
+    // never depends on the boundaries (q94's contract)
+    val bnds: Seq[Double] = Option(
+      rows.filter(col("v").isNotNull)
+        .sample(withReplacement = false, 0.05, seed = 42L)
+        .agg(percentile_approx(col("v"), lit(fracs), lit(2000)).as("b"))
+        .head().getSeq[Double](0)).getOrElse(Seq.empty)
+    def bucketOf(c: Column): Column =
+      bnds.zipWithIndex.foldRight(lit(bnds.length): Column) {
+        case ((b, i), rest) => when(lit(b) >= c, lit(i)).otherwise(rest)
+      }
+    // job A: per-(status, bucket) histogram + per-status row count —
+    // bounded by buckets x statuses, driver-side control flow
+    val hist = rows.withColumn("b", when(col("v").isNotNull, bucketOf(col("v"))))
+      .groupBy(col("st"), col("b")).agg(count(lit(1)).as("c"))
+      .collect()
+    // locate, per (status, quantile), the global ranks interpolation
+    // needs and map them to (bucket, local rank); Spark's Percentile
+    // counts only non-null values, COUNT(*) counts all rows
+    val wants = Seq.newBuilder[(String, Int, Long, Long)] // (st, b, localRank, globalRank)
+    val meta = hist.groupBy(_.getAs[String]("st")).map { case (st, rs) =>
+      val nAll = rs.map(_.getAs[Long]("c")).sum
+      val present = rs.filter(!_.isNullAt(1)).sortBy(_.getAs[Int]("b"))
+      val cum = present.map(_.getAs[Long]("c")).scanLeft(0L)(_ + _)
+      val nVal = cum.last
+      val positions = ps.map { p =>
+        val pos = (nVal - 1) * p
+        (pos, math.floor(pos).toLong, math.ceil(pos).toLong)
+      }
+      positions.flatMap { case (_, lo, hi) => Seq(lo + 1, hi + 1) }.distinct
+        .filter(_ >= 1).foreach { r =>
+          val idx = cum.lastIndexWhere(_ < r) // bucket holding rank r
+          if (idx >= 0 && idx < present.length)
+            wants += ((st, present(idx).getAs[Int]("b"), r - cum(idx), r))
+        }
+      st -> (nAll, nVal, positions)
+    }
+    // job B: fetch exactly the wanted values — broadcast lookup join
+    // prunes to hit buckets, window picks the local ranks
+    import spark.implicits._
+    val wantDf = wants.result().toDF("wst", "wb", "lr", "gr")
+    val w = Window.partitionBy(col("st"), col("b")).orderBy(col("v"))
+    val fetched = rows.filter(col("v").isNotNull)
+      .withColumn("b", bucketOf(col("v")))
+      .join(broadcast(wantDf.select(col("wst").as("st"), col("wb").as("b")).distinct()),
+        Seq("st", "b"))
+      .withColumn("r", row_number().over(w))
+      .join(broadcast(wantDf), col("st") === col("wst") &&
+        col("b") === col("wb") && col("r") === col("lr"))
+      .select(col("st"), col("gr"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // Spark Percentile.getPercentile formula, applied to the same
+    // doubles in the same IEEE order -> bit-identical to the aggregate
+    def interp(st: String, pos: Double, lo: Long, hi: Long): Double = {
+      val lower = fetched((st, lo + 1))
+      if (hi == lo) lower
+      else {
+        val higher = fetched((st, hi + 1))
+        lower * (hi - pos) + higher * (pos - lo)
+      }
+    }
+    val out = meta.toSeq.map { case (st, (nAll, nVal, positions)) =>
+      val qs = positions.map { case (pos, lo, hi) =>
+        if (nVal == 0) None else Some(interp(st, pos, lo, hi))
+      }
+      (st, qs(0), qs(1), nAll)
+    }
+    out.toDF("st", "m", "p", "n")
+      .select(col("st").as(grpCol),
+        dec6(col("m")).as("median"), dec6(col("p")).as("p95"), col("n"))
+      .orderBy(col(grpCol))
   }
 
   val quantilesSql: String =

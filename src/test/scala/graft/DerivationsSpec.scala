@@ -97,4 +97,32 @@ class DerivationsSpec extends SparkSuite {
     val again = Derivations.numericProfile(spark, Sf0001).collect()
     assert(prof.toSeq === again.toSeq)
   }
+
+  test("q51 distributed quantiles are bit-identical to the percentile aggregate") {
+    import spark.implicits._
+    def viaAgg(in: org.apache.spark.sql.DataFrame) = {
+      val Seq(g, v) = in.columns.toSeq
+      in.groupBy(col(g))
+        .agg(
+          graft.functions.Parity.dec6(expr(s"percentile($v, 0.5)")).as("median"),
+          graft.functions.Parity.dec6(expr(s"percentile($v, 0.95)")).as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy(col(g))
+    }
+    // the real corpus
+    val orders = Tables.orders(spark, Sf0001)
+      .select(col("o_orderstatus"), col("o_totalprice"))
+    val got = Derivations.quantilesDistributed(spark, orders).collect()
+    val exp = viaAgg(orders).collect()
+    assert(got.toSeq === exp.toSeq)
+    // adversarial groups: n=1, n=2, heavy ties, an all-null group, and
+    // a null mixed into a live group (percentile skips it, count doesn't)
+    val edge = Seq(
+      ("one", Some(42.0)), ("two", Some(1.0)), ("two", Some(2.0)),
+      ("tie", Some(7.0)), ("tie", Some(7.0)), ("tie", Some(7.0)), ("tie", Some(9.0)),
+      ("nul", None: Option[Double]),
+      ("mix", Some(5.0)), ("mix", None)).toDF("g", "v")
+    assert(Derivations.quantilesDistributed(spark, edge).collect().toSeq
+      === viaAgg(edge).collect().toSeq)
+  }
 }
