@@ -357,8 +357,68 @@ object StreamingQueries {
       |FROM events e JOIN prof USING (event_type)
       |GROUP BY e.event_type ORDER BY event_type""".stripMargin
 
+  /** Q96: per-user running totals via `mapGroupsWithState` in UPDATE
+    * mode — the arbitrary-state API variant q40's flatMap sessionizer
+    * doesn't cover (exactly one updated row per touched key per
+    * batch). Under the harness's single AvailableNow batch every user
+    * is touched once, so the update stream IS the per-user totals and
+    * the batch oracle verifies the state math end-to-end. Cents are
+    * derived from an exact decimal cast BEFORE entering the state
+    * function and the output stays integer-only — zero float parity
+    * surface.
+    *
+    * Scale: state is one 16-byte struct per user (high-cardinality
+    * key → shards across executors); a deployment adds a
+    * GroupStateTimeout eviction policy for departed keys. */
+  def streamRunningTotals(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+    val ev = EventStream.readEvents(spark, s"$dir/events.parquet")
+      .select(col("user_id"),
+        (money(col("value")) * 100).cast("long").as("cents"))
+    val totals = EventStream.runningUserTotals(ev)
+    EventStream.runToTable(totals, sinkName("stream_totals"), OutputMode.Update())
+      .orderBy(col("user_id"))
+  }
+
+  val streamRunningTotalsSql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Q97: watermark-FINALIZED append windows — the emission path every
+    * other windowed query sidesteps (q38/q61 run Complete mode): an
+    * append-mode tumbling aggregate emits a window only once the
+    * watermark passes its end, so the result is the set of CLOSED
+    * windows — exactly what an incremental pipeline appends to a
+    * downstream table per trigger, and the reason runToTable's no-data
+    * skip must stay per-query. The oracle recomputes the closure rule
+    * batch-side: windows whose end ≤ max event time (at Spark's
+    * millisecond watermark granularity) minus the 2h delay.
+    *
+    * Scale: append mode is THE bounded-state windowed shape — emitted
+    * windows leave the store, so state holds only open windows
+    * (watermark horizon x types), while Complete mode retains all. */
+  def streamFinalizedWindows(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+    val ev = EventStream.readEvents(spark, s"$dir/events.parquet")
+    val agg = EventStream.tumblingCounts(ev)
+      .select(col("window_start"), col("event_type"), col("n"))
+    EventStream.runToTable(agg, sinkName("stream_final"), OutputMode.Append(),
+        finalizeByWatermark = true)
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  val streamFinalizedWindowsSql: String =
+    """WITH m AS (SELECT MAX(ts) AS mx FROM events),
+      |w AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+      |        event_type, COUNT(*) AS n
+      |      FROM events GROUP BY 1, 2)
+      |SELECT window_start, event_type, n FROM w CROSS JOIN m
+      |WHERE epoch_ms(window_start + INTERVAL 1 HOUR) <= epoch_ms(mx) - 7200000
+      |ORDER BY window_start, event_type""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q95_stream_static_join" -> (streamStaticEnrich _),
+    "q96_stream_running_totals" -> (streamRunningTotals _),
+    "q97_stream_final_windows" -> (streamFinalizedWindows _),
     "q38_stream_tumbling" -> (streamTumbling _),
     "q81_stream_file_sink" -> (streamFileSink _),
     "q86_stream_incr_agg" -> (streamIncrementalAgg _),
@@ -370,6 +430,8 @@ object StreamingQueries {
 
   def oracles: Map[String, String] = Map(
     "q95_stream_static_join" -> streamStaticEnrichSql,
+    "q96_stream_running_totals" -> streamRunningTotalsSql,
+    "q97_stream_final_windows" -> streamFinalizedWindowsSql,
     "q38_stream_tumbling" -> streamTumblingSql,
     "q81_stream_file_sink" -> streamFileSinkSql,
     "q86_stream_incr_agg" -> streamIncrementalAggSql,

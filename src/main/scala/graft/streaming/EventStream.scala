@@ -129,6 +129,41 @@ object EventStream {
       }.toDF()
   }
 
+  /** Per-user running-total state for [[runningUserTotals]]. Value
+    * cents ride as LONG (derived from an exact decimal cast upstream)
+    * so state math is integer-only — no float accumulation drift
+    * across batches, no parity exposure. */
+  case class TotalsState(n: Long, cents: Long)
+  /** Updated per-user totals emitted each batch. */
+  case class UserTotals(user_id: Long, n_events: Long, sum_cents: Long)
+
+  /** Custom stateful operator #2: per-key running totals via
+    * `mapGroupsWithState` (exactly one output row per key per batch —
+    * the API variant next to [[sessionize]]'s flatMap, which can emit
+    * zero or many). Update output mode: each batch emits the keys it
+    * touched with their NEW running totals; state never expires (a
+    * deployment tracking live per-user counters would add a
+    * GroupStateTimeout eviction policy).
+    *
+    * Input contract: (user_id, cents) — cents already exact (the
+    * caller derives them from a DECIMAL cast, never raw-double math
+    * inside the state function). */
+  def runningUserTotals(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("cents")).as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[TotalsState, UserTotals](GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[TotalsState]) =>
+          val prev = state.getOption.getOrElse(TotalsState(0L, 0L))
+          var n = prev.n
+          var c = prev.cents
+          rows.foreach { r => n += 1; c += r._2 }
+          state.update(TotalsState(n, c))
+          UserTotals(uid, n, c)
+      }.toDF()
+  }
+
   /** Checkpoint base for the memory-sink harness streams: tmpfs when
     * available ([[graft.Scratch.fastScratchBase]]). A checkpoint commit
     * is many small fsync-ed files; on a disk-backed /tmp that latency
@@ -152,21 +187,22 @@ object EventStream {
     * released by the ContextCleaner once the returned frame is
     * unreachable, unlike a `.cache()` which would grow the pinned cache
     * set by one entry per invocation for the process lifetime. */
-  def runToTable(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+  def runToTable(df: DataFrame, name: String, mode: OutputMode,
+      finalizeByWatermark: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     spark.conf.set("spark.sql.streaming.checkpointLocation", checkpointBase)
     // Skip the trailing no-data microbatch for THIS query (the flag is
     // read once at query start; restored after): it exists to finalize
-    // watermark-closed APPEND-mode windowed aggregates, and no harness
-    // query emits through that path (q38/q61 run Complete; q39/q58/q40
-    // emit on arrival) — for them it is one more state-store
-    // open/commit round per store for zero output. A deployment
-    // emitting watermark-finalized append windows must leave it on
-    // (StreamingSpec pins that behavior on a default-config stream).
-    // Oracle-checked: results are batch-identical.
+    // watermark-closed APPEND-mode windowed aggregates, and most
+    // harness queries don't emit through that path (q38/q61 run
+    // Complete; q39/q58/q40 emit on arrival) — for them it is one more
+    // state-store open/commit round per store for zero output. q97 DOES
+    // emit through it and passes finalizeByWatermark = true to keep the
+    // default behavior (also pinned on a default-config stream in
+    // StreamingSpec). Oracle-checked: results are batch-identical.
     val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prevNoData = spark.conf.get(noDataKey)
-    spark.conf.set(noDataKey, "false")
+    spark.conf.set(noDataKey, finalizeByWatermark.toString)
     val q =
       try {
         df.writeStream

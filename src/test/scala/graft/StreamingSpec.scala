@@ -99,6 +99,45 @@ class StreamingSpec extends SparkSuite {
     assert(s.exceptAll(expected).isEmpty && expected.exceptAll(s).isEmpty)
   }
 
+  test("q96 runningUserTotals carries state across batches and emits updates") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val events = mem.toDF().toDF("user_id", "cents")
+    val totals = EventStream.runningUserTotals(events)
+    val q = totals.writeStream.format("memory")
+      .queryName("totals_test").outputMode(OutputMode.Update()).start()
+    mem.addData((1L, 100L), (1L, 50L), (2L, 10L))
+    q.processAllAvailable()
+    // batch 1: user 1 -> (2, 150), user 2 -> (1, 10)
+    val b1 = spark.table("totals_test").as[EventStream.UserTotals]
+      .collect().map(t => t.user_id -> (t.n_events, t.sum_cents)).toMap
+    assert(b1 === Map(1L -> (2L, 150L), 2L -> (1L, 10L)))
+    // batch 2 touches only user 1: its total continues from state
+    mem.addData((1L, 25L))
+    q.processAllAvailable()
+    val rows = spark.table("totals_test").as[EventStream.UserTotals].collect()
+    q.stop()
+    assert(rows.filter(_.user_id == 1L).map(t => (t.n_events, t.sum_cents)).toSet
+      === Set((2L, 150L), (3L, 175L))) // the update row, plus batch 1's
+    assert(rows.count(_.user_id == 2L) === 1) // untouched key not re-emitted
+  }
+
+  test("q97 finalized append windows equal the batch closure rule") {
+    import graft.operators.StreamingQueries
+    val s = StreamingQueries.streamFinalizedWindows(spark, Sf0001)
+    val ev = Tables.events(spark, Sf0001)
+    val mx = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val wmMs = mx.getTime - 2L * 3600 * 1000 // Spark tracks watermark in ms
+    val expected = ev
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .filter(unix_millis(col("window_start")) + 3600000L <= wmMs)
+    assert(s.exceptAll(expected).isEmpty && expected.exceptAll(s).isEmpty)
+    // and it is a strict subset of the complete-mode q38 output
+    assert(s.count() < StreamingQueries.streamTumbling(spark, Sf0001).count())
+  }
+
   test("dedupRedelivery drops in-watermark duplicate event_ids across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
