@@ -473,7 +473,59 @@ object Events {
       |FROM events WHERE user_id < 10
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Q98: SCD TYPE-2 dimension build — turn each user's change stream
+    * into versioned rows with half-open validity intervals
+    * [valid_from, valid_to), the standard warehouse shape for
+    * point-in-time attribute lookup (q54's as-of join is its read
+    * side). A version OPENS only when the tracked attribute actually
+    * changes (lag compare — raw parquet doubles compared bit-for-bit,
+    * no arithmetic, so both engines see identical change points);
+    * valid_to is the next version's valid_from, NULL for the current
+    * row.
+    *
+    * Scale shape: two windows over the same high-cardinality
+    * (user_id) key — Catalyst plans them into ONE shuffle+sort pass —
+    * and timestamps ride as µs BIGINTs end-to-end (integer output,
+    * zero timestamp-precision parity surface). */
+  def scd2Build(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("ts_us"), col("value"))
+    ev.withColumn("prev_value", lag(col("value"), 1).over(byUser))
+      .filter(col("prev_value").isNull || col("prev_value") =!= col("value"))
+      .withColumn("version", row_number().over(byUser).cast("bigint"))
+      .withColumn("valid_from_us", col("ts_us"))
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(byUser))
+      .withColumn("is_current",
+        when(col("valid_to_us").isNull, 1L).otherwise(0L))
+      .select(col("user_id"), col("version"), col("valid_from_us"),
+        col("valid_to_us"), col("value"), col("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val scd2BuildSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, value,
+      |    LAG(value) OVER w AS prev_value
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id)),
+      |changes AS (
+      |  SELECT user_id, event_id, ts_us, value FROM ev
+      |  WHERE prev_value IS NULL OR prev_value <> value)
+      |SELECT user_id,
+      |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+      |  ts_us AS valid_from_us,
+      |  LEAD(ts_us) OVER w AS valid_to_us,
+      |  value,
+      |  CAST(CASE WHEN LEAD(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+      |FROM changes
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |ORDER BY user_id, version""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q98_scd2_build" -> (scd2Build _),
     "q20_latest_per_user" -> (latestPerUser _),
     "q77_gap_fill" -> (gapFill _),
     "q78_range_frame" -> (rangeFrame _),
@@ -490,6 +542,7 @@ object Events {
   )
 
   def oracles: Map[String, String] = Map(
+    "q98_scd2_build" -> scd2BuildSql,
     "q20_latest_per_user" -> latestPerUserSql,
     "q77_gap_fill" -> gapFillSql,
     "q78_range_frame" -> rangeFrameSql,

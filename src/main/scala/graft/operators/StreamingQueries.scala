@@ -415,10 +415,38 @@ object StreamingQueries {
       |WHERE epoch_ms(window_start + INTERVAL 1 HOUR) <= epoch_ms(mx) - 7200000
       |ORDER BY window_start, event_type""".stripMargin
 
+  /** Q99: per-type running stats via the Spark-4 `transformWithState`
+    * API on the ROCKSDB state backend (the API requires it; the conf
+    * is scoped to this query start and restored, like the no-data
+    * flag). Two named ValueState variables per key; commutative folds
+    * (count, max) so arrival order cannot change the answer; output
+    * integer-only. RocksDB is also the backend a 100 TB deployment
+    * runs — state spills to disk with changelog checkpointing instead
+    * of living in executor heap like the HDFS-backed store. */
+  def streamTypeStats(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+    val ev = EventStream.readEvents(spark, s"$dir/events.parquet")
+      .select(col("event_type"),
+        (money(col("value")) * 100).cast("long").as("cents"))
+    val stats = EventStream.typeStats(ev)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.get(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try EventStream.runToTable(stats, sinkName("stream_tws"), OutputMode.Update())
+      .orderBy(col("event_type"))
+    finally spark.conf.set(provKey, prevProv)
+  }
+
+  val streamTypeStatsSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(MAX(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS max_cents
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q95_stream_static_join" -> (streamStaticEnrich _),
     "q96_stream_running_totals" -> (streamRunningTotals _),
     "q97_stream_final_windows" -> (streamFinalizedWindows _),
+    "q99_stream_tws_rocksdb" -> (streamTypeStats _),
     "q38_stream_tumbling" -> (streamTumbling _),
     "q81_stream_file_sink" -> (streamFileSink _),
     "q86_stream_incr_agg" -> (streamIncrementalAgg _),
@@ -432,6 +460,7 @@ object StreamingQueries {
     "q95_stream_static_join" -> streamStaticEnrichSql,
     "q96_stream_running_totals" -> streamRunningTotalsSql,
     "q97_stream_final_windows" -> streamFinalizedWindowsSql,
+    "q99_stream_tws_rocksdb" -> streamTypeStatsSql,
     "q38_stream_tumbling" -> streamTumblingSql,
     "q81_stream_file_sink" -> streamFileSinkSql,
     "q86_stream_incr_agg" -> streamIncrementalAggSql,

@@ -164,6 +164,52 @@ object EventStream {
       }.toDF()
   }
 
+  /** Output row of [[TypeStatsProcessor]]. */
+  case class TypeStats(event_type: String, n_events: Long, max_cents: Long)
+
+  /** Custom stateful operator #3: the Spark-4 `transformWithState`
+    * API (the successor to mapGroups/flatMapGroupsWithState) with two
+    * named ValueState variables per key — count and max-cents — and
+    * RocksDB as the required state backend. Folds are commutative
+    * (count, max), so the result is independent of row arrival order
+    * within a batch. TTLConfig.NONE keeps state forever (a deployment
+    * sets a TTL or registers timers for eviction — both are
+    * first-class in this API, unlike GroupStateTimeout's coarser
+    * contract). */
+  class TypeStatsProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, (String, Long), TypeStats] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, ValueState}
+    @transient private var nState: ValueState[Long] = _
+    @transient private var maxState: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      nState = getHandle.getValueState[Long]("n",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      maxState = getHandle.getValueState[Long]("mx",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[TypeStats] = {
+      var n = if (nState.exists()) nState.get() else 0L
+      var mx = if (maxState.exists()) maxState.get() else Long.MinValue
+      rows.foreach { r => n += 1; mx = math.max(mx, r._2) }
+      nState.update(n)
+      maxState.update(mx)
+      Iterator.single(TypeStats(key, n, mx))
+    }
+  }
+
+  /** Per-type running (count, max) via `transformWithState` — input
+    * contract (event_type, cents), cents exact from a decimal cast. */
+  def typeStats(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_type"), col("cents")).as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new TypeStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      .toDF()
+  }
+
   /** Checkpoint base for the memory-sink harness streams: tmpfs when
     * available ([[graft.Scratch.fastScratchBase]]). A checkpoint commit
     * is many small fsync-ed files; on a disk-backed /tmp that latency

@@ -117,4 +117,29 @@ class EventsSpec extends SparkSuite {
     rows.foreach(r =>
       assert(again(r.getAs[Long]("user_id")) === r.getAs[String]("seq")))
   }
+
+  test("q98 scd2: versions contiguous, intervals chain, exactly one current per user") {
+    val d = Events.scd2Build(spark, Sf0001).collect()
+    assert(d.nonEmpty)
+    d.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("version"))
+      // versions are 1..n with no gaps
+      assert(sorted.map(_.getAs[Long]("version")).toSeq === (1L to sorted.length.toLong), s"user $u")
+      // half-open intervals chain exactly: each valid_to is the next valid_from
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("valid_to_us") === b.getAs[Long]("valid_from_us"), s"user $u")
+        case _ =>
+      }
+      // exactly one open (current) version, and it is the last one
+      assert(rows.count(_.getAs[Long]("is_current") == 1L) === 1, s"user $u")
+      assert(sorted.last.isNullAt(sorted.last.fieldIndex("valid_to_us")), s"user $u")
+      // consecutive versions always change the tracked value
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("value") != b.getAs[Double]("value"), s"user $u")
+        case _ =>
+      }
+    }
+  }
 }
