@@ -40,7 +40,17 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Four oracles (q37 model export, q69/q88/q90 interchange scratch)
+    // read per-SF /tmp exports whose paths embed the sf basename. The
+    // static SQL texts pin "sf0.01" — the SF the driver's DuckDB gate
+    // runs at, so the driver sees byte-identical SQL — and this rewrite
+    // re-points them when Verify runs at ANOTHER SF (the local sf0.1
+    // depth sweep), so the oracle reads the exports of the run it is
+    // checking instead of a stale sf0.01 copy.
+    val sfBase = sfDir.stripSuffix("/").split('/').last
     val json = SparkEntry.oracleSql
+      .map { case (k, v) => k -> (if (sfBase == "sf0.01") v
+        else v.replace("sf0.01", sfBase)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -484,9 +484,13 @@ object Events {
     * row.
     *
     * Scale shape: two windows over the same high-cardinality
-    * (user_id) key — Catalyst plans them into ONE shuffle+sort pass —
-    * and timestamps ride as µs BIGINTs end-to-end (integer output,
-    * zero timestamp-precision parity surface). */
+    * (user_id) key — Catalyst plans them into ONE shuffle+sort pass
+    * (PlanAudit: the second exchange is the output sort) — and
+    * timestamps ride as µs BIGINTs end-to-end. Unlike q83's struct
+    * sort, this is µs-exact for ANY data: Spark floors real ns to µs
+    * here, and DuckDB's µs-floored read then divides to the same µs
+    * (q67's engine-floor contract) — so ordering ties engage the
+    * event_id tiebreak at identical granularity on both engines. */
   def scd2Build(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
