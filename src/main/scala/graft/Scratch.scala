@@ -20,9 +20,17 @@ object Scratch {
     else System.getProperty("java.io.tmpdir")
   }
 
-  /** Register `path` for recursive deletion when the JVM exits. */
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Register `path` for recursive deletion when the JVM exits.
+    * Idempotent per path: `def`-shaped scratch-path helpers call this
+    * on every invocation (bench reps, spec re-entry), and each JVM
+    * shutdown hook is a Thread — without the guard, repeated calls
+    * would stack one hook thread per call for the process lifetime. */
   def deleteOnExit(path: String): Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteNow(path)))
+    if (registered.add(path))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteNow(path)))
 
   /** Recursive delete now (for invalidating a partial build). Tolerates
     * files vanishing mid-walk: shutdown hooks run concurrently with

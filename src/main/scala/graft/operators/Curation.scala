@@ -399,10 +399,11 @@ object Curation {
 
   /** Q93: mixture resampling — downsample each source toward a target
     * mixture weight (the domain-reweighting step training corpora
-    * apply before packing: upweighted domains keep everything, the
-    * rest keep proportionally less). Per source, keep-rate is
-    * (w_s/n_s) / max_t(w_t/n_t) — the max-ratio source keeps 100% and
-    * nothing is ever upsampled — applied via the deterministic
+    * apply before packing). Per source, keep-rate is
+    * (w_s/n_s) / max_t(w_t/n_t) — the max-RATIO source (weight over
+    * actual size, not weight alone) keeps 100% and nothing is ever
+    * upsampled; an upweighted source LARGER than the max-ratio one
+    * still sheds its excess share — applied via the deterministic
     * [[sampleBucket]] hash, so membership is reproducible row-wise.
     *
     * Exactness: the keep test cross-multiplies the rate inequality to
@@ -488,19 +489,9 @@ object Curation {
     def rows = d.select(col("doc_id"), col("source"),
       (-col("n_chars")).as("sc"), tokenCount(col("text")).as("n_tokens"))
     val nBuckets = spark.conf.get("spark.sql.shuffle.partitions").toInt.max(2)
-    val fracs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    // a null sketch (the 5% sample can be EMPTY on a tiny corpus) just
-    // means one bucket — balance degrades, exactness is unaffected
-    val bnds: Seq[Long] = Option(
-      rows.sample(withReplacement = false, 0.05, seed = 42L)
-        .agg(percentile_approx(col("sc"), lit(fracs), lit(2000)).as("b"))
-        .head().getSeq[Long](0)).getOrElse(Seq.empty)
-    // literal CASE chain (codegen-friendly, q91's note); strict >=
-    // keeps equal scores in one bucket
-    def bucketOf(c: Column): Column =
-      bnds.zipWithIndex.foldRight(lit(bnds.length): Column) {
-        case ((b, i), rest) => when(lit(b) >= c, lit(i)).otherwise(rest)
-      }
+    // shared first pass (TwoPass.scoreBuckets): sampled balance-only
+    // boundaries, monotone CASE chain, null-sketch guarded
+    val bucketOf = TwoPass.scoreBuckets(rows, col("sc"), nBuckets)
     // per-bucket token subtotals: bounded by bucket count — driver-side
     // control flow, not data
     val sub = rows.withColumn("b", bucketOf(col("sc")))

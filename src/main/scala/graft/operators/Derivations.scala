@@ -259,18 +259,9 @@ object Derivations {
     def rows = in.select(col(grpCol).as("st"), col(valCol).as("v"))
     val ps = Seq(0.5, 0.95)
     val nBuckets = spark.conf.get("spark.sql.shuffle.partitions").toInt.max(2)
-    val fracs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    // null sketch (empty sample on a tiny corpus) = one bucket; exactness
-    // never depends on the boundaries (q94's contract)
-    val bnds: Seq[Double] = Option(
-      rows.filter(col("v").isNotNull)
-        .sample(withReplacement = false, 0.05, seed = 42L)
-        .agg(percentile_approx(col("v"), lit(fracs), lit(2000)).as("b"))
-        .head().getSeq[Double](0)).getOrElse(Seq.empty)
-    def bucketOf(c: Column): Column =
-      bnds.zipWithIndex.foldRight(lit(bnds.length): Column) {
-        case ((b, i), rest) => when(lit(b) >= c, lit(i)).otherwise(rest)
-      }
+    // shared first pass (TwoPass.scoreBuckets): sampled balance-only
+    // boundaries, monotone CASE chain, null-sketch guarded
+    val bucketOf = TwoPass.scoreBuckets(rows, col("v"), nBuckets)
     // job A: per-(status, bucket) histogram + per-status row count —
     // bounded by buckets x statuses, driver-side control flow
     val hist = rows.withColumn("b", when(col("v").isNotNull, bucketOf(col("v"))))

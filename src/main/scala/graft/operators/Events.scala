@@ -491,14 +491,25 @@ object Events {
     * here, and DuckDB's µs-floored read then divides to the same µs
     * (q67's engine-floor contract) — so ordering ties engage the
     * event_id tiebreak at identical granularity on both engines. */
-  def scd2Build(spark: SparkSession, dir: String): DataFrame = {
+  def scd2Build(spark: SparkSession, dir: String): DataFrame =
+    scd2Of(Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("ts_us"), col("value")))
+
+  /** The SCD2 core over any (user_id, event_id, ts_us, value) change
+    * frame; exposed for the spec's synthetic NULL-run cases. */
+  private[graft] def scd2Of(ev: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
-    val ev = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"),
-        expr("ts_ns div 1000").as("ts_us"), col("value"))
+    // null-safe change test (<=>): a plain <> would DROP a NULL-valued
+    // transition (prev <> NULL is null-falsey) and then open a spurious
+    // duplicate version on the next non-null row (its lag IS NULL) — an
+    // A -> NULL -> A run must yield three versions, not two equal ones.
+    // Oracle twin: IS DISTINCT FROM. Latent on this corpus (no null
+    // values) but load-bearing for any real change stream.
     ev.withColumn("prev_value", lag(col("value"), 1).over(byUser))
-      .filter(col("prev_value").isNull || col("prev_value") =!= col("value"))
+      .withColumn("first_row", row_number().over(byUser) === 1)
+      .filter(col("first_row") || !(col("prev_value") <=> col("value")))
       .withColumn("version", row_number().over(byUser).cast("bigint"))
       .withColumn("valid_from_us", col("ts_us"))
       .withColumn("valid_to_us", lead(col("ts_us"), 1).over(byUser))
@@ -512,12 +523,13 @@ object Events {
   val scd2BuildSql: String =
     """WITH ev AS (
       |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, value,
-      |    LAG(value) OVER w AS prev_value
+      |    LAG(value) OVER w AS prev_value,
+      |    ROW_NUMBER() OVER w AS rn
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id)),
       |changes AS (
       |  SELECT user_id, event_id, ts_us, value FROM ev
-      |  WHERE prev_value IS NULL OR prev_value <> value)
+      |  WHERE rn = 1 OR prev_value IS DISTINCT FROM value)
       |SELECT user_id,
       |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
       |  ts_us AS valid_from_us,

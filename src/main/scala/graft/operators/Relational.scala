@@ -343,25 +343,11 @@ object Relational {
       (p * 100).cast("long").as("pc"))
     val nBuckets = spark.conf.get("spark.sql.shuffle.partitions").toInt.max(2)
     // job 0: boundary sketch — a MERGEABLE percentile sketch with
-    // bounded memory (q82's sufficient-statistics discipline), partial-
-    // aggregated map-side; no row-scale shuffle. Accuracy only shapes
-    // balance, never correctness.
-    val fracs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    // a seeded 5% sample is plenty for balance-only boundaries (and
-    // keeps job 0 cheap); exactness never depends on them
-    val bnds: Seq[Long] =
-      rows.sample(withReplacement = false, 0.05, seed = 42L)
-        .agg(percentile_approx(col("pc"), lit(fracs), lit(2000)).as("b"))
-        .head().getSeq[Long](0)
-    // bucket = #{boundaries < pc}: monotone in pc, ties never straddle
-    // buckets (strict less-than). A literal CASE chain, NOT an array
-    // HOF — interpreted HOFs get re-inlined into every downstream use
-    // by CollapseProject (NOTES trap) and fall out of codegen; the
-    // chain stays inside WholeStageCodegen.
-    def bucketOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      bnds.zipWithIndex.foldRight(lit(bnds.length): org.apache.spark.sql.Column) {
-        case ((b, i), rest) => when(lit(b) >= c, lit(i)).otherwise(rest)
-      }
+    // bounded memory (q82's sufficient-statistics discipline) over a
+    // seeded 5% sample; no row-scale shuffle. Accuracy only shapes
+    // balance, never correctness. Shared first pass: TwoPass.scoreBuckets
+    // (monotone CASE chain, ties never straddle, null-sketch guarded).
+    val bucketOf = TwoPass.scoreBuckets(rows, col("pc"), nBuckets)
     // job A: rows per (bucket, flag) — map-side combine collapses to
     // <= buckets x flags rows per task before the (tiny) shuffle; the
     // collect is bounded driver-side control flow, not data

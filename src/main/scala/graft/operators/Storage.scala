@@ -148,8 +148,9 @@ object Storage {
     * fixture, not the operator; rebuilding it per invocation made
     * every bench rep pay the setup write and evict page cache for
     * its neighbors. The compaction rewrite itself runs every call. */
-  // lazy vals: deleteOnExit registers a JVM shutdown hook — a def would
-  // stack one hook per call (bench reps call these repeatedly)
+  // Scratch.deleteOnExit is idempotent per path, so per-call
+  // registration from this def (bench reps re-enter it) adds exactly
+  // one shutdown hook per distinct dir
   private[graft] def fragmentedDir(dir: String): String = {
     val p = s"${System.getProperty("java.io.tmpdir")}/graft_fragmented_" +
       s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"

@@ -32,7 +32,12 @@ object StreamingQueries {
     * reasoning as q37's coalesce(1), scoped to the streaming plan only
     * (the conf is read at query START; batch queries planned after the
     * restore are untouched). */
-  private def withStatePartitions[T](spark: SparkSession, n: Int = sys.env.getOrElse("SPARK_GRAFT_STATE_PARTS", "8").toInt)(body: => T): T = {
+  // parsed ONCE: a malformed value fails at class init, not once per
+  // streaming query; floor of 1 keeps a stray "0" from a zero-partition plan
+  private val defaultStateParts: Int =
+    sys.env.get("SPARK_GRAFT_STATE_PARTS").map(_.trim.toInt).getOrElse(8).max(1)
+
+  private def withStatePartitions[T](spark: SparkSession, n: Int = defaultStateParts)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, n.toString)
@@ -182,14 +187,19 @@ object StreamingQueries {
       .orderBy(col("window_start"), col("event_type"))
   }
 
-  // lazy: deleteOnExit registers a shutdown hook once, not per bench rep.
-  // Lives on the fast scratch base (tmpfs when present): the landed
-  // parquet + _spark_metadata commit log and the q86 checkpoint are
-  // per-process scratch whose exactly-once semantics don't depend on
-  // the filesystem, while the commit-log fsyncs do dominate the
-  // harness-scale runtime on a disk-backed /tmp.
-  private lazy val fileSinkBase: String = {
-    val p = s"${graft.Scratch.fastScratchBase}/graft_stream_sink_" +
+  // Split by fastScratchBase's own contract: CHECKPOINTS (metadata-sized,
+  // fsync-heavy — the microbatch-latency lever) ride tmpfs when present;
+  // LANDED DATA (q81's partitioned parquet, q86's aggregate table — scales
+  // with the corpus) stays on java.io.tmpdir so RAM-backed scratch never
+  // holds a 1:1 copy of the dataset.
+  private lazy val fileSinkDataBase: String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_stream_sink_" +
+      ProcessHandle.current().pid()
+    graft.Scratch.deleteOnExit(p)
+    p
+  }
+  private lazy val fileSinkCkptBase: String = {
+    val p = s"${graft.Scratch.fastScratchBase}/graft_stream_chk_" +
       ProcessHandle.current().pid()
     graft.Scratch.deleteOnExit(p)
     p
@@ -214,8 +224,8 @@ object StreamingQueries {
         col("ts"), col("value"))
     // per-(process, sf) layout: Verify and Bench reuse, parallel JVMs don't collide
     val tag = math.abs(dir.hashCode).toString
-    val out = s"$fileSinkBase/out_$tag"
-    val chk = s"$fileSinkBase/chk_$tag"
+    val out = s"$fileSinkDataBase/out_$tag"
+    val chk = s"$fileSinkCkptBase/chk_$tag"
     val q = ev.writeStream
       .format("parquet")
       .option("path", out)
@@ -265,8 +275,8 @@ object StreamingQueries {
     val ev = EventStream.readEvents(spark, s"$dir/events.parquet")
       .select(col("event_type"), col("value"))
     val tag = math.abs(dir.hashCode).toString
-    val aggPath = s"$fileSinkBase/agg_$tag"
-    val chk = s"$fileSinkBase/aggchk_$tag"
+    val aggPath = s"$fileSinkDataBase/agg_$tag"
+    val chk = s"$fileSinkCkptBase/aggchk_$tag"
     val q = ev.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val partial = batch.groupBy(col("event_type"))

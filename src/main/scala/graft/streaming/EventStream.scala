@@ -236,7 +236,15 @@ object EventStream {
   def runToTable(df: DataFrame, name: String, mode: OutputMode,
       finalizeByWatermark: Boolean = false): DataFrame = {
     val spark = df.sparkSession
-    spark.conf.set("spark.sql.streaming.checkpointLocation", checkpointBase)
+    // both confs are read at query START and restored after: a leaked
+    // global checkpointLocation would silently re-point every LATER
+    // unrelated stream in this shared session (e.g. a spec's
+    // MemoryStream query) at a persistent per-queryName checkpoint,
+    // where a same-named restart resumes dead offsets instead of
+    // starting fresh
+    val ckptKey = "spark.sql.streaming.checkpointLocation"
+    val prevCkpt = spark.conf.getOption(ckptKey)
+    spark.conf.set(ckptKey, checkpointBase)
     // Skip the trailing no-data microbatch for THIS query (the flag is
     // read once at query start; restored after): it exists to finalize
     // watermark-closed APPEND-mode windowed aggregates, and most
@@ -257,7 +265,13 @@ object EventStream {
           .outputMode(mode)
           .trigger(Trigger.AvailableNow())
           .start()
-      } finally spark.conf.set(noDataKey, prevNoData)
+      } finally {
+        spark.conf.set(noDataKey, prevNoData)
+        prevCkpt match {
+          case Some(p) => spark.conf.set(ckptKey, p)
+          case None => spark.conf.unset(ckptKey)
+        }
+      }
     q.awaitTermination()
     val result = spark.table(name).localCheckpoint(true)
     spark.catalog.dropTempView(name)

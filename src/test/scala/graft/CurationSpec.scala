@@ -181,15 +181,24 @@ class CurationSpec extends SparkSuite {
     }
   }
 
-  test("q93 mixture: heavy sources keep everything, nothing upsampled, membership deterministic") {
+  test("q93 mixture: full-rate sources keep everything, nothing upsampled, membership deterministic") {
     val out = Curation.mixtureResample(spark, Sf0001).collect()
+    // recompute the max ratio the operator normalizes by — a source keeps
+    // 100% iff its keep-rate is >= 1, i.e. w_s * n_max >= w_max * n_s
+    // (with equal-size sources that is every heavy source, but the
+    // contract is the RATIO, not the weight — an upweighted source larger
+    // than the max-ratio one sheds rows)
+    val wn = out.map(r => (r.getAs[Long]("target_w"), r.getAs[Long]("n_source")))
+    val (wMax, nMax) = wn.maxBy { case (w, n) => w.toDouble / n }
     out.foreach { r =>
       val kept = r.getAs[Long]("n_kept")
       val n = r.getAs[Long]("n_source")
+      val w = r.getAs[Long]("target_w")
       assert(kept <= n, r) // downsampling only
+      if (w * nMax >= wMax * n) assert(kept === n, s"rate>=1 source must keep all: $r")
       if (Curation.HeavySources.contains(r.getAs[String]("source")))
-        assert(kept === n, s"max-ratio source must keep 100%: $r")
-      else assert(r.getAs[Long]("target_w") === 1L, r)
+        assert(w === 4L, r)
+      else assert(w === 1L, r)
     }
     // deterministic: a second run selects the identical per-source counts
     val again = Curation.mixtureResample(spark, Sf0001).collect()

@@ -142,4 +142,22 @@ class EventsSpec extends SparkSuite {
       }
     }
   }
+
+  test("q98 scd2 null-safe transitions: A -> NULL -> A yields three versions") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, 10L, Some(1.0)), (1L, 2L, 20L, None), (1L, 3L, 30L, Some(1.0)),
+      (1L, 4L, 40L, Some(1.0)), // no change: still version 3
+      (2L, 5L, 10L, None: Option[Double])) // user whose FIRST value is null
+      .toDF("user_id", "event_id", "ts_us", "value")
+    val out = Events.scd2Of(ev).collect()
+    val u1 = out.filter(_.getLong(0) == 1L).sortBy(_.getAs[Long]("version"))
+    assert(u1.length === 3)
+    assert(u1.map(r => if (r.isNullAt(r.fieldIndex("value"))) None
+      else Some(r.getAs[Double]("value"))).toSeq === Seq(Some(1.0), None, Some(1.0)))
+    assert(u1.map(_.getAs[Long]("valid_from_us")).toSeq === Seq(10L, 20L, 30L))
+    // a user opening with NULL still gets version 1
+    val u2 = out.filter(_.getLong(0) == 2L)
+    assert(u2.length === 1 && u2.head.isNullAt(u2.head.fieldIndex("value")))
+  }
 }
