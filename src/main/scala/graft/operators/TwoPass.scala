@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * place, not drift across per-query copies (the null-sketch guard
   * below originally existed in two of the three call sites and not the
   * third). */
-private[operators] object TwoPass {
+private[graft] object TwoPass {
 
   /** Bucket function for `value` with ~`nBuckets` balanced buckets.
     *

@@ -140,4 +140,28 @@ class PropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("TwoPass.scoreBuckets: monotone in the value, tie-stable, total") {
+    // the exactness contract of the q91/q94/q51 family rests on exactly
+    // these three properties of the bucket function — for ANY data,
+    // including empty (null sketch -> one bucket) and all-equal values
+    val valuesGen: Gen[List[Long]] = Gen.oneOf(
+      Gen.const(Nil),
+      Gen.listOfN(1, Gen.choose(-5L, 5L)),
+      Gen.listOfN(40, Gen.choose(-1000L, 1000L)),
+      Gen.listOfN(40, Gen.const(7L))) // mass point: every row one bucket
+    forAllSampled(valuesGen, n = 8) { vs =>
+      val df = vs.toDF("v")
+      val bucketOf = graft.operators.TwoPass.scoreBuckets(df, col("v"), 4)
+      val got = df.select(col("v"), bucketOf(col("v")).as("b"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+      // monotone: sorted by value implies non-decreasing buckets
+      got.sliding(2).foreach {
+        case Array(a, b) => assert(a._2 <= b._2, s"$a > $b")
+        case _ =>
+      }
+      // tie-stable: equal values always share a bucket
+      got.groupBy(_._1).values.foreach(g => assert(g.map(_._2).distinct.length == 1))
+    }
+  }
 }
