@@ -104,23 +104,29 @@ object Bench {
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val seed = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEED", "421").toLong
     val rng = new scala.util.Random(seed)
-    // `reps` full passes over the suite, each in a fresh shuffled order
+    // `reps` full passes over the suite, each in a fresh shuffled order.
+    // A failed rep records NO time: a query dying in 50ms at plan time
+    // must not contribute a near-zero median that makes the headline
+    // total look faster than the prior round — its absence plus the
+    // `failed` array is the honest signal.
     val passes = (1 to reps).map { _ =>
       rng.shuffle(selected).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          if (!failed.contains(name)) {
-            failed += name
-            System.err.println(s"[bench] $name failed: $e")
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            if (!failed.contains(name)) {
+              failed += name
+              System.err.println(s"[bench] $name failed: $e")
+            }
+            false
           }
-        }
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
       }.toMap
     }
-    val results = selected.map { case (name, _) =>
-      val times = passes.map(_(name)).sorted
-      name -> times(times.length / 2)
+    val results = selected.flatMap { case (name, _) =>
+      val times = passes.flatMap(_(name)).sorted
+      if (times.isEmpty) None else Some(name -> times(times.length / 2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

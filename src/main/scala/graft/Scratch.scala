@@ -32,6 +32,28 @@ object Scratch {
     if (registered.add(path))
       Runtime.getRuntime.addShutdownHook(new Thread(() => deleteNow(path)))
 
+  /** Publish a directory to a FIXED cross-process path (the oracle-read
+    * exports: q36 normalized, q37 model, q69 versions, q88/q90
+    * interchange — their paths are baked into static oracle SQL, so
+    * they cannot be pid-suffixed) with the smallest possible
+    * unavailability window. A plain mode(overwrite) deletes the old
+    * content and then spends the whole Spark write unreadable — seconds
+    * during which a concurrent JVM or the driver's DuckDB pass reads a
+    * torn dir. Here the caller writes to a pid-suffixed staging dir and
+    * the swap is delete + rename: two metadata operations. A crash
+    * mid-write leaves the previous complete export in place. */
+  def publishStaged(target: String)(write: String => Unit): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val stage = s"$target.stage.${ProcessHandle.current().pid()}"
+    deleteNow(stage)
+    try {
+      write(stage)
+      deleteNow(target)
+      Files.move(Paths.get(stage), Paths.get(target),
+        StandardCopyOption.ATOMIC_MOVE)
+    } finally deleteNow(stage)
+  }
+
   /** Recursive delete now (for invalidating a partial build). Tolerates
     * files vanishing mid-walk: shutdown hooks run concurrently with
     * Spark's own ShutdownHookManager cleanup, so a sibling hook (or

@@ -82,11 +82,13 @@ object MlQueries {
     // DuckDB oracle; parquet holds the exact double bits
     locally {
       import spark.implicits._
-      Seq((lr.coefficients(0), lr.coefficients(1), lr.coefficients(2),
+      val coefs = Seq((lr.coefficients(0), lr.coefficients(1), lr.coefficients(2),
         lr.coefficients(3), lr.intercept))
         .toDF("w_prev_points", "w_prev_rank", "w_prev_goal_diff",
           "w_roll_points", "intercept")
-        .coalesce(1).write.mode("overwrite").parquet(modelExportPath(dir))
+      // staged publish: the fixed per-sf path is read by the oracle
+      graft.Scratch.publishStaged(modelExportPath(dir))(stage =>
+        coefs.coalesce(1).write.mode("overwrite").parquet(stage))
     }
     // features order matches ChampionModel.featureCols; VectorAssembler
     // with handleInvalid=keep maps null -> NaN, mirrored via coalesce

@@ -56,7 +56,11 @@ object Soccer {
     val aliases = sampleAliases.toDF("alias", "canonical")
     val normalized = Normalize.standardizeTeams(
       Normalize.normalize(raw, sourceCommit = "fixedsha"), aliases)
-    normalized.write.mode("overwrite").parquet(normalizedExportPath)
+    // staged publish: the fixed path is baked into the oracle SQL, so a
+    // concurrent JVM's in-place overwrite would expose a torn dir for
+    // the whole write; the swap window is two metadata ops instead
+    graft.Scratch.publishStaged(normalizedExportPath)(stage =>
+      normalized.write.mode("overwrite").parquet(stage))
     Standings.seasonResults(spark.read.parquet(normalizedExportPath))
       .orderBy(col("league"), col("season"), col("rank"))
   }

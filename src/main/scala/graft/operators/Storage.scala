@@ -213,13 +213,16 @@ object Storage {
   def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
     val (v1, v2) = schemaEvolutionPaths(dir)
     val d = Tables.documents(spark, dir)
-    d.filter(col("doc_id") % 2 === 0)
-      .select(col("doc_id"), col("lang"), col("text"))
-      .write.mode("overwrite").parquet(v1)
-    d.filter(col("doc_id") % 2 === 1)
-      .select(col("doc_id"), col("lang"), col("text"), col("n_chars"),
-        lit("v2").as("source_tag"))
-      .write.mode("overwrite").parquet(v2)
+    // staged publish (fixed oracle-read paths): swap, don't overwrite in place
+    graft.Scratch.publishStaged(v1)(stage =>
+      d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .write.mode("overwrite").parquet(stage))
+    graft.Scratch.publishStaged(v2)(stage =>
+      d.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("text"), col("n_chars"),
+          lit("v2").as("source_tag"))
+        .write.mode("overwrite").parquet(stage))
     spark.read.option("mergeSchema", true).parquet(v1, v2)
       .groupBy(col("lang"))
       .agg(
@@ -500,15 +503,26 @@ object Storage {
 
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val out = csvExportPath(dir)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("source"),
-        nullif(col("text"), lit("")).as("text"), col("n_chars"))
-      .write.option("header", true).mode("overwrite").csv(out)
+    // escape = quote: Spark's default escape is backslash, which
+    // writes an embedded " as \" — RFC-4180 parsers (DuckDB's
+    // read_csv) expect doubled quotes and would shred such a field.
+    // Setting escape to the quote char makes the writer emit "" and
+    // both readers (Spark's, told the same escape, and DuckDB's
+    // native rule) parse it identically. Latent on the quote-free
+    // synthetic vocabulary; load-bearing for real text. Staged
+    // publish: the fixed path is read by the oracle.
+    graft.Scratch.publishStaged(out)(stage =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          nullif(col("text"), lit("")).as("text"), col("n_chars"))
+        .write.option("header", true).option("escape", "\"")
+        .mode("overwrite").csv(stage))
     docsRoundtripAgg(
       spark.read
         .schema(docsRoundtripSchema)
         .option("header", true)
         .option("multiLine", true)
+        .option("escape", "\"")
         .csv(out))
   }
 
@@ -527,9 +541,10 @@ object Storage {
 
   def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val out = jsonExportPath(dir)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("source"), col("text"), col("n_chars"))
-      .write.mode("overwrite").json(out)
+    graft.Scratch.publishStaged(out)(stage =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"), col("n_chars"))
+        .write.mode("overwrite").json(stage))
     docsRoundtripAgg(spark.read.schema(docsRoundtripSchema).json(out))
   }
 

@@ -281,9 +281,15 @@ object StreamingQueries {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val partial = batch.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), sum(money(col("value"))).as("s"))
+        // completeness = the _SUCCESS marker, not bare dir existence
+        // (the persisted-fixture discipline): a crash mid-overwrite
+        // leaves a torn dir whose max(last_batch) read would corrupt
+        // the merge — discard it and rebuild from this batch instead
+        val complete = java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$aggPath/_SUCCESS"))
+        if (!complete) graft.Scratch.deleteNow(aggPath)
         val existing =
-          if (new java.io.File(aggPath).exists())
-            Some(batch.sparkSession.read.parquet(aggPath))
+          if (complete) Some(batch.sparkSession.read.parquet(aggPath))
           else None
         // max() over a ZERO-row table (an empty first microbatch still
         // writes a 0-row parquet) is NULL — treat absent/NULL as "no

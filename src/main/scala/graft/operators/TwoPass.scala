@@ -24,20 +24,30 @@ private[graft] object TwoPass {
     *  - A null sketch (the sample can be EMPTY on a tiny corpus, and
     *    its percentile is then NULL) degrades to one bucket — slower,
     *    never wrong.
-    *  - The chain compares with strict >=, so EQUAL values can never
-    *    straddle a bucket boundary (rank ties stay inside one group).
-    *  - A literal CASE chain, not an array HOF: interpreted HOFs get
-    *    re-inlined into every downstream use by CollapseProject
-    *    (NOTES trap) and fall out of whole-stage codegen. */
+    *  - Assignment is the codegen'd [[graft.functions.BoundaryBucket]]
+    *    binary search: smallest i with boundary(i) >= v (so EQUAL
+    *    values can never straddle a boundary — rank ties stay in one
+    *    group), O(log buckets) per row at ANY bucket count. The
+    *    earlier literal CASE chain was O(buckets) deep — fine at
+    *    local[32], codegen blowup at the thousands of partitions a
+    *    100 TB deployment sizes shuffles to.
+    *  - Long inputs ride through a double cast: monotone and
+    *    tie-preserving, which is all the consumers need from a
+    *    balance-only bucketing. */
   def scoreBuckets(df: DataFrame, value: Column, nBuckets: Int): Column => Column = {
     val fracs = (1 until nBuckets.max(2)).map(_.toDouble / nBuckets.max(2)).toArray
-    val bnds: Seq[Any] = Option(
+    val bnds: Array[Double] = Option(
       df.filter(value.isNotNull)
         .sample(withReplacement = false, 0.05, seed = 42L)
         .agg(percentile_approx(value, lit(fracs), lit(2000)).as("b"))
         .head().getSeq[Any](0)).getOrElse(Seq.empty)
-    c => bnds.zipWithIndex.foldRight(lit(bnds.length): Column) {
-      case ((b, i), rest) => when(lit(b) >= c, lit(i)).otherwise(rest)
-    }
+      .map {
+        case l: Long => l.toDouble
+        case d: Double => d
+        case other => other.toString.toDouble
+      }.toArray.sorted
+    c => org.apache.spark.sql.GraftSqlShim.column(
+      graft.functions.BoundaryBucket(
+        org.apache.spark.sql.GraftSqlShim.expression(c.cast("double")), bnds))
   }
 }

@@ -93,7 +93,12 @@ object Ingest {
     * becomes set operations: one scan, one broadcast, one window
     * shuffle — the EP1 lifecycle traced in SURVEY §3.1. */
   def run(spark: SparkSession, repoRoot: String, sourceCommit: String): DataFrame = {
-    val raw = Normalize.readRaw(spark, repoRoot + "/*/*.json").cache()
+    // localCheckpoint, not .cache(): repeated run() calls in a long
+    // session would each pin one cache entry forever, while checkpoint
+    // blocks free via the ContextCleaner once the returned frame is
+    // unreachable (the runToTable discipline). Eager is fine — raw is
+    // the ingest sample, and two passes (league map + valid) follow.
+    val raw = Normalize.readRaw(spark, repoRoot + "/*/*.json").localCheckpoint(true)
     val leagueMap = buildLeagueMap(raw)
     // valid = parseable rows passing the SAME required-fields rule the
     // warn side-output uses (shared predicate — the two can't diverge)

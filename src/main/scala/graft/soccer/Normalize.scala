@@ -44,11 +44,14 @@ object Normalize {
     *
     * Spark refuses plans that reference ONLY the internal corrupt-record
     * column of a JSON scan ([UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_
-    * RECORD_COLUMN]); the documented pattern is to cache the parsed
-    * result first — correct here (ingest inputs are small); a 100 TB
+    * RECORD_COLUMN]); the documented remedy is materializing the parsed
+    * result first. localCheckpoint rather than .cache(): a pinned cache
+    * entry per call would outlive the caller (the runToTable leak
+    * shape), while checkpoint blocks free once the frame is
+    * unreachable. Fine here (ingest inputs are small); a 100 TB
     * pipeline would persist the parsed frame and route errors from it. */
   def corruptRecords(raw: DataFrame): DataFrame =
-    raw.cache().filter(col("_corrupt_record").isNotNull)
+    raw.localCheckpoint(true).filter(col("_corrupt_record").isNotNull)
 
   /** The required-fields rule (main.yml:132-134, P7), shared between the
     * warn side-output and the ingest valid-row filter so the two can
