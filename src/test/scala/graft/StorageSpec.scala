@@ -256,4 +256,35 @@ class StorageSpec extends SparkSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("publishStaged: swap replaces the export, a failed write keeps the old one") {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft_publish_spec")
+    val target = s"$base/export"
+    def put(content: String): Unit =
+      Scratch.publishStaged(target) { stage =>
+        Files.createDirectories(Paths.get(stage))
+        Files.writeString(Paths.get(stage, "part"), content)
+      }
+    def read(): String = Files.readString(Paths.get(target, "part"))
+    put("v1")
+    assert(read() === "v1")
+    // a crashing write must leave the previous export fully intact
+    intercept[RuntimeException] {
+      Scratch.publishStaged(target) { stage =>
+        Files.createDirectories(Paths.get(stage))
+        Files.writeString(Paths.get(stage, "part"), "torn")
+        throw new RuntimeException("writer died")
+      }
+    }
+    assert(read() === "v1")
+    put("v2")
+    assert(read() === "v2")
+    // no staging residue beside the export
+    import scala.jdk.CollectionConverters._
+    val residue = Files.list(base).iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("export.stage")).toSeq
+    assert(residue.isEmpty, residue)
+    Scratch.deleteNow(base.toString)
+  }
 }
