@@ -252,7 +252,109 @@ object TextAnalysis {
       |      < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Number of merges q100 learns; the joiner marks a merged symbol so
+    * it can never collide with (or re-match) its parts. */
+  val BpeMerges = 6
+  /** Unit-separator joiner: a fused symbol can never equal a raw token
+    * (space-split text cannot contain U+001F) nor its own `left` part —
+    * the property greedy non-overlap rests on. */
+  private[graft] val MergeJoiner = "\u001f"
+
+  /** Q100: BPE MERGE LEARNING — the training half of tokenizer
+    * construction (q45 applies a fixed scheme; this LEARNS the merge
+    * table): for K rounds, count adjacent token pairs across the
+    * corpus, take the most frequent pair (deterministic tiebreak),
+    * fuse its occurrences greedily left-to-right, repeat. The result
+    * is the ranked merge table — `(rank, left, right, n)` — exactly
+    * what a word-level BPE trainer emits.
+    *
+    * Distribution shape (the CC-loop discipline): the K-round driver
+    * loop is bounded CONTROL FLOW (K is the vocabulary budget, never
+    * data-sized); per round the corpus stays distributed through one
+    * adjacent-pair flatMap + one map-side-combining count, only the
+    * argmax row (1 row) returns to the driver, and the merge rewrite
+    * is a per-row fold. localCheckpoint per round truncates lineage
+    * (round k would otherwise replan k rewrites deep). Greedy
+    * non-overlap falls out of the symbol algebra: a fused symbol
+    * carries [[MergeJoiner]], so it can't equal `left` and re-fuse
+    * with the next token in the same pass ("a a a a" -> [aa, aa],
+    * not [aaa, a]).
+    *
+    * The harness query trains on the deterministic 20% sample
+    * (doc_id % 5 == 0): tokenizer trainers subsample BY DESIGN — the
+    * established single-node tools are CAPPED at what one machine
+    * holds, which is exactly the cap this distributed trainer removes;
+    * pair counts concentrate fast, so a sample fixes the merge table.
+    * The loop runs under a sample-sized shuffle-partition count
+    * (restored after — the withStatePartitions reasoning): every round
+    * pays per-partition scheduling for a count job plus a rewrite, so
+    * partitions track the SAMPLE, and a deployment training on more
+    * sizes them up with it.
+    *
+    * The per-row fold is an interpreted `aggregate` HOF — fine for a
+    * K-round trainer (K passes over token arrays); the 100 TB remedy
+    * is the usual native-kernel swap (LshBands pattern), same
+    * semantics, one compiled pass. No DuckDB oracle: iterated
+    * argmax-then-rewrite is not expressible as a query — the
+    * TextAnalysisSpec witness recomputes the full loop driver-side
+    * on the collected corpus and pins equality (the q31/q32 twin
+    * discipline). */
+  /** Render a string as a SQL literal for the per-round fuse lambda
+    * (tokens are corpus text — escape quotes/backslashes defensively). */
+  private def sqlLit(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  def bpeMergeLearning(spark: SparkSession, dir: String): DataFrame =
+    bpeMergeLearningOn(spark,
+      Tables.documents(spark, dir).filter(col("doc_id") % 5 === 0))
+
+  private[graft] def bpeMergeLearningOn(spark: SparkSession, corpus: DataFrame): DataFrame = {
+    import spark.implicits._
+    val key = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try {
+    var toks = corpus
+      .filter(col("text").isNotNull)
+      .select(tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .localCheckpoint(true)
+    val learned = Seq.newBuilder[(Long, String, String, Long)]
+    var rank = 1
+    while (rank <= BpeMerges) {
+      // adjacent pairs: transform-with-index over the length-1 prefix
+      val pairs = toks
+        .select(explode(expr(
+          "transform(slice(t, 1, size(t) - 1), (x, i) -> struct(x AS l, element_at(t, i + 2) AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(count(lit(1)).as("n"))
+      val top = pairs.orderBy(col("n").desc, col("l"), col("r")).limit(1).collect()
+      if (top.isEmpty) rank = BpeMerges + 1 // corpus has no pairs left
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((rank.toLong, l, r, n))
+        val merged = l + MergeJoiner + r
+        // greedy left-to-right fuse: fold each token into the rebuilt
+        // array, replacing a trailing `l` when the current token is `r`
+        val fuse = expr(
+          s"""aggregate(t, cast(array() as array<string>), (acc, x) ->
+             |  CASE WHEN size(acc) > 0 AND element_at(acc, -1) = ${sqlLit(l)}
+             |            AND x = ${sqlLit(r)}
+             |       THEN concat(slice(acc, 1, size(acc) - 1), array(${sqlLit(merged)}))
+             |       ELSE concat(acc, array(x)) END)""".stripMargin)
+        val next = toks.select(fuse.as("t")).localCheckpoint(true)
+        toks = next
+        rank += 1
+      }
+    }
+    learned.result().toDF("rank", "left", "right", "n")
+      .orderBy(col("rank"))
+    } finally spark.conf.set(key, prevParts)
+  }
+
   def queries: Map[String, Relational.Q] = Map(
+    "q100_bpe_merge_learning" -> (bpeMergeLearning _),
     "q24_text_stats" -> (textStats _),
     "q62_stratified_sample" -> (stratifiedSample _),
     "q66_distinctive_terms" -> (distinctiveTerms _),

@@ -68,4 +68,57 @@ class TextAnalysisSpec extends SparkSuite {
       .groupBy("text").count().filter(col("count") > 1).count()
     assert(fp === textDups)
   }
+
+  test("q100 BPE merges match a driver-side reference trainer") {
+    import spark.implicits._
+    val got = TextAnalysis.bpeMergeLearning(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // reference trainer: same greedy left-to-right semantics over the
+    // collected corpus (the query's own 20% training sample) —
+    // independent code path, shared only in contract
+    var docs = Tables.documents(spark, Sf0001)
+      .filter(col("doc_id") % 5 === 0 && col("text").isNotNull)
+      .select($"text").as[String].collect().toSeq
+      .map(_.split(" ", -1).toVector).filter(_.length >= 2)
+    val expected = Seq.newBuilder[(Long, String, String, Long)]
+    for (rank <- 1 to TextAnalysis.BpeMerges) {
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long].withDefaultValue(0L)
+      docs.foreach(_.sliding(2).foreach {
+        case Seq(a, b) => counts((a, b)) += 1
+        case _ =>
+      })
+      if (counts.nonEmpty) {
+        val ((l, r), n) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        expected += ((rank.toLong, l, r, n))
+        val m = l + TextAnalysis.MergeJoiner + r
+        docs = docs.map(_.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ m
+          else acc :+ x
+        })
+      }
+    }
+    assert(got === expected.result())
+    // merges carry their own algebra: later merges may build on earlier
+    // fused symbols; ranks are contiguous and counts non-increasing only
+    // per symbol-pair availability (no global monotonicity claim) — but
+    // the table must be exactly BpeMerges rows on this corpus
+    assert(got.length === TextAnalysis.BpeMerges)
+  }
+
+  test("q100 greedy fuse: overlapping runs pair left-to-right, fused symbols don't re-match") {
+    import spark.implicits._
+    // "a a a a" with merge (a,a) must become [a?a, a?a], not [a?a?a, a]
+    val docs = Seq("a a a a", "b c b c").toDF("text")
+    val fused = "a" + TextAnalysis.MergeJoiner + "a"
+    val out = docs.select(split(col("text"), " ").as("t"))
+      .select(expr(
+        s"""aggregate(t, cast(array() as array<string>), (acc, x) ->
+           |  CASE WHEN size(acc) > 0 AND element_at(acc, -1) = 'a' AND x = 'a'
+           |       THEN concat(slice(acc, 1, size(acc) - 1), array('$fused'))
+           |       ELSE concat(acc, array(x)) END)""".stripMargin).as("t"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) === Seq(fused, fused))
+    assert(out(1) === Seq("b", "c", "b", "c"))
+  }
 }
