@@ -30,6 +30,22 @@ import org.apache.spark.sql.SparkSession
   * any drift window thinly across many queries, so a per-query median
   * reflects the plan, not the schedule position. SPARK_GRAFT_BENCH_SEED
   * (default 421) makes the orders reproducible.
+  *
+  * Drift calibration (round-5): interleaving fixes WITHIN-run
+  * concentration but cannot normalize a whole-run-slow container —
+  * BENCH_r04 ran 2-8x slower than r3 on unchanged code/plans because
+  * the entire driver window was slow. Each pass therefore also times a
+  * FIXED probe (the warm-up's scan/agg/noop-write shape, constant
+  * across rounds), shuffled into the pass like any query. The metric
+  * line carries `calibration` (median probe seconds) and
+  * `calibration_passes`; cross-round comparisons should divide totals
+  * by the calibration ratio before calling anything a regression.
+  * Output layout is truncation-aware: the driver artifact keeps only a
+  * TAIL of stdout (BENCH_r04's map lost q1-q47), so a compact summary
+  * object ({"metric":"summary",...}) prints on its own line before the
+  * full metric line AND the headline fields (total/worst/calibration)
+  * repeat AFTER the per-query map inside the metric line — whichever
+  * end survives truncation, the headline numbers survive with it.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -104,13 +120,26 @@ object Bench {
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val seed = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEED", "421").toLong
     val rng = new scala.util.Random(seed)
+    // Fixed calibration probe: the warm-up's scan/agg shape, constant
+    // across rounds and independent of any registered query, timed once
+    // per pass at a seeded-shuffled position like any other query. Its
+    // cross-round ratio IS the container-speed ratio (the plan never
+    // changes), so r4-style whole-run drift stops masquerading as code
+    // regression. Excluded from `total`.
+    val calibrationName = "__calibration_probe"
+    val probe: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, dir) => s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(org.apache.spark.sql.functions.sum("l_quantity").as("q"),
+          org.apache.spark.sql.functions.count("*").as("n"))
+    val timed = selected :+ (calibrationName -> probe)
     // `reps` full passes over the suite, each in a fresh shuffled order.
     // A failed rep records NO time: a query dying in 50ms at plan time
     // must not contribute a near-zero median that makes the headline
     // total look faster than the prior round — its absence plus the
     // `failed` array is the honest signal.
     val passes = (1 to reps).map { _ =>
-      rng.shuffle(selected).map { case (name, fn) =>
+      rng.shuffle(timed).map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -128,13 +157,23 @@ object Bench {
       val times = passes.flatMap(_(name)).sorted
       if (times.isEmpty) None else Some(name -> times(times.length / 2))
     }
+    val calTimes = passes.flatMap(_(calibrationName)).sorted
+    val calMedian = if (calTimes.isEmpty) -1.0 else calTimes(calTimes.length / 2)
+    val calPasses = calTimes.map(t => f"$t%.4f").mkString("[", ",", "]")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val worst = results.sortBy(-_._2).take(5)
+      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     // failures surface in the metric line itself — a stderr-only signal
     // would let a broken query silently "improve" the total
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"reps":$reps,"agg":"median","sf":"$sfDir"}""")
+    val headline = f""""total":$total%.3f,"n_queries":${results.size},"worst":$worst,"calibration":$calMedian%.4f,"calibration_passes":$calPasses,"failed":$failedJson"""
+    // summary-first line: survives head-truncation of the artifact
+    println(s"""{"metric":"summary",$headline,"reps":$reps,"sf":"$sfDir"}""")
+    // metric line (driver contract): headline fields repeat AFTER the
+    // per-query map so tail-truncation keeps them too
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"agg":"median","sf":"$sfDir",$headline}""")
     spark.stop()
   }
 }
