@@ -40,18 +40,36 @@ object Scratch {
     * content and then spends the whole Spark write unreadable — seconds
     * during which a concurrent JVM or the driver's DuckDB pass reads a
     * torn dir. Here the caller writes to a pid-suffixed staging dir and
-    * the swap is delete + rename: two metadata operations. A crash
-    * mid-write leaves the previous complete export in place. */
+    * the swap is rename-aside + rename-in: two single metadata moves,
+    * never a multi-file delete between them. A crash mid-write OR
+    * mid-swap leaves a complete export in place (the previous one until
+    * the instant the new one lands); the old copy is deleted only after
+    * the new target is live. The final move retries once on
+    * FileAlreadyExistsException so two concurrent publishers interleave
+    * to "one of the two complete exports" rather than an exception. */
   def publishStaged(target: String)(write: String => Unit): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val stage = s"$target.stage.${ProcessHandle.current().pid()}"
-    deleteNow(stage)
+    import java.nio.file.{Files, FileAlreadyExistsException, Paths, StandardCopyOption}
+    val pid = ProcessHandle.current().pid()
+    val stage = s"$target.stage.$pid"
+    val retired = s"$target.old.$pid"
+    deleteNow(stage); deleteNow(retired)
     try {
       write(stage)
-      deleteNow(target)
-      Files.move(Paths.get(stage), Paths.get(target),
+      // single-move the live export aside (no unreadable window), then
+      // single-move the stage in; delete the retired copy last
+      if (Files.exists(Paths.get(target)))
+        try Files.move(Paths.get(target), Paths.get(retired),
+          StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.NoSuchFileException => () } // concurrent publisher took it
+      try Files.move(Paths.get(stage), Paths.get(target),
         StandardCopyOption.ATOMIC_MOVE)
-    } finally deleteNow(stage)
+      catch {
+        case _: FileAlreadyExistsException =>
+          // a concurrent publisher won the race and its export is
+          // complete — ours is redundant; leave theirs live
+          ()
+      }
+    } finally { deleteNow(stage); deleteNow(retired) }
   }
 
   /** Recursive delete now (for invalidating a partial build). Tolerates

@@ -47,10 +47,15 @@ object Verify {
     // re-points them when Verify runs at ANOTHER SF (the local sf0.1
     // depth sweep), so the oracle reads the exports of the run it is
     // checking instead of a stale sf0.01 copy.
+    // The rewrite is anchored to the known /tmp/graft_* export-path
+    // shape (never a bare "sf0.01" substring): a future numeric/string
+    // literal that happens to contain "sf0.01" must not be rewritten.
     val sfBase = sfDir.stripSuffix("/").split('/').last
+    val exportPath = """(/tmp/graft_[A-Za-z0-9_]*_)sf0\.01""".r
     val json = SparkEntry.oracleSql
       .map { case (k, v) => k -> (if (sfBase == "sf0.01") v
-        else v.replace("sf0.01", sfBase)) }
+        else exportPath.replaceAllIn(v,
+          m => java.util.regex.Matcher.quoteReplacement(m.group(1) + sfBase))) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -314,8 +314,15 @@ object TextAnalysis {
     val prevParts = spark.conf.get(key)
     spark.conf.set(key, "8")
     try {
+    // The greedy-fuse invariant ("a fused symbol can never equal a raw
+    // token") holds only if no corpus token carries the reserved
+    // U+001F joiner; tokens() is a plain space split, so real text
+    // containing U+001F would collide with fused symbols and silently
+    // corrupt the merge table. Exclude such rows from training (one
+    // cheap predicate — doc-level, so token adjacency is unchanged for
+    // every row that trains).
     var toks = corpus
-      .filter(col("text").isNotNull)
+      .filter(col("text").isNotNull && !col("text").contains(MergeJoiner))
       .select(tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
       .localCheckpoint(true)

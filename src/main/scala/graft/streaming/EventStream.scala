@@ -273,6 +273,19 @@ object EventStream {
         }
       }
     q.awaitTermination()
+    // Update-mode parity guard: the memory sink retains one row per
+    // touched key PER BATCH, so batch-oracle equality relies on the
+    // whole input landing in a single data microbatch (true today:
+    // events.parquet is one file and no maxFilesPerTrigger is set). If
+    // a future source split ever breaks that, stale partial totals
+    // would silently ride along with final ones — fail loudly instead.
+    if (mode == OutputMode.Update()) {
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches <= 1,
+        s"runToTable($name): Update-mode memory sink saw $dataBatches data " +
+          "microbatches; results would mix stale per-batch rows with final " +
+          "ones. Dedup to the last row per key or keep the input single-batch.")
+    }
     val result = spark.table(name).localCheckpoint(true)
     spark.catalog.dropTempView(name)
     result

@@ -79,6 +79,7 @@ class TextAnalysisSpec extends SparkSuite {
     var docs = Tables.documents(spark, Sf0001)
       .filter(col("doc_id") % 5 === 0 && col("text").isNotNull)
       .select($"text").as[String].collect().toSeq
+      .filterNot(_.contains(TextAnalysis.MergeJoiner)) // mirrors the query's reserved-joiner guard
       .map(_.split(" ", -1).toVector).filter(_.length >= 2)
     val expected = Seq.newBuilder[(Long, String, String, Long)]
     for (rank <- 1 to TextAnalysis.BpeMerges) {
@@ -104,6 +105,20 @@ class TextAnalysisSpec extends SparkSuite {
     // per symbol-pair availability (no global monotonicity claim) — but
     // the table must be exactly BpeMerges rows on this corpus
     assert(got.length === TextAnalysis.BpeMerges)
+  }
+
+  test("q100 reserved-joiner guard: U+001F-carrying docs are excluded from training") {
+    import spark.implicits._
+    // the second doc smuggles a raw token equal to a fused symbol;
+    // without the guard it would inflate the (a,a) count and could
+    // re-fuse against genuine merges
+    val poison = "a" + TextAnalysis.MergeJoiner + "a"
+    val corpus = Seq("a a b b", s"$poison a a a").toDF("text")
+    val got = TextAnalysis.bpeMergeLearningOn(spark, corpus).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    // only the clean doc trains: (a,a) n=1 and (b,b) n=1 appear with
+    // count 1 — the poisoned doc's three extra 'a's never count
+    assert(got.forall(_._3 <= 1L))
   }
 
   test("q100 greedy fuse: overlapping runs pair left-to-right, fused symbols don't re-match") {
