@@ -1,14 +1,14 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 
 /** Dev tool: per-query physical-plan diagnostics for the 100 TB design
   * review — shuffle count, join strategies, codegen spans, scan pushdown.
   * Usage: sbt "runMain graft.PlanAudit [sfDir]". Not part of the driver
-  * contract; used each round to catch plans that won't survive scale-up.
+  * contract; the INVARIANT subset (no cartesians, BNLJ allowlist,
+  * shuffle ceilings) is enforced in CI by `PlanInvariantsSpec` via the
+  * shared [[PlanInvariants]] walker — this main remains the verbose
+  * human-readable view (scans, codegen spans, join strategies).
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
@@ -19,39 +19,24 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def collectAll(p: SparkPlan): Seq[SparkPlan] = {
-      val self = p match {
-        case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)
-        // AQE wraps materialized stages in QueryStageExec whose inner
-        // plan hangs off a field, not children — without unwrapping,
-        // codegen spans and stage-local operators are invisible
-        case q: QueryStageExec => q +: collectAll(q.plan)
-        case _ => Seq(p)
-      }
-      self ++ p.children.flatMap(collectAll) ++
-        p.subqueries.flatMap(collectAll)
-    }
-
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
-        // materialize THIS DataFrame's own plan instance: under AQE,
-        // join picks and codegen insertion happen per stage during
-        // execution, and a write would execute a cloned QueryExecution,
-        // leaving this instance's adaptive plan in its un-executed
-        // initial state (codegen spans invisible). collect() is safe —
-        // PlanAudit runs at sf0.001 where every result is tiny.
-        df.collect()
-        val plan = df.queryExecution.executedPlan
-        val nodes = collectAll(plan)
-        val names = nodes.map(_.nodeName)
-        val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
+        // audit() materializes THIS DataFrame's own plan instance:
+        // under AQE, join picks and codegen insertion happen per stage
+        // during execution, and a write would execute a cloned
+        // QueryExecution, leaving this instance's adaptive plan in its
+        // un-executed initial state. collect() is safe — PlanAudit
+        // runs at sf0.001 where every result is tiny.
+        val a = PlanInvariants.audit(df)
+        val names = a.nodeNames
         val joins = names.filter(_.contains("Join")).groupBy(identity)
           .map { case (k, v) => s"$k x${v.size}" }.mkString(", ")
         val codegen = names.count(_.startsWith("WholeStageCodegen"))
-        val scans = nodes.filter(_.nodeName.contains("Scan"))
+        val scans = PlanInvariants.collectAll(df.queryExecution.executedPlan)
+          .filter(_.nodeName.contains("Scan"))
           .map(_.toString.linesIterator.next().take(120)).distinct
-        println(f"$name%-24s shuffles=$shuffles%-3d codegen=$codegen%-3d joins=[$joins]")
+        println(f"$name%-24s shuffles=${a.shuffles}%-3d codegen=$codegen%-3d joins=[$joins]")
         scans.foreach(s => println(s"    scan: $s"))
       } catch {
         case e: Throwable => println(s"$name AUDIT FAILED: ${e.getMessage.take(100)}")

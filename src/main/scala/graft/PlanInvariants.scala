@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Physical-plan scale invariants, shared by the [[PlanAudit]] dev tool
+  * and `PlanInvariantsSpec` (which promotes them into `sbt test` so a
+  * plan regression fails CI instead of waiting for a judge's manual
+  * audit). The invariants are the 100 TB review rules:
+  *
+  *  - NO `CartesianProductExec` anywhere (a cartesian that "works" at
+  *    sf0.001 is a cluster-killer at scale);
+  *  - `BroadcastNestedLoopJoin` only where a bounded broadcast side is
+  *    the design (see [[bnlAllowlist]] — single-row scalar frames and
+  *    the by-design brute-force baselines);
+  *  - a per-query shuffle ceiling ([[shuffleCeiling]]) so an extra
+  *    exchange sneaking into a plan is caught the day it lands.
+  */
+object PlanInvariants {
+
+  /** Walk every node of an executed plan, unwrapping AQE wrappers:
+    * `AdaptiveSparkPlanExec` hides the executed plan behind a field and
+    * `QueryStageExec` hangs its stage plan off `plan`, not `children` —
+    * without unwrapping, stage-local joins and codegen spans are
+    * invisible. Subquery plans are walked too (a cartesian inside a
+    * scalar subquery is still a cartesian). */
+  def collectAll(p: SparkPlan): Seq[SparkPlan] = {
+    val self = p match {
+      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)
+      case q: QueryStageExec => q +: collectAll(q.plan)
+      case _ => Seq(p)
+    }
+    self ++ p.children.flatMap(collectAll) ++
+      p.subqueries.flatMap(collectAll)
+  }
+
+  /** Structural audit of one query's EXECUTED plan. The caller must
+    * execute the very DataFrame instance it passes (under AQE, join
+    * picks happen per stage during execution; an unexecuted adaptive
+    * plan still shows its initial state). */
+  final case class Audit(
+      shuffles: Int,
+      cartesians: Int,
+      broadcastNestedLoops: Int,
+      nodeNames: Seq[String])
+
+  def audit(df: DataFrame): Audit = {
+    df.collect() // materialize THIS instance's adaptive plan (tiny SF only)
+    val nodes = collectAll(df.queryExecution.executedPlan)
+    val names = nodes.map(_.nodeName)
+    Audit(
+      shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec]),
+      cartesians = names.count(_.contains("CartesianProduct")),
+      broadcastNestedLoops = names.count(_.contains("BroadcastNestedLoopJoin")),
+      nodeNames = names)
+  }
+
+  /** Queries whose BroadcastNestedLoopJoin is the DESIGN, each with a
+    * bounded broadcast side:
+    *  - q33: brute-force cosine top-k — the oracled full-scan baseline
+    *    (q34/q59 are the scale paths); broadcasts the tiny query set;
+    *  - q35: centroid theta-join over a label-bounded frame;
+    *  - q66/q89/q93: a single-row scalar (corpus doc count / total
+    *    weight) crossJoin-broadcast into the scoring scan. */
+  val bnlAllowlist: Set[String] =
+    Set("q33_cosine_topk", "q35_label_centroids", "q66_distinctive_terms",
+      "q89_token_rarity", "q93_mixture_resample")
+
+  /** Per-query shuffle ceilings above the [[defaultShuffleCeiling]].
+    * These are the audited round-5 counts — intentionally exact, so an
+    * unexplained extra exchange fails the suite:
+    *  - q79 runs a multi-table constraint suite (inherent: one agg per
+    *    constraint family);
+    *  - q66 chains doc-frequency, term-frequency and rank stages. */
+  val shuffleCeiling: Map[String, Int] =
+    Map("q79_constraint_suite" -> 7, "q66_distinctive_terms" -> 6)
+
+  /** Every other plan holds at <= 4 exchanges today (audited r5). */
+  val defaultShuffleCeiling: Int = 4
+
+  def ceilingFor(name: String): Int =
+    shuffleCeiling.getOrElse(name, defaultShuffleCeiling)
+}
