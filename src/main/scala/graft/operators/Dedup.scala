@@ -41,47 +41,70 @@ object Dedup {
 
   /** Q30: near-dup detection via token-set Jaccard with composite
     * blocking (X2 exact-verification path). The block key is
-    * (length band of 32 chars, first token): a doc pairs with docs in
-    * its own and the NEXT length band — so any pair whose lengths
-    * differ by <= 32 chars is guaranteed to meet (the old exact-n_chars
-    * key missed every near-dup whose edit changed the length at all)
-    * — and the first-token anchor splits each length band by content,
-    * so block sizes scale with (docs per 32-char band per leading
-    * token), not (docs per exact length). Recall contract: under the
-    * EDIT model of near-duplication (one doc is a lightly edited copy
-    * of the other) a pair is missed only if the edit touched the very
-    * first token or shifted length by > 32-64 chars. Honesty note,
-    * measured at sf0.01: the synthetic corpus has a ~30-token
-    * vocabulary, so 24% of ALL doc pairs clear 0.8 DISTINCT-TOKEN
-    * Jaccard by vocabulary saturation alone (avg length diff 99 chars
-    * among them) — those are not edit-model near-dups, and no
-    * equality blocking catches them (old exact-length key: 88 pairs;
-    * this key: 363). Sequence-sensitive shingle Jaccard (q31) is the
-    * discriminative metric on such corpora.
+    * (length band of 32 chars, first token, rarest token): a doc pairs
+    * with docs in its own and the NEXT length band — so any pair whose
+    * lengths differ by <= 32 chars is guaranteed to meet (the old
+    * exact-n_chars key missed every near-dup whose edit changed the
+    * length at all) — the first-token anchor splits each length band
+    * by content, and the rarest-token anchor (round-5: the token with
+    * the minimum global document frequency, ties broken
+    * lexicographically — a vocabulary-bounded broadcast, the q89
+    * discipline) splits it again by the most discriminative token the
+    * doc carries, so block sizes scale with (docs per 32-char band per
+    * leading token per rarest token), not (docs per exact length).
+    * Recall contract: under the EDIT model of near-duplication (one
+    * doc is a lightly edited copy of the other) a pair is missed only
+    * if the edit touched the very first token, shifted length by
+    * > 32-64 chars, or added/removed the doc's globally-rarest token —
+    * light edits preserve all three anchors. Honesty note, measured at
+    * sf0.01: the synthetic corpus has a ~30-token vocabulary, so 24%
+    * of ALL doc pairs clear 0.8 DISTINCT-TOKEN Jaccard by vocabulary
+    * saturation alone (avg length diff 99 chars among them) — those
+    * are not edit-model near-dups, and no equality blocking catches
+    * them (old exact-length key: 88 pairs; band+first-token key: 363;
+    * this key: 273 of those 363 — measured candidate pairs drop 1.6x
+    * at sf0.01 (487 vs 793) and 1.7x at sf0.1 (46k vs 77k); the
+    * saturated ~30-token vocabulary caps the anchor's selectivity, a
+    * real corpus's Zipfian tail would cut far deeper — the DedupSpec
+    * honesty test logs both counts). Sequence-sensitive shingle
+    * Jaccard (q31) is the discriminative metric on such corpora.
     *
     * Still the exact-verification path, not the 100 TB path: blocks
     * grow with corpus size (Zipfian first tokens), so at full scale the
     * sub-quadratic candidate generator is MinHash-LSH (q31); this query
     * exists as its DuckDB-oracled exact twin. Same
     * candidate-pairs-before-payload shape as q31: the banded self-join
-    * carries only (block, first-token, id); token sets are fetched
-    * after the distinct pair set is resolved. */
+    * carries only (block, first-token, rarest-token, id); token sets
+    * are fetched after the distinct pair set is resolved. */
   /** Verified near-dup pairs with their intersection/union counts —
     * shared candidate-generation + verification core of q30 (formatted
     * jaccard output) and q63 (cluster resolution over the pair graph). */
   private[graft] def neardupVerified(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    val docs = Tables.documents(spark, dir)
       .select(col("doc_id"),
         expr("n_chars div 32").as("band"),
-        element_at(split(col("text"), " "), 1).as("ftok"))
+        element_at(split(col("text"), " "), 1).as("ftok"),
+        array_distinct(tokens(col("text"))).as("toks"))
+    val toks = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+    // global document frequency per distinct token: vocabulary-bounded
+    // (size of the token vocabulary, not the corpus), so it broadcasts
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    // rarest token per doc — min by (df, tok); the lexicographic
+    // tiebreak makes the anchor deterministic
+    val rare = toks.join(broadcast(dfreq), Seq("tok"))
+      .groupBy("doc_id")
+      .agg(min_by(col("tok"), struct(col("df"), col("tok"))).as("rtok"))
+    val d = docs.join(rare, Seq("doc_id"))
+      .select(col("doc_id"), col("band"), col("ftok"), col("rtok"))
     // one side emits (band, band+1), the other its own band: bands
     // within 1 of each other meet regardless of which doc is longer;
     // least/greatest + distinct collapses the double match of
     // same-band pairs
     val a = d.select(explode(array(col("band"), col("band") + 1)).as("blk"),
-      col("ftok"), col("doc_id").as("id_l"))
-    val b = d.select(col("band").as("blk"), col("ftok"), col("doc_id").as("id_r"))
-    val cand = a.join(b, Seq("blk", "ftok"))
+      col("ftok"), col("rtok"), col("doc_id").as("id_l"))
+    val b = d.select(col("band").as("blk"), col("ftok"), col("rtok"),
+      col("doc_id").as("id_r"))
+    val cand = a.join(b, Seq("blk", "ftok", "rtok"))
       .filter(col("id_l") =!= col("id_r"))
       .select(least(col("id_l"), col("id_r")).as("doc_a"),
         greatest(col("id_l"), col("id_r")).as("doc_b"))
@@ -116,16 +139,27 @@ object Dedup {
   /** Shared DuckDB CTE chain ending in `pairs(doc_a, doc_b, n_inter,
     * n_union)` — the oracle twin of [[neardupVerified]]. */
   private val neardupPairsCte: String =
-    """d AS (
+    """d0 AS (
       |  SELECT doc_id, n_chars // 32 AS band,
       |    string_split(text, ' ')[1] AS ftok,
       |    list_distinct(string_split(text, ' ')) AS toks
       |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(toks) AS tok FROM d0),
+      |dfreq AS (SELECT tok, COUNT(*) AS df FROM tok GROUP BY tok),
+      |rare AS (
+      |  SELECT doc_id, tok AS rtok FROM (
+      |    SELECT t.doc_id, t.tok,
+      |      ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.tok) AS rn
+      |    FROM tok t JOIN dfreq f USING (tok)) WHERE rn = 1),
+      |d AS (
+      |  SELECT d0.doc_id, d0.band, d0.ftok, rare.rtok, d0.toks
+      |  FROM d0 JOIN rare USING (doc_id)),
       |cand AS (
       |  SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS doc_a,
       |    GREATEST(a.doc_id, b.doc_id) AS doc_b
       |  FROM d a JOIN d b
       |    ON a.ftok = b.ftok
+      |   AND a.rtok = b.rtok
       |   AND (b.band = a.band OR b.band = a.band + 1)
       |   AND a.doc_id <> b.doc_id),
       |pairs AS (
