@@ -407,3 +407,92 @@ object RollingHashKernel {
     new GenericArrayData(java.util.Arrays.copyOf(hashes, uniq))
   }
 }
+
+/** Precomputed merge table for [[BpeApply]]: parallel arrays of
+  * (left, right, fused) UTF8 symbols in rank order. A plain
+  * serializable holder so generated code can reference it via
+  * `addReferenceObj` (the [[BoundaryBucket]]-style pattern). */
+final class BpeMergeTable(
+    val left: Array[UTF8String],
+    val right: Array[UTF8String],
+    val fused: Array[UTF8String]) extends Serializable {
+  require(left.length == right.length && right.length == fused.length)
+  def size: Int = left.length
+}
+
+object BpeMergeTable {
+  /** Build from (left, right) merge pairs in rank order; each fused
+    * symbol is `left + joiner + right` (the trainer's symbol algebra —
+    * see `TextAnalysis.MergeJoiner`). */
+  def apply(merges: Seq[(String, String)], joiner: String): BpeMergeTable =
+    new BpeMergeTable(
+      merges.map(m => UTF8String.fromString(m._1)).toArray,
+      merges.map(m => UTF8String.fromString(m._2)).toArray,
+      merges.map(m => UTF8String.fromString(m._1 + joiner + m._2)).toArray)
+}
+
+/** Apply a LEARNED BPE merge table (q100's output) to a token array in
+  * ONE compiled pass per document — the tokenizer-application half of
+  * the trainer/applier pair (q102's hot path, and the per-round fuse
+  * inside q100's training loop itself). For each merge in rank order,
+  * fold left-to-right replacing adjacent (left, right) with the fused
+  * symbol; a fused symbol participates in LATER merges (BPE merges
+  * compose) but never re-matches its own `left` within the same pass
+  * (greedy non-overlap — the U+001F symbol algebra, spec-pinned
+  * identical to the interpreted `aggregate` HOF formulation).
+  *
+  * vs the HOF form: K nested interpreted `aggregate` lambdas allocate
+  * a fresh array per element per merge; this kernel rewrites one
+  * buffer in place per merge, O(K * n) with zero per-element
+  * allocation, inside whole-stage codegen. */
+case class BpeApply(child: Expression, merges: Seq[(String, String)], joiner: String)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_apply"
+
+  @transient private lazy val table = BpeMergeTable(merges, joiner)
+
+  override def nullSafeEval(a: Any): Any =
+    BpeKernel.fuse(a.asInstanceOf[ArrayData], table)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMerges", table,
+      classOf[BpeMergeTable].getName)
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.BpeKernel.fuse($t, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BpeKernel {
+  /** Iterated greedy fuse: for each merge m in rank order, one
+    * left-to-right pass where `out[j-1] == left(m) && t == right(m)`
+    * collapses into `fused(m)` (write-pointer rewrite, no allocation
+    * per pass). Equivalent by construction to folding the q100 HOF
+    * once per merge — pinned bit-equal in TextAnalysisSpec. */
+  def fuse(arr: ArrayData, table: BpeMergeTable): ArrayData = {
+    var n = arr.numElements()
+    val cur = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { cur(i) = arr.getUTF8String(i); i += 1 }
+    var m = 0
+    while (m < table.size) {
+      val l = table.left(m); val r = table.right(m); val f = table.fused(m)
+      var j = 0
+      i = 0
+      while (i < n) {
+        val t = cur(i)
+        if (j > 0 && cur(j - 1).equals(l) && t != null && t.equals(r)) cur(j - 1) = f
+        else { cur(j) = t; j += 1 }
+        i += 1
+      }
+      n = j
+      m += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(cur, n).asInstanceOf[Array[Any]])
+  }
+}

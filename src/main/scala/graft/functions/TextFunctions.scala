@@ -38,6 +38,15 @@ object TextFunctions {
     org.apache.spark.sql.GraftSqlShim.column(
       WordShingleStrings(org.apache.spark.sql.GraftSqlShim.expression(text), w))
 
+  /** Apply a learned BPE merge table to a token array: for each
+    * (left, right) merge in rank order, greedy left-to-right fuse into
+    * `left + joiner + right`. One compiled in-place pass per merge
+    * ([[graft.functions.BpeApply]]); bit-equal to folding the q100
+    * `aggregate` HOF once per merge (pinned in TextAnalysisSpec). */
+  def bpeApply(toks: Column, merges: Seq[(String, String)], joiner: String): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      BpeApply(org.apache.spark.sql.GraftSqlShim.expression(toks), merges, joiner))
+
   /** Content-defined document fingerprint (deterministic, engine-portable
     * via md5). */
   def fingerprint(text: Column): Column = md5(text)

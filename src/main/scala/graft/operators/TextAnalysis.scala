@@ -299,17 +299,22 @@ object TextAnalysis {
     * TextAnalysisSpec witness recomputes the full loop driver-side
     * on the collected corpus and pins equality (the q31/q32 twin
     * discipline). */
-  /** Render a string as a SQL literal for the per-round fuse lambda
-    * (tokens are corpus text — escape quotes/backslashes defensively). */
-  private def sqlLit(s: String): String =
-    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
-
   def bpeMergeLearning(spark: SparkSession, dir: String): DataFrame =
     bpeMergeLearningOn(spark,
       Tables.documents(spark, dir).filter(col("doc_id") % 5 === 0))
 
   private[graft] def bpeMergeLearningOn(spark: SparkSession, corpus: DataFrame): DataFrame = {
     import spark.implicits._
+    learnMerges(spark, corpus).toDF("rank", "left", "right", "n")
+      .orderBy(col("rank"))
+  }
+
+  /** The trainer loop itself, returning the learned merge table as a
+    * driver-side list (BOUNDED: one row per merge rank, K =
+    * [[BpeMerges]]) — shared by q100 (which renders it as the result
+    * frame) and q102 (which applies it to the full corpus). */
+  private[graft] def learnMerges(spark: SparkSession,
+      corpus: DataFrame): Seq[(Long, String, String, Long)] = {
     val key = "spark.sql.shuffle.partitions"
     val prevParts = spark.conf.get(key)
     spark.conf.set(key, "8")
@@ -341,27 +346,81 @@ object TextAnalysis {
       else {
         val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         learned += ((rank.toLong, l, r, n))
-        val merged = l + MergeJoiner + r
-        // greedy left-to-right fuse: fold each token into the rebuilt
-        // array, replacing a trailing `l` when the current token is `r`
-        val fuse = expr(
-          s"""aggregate(t, cast(array() as array<string>), (acc, x) ->
-             |  CASE WHEN size(acc) > 0 AND element_at(acc, -1) = ${sqlLit(l)}
-             |            AND x = ${sqlLit(r)}
-             |       THEN concat(slice(acc, 1, size(acc) - 1), array(${sqlLit(merged)}))
-             |       ELSE concat(acc, array(x)) END)""".stripMargin)
-        val next = toks.select(fuse.as("t")).localCheckpoint(true)
+        // greedy left-to-right fuse: one compiled in-place pass
+        // (round-5: BpeApply kernel replaced the interpreted
+        // `aggregate` HOF — pinned bit-equal in TextAnalysisSpec)
+        val next = toks
+          .select(bpeApply(col("t"), Seq((l, r)), MergeJoiner).as("t"))
+          .localCheckpoint(true)
         toks = next
         rank += 1
       }
     }
-    learned.result().toDF("rank", "left", "right", "n")
-      .orderBy(col("rank"))
+    learned.result()
     } finally spark.conf.set(key, prevParts)
   }
 
+  /** Cross-process export dir for q102's per-doc token counts (the
+    * q37/q88 oracle-read discipline: the oracle text pins the sf0.01
+    * basename — the SF the driver's gate runs at — and Verify
+    * re-points it for non-gate SFs). */
+  def tokenizedExportPath(dir: String): String =
+    s"/tmp/graft_q102_tokens_${dir.stripSuffix("/").split('/').last}"
+
+  /** Q102: APPLY THE LEARNED TOKENIZER — q100's consumer (round-4
+    * VERDICT gap #2). Train the merge table on the standard 20%
+    * sample, then tokenize the FULL corpus with the compiled
+    * [[graft.functions.BpeApply]] kernel (all K merges in rank order,
+    * one in-place pass per merge per doc) and account for the result:
+    * per-source doc counts and corpus token totals before and after
+    * merging. The per-doc counts are exported (publishStaged) and the
+    * result frame re-aggregates the EXPORT, so both engines aggregate
+    * the same bytes: DuckDB recomputes tokens_before from the raw
+    * corpus independently and re-aggregates the exported after-counts
+    * (the q37 discipline — the fold itself is witness-pinned in
+    * TextAnalysisSpec, the accounting is DuckDB-checked).
+    *
+    * 100 TB: the trainer side is q100's bounded loop; the apply side
+    * is one embarrassingly-parallel compiled scan of the corpus (the
+    * merge table rides into codegen as a K-entry reference object),
+    * one columnar export, and a per-source aggregate over (doc_id,
+    * source, two longs) rows — no joins, no row-scale driver state. */
+  def applyTokenizer(spark: SparkSession, dir: String): DataFrame = {
+    val merges = learnMerges(spark,
+      Tables.documents(spark, dir).filter(col("doc_id") % 5 === 0))
+      .map { case (_, l, r, _) => (l, r) }
+    val out = tokenizedExportPath(dir)
+    graft.Scratch.publishStaged(out) { stage =>
+      Tables.documents(spark, dir)
+        .filter(col("text").isNotNull && !col("text").contains(MergeJoiner))
+        .select(col("doc_id"), col("source"),
+          tokenCount(col("text")).as("n_tokens_before"),
+          size(bpeApply(tokens(col("text")), merges, MergeJoiner))
+            .cast("bigint").as("n_tokens_after"))
+        .write.mode("overwrite").parquet(stage)
+    }
+    // NO deleteOnExit: the export is a cross-process oracle-read
+    // contract — the driver's DuckDB pass runs after this JVM exits
+    spark.read.parquet(out)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens_before")).cast("bigint").as("tokens_before"),
+        sum(col("n_tokens_after")).cast("bigint").as("tokens_after"))
+      .orderBy(col("source"))
+  }
+
+  val applyTokenizerSql: String =
+    """SELECT d.source AS source, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS tokens_before,
+      |  CAST(SUM(e.n_tokens_after) AS BIGINT) AS tokens_after
+      |FROM read_parquet('/tmp/graft_q102_tokens_sf0.01/*.parquet') e
+      |JOIN documents d USING (doc_id)
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q100_bpe_merge_learning" -> (bpeMergeLearning _),
+    "q102_apply_tokenizer" -> (applyTokenizer _),
     "q24_text_stats" -> (textStats _),
     "q62_stratified_sample" -> (stratifiedSample _),
     "q66_distinctive_terms" -> (distinctiveTerms _),
@@ -374,6 +433,7 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "q102_apply_tokenizer" -> applyTokenizerSql,
     "q24_text_stats" -> textStatsSql,
     "q62_stratified_sample" -> stratifiedSampleSql,
     "q66_distinctive_terms" -> distinctiveTermsSql,

@@ -248,4 +248,52 @@ class CurationSpec extends SparkSuite {
       }
     }
   }
+
+  test("q101 dup spans: brute-force witness on a handcrafted corpus") {
+    import spark.implicits._
+    val k = Curation.DupSpanMinTokens
+    // crafted shapes: a 10-token span shared across docs 1/2 (at
+    // different positions), an internal repeat within doc 3, a clean
+    // doc 4, a doc 5 shorter than k, a NULL doc 6
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ") // 10-token boilerplate
+    val corpus = Seq(
+      (1L, s"u1 u2 $boiler u3 u4"),
+      (2L, s"v1 $boiler"),
+      (3L, s"w1 $boiler w2 w3 $boiler"),
+      (4L, (1 to 20).map(i => s"c$i").mkString(" ")),
+      (5L, "s1 s2 s3"),
+      (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = Curation.dupSpansOn(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // independent brute force: plain Scala collections, no Spark
+    val docs = Seq(
+      1L -> s"u1 u2 $boiler u3 u4", 2L -> s"v1 $boiler",
+      3L -> s"w1 $boiler w2 w3 $boiler",
+      4L -> (1 to 20).map(i => s"c$i").mkString(" "), 5L -> "s1 s2 s3")
+      .map { case (id, t) => id -> t.split(" ", -1).toVector }
+    val gramCounts = scala.collection.mutable.Map.empty[Seq[String], Int].withDefaultValue(0)
+    docs.foreach { case (_, t) => t.sliding(k).filter(_.length == k).foreach(g => gramCounts(g) += 1) }
+    val expected = docs.flatMap { case (id, t) =>
+      val marked = (0 to t.length - k).filter(p => gramCounts(t.slice(p, p + k)) >= 2)
+      if (marked.isEmpty) None
+      else {
+        // maximal runs of consecutive marked positions
+        val runs = marked.foldLeft(List.empty[(Int, Int)]) {
+          case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+          case (acc, p) => (p, p) :: acc
+        }.map { case (s, e) => e - s + k }
+        Some(id -> ((t.length.toLong, runs.length.toLong,
+          runs.map(_.toLong).sum, runs.map(_.toLong).max)))
+      }
+    }.toMap
+    assert(got === expected, s"got $got expected $expected")
+    // and the crafted shapes behave as designed
+    assert(got.contains(1L) && got.contains(2L) && got.contains(3L))
+    assert(!got.contains(4L) && !got.contains(5L) && !got.contains(6L))
+    // doc 2's only span is the boilerplate: 10 tokens
+    assert(got(2L)._4 === 10L)
+    // doc 3 (23 tokens) repeats the boilerplate twice -> 2 spans of 10
+    assert(got(3L) === ((23L, 2L, 20L, 10L)))
+  }
 }

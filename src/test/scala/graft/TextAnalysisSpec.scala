@@ -121,6 +121,50 @@ class TextAnalysisSpec extends SparkSuite {
     assert(got.forall(_._3 <= 1L))
   }
 
+  test("BpeApply kernel is bit-equal to the iterated aggregate-HOF fuse") {
+    import spark.implicits._
+    val joiner = TextAnalysis.MergeJoiner
+    // corpus exercising runs, overlaps, cascading merges, empties
+    val docs = (Seq("a a a a", "a b a b c", "b c b c b", "x", "",
+      "a b c a b c a b", "c c c a a b") ++
+      Tables.documents(spark, Sf0001).select("text")
+        .na.drop().as[String].collect().toSeq).toDF("text")
+      .select(split(col("text"), " ").as("t"))
+    // merge 2 builds on merge 1's fused symbol (cascade): (a,b) then (a⊔b, c)
+    val merges = Seq(("a", "b"), ("a" + joiner + "b", "c"), ("c", "c"))
+    def sqlLit(s: String) =
+      "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    // the round-4 trainer's HOF fuse, chained once per merge as SQL text
+    def hofSql(inner: String, l: String, r: String): String = {
+      val f = l + joiner + r
+      s"""aggregate($inner, cast(array() as array<string>), (acc, x) ->
+         |  CASE WHEN size(acc) > 0 AND element_at(acc, -1) = ${sqlLit(l)}
+         |            AND x = ${sqlLit(r)}
+         |       THEN concat(slice(acc, 1, size(acc) - 1), array(${sqlLit(f)}))
+         |       ELSE concat(acc, array(x)) END)""".stripMargin
+    }
+    val chained = merges.foldLeft("t") { case (inner, (l, r)) => hofSql(inner, l, r) }
+    val both = docs.select(
+      graft.functions.TextFunctions.bpeApply(col("t"), merges, joiner).as("kernel"),
+      org.apache.spark.sql.functions.expr(chained).as("hof"))
+    assert(both.filter(not(col("kernel") <=> col("hof"))).count() === 0)
+  }
+
+  test("q102 accounting: totals are conserved and merges only shrink") {
+    val out = TextAnalysis.applyTokenizer(spark, Sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (before, after) = (r.getAs[Long]("tokens_before"), r.getAs[Long]("tokens_after"))
+      assert(after <= before, r)
+      assert(after >= before / 2, r) // K pairwise merges can at most halve
+      assert(r.getAs[Long]("n_docs") > 0, r)
+    }
+    // per-doc export agrees with the aggregate the query returned
+    val export = spark.read.parquet(TextAnalysis.tokenizedExportPath(Sf0001))
+    val total = export.agg(sum("n_tokens_after")).head().getLong(0)
+    assert(total === out.map(_.getAs[Long]("tokens_after")).sum)
+  }
+
   test("q100 greedy fuse: overlapping runs pair left-to-right, fused symbols don't re-match") {
     import spark.implicits._
     // "a a a a" with merge (a,a) must become [a?a, a?a], not [a?a?a, a]
