@@ -203,6 +203,19 @@ class CurationSpec extends SparkSuite {
     // deterministic: a second run selects the identical per-source counts
     val again = Curation.mixtureResample(spark, Sf0001).collect()
     assert(out.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+    // pinned NUMBERS at sf0.001 (the q30-honesty discipline): the three
+    // heavy sources (w=4) keep all 25 docs at kept_frac exactly 1.0;
+    // every light source keeps 5-8 of 25 (the 4:1 target mixture over
+    // equal-size sources => nominal 25% light keep-rate, +/- md5-bucket
+    // granularity), total kept = 180 of 500
+    val bySrc = out.map(r => r.getAs[String]("source") ->
+      (r.getAs[Long]("n_kept"), r.getAs[Double]("kept_frac"))).toMap
+    Curation.HeavySources.foreach { s =>
+      assert(bySrc(s) === ((25L, 1.0)), s"$s: ${bySrc(s)}")
+    }
+    val lightKept = bySrc.view.filterKeys(!Curation.HeavySources.contains(_)).values.map(_._1)
+    assert(lightKept.forall(k => k >= 5L && k <= 8L), bySrc)
+    assert(out.map(_.getAs[Long]("n_kept")).sum === 180L)
   }
 
   test("q94 budget selection matches the literal single-window formulation") {
