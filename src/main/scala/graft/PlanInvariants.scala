@@ -73,9 +73,15 @@ object PlanInvariants {
     * unexplained extra exchange fails the suite:
     *  - q79 runs a multi-table constraint suite (inherent: one agg per
     *    constraint family);
-    *  - q66 chains doc-frequency, term-frequency and rank stages. */
+    *  - q66 chains doc-frequency, term-frequency and rank stages;
+    *  - q103's partitioning-key chain is inherent to exact span scrub:
+    *    gram-hash (dup grams) -> doc_id (island window) -> content-hash
+    *    (global keeper window) -> doc_id (accounting) -> range (ordered
+    *    output). Returning from content-hash space to doc space cannot
+    *    reuse a prior partitioning. */
   val shuffleCeiling: Map[String, Int] =
-    Map("q79_constraint_suite" -> 7, "q66_distinctive_terms" -> 6)
+    Map("q79_constraint_suite" -> 7, "q66_distinctive_terms" -> 6,
+      "q103_span_scrub" -> 5)
 
   /** Every other plan holds at <= 4 exchanges today (audited r5). */
   val defaultShuffleCeiling: Int = 4

@@ -563,8 +563,23 @@ object Curation {
     dupSpansOn(Tables.documents(spark, dir))
 
   private[graft] def dupSpansOn(corpus: DataFrame): DataFrame = {
-    val k = DupSpanMinTokens
     val d = corpus.filter(col("text").isNotNull)
+    dupSpanRuns(d).groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("span_tokens")).cast("bigint").as("dup_tokens"),
+        max(col("span_tokens")).cast("bigint").as("max_span_tokens"))
+      .join(d.select(col("doc_id"), tokenCount(col("text")).as("n_tokens")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+        col("dup_tokens"), col("max_span_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shared q101/q103 core: the maximal duplicated-span frame
+    * (doc_id, span_start, span_tokens), 1-based token positions.
+    * Caller must pass the NULL-text-filtered corpus. */
+  private def dupSpanRuns(d: DataFrame): DataFrame = {
+    val k = DupSpanMinTokens
     // postings: 1-based gram start positions; the WordShingleStrings
     // kernel slices byte spans in place (no HOF, no per-gram alloc)
     val postings = d
@@ -575,22 +590,93 @@ object Curation {
     val marked = postings.join(dupGrams, Seq("g")).select(col("doc_id"), col("pos"))
     // island trick: consecutive marked positions share (pos - rank)
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val spans = marked
+    marked
       .withColumn("grp", col("pos") - row_number().over(byDoc))
       .groupBy(col("doc_id"), col("grp"))
       .agg(
         min(col("pos")).as("span_start"),
         (max(col("pos")) - min(col("pos")) + lit(k)).cast("bigint").as("span_tokens"))
-    spans.groupBy(col("doc_id"))
+      .select(col("doc_id"), col("span_start"), col("span_tokens"))
+  }
+
+  /** Q103: EXACT SPAN SCRUB — q101's consumer, completing the Lee et
+    * al. pipeline (q101 FINDS repeated spans; this decides what to
+    * REMOVE): group the maximal duplicated spans by their exact
+    * content (md5 of the span's tokens), keep the globally-first
+    * occurrence of each distinct span (min (doc_id, span_start) — the
+    * deterministic analog of the paper's "keep one copy"), and
+    * account for the removal per document. Chimera runs (a maximal
+    * run whose grams match DIFFERENT partners, so its full content
+    * repeats nowhere) group alone and are kept — exact-substring
+    * dedup removes only verbatim duplicates, never approximations.
+    *
+    * 100 TB: the span frame is the FLAGGED subset (sparse), so it is
+    * the broadcastable side of the content join — token arrays are
+    * materialized in place on the corpus scan and never shuffled
+    * (candidate-before-payload again); the keeper window partitions
+    * by content hash (high cardinality, no skew). Output is
+    * integer-only accounting: docs that lose at least one span, with
+    * before/removed/after token counts. */
+  def spanScrub(spark: SparkSession, dir: String): DataFrame =
+    spanScrubOn(Tables.documents(spark, dir))
+
+  private[graft] def spanScrubOn(corpus: DataFrame): DataFrame = {
+    val d = corpus.filter(col("text").isNotNull)
+    val spans = dupSpanRuns(d)
+    val withContent = spans
+      .join(d.select(col("doc_id"), tokens(col("text")).as("t"),
+        tokenCount(col("text")).as("n_tokens")), Seq("doc_id"))
+      .withColumn("ch", md5(concat_ws(" ",
+        slice(col("t"), col("span_start"), col("span_tokens").cast("int")))))
+    val byContent = Window.partitionBy(col("ch"))
+      .orderBy(col("doc_id"), col("span_start"))
+    withContent
+      .withColumn("rn", row_number().over(byContent))
+      .filter(col("rn") > 1) // every occurrence but the globally-first
+      .groupBy(col("doc_id"), col("n_tokens"))
       .agg(
-        count(lit(1)).as("n_spans"),
-        sum(col("span_tokens")).cast("bigint").as("dup_tokens"),
-        max(col("span_tokens")).cast("bigint").as("max_span_tokens"))
-      .join(d.select(col("doc_id"), tokenCount(col("text")).as("n_tokens")), Seq("doc_id"))
-      .select(col("doc_id"), col("n_tokens"), col("n_spans"),
-        col("dup_tokens"), col("max_span_tokens"))
+        count(lit(1)).as("n_removed_spans"),
+        sum(col("span_tokens")).cast("bigint").as("removed_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_removed_spans"),
+        col("removed_tokens"),
+        (col("n_tokens") - col("removed_tokens")).cast("bigint").as("kept_tokens"))
       .orderBy(col("doc_id"))
   }
+
+  val spanScrubSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE text IS NOT NULL),
+       |pg AS (
+       |  SELECT doc_id, unnest(generate_series(1, len(t) - ${DupSpanMinTokens - 1})) AS pos, t
+       |  FROM toks),
+       |postings AS (
+       |  SELECT doc_id, pos,
+       |    md5(array_to_string(t[pos:pos+${DupSpanMinTokens - 1}], ' ')) AS g
+       |  FROM pg),
+       |dup AS (SELECT g FROM postings GROUP BY g HAVING COUNT(*) >= 2),
+       |marked AS (
+       |  SELECT doc_id, pos,
+       |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM postings JOIN dup USING (g)),
+       |spans AS (
+       |  SELECT doc_id, MIN(pos) AS span_start,
+       |    MAX(pos) - MIN(pos) + $DupSpanMinTokens AS span_tokens
+       |  FROM marked GROUP BY doc_id, grp),
+       |content AS (
+       |  SELECT s.doc_id, s.span_start, s.span_tokens, len(t.t) AS n_tokens,
+       |    md5(array_to_string(t.t[s.span_start:s.span_start+s.span_tokens-1], ' ')) AS ch
+       |  FROM spans s JOIN toks t USING (doc_id)),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY ch ORDER BY doc_id, span_start) AS rn
+       |  FROM content)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  COUNT(*) AS n_removed_spans,
+       |  CAST(SUM(span_tokens) AS BIGINT) AS removed_tokens,
+       |  CAST(n_tokens - SUM(span_tokens) AS BIGINT) AS kept_tokens
+       |FROM ranked WHERE rn > 1
+       |GROUP BY doc_id, n_tokens
+       |ORDER BY doc_id""".stripMargin
 
   val dupSpansSql: String =
     s"""WITH toks AS (
@@ -622,6 +708,7 @@ object Curation {
 
   def queries: Map[String, Relational.Q] = Map(
     "q101_dup_spans" -> (dupSpans _),
+    "q103_span_scrub" -> (spanScrub _),
     "q71_decontamination" -> (decontamination _),
     "q89_token_rarity" -> (tokenRarity _),
     "q92_regex_redaction" -> (regexRedaction _),
@@ -635,6 +722,7 @@ object Curation {
 
   def oracles: Map[String, String] = Map(
     "q101_dup_spans" -> dupSpansSql,
+    "q103_span_scrub" -> spanScrubSql,
     "q71_decontamination" -> decontaminationSql,
     "q87_curation_pipeline" -> curationPipelineSql,
     "q89_token_rarity" -> tokenRaritySql,

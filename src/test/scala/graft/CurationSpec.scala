@@ -309,4 +309,36 @@ class CurationSpec extends SparkSuite {
     // doc 3 (23 tokens) repeats the boilerplate twice -> 2 spans of 10
     assert(got(3L) === ((23L, 2L, 20L, 10L)))
   }
+
+  test("q103 span scrub: keeps the globally-first occurrence, removes the rest") {
+    // q101/q103 consistency at sf0.001: every scrubbed doc carries
+    // spans, never loses more than q101 flagged, and keeps >= 0 tokens
+    val flagged = Curation.dupSpans(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("dup_tokens")).toMap
+    val scrubbed = Curation.spanScrub(spark, Sf0001).collect()
+    assert(scrubbed.nonEmpty)
+    scrubbed.foreach { r =>
+      val id = r.getLong(0)
+      assert(flagged.contains(id), s"scrubbed doc $id not flagged by q101")
+      assert(r.getAs[Long]("removed_tokens") <= flagged(id), r)
+      assert(r.getAs[Long]("kept_tokens") >= 0L, r)
+      assert(r.getAs[Long]("kept_tokens") ===
+        r.getAs[Long]("n_tokens") - r.getAs[Long]("removed_tokens"), r)
+    }
+    // handcrafted shapes: the boilerplate's first occurrence lives in
+    // doc 1 (span_start 3), so doc 1 keeps everything while doc 2
+    // loses its whole copy and doc 3 loses both of its copies
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"u1 u2 $boiler u3 u4"), (2L, s"v1 $boiler"),
+      (3L, s"w1 $boiler w2 w3 $boiler")).toDF("doc_id", "text")
+    val crafted = Curation.spanScrubOn(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_removed_spans"), r.getAs[Long]("removed_tokens"),
+        r.getAs[Long]("kept_tokens"))).toMap
+    assert(!crafted.contains(1L), s"keeper doc scrubbed: $crafted")
+    assert(crafted(2L) === ((11L, 1L, 10L, 1L)), crafted)
+    assert(crafted(3L) === ((23L, 2L, 20L, 3L)), crafted)
+  }
 }
