@@ -216,11 +216,98 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Q106: SCALAR QUANTIZATION (SQ8) of the embedding corpus — the
+    * storage half of the standard IVF+SQ ANN recipe (q59 is the
+    * routing half): per-dimension global [min, max] codebook, each
+    * coordinate encoded to an 8-bit code
+    * `floor((v - min) * 255 / (max - min))`, stored zero-centered as
+    * int8 (code - 128) in a persisted parquet artifact — a 4x-8x
+    * byte reduction of the vector corpus that rerank/IVF stages read
+    * instead of the float corpus.
+    *
+    * 100 TB: the codebook is ONE map-side-combining aggregate (128
+    * scalar min/max over a linear scan — never a per-dim explode, per
+    * the q35 shuffle note) collected as bounded driver control flow
+    * (one 128-double row); the encode pass is embarrassingly parallel
+    * with the codebook riding in as plan literals. The returned
+    * accounting is integer-only (code sums/extremes per label), so
+    * the DuckDB oracle recomputes the ENTIRE pipeline — codebook,
+    * codes, round-trip through the persisted artifact — exactly; both
+    * engines evaluate the identical IEEE-double expression, so no
+    * float tolerance is needed anywhere. SimilaritySpec adds the
+    * decode-error bound (< range/255 per coordinate) and a
+    * reconstructed-cosine witness against the exact q33 pairs. */
+  private[graft] def buildSq8(spark: SparkSession, dir: String): String = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_sq8_" +
+      s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+    val complete = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/_SUCCESS"))
+    if (!complete) {
+      graft.Scratch.deleteNow(path)
+      graft.Scratch.deleteOnExit(path)
+      val e = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("emb"))
+      val aggs = (0 until ivfDims).map(i =>
+        min(element_at(col("emb"), i + 1)).as(s"mn$i")) ++
+        (0 until ivfDims).map(i => max(element_at(col("emb"), i + 1)).as(s"mx$i"))
+      val row = e.agg(aggs.head, aggs.tail: _*).collect()(0) // 1 bounded row
+      val mins = typedlit(Array.tabulate(ivfDims)(i => row.getDouble(i)))
+      val maxs = typedlit(Array.tabulate(ivfDims)(i => row.getDouble(ivfDims + i)))
+      val codes = transform(col("emb"), (v, i) => {
+        val mn = element_at(mins, i + 1)
+        val mx = element_at(maxs, i + 1)
+        when(mx === mn, lit(0L))
+          .otherwise(least(lit(255L), floor((v - mn) * lit(255d) / (mx - mn))))
+      })
+      e.select(col("vec_id"), col("label"),
+          transform(codes, c => (c - 128L).cast("tinyint")).as("qcodes"))
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  def sq8Quantize(spark: SparkSession, dir: String): DataFrame = {
+    val q = spark.read.parquet(buildSq8(spark, dir)) // (vec_id, label, qcodes int8[])
+    val decoded = q.select(col("vec_id"), col("label"),
+      aggregate(col("qcodes"), lit(0L), (acc, x) => acc + x.cast("long") + 128L)
+        .as("row_sum"),
+      (array_min(col("qcodes")).cast("long") + 128L).as("row_min"),
+      (array_max(col("qcodes")).cast("long") + 128L).as("row_max"),
+      size(filter(col("qcodes"), x => x === 127)).cast("bigint").as("row_sat"))
+    decoded.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("row_sum")).cast("bigint").as("sum_codes"),
+        min(col("row_min")).as("min_code"),
+        max(col("row_max")).as("max_code"),
+        sum(col("row_sat")).cast("bigint").as("n_saturated"))
+      .orderBy(col("label"))
+  }
+
+  val sq8QuantizeSql: String =
+    s"""WITH mm AS (
+       |  SELECT g.generate_series AS pos,
+       |    MIN(embedding[g.generate_series + 1]::DOUBLE) AS mn,
+       |    MAX(embedding[g.generate_series + 1]::DOUBLE) AS mx
+       |  FROM embeddings, generate_series(0, ${ivfDims - 1}) g
+       |  GROUP BY pos),
+       |codes AS (
+       |  SELECT e.vec_id, e.label,
+       |    CASE WHEN m.mx = m.mn THEN 0
+       |         ELSE LEAST(255, CAST(FLOOR((e.embedding[m.pos + 1]::DOUBLE - m.mn) * 255 / (m.mx - m.mn)) AS BIGINT)) END AS code
+       |  FROM embeddings e, mm m)
+       |SELECT label, COUNT(DISTINCT vec_id) AS n_vecs,
+       |  CAST(SUM(code) AS BIGINT) AS sum_codes,
+       |  CAST(MIN(code) AS BIGINT) AS min_code,
+       |  CAST(MAX(code) AS BIGINT) AS max_code,
+       |  CAST(SUM(CASE WHEN code = 255 THEN 1 ELSE 0 END) AS BIGINT) AS n_saturated
+       |FROM codes GROUP BY label ORDER BY label""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q33_cosine_topk" -> (cosineTopK _),
     "q34_ann_lsh" -> (annLsh _),
     "q35_label_centroids" -> (labelCentroids _),
     "q59_ivf_ann" -> (ivfAnn _),
+    "q106_sq8_quantize" -> (sq8Quantize _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -229,5 +316,6 @@ object Similarity {
     // mirror in SQL; SimilaritySpec checks q34 recall against q33 and
     // q59 result-identity with q34 (+ partition pruning).
     "q35_label_centroids" -> labelCentroidsSql,
+    "q106_sq8_quantize" -> sq8QuantizeSql,
   )
 }

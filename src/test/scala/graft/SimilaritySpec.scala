@@ -120,6 +120,57 @@ class SimilaritySpec extends SparkSuite {
     assert(r.getDouble(1) === 5.0)
   }
 
+  test("q106 sq8: decode error bounded by one quantization step per coordinate") {
+    val raw = Tables.embeddings(spark, Sf0001)
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val dims = raw.values.head.length
+    val mins = Array.tabulate(dims)(i => raw.values.map(_(i)).min)
+    val maxs = Array.tabulate(dims)(i => raw.values.map(_(i)).max)
+    val q = spark.read.parquet(Similarity.buildSq8(spark, Sf0001))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](2).toArray).toMap
+    assert(q.keySet === raw.keySet)
+    assert(q.values.forall(_.length === dims))
+    q.foreach { case (id, codes) =>
+      codes.zipWithIndex.foreach { case (c, i) =>
+        val range = maxs(i) - mins(i)
+        val step = if (range == 0d) 0d else range / 255d
+        val decoded = mins(i) + (c.toInt + 128) * step
+        assert(math.abs(decoded - raw(id)(i)) <= step + 1e-12,
+          s"vec $id dim $i: decoded $decoded vs ${raw(id)(i)} (step $step)")
+      }
+    }
+  }
+
+  test("q106 sq8: reconstructed cosine tracks the exact q33 similarities") {
+    val raw = Tables.embeddings(spark, Sf0001)
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val dims = raw.values.head.length
+    val mins = Array.tabulate(dims)(i => raw.values.map(_(i)).min)
+    val maxs = Array.tabulate(dims)(i => raw.values.map(_(i)).max)
+    val q = spark.read.parquet(Similarity.buildSq8(spark, Sf0001))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Byte](2).toArray.zipWithIndex.map { case (c, i) =>
+          val range = maxs(i) - mins(i)
+          mins(i) + (if (range == 0d) 0d else (c.toInt + 128) * range / 255d)
+        }).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      dot / (na * nb)
+    }
+    val exact = Similarity.cosineTopK(spark, Sf0001).collect()
+    assert(exact.nonEmpty)
+    val errs = exact.map { r =>
+      val qa = q(r.getAs[Long]("query_id")); val qb = q(r.getAs[Long]("vec_id"))
+      math.abs(cos(qa, qb) - r.getAs[Double]("sim"))
+    }
+    val mean = errs.sum / errs.length
+    assert(mean <= 0.05, s"mean |cos_sq8 - cos_exact| = $mean")
+  }
+
   test("q33 plan: query side is broadcast (no corpus-x-corpus shuffle)") {
     val p = Similarity.cosineTopK(spark, Sf0001)
       .queryExecution.executedPlan.toString
