@@ -249,13 +249,75 @@ object Indexes {
        |FROM (SELECT DISTINCT doc_id, phrase FROM g) d JOIN probes USING (phrase)
        |ORDER BY phrase, doc_id""".stripMargin
 
+  /** q107 threshold: a gram is "heavy" at >= 3 corpus occurrences. */
+  private val HeavyThreshold = 3L
+  /** CMS geometry: eps 1e-4 / confidence 0.99 -> ~27k x 5 cells
+    * (~1.1 MB) — sized so the expected per-cell load stays O(1)
+    * against the corpus's distinct-gram count, keeping estimates
+    * within ~1 of truth and the candidate set sharp. */
+  private val CmsEps = 1e-4
+  private val CmsConfidence = 0.99
+  private val CmsSeed = 42
+
+  /** Q107: FREQUENCY-THRESHOLD GRAM MINING ("which 8-gram spans repeat
+    * >= 3 times corpus-wide?" — boilerplate discovery, the aggregate
+    * view of what q101 finds per-document) with a count-min-sketch
+    * prune: one pass builds the sketch (map-side-merged partial
+    * sketches; only the ~1 MB sketch reaches the driver), a second
+    * pass keeps the gram INSTANCES whose estimate clears the
+    * threshold, and only those shuffle into the exact count.
+    *
+    * Exactness is structural, same proof as q104's bloom: CMS can
+    * never underestimate, so the candidate set is a SUPERSET of the
+    * true heavy grams; the exact count then discards the collisions —
+    * output provably equals the sketch-free GROUP BY (IndexesSpec pins
+    * the identity). At 100 TB the near-unique gram mass (the vast
+    * majority, in any natural corpus) never reaches an exchange; the
+    * sketch width scales with distinct-count/threshold and shards by
+    * gram prefix if it outgrows one driver object, with the same
+    * only-grows-candidates degrade as the bloom. */
+  def heavyGrams(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .select(explode(wordShingles(col("text"), GramK)).as("gram"))
+    val skBytes = grams
+      .agg(count_min_sketch(col("gram"), lit(CmsEps), lit(CmsConfidence),
+        lit(CmsSeed)).as("sk"))
+      .collect()(0).getAs[Array[Byte]](0) // bounded: eps/confidence-sized
+    grams
+      .filter(graft.functions.CmsFunctions.cmsAtLeast(col("gram"), skBytes,
+        HeavyThreshold))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= HeavyThreshold)
+      .orderBy(col("n").desc, col("gram"))
+  }
+
+  val heavyGramsSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |              WHERE text IS NOT NULL),
+       |g AS (SELECT array_to_string(t[pos:pos+${GramK - 1}], ' ') AS gram
+       |      FROM toks, unnest(generate_series(1, len(t) - ${GramK - 1})) AS u(pos))
+       |SELECT gram, CAST(COUNT(*) AS BIGINT) AS n
+       |FROM g GROUP BY gram HAVING COUNT(*) >= $HeavyThreshold
+       |ORDER BY n DESC, gram""".stripMargin
+
+  /** The sketch-free twin of q107 (NOT registered): plain GROUP BY over
+    * all gram instances. IndexesSpec asserts identity. */
+  private[graft] def heavyGramsDirect(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .select(explode(wordShingles(col("text"), GramK)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= HeavyThreshold)
+      .orderBy(col("n").desc, col("gram"))
+
   def queries: Map[String, Relational.Q] = Map(
     "q104_incremental_decontam" -> (incrementalDecontam _),
     "q105_phrase_search" -> (phraseSearch _),
+    "q107_heavy_grams" -> (heavyGrams _),
   )
 
   def oracles: Map[String, String] = Map(
     "q104_incremental_decontam" -> incrementalDecontamSql,
     "q105_phrase_search" -> phraseSearchSql,
+    "q107_heavy_grams" -> heavyGramsSql,
   )
 }

@@ -55,6 +55,36 @@ class IndexesSpec extends SparkSuite {
     }
   }
 
+  test("q107: bit-identical to the sketch-free GROUP BY; CMS never underestimates") {
+    val viaSketch = Indexes.heavyGrams(spark, Sf0001).collect().toSeq
+    val direct = Indexes.heavyGramsDirect(spark, Sf0001).collect().toSeq
+    assert(viaSketch === direct)
+    assert(viaSketch.nonEmpty, "no heavy grams at sf0.001 — test corpus changed?")
+    // superset proof, driver-side: rebuild the sketch exactly as the
+    // operator does and check estimate >= exact for EVERY distinct gram
+    // (any ingestion/probe hash mismatch shows up as an underestimate)
+    val grams = Tables.documents(spark, Sf0001).filter(col("text").isNotNull)
+      .select(explode(wordShingles(col("text"), 8)).as("gram"))
+    val skBytes = grams
+      .agg(count_min_sketch(col("gram"), lit(1e-4), lit(0.99), lit(42)).as("sk"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(skBytes)
+    val exact = grams.groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(exact.nonEmpty)
+    val under = exact.filter { case (g, n) =>
+      sketch.estimateCount(g.getBytes("UTF-8")) < n
+    }
+    assert(under.isEmpty, s"CMS underestimated ${under.take(3).toSeq}")
+    // the prune is real: candidate instances well under total instances
+    val total = grams.count()
+    val candidates = grams.filter(graft.functions.CmsFunctions
+      .cmsAtLeast(col("gram"), skBytes, 3L)).count()
+    assert(candidates < total / 10,
+      s"CMS pruned too little ($candidates of $total instances)")
+    info(s"CMS pruning: $candidates of $total gram instances survive")
+  }
+
   test("q105: identical to a direct corpus scan; probe doc matches itself") {
     val viaIndex = Indexes.phraseSearch(spark, Sf0001).collect().toSeq
     // direct twin: no index, no bloom — scan all docs' phrases
