@@ -28,9 +28,9 @@ import graft.functions.TextFunctions._
 object Indexes {
 
   /** Overlap unit shared with q71/q101 (8-token grams). */
-  private val GramK = 8
+  private[operators] val GramK = 8
   /** Batch = doc_id % 5 == 0 (the "newly arrived" slice); corpus = rest. */
-  private val BatchMod = 5
+  private[operators] val BatchMod = 5
 
   /** Bloom geometry: m = 2^22 bits (512 KiB of longs), k = 3 probes.
     * At sf0.1's ~200k distinct corpus grams that is m/n ≈ 21, false
@@ -51,7 +51,7 @@ object Indexes {
   private def isComplete(path: String): Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/_SUCCESS"))
 
-  private def bucketOf(gh: Column): Column =
+  private[operators] def bucketOf(gh: Column): Column =
     pmod(xxhash64(gh), lit(IndexBuckets.toLong)).cast("int")
 
   /** Distinct (doc_id, gh=md5(gram)) frame of 8-token grams — the q71

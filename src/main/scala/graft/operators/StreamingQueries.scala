@@ -458,8 +458,74 @@ object StreamingQueries {
       |  CAST(MAX(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS max_cents
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Q108: STREAMING INCREMENTAL DECONTAMINATION — q104's
+    * ingestion-time twin: newly-arriving documents (the doc_id % 5 == 0
+    * slice, read as a file-source stream) are checked against the SAME
+    * persisted corpus artifacts q104 built (gram-hash index + derived
+    * bloom), entirely inside the microbatch: stateless explode ->
+    * codegen'd bloom probe -> stream-static LEFT join against the
+    * index, with the join key NULLed for bloom-rejected grams so
+    * definitely-new grams (the vast majority in a healthy pipeline)
+    * probe nothing -> per-doc aggregate in Update mode. Each document
+    * lives in exactly one microbatch, so Update emits one final row
+    * per doc; runToTable's single-batch guard fails loudly if a source
+    * split ever breaks that.
+    *
+    * Accounting is per gram INSTANCE (streaming aggregation cannot do
+    * per-key distinct) — the documented semantic difference from
+    * q104's distinct-gram accounting; the oracle mirrors it. The only
+    * state is the per-doc aggregate, keyed by high-cardinality doc_id
+    * and bounded by the docs in flight. */
+  def streamDecontam(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+    import graft.functions.TextFunctions.wordShingles
+    val (indexPath, bloom) = Indexes.buildCorpusGramIndex(spark, dir)
+    val index = spark.read.parquet(indexPath).withColumn("hit", lit(1))
+    val docsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream.schema(docsSchema)
+      .parquet(s"$dir/{documents.parquet}")
+      .filter(col("doc_id") % Indexes.BatchMod === 0 && col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(wordShingles(col("text"), Indexes.GramK)).as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("gh"))
+      // NULL bucket for bloom-rejected grams: equi-join keys never
+      // match NULL, so only candidates probe the index
+      .withColumn("bucket",
+        when(Indexes.bloomMightContain(col("gh"), bloom), Indexes.bucketOf(col("gh"))))
+    val agg = stream.join(index, Seq("bucket", "gh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_shared"))
+    EventStream.runToTable(agg, sinkName("stream_decontam"), OutputMode.Update())
+      .filter(col("n_shared") > 0)
+      .withColumn("shared_frac",
+        dec6(col("n_shared").cast("decimal(18,0)") / col("n_grams")))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"), col("shared_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val streamDecontamSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |              WHERE text IS NOT NULL),
+      |pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS g
+      |        FROM toks WHERE len(t) >= 8),
+      |grams AS (SELECT doc_id, md5(array_to_string(t[g:g+7], ' ')) AS gh FROM pos),
+      |corpus AS (SELECT DISTINCT gh FROM grams WHERE doc_id % 5 != 0),
+      |batch AS (SELECT doc_id, gh FROM grams WHERE doc_id % 5 = 0)
+      |SELECT b.doc_id, COUNT(*) AS n_grams,
+      |  CAST(COUNT(c.gh) AS BIGINT) AS n_shared,
+      |  CAST(CAST(ROUND(CAST(COUNT(c.gh) AS DECIMAL(18,0)) / COUNT(*), 6) AS DECIMAL(38,6)) AS DOUBLE) AS shared_frac
+      |FROM batch b LEFT JOIN corpus c USING (gh)
+      |GROUP BY b.doc_id HAVING COUNT(c.gh) > 0
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q95_stream_static_join" -> (streamStaticEnrich _),
+    "q108_stream_decontam" -> (streamDecontam _),
     "q96_stream_running_totals" -> (streamRunningTotals _),
     "q97_stream_final_windows" -> (streamFinalizedWindows _),
     "q99_stream_tws_rocksdb" -> (streamTypeStats _),
@@ -474,6 +540,7 @@ object StreamingQueries {
 
   def oracles: Map[String, String] = Map(
     "q95_stream_static_join" -> streamStaticEnrichSql,
+    "q108_stream_decontam" -> streamDecontamSql,
     "q96_stream_running_totals" -> streamRunningTotalsSql,
     "q97_stream_final_windows" -> streamFinalizedWindowsSql,
     "q99_stream_tws_rocksdb" -> streamTypeStatsSql,

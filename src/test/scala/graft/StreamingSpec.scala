@@ -99,6 +99,27 @@ class StreamingSpec extends SparkSuite {
     assert(s.exceptAll(expected).isEmpty && expected.exceptAll(s).isEmpty)
   }
 
+  test("q108 streaming decontamination matches the batch instance-level join") {
+    import graft.functions.TextFunctions.wordShingles
+    val s = StreamingQueries.streamDecontam(spark, Sf0001)
+    assert(s.count() > 0)
+    val d = Tables.documents(spark, Sf0001).filter(col("text").isNotNull)
+    val grams = d.select(col("doc_id"), explode(wordShingles(col("text"), 8)).as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("gh"))
+    val corpus = grams.filter(col("doc_id") % 5 =!= 0).select("gh").distinct()
+      .withColumn("hit", lit(1))
+    val expected = grams.filter(col("doc_id") % 5 === 0)
+      .join(corpus, Seq("gh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_shared"))
+      .filter(col("n_shared") > 0)
+      .withColumn("shared_frac", graft.functions.Parity.dec6(
+        col("n_shared").cast("decimal(18,0)") / col("n_grams")))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"), col("shared_frac"))
+    assert(s.exceptAll(expected).isEmpty && expected.exceptAll(s).isEmpty)
+  }
+
   test("q96 runningUserTotals carries state across batches and emits updates") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
