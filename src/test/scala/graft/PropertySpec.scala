@@ -164,4 +164,33 @@ class PropertySpec extends SparkSuite {
       got.groupBy(_._1).values.foreach(g => assert(g.map(_._2).distinct.length == 1))
     }
   }
+
+  test("BloomKernel: no false negatives on any inserted set; probes stay selective") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.BloomKernel
+    val bits = 1L << 16
+    val k = 3
+    val words = new Array[Long]((bits / 64L).toInt)
+    forAllSampled(Gen.listOfN(200, Gen.alphaNumStr.suchThat(_.nonEmpty)), n = 4) { ss =>
+      java.util.Arrays.fill(words, 0L)
+      val inserted = ss.distinct
+      inserted.foreach { s =>
+        val idx = BloomKernel.indices(UTF8String.fromString(s), bits, k)
+        (0 until idx.numElements()).foreach { i =>
+          val b = idx.getLong(i)
+          words((b >>> 6).toInt) |= 1L << (b & 63L).toInt
+        }
+      }
+      // the structural guarantee q104 rests on: inserted => probe true
+      inserted.foreach { s =>
+        assert(BloomKernel.probe(UTF8String.fromString(s), words, bits, k), s)
+      }
+      // and the prune is selective at this load (~600 bits of 65536 set)
+      val others = (0 until 500).map(i => s"zz_never_inserted_$i")
+        .filterNot(inserted.contains)
+      val fp = others.count(s =>
+        BloomKernel.probe(UTF8String.fromString(s), words, bits, k))
+      assert(fp < others.size / 10, s"false-positive burst: $fp of ${others.size}")
+    }
+  }
 }
