@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.operators.{Curation, Dedup, Derivations, Events, Indexes, MlQueries, Multimodal, Quality, Relational, Similarity, Soccer, Storage, StreamingQueries, TextAnalysis}
+import graft.operators.{Clustering, Curation, Dedup, Derivations, Events, Indexes, MlQueries, Multimodal, Quality, Relational, Similarity, Soccer, Storage, StreamingQueries, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,7 @@ object SparkEntry {
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Soccer.queries ++ MlQueries.queries ++ StreamingQueries.queries ++
       Multimodal.queries ++ Storage.queries ++ Curation.queries ++
-      Quality.queries ++ Indexes.queries
+      Quality.queries ++ Indexes.queries ++ Clustering.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +31,5 @@ object SparkEntry {
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       Soccer.oracles ++ MlQueries.oracles ++ StreamingQueries.oracles ++
       Multimodal.oracles ++ Storage.oracles ++ Curation.oracles ++
-      Quality.oracles ++ Indexes.oracles
+      Quality.oracles ++ Indexes.oracles ++ Clustering.oracles
 }

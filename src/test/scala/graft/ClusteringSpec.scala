@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.Clustering
+
+/** Embedding clustering (q109 integer k-means) and SemDeDup (q110).
+  * The load-bearing claims: the distributed argmin assignment is the
+  * true per-vector argmin (driver-side brute force agrees exactly),
+  * Lloyd does not worsen inertia, and q110's clusters are bit-identical
+  * to a driver-side union-find over the exact integer-threshold pairs. */
+class ClusteringSpec extends SparkSuite {
+
+  private def sqDist(x: Array[Long], c: Array[Long]): Long = {
+    var s = 0L; var d = 0
+    while (d < x.length) { val t = x(d) - c(d); s += t * t; d += 1 }
+    s
+  }
+
+  private def argmin(x: Array[Long], cents: Array[Array[Long]]): Int =
+    cents.indices.minBy(k => (sqDist(x, cents(k)), k))
+
+  private lazy val codes: Map[Long, Array[Long]] =
+    Clustering.codeVectors(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](2).toArray).toMap
+
+  private lazy val cents: Array[Array[Long]] =
+    Clustering.lloyd(Clustering.codeVectors(spark, Sf0001))
+
+  test("q109: distributed assignment IS the per-vector argmin; d is exact") {
+    val asg = Clustering.kmeansAssignments(spark, Sf0001).collect()
+    assert(asg.length === codes.size)
+    asg.foreach { r =>
+      val (id, cid, d) = (r.getLong(0), r.getInt(2), r.getLong(3))
+      assert(cid === argmin(codes(id), cents), s"vec $id")
+      assert(d === sqDist(codes(id), cents(cid)), s"vec $id")
+    }
+  }
+
+  test("q109: accounting totals are consistent; Lloyd did not worsen inertia") {
+    val out = Clustering.kmeansClusters(spark, Sf0001).collect()
+    assert(out.map(_.getAs[Long]("n_vecs")).sum === codes.size)
+    assert(out.length <= 8 && out.nonEmpty)
+    // inertia equals the driver-side recomputation...
+    val inertia = out.map(_.getAs[Long]("inertia")).sum
+    val expected = codes.values.map(x => sqDist(x, cents(argmin(x, cents)))).sum
+    assert(inertia === expected)
+    // ...and fixed-round Lloyd at least matches the seed assignment
+    val init = codes.toSeq.sortBy(_._1).take(8).map(_._2).toArray
+    val initInertia = codes.values.map(x => sqDist(x, init(argmin(x, init)))).sum
+    assert(inertia <= initInertia, s"$inertia > $initInertia")
+  }
+
+  test("q110: clusters bit-identical to driver-side union-find over exact pairs") {
+    // brute-force witness: within-kmeans-cluster pairs, integer cosine
+    // threshold dot>0 && 100*dot^2 >= 16*|a|^2*|b|^2 on centered codes
+    val asg = Clustering.kmeansAssignments(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val centered = codes.map { case (id, x) => id -> x.map(_ - 128L) }
+    def dot(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var d = 0
+      while (d < a.length) { s += a(d) * b(d); d += 1 }
+      s
+    }
+    val ids = centered.keys.toSeq.sorted
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    var nPairs = 0
+    for (i <- ids; j <- ids if i < j && asg(i) == asg(j)) {
+      val d = dot(centered(i), centered(j))
+      val (na, nb) = (dot(centered(i), centered(i)), dot(centered(j), centered(j)))
+      if (d > 0 && d * d * 100L >= 16L * na * nb) { union(i, j); nPairs += 1 }
+    }
+    assert(nPairs > 0, "no semantic-dup pairs at sf0.001 — corpus changed?")
+    val expected = ids.map(i => i -> find(i)).filter { case (i, r) =>
+      ids.exists(j => j != i && find(j) == r) // non-singleton components only
+    }.toMap
+    val out = Clustering.semanticDedup(spark, Sf0001).collect()
+    val got = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("is_kept") === (r.getLong(0) === r.getLong(1)))
+      assert(r.getAs[Long]("cluster_size") >= 2L)
+    }
+    // exactly one keeper per cluster, and it is the minimum member
+    out.groupBy(_.getLong(1)).foreach { case (lbl, rows) =>
+      assert(rows.count(_.getAs[Boolean]("is_kept")) === 1)
+      assert(rows.map(_.getLong(0)).min === lbl)
+      assert(rows.length === rows.head.getAs[Long]("cluster_size"))
+    }
+  }
+
+  test("q109/q110: deterministic across invocations (persisted artifact reread)") {
+    val a = Clustering.kmeansClusters(spark, Sf0001).collect().toSeq
+    val b = Clustering.kmeansClusters(spark, Sf0001).collect().toSeq
+    assert(a === b)
+  }
+}
