@@ -316,13 +316,49 @@ object Clustering {
        |FROM lab JOIN sizes USING (sem_cluster)
        |ORDER BY sem_cluster, vec_id""".stripMargin
 
+  /** Kept members per cluster for q113. */
+  private val ProtoPerCluster = 16
+
+  /** Q113: PROTOTYPE SELECTION — the third standard consumer of the
+    * clustering artifact (q109 stats, q110 dedup, q113 sampling): keep
+    * the [[ProtoPerCluster]] members closest to each centroid in exact
+    * (d, vec_id) order — the cluster-balanced coreset used for
+    * curriculum seeds, distillation sets, and eyeball samples.
+    *
+    * One window partitioned by cid over the persisted assignment table
+    * (never re-clusters, never touches embeddings): per-partition rows
+    * ~ n/K, and since SemDeDup-style deployments grow K with the
+    * corpus, partitions stay bounded at 100 TB. The (d, vec_id) order
+    * is total and integer-exact, so both engines pick identical rows. */
+  def prototypeSample(spark: SparkSession, dir: String): DataFrame =
+    kmeansAssignments(spark, dir)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cid")).orderBy(col("d"), col("vec_id"))))
+      .filter(col("rk") <= ProtoPerCluster)
+      .select(col("cid").cast("bigint").as("cluster_id"),
+        col("rk").cast("bigint").as("rk"), col("vec_id"), col("d"))
+      .orderBy(col("cluster_id"), col("rk"))
+
+  val prototypeSampleSql: String =
+    s"""WITH $kmeansCtes
+       |SELECT CAST(cid AS BIGINT) AS cluster_id, rk, vec_id,
+       |  CAST(d AS BIGINT) AS d FROM (
+       |  SELECT cid, vec_id, d,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY cid ORDER BY d, vec_id) AS BIGINT) AS rk
+       |  FROM asgF)
+       |WHERE rk <= $ProtoPerCluster
+       |ORDER BY cluster_id, rk""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q109_kmeans_clusters" -> (kmeansClusters _),
     "q110_semantic_dedup" -> (semanticDedup _),
+    "q113_prototype_sample" -> (prototypeSample _),
   )
 
   def oracles: Map[String, String] = Map(
     "q109_kmeans_clusters" -> kmeansClustersSql,
     "q110_semantic_dedup" -> semanticDedupSql,
+    "q113_prototype_sample" -> prototypeSampleSql,
   )
 }

@@ -177,10 +177,22 @@ object Curation {
     * one place, not drift across copies. [[sampleBucketSql]] is its
     * oracle-side twin. */
   private[graft] def sampleBucket(id: Column): Column =
-    ((id % lit(2147483648L)) * lit(2654435761L)) % lit(4294967296L) % 100
+    shuffleKey(id) % 100
 
   private[graft] def sampleBucketSql(idCol: String): String =
-    s"((($idCol % 2147483648) * 2654435761) % 4294967296) % 100"
+    s"(${shuffleKeySql(idCol)}) % 100"
+
+  /** The full 32-bit deterministic hash [[sampleBucket]] reduces mod
+    * 100 — q111 uses it undivided as a pseudo-random PERMUTATION key:
+    * multiplication by an odd constant mod 2^32 is injective on
+    * [0, 2^31) ids, so distinct doc_ids can never collide (the (key,
+    * doc_id) order is total regardless). Same one-definition rule as
+    * sampleBucket; [[shuffleKeySql]] is the oracle twin. */
+  private[graft] def shuffleKey(id: Column): Column =
+    ((id % lit(2147483648L)) * lit(2654435761L)) % lit(4294967296L)
+
+  private[graft] def shuffleKeySql(idCol: String): String =
+    s"((($idCol % 2147483648) * 2654435761) % 4294967296)"
 
   /** Shared packing tail for q74/q87: per-source running sum of
     * `tokCol` into PackBudget bins, aggregated per (source, bin).
@@ -706,8 +718,143 @@ object Curation {
        |GROUP BY s.doc_id, len(t.t)
        |ORDER BY s.doc_id""".stripMargin
 
+  /** Documents per training batch for q111 (the fixed global batch
+    * size the shuffled corpus is cut into). */
+  val BatchDocs = 32
+
+  /** Q111: TRAINING-BATCH ASSEMBLY — the step between curation and the
+    * trainer: deterministically shuffle the corpus (so batches are
+    * i.i.d.-ish across sources rather than source-ordered like q74's
+    * packing), cut the shuffled order into fixed-size batches, and
+    * report per-batch composition (docs, tokens, distinct sources).
+    *
+    * The shuffle is [[shuffleKey]] — a seedless multiplicative-hash
+    * permutation, injective on the id domain — so the epoch order is
+    * reproducible row-wise by BOTH engines (no rand(), the q62/q93
+    * determinism rule). Batch id needs each doc's GLOBAL rank in
+    * (key, doc_id) order: the single-window form is a one-task global
+    * sort at scale, so this reuses the q91/q94 TwoPass distributed
+    * prefix shape — sampled balance-only key buckets, per-bucket COUNT
+    * subtotals back to the driver (bounded control flow), broadcast
+    * offsets, one row-scale shuffle with a within-bucket row_number.
+    * Exactness is independent of boundary quality: the bucket function
+    * is monotone, so offset + within-bucket rank IS the global rank.
+    * CurationSpec pins identity against the literal single-window form
+    * plus the full-batches invariant. */
+  def trainingBatches(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    def rows = d.select(col("doc_id"), col("source"),
+      tokenCount(col("text")).as("n_tokens"), shuffleKey(col("doc_id")).as("k"))
+    val nBuckets = spark.conf.get("spark.sql.shuffle.partitions").toInt.max(2)
+    val bucketOf = TwoPass.scoreBuckets(rows, col("k"), nBuckets)
+    // per-bucket row counts: bounded by bucket count — driver control
+    // flow, not data
+    val sub = rows.withColumn("b", bucketOf(col("k")))
+      .groupBy(col("b")).agg(count(lit(1)).as("n"))
+      .collect().sortBy(_.getAs[Int]("b"))
+    val cum = sub.scanLeft(0L)(_ + _.getAs[Long]("n"))
+    val offsets = spark.createDataFrame(
+      sub.zip(cum).map { case (r, off) => (r.getAs[Int]("b"), off) }.toSeq)
+      .toDF("b", "off")
+    val w = Window.partitionBy(col("b")).orderBy(col("k"), col("doc_id"))
+    rows.withColumn("b", bucketOf(col("k")))
+      .join(broadcast(offsets), Seq("b"))
+      .withColumn("rnk", col("off") + row_number().over(w) - 1)
+      // floor, not a bare cast (the q74 rule): identical in both
+      // engines for non-negative exact-under-2^53 values
+      .withColumn("batch_id", floor(col("rnk") / BatchDocs).cast("bigint"))
+      .groupBy(col("batch_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("bigint").as("batch_tokens"),
+        count_distinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy(col("batch_id"))
+  }
+
+  val trainingBatchesSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+       |    ${shuffleKeySql("doc_id")} AS k
+       |  FROM documents WHERE text IS NOT NULL),
+       |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY k, doc_id) - 1 AS rnk FROM d)
+       |SELECT CAST(FLOOR(rnk / $BatchDocs) AS BIGINT) AS batch_id,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS batch_tokens,
+       |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       |  MIN(doc_id) AS min_doc
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Q112: RULE-BATTERY QUALITY GATE (the Gopher/C4 heuristic-filter
+    * class): five independent exact-integer document rules with
+    * per-source funnel accounting — the standard pre-model quality
+    * pass a curation pipeline runs before anything expensive touches
+    * the corpus. Rules (every threshold a cross-multiplied integer
+    * comparison — no float boundary can flip a doc between engines):
+    *   R1 word count in [20, 80];
+    *   R2 mean token length in [4.2, 4.7] (tokchars*100 vs n*420/470,
+    *      where tokchars = len(text) - (n-1) single-space separators);
+    *   R3 at least 2 stopword hits (the Gopher "stop word" rule);
+    *   R4 stopword ratio >= 5% (nstop*20 >= n);
+    *   R5 type-token ratio >= 50% (nd*2 >= n — the repetition rule).
+    *
+    * One linear scan, one map-side-combining aggregate keyed by the
+    * tiny source dimension — nothing here shuffles the corpus payload,
+    * and a production threshold change is a constant edit that leaves
+    * the plan untouched. Thresholds were probed to discriminate on the
+    * synthetic corpus (each rule passes 40-80% of docs at sf0.01). */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val m = d.select(col("source"),
+      tokenCount(col("text")).as("n"),
+      (length(col("text")) - tokenCount(col("text")) + 1).as("tokchars"),
+      size(distinctTokens(col("text"))).cast("bigint").as("nd"),
+      stopwordCount(col("text")).as("nstop"))
+    val rWc = col("n").between(20, 80)
+    val rMwl = col("tokchars") * 100 >= col("n") * 420 &&
+      col("tokchars") * 100 <= col("n") * 470
+    val rStop = col("nstop") >= 2
+    val rSrat = col("nstop") * 20 >= col("n")
+    val rTtr = col("nd") * 2 >= col("n")
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L)).cast("bigint")
+    m.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        cnt(rWc).as("pass_wordcount"),
+        cnt(rMwl).as("pass_wordlen"),
+        cnt(rStop).as("pass_stopcount"),
+        cnt(rSrat).as("pass_stopratio"),
+        cnt(rTtr).as("pass_ttr"),
+        cnt(rWc && rMwl && rStop && rSrat && rTtr).as("pass_all"))
+      .orderBy(col("source"))
+  }
+
+  val gopherRulesSql: String = {
+    val stopList = graft.functions.TextFunctions.EnglishStopwords
+      .map(s => s"'$s'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT source, string_split(text, ' ') AS t, len(text) AS L
+       |  FROM documents WHERE text IS NOT NULL),
+       |m AS (
+       |  SELECT source, len(t) AS n, L - len(t) + 1 AS tokchars,
+       |    len(list_distinct(t)) AS nd,
+       |    len(list_filter(t, x -> x IN ($stopList))) AS nstop
+       |  FROM d)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN n BETWEEN 20 AND 80 THEN 1 ELSE 0 END) AS BIGINT) AS pass_wordcount,
+       |  CAST(SUM(CASE WHEN tokchars*100 >= n*420 AND tokchars*100 <= n*470 THEN 1 ELSE 0 END) AS BIGINT) AS pass_wordlen,
+       |  CAST(SUM(CASE WHEN nstop >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS pass_stopcount,
+       |  CAST(SUM(CASE WHEN nstop*20 >= n THEN 1 ELSE 0 END) AS BIGINT) AS pass_stopratio,
+       |  CAST(SUM(CASE WHEN nd*2 >= n THEN 1 ELSE 0 END) AS BIGINT) AS pass_ttr,
+       |  CAST(SUM(CASE WHEN n BETWEEN 20 AND 80 AND tokchars*100 >= n*420 AND tokchars*100 <= n*470
+       |    AND nstop >= 2 AND nstop*20 >= n AND nd*2 >= n THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+       |FROM m GROUP BY source ORDER BY source""".stripMargin
+  }
+
   def queries: Map[String, Relational.Q] = Map(
     "q101_dup_spans" -> (dupSpans _),
+    "q111_training_batches" -> (trainingBatches _),
+    "q112_gopher_rules" -> (gopherRules _),
     "q103_span_scrub" -> (spanScrub _),
     "q71_decontamination" -> (decontamination _),
     "q89_token_rarity" -> (tokenRarity _),
@@ -722,6 +869,8 @@ object Curation {
 
   def oracles: Map[String, String] = Map(
     "q101_dup_spans" -> dupSpansSql,
+    "q111_training_batches" -> trainingBatchesSql,
+    "q112_gopher_rules" -> gopherRulesSql,
     "q103_span_scrub" -> spanScrubSql,
     "q71_decontamination" -> decontaminationSql,
     "q87_curation_pipeline" -> curationPipelineSql,

@@ -92,6 +92,18 @@ class ClusteringSpec extends SparkSuite {
     }
   }
 
+  test("q113: prototypes are exactly the 16 closest (d, vec_id) members per cluster") {
+    val asg = Clustering.kmeansAssignments(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(3))) // (vec_id, cid, d)
+    val expected = asg.groupBy(_._2).toSeq.flatMap { case (cid, members) =>
+      members.sortBy(m => (m._3, m._1)).take(16).zipWithIndex
+        .map { case ((id, _, d), i) => (cid.toLong, (i + 1).toLong, id, d) }
+    }.toSet
+    val got = Clustering.prototypeSample(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expected)
+  }
+
   test("q109/q110: deterministic across invocations (persisted artifact reread)") {
     val a = Clustering.kmeansClusters(spark, Sf0001).collect().toSeq
     val b = Clustering.kmeansClusters(spark, Sf0001).collect().toSeq

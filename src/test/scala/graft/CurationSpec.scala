@@ -341,4 +341,56 @@ class CurationSpec extends SparkSuite {
     assert(crafted(2L) === ((11L, 1L, 10L, 1L)), crafted)
     assert(crafted(3L) === ((23L, 2L, 20L, 3L)), crafted)
   }
+
+  test("q111 batches match the literal single-window formulation; shape invariants hold") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Curation.trainingBatches(spark, Sf0001)
+    // literal twin: one global window in (shuffle-key, doc_id) order
+    val key = ((col("doc_id") % lit(2147483648L)) * lit(2654435761L)) % lit(4294967296L)
+    val expected = Tables.documents(spark, Sf0001)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"), key.as("k"))
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("k"), col("doc_id"))).cast("bigint") - 1)
+      .withColumn("batch_id", floor(col("rnk") / Curation.BatchDocs).cast("bigint"))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("bigint").as("batch_tokens"),
+        count_distinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("min_doc"))
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    // shape: contiguous batch ids, every batch full except possibly the
+    // last, token conservation, and the shuffle actually mixes sources
+    val rows = got.collect()
+    val n = Tables.documents(spark, Sf0001).filter(col("text").isNotNull).count()
+    assert(rows.map(_.getLong(0)).toSeq === (0L until rows.length).toSeq)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === n)
+    rows.dropRight(1).foreach(r =>
+      assert(r.getAs[Long]("n_docs") === Curation.BatchDocs.toLong, r))
+    assert(rows.exists(_.getAs[Long]("n_sources") > 1L),
+      "no batch mixes sources — shuffle key not permuting?")
+  }
+
+  test("q112 rule battery: funnel arithmetic consistent and every rule discriminates") {
+    val rows = Curation.gopherRules(spark, Sf0001).collect()
+    val rules = Seq("pass_wordcount", "pass_wordlen", "pass_stopcount",
+      "pass_stopratio", "pass_ttr")
+    rows.foreach { r =>
+      val nDocs = r.getAs[Long]("n_docs")
+      rules.foreach { c =>
+        assert(r.getAs[Long](c) >= 0L && r.getAs[Long](c) <= nDocs, s"$c in $r")
+        assert(r.getAs[Long]("pass_all") <= r.getAs[Long](c), s"pass_all > $c in $r")
+      }
+    }
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total === Tables.documents(spark, Sf0001)
+      .filter(col("text").isNotNull).count())
+    // thresholds were probed to split the corpus: corpus-wide, every
+    // rule passes some docs and fails some docs
+    rules.foreach { c =>
+      val passed = rows.map(_.getAs[Long](c)).sum
+      assert(passed > 0L && passed < total, s"$c does not discriminate: $passed/$total")
+    }
+  }
 }
