@@ -851,10 +851,115 @@ object Curation {
        |FROM m GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** Per-document split assignment behind q114: (doc_id, source,
+    * n_tokens, lbl, split) where lbl is the doc's gram-sharing
+    * component (own id for singletons) and split is the deterministic
+    * 80/10/10 bucket of the LABEL — so an entire component moves as
+    * one unit and no duplicated 8-gram can straddle a split boundary.
+    * Persisted `_SUCCESS`-guarded (the q63/q110 convention): the gram
+    * scan + star-contraction loop run ONCE per (process, corpus);
+    * q114's accounting and any downstream consumer read the landed
+    * assignment table. */
+  private[graft] def leakageSplitAssignments(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_splits_" +
+      s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+    val complete = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/_SUCCESS"))
+    if (!complete) {
+      graft.Scratch.deleteNow(path)
+      graft.Scratch.deleteOnExit(path)
+      val d = Tables.documents(spark, dir).filter(col("text").isNotNull)
+      val grams = d
+        .select(col("doc_id"), explode(wordShingles(col("text"), 8)).as("gram"))
+        .select(col("doc_id"), md5(col("gram")).as("gh"))
+        .distinct()
+      // gram-star edges: every doc holding a cross-doc-duplicated gram
+      // connects to that gram's MIN doc — linear in the posting list
+      // (never the per-gram clique) and connectivity-preserving, so the
+      // components equal the full shared-gram graph's
+      val roots = grams.groupBy(col("gh"))
+        .agg(min(col("doc_id")).as("root"), count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+        .select(col("gh"), col("root"))
+      val edges = grams.join(roots, Seq("gh"))
+        .filter(col("doc_id") =!= col("root"))
+        .select(col("root").as("doc_a"), col("doc_id").as("doc_b"))
+        .distinct()
+      val labels = Dedup.connectedComponents(edges) // (node, lbl = min of component)
+      d.select(col("doc_id"), col("source"), tokenCount(col("text")).as("n_tokens"))
+        .join(labels, col("doc_id") === col("node"), "left")
+        .withColumn("lbl", coalesce(col("lbl"), col("doc_id")))
+        .withColumn("split",
+          when(sampleBucket(col("lbl")) < 80, "train")
+            .when(sampleBucket(col("lbl")) < 90, "valid")
+            .otherwise("test"))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("lbl"), col("split"))
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read
+      .schema("doc_id BIGINT, source STRING, n_tokens BIGINT, lbl BIGINT, split STRING")
+      .parquet(path)
+  }
+
+  /** Q114: LEAKAGE-FREE SPLIT ASSIGNMENT — the decontamination-aware
+    * train/valid/test split: documents sharing ANY duplicated token
+    * 8-gram (q71's overlap unit) must land in the SAME split, so no
+    * verbatim passage can leak from train into evaluation. Components
+    * of the shared-gram graph move as units; the split is the
+    * deterministic [[sampleBucket]] of the component label (80/10/10),
+    * reproducible row-wise by both engines — no rand().
+    *
+    * Scale shape: grams travel as md5 hashes with per-doc distinct
+    * BEFORE any aggregation (the q71 rule); edges are gram-STAR pairs
+    * (doc, min-doc-of-gram) — linear in postings where the naive
+    * per-gram clique is quadratic — and components resolve through the
+    * same O(log n)-round star contraction as q63/q110. The oracle
+    * rebuilds grams, star edges, WITH RECURSIVE reachability, and the
+    * bucket arithmetic exactly. */
+  def leakageSplit(spark: SparkSession, dir: String): DataFrame =
+    leakageSplitAssignments(spark, dir)
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("lbl")).as("n_components"),
+        sum(col("n_tokens")).cast("bigint").as("split_tokens"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy(col("split"))
+
+  val leakageSplitSql: String =
+    s"""WITH RECURSIVE
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS t
+       |         FROM documents WHERE text IS NOT NULL),
+       |pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-7)) AS g
+       |        FROM toks WHERE len(t) >= 8),
+       |grams AS (SELECT DISTINCT doc_id, md5(array_to_string(t[g:g+7], ' ')) AS gh FROM pos),
+       |roots AS (SELECT gh, MIN(doc_id) AS root FROM grams
+       |          GROUP BY gh HAVING COUNT(*) >= 2),
+       |pairs AS (SELECT DISTINCT r.root AS doc_a, g.doc_id AS doc_b
+       |          FROM grams g JOIN roots r USING (gh) WHERE g.doc_id != r.root),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |cc AS (SELECT DISTINCT src AS node, src AS lbl FROM edges
+       |       UNION SELECT e.src, cc.lbl FROM edges e JOIN cc ON e.dst = cc.node),
+       |lab AS (SELECT node, MIN(lbl) AS lbl FROM cc GROUP BY node),
+       |d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+       |      FROM documents WHERE text IS NOT NULL),
+       |a AS (SELECT d.doc_id, d.n_tokens, COALESCE(lab.lbl, d.doc_id) AS lbl
+       |      FROM d LEFT JOIN lab ON d.doc_id = lab.node),
+       |s AS (SELECT *, CASE WHEN ${sampleBucketSql("lbl")} < 80 THEN 'train'
+       |                     WHEN ${sampleBucketSql("lbl")} < 90 THEN 'valid'
+       |                     ELSE 'test' END AS split FROM a)
+       |SELECT split, COUNT(*) AS n_docs,
+       |  CAST(COUNT(DISTINCT lbl) AS BIGINT) AS n_components,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS split_tokens,
+       |  MIN(doc_id) AS min_doc
+       |FROM s GROUP BY split ORDER BY split""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q101_dup_spans" -> (dupSpans _),
     "q111_training_batches" -> (trainingBatches _),
     "q112_gopher_rules" -> (gopherRules _),
+    "q114_leakage_split" -> (leakageSplit _),
     "q103_span_scrub" -> (spanScrub _),
     "q71_decontamination" -> (decontamination _),
     "q89_token_rarity" -> (tokenRarity _),
@@ -871,6 +976,7 @@ object Curation {
     "q101_dup_spans" -> dupSpansSql,
     "q111_training_batches" -> trainingBatchesSql,
     "q112_gopher_rules" -> gopherRulesSql,
+    "q114_leakage_split" -> leakageSplitSql,
     "q103_span_scrub" -> spanScrubSql,
     "q71_decontamination" -> decontaminationSql,
     "q87_curation_pipeline" -> curationPipelineSql,

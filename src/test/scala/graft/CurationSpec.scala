@@ -372,6 +372,37 @@ class CurationSpec extends SparkSuite {
       "no batch mixes sources — shuffle key not permuting?")
   }
 
+  test("q114: no duplicated 8-gram straddles a split; docs partition exactly") {
+    import spark.implicits._
+    val asg = Curation.leakageSplitAssignments(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    val docs = Tables.documents(spark, Sf0001).filter(col("text").isNotNull)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    assert(asg.keySet === docs.map(_._1).toSet)
+    assert(asg.values.forall(Set("train", "valid", "test")))
+    // brute-force leakage witness: every 8-gram held by >= 2 docs has
+    // ALL its holders in one split (split limit -1: tokenize like Spark)
+    val byGram = scala.collection.mutable.Map
+      .empty[Seq[String], scala.collection.mutable.Set[Long]]
+    docs.foreach { case (id, text) =>
+      text.split(" ", -1).toSeq.sliding(8).filter(_.length == 8)
+        .foreach { g =>
+          byGram.getOrElseUpdate(g, scala.collection.mutable.Set.empty) += id
+        }
+    }
+    val shared = byGram.values.filter(_.size >= 2).toSeq
+    assert(shared.nonEmpty, "no cross-doc shared grams at sf0.001 — corpus changed?")
+    shared.foreach { ids =>
+      assert(ids.map(asg).size === 1, s"gram straddles splits: docs $ids")
+    }
+    // the aggregate view q114 exports is consistent with the assignments
+    val agg = Curation.leakageSplit(spark, Sf0001).collect()
+    assert(agg.map(_.getAs[Long]("n_docs")).sum === docs.length.toLong)
+    val bySplit = asg.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    agg.foreach(r =>
+      assert(r.getAs[Long]("n_docs") === bySplit(r.getAs[String]("split")), r))
+  }
+
   test("q112 rule battery: funnel arithmetic consistent and every rule discriminates") {
     val rows = Curation.gopherRules(spark, Sf0001).collect()
     val rules = Seq("pass_wordcount", "pass_wordlen", "pass_stopcount",
