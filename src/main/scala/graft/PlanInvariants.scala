@@ -78,10 +78,16 @@ object PlanInvariants {
     *    gram-hash (dup grams) -> doc_id (island window) -> content-hash
     *    (global keeper window) -> doc_id (accounting) -> range (ordered
     *    output). Returning from content-hash space to doc space cannot
-    *    reuse a prior partitioning. */
+    *    reuse a prior partitioning;
+    *  - q115's Jaccard denominators need per-source totals over ALL
+    *    grams (shared or not), so the totals branch re-aggregates the
+    *    shared distinct-posting frame: distinct -> totals agg ->
+    *    gram-set agg -> pair agg -> output sort. Every exchange after
+    *    the first carries bounded-cardinality rows (<= |sources| or
+    *    <= C(|sources|, 2) per gram). */
   val shuffleCeiling: Map[String, Int] =
     Map("q79_constraint_suite" -> 7, "q66_distinctive_terms" -> 6,
-      "q103_span_scrub" -> 5)
+      "q103_span_scrub" -> 5, "q115_source_overlap" -> 5)
 
   /** Every other plan holds at <= 4 exchanges today (audited r5). */
   val defaultShuffleCeiling: Int = 4

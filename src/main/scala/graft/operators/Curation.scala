@@ -955,11 +955,150 @@ object Curation {
        |  MIN(doc_id) AS min_doc
        |FROM s GROUP BY split ORDER BY split""".stripMargin
 
+  /** Q115: CROSS-SOURCE OVERLAP MATRIX — per source-pair count of
+    * distinct duplicated token 8-grams (q71's overlap unit) plus each
+    * side's distinct-gram total and the exact Jaccard of the two gram
+    * sets. This is the corpus-level contamination report a curation
+    * run opens with: which ingest feeds duplicate each other, and how
+    * much — the pairwise view whose per-doc resolution is q114's
+    * component split.
+    *
+    * Scale shape: grams travel as md5 hashes with per-(gram, source)
+    * distinct BEFORE any aggregation (the q71 rule), so document
+    * multiplicity can't amplify. The pair generator is NOT a self-join
+    * of the posting list: grams collapse to their distinct source SET
+    * (bounded by the source dimension, here 20, never by docs), and
+    * pairs expand combinatorially from that tiny sorted array —
+    * ≤ C(|S|,2) rows per gram. Totals are a source-cardinality frame
+    * broadcast back. Three bounded shuffles; nothing quadratic in the
+    * corpus. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val gs = d
+      .select(col("source"), explode(wordShingles(col("text"), 8)).as("gram"))
+      .select(md5(col("gram")).as("gh"), col("source"))
+      .distinct()
+    val tot = gs.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    gs.groupBy(col("gh"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(flatten(transform(col("ss"), (x, i) =>
+        transform(slice(col("ss"), i + lit(2), size(col("ss"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("source_a"), col("p.b").as("source_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .join(broadcast(tot.select(
+        col("source").as("source_a"), col("n_grams").as("grams_a"))), Seq("source_a"))
+      .join(broadcast(tot.select(
+        col("source").as("source_b"), col("n_grams").as("grams_b"))), Seq("source_b"))
+      .withColumn("jaccard", dec6(col("shared_grams").cast("decimal(18,0)")
+        / (col("grams_a") + col("grams_b") - col("shared_grams"))))
+      .select(col("source_a"), col("source_b"), col("shared_grams"),
+        col("grams_a"), col("grams_b"), col("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val sourceOverlapSql: String =
+    """WITH toks AS (SELECT source, string_split(text, ' ') AS t
+      |              FROM documents WHERE text IS NOT NULL),
+      |pos AS (SELECT source, t, unnest(generate_series(1, len(t)-7)) AS g
+      |        FROM toks WHERE len(t) >= 8),
+      |gs AS (SELECT DISTINCT md5(array_to_string(t[g:g+7], ' ')) AS gh, source FROM pos),
+      |tot AS (SELECT source, COUNT(*) AS n_grams FROM gs GROUP BY source),
+      |sh AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared_grams
+      |       FROM gs a JOIN gs b ON a.gh = b.gh AND a.source < b.source
+      |       GROUP BY 1, 2)
+      |SELECT source_a, source_b, shared_grams,
+      |  ta.n_grams AS grams_a, tb.n_grams AS grams_b,
+      |  CAST(CAST(ROUND(CAST(shared_grams AS DECIMAL(18,0))
+      |    / (ta.n_grams + tb.n_grams - shared_grams), 6) AS DECIMAL(38,6)) AS DOUBLE) AS jaccard
+      |FROM sh
+      |JOIN tot ta ON sh.source_a = ta.source
+      |JOIN tot tb ON sh.source_b = tb.source
+      |ORDER BY source_a, source_b""".stripMargin
+
+  /** Q116: PER-DOMAIN CALIBRATED QUALITY FILTERING — keep the top 20%
+    * of each source by a quality score, with the per-source threshold
+    * computed from an EXACT bounded-domain histogram instead of a
+    * per-source sort. A single global quality cut biases the mix
+    * toward whichever domain happens to score high (the reason
+    * CCNet-class pipelines calibrate per domain); fixing the kept
+    * QUANTILE per source keeps every domain represented.
+    *
+    * Score = type-token ratio in integer per-mille
+    * (n_types * 1000 div n_tokens ∈ [0, 1000]) — the q26/q112 lexical-
+    * diversity signal made exact-integer so both engines agree
+    * bit-for-bit. Threshold t_s = the highest score with
+    * cum_docs(score ≥ t_s) * 5 ≥ n_docs (ties at the threshold are all
+    * kept — deterministic, no rand()).
+    *
+    * Scale shape: the score domain is BOUNDED (1001 values), so the
+    * histogram groupBy(source, score) map-side-combines to at most
+    * |sources| × 1001 rows no matter the corpus size; the cumulative
+    * window and threshold argmax run on that tiny frame. ONE corpus
+    * scan, one bounded shuffle — where the naive per-source
+    * percentile would sort every document of the largest domain
+    * through one task. */
+  def calibratedQuality(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val scored = d.select(
+        col("source"),
+        tokenCount(col("text")).as("n_tokens"),
+        size(distinctTokens(col("text"))).cast("bigint").as("n_types"))
+      .withColumn("score", expr("n_types * 1000 div n_tokens"))
+    val hist = scored.groupBy(col("source"), col("score"))
+      .agg(count(lit(1)).as("c"), sum(col("n_tokens")).cast("bigint").as("tok"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("source"))
+    hist
+      .withColumn("cum", sum(col("c")).over(wCum).cast("bigint"))
+      .withColumn("cum_tok", sum(col("tok")).over(wCum).cast("bigint"))
+      .withColumn("n_docs", sum(col("c")).over(wAll).cast("bigint"))
+      .filter(col("cum") * 5 >= col("n_docs"))
+      .groupBy(col("source"))
+      .agg(
+        max(col("n_docs")).as("n_docs"),
+        max(col("score")).as("threshold"),
+        max_by(col("cum"), col("score")).as("n_kept"),
+        max_by(col("cum_tok"), col("score")).as("kept_tokens"))
+      .withColumn("kept_frac",
+        dec6(col("n_kept").cast("decimal(18,0)") / col("n_docs")))
+      .select(col("source"), col("n_docs"), col("threshold"),
+        col("n_kept"), col("kept_tokens"), col("kept_frac"))
+      .orderBy(col("source"))
+  }
+
+  val calibratedQualitySql: String =
+    """WITH d AS (SELECT source,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    len(list_distinct(string_split(text, ' '))) AS n_types
+      |  FROM documents WHERE text IS NOT NULL),
+      |s AS (SELECT source, n_tokens, (n_types * 1000) // n_tokens AS score FROM d),
+      |h AS (SELECT source, score, COUNT(*) AS c, SUM(n_tokens) AS tok
+      |      FROM s GROUP BY 1, 2),
+      |c AS (SELECT source, score,
+      |    SUM(c) OVER (PARTITION BY source ORDER BY score DESC
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(tok) OVER (PARTITION BY source ORDER BY score DESC
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok,
+      |    SUM(c) OVER (PARTITION BY source) AS n_docs
+      |  FROM h)
+      |SELECT source, CAST(MAX(n_docs) AS BIGINT) AS n_docs, MAX(score) AS threshold,
+      |  CAST(arg_max(cum, score) AS BIGINT) AS n_kept,
+      |  CAST(arg_max(cum_tok, score) AS BIGINT) AS kept_tokens,
+      |  CAST(CAST(ROUND(CAST(arg_max(cum, score) AS DECIMAL(18,0)) / MAX(n_docs), 6)
+      |    AS DECIMAL(38,6)) AS DOUBLE) AS kept_frac
+      |FROM c WHERE cum * 5 >= n_docs
+      |GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q101_dup_spans" -> (dupSpans _),
     "q111_training_batches" -> (trainingBatches _),
     "q112_gopher_rules" -> (gopherRules _),
     "q114_leakage_split" -> (leakageSplit _),
+    "q115_source_overlap" -> (sourceOverlap _),
+    "q116_calibrated_quality" -> (calibratedQuality _),
     "q103_span_scrub" -> (spanScrub _),
     "q71_decontamination" -> (decontamination _),
     "q89_token_rarity" -> (tokenRarity _),
@@ -977,6 +1116,8 @@ object Curation {
     "q111_training_batches" -> trainingBatchesSql,
     "q112_gopher_rules" -> gopherRulesSql,
     "q114_leakage_split" -> leakageSplitSql,
+    "q115_source_overlap" -> sourceOverlapSql,
+    "q116_calibrated_quality" -> calibratedQualitySql,
     "q103_span_scrub" -> spanScrubSql,
     "q71_decontamination" -> decontaminationSql,
     "q87_curation_pipeline" -> curationPipelineSql,

@@ -403,6 +403,49 @@ class CurationSpec extends SparkSuite {
       assert(r.getAs[Long]("n_docs") === bySplit(r.getAs[String]("split")), r))
   }
 
+  test("q115 source overlap matches a brute-force per-source gram-set intersection") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf0001).filter(col("text").isNotNull)
+      .select($"source", $"text").as[(String, String)].collect()
+    val bySource: Map[String, Set[Seq[String]]] = docs.groupBy(_._1).view
+      .mapValues(_.flatMap { case (_, text) =>
+        text.split(" ", -1).toSeq.sliding(8).filter(_.length == 8)
+      }.toSet).toMap
+    val expected = bySource.keys.toSeq.sorted.combinations(2).map { case Seq(a, b) =>
+      (a, b, (bySource(a) & bySource(b)).size.toLong,
+        bySource(a).size.toLong, bySource(b).size.toLong)
+    }.filter(_._3 >= 1).toSeq
+    val got = Curation.sourceOverlap(spark, Sf0001).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === expected, "pair counts diverge from brute force")
+    assert(expected.nonEmpty, "no cross-source shared grams at sf0.001 — corpus changed?")
+  }
+
+  test("q116 calibrated quality: per-source top-20% quota exact, threshold maximal") {
+    import spark.implicits._
+    val scores = Tables.documents(spark, Sf0001).filter(col("text").isNotNull)
+      .select($"source", $"text").as[(String, String)].collect()
+      .map { case (s, text) =>
+        val toks = text.split(" ", -1)
+        val score = toks.distinct.length.toLong * 1000L / toks.length
+        (s, score, toks.length.toLong)
+      }
+    val rows = Curation.calibratedQuality(spark, Sf0001).collect()
+    assert(rows.map(_.getString(0)).toSet === scores.map(_._1).toSet)
+    rows.foreach { r =>
+      val (src, nDocs, t, nKept, keptTok) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      val mine = scores.filter(_._1 == src)
+      assert(nDocs === mine.length.toLong, src)
+      val kept = mine.filter(_._2 >= t)
+      assert(nKept === kept.length.toLong, s"$src kept-count")
+      assert(keptTok === kept.map(_._3).sum, s"$src kept-tokens")
+      assert(nKept * 5 >= nDocs, s"$src quota missed")
+      // maximality: the strictly-higher cut falls short of the quota
+      assert(mine.count(_._2 > t).toLong * 5 < nDocs, s"$src threshold not maximal")
+    }
+  }
+
   test("q112 rule battery: funnel arithmetic consistent and every rule discriminates") {
     val rows = Curation.gopherRules(spark, Sf0001).collect()
     val rules = Seq("pass_wordcount", "pass_wordlen", "pass_stopcount",
