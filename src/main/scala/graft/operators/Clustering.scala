@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Parity.dec6
 import graft.functions.VectorFunctions.dotProduct
 
 /** [EXT] Embedding-space clustering for curation: distributed k-means
@@ -350,15 +351,66 @@ object Clustering {
        |WHERE rk <= $ProtoPerCluster
        |ORDER BY cluster_id, rk""".stripMargin
 
+  /** Reported members per cluster for q117. */
+  private val OutliersPerCluster = 8
+
+  /** Q117: CLUSTER OUTLIER REPORT — q113's inverse and the fourth
+    * consumer of the clustering artifact: the [[OutliersPerCluster]]
+    * members FARTHEST from each centroid, with a cluster-relative
+    * severity (this member's distance over the cluster's mean
+    * distance, exact rational d·n / Σd) — the out-of-distribution /
+    * mislabeled / noise slice a curation run sends to inspection or
+    * drops. Severity is cluster-relative because absolute distances
+    * aren't comparable across clusters of different spread.
+    *
+    * Same scale shape as q113: one window family over the persisted
+    * assignment table (never re-clusters, never touches embeddings),
+    * partitions ~ n/K and K grows with the corpus. The (d desc,
+    * vec_id) order is total and integer-exact; the severity ratio is
+    * cross-multiplied integers under one dec6 division, so both
+    * engines emit identical rows. */
+  def clusterOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("cid"))
+    kmeansAssignments(spark, dir)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cid")).orderBy(col("d").desc, col("vec_id"))))
+      .withColumn("n", count(lit(1)).over(wc).cast("bigint"))
+      .withColumn("sum_d", sum(col("d")).over(wc).cast("bigint"))
+      .filter(col("rk") <= OutliersPerCluster)
+      .select(col("cid").cast("bigint").as("cluster_id"),
+        col("rk").cast("bigint").as("rk"), col("vec_id"),
+        col("d").cast("bigint").as("d"),
+        dec6((col("d") * col("n")).cast("decimal(18,0)")
+          / nullif(col("sum_d"), lit(0L))).as("rel_dist"))
+      .orderBy(col("cluster_id"), col("rk"))
+  }
+
+  val clusterOutliersSql: String =
+    s"""WITH $kmeansCtes
+       |SELECT CAST(cid AS BIGINT) AS cluster_id, rk, vec_id, CAST(d AS BIGINT) AS d,
+       |  CAST(CAST(ROUND(CAST(d * n AS DECIMAL(18,0)) / NULLIF(sum_d, 0), 6)
+       |    AS DECIMAL(38,6)) AS DOUBLE) AS rel_dist
+       |FROM (
+       |  SELECT cid, vec_id, d,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY cid ORDER BY d DESC, vec_id) AS BIGINT) AS rk,
+       |    COUNT(*) OVER (PARTITION BY cid) AS n,
+       |    SUM(d) OVER (PARTITION BY cid) AS sum_d
+       |  FROM asgF)
+       |WHERE rk <= $OutliersPerCluster
+       |ORDER BY cluster_id, rk""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q109_kmeans_clusters" -> (kmeansClusters _),
     "q110_semantic_dedup" -> (semanticDedup _),
     "q113_prototype_sample" -> (prototypeSample _),
+    "q117_cluster_outliers" -> (clusterOutliers _),
   )
 
   def oracles: Map[String, String] = Map(
     "q109_kmeans_clusters" -> kmeansClustersSql,
     "q110_semantic_dedup" -> semanticDedupSql,
     "q113_prototype_sample" -> prototypeSampleSql,
+    "q117_cluster_outliers" -> clusterOutliersSql,
   )
 }

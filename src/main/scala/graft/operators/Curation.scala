@@ -1092,6 +1092,69 @@ object Curation {
       |FROM c WHERE cum * 5 >= n_docs
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Documents per training micro-batch for q118. */
+  val PadBatchDocs = 16
+
+  /** Token width of one q118 length band. */
+  val BandTokens = 64
+
+  /** Q118: LENGTH-BUCKETED BATCHING — the padding-efficiency operator:
+    * group documents into [[BandTokens]]-token length bands, cut each
+    * band into [[BatchDocs]]-document micro-batches in stable doc_id
+    * order, and account the padding waste (every batch member pads to
+    * its batch's max length — the cost bucketing exists to minimize).
+    * Output is the per-(source, band) padding ledger: docs, batches,
+    * real tokens, padded tokens, waste fraction — the report that
+    * tells a training job whether its bucketing is tight enough.
+    *
+    * Scale shape: banding is a per-row integer div; batch assignment
+    * is a window keyed (source, band) — the same per-source
+    * parallelism contract as q74, with the same documented remedy (a
+    * TwoPass distributed prefix rank, drop-in because batch indices
+    * only need within-partition order). Both aggregations reuse the
+    * window's (source, band) partitioning — Catalyst plans ONE
+    * exchange before the output sort. Integer math end to end; the
+    * only division is the final dec6 waste ratio (padded > 0 always:
+    * every batch has ≥ 1 doc of ≥ 1 token). */
+  def lengthBucketBatches(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"), col("bucket")).orderBy(col("doc_id"))
+    Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), tokenCount(col("text")).as("n_tokens"))
+      .withColumn("bucket", expr(s"(n_tokens - 1) div $BandTokens"))
+      .withColumn("bi", expr(s"(row_number() over (partition by source, bucket order by doc_id) - 1) div $PadBatchDocs"))
+      .groupBy(col("source"), col("bucket"), col("bi"))
+      .agg(count(lit(1)).as("c"), max(col("n_tokens")).as("mx"),
+        sum(col("n_tokens")).as("s"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(
+        sum(col("c")).cast("bigint").as("n_docs"),
+        count(lit(1)).as("n_batches"),
+        sum(col("s")).cast("bigint").as("batch_tokens"),
+        sum(col("c") * col("mx")).cast("bigint").as("padded_tokens"))
+      .withColumn("waste_frac", dec6(
+        (col("padded_tokens") - col("batch_tokens")).cast("decimal(18,0)")
+          / col("padded_tokens")))
+      .orderBy(col("source"), col("bucket"))
+  }
+
+  val lengthBucketBatchesSql: String =
+    s"""WITH d AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+       |           FROM documents WHERE text IS NOT NULL),
+       |b AS (SELECT *, (n_tokens - 1) // $BandTokens AS bucket FROM d),
+       |r AS (SELECT *, (ROW_NUMBER() OVER (PARTITION BY source, bucket ORDER BY doc_id) - 1) // $PadBatchDocs AS bi
+       |      FROM b),
+       |g AS (SELECT source, bucket, bi, COUNT(*) AS c, MAX(n_tokens) AS mx,
+       |             SUM(n_tokens) AS s
+       |      FROM r GROUP BY 1, 2, 3)
+       |SELECT source, bucket,
+       |  CAST(SUM(c) AS BIGINT) AS n_docs,
+       |  COUNT(*) AS n_batches,
+       |  CAST(SUM(s) AS BIGINT) AS batch_tokens,
+       |  CAST(SUM(c * mx) AS BIGINT) AS padded_tokens,
+       |  CAST(CAST(ROUND(CAST(SUM(c * mx) - SUM(s) AS DECIMAL(18,0))
+       |    / SUM(c * mx), 6) AS DECIMAL(38,6)) AS DOUBLE) AS waste_frac
+       |FROM g GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q101_dup_spans" -> (dupSpans _),
     "q111_training_batches" -> (trainingBatches _),
@@ -1099,6 +1162,7 @@ object Curation {
     "q114_leakage_split" -> (leakageSplit _),
     "q115_source_overlap" -> (sourceOverlap _),
     "q116_calibrated_quality" -> (calibratedQuality _),
+    "q118_length_batching" -> (lengthBucketBatches _),
     "q103_span_scrub" -> (spanScrub _),
     "q71_decontamination" -> (decontamination _),
     "q89_token_rarity" -> (tokenRarity _),
@@ -1118,6 +1182,7 @@ object Curation {
     "q114_leakage_split" -> leakageSplitSql,
     "q115_source_overlap" -> sourceOverlapSql,
     "q116_calibrated_quality" -> calibratedQualitySql,
+    "q118_length_batching" -> lengthBucketBatchesSql,
     "q103_span_scrub" -> spanScrubSql,
     "q71_decontamination" -> decontaminationSql,
     "q87_curation_pipeline" -> curationPipelineSql,

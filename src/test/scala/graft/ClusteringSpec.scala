@@ -104,6 +104,35 @@ class ClusteringSpec extends SparkSuite {
     assert(got === expected)
   }
 
+  test("q117: outliers are exactly the 8 farthest per cluster; severity exact") {
+    val asg = Clustering.kmeansAssignments(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(3))) // (vec_id, cid, d)
+    val expected = asg.groupBy(_._2).toSeq.flatMap { case (cid, members) =>
+      val n = members.length.toLong
+      val sumD = members.map(_._3).sum
+      members.sortBy(m => (-m._3, m._1)).take(8).zipWithIndex
+        .map { case ((id, _, d), i) =>
+          val rel: Any = if (sumD == 0) null
+          else (BigDecimal(d * n) / BigDecimal(sumD))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (cid.toLong, (i + 1).toLong, id, d, rel)
+        }
+    }.toSet
+    val got = Clustering.clusterOutliers(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        (if (r.isNullAt(4)) null else r.getDouble(4)): Any)).toSet
+    assert(got === expected)
+    // the inspection slice and q113's coreset overlap only when a
+    // cluster is too small to keep them apart
+    val protos = Clustering.prototypeSample(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val sizes = asg.groupBy(_._2).view.mapValues(_.length).toMap
+    got.foreach { case (cid, _, id, _, _) =>
+      if (sizes(cid.toInt) >= 24)
+        assert(!protos.contains((cid, id)), s"outlier $id is also a prototype")
+    }
+  }
+
   test("q109/q110: deterministic across invocations (persisted artifact reread)") {
     val a = Clustering.kmeansClusters(spark, Sf0001).collect().toSeq
     val b = Clustering.kmeansClusters(spark, Sf0001).collect().toSeq

@@ -446,6 +446,35 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("q118 length batching: ledger matches brute force; tokens conserved") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf0001).filter(col("text").isNotNull)
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)].collect()
+      .map { case (id, src, text) => (id, src, text.split(" ", -1).length.toLong) }
+    val expected = docs
+      .map { case (id, src, n) => (src, (n - 1) / Curation.BandTokens, id, n) }
+      .groupBy { case (src, b, _, _) => (src, b) }
+      .map { case ((src, b), members) =>
+        val batches = members.sortBy(_._3).grouped(Curation.PadBatchDocs).toSeq
+        val nDocs = members.length.toLong
+        val tokens = members.map(_._4).sum
+        val padded = batches.map(g => g.length.toLong * g.map(_._4).max).sum
+        (src, b, nDocs, batches.length.toLong, tokens, padded)
+      }.toSet
+    val rows = Curation.lengthBucketBatches(spark, Sf0001).collect()
+    val got = rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got === expected)
+    // conservation + ceil-batch-count + waste sanity on the exported frame
+    assert(rows.map(_.getLong(4)).sum === docs.map(_._3).sum)
+    rows.foreach { r =>
+      val (nd, nb) = (r.getLong(2), r.getLong(3))
+      assert(nb === (nd + Curation.PadBatchDocs - 1) / Curation.PadBatchDocs, r)
+      val wf = r.getDouble(6)
+      assert(wf >= 0.0 && wf < 1.0, r)
+    }
+  }
+
   test("q112 rule battery: funnel arithmetic consistent and every rule discriminates") {
     val rows = Curation.gopherRules(spark, Sf0001).collect()
     val rules = Seq("pass_wordcount", "pass_wordlen", "pass_stopcount",
