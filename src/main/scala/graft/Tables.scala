@@ -20,17 +20,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark's reader
-    * rejects ([PARQUET_TYPE_ILLEGAL]). Read it as a raw nanos long via the
-    * legacy conf and expose BOTH `ts_ns: long` (exact, for ordering/gap
-    * math) and `ts: timestamp` (µs, for calendar ops — the testdata is
-    * µs-aligned so the downcast is lossless). */
+  /** Engine contract for events: BOTH `ts_ns: long` (exact epoch nanos,
+    * for ordering/gap math) and `ts: timestamp` (µs LTZ, for calendar
+    * ops; the session TZ is pinned UTC so epoch math is exact). The
+    * testdata generator has shipped two physical layouts — INT64
+    * TIMESTAMP(NANOS), which Spark's reader only accepts as a raw long
+    * via the legacy conf, and plain µs `timestamp[us]` (read as NTZ) —
+    * so normalization dispatches on the loaded dtype. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts_ns div 1000")))
+    normalizeEvents(table(s, d, "events"))
+  }
+
+  /** See [[events]]; shared with the streaming reader so batch and
+    * stream frames agree column-for-column. */
+  def normalizeEvents(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ =>
+        raw
+          .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -25,8 +25,12 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events.parquet physical schema (ts read as nanos long via the
-    * legacy conf, mirrored from [[graft.Tables.events]]). */
+  /** events.parquet physical schema with `ts` read as a nanos long via
+    * the legacy conf — the pre-round-5 testdata layout (INT64
+    * TIMESTAMP(NANOS)); current files carry plain `timestamp[us]`. The
+    * stream source needs an explicit schema, so [[readEvents]] sniffs the
+    * actual layout from the parquet footer (one metadata read) and picks
+    * the matching variant. */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -36,9 +40,11 @@ object EventStream {
     StructField("props", StringType)))
 
   /** File-source stream over events parquet — the streaming twin of
-    * Tables.events (ts_ns exact long + µs timestamp). `path` may be a
-    * directory or a single file; FileStreamSource needs a directory
-    * basePath, so a bare file is turned into a glob under its parent. */
+    * Tables.events (ts_ns exact long + µs timestamp; shared
+    * [[graft.Tables.normalizeEvents]] keeps the frames identical).
+    * `path` may be a directory or a single file; FileStreamSource needs
+    * a directory basePath, so a bare file is turned into a glob under
+    * its parent. */
   def readEvents(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val streamPath =
@@ -46,11 +52,14 @@ object EventStream {
         val slash = path.lastIndexOf('/')
         path.substring(0, slash + 1) + "{" + path.substring(slash + 1) + "}"
       } else path
-    spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(streamPath)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val fileSchema = spark.read.parquet(path).schema
+    val rawSchema = StructType(eventsRawSchema.map { f =>
+      if (f.name == "ts") f.copy(dataType = fileSchema("ts").dataType) else f
+    })
+    graft.Tables.normalizeEvents(
+      spark.readStream
+        .schema(rawSchema)
+        .parquet(streamPath))
   }
 
   /** Tumbling event-time window aggregation with watermark. In streaming
