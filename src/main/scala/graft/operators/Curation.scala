@@ -1155,7 +1155,163 @@ object Curation {
        |    / SUM(c * mx), 6) AS DECIMAL(38,6)) AS DOUBLE) AS waste_frac
        |FROM g GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin
 
+  /** MinHash permutations for q119's sketch estimate. */
+  val OverlapPerms = 32
+
+  /** Q119: SOURCE-OVERLAP MINHASH ESTIMATE — the sketch twin of q115's
+    * exact cross-source Jaccard matrix, via ONE-PERMUTATION MinHash
+    * (Li et al., NIPS 2012 class): each gram is hashed ONCE (md5), its
+    * first two hex chars route it to one of [[OverlapPerms]] bins, and
+    * the bin keeps the lexicographic min of the remaining 30 hex chars.
+    * A source pair's Jaccard is estimated as the fraction of bins whose
+    * minima agree; empty bins (possible only for near-empty sources)
+    * score as non-matching. Unlike q115, EVERY pair appears (a zero
+    * estimate is a result), which is what a recurring contamination
+    * monitor wants: fixed-size output, fixed cost.
+    *
+    * Scale shape: this is the 100 TB path where q115's exact matrix is
+    * the audit tool. One hash per gram — the first-cut K-independent-
+    * permutation form cost 32 md5s per gram and benched 8.7s at sf0.1;
+    * this form is ~1 because binning is two char lookups. No distinct
+    * is needed (min is multiplicity-blind), so the corpus collapses in
+    * ONE map-side-combining aggregate to |sources| x bins rows; the
+    * bin grid, pair join and estimate all run on that bounded frame.
+    * CurationSpec pins the estimator against q115's exact values. */
+  def sourceOverlapMinHash(spark: SparkSession, dir: String): DataFrame = {
+    val slotExpr = "((position(substring(gh, 1, 1) IN '0123456789abcdef') - 1) * 16" +
+      s" + (position(substring(gh, 2, 1) IN '0123456789abcdef') - 1)) % $OverlapPerms"
+    val sig = Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .select(col("source"), explode(wordShingles(col("text"), 8)).as("gram"))
+      .select(col("source"), md5(col("gram")).as("gh"))
+      .select(col("source"), expr(slotExpr).as("p"),
+        expr("substring(gh, 3)").as("v"))
+      .groupBy(col("source"), col("p"))
+      .agg(min(col("v")).as("h"))
+    // full |sources| x bins grid so sparse sources can't drop pairs
+    val grid = sig.select(col("source")).distinct()
+      .withColumn("p", explode(sequence(lit(0), lit(OverlapPerms - 1))))
+      .join(sig, Seq("source", "p"), "left")
+    val a = grid.select(col("source").as("source_a"), col("p"), col("h").as("ha"))
+    val b = grid.select(col("source").as("source_b"), col("p"), col("h").as("hb"))
+    a.join(b, Seq("p"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(when(col("ha").isNotNull && (col("ha") === col("hb")), 1L)
+        .otherwise(0L)).cast("bigint").as("matching_perms"))
+      .withColumn("est_jaccard", dec6(
+        col("matching_perms").cast("decimal(18,0)") / OverlapPerms))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val sourceOverlapMinHashSql: String =
+    s"""WITH toks AS (SELECT source, string_split(text, ' ') AS t
+       |              FROM documents WHERE text IS NOT NULL),
+       |pos AS (SELECT source, t, unnest(generate_series(1, len(t)-7)) AS g
+       |        FROM toks WHERE len(t) >= 8),
+       |gr AS (SELECT source, md5(array_to_string(t[g:g+7], ' ')) AS gh FROM pos),
+       |sig AS (SELECT source,
+       |          ((position(substring(gh, 1, 1) IN '0123456789abcdef') - 1) * 16
+       |           + (position(substring(gh, 2, 1) IN '0123456789abcdef') - 1)) % $OverlapPerms AS p,
+       |          MIN(substring(gh, 3)) AS h
+       |        FROM gr GROUP BY 1, 2),
+       |gs AS (SELECT g.source, p.generate_series AS p
+       |       FROM (SELECT DISTINCT source FROM gr) g,
+       |            generate_series(0, ${OverlapPerms - 1}) p),
+       |grid AS (SELECT gs.source, gs.p, sig.h
+       |         FROM gs LEFT JOIN sig USING (source, p))
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  CAST(SUM(CASE WHEN a.h IS NOT NULL AND a.h = b.h THEN 1 ELSE 0 END) AS BIGINT) AS matching_perms,
+       |  CAST(CAST(ROUND(CAST(SUM(CASE WHEN a.h IS NOT NULL AND a.h = b.h THEN 1 ELSE 0 END)
+       |    AS DECIMAL(18,0)) / $OverlapPerms, 6) AS DECIMAL(38,6)) AS DOUBLE) AS est_jaccard
+       |FROM grid a JOIN grid b ON a.p = b.p AND a.source < b.source
+       |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+
+  /** Vocabulary size for q120's background distribution. */
+  val AnomalyVocab = 64
+
+  /** Q120: DISTRIBUTIONAL ANOMALY SCORE — rank documents by how far
+    * their unigram distribution sits from the corpus background: the
+    * exact L1 distance between the document's token distribution and
+    * the corpus distribution, restricted to the top-[[AnomalyVocab]]
+    * corpus tokens (ties broken by token text, so the vocabulary is
+    * deterministic). Off-distribution documents — wrong language,
+    * boilerplate, machine-generated filler — surface at the top; the
+    * report returns the 20 most anomalous.
+    *
+    * Exactness: with o_v = in-doc count, len = doc tokens, tf_v =
+    * corpus count, N = corpus tokens, the score is
+    * sum_v |o_v*N - len*tf_v| — an INTEGER (the common-denominator
+    * cross-multiplication of sum |o/len - tf/N|); the normalized form
+    * divides by 2*N*len into [0,1] at dec6. Both engines compute it
+    * bit-for-bit; no floats anywhere.
+    *
+    * Scale shape: only OBSERVED (doc, vocab-token) pairs materialize —
+    * the |V|-dense sum folds the unobserved-token mass in
+    * algebraically: sum_{o_v=0} len*tf_v = len*T - sum_{o_v>0} len*tf_v
+    * with T = sum_V tf_v, so score = sum_{o_v>0}(|o*N - len*tf| -
+    * len*tf) + len*T. The vocabulary (64 rows) and the (N, T) scalar
+    * frame ride in as broadcasts; the only corpus-keyed exchange is
+    * the per-(doc, token) count, grouped by high-cardinality doc_id.
+    * The 1-row scalar crossJoin is the q89/q93 allowlisted BNLJ. */
+  def distributionalAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+      .withColumn("len", size(col("t")).cast("bigint"))
+    val tok = d.select(col("doc_id"), col("len"), explode(col("t")).as("tok"))
+    val vocab = tok.groupBy(col("tok"))
+      .agg(count(lit(1)).cast("bigint").as("tf"))
+      .orderBy(col("tf").desc, col("tok")).limit(AnomalyVocab)
+    val scalars = tok.agg(count(lit(1)).cast("bigint").as("n_total"))
+      .crossJoin(broadcast(
+        vocab.agg(sum(col("tf")).cast("bigint").as("t_total"))))
+    val part = tok.join(broadcast(vocab), Seq("tok"))
+      .groupBy(col("doc_id"), col("len"), col("tok"), col("tf"))
+      .agg(count(lit(1)).cast("bigint").as("o"))
+      .crossJoin(broadcast(scalars))
+      .groupBy(col("doc_id"))
+      .agg(sum(
+        abs(col("o") * col("n_total") - col("len") * col("tf"))
+          - col("len") * col("tf")).cast("bigint").as("ps"))
+    d.join(part, Seq("doc_id"), "left")
+      .crossJoin(broadcast(scalars))
+      .select(col("doc_id"), col("source"), col("len").as("n_tokens"),
+        (coalesce(col("ps"), lit(0L)) + col("len") * col("t_total"))
+          .as("l1_score"),
+        col("n_total"))
+      .withColumn("anomaly", dec6(col("l1_score").cast("decimal(18,0)")
+        / (lit(2L) * col("n_total") * col("n_tokens"))))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("l1_score"), col("anomaly"))
+      .orderBy(col("anomaly").desc, col("doc_id")).limit(20)
+  }
+
+  val distributionalAnomalySql: String =
+    s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS t
+       |           FROM documents WHERE text IS NOT NULL),
+       |dl AS (SELECT doc_id, source, len(t) AS len, t FROM d),
+       |tok AS (SELECT doc_id, len, unnest(t) AS tok FROM dl),
+       |vocab AS (SELECT tok, COUNT(*) AS tf FROM tok
+       |          GROUP BY tok ORDER BY tf DESC, tok LIMIT $AnomalyVocab),
+       |scal AS (SELECT (SELECT COUNT(*) FROM tok) AS n_total,
+       |                (SELECT SUM(tf) FROM vocab) AS t_total),
+       |o AS (SELECT doc_id, len, v.tok, v.tf, COUNT(*) AS o
+       |      FROM tok JOIN vocab v USING (tok) GROUP BY 1, 2, 3, 4),
+       |part AS (SELECT doc_id,
+       |           SUM(ABS(o * s.n_total - len * tf) - len * tf) AS ps
+       |         FROM o, scal s GROUP BY doc_id),
+       |sc AS (SELECT dl.doc_id, dl.source, dl.len AS n_tokens,
+       |         COALESCE(p.ps, 0) + dl.len * s.t_total AS l1_score,
+       |         s.n_total
+       |       FROM dl LEFT JOIN part p USING (doc_id), scal s)
+       |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(l1_score AS BIGINT) AS l1_score,
+       |  CAST(CAST(ROUND(CAST(l1_score AS DECIMAL(18,0))
+       |    / (2 * n_total * n_tokens), 6) AS DECIMAL(38,6)) AS DOUBLE) AS anomaly
+       |FROM sc ORDER BY anomaly DESC, doc_id LIMIT 20""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q119_overlap_minhash" -> (sourceOverlapMinHash _),
+    "q120_distribution_anomaly" -> (distributionalAnomaly _),
     "q101_dup_spans" -> (dupSpans _),
     "q111_training_batches" -> (trainingBatches _),
     "q112_gopher_rules" -> (gopherRules _),
@@ -1176,6 +1332,8 @@ object Curation {
   )
 
   def oracles: Map[String, String] = Map(
+    "q119_overlap_minhash" -> sourceOverlapMinHashSql,
+    "q120_distribution_anomaly" -> distributionalAnomalySql,
     "q101_dup_spans" -> dupSpansSql,
     "q111_training_batches" -> trainingBatchesSql,
     "q112_gopher_rules" -> gopherRulesSql,

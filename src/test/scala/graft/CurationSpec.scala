@@ -496,4 +496,68 @@ class CurationSpec extends SparkSuite {
       assert(passed > 0L && passed < total, s"$c does not discriminate: $passed/$total")
     }
   }
+
+  test("q119 minhash overlap: full pair matrix, estimator tracks exact jaccard") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf0001).filter(col("text").isNotNull)
+      .select($"source", $"text").as[(String, String)].collect()
+    val bySource: Map[String, Set[Seq[String]]] = docs.groupBy(_._1).view
+      .mapValues(_.flatMap { case (_, text) =>
+        text.split(" ", -1).toSeq.sliding(8).filter(_.length == 8)
+      }.toSet).toMap
+    val withGrams = bySource.filter(_._2.nonEmpty).keys.toSeq.sorted
+    val exact: Map[(String, String), Double] =
+      withGrams.combinations(2).map { case Seq(a, b) =>
+        val inter = (bySource(a) & bySource(b)).size.toDouble
+        (a, b) -> inter / (bySource(a).size + bySource(b).size - inter)
+      }.toMap
+    val rows = Curation.sourceOverlapMinHash(spark, Sf0001).collect()
+    // every source pair appears exactly once — a zero estimate is a row
+    assert(rows.length === withGrams.combinations(2).size, "pair matrix incomplete")
+    rows.foreach { r =>
+      val m = r.getAs[Long]("matching_perms")
+      assert(m >= 0L && m <= Curation.OverlapPerms.toLong, r)
+      assert(r.getAs[Double]("est_jaccard") === m.toDouble / Curation.OverlapPerms, r)
+    }
+    // estimator quality: mean |est - exact| across all pairs within the
+    // MinHash sampling band for 32 permutations (per-pair sd ~ sqrt(J/32))
+    val errs = rows.map { r =>
+      val key = (r.getString(0), r.getString(1))
+      math.abs(r.getAs[Double]("est_jaccard") - exact.getOrElse(key, 0.0))
+    }
+    assert(errs.sum / errs.length <= 0.08,
+      f"mean estimator error ${errs.sum / errs.length}%.4f too large")
+  }
+
+  test("q120 distribution anomaly matches an exact brute-force recomputation") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf0001).filter(col("text").isNotNull)
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)].collect()
+      .map { case (id, src, text) => (id, src, text.split(" ", -1).toSeq) }
+    val corpus = docs.flatMap(_._3)
+    val n = corpus.length.toLong
+    val vocab: Seq[(String, Long)] = corpus.groupBy(identity).view
+      .mapValues(_.length.toLong).toSeq
+      .sortBy { case (tok, tf) => (-tf, tok) }.take(Curation.AnomalyVocab)
+    val tf = vocab.toMap
+    val t = vocab.map(_._2).sum
+    val expected = docs.map { case (id, src, toks) =>
+      val len = toks.length.toLong
+      val score = vocab.map { case (v, f) =>
+        math.abs(toks.count(_ == v).toLong * n - len * f)
+      }.sum
+      val anomaly = BigDecimal(score)
+        .setScale(0)./(BigDecimal(2L * n * len))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, src, len, score, anomaly)
+    }.sortBy { case (id, _, _, _, a) => (-a, id) }.take(20).toSeq
+    val got = Curation.distributionalAnomaly(spark, Sf0001).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got === expected)
+    // sf0.001's synthetic corpus has < 64 distinct tokens, so the vocab
+    // saturates at the full type inventory — still a valid background
+    assert(tf.size === math.min(Curation.AnomalyVocab, corpus.distinct.length)
+      && t > 0L, "vocab degenerate")
+  }
 }
