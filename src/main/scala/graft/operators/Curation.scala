@@ -1309,8 +1309,66 @@ object Curation {
        |    / (2 * n_total * n_tokens), 6) AS DECIMAL(38,6)) AS DOUBLE) AS anomaly
        |FROM sc ORDER BY anomaly DESC, doc_id LIMIT 20""".stripMargin
 
+  /** Q122: CORPUS SNAPSHOT DIFF — the incremental-ingest delta report
+    * between two corpus versions: which documents were added, removed,
+    * changed, or untouched, per source. The two snapshots are
+    * deterministic derivations of the documents table (old = doc_id %
+    * 17 != 3, new = doc_id % 13 != 5 with a text revision at doc_id %
+    * 11 == 7), standing in for two warehouse partitions of the same
+    * corpus — both engines derive them identically, so the oracle
+    * replays the whole diff.
+    *
+    * Scale shape: content equality travels as md5 (fixed 16 bytes —
+    * the text payload is hashed at scan time and never crosses an
+    * exchange); the diff is ONE full-outer hash join keyed by
+    * high-cardinality doc_id; the per-(source, status) ledger
+    * map-side-combines to a bounded frame. This is the shape that
+    * diffs two 100 TB snapshots with one row-scale shuffle of 24-byte
+    * rows. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val old = d.filter(col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"), col("source").as("src_old"),
+        md5(col("text")).as("h_old"))
+    val neu = d.filter(col("doc_id") % 13 =!= 5)
+      .select(col("doc_id"), col("source").as("src_new"),
+        md5(when(col("doc_id") % 11 === 7,
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+          .as("h_new"))
+    old.join(neu, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("h_old").isNull, lit("added"))
+          .when(col("h_new").isNull, lit("removed"))
+          .when(col("h_old") === col("h_new"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .withColumn("source", coalesce(col("src_new"), col("src_old")))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("source"), col("status"))
+  }
+
+  val snapshotDiffSql: String =
+    """WITH d AS (SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL),
+      |o AS (SELECT doc_id, source AS src_old, md5(text) AS h_old
+      |      FROM d WHERE doc_id % 17 != 3),
+      |n AS (SELECT doc_id, source AS src_new,
+      |        md5(CASE WHEN doc_id % 11 = 7 THEN text || ' [rev2]' ELSE text END) AS h_new
+      |      FROM d WHERE doc_id % 13 != 5),
+      |j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+      |        COALESCE(src_new, src_old) AS source,
+      |        CASE WHEN h_old IS NULL THEN 'added'
+      |             WHEN h_new IS NULL THEN 'removed'
+      |             WHEN h_old = h_new THEN 'unchanged'
+      |             ELSE 'changed' END AS status
+      |      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+      |SELECT source, status, COUNT(*) AS n_docs,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM j GROUP BY 1, 2 ORDER BY source, status""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q119_overlap_minhash" -> (sourceOverlapMinHash _),
+    "q122_snapshot_diff" -> (snapshotDiff _),
     "q120_distribution_anomaly" -> (distributionalAnomaly _),
     "q101_dup_spans" -> (dupSpans _),
     "q111_training_batches" -> (trainingBatches _),
@@ -1333,6 +1391,7 @@ object Curation {
 
   def oracles: Map[String, String] = Map(
     "q119_overlap_minhash" -> sourceOverlapMinHashSql,
+    "q122_snapshot_diff" -> snapshotDiffSql,
     "q120_distribution_anomaly" -> distributionalAnomalySql,
     "q101_dup_spans" -> dupSpansSql,
     "q111_training_batches" -> trainingBatchesSql,

@@ -540,7 +540,55 @@ object Events {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
       |ORDER BY user_id, version""".stripMargin
 
+  /** Q123: RETENTION COHORTS — the classic cohort-retention triangle:
+    * users are cohorted by their first-active day; each (cohort_day,
+    * day_offset) cell counts the cohort members active that many days
+    * later, with retention as the fraction of the cohort's day-0 size.
+    * Day arithmetic runs on the exact nanosecond long (ns div
+    * 86_400_000_000_000), so both engines bucket identically with no
+    * calendar/timezone surface at all.
+    *
+    * Scale shape: ONE row-scale shuffle — each user's distinct active
+    * days collapse into a single map-side-combining `collect_set`
+    * (bounded by the calendar span, not by event volume: a user has at
+    * most |days| entries), and cohort/offset cells explode from that
+    * per-user set, so the naive distinct -> first-seen agg -> activity
+    * self-join chain (6 exchanges) becomes aggregate -> explode ->
+    * bounded-cell agg (4). The cell frame is bounded by |days|²; the
+    * day-0 denominator is a window over each cohort's bounded row
+    * group — never a second scan. */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_set(col("day"))).as("ds"))
+    val w = Window.partitionBy(col("cohort_day"))
+    perUser
+      .select(element_at(col("ds"), 1).as("cohort_day"),
+        explode(transform(col("ds"), d => d - element_at(col("ds"), 1)))
+          .as("day_offset"))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users")) // per-user days distinct already
+      .withColumn("retention", dec6(col("n_users").cast("decimal(18,0)")
+        / max(when(col("day_offset") === 0, col("n_users"))).over(w)))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  val retentionCohortsSql: String =
+    """WITH e AS (SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+      |           FROM events),
+      |f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY 1),
+      |a AS (SELECT f.cohort_day, e.day - f.cohort_day AS day_offset,
+      |        COUNT(DISTINCT e.user_id) AS n_users
+      |      FROM e JOIN f USING (user_id) GROUP BY 1, 2)
+      |SELECT cohort_day, day_offset, CAST(n_users AS BIGINT) AS n_users,
+      |  CAST(CAST(ROUND(CAST(n_users AS DECIMAL(18,0))
+      |    / MAX(CASE WHEN day_offset = 0 THEN n_users END)
+      |        OVER (PARTITION BY cohort_day), 6) AS DECIMAL(38,6)) AS DOUBLE) AS retention
+      |FROM a ORDER BY cohort_day, day_offset""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q123_retention_cohorts" -> (retentionCohorts _),
     "q98_scd2_build" -> (scd2Build _),
     "q20_latest_per_user" -> (latestPerUser _),
     "q77_gap_fill" -> (gapFill _),
@@ -558,6 +606,7 @@ object Events {
   )
 
   def oracles: Map[String, String] = Map(
+    "q123_retention_cohorts" -> retentionCohortsSql,
     "q98_scd2_build" -> scd2BuildSql,
     "q20_latest_per_user" -> latestPerUserSql,
     "q77_gap_fill" -> gapFillSql,

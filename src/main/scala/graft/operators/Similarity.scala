@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -302,7 +302,119 @@ object Similarity {
        |  CAST(SUM(CASE WHEN code = 255 THEN 1 ELSE 0 END) AS BIGINT) AS n_saturated
        |FROM codes GROUP BY label ORDER BY label""".stripMargin
 
+  /** Projected dimensions for q121's Johnson-Lindenstrauss prefilter. */
+  val RpDims = 16
+
+  /** Candidate-set size q121 reranks exactly. */
+  val RpCandidates = 100
+
+  /** Q121: RANDOM-PROJECTION ANN over the persisted SQ8 codes — the
+    * third ANN scale path (q34 = LSH buckets, q59 = IVF routing): a
+    * deterministic ±1 Johnson-Lindenstrauss projection compresses each
+    * 64-dim int code vector to [[RpDims]] integer coordinates; the
+    * probe's [[RpCandidates]] nearest neighbors in projected L2 are
+    * then reranked by EXACT squared L2 on the full codes. The sign
+    * matrix is derived, not stored: sign(d, k) = +1 iff the first hex
+    * char of md5("d:k") is below '8' — a high-quality engine-portable
+    * coin both engines regenerate exactly (a cheap multiplicative-mix
+    * bit was tried first and its correlated signs cost recall: 3-4/10
+    * vs md5's 9/10 at sf0.01). Spark materializes the 64x16 matrix
+    * ONCE as a plan literal (the q109 centroid-literal pattern); the
+    * oracle recomputes it with SQL md5. Integer-only end to end.
+    *
+    * Scale shape: the projection is one linear scan with the 16
+    * coefficients folded into a codegen-friendly HOF chain (16x64
+    * multiply-adds per row on 1-byte codes); the prefilter is a
+    * TakeOrdered (never a global sort), and only [[RpCandidates]]
+    * bounded rows reach the exact rerank — at 100 TB the full-width
+    * code vectors are read once for the scan and once for 100 rows.
+    * The probe rides in as a broadcast 1-row crossJoin (allowlisted
+    * BNLJ) and the final rank is a window over the bounded candidate
+    * set. The DuckDB oracle replays codebook, codes, projection,
+    * prefilter and rerank exactly; SimilaritySpec pins prefilter
+    * honesty and recall against the exact-L2 full scan. */
+  /** The ±1 JL sign matrix, row-major (d * RpDims + k): +1 iff the
+    * first hex char of md5("d:k") < '8'. Mirrored by [[rpAnnSql]]. */
+  private lazy val rpSigns: Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(ivfDims * RpDims) { i =>
+      val (d, k) = (i / RpDims, i % RpDims)
+      val hex = md.digest(s"$d:$k".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (hex.head < '8') 1L else -1L
+    }
+  }
+
+  def rpAnn(spark: SparkSession, dir: String): DataFrame = {
+    val codes = spark.read.parquet(buildSq8(spark, dir))
+      .select(col("vec_id"), col("label"),
+        transform(col("qcodes"), c => c.cast("long") + 128L).as("u"))
+    val signs = typedlit(rpSigns)
+    val proj = codes.withColumn("r",
+      transform(sequence(lit(0), lit(RpDims - 1)), k =>
+        aggregate(sequence(lit(0), lit(ivfDims - 1)), lit(0L),
+          (acc, d) => acc +
+            element_at(signs, d * RpDims + k + 1) * get(col("u"), d))))
+    val probe = proj.filter(col("vec_id") === 0)
+      .select(col("r").as("qr"), col("u").as("qu"))
+    val cand = proj.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .withColumn("l2_proj", aggregate(
+        zip_with(col("r"), col("qr"), (x, y) => (x - y) * (x - y)),
+        lit(0L), _ + _))
+      .orderBy(col("l2_proj"), col("vec_id")).limit(RpCandidates)
+    val w = Window.orderBy(col("l2_code"), col("vec_id")) // bounded: 100 rows
+    cand
+      .withColumn("l2_code", aggregate(
+        zip_with(col("u"), col("qu"), (x, y) => (x - y) * (x - y)),
+        lit(0L), _ + _))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= K)
+      .select(col("rnk"), col("vec_id"), col("label"),
+        col("l2_proj"), col("l2_code"))
+      .orderBy(col("rnk"))
+  }
+
+  val rpAnnSql: String =
+    s"""WITH mm AS (
+       |  SELECT g.generate_series AS pos,
+       |    MIN(embedding[g.generate_series + 1]::DOUBLE) AS mn,
+       |    MAX(embedding[g.generate_series + 1]::DOUBLE) AS mx
+       |  FROM embeddings, generate_series(0, ${ivfDims - 1}) g
+       |  GROUP BY pos),
+       |codes AS (
+       |  SELECT e.vec_id, e.label, m.pos,
+       |    CASE WHEN m.mx = m.mn THEN 0
+       |         ELSE LEAST(255, CAST(FLOOR((e.embedding[m.pos + 1]::DOUBLE - m.mn) * 255 / (m.mx - m.mn)) AS BIGINT)) END AS code
+       |  FROM embeddings e, mm m),
+       |proj AS (
+       |  SELECT vec_id, k.generate_series AS k,
+       |    SUM(CASE WHEN substring(md5(CAST(pos AS VARCHAR) || ':'
+       |               || CAST(k.generate_series AS VARCHAR)), 1, 1) < '8'
+       |             THEN code ELSE -code END) AS r
+       |  FROM codes, generate_series(0, ${RpDims - 1}) k GROUP BY 1, 2),
+       |pq AS (SELECT k, r FROM proj WHERE vec_id = 0),
+       |pc AS (SELECT pos, code FROM codes WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT p.vec_id, SUM((p.r - q.r) * (p.r - q.r)) AS l2_proj
+       |  FROM proj p JOIN pq q USING (k) WHERE p.vec_id <> 0
+       |  GROUP BY 1 ORDER BY l2_proj, vec_id LIMIT $RpCandidates),
+       |rr AS (
+       |  SELECT c.vec_id, MIN(c.l2_proj) AS l2_proj,
+       |    SUM((a.code - b.code) * (a.code - b.code)) AS l2_code
+       |  FROM cand c JOIN codes a ON a.vec_id = c.vec_id
+       |              JOIN pc b ON b.pos = a.pos
+       |  GROUP BY c.vec_id)
+       |SELECT rnk, vec_id, label, l2_proj, l2_code FROM (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY rr.l2_code, rr.vec_id) AS BIGINT) AS rnk,
+       |    rr.vec_id, e.label,
+       |    CAST(rr.l2_proj AS BIGINT) AS l2_proj,
+       |    CAST(rr.l2_code AS BIGINT) AS l2_code
+       |  FROM rr JOIN embeddings e USING (vec_id))
+       |WHERE rnk <= $K ORDER BY rnk""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q121_rp_ann" -> (rpAnn _),
     "q33_cosine_topk" -> (cosineTopK _),
     "q34_ann_lsh" -> (annLsh _),
     "q35_label_centroids" -> (labelCentroids _),
@@ -311,6 +423,7 @@ object Similarity {
   )
 
   def oracles: Map[String, String] = Map(
+    "q121_rp_ann" -> rpAnnSql,
     "q33_cosine_topk" -> cosineTopKSql,
     // q34/q59 omitted: hyperplane-signature bucketing is impractical to
     // mirror in SQL; SimilaritySpec checks q34 recall against q33 and

@@ -529,6 +529,33 @@ class CurationSpec extends SparkSuite {
       f"mean estimator error ${errs.sum / errs.length}%.4f too large")
   }
 
+  test("q122 snapshot diff matches a brute-force two-version comparison") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf0001).filter(col("text").isNotNull)
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)].collect()
+    val old = docs.filter(_._1 % 17 != 3).map { case (id, s, t) => id -> (s, t) }.toMap
+    val neu = docs.filter(_._1 % 13 != 5).map { case (id, s, t) =>
+      id -> (s, if (id % 11 == 7) t + " [rev2]" else t)
+    }.toMap
+    val expected = (old.keySet ++ neu.keySet).toSeq.map { id =>
+      val status =
+        if (!old.contains(id)) "added"
+        else if (!neu.contains(id)) "removed"
+        else if (old(id)._2 == neu(id)._2) "unchanged"
+        else "changed"
+      (neu.get(id).orElse(old.get(id)).get._1, status, id)
+    }.groupBy { case (s, st, _) => (s, st) }
+      .map { case ((s, st), g) =>
+        (s, st, g.length.toLong, g.map(_._3).min, g.map(_._3).max) }
+      .toSet
+    val got = Curation.snapshotDiff(spark, Sf0001).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got === expected)
+    // the synthetic revision markers actually exercise every status
+    assert(got.map(_._2) === Set("added", "removed", "changed", "unchanged"))
+  }
+
   test("q120 distribution anomaly matches an exact brute-force recomputation") {
     import spark.implicits._
     val docs = Tables.documents(spark, Sf0001).filter(col("text").isNotNull)

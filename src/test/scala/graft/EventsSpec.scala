@@ -160,4 +160,31 @@ class EventsSpec extends SparkSuite {
     val u2 = out.filter(_.getLong(0) == 2L)
     assert(u2.length === 1 && u2.head.isNullAt(u2.head.fieldIndex("value")))
   }
+
+  test("q123 retention cohorts match a brute-force per-user day replay") {
+    import spark.implicits._
+    val ev = Tables.events(spark, Sf0001)
+      .select($"user_id", $"ts_ns").as[(Long, Long)].collect()
+    val days = ev.map { case (u, ns) => (u, ns / 86400000000000L) }.distinct
+    val firstDay = days.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expected = days.map { case (u, d) => (firstDay(u), d - firstDay(u), u) }
+      .groupBy { case (c, o, _) => (c, o) }.view
+      .mapValues(_.map(_._3).distinct.length.toLong).toMap
+    val rows = Events.retentionCohorts(spark, Sf0001).collect()
+    assert(rows.length === expected.size)
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) === expected(key), s"cell $key")
+      val ret = r.getAs[Double]("retention")
+      assert(ret > 0.0 && ret <= 1.0, r)
+      // day-0 cell is the denominator: retention exactly 1
+      if (r.getLong(1) == 0L) assert(ret === 1.0, r)
+    }
+    // offsets never negative; every cohort has its day-0 cell
+    val byCohort = rows.groupBy(_.getLong(0))
+    byCohort.foreach { case (c, rs) =>
+      assert(rs.forall(_.getLong(1) >= 0L), s"cohort $c")
+      assert(rs.exists(_.getLong(1) == 0L), s"cohort $c missing day-0")
+    }
+  }
 }

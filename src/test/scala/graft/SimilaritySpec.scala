@@ -176,4 +176,34 @@ class SimilaritySpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q121 rp-ann: rerank metric exact, ranks well-formed, recall vs full scan") {
+    val rows = Similarity.rpAnn(spark, Sf0001).collect()
+    assert(rows.map(_.getAs[Long]("rnk")).toSeq === (1L to 10L))
+    // l2_code non-decreasing in rank; ties broken by vec_id
+    val byRank = rows.sortBy(_.getAs[Long]("rnk"))
+    byRank.sliding(2).foreach { case Array(a, b) =>
+      val (ca, cb) = (a.getAs[Long]("l2_code"), b.getAs[Long]("l2_code"))
+      assert(ca < cb || (ca == cb &&
+        a.getAs[Long]("vec_id") < b.getAs[Long]("vec_id")), s"$a !<= $b")
+    }
+    // exact-rerank identity: recompute squared code L2 for every
+    // returned id from the persisted artifact
+    val codes = spark.read.parquet(Similarity.buildSq8(spark, Sf0001))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Byte](2).toArray.map(_.toLong + 128L)).toMap
+    val probe = codes(0L)
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("l2_code") === l2(probe, codes(r.getAs[Long]("vec_id"))), r)
+      assert(r.getAs[Long]("l2_proj") >= 0L, r)
+    }
+    // prefilter recall vs the exact full-scan top-10 (no projection):
+    // a 16-dim JL draw on this corpus lands 5/10 — floor pinned at 4
+    val exactTop = codes.view.filterKeys(_ != 0L).toSeq
+      .map { case (id, c) => (l2(probe, c), id) }.sorted.take(10).map(_._2).toSet
+    val recall = rows.map(_.getAs[Long]("vec_id")).count(exactTop)
+    assert(recall >= 4, s"prefilter recall $recall/10 collapsed — sign family changed?")
+  }
 }
