@@ -587,7 +587,59 @@ object Events {
       |        OVER (PARTITION BY cohort_day), 6) AS DECIMAL(38,6)) AS DOUBLE) AS retention
       |FROM a ORDER BY cohort_day, day_offset""".stripMargin
 
+  /** Q124: BURST DETECTION — time-series anomaly flagging over the
+    * event stream: hourly counts per event type, compared against the
+    * trailing 6-hour window, flagging hours whose count exceeds 1.5x
+    * the trailing mean with at least 3 hours of history. The flag test
+    * is cross-multiplied to pure BIGINT (2·n·hours_prev > 3·sum_prev),
+    * so no float boundary can disagree between engines; the reported
+    * ratio is the one dec6 division, computed after the flag.
+    *
+    * Hour bucketing is exact ns-long division (ts_ns div 3.6e12) —
+    * zero calendar surface, like q123. Scale shape: one shuffle into
+    * the (event_type, hour) aggregation (map-side combining, frame
+    * bounded by |types| x |hours|); the trailing comparison is a
+    * RANGE window within each type's bounded, already-partitioned
+    * group. Event volume only affects the first aggregation's input. */
+  def burstDetection(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rangeBetween(-6, -1)
+    Tables.events(spark, dir)
+      .select(col("event_type"), expr("ts_ns div 3600000000000").as("hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("hours_prev", count(col("n")).over(w))
+      .withColumn("sum_prev", coalesce(sum(col("n")).over(w), lit(0L)))
+      .filter(col("hours_prev") >= 3 &&
+        lit(2L) * col("n") * col("hours_prev") > lit(3L) * col("sum_prev"))
+      .withColumn("burst_ratio", dec6(
+        (col("n") * col("hours_prev")).cast("decimal(18,0)") / col("sum_prev")))
+      .select(col("event_type"), col("hr"), col("n"),
+        col("hours_prev"), col("sum_prev"), col("burst_ratio"))
+      .orderBy(col("event_type"), col("hr"))
+  }
+
+  val burstDetectionSql: String =
+    """WITH h AS (SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,
+      |             COUNT(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      |w AS (SELECT event_type, hr, n,
+      |    COUNT(n) OVER (PARTITION BY event_type ORDER BY hr
+      |                   RANGE BETWEEN 6 PRECEDING AND 1 PRECEDING) AS hours_prev,
+      |    COALESCE(SUM(n) OVER (PARTITION BY event_type ORDER BY hr
+      |                          RANGE BETWEEN 6 PRECEDING AND 1 PRECEDING), 0) AS sum_prev
+      |  FROM h)
+      |SELECT event_type, hr, CAST(n AS BIGINT) AS n,
+      |  CAST(hours_prev AS BIGINT) AS hours_prev,
+      |  CAST(sum_prev AS BIGINT) AS sum_prev,
+      |  CAST(CAST(ROUND(CAST(n * hours_prev AS DECIMAL(18,0)) / sum_prev, 6)
+      |    AS DECIMAL(38,6)) AS DOUBLE) AS burst_ratio
+      |FROM w
+      |WHERE hours_prev >= 3 AND 2 * n * hours_prev > 3 * sum_prev
+      |ORDER BY event_type, hr""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q124_burst_detection" -> (burstDetection _),
     "q123_retention_cohorts" -> (retentionCohorts _),
     "q98_scd2_build" -> (scd2Build _),
     "q20_latest_per_user" -> (latestPerUser _),
@@ -606,6 +658,7 @@ object Events {
   )
 
   def oracles: Map[String, String] = Map(
+    "q124_burst_detection" -> burstDetectionSql,
     "q123_retention_cohorts" -> retentionCohortsSql,
     "q98_scd2_build" -> scd2BuildSql,
     "q20_latest_per_user" -> latestPerUserSql,

@@ -552,7 +552,66 @@ object Storage {
     s"""read_json('${jsonExportPath("sf0.01")}/*.json', format='newline_delimited',
        |  columns={'doc_id':'BIGINT','lang':'VARCHAR','source':'VARCHAR','text':'VARCHAR','n_chars':'BIGINT'})""".stripMargin)
 
+  /** Q125: EXPORT MANIFEST — the write-validation ledger for a
+    * partitioned export: after writing lineitem partitioned by
+    * l_returnflag, the manifest is computed from the WRITTEN artifact
+    * (read back through the partition-directory layout), while the
+    * oracle recomputes it from the source table — equality proves the
+    * write/read round trip preserved every row. Each row's digest is
+    * md5 over engine-stable renderings ONLY (BIGINT/INT as-is,
+    * doubles through DECIMAL(18,2), timestamps through DATE — raw
+    * double-to-string would diverge between engines), and the
+    * per-partition ledger carries counts plus the min/max digest.
+    *
+    * Scale shape: digests are computed at scan time (16 bytes/row
+    * past the scan); the ledger map-side-combines to |partitions|
+    * rows. min/max digest + counts is the bounded accounting — a full
+    * content tree-hash would aggregate sorted digests and is the
+    * same plan shape one level deeper. */
+  def writeManifest(spark: SparkSession, dir: String): DataFrame = {
+    // one export per (process, sf dir) behind a _SUCCESS guard (the
+    // q104-q106/q109 artifact convention): the manifest is the
+    // validation pass over an EXISTING export, so the measured cost is
+    // the digest scan, not a redundant identical rewrite per call
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_manifest_" +
+      s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/_SUCCESS"))) {
+      graft.Scratch.deleteNow(out)
+      graft.Scratch.deleteOnExit(out)
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_shipdate"), col("l_returnflag"))
+        .repartition(col("l_returnflag"))
+        .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    }
+    spark.read.parquet(out)
+      .withColumn("h", md5(concat_ws("|",
+        col("l_orderkey"), col("l_linenumber"),
+        money(col("l_quantity")).cast("string"),
+        col("l_shipdate").cast("date").cast("string"),
+        col("l_returnflag"))))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("l_orderkey")).as("n_orders"),
+        min(col("h")).as("min_digest"),
+        max(col("h")).as("max_digest"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val writeManifestSql: String =
+    """WITH d AS (SELECT l_returnflag, l_orderkey,
+      |    md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
+      |      || '|' || CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR)
+      |      || '|' || CAST(CAST(l_shipdate AS DATE) AS VARCHAR)
+      |      || '|' || l_returnflag) AS h
+      |  FROM lineitem)
+      |SELECT l_returnflag, COUNT(*) AS n_rows,
+      |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+      |  MIN(h) AS min_digest, MAX(h) AS max_digest
+      |FROM d GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q125_write_manifest" -> (writeManifest _),
     "q47_partitioned_prune" -> (partitionedPrune _),
     "q88_csv_roundtrip" -> (csvRoundtrip _),
     "q90_json_roundtrip" -> (jsonRoundtrip _),
@@ -567,6 +626,7 @@ object Storage {
   )
 
   def oracles: Map[String, String] = Map(
+    "q125_write_manifest" -> writeManifestSql,
     "q47_partitioned_prune" -> partitionedPruneSql,
     "q48_sql_surface" -> revenueByNationSql,
     "q56_bucketed_join" -> bucketedJoinSql,

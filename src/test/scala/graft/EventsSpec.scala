@@ -187,4 +187,26 @@ class EventsSpec extends SparkSuite {
       assert(rs.exists(_.getLong(1) == 0L), s"cohort $c missing day-0")
     }
   }
+
+  test("q124 burst detection matches a brute-force trailing-window replay") {
+    import spark.implicits._
+    val ev = Tables.events(spark, Sf0001)
+      .select($"event_type", $"ts_ns").as[(String, Long)].collect()
+    val hourly = ev.map { case (t, ns) => (t, ns / 3600000000000L) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = hourly.keys.toSeq.map { case (t, hr) =>
+      val prev = (1L to 6L).flatMap(d => hourly.get((t, hr - d)))
+      (t, hr, hourly((t, hr)), prev.length.toLong, prev.sum)
+    }.filter { case (_, _, n, hp, sp) => hp >= 3 && 2 * n * hp > 3 * sp }
+      .sortBy { case (t, hr, _, _, _) => (t, hr) }
+    val got = Events.burstDetection(spark, Sf0001).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected)
+    assert(expected.nonEmpty, "no bursts at sf0.001 — threshold or corpus changed?")
+    // the reported ratio really exceeds the 1.5x trailing mean
+    Events.burstDetection(spark, Sf0001).collect().foreach { r =>
+      assert(r.getAs[Double]("burst_ratio") > 1.5, r)
+    }
+  }
 }
