@@ -88,10 +88,16 @@ object PlanInvariants {
     *    shared distinct-posting frame: distinct -> totals agg ->
     *    gram-set agg -> pair agg -> output sort. Every exchange after
     *    the first carries bounded-cardinality rows (<= |sources| or
-    *    <= C(|sources|, 2) per gram). */
+    *    <= C(|sources|, 2) per gram);
+    *  - q126 fans the one row-scale token stream into four independent
+    *    aggregations (per-(source, token) counts, per-source totals,
+    *    per-source doc counts, old-side vocabulary) plus the drift agg
+    *    and output sort — after the first, every exchange carries
+    *    <= |sources| x |vocab| rows. */
   val shuffleCeiling: Map[String, Int] =
     Map("q79_constraint_suite" -> 7, "q66_distinctive_terms" -> 6,
-      "q103_span_scrub" -> 5, "q115_source_overlap" -> 5)
+      "q103_span_scrub" -> 5, "q115_source_overlap" -> 5,
+      "q126_version_drift" -> 6)
 
   /** Every other plan holds at <= 4 exchanges today (audited r5). */
   val defaultShuffleCeiling: Int = 4

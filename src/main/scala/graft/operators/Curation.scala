@@ -1366,8 +1366,111 @@ object Curation {
       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
       |FROM j GROUP BY 1, 2 ORDER BY source, status""".stripMargin
 
+  /** Q126: CORPUS VERSION DRIFT — q122's distributional companion:
+    * per source, the exact L1 shift between the OLD and NEW snapshot's
+    * token distributions over a deterministic top-[[AnomalyVocab]]
+    * vocabulary (drawn from the old snapshot, so the yardstick doesn't
+    * move with the data under test). q122 says WHICH documents changed;
+    * q126 says whether the change MOVED the distribution — the check a
+    * recurring ingest runs before promoting a new corpus version.
+    *
+    * Exactness: with per-source totals N_old/N_new (all tokens) and
+    * per-(source, vocab-token) counts tf_old/tf_new, the drift is
+    * sum_v |tf_new·N_old − tf_old·N_new| — the integer
+    * cross-multiplication of sum_v |p_new − p_old|; normalized by
+    * 2·N_old·N_new into [0, 1] at dec6.
+    *
+    * Scale shape: both snapshot token streams union into ONE
+    * (source, token) aggregation with side-conditional sums (no
+    * old-vs-new join anywhere); totals and doc counts are
+    * source-bounded frames, the vocabulary is a 64-row broadcast, and
+    * the drift sum runs on <= |sources| x 64 rows. */
+  def versionDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val old = d.filter(col("doc_id") % 17 =!= 3)
+      .select(col("source"), lit(0L).as("side"), tokens(col("text")).as("t"))
+    val neu = d.filter(col("doc_id") % 13 =!= 5)
+      .select(col("source"), lit(1L).as("side"),
+        tokens(when(col("doc_id") % 11 === 7,
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text"))).as("t"))
+    val docs = old.unionByName(neu)
+    val tok = docs.select(col("source"), col("side"), explode(col("t")).as("tok"))
+    val tf = tok.groupBy(col("source"), col("tok"))
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("tf_old"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("tf_new"))
+    val tot = tok.groupBy(col("source"))
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_old_tokens"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_new_tokens"))
+    val nd = docs.groupBy(col("source"))
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_old_docs"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_new_docs"))
+    val vocab = tok.filter(col("side") === 0).groupBy(col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(AnomalyVocab)
+      .select(col("tok"))
+    tf.join(broadcast(vocab), Seq("tok"))
+      .join(broadcast(tot), Seq("source"))
+      .groupBy(col("source"))
+      .agg(
+        max(col("n_old_tokens")).as("n_old_tokens"),
+        max(col("n_new_tokens")).as("n_new_tokens"),
+        sum(abs(col("tf_new") * col("n_old_tokens")
+          - col("tf_old") * col("n_new_tokens"))).as("l1_drift"))
+      .join(broadcast(nd), Seq("source"))
+      .withColumn("drift", dec6(col("l1_drift").cast("decimal(18,0)")
+        / (lit(2L) * col("n_old_tokens") * col("n_new_tokens"))))
+      .select(col("source"), col("n_old_docs"), col("n_new_docs"),
+        col("n_old_tokens"), col("n_new_tokens"), col("l1_drift"), col("drift"))
+      .orderBy(col("source"))
+  }
+
+  val versionDriftSql: String =
+    s"""WITH d AS (SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL),
+       |docs AS (
+       |  SELECT source, 0 AS side, string_split(text, ' ') AS t
+       |  FROM d WHERE doc_id % 17 != 3
+       |  UNION ALL
+       |  SELECT source, 1 AS side,
+       |    string_split(CASE WHEN doc_id % 11 = 7 THEN text || ' [rev2]'
+       |                      ELSE text END, ' ') AS t
+       |  FROM d WHERE doc_id % 13 != 5),
+       |tok AS (SELECT source, side, unnest(t) AS tok FROM docs),
+       |tf AS (SELECT source, tok,
+       |         SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS tf_old,
+       |         SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS tf_new
+       |       FROM tok GROUP BY 1, 2),
+       |tot AS (SELECT source,
+       |          SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS n_old_tokens,
+       |          SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n_new_tokens
+       |        FROM tok GROUP BY 1),
+       |nd AS (SELECT source,
+       |         SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS n_old_docs,
+       |         SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n_new_docs
+       |       FROM docs GROUP BY 1),
+       |vocab AS (SELECT tok FROM (
+       |    SELECT tok, COUNT(*) AS c FROM tok WHERE side = 0 GROUP BY tok
+       |    ORDER BY c DESC, tok LIMIT $AnomalyVocab)),
+       |dr AS (SELECT tf.source,
+       |         MAX(tot.n_old_tokens) AS n_old_tokens,
+       |         MAX(tot.n_new_tokens) AS n_new_tokens,
+       |         SUM(ABS(tf.tf_new * tot.n_old_tokens
+       |           - tf.tf_old * tot.n_new_tokens)) AS l1_drift
+       |       FROM tf JOIN vocab USING (tok) JOIN tot ON tf.source = tot.source
+       |       GROUP BY 1)
+       |SELECT dr.source,
+       |  CAST(nd.n_old_docs AS BIGINT) AS n_old_docs,
+       |  CAST(nd.n_new_docs AS BIGINT) AS n_new_docs,
+       |  CAST(dr.n_old_tokens AS BIGINT) AS n_old_tokens,
+       |  CAST(dr.n_new_tokens AS BIGINT) AS n_new_tokens,
+       |  CAST(dr.l1_drift AS BIGINT) AS l1_drift,
+       |  CAST(CAST(ROUND(CAST(dr.l1_drift AS DECIMAL(18,0))
+       |    / (2 * dr.n_old_tokens * dr.n_new_tokens), 6) AS DECIMAL(38,6)) AS DOUBLE) AS drift
+       |FROM dr JOIN nd ON dr.source = nd.source
+       |ORDER BY dr.source""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q119_overlap_minhash" -> (sourceOverlapMinHash _),
+    "q126_version_drift" -> (versionDrift _),
     "q122_snapshot_diff" -> (snapshotDiff _),
     "q120_distribution_anomaly" -> (distributionalAnomaly _),
     "q101_dup_spans" -> (dupSpans _),
@@ -1392,6 +1495,7 @@ object Curation {
   def oracles: Map[String, String] = Map(
     "q119_overlap_minhash" -> sourceOverlapMinHashSql,
     "q122_snapshot_diff" -> snapshotDiffSql,
+    "q126_version_drift" -> versionDriftSql,
     "q120_distribution_anomaly" -> distributionalAnomalySql,
     "q101_dup_spans" -> dupSpansSql,
     "q111_training_batches" -> trainingBatchesSql,

@@ -638,7 +638,54 @@ object Events {
       |WHERE hours_prev >= 3 AND 2 * n * hours_prev > 3 * sum_prev
       |ORDER BY event_type, hr""".stripMargin
 
+  /** Q127: EVENT TRIGRAM MINING — sequential-pattern mining over the
+    * event stream: each user's time-ordered event-type sequence is
+    * slid into consecutive trigrams (lead/lead2 over the per-user
+    * window, ties broken by event_id — the q83/q67 ordering contract),
+    * and the global top-20 patterns are reported with counts and a
+    * dense rank. The behavioral-motif report (view→click→purchase vs
+    * view→view→error) that funnel analysis (q67) fixes a priori —
+    * here the patterns are DISCOVERED.
+    *
+    * Scale shape: one shuffle into the per-user window (the sequence
+    * never leaves its partition), one map-side-combining aggregation
+    * over a frame bounded by |types|³, and a TakeOrdered top-20 —
+    * never a global sort. */
+  def eventTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    val ranked = Window.orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts_ns"), col("event_id"),
+        col("event_type").as("e1"))
+      .withColumn("e2", lead(col("e1"), 1).over(w))
+      .withColumn("e3", lead(col("e1"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .groupBy(col("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3")).limit(20)
+      .withColumn("rnk", row_number().over(ranked).cast("bigint")) // 20 rows
+      .select(col("rnk"), col("e1"), col("e2"), col("e3"), col("n"))
+      .orderBy(col("rnk"))
+  }
+
+  val eventTrigramsSql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_type AS e1,
+      |    LEAD(event_type, 1) OVER w AS e2,
+      |    LEAD(event_type, 2) OVER w AS e3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+      |g AS (SELECT e1, e2, e3, COUNT(*) AS n FROM s WHERE e3 IS NOT NULL
+      |      GROUP BY 1, 2, 3)
+      |SELECT rnk, e1, e2, e3, n FROM (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, e1, e2, e3) AS BIGINT) AS rnk,
+      |    e1, e2, e3, CAST(n AS BIGINT) AS n
+      |  FROM g)
+      |WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q127_event_trigrams" -> (eventTrigrams _),
     "q124_burst_detection" -> (burstDetection _),
     "q123_retention_cohorts" -> (retentionCohorts _),
     "q98_scd2_build" -> (scd2Build _),
@@ -659,6 +706,7 @@ object Events {
 
   def oracles: Map[String, String] = Map(
     "q124_burst_detection" -> burstDetectionSql,
+    "q127_event_trigrams" -> eventTrigramsSql,
     "q123_retention_cohorts" -> retentionCohortsSql,
     "q98_scd2_build" -> scd2BuildSql,
     "q20_latest_per_user" -> latestPerUserSql,

@@ -556,6 +556,42 @@ class CurationSpec extends SparkSuite {
     assert(got.map(_._2) === Set("added", "removed", "changed", "unchanged"))
   }
 
+  test("q126 version drift matches an exact brute-force two-snapshot recomputation") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf0001).filter(col("text").isNotNull)
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)].collect()
+    val old = docs.filter(_._1 % 17 != 3)
+      .map { case (_, s, t) => (s, t.split(" ", -1).toSeq) }
+    val neu = docs.filter(_._1 % 13 != 5)
+      .map { case (id, s, t) =>
+        (s, (if (id % 11 == 7) t + " [rev2]" else t).split(" ", -1).toSeq) }
+    val vocab = old.flatMap(_._2).groupBy(identity).view.mapValues(_.length)
+      .toSeq.sortBy { case (tok, c) => (-c, tok) }
+      .take(Curation.AnomalyVocab).map(_._1).toSet
+    val sources = (old.map(_._1) ++ neu.map(_._1)).distinct.sorted
+    val expected = sources.flatMap { s =>
+      val ot = old.filter(_._1 == s).flatMap(_._2)
+      val nt = neu.filter(_._1 == s).flatMap(_._2)
+      val (no, nn) = (ot.length.toLong, nt.length.toLong)
+      val l1 = vocab.toSeq.map { v =>
+        math.abs(nt.count(_ == v).toLong * no - ot.count(_ == v).toLong * nn)
+      }.sum
+      // sources present in both snapshots only (inner-join semantics);
+      // the synthetic slices keep every source on both sides
+      if (no == 0 || nn == 0) None
+      else Some((s, old.count(_._1 == s).toLong, neu.count(_._1 == s).toLong,
+        no, nn, l1,
+        BigDecimal(l1)./(BigDecimal(2L * no * nn))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    val got = Curation.versionDrift(spark, Sf0001).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getDouble(6))).toSeq
+    assert(got === expected)
+    // the revision markers actually move at least one distribution
+    assert(got.exists(_._6 > 0L), "all drifts zero — revision slice inert?")
+  }
+
   test("q120 distribution anomaly matches an exact brute-force recomputation") {
     import spark.implicits._
     val docs = Tables.documents(spark, Sf0001).filter(col("text").isNotNull)

@@ -209,4 +209,24 @@ class EventsSpec extends SparkSuite {
       assert(r.getAs[Double]("burst_ratio") > 1.5, r)
     }
   }
+
+  test("q127 event trigrams match a brute-force per-user sequence replay") {
+    import spark.implicits._
+    val ev = Tables.events(spark, Sf0001)
+      .select($"user_id", $"ts_ns", $"event_id", $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val tris = ev.groupBy(_._1).values.flatMap { es =>
+      es.sortBy(e => (e._2, e._3)).map(_._4).sliding(3).filter(_.length == 3)
+        .map(s => (s(0), s(1), s(2))).toSeq
+    }.toSeq
+    val expected = tris.groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy { case ((a, b, c), n) => (-n, a, b, c) }.take(20)
+      .zipWithIndex
+      .map { case (((a, b, c), n), i) => (i + 1L, a, b, c, n) }
+    val got = Events.eventTrigrams(spark, Sf0001).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty && got.map(_._5).max === got.head._5)
+  }
 }
