@@ -684,8 +684,36 @@ object Events {
       |  FROM g)
       |WHERE rnk <= 20 ORDER BY rnk""".stripMargin
 
+  /** Q128: APPROXIMATE QUANTILES — the quantile member of the sketch
+    * family (q49 HLL distinct, q107 count-min, q119/q31 MinHash, q32
+    * SimHash): per-type p50/p95/p99 of the value stream via Spark's
+    * GK-style `percentile_approx` with accuracy 10000, the mergeable
+    * bounded-memory path where the exact rank machinery (q51/q91/q94)
+    * is the audit tool. No oracle (sketch internals are
+    * engine-specific — the q49 rule); EventsSpec pins the GK rank-error
+    * contract against exact percentiles: at sf0.001 n < accuracy, so
+    * the sketch must be EXACT, and the quantile chain must be
+    * monotone.
+    *
+    * Scale shape: one map-side-combining aggregation; sketch size is
+    * O(accuracy) per (type) group regardless of row count — the whole
+    * point vs q51's full-width rank pass. */
+  def approxQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        percentile_approx(col("value"),
+          array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("qs"))
+      .select(col("event_type"), col("n"),
+        get(col("qs"), lit(0)).as("p50_approx"),
+        get(col("qs"), lit(1)).as("p95_approx"),
+        get(col("qs"), lit(2)).as("p99_approx"))
+      .orderBy(col("event_type"))
+  }
+
   def queries: Map[String, Relational.Q] = Map(
     "q127_event_trigrams" -> (eventTrigrams _),
+    "q128_approx_quantiles" -> (approxQuantiles _),
     "q124_burst_detection" -> (burstDetection _),
     "q123_retention_cohorts" -> (retentionCohorts _),
     "q98_scd2_build" -> (scd2Build _),

@@ -229,4 +229,28 @@ class EventsSpec extends SparkSuite {
     assert(got === expected)
     assert(got.nonEmpty && got.map(_._5).max === got.head._5)
   }
+
+  test("q128 approx quantiles: exact below sketch capacity, chain monotone") {
+    import spark.implicits._
+    val vals = Tables.events(spark, Sf0001)
+      .select($"event_type", $"value").as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // Spark's percentile_approx at quantile q returns the element at
+    // rank ceil(q * n) (1-based); with n < accuracy the sketch holds
+    // every value, so the answer must be EXACTLY that element
+    def exactAt(s: Array[Double], q: Double): Double =
+      s(math.max(0, math.ceil(q * s.length).toInt - 1))
+    val rows = Events.approxQuantiles(spark, Sf0001).collect()
+    assert(rows.map(_.getString(0)).toSet === vals.keySet)
+    rows.foreach { r =>
+      val s = vals(r.getString(0))
+      assert(r.getLong(1) === s.length.toLong, r)
+      assert(s.length < 10000, "sf0.001 grew past sketch capacity — exactness claim void")
+      val (p50, p95, p99) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(p50 === exactAt(s, 0.5), s"p50 $r")
+      assert(p95 === exactAt(s, 0.95), s"p95 $r")
+      assert(p99 === exactAt(s, 0.99), s"p99 $r")
+      assert(p50 <= p95 && p95 <= p99, r)
+    }
+  }
 }
