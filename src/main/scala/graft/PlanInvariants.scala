@@ -93,11 +93,16 @@ object PlanInvariants {
     *    aggregations (per-(source, token) counts, per-source totals,
     *    per-source doc counts, old-side vocabulary) plus the drift agg
     *    and output sort — after the first, every exchange carries
-    *    <= |sources| x |vocab| rows. */
+    *    <= |sources| x |vocab| rows;
+    *  - q129 is K=5 fixed PageRank rounds: each round is one
+    *    edges-by-src join + one dst-keyed aggregation over
+    *    postings-bounded/node-bounded frames (iteration is the
+    *    algorithm, not a plan accident), on top of the gram-star edge
+    *    build. */
   val shuffleCeiling: Map[String, Int] =
     Map("q79_constraint_suite" -> 7, "q66_distinctive_terms" -> 6,
       "q103_span_scrub" -> 5, "q115_source_overlap" -> 5,
-      "q126_version_drift" -> 6)
+      "q126_version_drift" -> 6, "q129_dup_pagerank" -> 10)
 
   /** Every other plan holds at <= 4 exchanges today (audited r5). */
   val defaultShuffleCeiling: Int = 4

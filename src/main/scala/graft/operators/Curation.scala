@@ -860,6 +860,27 @@ object Curation {
     * scan + star-contraction loop run ONCE per (process, corpus);
     * q114's accounting and any downstream consumer read the landed
     * assignment table. */
+  /** Distinct gram-star pairs of the shared-8-gram document graph:
+    * every doc holding a cross-doc-duplicated gram connects to that
+    * gram's MIN doc — linear in the posting list (never the per-gram
+    * clique) and connectivity-preserving, so star-component labels
+    * equal the full shared-gram graph's. Shared by q114 (components →
+    * splits) and q129 (PageRank over the same graph). */
+  private[graft] def dupStarPairs(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(wordShingles(col("text"), 8)).as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("gh"))
+      .distinct()
+    val roots = grams.groupBy(col("gh"))
+      .agg(min(col("doc_id")).as("root"), count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(col("gh"), col("root"))
+    grams.join(roots, Seq("gh"))
+      .filter(col("doc_id") =!= col("root"))
+      .select(col("root").as("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
+  }
+
   private[graft] def leakageSplitAssignments(spark: SparkSession, dir: String): DataFrame = {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_splits_" +
       s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
@@ -869,22 +890,7 @@ object Curation {
       graft.Scratch.deleteNow(path)
       graft.Scratch.deleteOnExit(path)
       val d = Tables.documents(spark, dir).filter(col("text").isNotNull)
-      val grams = d
-        .select(col("doc_id"), explode(wordShingles(col("text"), 8)).as("gram"))
-        .select(col("doc_id"), md5(col("gram")).as("gh"))
-        .distinct()
-      // gram-star edges: every doc holding a cross-doc-duplicated gram
-      // connects to that gram's MIN doc — linear in the posting list
-      // (never the per-gram clique) and connectivity-preserving, so the
-      // components equal the full shared-gram graph's
-      val roots = grams.groupBy(col("gh"))
-        .agg(min(col("doc_id")).as("root"), count(lit(1)).as("c"))
-        .filter(col("c") >= 2)
-        .select(col("gh"), col("root"))
-      val edges = grams.join(roots, Seq("gh"))
-        .filter(col("doc_id") =!= col("root"))
-        .select(col("root").as("doc_a"), col("doc_id").as("doc_b"))
-        .distinct()
+      val edges = dupStarPairs(spark, dir)
       val labels = Dedup.connectedComponents(edges) // (node, lbl = min of component)
       d.select(col("doc_id"), col("source"), tokenCount(col("text")).as("n_tokens"))
         .join(labels, col("doc_id") === col("node"), "left")
@@ -1468,8 +1474,96 @@ object Curation {
        |FROM dr JOIN nd ON dr.source = nd.source
        |ORDER BY dr.source""".stripMargin
 
+  /** PageRank iterations for q129. */
+  val PrIters = 5
+
+  /** Q129: PAGERANK OVER THE DUPLICATION GRAPH — graph centrality as
+    * the companion to q63/q114's connected components: rank documents
+    * by how central they sit in the shared-8-gram graph (q114's
+    * gram-star edges, both directions), surfacing the HUB documents
+    * whose content radiates through the corpus — the ones whose
+    * removal or canonicalization pays most. Fixed [[PrIters]]-round
+    * PageRank in exact fixed-point micro-units: r0 = 1e6, r_{t+1} =
+    * 150000 + (85 · Σ_in (r_t div outdeg)) div 100 — every operation
+    * BIGINT, so the DuckDB oracle replays all rounds as unrolled CTEs
+    * (the q109 discipline) with zero tolerance. Simplified-PR
+    * semantics (no dangling redistribution): every graph node has
+    * outdeg >= 1 by construction, so no mass needs reflowing.
+    *
+    * Scale shape: standard distributed PR — per round, one
+    * edges-by-src hash join against the node-bounded rank state and
+    * one dst-keyed aggregation; edges are postings-bounded (the q114
+    * star trick, never a clique). K is fixed, so the plan is K
+    * repetitions of a 2-exchange motif over bounded frames — the
+    * shuffle ceiling is pinned accordingly. The edge list is
+    * materialized ONCE per (process, corpus) behind a _SUCCESS guard
+    * (the q104-q106/q109 convention — and what GraphX's edge caching
+    * does for the same reason): a lazy edges subtree would be replayed
+    * by every round's join, multiplying the row-scale gram scan by
+    * K+1 (measured 5.2s -> materialized ~1s at sf0.1). */
+  def dupPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val edgePath = s"${System.getProperty("java.io.tmpdir")}/graft_dupedges_" +
+      s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$edgePath/_SUCCESS"))) {
+      graft.Scratch.deleteNow(edgePath)
+      graft.Scratch.deleteOnExit(edgePath)
+      dupStarPairs(spark, dir).write.mode("overwrite").parquet(edgePath)
+    }
+    val pairs = spark.read.schema("doc_a BIGINT, doc_b BIGINT").parquet(edgePath)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    var state = deg.select(col("src").as("node"), col("outdeg"))
+      .withColumn("r", lit(1000000L))
+    for (_ <- 1 to PrIters) {
+      val sums = edges
+        .join(state.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), expr("r div outdeg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      state = state.drop("r").join(sums, Seq("node"), "left")
+        .withColumn("r", lit(150000L) + expr("85 * coalesce(s, 0L) div 100"))
+        .drop("s")
+    }
+    state
+      .select(col("node").as("doc_id"), col("outdeg").as("degree"),
+        col("r").as("rank_micro"))
+      .orderBy(col("rank_micro").desc, col("doc_id")).limit(20)
+  }
+
+  val dupPagerankSql: String = {
+    val base =
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents WHERE text IS NOT NULL),
+        |pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-7)) AS g
+        |        FROM toks WHERE len(t) >= 8),
+        |grams AS (SELECT DISTINCT doc_id, md5(array_to_string(t[g:g+7], ' ')) AS gh FROM pos),
+        |roots AS (SELECT gh, MIN(doc_id) AS root FROM grams
+        |          GROUP BY gh HAVING COUNT(*) >= 2),
+        |pairs AS (SELECT DISTINCT r.root AS doc_a, g.doc_id AS doc_b
+        |          FROM grams g JOIN roots r USING (gh) WHERE g.doc_id != r.root),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        |r0 AS (SELECT src AS node, outdeg, CAST(1000000 AS BIGINT) AS r FROM deg)""".stripMargin
+    val rounds = (1 to PrIters).map { i =>
+      s"""r$i AS (SELECT p.node, p.outdeg,
+         |  CAST(150000 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS r
+         |  FROM r${i - 1} p LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(q.r // q.outdeg) AS s
+         |    FROM edges e JOIN r${i - 1} q ON e.src = q.node GROUP BY 1) s
+         |  USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$rounds
+       |SELECT node AS doc_id, CAST(outdeg AS BIGINT) AS degree,
+       |  r AS rank_micro
+       |FROM r$PrIters
+       |ORDER BY rank_micro DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   def queries: Map[String, Relational.Q] = Map(
     "q119_overlap_minhash" -> (sourceOverlapMinHash _),
+    "q129_dup_pagerank" -> (dupPagerank _),
     "q126_version_drift" -> (versionDrift _),
     "q122_snapshot_diff" -> (snapshotDiff _),
     "q120_distribution_anomaly" -> (distributionalAnomaly _),
@@ -1496,6 +1590,7 @@ object Curation {
     "q119_overlap_minhash" -> sourceOverlapMinHashSql,
     "q122_snapshot_diff" -> snapshotDiffSql,
     "q126_version_drift" -> versionDriftSql,
+    "q129_dup_pagerank" -> dupPagerankSql,
     "q120_distribution_anomaly" -> distributionalAnomalySql,
     "q101_dup_spans" -> dupSpansSql,
     "q111_training_batches" -> trainingBatchesSql,

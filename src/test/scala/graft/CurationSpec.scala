@@ -592,6 +592,29 @@ class CurationSpec extends SparkSuite {
     assert(got.exists(_._6 > 0L), "all drifts zero — revision slice inert?")
   }
 
+  test("q129 pagerank matches a brute-force fixed-point iteration replay") {
+    import spark.implicits._
+    val pairs = Curation.dupStarPairs(spark, Sf0001)
+      .as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "no dup-graph edges at sf0.001 — corpus changed?")
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var r: Map[Long, Long] = outdeg.keys.map(_ -> 1000000L).toMap
+    (1 to Curation.PrIters).foreach { _ =>
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (src, _) => r(src) / outdeg(src) }.sum).toMap
+      r = r.keys.map(n => n -> (150000L + 85L * in.getOrElse(n, 0L) / 100L)).toMap
+    }
+    val expected = r.toSeq.map { case (n, rk) => (n, outdeg(n), rk) }
+      .sortBy { case (n, _, rk) => (-rk, n) }.take(20)
+    val got = Curation.dupPagerank(spark, Sf0001).collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getLong(2))).toSeq
+    assert(got === expected)
+    // mass sanity: every rank >= the teleport floor, hubs above it
+    assert(got.forall(_._3 >= 150000L))
+    assert(got.head._3 > 150000L, "no node accumulated rank — graph degenerate?")
+  }
+
   test("q120 distribution anomaly matches an exact brute-force recomputation") {
     import spark.implicits._
     val docs = Tables.documents(spark, Sf0001).filter(col("text").isNotNull)
