@@ -62,15 +62,15 @@ object PlanInvariants {
     *  - q33: brute-force cosine top-k — the oracled full-scan baseline
     *    (q34/q59 are the scale paths); broadcasts the tiny query set;
     *  - q35: centroid theta-join over a label-bounded frame;
-    *  - q66/q89/q93/q120: a single-row scalar (corpus doc count / total
-    *    weight / corpus+vocab token totals) crossJoin-broadcast into the
-    *    scoring scan;
+    *  - q66/q89/q93/q120/q130: a single-row scalar (corpus doc count /
+    *    total weight / corpus+vocab token totals) crossJoin-broadcast
+    *    into the scoring scan;
     *  - q121: the 1-row probe (projection + codes) crossJoin-broadcast
     *    into the projected-space prefilter scan. */
   val bnlAllowlist: Set[String] =
     Set("q33_cosine_topk", "q35_label_centroids", "q66_distinctive_terms",
       "q89_token_rarity", "q93_mixture_resample", "q120_distribution_anomaly",
-      "q121_rp_ann")
+      "q121_rp_ann", "q130_token_cooccurrence")
 
   /** Per-query shuffle ceilings above the [[defaultShuffleCeiling]].
     * These are the audited round-5 counts — intentionally exact, so an

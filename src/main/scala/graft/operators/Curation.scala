@@ -1561,9 +1561,84 @@ object Curation {
        |ORDER BY rank_micro DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** Minimum document co-occurrence support for q130. */
+  val CoocMinSupport = 3
+
+  /** Q130: TOKEN CO-OCCURRENCE LIFT — association mining (the
+    * market-basket lift statistic) at the document level: for every
+    * pair of top-[[AnomalyVocab]] vocabulary tokens, how much more
+    * (or less) often they share a document than independence predicts:
+    * lift = c_xy·N / (c_x·c_y) with c_x = documents containing x.
+    * The collocation report q66's TF-IDF (term-vs-document) cannot
+    * express — this is term-vs-term association. Pairs below
+    * [[CoocMinSupport]] co-occurrences are dropped (rare-pair lift is
+    * noise); top-20 by lift, ties broken by (x, y).
+    *
+    * Exactness: c_xy·N and c_x·c_y are BIGINT; the single dec6
+    * division happens after the support filter, so membership in the
+    * result is integer-decided.
+    *
+    * Scale shape: each doc's distinct vocabulary tokens collapse to a
+    * sorted array (<= |vocab| entries) by intersecting against the
+    * 64-token vocabulary collected as bounded driver control flow (the
+    * q106-codebook convention) and riding back in as a plan literal —
+    * so the ONLY row-scale shuffle is the document-frequency
+    * aggregation; pairs then expand combinatorially from the bounded
+    * array (the q115 pair-explosion trick, <= C(64, 2) rows per doc
+    * and only 2016 possible groups), and the pair aggregation
+    * map-side-combines to a constant-size frame no matter the corpus.
+    * Document frequencies (64 rows) and the N scalar ride in as
+    * broadcasts (allowlisted 1-row BNLJ). */
+  def tokenCooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), distinctTokens(col("text")).as("ts"))
+    val dt = d.select(col("doc_id"), explode(col("ts")).as("tok"))
+    val df = dt.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(AnomalyVocab)
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val vocabLit = typedlit(df.select(col("tok")).collect()
+      .map(_.getString(0))) // 64 rows: bounded driver control flow
+    d.select(array_sort(array_intersect(col("ts"), vocabLit)).as("vt"))
+      .select(explode(flatten(transform(col("vt"), (x, i) =>
+        transform(slice(col("vt"), i + lit(2), size(col("vt"))),
+          y => struct(x.as("x"), y.as("y")))))).as("p"))
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= CoocMinSupport)
+      .join(broadcast(df.select(col("tok").as("x"), col("c").as("c_x"))), Seq("x"))
+      .join(broadcast(df.select(col("tok").as("y"), col("c").as("c_y"))), Seq("y"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("lift", dec6((col("c_xy") * col("n_docs"))
+        .cast("decimal(18,0)") / (col("c_x") * col("c_y"))))
+      .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"),
+        col("lift"))
+      .orderBy(col("lift").desc, col("x"), col("y")).limit(20)
+  }
+
+  val tokenCooccurrenceSql: String =
+    s"""WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+       |           FROM documents WHERE text IS NOT NULL),
+       |dt AS (SELECT doc_id, unnest(ts) AS tok FROM d),
+       |df AS (SELECT tok, COUNT(*) AS c FROM dt GROUP BY tok
+       |       ORDER BY c DESC, tok LIMIT $AnomalyVocab),
+       |dv AS (SELECT dt.doc_id, dt.tok FROM dt JOIN df USING (tok)),
+       |p AS (SELECT a.tok AS x, b.tok AS y, COUNT(*) AS c_xy
+       |      FROM dv a JOIN dv b ON a.doc_id = b.doc_id AND a.tok < b.tok
+       |      GROUP BY 1, 2),
+       |n AS (SELECT COUNT(*) AS n_docs FROM d)
+       |SELECT x, y, c_xy, c_x, c_y, lift FROM (
+       |  SELECT p.x, p.y, CAST(p.c_xy AS BIGINT) AS c_xy,
+       |    CAST(fa.c AS BIGINT) AS c_x, CAST(fb.c AS BIGINT) AS c_y,
+       |    CAST(CAST(ROUND(CAST(p.c_xy * n.n_docs AS DECIMAL(18,0))
+       |      / (fa.c * fb.c), 6) AS DECIMAL(38,6)) AS DOUBLE) AS lift
+       |  FROM p JOIN df fa ON p.x = fa.tok JOIN df fb ON p.y = fb.tok, n
+       |  WHERE p.c_xy >= $CoocMinSupport)
+       |ORDER BY lift DESC, x, y LIMIT 20""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q119_overlap_minhash" -> (sourceOverlapMinHash _),
     "q129_dup_pagerank" -> (dupPagerank _),
+    "q130_token_cooccurrence" -> (tokenCooccurrence _),
     "q126_version_drift" -> (versionDrift _),
     "q122_snapshot_diff" -> (snapshotDiff _),
     "q120_distribution_anomaly" -> (distributionalAnomaly _),
@@ -1591,6 +1666,7 @@ object Curation {
     "q122_snapshot_diff" -> snapshotDiffSql,
     "q126_version_drift" -> versionDriftSql,
     "q129_dup_pagerank" -> dupPagerankSql,
+    "q130_token_cooccurrence" -> tokenCooccurrenceSql,
     "q120_distribution_anomaly" -> distributionalAnomalySql,
     "q101_dup_spans" -> dupSpansSql,
     "q111_training_batches" -> trainingBatchesSql,

@@ -615,6 +615,30 @@ class CurationSpec extends SparkSuite {
     assert(got.head._3 > 150000L, "no node accumulated rank — graph degenerate?")
   }
 
+  test("q130 co-occurrence lift matches a brute-force pair enumeration") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf0001).filter(col("text").isNotNull)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ", -1).distinct.toSet }
+    val df = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy { case (tok, c) => (-c, tok) }
+      .take(Curation.AnomalyVocab).toMap
+    val n = docs.length.toLong
+    val expected = df.keys.toSeq.sorted.combinations(2).map { case Seq(x, y) =>
+      val cxy = docs.count { case (_, ts) => ts(x) && ts(y) }.toLong
+      (x, y, cxy, df(x), df(y),
+        BigDecimal(cxy * n)./(BigDecimal(df(x) * df(y)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.filter(_._3 >= Curation.CoocMinSupport).toSeq
+      .sortBy { case (x, y, _, _, _, l) => (-l, x, y) }.take(20)
+    val got = Curation.tokenCooccurrence(spark, Sf0001).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got === expected)
+    // the statistic discriminates: both positive and negative association
+    assert(got.head._6 > 1.0, "no positively associated pair in top-20")
+  }
+
   test("q120 distribution anomaly matches an exact brute-force recomputation") {
     import spark.implicits._
     val docs = Tables.documents(spark, Sf0001).filter(col("text").isNotNull)
