@@ -1635,10 +1635,84 @@ object Curation {
        |  WHERE p.c_xy >= $CoocMinSupport)
        |ORDER BY lift DESC, x, y LIMIT 20""".stripMargin
 
+  /** Q131: PROPORTIONAL STRATIFIED ALLOCATION — draw EXACTLY B = 40%
+    * of the corpus, allocated across sources proportionally to their
+    * sizes via the largest-remainder (Hamilton) method: base quota
+    * B·n_s div N per source, then the B − Σbase leftover seats go to
+    * the largest remainders (ties by source name). Σ quota == B is an
+    * arithmetic identity, not an approximation — the contract q62
+    * (fixed RATE per stratum) and q93 (rate capping) cannot offer:
+    * those land "about p%"; this lands an exact row budget. Membership
+    * within a source is the deterministic [[shuffleKey]] permutation
+    * order (injective, so no ties and no rand()).
+    *
+    * Scale shape: allocation runs entirely on the |sources|-bounded
+    * count frame (two windows over that tiny frame compute N, the
+    * seat deficit, and the remainder ranks); selection is ONE
+    * per-source window over the corpus (the q74/q118 per-source
+    * parallelism contract) against broadcast quotas. Integer-only —
+    * both engines seat identical documents. */
+  def proportionalSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), tokenCount(col("text")).as("n_tokens"))
+    val wAll = Window.partitionBy() // |sources| rows: bounded
+    val wRem = Window.orderBy(col("rem").desc, col("source"))
+    val quotas = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_total", sum(col("n_docs")).over(wAll))
+      .withColumn("budget", expr("2 * n_total div 5"))
+      .withColumn("base", expr("budget * n_docs div n_total"))
+      .withColumn("rem", expr("(budget * n_docs) % n_total"))
+      .withColumn("deficit", col("budget") - sum(col("base")).over(wAll))
+      .withColumn("seat_rank", row_number().over(wRem))
+      .withColumn("quota",
+        col("base") + when(col("seat_rank") <= col("deficit"), 1L).otherwise(0L))
+      .select(col("source"), col("n_docs"), col("quota"))
+    val wSel = Window.partitionBy(col("source"))
+      .orderBy(shuffleKey(col("doc_id")), col("doc_id"))
+    val sel = d.withColumn("rk", row_number().over(wSel))
+      .join(broadcast(quotas.select(col("source"), col("quota"))), Seq("source"))
+      .filter(col("rk") <= col("quota"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("picked"),
+        sum(col("n_tokens")).cast("bigint").as("sel_tokens"))
+    quotas.join(sel, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("quota"),
+        coalesce(col("picked"), lit(0L)).as("picked"),
+        coalesce(col("sel_tokens"), lit(0L)).as("sel_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val proportionalSampleSql: String =
+    s"""WITH d AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+       |           FROM documents WHERE text IS NOT NULL),
+       |c AS (SELECT source, COUNT(*) AS n_docs FROM d GROUP BY 1),
+       |a AS (SELECT source, n_docs,
+       |        SUM(n_docs) OVER () AS n_total,
+       |        (2 * SUM(n_docs) OVER ()) // 5 AS budget
+       |      FROM c),
+       |b AS (SELECT *, budget * n_docs // n_total AS base,
+       |        (budget * n_docs) % n_total AS rem FROM a),
+       |q AS (SELECT source, n_docs,
+       |        base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+       |                      <= budget - SUM(base) OVER () THEN 1 ELSE 0 END AS quota
+       |      FROM b),
+       |r AS (SELECT d.*, ROW_NUMBER() OVER (PARTITION BY source
+       |        ORDER BY ${shuffleKeySql("doc_id")}, doc_id) AS rk FROM d),
+       |s AS (SELECT r.source, COUNT(*) AS picked, SUM(r.n_tokens) AS sel_tokens
+       |      FROM r JOIN q ON r.source = q.source WHERE r.rk <= q.quota
+       |      GROUP BY 1)
+       |SELECT q.source, CAST(q.n_docs AS BIGINT) AS n_docs,
+       |  CAST(q.quota AS BIGINT) AS quota,
+       |  CAST(COALESCE(s.picked, 0) AS BIGINT) AS picked,
+       |  CAST(COALESCE(s.sel_tokens, 0) AS BIGINT) AS sel_tokens
+       |FROM q LEFT JOIN s ON q.source = s.source
+       |ORDER BY q.source""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q119_overlap_minhash" -> (sourceOverlapMinHash _),
     "q129_dup_pagerank" -> (dupPagerank _),
     "q130_token_cooccurrence" -> (tokenCooccurrence _),
+    "q131_proportional_sample" -> (proportionalSample _),
     "q126_version_drift" -> (versionDrift _),
     "q122_snapshot_diff" -> (snapshotDiff _),
     "q120_distribution_anomaly" -> (distributionalAnomaly _),
@@ -1667,6 +1741,7 @@ object Curation {
     "q126_version_drift" -> versionDriftSql,
     "q129_dup_pagerank" -> dupPagerankSql,
     "q130_token_cooccurrence" -> tokenCooccurrenceSql,
+    "q131_proportional_sample" -> proportionalSampleSql,
     "q120_distribution_anomaly" -> distributionalAnomalySql,
     "q101_dup_spans" -> dupSpansSql,
     "q111_training_batches" -> trainingBatchesSql,

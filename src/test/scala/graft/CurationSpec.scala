@@ -639,6 +639,33 @@ class CurationSpec extends SparkSuite {
     assert(got.head._6 > 1.0, "no positively associated pair in top-20")
   }
 
+  test("q131 proportional allocation: exact budget, Hamilton quotas, quota filled") {
+    import spark.implicits._
+    val counts = Tables.documents(spark, Sf0001).filter(col("text").isNotNull)
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    val n = counts.values.sum
+    val budget = 2L * n / 5L
+    val base = counts.view.mapValues(c => budget * c / n).toMap
+    val deficit = budget - base.values.sum
+    val seats = counts.keys.toSeq
+      .sortBy(s => (-(budget * counts(s) % n), s)).take(deficit.toInt).toSet
+    val expectedQuota = counts.keys.map(s =>
+      s -> (base(s) + (if (seats(s)) 1L else 0L))).toMap
+    val rows = Curation.proportionalSample(spark, Sf0001).collect()
+    assert(rows.map(_.getString(0)).toSet === counts.keySet)
+    rows.foreach { r =>
+      val s = r.getString(0)
+      assert(r.getLong(1) === counts(s), s"$s n_docs")
+      assert(r.getLong(2) === expectedQuota(s), s"$s quota")
+      // every quota is fillable (quota <= n_docs) and actually filled
+      assert(r.getLong(2) <= r.getLong(1), s"$s overfilled")
+      assert(r.getLong(3) === r.getLong(2), s"$s picked != quota")
+    }
+    // the arithmetic identity the operator exists for
+    assert(rows.map(_.getLong(2)).sum === budget)
+    assert(deficit >= 0 && deficit < counts.size.toLong)
+  }
+
   test("q120 distribution anomaly matches an exact brute-force recomputation") {
     import spark.implicits._
     val docs = Tables.documents(spark, Sf0001).filter(col("text").isNotNull)
