@@ -711,9 +711,70 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** Q132: SEASONAL-NAIVE FORECAST BACKTEST — forecast evaluation over
+    * the event stream: for every (type, hour) cell, the seasonal-naive
+    * forecast (same hour last week, lag-168) and the persistence
+    * baseline (previous hour, lag-1) are scored by exact integer
+    * absolute error, restricted to hours where BOTH forecasts exist so
+    * the comparison is apples-to-apples. The report answers the
+    * capacity-planning question "does weekly seasonality beat
+    * persistence here" with sum-of-absolute-errors both engines compute
+    * identically; the two dec6 divisions (MAE, skill = sae_persist /
+    * sae_seasonal) happen after all membership is integer-decided, and
+    * skill is NULL when the seasonal error is zero.
+    *
+    * Lags are VALUE-offset RANGE windows (exactly hr-168 / hr-1, absent
+    * hours yield NULL), not row offsets — gap hours can't silently
+    * shift the forecast. Scale shape: identical to q124 — one shuffle
+    * into the bounded (type, hour) frame, windows within each type's
+    * group. */
+  def seasonalBacktest(spark: SparkSession, dir: String): DataFrame = {
+    def at(off: Int) = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rangeBetween(-off, -off)
+    Tables.events(spark, dir)
+      .select(col("event_type"), expr("ts_ns div 3600000000000").as("hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lag168", max(col("n")).over(at(168)))
+      .withColumn("lag1", max(col("n")).over(at(1)))
+      .filter(col("lag168").isNotNull && col("lag1").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("eval_hours"),
+        sum(abs(col("n") - col("lag168"))).cast("bigint").as("sae_seasonal"),
+        sum(abs(col("n") - col("lag1"))).cast("bigint").as("sae_persist"))
+      .withColumn("mae_seasonal", dec6(
+        col("sae_seasonal").cast("decimal(18,0)") / col("eval_hours")))
+      .withColumn("skill", when(col("sae_seasonal") > 0, dec6(
+        col("sae_persist").cast("decimal(18,0)") / col("sae_seasonal"))))
+      .orderBy(col("event_type"))
+  }
+
+  val seasonalBacktestSql: String =
+    """WITH h AS (SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,
+      |             COUNT(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      |w AS (SELECT event_type, n,
+      |    MAX(n) OVER (PARTITION BY event_type ORDER BY hr
+      |                 RANGE BETWEEN 168 PRECEDING AND 168 PRECEDING) AS lag168,
+      |    MAX(n) OVER (PARTITION BY event_type ORDER BY hr
+      |                 RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS lag1
+      |  FROM h)
+      |SELECT event_type, COUNT(*) AS eval_hours,
+      |  CAST(SUM(ABS(n - lag168)) AS BIGINT) AS sae_seasonal,
+      |  CAST(SUM(ABS(n - lag1)) AS BIGINT) AS sae_persist,
+      |  CAST(CAST(ROUND(CAST(SUM(ABS(n - lag168)) AS DECIMAL(18,0))
+      |    / COUNT(*), 6) AS DECIMAL(38,6)) AS DOUBLE) AS mae_seasonal,
+      |  CASE WHEN SUM(ABS(n - lag168)) > 0 THEN
+      |    CAST(CAST(ROUND(CAST(SUM(ABS(n - lag1)) AS DECIMAL(18,0))
+      |      / SUM(ABS(n - lag168)), 6) AS DECIMAL(38,6)) AS DOUBLE)
+      |  END AS skill
+      |FROM w WHERE lag168 IS NOT NULL AND lag1 IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q127_event_trigrams" -> (eventTrigrams _),
     "q128_approx_quantiles" -> (approxQuantiles _),
+    "q132_seasonal_backtest" -> (seasonalBacktest _),
     "q124_burst_detection" -> (burstDetection _),
     "q123_retention_cohorts" -> (retentionCohorts _),
     "q98_scd2_build" -> (scd2Build _),
@@ -735,6 +796,7 @@ object Events {
   def oracles: Map[String, String] = Map(
     "q124_burst_detection" -> burstDetectionSql,
     "q127_event_trigrams" -> eventTrigramsSql,
+    "q132_seasonal_backtest" -> seasonalBacktestSql,
     "q123_retention_cohorts" -> retentionCohortsSql,
     "q98_scd2_build" -> scd2BuildSql,
     "q20_latest_per_user" -> latestPerUserSql,

@@ -230,6 +230,36 @@ class EventsSpec extends SparkSuite {
     assert(got.nonEmpty && got.map(_._5).max === got.head._5)
   }
 
+  test("q132 seasonal backtest matches a brute-force lag replay") {
+    import spark.implicits._
+    val ev = Tables.events(spark, Sf0001)
+      .select($"event_type", $"ts_ns").as[(String, Long)].collect()
+    val hourly = ev.map { case (t, ns) => (t, ns / 3600000000000L) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = hourly.keys.map(_._1).toSeq.distinct.sorted.flatMap { t =>
+      val cells = hourly.collect { case ((`t`, hr), n) => (hr, n) }.toMap
+      val eval = cells.toSeq.flatMap { case (hr, n) =>
+        for (s <- cells.get(hr - 168); p <- cells.get(hr - 1))
+          yield (math.abs(n - s), math.abs(n - p))
+      }
+      if (eval.isEmpty) None
+      else {
+        val (sae, sap) = (eval.map(_._1).sum, eval.map(_._2).sum)
+        Some((t, eval.length.toLong, sae, sap))
+      }
+    }
+    val got = Events.seasonalBacktest(spark, Sf0001).collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq === expected)
+    got.foreach { r =>
+      // skill defined iff seasonal error nonzero; both dec6 ratios sane
+      val skillNull = r.isNullAt(r.fieldIndex("skill"))
+      assert(skillNull === (r.getLong(2) == 0L), r)
+      assert(r.getAs[Double]("mae_seasonal") >= 0.0, r)
+    }
+    assert(expected.nonEmpty, "no evaluable hours at sf0.001 — span shrank?")
+  }
+
   test("q128 approx quantiles: exact below sketch capacity, chain monotone") {
     import spark.implicits._
     val vals = Tables.events(spark, Sf0001)
