@@ -584,12 +584,19 @@ object Storage {
         .repartition(col("l_returnflag"))
         .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
     }
+    // every field rendered null-safe BEFORE concatenation: concat_ws
+    // SKIPS nulls while the oracle's || PROPAGATES them, so an
+    // unguarded null field would silently diverge the two digests on
+    // a future corpus (today's lineitem is null-free; the guard is the
+    // CSV-quoting class of hardening — latent but load-bearing)
+    def nn(c: Column): Column = coalesce(c, lit("∅"))
     spark.read.parquet(out)
       .withColumn("h", md5(concat_ws("|",
-        col("l_orderkey"), col("l_linenumber"),
-        money(col("l_quantity")).cast("string"),
-        col("l_shipdate").cast("date").cast("string"),
-        col("l_returnflag"))))
+        nn(col("l_orderkey").cast("string")),
+        nn(col("l_linenumber").cast("string")),
+        nn(money(col("l_quantity")).cast("string")),
+        nn(col("l_shipdate").cast("date").cast("string")),
+        nn(col("l_returnflag")))))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_rows"),
         count_distinct(col("l_orderkey")).as("n_orders"),
@@ -600,10 +607,11 @@ object Storage {
 
   val writeManifestSql: String =
     """WITH d AS (SELECT l_returnflag, l_orderkey,
-      |    md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
-      |      || '|' || CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR)
-      |      || '|' || CAST(CAST(l_shipdate AS DATE) AS VARCHAR)
-      |      || '|' || l_returnflag) AS h
+      |    md5(COALESCE(CAST(l_orderkey AS VARCHAR), '∅') || '|'
+      |      || COALESCE(CAST(l_linenumber AS VARCHAR), '∅') || '|'
+      |      || COALESCE(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR), '∅') || '|'
+      |      || COALESCE(CAST(CAST(l_shipdate AS DATE) AS VARCHAR), '∅') || '|'
+      |      || COALESCE(l_returnflag, '∅')) AS h
       |  FROM lineitem)
       |SELECT l_returnflag, COUNT(*) AS n_rows,
       |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,

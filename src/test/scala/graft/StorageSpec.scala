@@ -294,12 +294,14 @@ class StorageSpec extends SparkSuite {
     val fromArtifact = Storage.writeManifest(spark, Sf0001).collect()
     // same ledger computed straight from the source frame (no write):
     // equality proves the partitioned round trip preserved every row
+    def nn(c: org.apache.spark.sql.Column) = coalesce(c, lit("∅"))
     val direct = Tables.lineitem(spark, Sf0001)
       .withColumn("h", md5(concat_ws("|",
-        col("l_orderkey"), col("l_linenumber"),
-        money(col("l_quantity")).cast("string"),
-        col("l_shipdate").cast("date").cast("string"),
-        col("l_returnflag"))))
+        nn(col("l_orderkey").cast("string")),
+        nn(col("l_linenumber").cast("string")),
+        nn(money(col("l_quantity")).cast("string")),
+        nn(col("l_shipdate").cast("date").cast("string")),
+        nn(col("l_returnflag")))))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_rows"),
         count_distinct(col("l_orderkey")).as("n_orders"),
