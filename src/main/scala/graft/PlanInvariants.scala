@@ -70,7 +70,7 @@ object PlanInvariants {
   val bnlAllowlist: Set[String] =
     Set("q33_cosine_topk", "q35_label_centroids", "q66_distinctive_terms",
       "q89_token_rarity", "q93_mixture_resample", "q120_distribution_anomaly",
-      "q121_rp_ann", "q130_token_cooccurrence")
+      "q121_rp_ann", "q130_token_cooccurrence", "q134_skew_profile")
 
   /** Per-query shuffle ceilings above the [[defaultShuffleCeiling]].
     * These are the audited round-5 counts — intentionally exact, so an
@@ -98,11 +98,15 @@ object PlanInvariants {
     *    edges-by-src join + one dst-keyed aggregation over
     *    postings-bounded/node-bounded frames (iteration is the
     *    algorithm, not a plan accident), on top of the gram-star edge
-    *    build. */
+    *    build;
+    *  - q134 unions three independent key profiles; each pays its own
+    *    count aggregation (the very shuffle it audits), stats
+    *    aggregation and top-key pick over bounded frames. */
   val shuffleCeiling: Map[String, Int] =
     Map("q79_constraint_suite" -> 7, "q66_distinctive_terms" -> 6,
       "q103_span_scrub" -> 5, "q115_source_overlap" -> 5,
-      "q126_version_drift" -> 6, "q129_dup_pagerank" -> 10)
+      "q126_version_drift" -> 6, "q129_dup_pagerank" -> 10,
+      "q134_skew_profile" -> 12)
 
   /** Every other plan holds at <= 4 exchanges today (audited r5). */
   val defaultShuffleCeiling: Int = 4

@@ -771,10 +771,75 @@ object Events {
       |FROM w WHERE lag168 IS NOT NULL AND lag1 IS NOT NULL
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Q134: JOIN-KEY SKEW PROFILE — the diagnostic that DECIDES when
+    * q65's salting is worth its extra shuffle: for each join/agg key a
+    * pipeline shuffles on, the cardinality, heaviest key, and the
+    * skew ratio max_key_rows · n_keys / n_rows (1.0 = perfectly
+    * uniform; the factor by which the hottest reducer exceeds the
+    * mean). The heaviest key is reported deterministically (max key
+    * string among count-ties — never arg_max, whose tie choice is
+    * engine-dependent); the single dec6 division happens after all
+    * integer accounting.
+    *
+    * Scale shape: per profiled key, one map-side-combining count
+    * aggregation (the same shuffle the production join would pay, paid
+    * once at audit time), a 1-row stats frame, and an equi-join of
+    * the count frame against the broadcast max to pick the top key.
+    * The 1-row crossJoins are the allowlisted scalar BNLJs. */
+  def skewProfile(spark: SparkSession, dir: String): DataFrame = {
+    def profile(df: DataFrame, keyCol: String, name: String): DataFrame = {
+      val g = df.select(col(keyCol).cast("string").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("c"))
+      val stats = g.agg(count(lit(1)).as("n_keys"),
+        sum(col("c")).cast("bigint").as("n_rows"),
+        max(col("c")).as("max_key_rows"))
+      val top = g.join(broadcast(stats.select(col("max_key_rows").as("mx"))),
+          col("c") === col("mx"))
+        .agg(max(col("k")).as("top_key"))
+      stats.crossJoin(broadcast(top))
+        .select(lit(name).as("profile"), col("n_rows"), col("n_keys"),
+          col("max_key_rows"), col("top_key"),
+          dec6((col("max_key_rows") * col("n_keys")).cast("decimal(18,0)")
+            / col("n_rows")).as("skew_ratio"))
+    }
+    val li = Tables.lineitem(spark, dir)
+    profile(li, "l_suppkey", "lineitem.l_suppkey")
+      .unionByName(profile(li, "l_orderkey", "lineitem.l_orderkey"))
+      .unionByName(profile(Tables.events(spark, dir), "user_id", "events.user_id"))
+      .orderBy(col("profile"))
+  }
+
+  val skewProfileSql: String =
+    """WITH g1 AS (SELECT CAST(l_suppkey AS VARCHAR) AS k, COUNT(*) AS c
+      |            FROM lineitem GROUP BY 1),
+      |s1 AS (SELECT COUNT(*) AS n_keys, SUM(c) AS n_rows, MAX(c) AS mx FROM g1),
+      |t1 AS (SELECT MAX(k) AS tk FROM g1, s1 WHERE c = mx),
+      |g2 AS (SELECT CAST(l_orderkey AS VARCHAR) AS k, COUNT(*) AS c
+      |            FROM lineitem GROUP BY 1),
+      |s2 AS (SELECT COUNT(*) AS n_keys, SUM(c) AS n_rows, MAX(c) AS mx FROM g2),
+      |t2 AS (SELECT MAX(k) AS tk FROM g2, s2 WHERE c = mx),
+      |g3 AS (SELECT CAST(user_id AS VARCHAR) AS k, COUNT(*) AS c
+      |            FROM events GROUP BY 1),
+      |s3 AS (SELECT COUNT(*) AS n_keys, SUM(c) AS n_rows, MAX(c) AS mx FROM g3),
+      |t3 AS (SELECT MAX(k) AS tk FROM g3, s3 WHERE c = mx),
+      |u AS (
+      |  SELECT 'lineitem.l_suppkey' AS profile, n_rows, n_keys, mx, tk FROM s1, t1
+      |  UNION ALL
+      |  SELECT 'lineitem.l_orderkey', n_rows, n_keys, mx, tk FROM s2, t2
+      |  UNION ALL
+      |  SELECT 'events.user_id', n_rows, n_keys, mx, tk FROM s3, t3)
+      |SELECT profile, CAST(n_rows AS BIGINT) AS n_rows,
+      |  CAST(n_keys AS BIGINT) AS n_keys,
+      |  CAST(mx AS BIGINT) AS max_key_rows, tk AS top_key,
+      |  CAST(CAST(ROUND(CAST(mx * n_keys AS DECIMAL(18,0)) / n_rows, 6)
+      |    AS DECIMAL(38,6)) AS DOUBLE) AS skew_ratio
+      |FROM u ORDER BY profile""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q127_event_trigrams" -> (eventTrigrams _),
     "q128_approx_quantiles" -> (approxQuantiles _),
     "q132_seasonal_backtest" -> (seasonalBacktest _),
+    "q134_skew_profile" -> (skewProfile _),
     "q124_burst_detection" -> (burstDetection _),
     "q123_retention_cohorts" -> (retentionCohorts _),
     "q98_scd2_build" -> (scd2Build _),
@@ -797,6 +862,7 @@ object Events {
     "q124_burst_detection" -> burstDetectionSql,
     "q127_event_trigrams" -> eventTrigramsSql,
     "q132_seasonal_backtest" -> seasonalBacktestSql,
+    "q134_skew_profile" -> skewProfileSql,
     "q123_retention_cohorts" -> retentionCohortsSql,
     "q98_scd2_build" -> scd2BuildSql,
     "q20_latest_per_user" -> latestPerUserSql,

@@ -413,8 +413,73 @@ object Similarity {
        |  FROM rr JOIN embeddings e USING (vec_id))
        |WHERE rnk <= $K ORDER BY rnk""".stripMargin
 
+  /** Q133: EMBEDDING DRIFT — the vector-space twin of q126's token
+    * drift: per label, the exact L1 distance between the mean SQ8 code
+    * vectors of two deterministic corpus slices (old = vec_id % 7 != 2,
+    * new = vec_id % 5 != 3 — the q122 snapshot convention), plus each
+    * side's count. Means are floor-div integer centroids (the q109
+    * discipline), so the drift statistic is pure BIGINT and the oracle
+    * replays codebook → codes → slice centroids → L1 with zero
+    * tolerance. The monitoring gap this closes: q126 sees wording
+    * shifts; an embedding-space shift (same words, new meaning mix, or
+    * a re-embedded corpus) only shows up here.
+    *
+    * Scale shape: each slice's centroid is ONE map-side-combining
+    * 64-agg pass over the persisted SQ8 codes (never a per-dim
+    * explode); the L1 comparison runs on the |labels|-bounded centroid
+    * frame. */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val q = spark.read.parquet(buildSq8(spark, dir))
+      .select(col("vec_id"), col("label"),
+        transform(col("qcodes"), c => c.cast("long") + 128L).as("u"))
+    def centroids(slice: DataFrame): DataFrame = {
+      val sums = (0 until ivfDims).map(i =>
+        sum(get(col("u"), lit(i))).as(s"s$i"))
+      val cent = array((0 until ivfDims).map(i =>
+        expr(s"s$i div n")): _*)
+      slice.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .select(col("label"), col("n"), cent.as("c"))
+    }
+    val a = centroids(q.filter(col("vec_id") % 7 =!= 2))
+      .select(col("label"), col("n").as("n_old"), col("c").as("c_old"))
+    val b = centroids(q.filter(col("vec_id") % 5 =!= 3))
+      .select(col("label"), col("n").as("n_new"), col("c").as("c_new"))
+    a.join(b, Seq("label")) // |labels|-bounded frame
+      .withColumn("l1_drift", aggregate(
+        zip_with(col("c_old"), col("c_new"), (x, y) => abs(x - y)),
+        lit(0L), _ + _))
+      .select(col("label"), col("n_old"), col("n_new"), col("l1_drift"))
+      .orderBy(col("label"))
+  }
+
+  val embeddingDriftSql: String =
+    s"""WITH mm AS (
+       |  SELECT g.generate_series AS pos,
+       |    MIN(embedding[g.generate_series + 1]::DOUBLE) AS mn,
+       |    MAX(embedding[g.generate_series + 1]::DOUBLE) AS mx
+       |  FROM embeddings, generate_series(0, ${ivfDims - 1}) g
+       |  GROUP BY pos),
+       |codes AS (
+       |  SELECT e.vec_id, e.label, m.pos,
+       |    CASE WHEN m.mx = m.mn THEN 0
+       |         ELSE LEAST(255, CAST(FLOOR((e.embedding[m.pos + 1]::DOUBLE - m.mn) * 255 / (m.mx - m.mn)) AS BIGINT)) END AS code
+       |  FROM embeddings e, mm m),
+       |ca AS (SELECT label, pos, COUNT(DISTINCT vec_id) AS n,
+       |         SUM(code) // COUNT(DISTINCT vec_id) AS c
+       |       FROM codes WHERE vec_id % 7 != 2 GROUP BY 1, 2),
+       |cb AS (SELECT label, pos, COUNT(DISTINCT vec_id) AS n,
+       |         SUM(code) // COUNT(DISTINCT vec_id) AS c
+       |       FROM codes WHERE vec_id % 5 != 3 GROUP BY 1, 2)
+       |SELECT ca.label, CAST(MAX(ca.n) AS BIGINT) AS n_old,
+       |  CAST(MAX(cb.n) AS BIGINT) AS n_new,
+       |  CAST(SUM(ABS(ca.c - cb.c)) AS BIGINT) AS l1_drift
+       |FROM ca JOIN cb ON ca.label = cb.label AND ca.pos = cb.pos
+       |GROUP BY ca.label ORDER BY ca.label""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q121_rp_ann" -> (rpAnn _),
+    "q133_embedding_drift" -> (embeddingDrift _),
     "q33_cosine_topk" -> (cosineTopK _),
     "q34_ann_lsh" -> (annLsh _),
     "q35_label_centroids" -> (labelCentroids _),
@@ -424,6 +489,7 @@ object Similarity {
 
   def oracles: Map[String, String] = Map(
     "q121_rp_ann" -> rpAnnSql,
+    "q133_embedding_drift" -> embeddingDriftSql,
     "q33_cosine_topk" -> cosineTopKSql,
     // q34/q59 omitted: hyperplane-signature bucketing is impractical to
     // mirror in SQL; SimilaritySpec checks q34 recall against q33 and

@@ -260,6 +260,33 @@ class EventsSpec extends SparkSuite {
     assert(expected.nonEmpty, "no evaluable hours at sf0.001 — span shrank?")
   }
 
+  test("q134 skew profile matches brute-force key histograms; uniform ~1, skewed > 1") {
+    import spark.implicits._
+    def expect(pairs: Seq[String], name: String): (String, Long, Long, Long, String, Double) = {
+      val h = pairs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val mx = h.values.max
+      val top = h.filter(_._2 == mx).keys.max
+      val (rows, keys) = (pairs.length.toLong, h.size.toLong)
+      (name, rows, keys, mx, top,
+        BigDecimal(mx * keys)./(BigDecimal(rows))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val li = Tables.lineitem(spark, Sf0001)
+    val expected = Seq(
+      expect(Tables.events(spark, Sf0001).select($"user_id".cast("string"))
+        .as[String].collect().toSeq, "events.user_id"),
+      expect(li.select($"l_orderkey".cast("string")).as[String].collect().toSeq,
+        "lineitem.l_orderkey"),
+      expect(li.select($"l_suppkey".cast("string")).as[String].collect().toSeq,
+        "lineitem.l_suppkey"))
+    val got = Events.skewProfile(spark, Sf0001).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getDouble(5))).toSeq
+    assert(got === expected)
+    // the statistic means something: every ratio >= 1 by construction
+    assert(got.forall(_._6 >= 1.0))
+  }
+
   test("q128 approx quantiles: exact below sketch capacity, chain monotone") {
     import spark.implicits._
     val vals = Tables.events(spark, Sf0001)

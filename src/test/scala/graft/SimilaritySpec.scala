@@ -177,6 +177,30 @@ class SimilaritySpec extends SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q133 embedding drift matches a brute-force slice-centroid replay") {
+    val codes = spark.read.parquet(Similarity.buildSq8(spark, Sf0001))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Byte](2).toArray.map(_.toLong + 128L)))
+    def centroid(rows: Seq[Array[Long]]): Array[Long] = {
+      val n = rows.length.toLong
+      Array.tabulate(rows.head.length)(i => rows.map(_(i)).sum / n)
+    }
+    val expected = codes.map(_._2).distinct.sorted.flatMap { lbl =>
+      val a = codes.filter(c => c._2 == lbl && c._1 % 7 != 2).map(_._3).toSeq
+      val b = codes.filter(c => c._2 == lbl && c._1 % 5 != 3).map(_._3).toSeq
+      if (a.isEmpty || b.isEmpty) None
+      else {
+        val (ca, cb) = (centroid(a), centroid(b))
+        Some((lbl, a.length.toLong, b.length.toLong,
+          ca.zip(cb).map { case (x, y) => math.abs(x - y) }.sum))
+      }
+    }.toSeq
+    val got = Similarity.embeddingDrift(spark, Sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    assert(expected.nonEmpty)
+  }
+
   test("q121 rp-ann: rerank metric exact, ranks well-formed, recall vs full scan") {
     val rows = Similarity.rpAnn(spark, Sf0001).collect()
     assert(rows.map(_.getAs[Long]("rnk")).toSeq === (1L to 10L))
