@@ -835,8 +835,74 @@ object Events {
       |    AS DECIMAL(38,6)) AS DOUBLE) AS skew_ratio
       |FROM u ORDER BY profile""".stripMargin
 
+  /** Q136: TIME-WEIGHTED AVERAGE — the sensor/pricing semantics every
+    * time-series store ships (kdb/Timescale `time_weight`): an event's
+    * value HOLDS until the same user's next event, so averages must
+    * weight by holding duration, not event count (a value held for an
+    * hour counts 3600x one held a second — plain AVG over-weights
+    * bursts). Per event type: interval count, total held time, the
+    * duration-weighted mean, and the unweighted mean for contrast.
+    *
+    * Exactness: durations are exact integer µs from `ts_ns` (lead over a
+    * (ts, event_id)-ordered per-user window — the id tiebreak makes
+    * same-µs pairs deterministic on both engines); values are exact
+    * cents; the weighted sum Σ(cents·µs) accumulates in DECIMAL(38,0)
+    * (a 3.8e17 max per-row product would overflow no sooner than 1e20
+    * rows of BIGINT sum — the decimal sum is the 100 TB-safe shape).
+    * One dec6 division each for the two means.
+    *
+    * Scale shape: one shuffle to co-locate users for the lead window,
+    * one map-side-combined aggregation into the bounded per-type frame,
+    * bounded sort. A user's timeline lives in one partition — the same
+    * partitioning q22/q83 already rely on. */
+  def timeWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("decimal(18,0)").as("cents"))
+      .withColumn("dur_us", (lead(col("ts_ns"), 1).over(w) - col("ts_ns"))
+        .cast("long"))
+      .filter(col("dur_us").isNotNull)
+      .withColumn("dur_us", expr("dur_us div 1000"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum(col("dur_us")).cast("bigint").as("held_us"),
+        sum(col("cents") * col("dur_us").cast("decimal(19,0)")).as("wsum"),
+        sum(col("cents")).cast("decimal(28,0)").as("csum"))
+      .select(col("event_type"), col("n_intervals"), col("held_us"),
+        when(col("held_us") > 0,
+          dec6(col("wsum") / (col("held_us").cast("decimal(19,0)") * 100)))
+          .as("twa_value"),
+        dec6(col("csum") / (col("n_intervals").cast("decimal(19,0)") * 100))
+          .as("mean_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val timeWeightedAvgSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, event_id, epoch_ns(ts) AS ts_ns,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |i AS (
+      |  SELECT event_type, cents,
+      |    (LEAD(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id)
+      |      - ts_ns) // 1000 AS dur_us
+      |  FROM e)
+      |SELECT event_type, COUNT(*) AS n_intervals,
+      |  CAST(SUM(dur_us) AS BIGINT) AS held_us,
+      |  CASE WHEN SUM(dur_us) > 0 THEN
+      |    CAST(CAST(ROUND(SUM(cents * dur_us) / (SUM(dur_us) * 100), 6)
+      |      AS DECIMAL(38,6)) AS DOUBLE) END AS twa_value,
+      |  CAST(CAST(ROUND(SUM(cents) / (COUNT(*) * 100), 6)
+      |    AS DECIMAL(38,6)) AS DOUBLE) AS mean_value
+      |FROM i WHERE dur_us IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q127_event_trigrams" -> (eventTrigrams _),
+    "q136_time_weighted_avg" -> (timeWeightedAvg _),
     "q128_approx_quantiles" -> (approxQuantiles _),
     "q132_seasonal_backtest" -> (seasonalBacktest _),
     "q134_skew_profile" -> (skewProfile _),
@@ -860,6 +926,7 @@ object Events {
 
   def oracles: Map[String, String] = Map(
     "q124_burst_detection" -> burstDetectionSql,
+    "q136_time_weighted_avg" -> timeWeightedAvgSql,
     "q127_event_trigrams" -> eventTrigramsSql,
     "q132_seasonal_backtest" -> seasonalBacktestSql,
     "q134_skew_profile" -> skewProfileSql,

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.Tables
+import graft.functions.Parity._
 import graft.ml.ChampionModel
 
 /** M1-M4 surfaced through the harness: the champion-classification path
@@ -159,11 +161,93 @@ object MlQueries {
       |FROM scored ORDER BY pred_rank""".stripMargin
   }
 
+  /** Q135: GROUPED CLOSED-FORM OLS — exact per-group least-squares fit
+    * of line price on quantity via the normal equations, the closed-form
+    * complement to q37's iterative LBFGS path (and the in-SQL
+    * `regr_slope`/`regr_intercept` surface both BigQuery and DuckDB
+    * expose; the reference plans "modeling" over aggregated facts at
+    * README.md:132-136). All five moments (n, Σx, Σy, Σxy, Σx², Σy²) are
+    * accumulated as exact integers — price in cents, quantity integral
+    * in this data — so the fit is order-independent and bit-identical at
+    * any parallelism; `regr_*` over doubles would be neither. slope,
+    * intercept and R² each come from ONE division of exact integer
+    * polynomials (dec6 discipline), guarded against degenerate groups
+    * (zero x- or y-variance → NULL, mirrored CASE in the oracle).
+    *
+    * Magnitude headroom (ANSI mode: decimal overflow would THROW, not
+    * corrupt): the widest term is num² ≈ 9e36 < 1e38 at sf0.1; the
+    * tight (19,0) casts hold to ~sf1. A 100 TB deployment keeps the
+    * same exact integer SUFFICIENT-STATISTICS aggregation (one map-side
+    * combining shuffle of 6 numbers per group — the whole point of the
+    * closed form at scale) and widens the final driver-side polynomial
+    * arithmetic to 256-bit or double; only the last mile changes.
+    *
+    * Scale shape: one shuffle (the grouped moment aggregation, map-side
+    * combined) + the bounded output sort. */
+  def groupedOls(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_returnflag"),
+      col("l_quantity").cast("decimal(18,0)").as("x"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").as("y"))
+    val s = li.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).cast("decimal(19,0)").as("sx"),
+      sum(col("y")).cast("decimal(19,0)").as("sy"),
+      sum(col("x") * col("x")).cast("decimal(19,0)").as("sxx"),
+      sum(col("x") * col("y")).cast("decimal(19,0)").as("sxy"),
+      sum(col("y") * col("y")).cast("decimal(28,0)").as("syy"))
+    val nD = col("n").cast("decimal(10,0)")
+    val num = (nD * col("sxy") - col("sx") * col("sy")).cast("decimal(19,0)")
+    val dx = (nD * col("sxx") - col("sx") * col("sx")).cast("decimal(19,0)")
+    val dy = (nD * col("syy") - col("sy") * col("sy")).cast("decimal(24,0)")
+    val numI = col("sy") * col("sxx") - col("sx") * col("sxy")
+    s.select(
+        col("l_returnflag"), col("n"),
+        dec6(col("sx") / col("n")).as("mean_qty"),
+        dec2(col("sy") / (nD * 100)).as("mean_price"),
+        when(dx =!= 0, dec6(num / dx)).as("slope_cents_per_unit"),
+        when(dx =!= 0, dec6(numI / (dx * 100))).as("intercept_dollars"),
+        when(dx =!= 0 && dy =!= 0, dec6((num * num) / (dx * dy))).as("r2"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** DuckDB twin: the same sufficient statistics in HUGEINT (SUM(BIGINT)
+    * widens to 128-bit, so no precision dance), the same guarded single
+    * divisions (DuckDB `/` on integers yields DOUBLE; values sit far
+    * from the 1e-6 rounding boundary, the established oracle pattern). */
+  val groupedOlsSql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |    CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT l_returnflag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x*x) AS sxx, SUM(x*y) AS sxy, SUM(y*y) AS syy
+      |  FROM m GROUP BY 1)
+      |SELECT l_returnflag, n,
+      |  CAST(CAST(ROUND(sx / n, 6) AS DECIMAL(38,6)) AS DOUBLE) AS mean_qty,
+      |  CAST(CAST(ROUND(sy / (n * 100), 2) AS DECIMAL(38,2)) AS DOUBLE) AS mean_price,
+      |  CASE WHEN n*sxx - sx*sx <> 0 THEN
+      |    CAST(CAST(ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6)
+      |      AS DECIMAL(38,6)) AS DOUBLE) END AS slope_cents_per_unit,
+      |  CASE WHEN n*sxx - sx*sx <> 0 THEN
+      |    CAST(CAST(ROUND((sy*sxx - sx*sxy) / ((n*sxx - sx*sx) * 100), 6)
+      |      AS DECIMAL(38,6)) AS DOUBLE) END AS intercept_dollars,
+      |  CASE WHEN n*sxx - sx*sx <> 0 AND n*syy - sy*sy <> 0 THEN
+      |    CAST(CAST(ROUND((n*sxy - sx*sy) * (n*sxy - sx*sy)
+      |      / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6)
+      |      AS DECIMAL(38,6)) AS DOUBLE) END AS r2
+      |FROM s ORDER BY l_returnflag""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q37_ml_champion" -> (championPrediction _),
+    "q135_grouped_ols" -> (groupedOls _),
   )
 
   def oracles: Map[String, String] = Map(
     "q37_ml_champion" -> championPredictionSql,
+    "q135_grouped_ols" -> groupedOlsSql,
   )
 }

@@ -429,8 +429,64 @@ object Relational {
       |  CAST(MAX(p) AS DOUBLE) AS max_price
       |FROM q GROUP BY 1, 2 ORDER BY l_returnflag, quartile""".stripMargin
 
+  /** Q137: STAR-SCHEMA REVENUE (TPC-H Q5 shape) — the canonical
+    * six-table warehouse join: local-supplier revenue per nation for one
+    * order year in one region, requiring customer and supplier to share
+    * a nation. The reference's warehouse star (fact tables clustered
+    * against dimension lookups, README.md:86-88) exercised at full
+    * width.
+    *
+    * Scale shape: the two row-scale joins (lineitem⋈orders on orderkey,
+    * ⋈customer on custkey) are shuffle hash joins on their keys; the
+    * year filter lands on the orders SCAN (PushedFilters) so the fact
+    * volume is cut ~7x before the first exchange; region/nation are
+    * explicitly broadcast (truly bounded dims); supplier is left to the
+    * planner — bounded here so AQE broadcasts it, a 100 TB deployment
+    * with a 1e9-row supplier dim gets a keyed shuffle join instead,
+    * same plan text otherwise. The c_nationkey=s_nationkey predicate is
+    * an equi-condition of the supplier join, never a post-filtered
+    * cartesian. */
+  def starRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(year(col("o_orderdate")) === 1996)
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        dec2(sum(money(col("l_extendedprice")) *
+          (lit(1) - money(col("l_discount"))))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val starRevenueSql: String =
+    """SELECT n_name,
+      |  CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+      |    AS DECIMAL(38,2)) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA' AND EXTRACT(year FROM o_orderdate) = 1996
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> (pricingSummary _),
+    "q137_star_revenue" -> (starRevenue _),
     "q91_ntile_quartiles" -> (ntileQuartiles _),
     "q2_standings" -> (standings _),
     "q3_region_rollup" -> (regionRollup _),
@@ -447,6 +503,7 @@ object Relational {
 
   def oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> pricingSummarySql,
+    "q137_star_revenue" -> starRevenueSql,
     "q91_ntile_quartiles" -> ntileQuartilesSql,
     "q2_standings" -> standingsSql,
     "q3_region_rollup" -> regionRollupSql,

@@ -310,4 +310,35 @@ class EventsSpec extends SparkSuite {
       assert(p50 <= p95 && p95 <= p99, r)
     }
   }
+
+  test("q136 time-weighted average: matches an exact driver-side recompute") {
+    import spark.implicits._
+    val evs = Tables.events(spark, Sf0001)
+      .select($"user_id", $"event_type", $"ts_ns", $"event_id", $"value")
+      .as[(Long, String, Long, Long, Double)].collect()
+    def cents(d: Double): BigInt =
+      BigDecimal.valueOf(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .*(100).toBigInt
+    // per user: sort by (ts, id), each event holds until the next one
+    val intervals = evs.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      es.sortBy(e => (e._3, e._4)).sliding(2).collect {
+        case Array(a, b) => (a._2, cents(a._5), (b._3 - a._3) / 1000)
+      }
+    }
+    val expected = intervals.groupBy(_._1).map { case (t, is) =>
+      val wsum = is.map(i => i._2 * BigInt(i._3)).sum
+      val dur = is.map(i => BigInt(i._3)).sum
+      val twa = (BigDecimal(wsum) / BigDecimal(dur * 100))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      t -> (is.size.toLong, dur.toLong, twa)
+    }
+    val got = Events.timeWeightedAvg(spark, Sf0001).collect()
+    assert(got.map(_.getString(0)).toSet === expected.keySet)
+    got.foreach { r =>
+      val (n, dur, twa) = expected(r.getString(0))
+      assert(r.getLong(1) === n, r)
+      assert(r.getLong(2) === dur, r)
+      assert(r.getDouble(3) === twa, r)
+    }
+  }
 }

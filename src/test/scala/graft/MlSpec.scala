@@ -84,4 +84,38 @@ class MlSpec extends SparkSuite {
     val b = ChampionModel.previousChampionBaseline(standings)
     assert(b >= 0.0 && b <= 1.0)
   }
+
+  test("q135 grouped OLS: matches an exact driver-side BigInt fit") {
+    import spark.implicits._
+    val rows = Tables.lineitem(spark, Sf0001)
+      .select($"l_returnflag", $"l_quantity", $"l_extendedprice")
+      .as[(String, Double, Double)].collect()
+    def cents(d: Double): BigInt =
+      BigDecimal.valueOf(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .*(100).toBigInt
+    def div6(a: BigInt, b: BigInt): Double =
+      (BigDecimal(a) / BigDecimal(b)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    val expected = rows.groupBy(_._1).map { case (flag, rs) =>
+      val x = rs.map(r => BigInt(r._2.toLong))
+      val y = rs.map(r => cents(r._3))
+      val n = BigInt(rs.length)
+      val (sx, sy) = (x.sum, y.sum)
+      val sxx = x.map(v => v * v).sum
+      val sxy = x.zip(y).map { case (a, b) => a * b }.sum
+      val syy = y.map(v => v * v).sum
+      val num = n * sxy - sx * sy
+      val dx = n * sxx - sx * sx
+      val dy = n * syy - sy * sy
+      flag -> (div6(num, dx), div6(num * num, dx * dy))
+    }
+    val got = MlQueries.groupedOls(spark, Sf0001).collect()
+    assert(got.map(_.getString(0)).toSet === expected.keySet)
+    got.foreach { r =>
+      val (slope, r2) = expected(r.getString(0))
+      assert(r.getDouble(4) === slope, s"slope ${r}")
+      assert(r.getDouble(6) === r2, s"r2 ${r}")
+      assert(r2 >= 0.0 && r2 <= 1.0, r)
+    }
+  }
 }

@@ -65,4 +65,57 @@ class RelationalSpec extends SparkSuite {
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("q137 star revenue: matches a driver-side hash-map recompute") {
+    import spark.implicits._
+    def money(d: Double): BigDecimal =
+      BigDecimal.valueOf(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val ordersByKey = Tables.orders(spark, Sf0001)
+      .select($"o_orderkey", $"o_custkey", year($"o_orderdate"))
+      .as[(Long, Long, Int)].collect()
+      .collect { case (ok, ck, 1996) => ok -> ck }.toMap
+    val custNation = Tables.customer(spark, Sf0001)
+      .select($"c_custkey", $"c_nationkey".cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val suppNation = Tables.supplier(spark, Sf0001)
+      .select($"s_suppkey", $"s_nationkey".cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val nations = Tables.nation(spark, Sf0001)
+      .select($"n_nationkey".cast("long"), $"n_name", $"n_regionkey".cast("long"))
+      .as[(Long, String, Long)].collect()
+    val asia = Tables.region(spark, Sf0001).filter($"r_name" === "ASIA")
+      .select($"r_regionkey".cast("long")).as[Long].collect().toSet
+    val asiaNation = nations.collect {
+      case (k, name, rk) if asia(rk) => k -> name
+    }.toMap
+    val acc = scala.collection.mutable.Map[String, (BigDecimal, Long)]()
+    Tables.lineitem(spark, Sf0001)
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+      .as[(Long, Long, Double, Double)].collect()
+      .foreach { case (ok, sk, price, disc) =>
+        for {
+          ck <- ordersByKey.get(ok)
+          cn <- custNation.get(ck)
+          sn <- suppNation.get(sk) if cn == sn
+          name <- asiaNation.get(sn)
+        } {
+          val rev = money(price) * (BigDecimal(1) - money(disc))
+          val (r0, n0) = acc.getOrElse(name, (BigDecimal(0), 0L))
+          acc(name) = (r0 + rev, n0 + 1)
+        }
+      }
+    val expected = acc.map { case (name, (rev, n)) =>
+      name -> (rev.setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble, n)
+    }.toMap
+    val got = Relational.starRevenue(spark, Sf0001).collect()
+    assert(got.map(_.getString(0)).toSet === expected.keySet)
+    got.foreach { r =>
+      val (rev, n) = expected(r.getString(0))
+      assert(r.getDouble(1) === rev, r)
+      assert(r.getLong(2) === n, r)
+    }
+    // ordered by revenue desc (tie: name)
+    val revs = got.map(r => (-r.getDouble(1), r.getString(0))).toSeq
+    assert(revs === revs.sorted)
+  }
 }
