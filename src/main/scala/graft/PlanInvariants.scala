@@ -66,11 +66,14 @@ object PlanInvariants {
     *    total weight / corpus+vocab token totals) crossJoin-broadcast
     *    into the scoring scan;
     *  - q121: the 1-row probe (projection + codes) crossJoin-broadcast
-    *    into the projected-space prefilter scan. */
+    *    into the projected-space prefilter scan;
+    *  - q140: the 1-row edge/triangle counts crossJoin-broadcast into
+    *    the 1-row wedge frame for the summary record. */
   val bnlAllowlist: Set[String] =
     Set("q33_cosine_topk", "q35_label_centroids", "q66_distinctive_terms",
       "q89_token_rarity", "q93_mixture_resample", "q120_distribution_anomaly",
-      "q121_rp_ann", "q130_token_cooccurrence", "q134_skew_profile")
+      "q121_rp_ann", "q130_token_cooccurrence", "q134_skew_profile",
+      "q140_dup_triangles")
 
   /** Per-query shuffle ceilings above the [[defaultShuffleCeiling]].
     * These are the audited round-5 counts — intentionally exact, so an
@@ -101,12 +104,16 @@ object PlanInvariants {
     *    build;
     *  - q134 unions three independent key profiles; each pays its own
     *    count aggregation (the very shuffle it audits), stats
-    *    aggregation and top-key pick over bounded frames. */
+    *    aggregation and top-key pick over bounded frames;
+    *  - q140's census fans the deduped edge list into three
+    *    independent bounded aggregates (degree/wedge, edge count, and
+    *    the two-hop triangle join) — after the edge distinct, every
+    *    exchange carries posting-capped pair rows or 1-row frames. */
   val shuffleCeiling: Map[String, Int] =
     Map("q79_constraint_suite" -> 7, "q66_distinctive_terms" -> 6,
       "q103_span_scrub" -> 5, "q115_source_overlap" -> 5,
       "q126_version_drift" -> 6, "q129_dup_pagerank" -> 10,
-      "q134_skew_profile" -> 12)
+      "q134_skew_profile" -> 12, "q140_dup_triangles" -> 12)
 
   /** Every other plan holds at <= 4 exchanges today (audited r5). */
   val defaultShuffleCeiling: Int = 4

@@ -1708,8 +1708,95 @@ object Curation {
        |FROM q LEFT JOIN s ON q.source = s.source
        |ORDER BY q.source""".stripMargin
 
+  /** Frequent-gram posting cap for [[dupTriangles]]: grams shared by
+    * more than this many documents are boilerplate (the LSH
+    * hot-bucket guard) and are excluded from clique expansion. */
+  val TriangleMaxPostings = 64
+
+  /** Q140: DUP-GRAPH TRANSITIVITY (triangle census) — the structural
+    * QA metric for the whole dedup family: q63/q114 TREAT gram-sharing
+    * as an equivalence (connected components move as units), and the
+    * triangle/wedge ratio MEASURES how true that is. Transitivity
+    * near 1 = components are clique-like (safe to collapse); near 0 =
+    * chains of weak links (component-level dedup over-merges). Over
+    * the full co-membership graph (docs sharing any duplicated 8-gram,
+    * per-gram postings capped at [[TriangleMaxPostings]] — the
+    * boilerplate/hot-bucket guard, mirrored in the oracle), one
+    * summary row: nodes, edges, triangles, wedges, transitivity =
+    * 3·triangles/wedges.
+    *
+    * Scale shape — the standard distributed triangle count:
+    * candidate edges come from per-gram buckets whose size the
+    * postings cap bounds (pair expansion <= C(64,2) per gram, never an
+    * unbounded clique); edges dedup on (a,b) before any join; the
+    * triangle join is the two-hop wedge join (e1.b = e2.a keeps
+    * a < b < c, each wedge built exactly once) closed against the
+    * edge set on (a, c). Production refinements (degree-ordered
+    * orientation for skew) are noted in SCALE.md; every aggregate here
+    * is integer, the one dec6 division is the final ratio. */
+  def dupTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(wordShingles(col("text"), 8)).as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("gh"))
+      .distinct()
+    val shared = grams.groupBy(col("gh")).agg(count(lit(1)).as("c"))
+      .filter(col("c").between(2, TriangleMaxPostings))
+      .select(col("gh"))
+    val members = grams.join(shared, Seq("gh"))
+    val edges = members.select(col("gh"), col("doc_id").as("a"))
+      .join(members.select(col("gh"), col("doc_id").as("b")), Seq("gh"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val deg = edges.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val wedgeStats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      sum(expr("d * (d - 1) div 2")).cast("bigint").as("n_wedges"))
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    val tri = edges.select(col("a").as("x"), col("b").as("y"))
+      .join(edges.select(col("a").as("y"), col("b").as("z")), Seq("y"))
+      .join(edges.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"))
+      .agg(count(lit(1)).as("n_triangles"))
+    wedgeStats.crossJoin(broadcast(nEdges)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        col("n_wedges"),
+        when(col("n_wedges") > 0, dec6(
+          (col("n_triangles") * 3).cast("decimal(19,0)") / col("n_wedges")))
+          .as("transitivity"))
+  }
+
+  val dupTrianglesSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |              FROM documents WHERE text IS NOT NULL),
+      |pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-7)) AS g
+      |        FROM toks WHERE len(t) >= 8),
+      |grams AS (SELECT DISTINCT doc_id, md5(array_to_string(t[g:g+7], ' ')) AS gh
+      |          FROM pos),
+      |shared AS (SELECT gh FROM grams GROUP BY gh
+      |           HAVING COUNT(*) BETWEEN 2 AND $TriangleMaxPostings),
+      |m AS (SELECT g.doc_id, g.gh FROM grams g JOIN shared USING (gh)),
+      |e AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |      FROM m x JOIN m y USING (gh) WHERE x.doc_id < y.doc_id),
+      |deg AS (SELECT node, COUNT(*) AS d FROM (
+      |          SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      |        GROUP BY 1),
+      |w AS (SELECT COUNT(*) AS n_nodes, SUM(d * (d-1) // 2) AS n_wedges
+      |      FROM deg),
+      |t AS (SELECT COUNT(*) AS n_triangles
+      |      FROM e e1 JOIN e e2 ON e1.b = e2.a
+      |      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+      |SELECT CAST(w.n_nodes AS BIGINT) AS n_nodes,
+      |  CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+      |  CAST(t.n_triangles AS BIGINT) AS n_triangles,
+      |  CAST(w.n_wedges AS BIGINT) AS n_wedges,
+      |  CASE WHEN w.n_wedges > 0 THEN
+      |    CAST(CAST(ROUND(t.n_triangles * 3 / w.n_wedges, 6)
+      |      AS DECIMAL(38,6)) AS DOUBLE) END AS transitivity
+      |FROM w, t""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q119_overlap_minhash" -> (sourceOverlapMinHash _),
+    "q140_dup_triangles" -> (dupTriangles _),
     "q129_dup_pagerank" -> (dupPagerank _),
     "q130_token_cooccurrence" -> (tokenCooccurrence _),
     "q131_proportional_sample" -> (proportionalSample _),
@@ -1737,6 +1824,7 @@ object Curation {
 
   def oracles: Map[String, String] = Map(
     "q119_overlap_minhash" -> sourceOverlapMinHashSql,
+    "q140_dup_triangles" -> dupTrianglesSql,
     "q122_snapshot_diff" -> snapshotDiffSql,
     "q126_version_drift" -> versionDriftSql,
     "q129_dup_pagerank" -> dupPagerankSql,

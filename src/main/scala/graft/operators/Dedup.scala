@@ -494,7 +494,61 @@ object Dedup {
       |    ORDER BY n_chars DESC, doc_id) AS is_kept
       |FROM x ORDER BY cluster, doc_id""".stripMargin
 
+  /** Q139: FUZZY RECORD LINKAGE — entity resolution at CHARACTER
+    * granularity (edit distance), the classic master-data operator the
+    * token-set family (q30-q32) can't express: "red widget" vs
+    * "blue widget" share one token but are 4 edits apart. Part names
+    * are linked when their Levenshtein distance is in [1, 3] —
+    * distance 0 is exact-dup territory (q29's job).
+    *
+    * Scale shape — the standard blocked-linkage pipeline:
+    *  1. DISTINCT (name, frequency) first: linkage runs on the bounded
+    *     name vocabulary, never the row-scale table (the
+    *     candidate-pairs-before-payload rule; a 1e11-row part table
+    *     still has a bounded name vocabulary);
+    *  2. blocking on the name's last token: only names sharing the
+    *     head noun are compared, collapsing the quadratic all-pairs
+    *     space to per-block pairs (the record-linkage analogue of
+    *     q31's LSH bands);
+    *  3. a < b ordering halves the pair space and fixes output
+    *     determinism; `levenshtein` is a codegen'd Spark builtin.
+    * `linked_rows` = freq_a · freq_b restores row-scale accounting
+    * from the vocabulary-scale match. */
+  def fuzzyLinkage(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir)
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("block", element_at(split(col("name"), " "), -1))
+    val a = names.select(col("block"), col("name").as("name_a"), col("freq").as("freq_a"))
+    val b = names.select(col("block"), col("name").as("name_b"), col("freq").as("freq_b"))
+    a.join(b, Seq("block"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("edit_dist").between(1, 3))
+      .select(col("name_a"), col("name_b"),
+        col("edit_dist").cast("bigint").as("edit_dist"),
+        (col("freq_a") * col("freq_b")).cast("bigint").as("linked_rows"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  val fuzzyLinkageSql: String =
+    """WITH names AS (
+      |  SELECT p_name AS name, COUNT(*) AS freq,
+      |    string_split(p_name, ' ')[-1] AS block
+      |  FROM part GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.name AS name_a, b.name AS name_b,
+      |    levenshtein(a.name, b.name) AS edit_dist,
+      |    a.freq * b.freq AS linked_rows
+      |  FROM names a JOIN names b USING (block)
+      |  WHERE a.name < b.name)
+      |SELECT name_a, name_b, CAST(edit_dist AS BIGINT) AS edit_dist,
+      |  CAST(linked_rows AS BIGINT) AS linked_rows
+      |FROM pairs WHERE edit_dist BETWEEN 1 AND 3
+      |ORDER BY name_a, name_b""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q139_fuzzy_linkage" -> (fuzzyLinkage _),
     "q29_dedup_exact" -> (dedupExact _),
     "q30_neardup_jaccard" -> (neardupJaccard _),
     "q31_minhash_lsh" -> (minhashLsh _),
@@ -505,6 +559,7 @@ object Dedup {
   )
 
   def oracles: Map[String, String] = Map(
+    "q139_fuzzy_linkage" -> fuzzyLinkageSql,
     "q29_dedup_exact" -> dedupExactSql,
     "q30_neardup_jaccard" -> neardupJaccardSql,
     "q63_dup_clusters" -> dupClustersSql,

@@ -900,9 +900,87 @@ object Events {
       |FROM i WHERE dur_us IS NOT NULL
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Q138: LAST-TOUCH ATTRIBUTION — the sequence-join every product
+    * analytics stack ships: each purchase is credited to the same
+    * user's most recent preceding marketing touch (click or view)
+    * within a 1-hour lookback, else counted as direct. One per-user
+    * ordered window pass carries the latest touch forward (an as-of
+    * join against the user's own timeline — no self-join): the touch
+    * is packed as a fixed-width `ts·event_id·type` string so the
+    * running MAX is the latest touch AND deterministic under same-µs
+    * ties (event_id tiebreak); ROWS … 1 PRECEDING keeps a purchase
+    * from attributing to itself under a shared timestamp. Exact cents
+    * for revenue, one dec6 share division against the broadcast total.
+    *
+    * Scale shape: one shuffle to co-locate each user's timeline (the
+    * q22/q83/q136 partitioning), one map-side-combined aggregation to
+    * the bounded channel frame; the share denominator is an
+    * unpartitioned window over that <= 3-row frame (single-task on
+    * bounded data by design — never a crossJoin, which would recompute
+    * the attribution subtree). */
+  def lastTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val packed = when(col("event_type").isin("click", "view"),
+      concat(lpad(col("ts_ns").cast("string"), 20, "0"),
+        lpad(col("event_id").cast("string"), 12, "0"), col("event_type")))
+    val attributed = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("decimal(18,0)").as("cents"))
+      .withColumn("touch", max(packed).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("channel",
+        when(col("touch").isNotNull &&
+          col("ts_ns") - substring(col("touch"), 1, 20).cast("long") <=
+            3600L * 1000 * 1000 * 1000,
+          substring(col("touch"), 33, 8)).otherwise("direct"))
+    attributed.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("cents")).cast("decimal(28,0)").as("cents"))
+      // global total via an unpartitioned window over the BOUNDED
+      // channel frame (<= 3 rows) — not a crossJoin, which would
+      // recompute the whole attribution subtree for the scalar
+      .withColumn("total",
+        sum(col("n_purchases")).over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("channel"), col("n_purchases"),
+        dec2(col("cents") / 100).as("revenue"),
+        dec6(col("n_purchases").cast("decimal(19,0)") / col("total"))
+          .as("share"))
+      .orderBy(col("channel"))
+  }
+
+  val lastTouchAttributionSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, event_id, epoch_ns(ts) AS ts_ns,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |t AS (
+      |  SELECT *,
+      |    MAX(CASE WHEN event_type IN ('click', 'view') THEN
+      |      lpad(CAST(ts_ns AS VARCHAR), 20, '0')
+      |        || lpad(CAST(event_id AS VARCHAR), 12, '0') || event_type END)
+      |    OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      |  FROM e),
+      |p AS (
+      |  SELECT CASE WHEN touch IS NOT NULL
+      |      AND ts_ns - CAST(touch[1:20] AS BIGINT) <= 3600000000000
+      |    THEN touch[33:40] ELSE 'direct' END AS channel, cents
+      |  FROM t WHERE event_type = 'purchase'),
+      |c AS (SELECT channel, COUNT(*) AS n_purchases, SUM(cents) AS cents
+      |      FROM p GROUP BY 1)
+      |SELECT channel, n_purchases,
+      |  CAST(CAST(ROUND(cents / 100, 2) AS DECIMAL(38,2)) AS DOUBLE) AS revenue,
+      |  CAST(CAST(ROUND(n_purchases / (SELECT SUM(n_purchases) FROM c), 6)
+      |    AS DECIMAL(38,6)) AS DOUBLE) AS share
+      |FROM c ORDER BY channel""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q127_event_trigrams" -> (eventTrigrams _),
     "q136_time_weighted_avg" -> (timeWeightedAvg _),
+    "q138_attribution" -> (lastTouchAttribution _),
     "q128_approx_quantiles" -> (approxQuantiles _),
     "q132_seasonal_backtest" -> (seasonalBacktest _),
     "q134_skew_profile" -> (skewProfile _),
@@ -927,6 +1005,7 @@ object Events {
   def oracles: Map[String, String] = Map(
     "q124_burst_detection" -> burstDetectionSql,
     "q136_time_weighted_avg" -> timeWeightedAvgSql,
+    "q138_attribution" -> lastTouchAttributionSql,
     "q127_event_trigrams" -> eventTrigramsSql,
     "q132_seasonal_backtest" -> seasonalBacktestSql,
     "q134_skew_profile" -> skewProfileSql,

@@ -697,4 +697,39 @@ class CurationSpec extends SparkSuite {
     assert(tf.size === math.min(Curation.AnomalyVocab, corpus.distinct.length)
       && t > 0L, "vocab degenerate")
   }
+
+  test("q140 dup triangles: matches a brute-force driver-side census") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .filter(_._2 != null)
+    val grams = docs.flatMap { case (id, t) =>
+      t.split(' ').sliding(8).withFilter(_.length == 8)
+        .map(g => (id, g.mkString(" "))).toSeq.distinct
+    }
+    val edges = grams.groupBy(_._2).values
+      .filter(g => g.size >= 2 && g.size <= Curation.TriangleMaxPostings)
+      .flatMap { g =>
+        val ids = g.map(_._1).sorted
+        for (i <- ids.indices; j <- (i + 1) until ids.length)
+          yield (ids(i), ids(j))
+      }.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    val deg = nodes.toSeq.map(n =>
+      edges.count(e => e._1 == n || e._2 == n).toLong)
+    val wedges = deg.map(d => d * (d - 1) / 2).sum
+    val tris = (for {
+      (a, b) <- edges.toSeq; (b2, c) <- edges.toSeq
+      if b2 == b && edges((a, c))
+    } yield (a, b, c)).size.toLong
+    val r = Curation.dupTriangles(spark, Sf0001).head()
+    assert(r.getLong(0) === nodes.size.toLong, "n_nodes")
+    assert(r.getLong(1) === edges.size.toLong, "n_edges")
+    assert(r.getLong(2) === tris, "n_triangles")
+    assert(r.getLong(3) === wedges, "n_wedges")
+    assert(tris > 0, "no triangles at sf0.001 — transitivity test degenerate")
+    assert(r.getDouble(4) ===
+      BigDecimal(3 * tris).setScale(6)./(BigDecimal(wedges))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }

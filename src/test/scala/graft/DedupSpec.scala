@@ -256,4 +256,36 @@ class DedupSpec extends SparkSuite {
     // every surfaced group is a real collision group
     assert(grouped.filter(col("n_docs") < 2).count() === 0)
   }
+
+  test("q139 fuzzy linkage: matches brute-force within-block edit distances") {
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = Tables.part(spark, Sf0001).select($"p_name").as[String]
+      .collect().groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = (for {
+      (a, fa) <- names; (b, fb) <- names
+      if a < b && a.split(' ').last == b.split(' ').last
+      d = lev(a, b) if d >= 1 && d <= 3
+    } yield (a, b, d.toLong, fa * fb)).toSeq.sorted
+    val got = Dedup.fuzzyLinkage(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === expected)
+    assert(got.nonEmpty, "no linkage pairs at sf0.001 — test degenerate")
+    // honesty: log what last-token blocking gives up vs true all-pairs
+    val missed = (for {
+      (a, _) <- names; (b, _) <- names
+      if a < b && a.split(' ').last != b.split(' ').last
+      d = lev(a, b) if d >= 1 && d <= 3
+    } yield 1).size
+    info(s"blocked recall: ${got.size} found, $missed cross-block pairs skipped")
+  }
 }

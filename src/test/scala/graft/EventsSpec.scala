@@ -341,4 +341,46 @@ class EventsSpec extends SparkSuite {
       assert(r.getDouble(3) === twa, r)
     }
   }
+
+  test("q138 attribution: matches a driver-side last-touch replay") {
+    import spark.implicits._
+    val evs = Tables.events(spark, Sf0001)
+      .select($"user_id", $"event_type", $"ts_ns", $"event_id", $"value")
+      .as[(Long, String, Long, Long, Double)].collect()
+    def cents(d: Double): BigInt =
+      BigDecimal.valueOf(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .*(100).toBigInt
+    val purchases = evs.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._3, e._4))
+      sorted.zipWithIndex.collect {
+        case (p, i) if p._2 == "purchase" =>
+          val touch = sorted.take(i)
+            .filter(e => e._2 == "click" || e._2 == "view")
+            .sortBy(e => (e._3, e._4)).lastOption
+          val ch = touch match {
+            case Some(t) if p._3 - t._3 <= 3600L * 1000 * 1000 * 1000 => t._2
+            case _ => "direct"
+          }
+          (ch, cents(p._5))
+      }
+    }
+    val total = purchases.size.toLong
+    val expected = purchases.groupBy(_._1).map { case (ch, ps) =>
+      val rev = (BigDecimal(ps.map(_._2).sum) / 100)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val share = (BigDecimal(ps.size) / BigDecimal(total))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      ch -> (ps.size.toLong, rev, share)
+    }
+    val got = Events.lastTouchAttribution(spark, Sf0001).collect()
+    assert(got.map(_.getString(0)).toSet === expected.keySet)
+    got.foreach { r =>
+      val (n, rev, share) = expected(r.getString(0))
+      assert(r.getLong(1) === n, r)
+      assert(r.getDouble(2) === rev, r)
+      assert(r.getDouble(3) === share, r)
+    }
+    // both marketing channels must appear for the test to mean anything
+    assert(expected.keySet.intersect(Set("click", "view")).size === 2)
+  }
 }
