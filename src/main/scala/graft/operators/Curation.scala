@@ -1794,9 +1794,76 @@ object Curation {
       |      AS DECIMAL(38,6)) AS DOUBLE) END AS transitivity
       |FROM w, t""".stripMargin
 
+  /** Target sample size for [[ppsSample]]. */
+  val PpsSampleTarget = 200
+
+  /** Q142: SYSTEMATIC PPS SAMPLING (Madow) — probability-proportional-
+    * to-size selection WITHOUT randomness: items are laid on a line in
+    * deterministic [[shuffleKey]] order, each occupying its weight in
+    * cents; selection points at step, 2·step, … (step = W div n) pick
+    * whichever item covers them. Inclusion probability is exactly
+    * proportional to weight, heavy items (> step) are picked multiple
+    * times (`hits` is the replication count importance sampling
+    * needs), and — unlike q62/q131's equal-probability buckets — the
+    * sample targets SIZE-biased estimation (totals, revenue) rather
+    * than uniform coverage. Fully reproducible: both engines derive
+    * the identical sample row-for-row.
+    *
+    * Scale shape: the global cumulative weight is the q94 distributed
+    * prefix sum (sampled [[TwoPass]] buckets over the shuffle key,
+    * per-bucket subtotals as bounded driver control flow, broadcast
+    * offsets + within-bucket running sum) — never a global sort or a
+    * single-partition window. The hit test `cum div step` is
+    * map-side arithmetic; output is n + slack rows. */
+  def ppsSample(spark: SparkSession, dir: String): DataFrame =
+    ppsSampleAt(spark, dir, PpsSampleTarget)
+
+  private[graft] def ppsSampleAt(spark: SparkSession, dir: String,
+      n: Int): DataFrame = {
+    def rows = Tables.orders(spark, dir).select(col("o_orderkey"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("decimal(18,0)")
+        .cast("long").as("w"),
+      shuffleKey(col("o_orderkey")).as("sk"))
+    val nBuckets = spark.conf.get("spark.sql.shuffle.partitions").toInt.max(2)
+    val bucketOf = TwoPass.scoreBuckets(rows, col("sk"), nBuckets)
+    val sub = rows.withColumn("b", bucketOf(col("sk")))
+      .groupBy(col("b")).agg(sum(col("w")).as("t"))
+      .collect().sortBy(_.getAs[Int]("b"))
+    val cum = sub.scanLeft(0L)(_ + _.getAs[Long]("t"))
+    val step = math.max(1L, cum.last / n)
+    val offsets = spark.createDataFrame(
+      sub.zip(cum).map { case (r, off) => (r.getAs[Int]("b"), off) }.toSeq)
+      .toDF("b", "off")
+    val runW = Window.partitionBy(col("b")).orderBy(col("sk"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    rows.withColumn("b", bucketOf(col("sk")))
+      .join(broadcast(offsets), Seq("b"))
+      .withColumn("cum", col("off") + sum(col("w")).over(runW))
+      .withColumn("hits",
+        expr(s"cum div ${step}L - (cum - w) div ${step}L").cast("bigint"))
+      .filter(col("hits") > 0)
+      .select(col("o_orderkey"), col("w").as("weight_cents"), col("hits"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val ppsSampleSql: String =
+    s"""WITH d AS (
+       |  SELECT o_orderkey,
+       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS w,
+       |    ${shuffleKeySql("o_orderkey")} AS sk
+       |  FROM orders),
+       |c AS (SELECT *, SUM(w) OVER (ORDER BY sk, o_orderkey) AS cum,
+       |             SUM(w) OVER () AS tot FROM d),
+       |p AS (SELECT *, GREATEST(1, tot // $PpsSampleTarget) AS step FROM c)
+       |SELECT o_orderkey, w AS weight_cents,
+       |  CAST(cum // step - (cum - w) // step AS BIGINT) AS hits
+       |FROM p WHERE cum // step > (cum - w) // step
+       |ORDER BY o_orderkey""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q119_overlap_minhash" -> (sourceOverlapMinHash _),
     "q140_dup_triangles" -> (dupTriangles _),
+    "q142_pps_sample" -> (ppsSample _),
     "q129_dup_pagerank" -> (dupPagerank _),
     "q130_token_cooccurrence" -> (tokenCooccurrence _),
     "q131_proportional_sample" -> (proportionalSample _),
@@ -1825,6 +1892,7 @@ object Curation {
   def oracles: Map[String, String] = Map(
     "q119_overlap_minhash" -> sourceOverlapMinHashSql,
     "q140_dup_triangles" -> dupTrianglesSql,
+    "q142_pps_sample" -> ppsSampleSql,
     "q122_snapshot_diff" -> snapshotDiffSql,
     "q126_version_drift" -> versionDriftSql,
     "q129_dup_pagerank" -> dupPagerankSql,

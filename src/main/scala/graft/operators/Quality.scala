@@ -129,13 +129,180 @@ object Quality {
       |WHERE change_type IS NOT NULL
       |GROUP BY change_type ORDER BY change_type""".stripMargin
 
+  /** Q141: WINSORIZED ROBUST STATISTICS — outlier-clipped moments, the
+    * robust-statistics step a metrics/feature pipeline runs before any
+    * mean is trusted: per event type, the exact p05/p95 value (integer
+    * rank convention, no floating-point rank arithmetic: lo rank =
+    * ⌈n/20⌉ = (n+19) div 20, hi rank = ⌈19n/20⌉), counts clipped at
+    * each tail, and the raw vs winsorized mean.
+    *
+    * Exactness: values are exact cents; the winsorized sum clamps
+    * cents between two cents thresholds, so both means are single
+    * dec6 divisions of exact integer sums — order-independent at any
+    * parallelism.
+    *
+    * Scale shape: a per-group percentile over 100 TB must not sort
+    * groups (a (type)-partitioned rank window sends EVERY row of a
+    * type through one task). This runs q51's distributed targeted
+    * rank lookup instead — sampled balance-only buckets
+    * ([[TwoPass.scoreBuckets]]), a bounded per-(type, bucket)
+    * histogram to the driver, and one pruned fetch of exactly the two
+    * threshold values per type — then one broadcast join + map-side
+    * clamp + one aggregation over the full data. Bounded state
+    * everywhere; the oracle recomputes thresholds with an explicit
+    * ROW_NUMBER so the rank convention is pinned, not inherited from
+    * an engine's quantile function. */
+  def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Parity._
+    def rows = Tables.events(spark, dir).select(col("event_type").as("et"),
+      (col("value").cast("decimal(18,2)") * 100).cast("decimal(18,0)")
+        .cast("long").as("c"))
+    val nBuckets = spark.conf.get("spark.sql.shuffle.partitions").toInt.max(2)
+    val bucketOf = TwoPass.scoreBuckets(rows, col("c"), nBuckets)
+    val hist = rows.withColumn("b", bucketOf(col("c")))
+      .groupBy(col("et"), col("b")).agg(count(lit(1)).as("n")).collect()
+    // locate, per type, the bucket + local rank of the two thresholds
+    val wants = Seq.newBuilder[(String, Int, Long, Long)] // (et, b, localRank, globalRank)
+    hist.groupBy(_.getAs[String]("et")).foreach { case (et, rs) =>
+      val present = rs.sortBy(_.getAs[Int]("b"))
+      val cum = present.map(_.getAs[Long]("n")).scanLeft(0L)(_ + _)
+      val n = cum.last
+      Seq((n + 19) / 20, (19 * n + 19) / 20).distinct.foreach { r =>
+        val idx = cum.lastIndexWhere(_ < r)
+        if (idx >= 0 && idx < present.length)
+          wants += ((et, present(idx).getAs[Int]("b"), r - cum(idx), r))
+      }
+    }
+    import spark.implicits._
+    val wantDf = wants.result().toDF("wet", "wb", "lr", "gr")
+    val rw = Window.partitionBy(col("et"), col("b")).orderBy(col("c"))
+    val fetched = rows.withColumn("b", bucketOf(col("c")))
+      .join(broadcast(wantDf.select(col("wet").as("et"), col("wb").as("b")).distinct()),
+        Seq("et", "b"))
+      .withColumn("r", row_number().over(rw))
+      .join(broadcast(wantDf), col("et") === col("wet") &&
+        col("b") === col("wb") && col("r") === col("lr"))
+      .select(col("et"), col("gr"), col("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val th = hist.groupBy(_.getAs[String]("et")).map { case (et, rs) =>
+      val n = rs.map(_.getAs[Long]("n")).sum
+      (et, fetched((et, (n + 19) / 20)), fetched((et, (19 * n + 19) / 20)))
+    }.toSeq.toDF("et", "lo", "hi")
+    rows.join(broadcast(th), Seq("et"))
+      .groupBy(col("et"))
+      .agg(count(lit(1)).as("n"),
+        max(col("lo")).as("loc"), max(col("hi")).as("hic"),
+        sum(when(col("c") < col("lo"), 1L).otherwise(0L)).cast("bigint")
+          .as("n_clipped_low"),
+        sum(when(col("c") > col("hi"), 1L).otherwise(0L)).cast("bigint")
+          .as("n_clipped_high"),
+        sum(col("c").cast("decimal(28,0)")).as("sc"),
+        sum(least(greatest(col("c"), col("lo")), col("hi"))
+          .cast("decimal(28,0)")).as("swc"))
+      .select(col("et").as("event_type"), col("n"),
+        dec2(col("loc").cast("decimal(18,0)") / 100).as("p05"),
+        dec2(col("hic").cast("decimal(18,0)") / 100).as("p95"),
+        col("n_clipped_low"), col("n_clipped_high"),
+        dec6(col("sc") / (col("n").cast("decimal(19,0)") * 100)).as("mean_value"),
+        dec6(col("swc") / (col("n").cast("decimal(19,0)") * 100)).as("wins_mean"))
+      .orderBy(col("event_type"))
+  }
+
+  val winsorizedStatsSql: String =
+    """WITH e AS (
+      |  SELECT event_type AS et,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM events),
+      |r AS (SELECT et, c,
+      |        ROW_NUMBER() OVER (PARTITION BY et ORDER BY c) AS rn,
+      |        COUNT(*) OVER (PARTITION BY et) AS n
+      |      FROM e),
+      |th AS (SELECT et, MAX(n) AS n,
+      |         MAX(CASE WHEN rn = (n + 19) // 20 THEN c END) AS lo,
+      |         MAX(CASE WHEN rn = (19*n + 19) // 20 THEN c END) AS hi
+      |       FROM r GROUP BY et)
+      |SELECT e.et AS event_type, th.n,
+      |  CAST(CAST(ROUND(th.lo / 100, 2) AS DECIMAL(38,2)) AS DOUBLE) AS p05,
+      |  CAST(CAST(ROUND(th.hi / 100, 2) AS DECIMAL(38,2)) AS DOUBLE) AS p95,
+      |  CAST(SUM(CASE WHEN e.c < th.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+      |  CAST(SUM(CASE WHEN e.c > th.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+      |  CAST(CAST(ROUND(SUM(e.c) / (th.n * 100), 6) AS DECIMAL(38,6)) AS DOUBLE) AS mean_value,
+      |  CAST(CAST(ROUND(SUM(LEAST(GREATEST(e.c, th.lo), th.hi)) / (th.n * 100), 6)
+      |    AS DECIMAL(38,6)) AS DOUBLE) AS wins_mean
+      |FROM e JOIN th ON e.et = th.et
+      |GROUP BY e.et, th.n, th.lo, th.hi
+      |ORDER BY event_type""".stripMargin
+
+  /** k-anonymity threshold for [[kAnonymity]]. */
+  val AnonymityK = 5
+
+  /** Q143: K-ANONYMITY AUDIT — the privacy-governance companion to
+    * q92's PII redaction: how many customers sit in a
+    * quasi-identifier group smaller than k (= [[AnonymityK]]), i.e.
+    * are re-identifiable by joining public attributes. Two rungs of
+    * the standard generalization lattice are audited side by side —
+    * (segment, nation) and its generalization (segment, region) — so
+    * the report shows how much risk one generalization step retires.
+    *
+    * Scale shape: per rung, one map-side-combined count aggregation
+    * into the bounded QI-group frame, then a bounded rollup; nation/
+    * region are broadcast dims. No row ever leaves with its identity
+    * — only group sizes travel. */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_mktsegment").as("segment"),
+        col("n_name").as("nation"), col("r_name").as("region"))
+    def audit(level: String, qi: Seq[String]): DataFrame =
+      base.groupBy(qi.map(col): _*).agg(count(lit(1)).as("sz"))
+        .agg(lit(level).as("level"),
+          count(lit(1)).as("n_groups"),
+          sum(when(col("sz") < AnonymityK, 1L).otherwise(0L)).cast("bigint")
+            .as("n_risky_groups"),
+          sum(when(col("sz") < AnonymityK, col("sz")).otherwise(0L))
+            .cast("bigint").as("n_rows_at_risk"),
+          min(col("sz")).as("min_group_size"))
+    audit("1_segment_nation", Seq("segment", "nation"))
+      .unionByName(audit("2_segment_region", Seq("segment", "region")))
+      .orderBy(col("level"))
+  }
+
+  val kAnonymitySql: String =
+    s"""WITH base AS (
+      |  SELECT c_mktsegment AS segment, n_name AS nation, r_name AS region
+      |  FROM customer
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey),
+      |g1 AS (SELECT COUNT(*) AS sz FROM base GROUP BY segment, nation),
+      |g2 AS (SELECT COUNT(*) AS sz FROM base GROUP BY segment, region)
+      |SELECT '1_segment_nation' AS level, COUNT(*) AS n_groups,
+      |  CAST(SUM(CASE WHEN sz < $AnonymityK THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_groups,
+      |  CAST(SUM(CASE WHEN sz < $AnonymityK THEN sz ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+      |  CAST(MIN(sz) AS BIGINT) AS min_group_size
+      |FROM g1
+      |UNION ALL
+      |SELECT '2_segment_region', COUNT(*),
+      |  CAST(SUM(CASE WHEN sz < $AnonymityK THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(SUM(CASE WHEN sz < $AnonymityK THEN sz ELSE 0 END) AS BIGINT),
+      |  CAST(MIN(sz) AS BIGINT)
+      |FROM g2
+      |ORDER BY level""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q79_constraint_suite" -> (constraintSuite _),
     "q80_snapshot_diff" -> (snapshotDiff _),
+    "q141_winsorized_stats" -> (winsorizedStats _),
+    "q143_k_anonymity" -> (kAnonymity _),
   )
 
   def oracles: Map[String, String] = Map(
     "q79_constraint_suite" -> constraintSuiteSql,
     "q80_snapshot_diff" -> snapshotDiffSql,
+    "q141_winsorized_stats" -> winsorizedStatsSql,
+    "q143_k_anonymity" -> kAnonymitySql,
   )
 }

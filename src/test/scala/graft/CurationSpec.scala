@@ -732,4 +732,35 @@ class CurationSpec extends SparkSuite {
       BigDecimal(3 * tris).setScale(6)./(BigDecimal(wedges))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  test("q142 PPS sample: matches a driver-side systematic selection replay") {
+    import spark.implicits._
+    val orders = Tables.orders(spark, Sf0001)
+      .select($"o_orderkey", $"o_totalprice").as[(Long, Double)].collect()
+    def cents(d: Double): Long =
+      BigDecimal.valueOf(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .*(100).toLongExact
+    def sk(id: Long): Long = ((id % 2147483648L) * 2654435761L) % 4294967296L
+    val line = orders.map { case (k, p) => (sk(k), k, cents(p)) }
+      .sortBy(t => (t._1, t._2))
+    val total = line.map(_._3).sum
+    val step = math.max(1L, total / Curation.PpsSampleTarget)
+    var cum = 0L
+    val expected = line.flatMap { case (_, k, w) =>
+      val hits = (cum + w) / step - cum / step
+      cum += w
+      if (hits > 0) Some((k, w, hits)) else None
+    }.sortBy(_._1).toSeq
+    val got = Curation.ppsSample(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    // exactly floor(W / step) selection points land on items
+    assert(got.map(_._3).sum === total / step)
+    // inclusion is size-biased: every selected item outweighs the
+    // smallest unselected one... only guaranteed in aggregate, so pin
+    // the weaker truth: any item heavier than step is ALWAYS selected
+    val sel = got.map(_._1).toSet
+    orders.filter(o => cents(o._2) > step)
+      .foreach(o => assert(sel(o._1), s"heavy item ${o._1} missed"))
+  }
 }

@@ -87,4 +87,46 @@ class QualitySpec extends SparkSuite {
     val total = first.map(_.getAs[Long]("n")).sum
     assert(total === Tables.events(spark, Sf0001).count())
   }
+
+  test("q141 winsorized stats: matches a driver-side sorted replay") {
+    import spark.implicits._
+    val evs = Tables.events(spark, Sf0001)
+      .select($"event_type", $"value").as[(String, Double)].collect()
+    def cents(d: Double): Long =
+      BigDecimal.valueOf(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .*(100).toLongExact
+    val got = Q.winsorizedStats(spark, Sf0001).collect()
+    val byType = evs.groupBy(_._1).view.mapValues(_.map(e => cents(e._2)).sorted)
+    assert(got.map(_.getString(0)).toSet === byType.keys.toSet)
+    got.foreach { r =>
+      val s = byType(r.getString(0))
+      val n = s.length.toLong
+      val lo = s(((n + 19) / 20 - 1).toInt)
+      val hi = s(((19 * n + 19) / 20 - 1).toInt)
+      assert(r.getLong(1) === n, r)
+      assert(r.getDouble(2) === lo / 100.0, s"p05 $r")
+      assert(r.getDouble(3) === hi / 100.0, s"p95 $r")
+      assert(r.getLong(4) === s.count(_ < lo).toLong, r)
+      assert(r.getLong(5) === s.count(_ > hi).toLong, r)
+      val wmean = (BigDecimal(s.map(c => math.min(math.max(c, lo), hi))
+        .map(BigInt(_)).sum) / BigDecimal(n * 100))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(7) === wmean, s"wins_mean $r")
+      // clipping keeps the mean inside the threshold band
+      assert(r.getDouble(7) >= r.getDouble(2) && r.getDouble(7) <= r.getDouble(3))
+    }
+  }
+
+  test("q143 k-anonymity: generalization only retires risk") {
+    val rows = Q.kAnonymity(spark, Sf0001).collect()
+    assert(rows.length === 2)
+    val l1 = rows(0); val l2 = rows(1)
+    assert(l1.getString(0) === "1_segment_nation")
+    // every level-2 group is a union of level-1 groups -> sizes only
+    // grow, so risk can only shrink under generalization
+    assert(l2.getLong(2) <= l1.getLong(2), "risky groups grew")
+    assert(l2.getLong(3) <= l1.getLong(3), "rows at risk grew")
+    assert(l2.getLong(1) <= l1.getLong(1), "group count grew")
+    assert(l1.getLong(3) > 0, "no risk at sf0.001 — audit test degenerate")
+  }
 }
