@@ -498,7 +498,13 @@ object Events {
 
   /** The SCD2 core over any (user_id, event_id, ts_us, value) change
     * frame; exposed for the spec's synthetic NULL-run cases. */
-  private[graft] def scd2Of(ev: DataFrame): DataFrame = {
+  private[graft] def scd2Of(ev: DataFrame): DataFrame =
+    scd2Versions(ev).orderBy(col("user_id"), col("version"))
+
+  /** [[scd2Of]] without the presentation sort — the consumer shape
+    * (q144 re-shuffles by user immediately, so a global sort between
+    * build and consume would be pure wasted work). */
+  private[graft] def scd2Versions(ev: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
     // null-safe change test (<=>): a plain <> would DROP a NULL-valued
@@ -517,7 +523,6 @@ object Events {
         when(col("valid_to_us").isNull, 1L).otherwise(0L))
       .select(col("user_id"), col("version"), col("valid_from_us"),
         col("valid_to_us"), col("value"), col("is_current"))
-      .orderBy(col("user_id"), col("version"))
   }
 
   val scd2BuildSql: String =
@@ -539,6 +544,97 @@ object Events {
       |FROM changes
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
       |ORDER BY user_id, version""".stripMargin
+
+  /** Q144: POINT-IN-TIME SCD2 LOOKUP — q98's consumer and the
+    * correctness contract every versioned warehouse dim exists for:
+    * each purchase reads the dimension version that was VALID AT ITS
+    * TIMESTAMP (`valid_from <= ts < valid_to`, open tail = +inf), the
+    * join auditors call "PIT correctness" because an accidental
+    * latest-version join silently leaks the future into training
+    * features.
+    *
+    * Two genuinely different algorithms must agree here, and that IS
+    * the check: the oracle runs the textbook interval join, while the
+    * Spark side runs the merge shape — union the version-open rows
+    * with the facts, one per-user ordered window carries the latest
+    * version struct forward, keep facts. The merge is the high-churn-
+    * safe plan: ONE user-colocating shuffle and O(timeline log) work,
+    * with NO per-user versions×facts expansion (an interval equi-join
+    * explodes quadratically per key when the dim churns fast, as this
+    * one does — for a truly slow dim with bounded versions per key the
+    * join form is fine and q55's bucketing handles the in-between).
+    * Same-µs convention: a version opening at the fact's exact µs IS
+    * visible (dim side sorts first), and of same-µs version runs only
+    * the last survives — exactly the empty-interval semantics
+    * `from <= ts < to` gives the oracle. The carried struct (not bare
+    * columns) keeps NULL-valued versions honest: the struct is
+    * non-null whenever a version row is, so `last_value ignoreNulls`
+    * can never skip a NULL-valued version and resurrect stale state. */
+  def pitLookup(spark: SparkSession, dir: String): DataFrame =
+    pitOf(Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"), col("value")))
+
+  /** The PIT core over any (user_id, event_id, event_type, ts_us,
+    * value) frame; exposed for the spec's synthetic NULL-version
+    * cases (the struct-carry guard is unreachable on this corpus). */
+  private[graft] def pitOf(ev: DataFrame): DataFrame = {
+    val dimSide = scd2Versions(ev.select(col("user_id"), col("event_id"),
+        col("ts_us"), col("value")))
+      .select(col("user_id"), col("valid_from_us").as("ts_us"),
+        lit(0).as("side"), col("version"),
+        struct(col("version").as("v"), col("value").as("x")).as("packed"),
+        lit(null).cast("long").as("event_id"),
+        lit(null).cast("double").as("fact_value"))
+    val factSide = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), lit(1).as("side"),
+        lit(null).cast("long").as("version"),
+        lit(null).cast("struct<v:bigint,x:double>").as("packed"),
+        col("event_id"), col("value").as("fact_value"))
+    // fact rows tie arbitrarily among themselves at the same µs, which
+    // cannot matter: they contribute NULL to the carried struct, so
+    // every fact reads a value determined solely by the dim prefix
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("side"), col("version"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dimSide.unionByName(factSide)
+      .withColumn("state", last(col("packed"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("user_id"), col("event_id"), col("ts_us").as("purchase_us"),
+        dec2(money(col("fact_value"))).as("value"),
+        col("state.v").as("state_version"),
+        dec2(money(col("state.x"))).as("state_value"))
+      .orderBy(col("user_id"), col("purchase_us"), col("event_id"))
+  }
+
+  val pitLookupSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS ts_us, value,
+      |    LAG(value) OVER w AS prev_value,
+      |    ROW_NUMBER() OVER w AS rn
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id)),
+      |changes AS (
+      |  SELECT user_id, event_id, ts_us, value FROM ev
+      |  WHERE rn = 1 OR prev_value IS DISTINCT FROM value),
+      |scd2 AS (
+      |  SELECT user_id,
+      |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+      |    ts_us AS valid_from_us,
+      |    LEAD(ts_us) OVER w AS valid_to_us,
+      |    value
+      |  FROM changes
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |p AS (SELECT user_id, event_id, ts_us, value FROM ev
+      |      WHERE event_type = 'purchase')
+      |SELECT p.user_id, p.event_id, p.ts_us AS purchase_us,
+      |  CAST(CAST(p.value AS DECIMAL(18,2)) AS DOUBLE) AS value,
+      |  s.version AS state_version,
+      |  CAST(CAST(s.value AS DECIMAL(18,2)) AS DOUBLE) AS state_value
+      |FROM p JOIN scd2 s ON p.user_id = s.user_id
+      |  AND s.valid_from_us <= p.ts_us
+      |  AND (s.valid_to_us IS NULL OR p.ts_us < s.valid_to_us)
+      |ORDER BY p.user_id, purchase_us, event_id""".stripMargin
 
   /** Q123: RETENTION COHORTS — the classic cohort-retention triangle:
     * users are cohorted by their first-active day; each (cohort_day,
@@ -987,6 +1083,7 @@ object Events {
     "q124_burst_detection" -> (burstDetection _),
     "q123_retention_cohorts" -> (retentionCohorts _),
     "q98_scd2_build" -> (scd2Build _),
+    "q144_pit_lookup" -> (pitLookup _),
     "q20_latest_per_user" -> (latestPerUser _),
     "q77_gap_fill" -> (gapFill _),
     "q78_range_frame" -> (rangeFrame _),
@@ -1011,6 +1108,7 @@ object Events {
     "q134_skew_profile" -> skewProfileSql,
     "q123_retention_cohorts" -> retentionCohortsSql,
     "q98_scd2_build" -> scd2BuildSql,
+    "q144_pit_lookup" -> pitLookupSql,
     "q20_latest_per_user" -> latestPerUserSql,
     "q77_gap_fill" -> gapFillSql,
     "q78_range_frame" -> rangeFrameSql,

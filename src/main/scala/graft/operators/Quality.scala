@@ -292,11 +292,78 @@ object Quality {
       |FROM g2
       |ORDER BY level""".stripMargin
 
+  /** Q146: CHI-SQUARE INDEPENDENCE AUDIT — the data-profiling test
+    * behind "is attribute A independent of attribute B" (segment ×
+    * region here): per contingency cell the observed count, the
+    * independence-expected count E = rowTot·colTot/N, and the χ²
+    * contribution (O−E)²/E. A mixture pipeline runs exactly this to
+    * detect source/attribute entanglement before stratifying on
+    * either.
+    *
+    * Exactness: every input to the two dec6 divisions is an exact
+    * integer — the contribution is computed as the cross-multiplied
+    * rational (O·N − rT·cT)² / (N·rT·cT), so no float enters before
+    * the final rounding (the q93/q120 discipline). Headroom: the
+    * squared term is (O·N)²-scale ≈ 1e34 at 1e9 rows — inside
+    * DECIMAL(38,0), and ANSI throws rather than corrupts beyond.
+    *
+    * Scale shape: ONE row-scale map-side-combined count aggregation
+    * into the |segments|·|regions|-bounded contingency frame;
+    * everything after (three marginal windows, the rational per cell)
+    * moves only those ~25 rows. Dims broadcast. */
+  def chiSquareAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Parity._
+    val obs = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_mktsegment").as("segment"), col("r_name").as("region"))
+      .groupBy(col("segment"), col("region"))
+      .agg(count(lit(1)).as("o"))
+    // the three marginal windows repartition only the bounded
+    // contingency frame — single-task on ~25 rows by design
+    val rt = sum(col("o")).over(Window.partitionBy(col("segment")))
+    val ct = sum(col("o")).over(Window.partitionBy(col("region")))
+    val n = sum(col("o")).over(Window.partitionBy())
+    def d19(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    obs
+      .withColumn("rt", rt).withColumn("ct", ct).withColumn("nn", n)
+      .withColumn("diff", d19(col("o")) * d19(col("nn"))
+        - d19(col("rt")) * d19(col("ct")))
+      .select(col("segment"), col("region"), col("o").as("observed"),
+        dec6(d19(col("rt")) * d19(col("ct")) / d19(col("nn"))).as("expected"),
+        dec6((col("diff") * col("diff"))
+          / (d19(col("nn")) * d19(col("rt")) * d19(col("ct"))))
+          .as("contribution"))
+      .orderBy(col("segment"), col("region"))
+  }
+
+  val chiSquareAuditSql: String =
+    """WITH base AS (
+      |  SELECT c_mktsegment AS segment, r_name AS region
+      |  FROM customer
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey),
+      |obs AS (SELECT segment, region, COUNT(*) AS o FROM base GROUP BY 1, 2),
+      |m AS (SELECT segment, region, o,
+      |        SUM(o) OVER (PARTITION BY segment) AS rt,
+      |        SUM(o) OVER (PARTITION BY region) AS ct,
+      |        SUM(o) OVER () AS nn
+      |      FROM obs)
+      |SELECT segment, region, CAST(o AS BIGINT) AS observed,
+      |  CAST(CAST(ROUND(rt * ct / nn, 6) AS DECIMAL(38,6)) AS DOUBLE) AS expected,
+      |  CAST(CAST(ROUND((o*nn - rt*ct) * (o*nn - rt*ct) / (nn * rt * ct), 6)
+      |    AS DECIMAL(38,6)) AS DOUBLE) AS contribution
+      |FROM m ORDER BY segment, region""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q79_constraint_suite" -> (constraintSuite _),
     "q80_snapshot_diff" -> (snapshotDiff _),
     "q141_winsorized_stats" -> (winsorizedStats _),
     "q143_k_anonymity" -> (kAnonymity _),
+    "q146_chi_square" -> (chiSquareAudit _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -304,5 +371,6 @@ object Quality {
     "q80_snapshot_diff" -> snapshotDiffSql,
     "q141_winsorized_stats" -> winsorizedStatsSql,
     "q143_k_anonymity" -> kAnonymitySql,
+    "q146_chi_square" -> chiSquareAuditSql,
   )
 }

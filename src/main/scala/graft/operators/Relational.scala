@@ -484,9 +484,86 @@ object Relational {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** Q145: GINI CONCENTRATION (Lorenz inequality) — how concentrated
+    * order revenue is within each market segment, the inequality
+    * metric curation reuses to decide whether one customer/source
+    * dominates a mixture (q93's rebalancing trigger in metric form).
+    * Gini = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) with ascending exact-
+    * cents ranks: tied values make Σ rank·x invariant under tie order
+    * (swapping equal x between ranks moves nothing), so the statistic
+    * is deterministic even though individual tie ranks are not — the
+    * same argument q91's quartile rollup rests on.
+    *
+    * Scale shape: ranks per segment must NOT come from a per-segment
+    * window (every order of a segment through one task). This is the
+    * q91 two-pass rank generalized to grouped prefix sums: sampled
+    * balance-only buckets over cents, per-(segment, bucket) counts to
+    * the driver (bounded control flow: |segments|·|buckets| rows),
+    * broadcast offsets, within-(segment, bucket) local ranks — many
+    * balanced groups — then ONE map-side-combined aggregation of the
+    * three exact integer moments (n, T=Σx, S=Σ rank·x) per segment.
+    * Accumulators are decimals (S up to ~7e15 at sf0.1; ANSI would
+    * throw, not corrupt, at the ~sf10 point where widening past
+    * (38,0) becomes the driver-side last mile, same stance as q135). */
+  def giniConcentration(spark: SparkSession, dir: String): DataFrame = {
+    def rows = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("decimal(18,0)").cast("long").as("cents"),
+        col("o_orderkey"))
+    val nBuckets = spark.conf.get("spark.sql.shuffle.partitions").toInt.max(2)
+    val bucketOf = TwoPass.scoreBuckets(rows, col("cents"), nBuckets)
+    val sub = rows.withColumn("b", bucketOf(col("cents")))
+      .groupBy(col("segment"), col("b")).agg(count(lit(1)).as("n"))
+      .collect()
+    val offRows = sub.groupBy(_.getAs[String]("segment")).toSeq.flatMap {
+      case (seg, bs) =>
+        val sorted = bs.sortBy(_.getAs[Int]("b"))
+        val cum = sorted.map(_.getAs[Long]("n")).scanLeft(0L)(_ + _)
+        sorted.zip(cum).map { case (r, off) => (r.getAs[Int]("b"), seg, off) }
+    }
+    val offsets = spark.createDataFrame(offRows).toDF("b", "segment", "off")
+    val w = Window.partitionBy(col("segment"), col("b"))
+      .orderBy(col("cents"), col("o_orderkey"))
+    rows.withColumn("b", bucketOf(col("cents")))
+      .join(broadcast(offsets), Seq("b", "segment"))
+      .withColumn("rnk", col("off") + row_number().over(w))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents").cast("decimal(28,0)")).as("t"),
+        sum(col("rnk").cast("decimal(19,0)")
+          * col("cents").cast("decimal(19,0)")).as("s"))
+      .select(col("segment"), col("n").as("n_orders"),
+        dec2(col("t") / 100).as("total_value"),
+        dec6((col("s") * 2 - (col("n") + 1).cast("decimal(19,0)") * col("t"))
+          / (col("n").cast("decimal(19,0)") * col("t"))).as("gini"))
+      .orderBy(col("segment"))
+  }
+
+  val giniConcentrationSql: String =
+    """WITH o AS (
+      |  SELECT c_mktsegment AS segment,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    o_orderkey
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |r AS (SELECT segment, cents,
+      |        ROW_NUMBER() OVER (PARTITION BY segment
+      |          ORDER BY cents, o_orderkey) AS rnk
+      |      FROM o),
+      |a AS (SELECT segment, COUNT(*) AS n, SUM(cents) AS t,
+      |        SUM(rnk * cents) AS s
+      |      FROM r GROUP BY 1)
+      |SELECT segment, CAST(n AS BIGINT) AS n_orders,
+      |  CAST(CAST(ROUND(t / 100, 2) AS DECIMAL(38,2)) AS DOUBLE) AS total_value,
+      |  CAST(CAST(ROUND((2*s - (n+1)*t) / (n*t), 6) AS DECIMAL(38,6)) AS DOUBLE) AS gini
+      |FROM a ORDER BY segment""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> (pricingSummary _),
     "q137_star_revenue" -> (starRevenue _),
+    "q145_gini_concentration" -> (giniConcentration _),
     "q91_ntile_quartiles" -> (ntileQuartiles _),
     "q2_standings" -> (standings _),
     "q3_region_rollup" -> (regionRollup _),
@@ -504,6 +581,7 @@ object Relational {
   def oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> pricingSummarySql,
     "q137_star_revenue" -> starRevenueSql,
+    "q145_gini_concentration" -> giniConcentrationSql,
     "q91_ntile_quartiles" -> ntileQuartilesSql,
     "q2_standings" -> standingsSql,
     "q3_region_rollup" -> regionRollupSql,

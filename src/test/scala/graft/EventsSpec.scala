@@ -161,6 +161,57 @@ class EventsSpec extends SparkSuite {
     assert(u2.length === 1 && u2.head.isNullAt(u2.head.fieldIndex("value")))
   }
 
+  test("q144 PIT lookup: matches a brute-force latest-change-at-or-before replay") {
+    import spark.implicits._
+    val evs = Tables.events(spark, Sf0001)
+      .select($"user_id", $"event_id", $"event_type",
+        expr("ts_ns div 1000").as("ts_us"), $"value")
+      .as[(Long, Long, String, Long, Double)].collect()
+    def dec2(d: Double): Double =
+      BigDecimal.valueOf(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = evs.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val ordered = rows.sortBy(r => (r._4, r._2))
+      // change rows: first, or value differs from the previous event
+      val changes = ordered.zipWithIndex.filter { case (r, i) =>
+        i == 0 || ordered(i - 1)._5 != r._5
+      }.map(_._1).zipWithIndex.map { case (r, v) => (v + 1L, r._4, r._5) }
+      ordered.filter(_._3 == "purchase").map { p =>
+        // the version whose half-open interval covers the purchase:
+        // the LAST change at-or-before its timestamp
+        val (v, _, sv) = changes.takeWhile(_._2 <= p._4).last
+        (u, p._2, p._4, dec2(p._5), v, dec2(sv))
+      }
+    }.sortBy(t => (t._1, t._3, t._2))
+    val got = Events.pitLookup(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got === expected)
+    // every purchase resolved exactly once
+    assert(got.length === evs.count(_._3 == "purchase"))
+  }
+
+  test("q144 PIT lookup: a NULL-valued version is carried, not skipped") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, "click", 10L, Some(5.0)),
+      (1L, 2L, "click", 20L, None: Option[Double]), // opens the NULL version
+      // no value change (NULL <=> NULL): reads INSIDE the null window
+      (1L, 3L, "purchase", 25L, None: Option[Double]),
+      (1L, 4L, "click", 30L, Some(7.0)),
+      // same value, same µs: sees the version opened AT its timestamp
+      (1L, 5L, "purchase", 30L, Some(7.0)))
+      .toDF("user_id", "event_id", "event_type", "ts_us", "value")
+    val out = Events.pitOf(ev).collect().sortBy(_.getLong(1))
+    assert(out.length === 2)
+    val inNull = out(0)
+    assert(inNull.getLong(4) === 2L, "purchase in the NULL window must see version 2")
+    assert(inNull.isNullAt(5), "a last_value without the struct pack would skip " +
+      "the NULL version and resurrect 5.0 here")
+    val sameUs = out(1)
+    assert(sameUs.getLong(4) === 3L && sameUs.getDouble(5) === 7.0,
+      "a version opening at the purchase's exact µs is visible")
+  }
+
   test("q123 retention cohorts match a brute-force per-user day replay") {
     import spark.implicits._
     val ev = Tables.events(spark, Sf0001)

@@ -117,6 +117,34 @@ class QualitySpec extends SparkSuite {
     }
   }
 
+  test("q146 chi-square: matches a brute-force contingency recomputation") {
+    import spark.implicits._
+    val base = Tables.customer(spark, Sf0001)
+      .join(Tables.nation(spark, Sf0001), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, Sf0001), col("n_regionkey") === col("r_regionkey"))
+      .select($"c_mktsegment", $"r_name").as[(String, String)].collect()
+    val obs = base.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rt = base.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val ct = base.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = base.length.toLong
+    val got = Q.chiSquareAudit(spark, Sf0001).collect()
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSet === obs.keySet)
+    assert(got.map(_.getLong(2)).sum === n)
+    got.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      val (o, rT, cT) = (obs(key), rt(key._1), ct(key._2))
+      assert(r.getLong(2) === o, r)
+      val exp = (BigDecimal(BigInt(rT) * BigInt(cT)) / BigDecimal(n))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) === exp, s"expected $r")
+      val diff = BigInt(o) * BigInt(n) - BigInt(rT) * BigInt(cT)
+      val contrib = (BigDecimal(diff * diff)
+        / BigDecimal(BigInt(n) * BigInt(rT) * BigInt(cT)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(4) === contrib, s"contribution $r")
+    }
+  }
+
   test("q143 k-anonymity: generalization only retires risk") {
     val rows = Q.kAnonymity(spark, Sf0001).collect()
     assert(rows.length === 2)

@@ -118,4 +118,32 @@ class RelationalSpec extends SparkSuite {
     val revs = got.map(r => (-r.getDouble(1), r.getString(0))).toSeq
     assert(revs === revs.sorted)
   }
+
+  test("q145 Gini: matches a driver-side sorted replay; bounds hold") {
+    import spark.implicits._
+    val orders = Tables.orders(spark, Sf0001)
+      .join(Tables.customer(spark, Sf0001), col("o_custkey") === col("c_custkey"))
+      .select($"c_mktsegment", $"o_totalprice").as[(String, Double)].collect()
+    def cents(d: Double): Long =
+      BigDecimal.valueOf(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .*(100).toLongExact
+    val got = Relational.giniConcentration(spark, Sf0001).collect()
+    val bySeg = orders.groupBy(_._1).view.mapValues(_.map(o => cents(o._2)).sorted)
+    assert(got.map(_.getString(0)).toSeq === bySeg.keys.toSeq.sorted)
+    got.foreach { r =>
+      val xs = bySeg(r.getString(0))
+      val n = xs.length.toLong
+      val t = xs.map(BigInt(_)).sum
+      val s = xs.zipWithIndex.map { case (x, i) => BigInt(x) * (i + 1) }.sum
+      assert(r.getLong(1) === n, r)
+      assert(r.getDouble(2) ===
+        (BigDecimal(t) / 100).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble, r)
+      val gini = (BigDecimal(2 * s - (n + 1) * t) / BigDecimal(n * t))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) === gini, s"gini $r")
+      // Gini of non-negative data lives in [0, 1)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0, r)
+    }
+  }
 }
