@@ -144,51 +144,26 @@ object Quality {
     * Scale shape: a per-group percentile over 100 TB must not sort
     * groups (a (type)-partitioned rank window sends EVERY row of a
     * type through one task). This runs q51's distributed targeted
-    * rank lookup instead — sampled balance-only buckets
-    * ([[TwoPass.scoreBuckets]]), a bounded per-(type, bucket)
-    * histogram to the driver, and one pruned fetch of exactly the two
-    * threshold values per type — then one broadcast join + map-side
+    * rank lookup instead — now the shared [[TwoPass.groupRankLookup]]
+    * kernel (sampled balance-only buckets, a bounded per-(type,
+    * bucket) histogram to the driver, one pruned fetch of exactly the
+    * two threshold values per type) — then one broadcast join + map-side
     * clamp + one aggregation over the full data. Bounded state
     * everywhere; the oracle recomputes thresholds with an explicit
     * ROW_NUMBER so the rank convention is pinned, not inherited from
     * an engine's quantile function. */
   def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import graft.functions.Parity._
+    import spark.implicits._
     def rows = Tables.events(spark, dir).select(col("event_type").as("et"),
       (col("value").cast("decimal(18,2)") * 100).cast("decimal(18,0)")
         .cast("long").as("c"))
-    val nBuckets = spark.conf.get("spark.sql.shuffle.partitions").toInt.max(2)
-    val bucketOf = TwoPass.scoreBuckets(rows, col("c"), nBuckets)
-    val hist = rows.withColumn("b", bucketOf(col("c")))
-      .groupBy(col("et"), col("b")).agg(count(lit(1)).as("n")).collect()
-    // locate, per type, the bucket + local rank of the two thresholds
-    val wants = Seq.newBuilder[(String, Int, Long, Long)] // (et, b, localRank, globalRank)
-    hist.groupBy(_.getAs[String]("et")).foreach { case (et, rs) =>
-      val present = rs.sortBy(_.getAs[Int]("b"))
-      val cum = present.map(_.getAs[Long]("n")).scanLeft(0L)(_ + _)
-      val n = cum.last
-      Seq((n + 19) / 20, (19 * n + 19) / 20).distinct.foreach { r =>
-        val idx = cum.lastIndexWhere(_ < r)
-        if (idx >= 0 && idx < present.length)
-          wants += ((et, present(idx).getAs[Int]("b"), r - cum(idx), r))
-      }
-    }
-    import spark.implicits._
-    val wantDf = wants.result().toDF("wet", "wb", "lr", "gr")
-    val rw = Window.partitionBy(col("et"), col("b")).orderBy(col("c"))
-    val fetched = rows.withColumn("b", bucketOf(col("c")))
-      .join(broadcast(wantDf.select(col("wet").as("et"), col("wb").as("b")).distinct()),
-        Seq("et", "b"))
-      .withColumn("r", row_number().over(rw))
-      .join(broadcast(wantDf), col("et") === col("wet") &&
-        col("b") === col("wb") && col("r") === col("lr"))
-      .select(col("et"), col("gr"), col("c"))
-      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
-    val th = hist.groupBy(_.getAs[String]("et")).map { case (et, rs) =>
-      val n = rs.map(_.getAs[Long]("n")).sum
-      (et, fetched((et, (n + 19) / 20)), fetched((et, (19 * n + 19) / 20)))
-    }.toSeq.toDF("et", "lo", "hi")
+    val lookup = TwoPass.groupRankLookup(spark,
+      rows.select(col("et").as("k"), col("c")),
+      n => Seq((n + 19) / 20, (19 * n + 19) / 20))
+    val th = lookup.toSeq.map { case (et, gr) =>
+      (et, gr.at((gr.n + 19) / 20), gr.at((19 * gr.n + 19) / 20))
+    }.toDF("et", "lo", "hi")
     rows.join(broadcast(th), Seq("et"))
       .groupBy(col("et"))
       .agg(count(lit(1)).as("n"),
@@ -358,12 +333,162 @@ object Quality {
       |    AS DECIMAL(38,6)) AS DOUBLE) AS contribution
       |FROM m ORDER BY segment, region""".stripMargin
 
+  /** Q147: MAD ROBUST OUTLIER AUDIT — the median/MAD robust z-score
+    * every metrics pipeline wants where q141's winsorization is too
+    * blunt: per event type, the exact lower median (rank (n+1) div 2 —
+    * the convention is pinned, not inherited from an engine quantile),
+    * the median absolute deviation around it, and how many rows sit
+    * beyond the classic 3×MAD robust fence.
+    *
+    * Exactness: values are exact cents (long); the deviation frame
+    * |c − med| stays in exact integers, and the outlier test
+    * `dev > 3·mad` is pure long arithmetic — no float enters before
+    * the two final dec2/dec6 roundings.
+    *
+    * Scale shape: MAD needs two dependent per-group medians — the
+    * second over a derived column — so a naive plan pays two full
+    * per-group sort windows. This instead runs the shared
+    * [[TwoPass.groupRankLookup]] kernel twice (q141's machinery):
+    * each pass is one map-side-combined bounded histogram + one
+    * pruned single-bucket fetch, and the med/mad thresholds travel
+    * back as a broadcast |types|-row frame. Final scan is one
+    * aggregation with integer conditionals. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity._
+    import spark.implicits._
+    def rows = Tables.events(spark, dir).select(col("event_type").as("k"),
+      (col("value").cast("decimal(18,2)") * 100).cast("decimal(18,0)")
+        .cast("long").as("c"))
+    val med = TwoPass.groupRankLookup(spark, rows, n => Seq((n + 1) / 2))
+      .toSeq.map { case (k, gr) => (k, gr.at((gr.n + 1) / 2)) }
+      .toDF("k", "med")
+    def dev = rows.join(broadcast(med), Seq("k"))
+      .select(col("k"), abs(col("c") - col("med")).as("c"))
+    val mad = TwoPass.groupRankLookup(spark, dev, n => Seq((n + 1) / 2))
+      .toSeq.map { case (k, gr) => (k, gr.at((gr.n + 1) / 2)) }
+      .toDF("k", "mad")
+    rows.join(broadcast(med), Seq("k")).join(broadcast(mad), Seq("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        max(col("med")).as("medc"), max(col("mad")).as("madc"),
+        sum(when(abs(col("c") - col("med")) > lit(3L) * col("mad"), 1L)
+          .otherwise(0L)).cast("bigint").as("n_outliers"))
+      .select(col("k").as("event_type"), col("n"),
+        dec2(col("medc").cast("decimal(18,0)") / 100).as("median_value"),
+        dec2(col("madc").cast("decimal(18,0)") / 100).as("mad_value"),
+        col("n_outliers"),
+        dec6(col("n_outliers").cast("decimal(19,0)")
+          / col("n").cast("decimal(19,0)")).as("outlier_rate"))
+      .orderBy(col("event_type"))
+  }
+
+  val madOutliersSql: String =
+    """WITH e AS (
+      |  SELECT event_type AS et,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM events),
+      |r AS (SELECT et, c,
+      |        ROW_NUMBER() OVER (PARTITION BY et ORDER BY c) AS rn,
+      |        COUNT(*) OVER (PARTITION BY et) AS n
+      |      FROM e),
+      |med AS (SELECT et, MAX(n) AS n,
+      |          MAX(CASE WHEN rn = (n + 1) // 2 THEN c END) AS med
+      |        FROM r GROUP BY et),
+      |d AS (SELECT e.et, ABS(e.c - med.med) AS dc FROM e JOIN med ON e.et = med.et),
+      |dr AS (SELECT et, dc,
+      |         ROW_NUMBER() OVER (PARTITION BY et ORDER BY dc) AS rn,
+      |         COUNT(*) OVER (PARTITION BY et) AS n
+      |       FROM d),
+      |mad AS (SELECT et, MAX(CASE WHEN rn = (n + 1) // 2 THEN dc END) AS mad
+      |        FROM dr GROUP BY et)
+      |SELECT e.et AS event_type, med.n,
+      |  CAST(CAST(ROUND(med.med / 100, 2) AS DECIMAL(38,2)) AS DOUBLE) AS median_value,
+      |  CAST(CAST(ROUND(mad.mad / 100, 2) AS DECIMAL(38,2)) AS DOUBLE) AS mad_value,
+      |  CAST(SUM(CASE WHEN ABS(e.c - med.med) > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers,
+      |  CAST(CAST(ROUND(SUM(CASE WHEN ABS(e.c - med.med) > 3 * mad.mad THEN 1 ELSE 0 END)
+      |    / med.n, 6) AS DECIMAL(38,6)) AS DOUBLE) AS outlier_rate
+      |FROM e
+      |JOIN med ON e.et = med.et
+      |JOIN mad ON e.et = mad.et
+      |GROUP BY e.et, med.n, med.med, mad.mad
+      |ORDER BY event_type""".stripMargin
+
+  /** Benford per-mille probabilities for first digits 1..9 —
+    * round(1000·log10(1+1/d)); the SAME integer literals are embedded
+    * in the Spark plan and the oracle SQL so no engine ever evaluates
+    * a logarithm (the q130 bounded-literal convention). */
+  val BenfordPerMille: Seq[(Int, Long)] =
+    Seq(1 -> 301L, 2 -> 176L, 3 -> 125L, 4 -> 97L, 5 -> 79L,
+      6 -> 67L, 7 -> 58L, 8 -> 51L, 9 -> 46L)
+
+  /** Q148: BENFORD FIRST-DIGIT AUDIT — the classic fraud/synthetic-data
+    * screen over a financial measure: distribution of the first
+    * significant digit of order totals vs Benford's law, reported as
+    * per-digit observed share, expected share, and absolute gap.
+    *
+    * Exactness: the first digit is taken from the decimal string of
+    * exact integer cents (no float log/pow); shares and gaps are
+    * exact rationals of integer counts and the shared per-mille
+    * literals ([[BenfordPerMille]]) — both engines compute
+    * |1000·observed − n·pm| / (1000·n) from the same integers.
+    *
+    * Scale shape: ONE row-scale map-side-combined count into a
+    * ≤9-row frame; the Benford table is a 9-row literal LEFT-joined
+    * so absent digits still report (observed 0), and the total-n
+    * window moves only those 9 rows. */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Parity._
+    import spark.implicits._
+    val obs = Tables.orders(spark, dir)
+      .filter(col("o_totalprice").isNotNull && col("o_totalprice") > 0)
+      .select((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("long").as("cents"))
+      .select(substring(col("cents").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("o"))
+    val benford = BenfordPerMille.toDF("digit", "pm")
+    val n = sum(col("o")).over(Window.partitionBy()) // 9-row frame only
+    benford.join(obs, Seq("digit"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .withColumn("n", n)
+      .select(col("digit"), col("o").cast("bigint").as("observed"),
+        dec6(col("o").cast("decimal(19,0)") / col("n").cast("decimal(19,0)"))
+          .as("observed_share"),
+        dec6(col("pm").cast("decimal(19,0)") / 1000).as("benford_share"),
+        dec6(abs(col("o").cast("decimal(19,0)") * 1000
+            - col("n").cast("decimal(19,0)") * col("pm"))
+          / (col("n").cast("decimal(19,0)") * 1000)).as("abs_gap"))
+      .orderBy(col("digit"))
+  }
+
+  val benfordAuditSql: String =
+    """WITH c AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0),
+      |o AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+      |        COUNT(*) AS o
+      |      FROM c GROUP BY 1),
+      |b(digit, pm) AS (VALUES (1, 301), (2, 176), (3, 125), (4, 97), (5, 79),
+      |                        (6, 67), (7, 58), (8, 51), (9, 46)),
+      |m AS (SELECT b.digit, b.pm, COALESCE(o.o, 0) AS o,
+      |        SUM(COALESCE(o.o, 0)) OVER () AS n
+      |      FROM b LEFT JOIN o ON b.digit = o.digit)
+      |SELECT digit, CAST(o AS BIGINT) AS observed,
+      |  CAST(CAST(ROUND(o / n, 6) AS DECIMAL(38,6)) AS DOUBLE) AS observed_share,
+      |  CAST(CAST(ROUND(pm / 1000.0, 6) AS DECIMAL(38,6)) AS DOUBLE) AS benford_share,
+      |  CAST(CAST(ROUND(ABS(o * 1000 - n * pm) / (n * 1000), 6) AS DECIMAL(38,6)) AS DOUBLE)
+      |    AS abs_gap
+      |FROM m ORDER BY digit""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q79_constraint_suite" -> (constraintSuite _),
     "q80_snapshot_diff" -> (snapshotDiff _),
     "q141_winsorized_stats" -> (winsorizedStats _),
     "q143_k_anonymity" -> (kAnonymity _),
     "q146_chi_square" -> (chiSquareAudit _),
+    "q147_mad_outliers" -> (madOutliers _),
+    "q148_benford_audit" -> (benfordAudit _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -372,5 +497,7 @@ object Quality {
     "q141_winsorized_stats" -> winsorizedStatsSql,
     "q143_k_anonymity" -> kAnonymitySql,
     "q146_chi_square" -> chiSquareAuditSql,
+    "q147_mad_outliers" -> madOutliersSql,
+    "q148_benford_audit" -> benfordAuditSql,
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Shared first pass of the distributed two-pass rank family
@@ -49,5 +49,63 @@ private[graft] object TwoPass {
     c => org.apache.spark.sql.GraftSqlShim.column(
       graft.functions.BoundaryBucket(
         org.apache.spark.sql.GraftSqlShim.expression(c.cast("double")), bnds))
+  }
+
+  /** Per-group answer of [[groupRankLookup]]: the group size and the
+    * exact value at each requested 1-based global rank. */
+  final case class GroupRanks(n: Long, at: Map[Long, Long])
+
+  /** Distributed targeted-rank lookup (q141's kernel, shared with q147):
+    * for each group in `rows` — columns `k: string`, `c: long` — fetch
+    * the exact value at each global rank `ranksFor(groupSize)` returns,
+    * WITHOUT ever sorting a whole group in one task (the scale hazard a
+    * per-group rank window carries at 100 TB).
+    *
+    * Shape: sampled balance-only buckets ([[scoreBuckets]]), ONE
+    * map-side-combined (k, bucket) histogram collected to the driver
+    * (bounded: |groups| × buckets rows), driver locates the bucket +
+    * local rank of every wanted value, then one pruned fetch joins only
+    * the wanted buckets (broadcast want-list) and row_numbers WITHIN a
+    * bucket — the only per-group sort is over one bucket's slice.
+    * Exactness is independent of boundary quality: offsets come from
+    * real counts, the sketch only balances. */
+  def groupRankLookup(spark: SparkSession, rows: DataFrame,
+      ranksFor: Long => Seq[Long]): Map[String, GroupRanks] = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val nBuckets = spark.conf.get("spark.sql.shuffle.partitions").toInt.max(2)
+    val bucketOf = scoreBuckets(rows, col("c"), nBuckets)
+    val hist = rows.withColumn("b", bucketOf(col("c")))
+      .groupBy(col("k"), col("b")).agg(count(lit(1)).as("n")).collect()
+    // locate, per group, the bucket + local rank of every wanted value
+    val wants = Seq.newBuilder[(String, Int, Long, Long)] // (k, b, localRank, globalRank)
+    val sizes = hist.groupBy(_.getAs[String]("k")).map { case (k, rs) =>
+      val present = rs.sortBy(_.getAs[Int]("b"))
+      val cum = present.map(_.getAs[Long]("n")).scanLeft(0L)(_ + _)
+      val n = cum.last
+      ranksFor(n).distinct.foreach { r =>
+        val idx = cum.lastIndexWhere(_ < r)
+        if (idx >= 0 && idx < present.length)
+          wants += ((k, present(idx).getAs[Int]("b"), r - cum(idx), r))
+      }
+      k -> n
+    }
+    val wantDf = wants.result().toDF("wk", "wb", "lr", "gr")
+    val rw = Window.partitionBy(col("k"), col("b")).orderBy(col("c"))
+    val fetched = rows.withColumn("b", bucketOf(col("c")))
+      .join(broadcast(wantDf.select(col("wk").as("k"), col("wb").as("b")).distinct()),
+        Seq("k", "b"))
+      .withColumn("r", row_number().over(rw))
+      .join(broadcast(wantDf), col("k") === col("wk") &&
+        col("b") === col("wb") && col("r") === col("lr"))
+      .select(col("k"), col("gr"), col("c"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) =>
+        k -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap
+      }
+    sizes.map { case (k, n) =>
+      k -> GroupRanks(n, fetched.getOrElse(k, Map.empty))
+    }.toMap
   }
 }

@@ -145,6 +145,55 @@ class QualitySpec extends SparkSuite {
     }
   }
 
+  test("q147 MAD outliers: matches a driver-side sorted replay") {
+    import spark.implicits._
+    val evs = Tables.events(spark, Sf0001)
+      .select($"event_type", $"value").as[(String, Double)].collect()
+    def cents(d: Double): Long =
+      BigDecimal.valueOf(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .*(100).toLongExact
+    val got = Q.madOutliers(spark, Sf0001).collect()
+    val byType = evs.groupBy(_._1).view.mapValues(_.map(e => cents(e._2)))
+    assert(got.map(_.getString(0)).toSet === byType.keys.toSet)
+    got.foreach { r =>
+      val cs = byType(r.getString(0))
+      val n = cs.length.toLong
+      def lowerMedian(xs: Seq[Long]): Long = xs.sorted.apply(((xs.length + 1) / 2 - 1))
+      val med = lowerMedian(cs)
+      val mad = lowerMedian(cs.map(c => math.abs(c - med)))
+      assert(r.getLong(1) === n, r)
+      assert(r.getDouble(2) === med / 100.0, s"median $r")
+      assert(r.getDouble(3) === mad / 100.0, s"mad $r")
+      val out = cs.count(c => math.abs(c - med) > 3 * mad).toLong
+      assert(r.getLong(4) === out, s"n_outliers $r")
+      val rate = (BigDecimal(out) / BigDecimal(n))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(5) === rate, s"outlier_rate $r")
+      // the robust fence is meaningful: outliers are a strict minority
+      assert(out < n / 2, r)
+    }
+  }
+
+  test("q148 Benford audit: complete digit frame, exact share accounting") {
+    val got = Q.benfordAudit(spark, Sf0001).collect()
+    assert(got.map(_.getInt(0)).toSeq === (1 to 9), "one row per digit 1..9")
+    assert(Q.BenfordPerMille.map(_._2).sum === 1000L, "per-milles partition 1")
+    val n = Tables.orders(spark, Sf0001)
+      .filter(col("o_totalprice").isNotNull && col("o_totalprice") > 0).count()
+    assert(got.map(_.getLong(1)).sum === n, "observed counts partition orders")
+    // shares are exact o/n roundings and gaps are |share - benford|
+    got.foreach { r =>
+      val share = (BigDecimal(r.getLong(1)) / BigDecimal(n))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(2) === share, s"observed_share $r")
+      val pm = Q.BenfordPerMille.toMap.apply(r.getInt(0))
+      val gap = (BigDecimal((BigInt(r.getLong(1)) * 1000 - BigInt(n) * pm).abs)
+        / BigDecimal(BigInt(n) * 1000))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(4) === gap, s"abs_gap $r")
+    }
+  }
+
   test("q143 k-anonymity: generalization only retires risk") {
     val rows = Q.kAnonymity(spark, Sf0001).collect()
     assert(rows.length === 2)
