@@ -1860,7 +1860,171 @@ object Curation {
        |FROM p WHERE cum // step > (cum - w) // step
        |ORDER BY o_orderkey""".stripMargin
 
+  /** Chunk geometry for [[ragChunking]]: window of [[ChunkTokens]]
+    * tokens advancing by [[ChunkStride]] (8-token overlap between
+    * neighbours — the retrieval-context overlap RAG chunkers keep so
+    * no answer span straddles a boundary unseen). */
+  val ChunkTokens = 32
+  val ChunkStride = 24
+
+  /** Q149: RAG CHUNKING — split every document into fixed-size
+    * overlapping token windows (the indexing unit of a retrieval
+    * corpus) and account for chunk-level duplication per source:
+    * chunks, distinct chunks by content hash, the dup-chunk rate a
+    * vector store would pay to index blindly, and mean chunk length.
+    *
+    * Start offsets are pinned arithmetic — k·stride for
+    * k = 0 .. ceil(max(n−W,0)/stride) — so both engines derive the
+    * identical chunk set; a short document yields exactly one chunk.
+    *
+    * Scale shape: the explode multiplies rows by ~n/stride but every
+    * chunk immediately collapses to (source, md5, n_tokens) — 44-byte
+    * rows, never chunk text — into a map-side-combined (source, hash)
+    * aggregation, then a bounded per-source rollup. Distinct-chunk
+    * counting is the count of that pre-aggregated frame, NOT a
+    * COUNT(DISTINCT) over the exploded rows (no Expand rewrite, one
+    * corpus-scale shuffle of fixed-width keys total). */
+  def ragChunking(spark: SparkSession, dir: String): DataFrame = {
+    val w = lit(ChunkTokens); val s = lit(ChunkStride)
+    val docs = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("bigint"))
+    val lastStart = expr(
+      s"((greatest(n - $ChunkTokens, 0L) + ${ChunkStride - 1}) div $ChunkStride) * $ChunkStride")
+    val chunks = docs
+      .select(col("doc_id"), col("source"), col("toks"), col("n"),
+        explode(sequence(lit(0L), lastStart, lit(ChunkStride.toLong))).as("st"))
+      .select(col("doc_id"), col("source"),
+        md5(concat_ws(" ",
+          slice(col("toks"), (col("st") + 1).cast("int"), lit(ChunkTokens))))
+          .as("ch"),
+        least(w.cast("bigint"), col("n") - col("st")).as("ct"))
+    val perHash = chunks.groupBy(col("source"), col("ch"))
+      .agg(count(lit(1)).as("cnt"), sum(col("ct")).as("toks"))
+    val nDocs = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    perHash.groupBy(col("source"))
+      .agg(sum(col("cnt")).cast("bigint").as("n_chunks"),
+        count(lit(1)).as("distinct_chunks"),
+        sum(col("toks")).as("tok_sum"))
+      .join(nDocs, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_chunks"),
+        col("distinct_chunks"),
+        dec6(lit(1).cast("decimal(19,0)")
+          - col("distinct_chunks").cast("decimal(19,0)")
+            / col("n_chunks").cast("decimal(19,0)")).as("dup_chunk_rate"),
+        dec6(col("tok_sum").cast("decimal(19,0)")
+          / col("n_chunks").cast("decimal(19,0)")).as("avg_chunk_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val ragChunkingSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS toks,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents WHERE text IS NOT NULL),
+      |st AS (SELECT doc_id, source, toks, n,
+      |         unnest(range(0, ((CASE WHEN n > 32 THEN n - 32 ELSE 0 END) + 23) // 24 * 24 + 1, 24)) AS st
+      |       FROM t),
+      |c AS (SELECT doc_id, source,
+      |        md5(array_to_string(toks[st+1 : st+32], ' ')) AS ch,
+      |        LEAST(32, n - st) AS ct
+      |      FROM st),
+      |ph AS (SELECT source, ch, COUNT(*) AS cnt, SUM(ct) AS toks
+      |       FROM c GROUP BY 1, 2),
+      |agg AS (SELECT source, SUM(cnt) AS n_chunks, COUNT(*) AS distinct_chunks,
+      |          SUM(toks) AS tok_sum
+      |        FROM ph GROUP BY 1),
+      |nd AS (SELECT source, COUNT(*) AS n_docs FROM t GROUP BY 1)
+      |SELECT agg.source, nd.n_docs, CAST(n_chunks AS BIGINT) AS n_chunks,
+      |  CAST(distinct_chunks AS BIGINT) AS distinct_chunks,
+      |  CAST(CAST(ROUND(1 - distinct_chunks / n_chunks, 6) AS DECIMAL(38,6)) AS DOUBLE)
+      |    AS dup_chunk_rate,
+      |  CAST(CAST(ROUND(tok_sum / n_chunks, 6) AS DECIMAL(38,6)) AS DOUBLE)
+      |    AS avg_chunk_tokens
+      |FROM agg JOIN nd ON agg.source = nd.source
+      |ORDER BY agg.source""".stripMargin
+
+  /** Q151: DSIR-LITE IMPORTANCE WEIGHTING — rank raw documents by how
+    * much they look like a target slice (here lang='en', standing in
+    * for a curated high-quality set), the hashed-n-gram importance
+    * scheme of Data Selection via Importance Resampling (Xie et al.
+    * 2023), linearized: token features hash into 256 md5 buckets, a
+    * bucket's weight is the smoothed frequency ratio
+    * (tc+1)·rawN / ((rc+1)·tgtN), and a document scores the
+    * count-weighted mean of its buckets' weights.
+    *
+    * Exactness: NO logarithm anywhere — weights are dec6-rounded
+    * exact rationals of integer counts (the shared-literal discipline
+    * without literals: both engines derive the same 256 decimals from
+    * the same integers), the per-doc sum is exact decimal
+    * arithmetic, and the final per-token mean is one dec6 division.
+    *
+    * Scale shape: two row×token-scale aggregations — the global
+    * 256-row bucket-count frame (map-side combined, conditional sums
+    * for target vs raw in ONE pass) and the per-(doc, bucket) count
+    * frame — plus a broadcast join of the 256-row weight table. The
+    * corpus text never shuffles; (doc_id, 2-hex-char) keys do. */
+  def importanceWeights(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("tok")), 1, 2).as("b"))
+    val buckets = toks.groupBy(col("b"))
+      .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tc"),
+        count(lit(1)).as("rc"))
+    val w = buckets.select(col("b"),
+      ((col("tc") + 1).cast("decimal(19,0)")
+        * sum(col("rc")).over(Window.partitionBy()).cast("decimal(19,0)"))
+        .divide((col("rc") + 1).cast("decimal(19,0)")
+          * sum(col("tc")).over(Window.partitionBy()).cast("decimal(19,0)"))
+        .cast("decimal(38,6)").as("w"))
+    val perDoc = toks.groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+    perDoc.join(broadcast(w), Seq("b"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("cnt")).cast("bigint").as("n_tokens"),
+        sum(col("cnt").cast("decimal(19,0)") * col("w")).as("score"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        (col("lang") === "en").as("is_target"),
+        dec6(col("score") / col("n_tokens").cast("decimal(19,0)"))
+          .as("importance"))
+      .orderBy(col("doc_id"))
+  }
+
+  // Oracle discipline note: the importance is a LAYERED rounding — the
+  // per-bucket weight is already a 6-decimal exact value, so the final
+  // score/n quotient lands exactly on .0000005 boundaries whenever
+  // 2·Σcnt·w6 ≡ n (mod 2n) — a ~1/n-per-doc event, not a freak case
+  // (row 451 flipped at sf0.01). Both roundings are therefore done in
+  // pure integer arithmetic: half-up(N/D) = (2N + D) // (2D) in
+  // micro-units, matching Spark's exact decimal HALF_UP bit-for-bit.
+  val importanceWeightsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, substr(md5(unnest(string_split(text, ' '))), 1, 2) AS b
+      |  FROM documents WHERE text IS NOT NULL),
+      |bk AS (SELECT b, SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tc,
+      |         COUNT(*) AS rc
+      |       FROM toks GROUP BY 1),
+      |tot AS (SELECT SUM(tc) AS tn, SUM(rc) AS rn FROM bk),
+      |w AS (SELECT b,
+      |        (2 * (tc + 1) * rn * 1000000 + (rc + 1) * tn)
+      |          // (2 * (rc + 1) * tn) AS w6
+      |      FROM bk, tot),
+      |pd AS (SELECT doc_id, lang, b, COUNT(*) AS cnt FROM toks GROUP BY 1, 2, 3),
+      |sc AS (SELECT pd.doc_id, pd.lang, SUM(cnt) AS n, SUM(cnt * w.w6) AS n6
+      |       FROM pd JOIN w ON pd.b = w.b
+      |       GROUP BY 1, 2)
+      |SELECT doc_id, lang, CAST(n AS BIGINT) AS n_tokens,
+      |  lang = 'en' AS is_target,
+      |  CAST((2 * n6 + n) // (2 * n) AS DOUBLE) / 1000000 AS importance
+      |FROM sc ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q149_rag_chunking" -> (ragChunking _),
+    "q151_importance_weights" -> (importanceWeights _),
     "q119_overlap_minhash" -> (sourceOverlapMinHash _),
     "q140_dup_triangles" -> (dupTriangles _),
     "q142_pps_sample" -> (ppsSample _),
@@ -1890,6 +2054,8 @@ object Curation {
   )
 
   def oracles: Map[String, String] = Map(
+    "q149_rag_chunking" -> ragChunkingSql,
+    "q151_importance_weights" -> importanceWeightsSql,
     "q119_overlap_minhash" -> sourceOverlapMinHashSql,
     "q140_dup_triangles" -> dupTrianglesSql,
     "q142_pps_sample" -> ppsSampleSql,

@@ -418,7 +418,59 @@ object TextAnalysis {
       |JOIN documents d USING (doc_id)
       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  /** Q150: LEXICAL DIVERSITY (Simpson index) — the repetition-quality
+    * signal orthogonal to q73's top-shingle share: per document,
+    * Simpson diversity 1 − Σc_t²/n² over the token distribution (the
+    * probability two random tokens differ). Template/boilerplate text
+    * scores low even when no single shingle dominates; the flag marks
+    * the classic curation cut.
+    *
+    * Exactness: c_t and n are integer counts; the index is one exact
+    * rational per doc, dec6-rounded — no float anywhere.
+    *
+    * Scale shape: ONE map-side-combined (doc_id, token) count
+    * aggregation, then a per-doc sum of squares — both shuffles carry
+    * fixed-width keys plus the token string, never the document. The
+    * per-row HOF alternative (count each distinct token inside the
+    * array) is shuffle-free but O(distinct·n) per row AND re-evaluates
+    * under CollapseProject (the NOTES trap); the two-agg shape is
+    * strictly better at every scale. */
+  def lexicalDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val perTok = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    perTok.groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("bigint").as("n_tokens"),
+        count(lit(1)).as("distinct_tokens"),
+        sum(col("c") * col("c")).cast("bigint").as("s2"))
+      .select(col("doc_id"), col("n_tokens"), col("distinct_tokens"),
+        dec6(lit(1).cast("decimal(19,0)")
+          - col("s2").cast("decimal(19,0)")
+            / (col("n_tokens").cast("decimal(19,0)")
+              * col("n_tokens").cast("decimal(19,0)")))
+          .as("simpson_diversity"))
+      .withColumn("low_diversity", col("simpson_diversity") < 0.5)
+      .orderBy(col("doc_id"))
+  }
+
+  val lexicalDiversitySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents WHERE text IS NOT NULL),
+      |c AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+      |g AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS d, SUM(c * c) AS s2
+      |      FROM c GROUP BY 1)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+      |  CAST(d AS BIGINT) AS distinct_tokens,
+      |  CAST(CAST(ROUND(1 - s2 / (n * n), 6) AS DECIMAL(38,6)) AS DOUBLE)
+      |    AS simpson_diversity,
+      |  CAST(CAST(ROUND(1 - s2 / (n * n), 6) AS DECIMAL(38,6)) AS DOUBLE) < 0.5
+      |    AS low_diversity
+      |FROM g ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q150_lexical_diversity" -> (lexicalDiversity _),
     "q100_bpe_merge_learning" -> (bpeMergeLearning _),
     "q102_apply_tokenizer" -> (applyTokenizer _),
     "q24_text_stats" -> (textStats _),
@@ -433,6 +485,7 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "q150_lexical_diversity" -> lexicalDiversitySql,
     "q102_apply_tokenizer" -> applyTokenizerSql,
     "q24_text_stats" -> textStatsSql,
     "q62_stratified_sample" -> stratifiedSampleSql,

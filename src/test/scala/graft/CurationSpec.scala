@@ -763,4 +763,79 @@ class CurationSpec extends SparkSuite {
     orders.filter(o => cents(o._2) > step)
       .foreach(o => assert(sel(o._1), s"heavy item ${o._1} missed"))
   }
+
+  test("q149 RAG chunking: matches a driver-side chunker replay") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf0001)
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)]
+      .collect().filter(_._3 != null)
+    val w = Curation.ChunkTokens; val s = Curation.ChunkStride
+    val chunks = docs.flatMap { case (_, src, text) =>
+      val toks = text.split(" ", -1)
+      val n = toks.length
+      val k = (math.max(n - w, 0) + s - 1) / s
+      (0 to k).map { i =>
+        val st = i * s
+        (src, toks.slice(st, st + w).mkString(" "), math.min(w, n - st))
+      }
+    }
+    val expected = chunks.groupBy(_._1).map { case (src, cs) =>
+      (src, docs.count(_._2 == src).toLong, cs.length.toLong,
+        cs.map(_._2).distinct.length.toLong,
+        (BigDecimal(cs.map(_._3).sum) / cs.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = Curation.ragChunking(spark, Sf0001).collect()
+    assert(got.map(_.getString(0)).toSet === expected.map(_._1).toSet)
+    got.foreach { r =>
+      val e = expected.find(_._1 == r.getString(0)).get
+      assert(r.getLong(1) === e._2, s"n_docs $r")
+      assert(r.getLong(2) === e._3, s"n_chunks $r")
+      assert(r.getLong(3) === e._4, s"distinct_chunks $r")
+      assert(r.getDouble(5) === e._5, s"avg_chunk_tokens $r")
+      // every doc yields at least one chunk
+      assert(r.getLong(2) >= r.getLong(1), r)
+    }
+  }
+
+  test("q151 importance weights: matches a driver-side hashed-bucket replay") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf0001)
+      .select($"doc_id", $"lang", $"text").as[(Long, String, String)]
+      .collect().filter(_._3 != null)
+    def bucket(tok: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+        .take(1).map(b => f"$b%02x").mkString
+    val toks = docs.flatMap { case (id, lang, text) =>
+      text.split(" ", -1).map(t => (id, lang, bucket(t)))
+    }
+    val tc = toks.filter(_._2 == "en").groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val rc = toks.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val tN = toks.count(_._2 == "en").toLong
+    val rN = toks.length.toLong
+    val wts = rc.keys.map { b =>
+      b -> (BigDecimal(BigInt(tc.getOrElse(b, 0L) + 1) * BigInt(rN))
+        / BigDecimal(BigInt(rc(b) + 1) * BigInt(tN)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }.toMap
+    val got = Curation.importanceWeights(spark, Sf0001).collect()
+    assert(got.length === docs.length)
+    val enScores = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val otherScores = scala.collection.mutable.ArrayBuffer.empty[Double]
+    got.foreach { r =>
+      val (id, lang, _) = docs.find(_._1 == r.getLong(0)).get
+      val myToks = toks.filter(_._1 == id)
+      val score = (myToks.groupBy(_._3).map { case (b, ts) =>
+        wts(b) * ts.length
+      }.sum / myToks.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getLong(2) === myToks.length.toLong, s"n_tokens $r")
+      assert(r.getBoolean(3) === (lang == "en"), r)
+      assert(r.getDouble(4) === score, s"importance $r")
+      if (lang == "en") enScores += score else otherScores += score
+    }
+    // the weighting separates the slices: target docs score higher on average
+    assert(enScores.sum / enScores.size > otherScores.sum / otherScores.size)
+  }
 }

@@ -180,4 +180,29 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out(0) === Seq(fused, fused))
     assert(out(1) === Seq("b", "c", "b", "c"))
   }
+
+  test("q150 lexical diversity: matches a driver-side Simpson replay") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .filter(_._2 != null)
+    val got = operators.TextAnalysis.lexicalDiversity(spark, Sf0001).collect()
+    assert(got.length === docs.length)
+    val byId = docs.toMap
+    got.foreach { r =>
+      val toks = byId(r.getLong(0)).split(" ", -1)
+      val counts = toks.groupBy(identity).values.map(_.length.toLong)
+      val n = toks.length.toLong
+      val s2 = counts.map(c => BigInt(c) * BigInt(c)).sum
+      assert(r.getLong(1) === n, r)
+      assert(r.getLong(2) === counts.size.toLong, r)
+      val simpson = (BigDecimal(BigInt(n) * BigInt(n) - s2)
+        / BigDecimal(BigInt(n) * BigInt(n)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) === simpson, s"simpson $r")
+      assert(r.getBoolean(4) === (simpson < 0.5), r)
+    }
+    // natural text at these lengths is diverse: most docs pass the cut
+    assert(got.count(!_.getBoolean(4)) > got.length / 2)
+  }
 }
