@@ -1960,11 +1960,13 @@ object Curation {
     * the same integers), the per-doc sum is exact decimal
     * arithmetic, and the final per-token mean is one dec6 division.
     *
-    * Scale shape: two row×token-scale aggregations — the global
-    * 256-row bucket-count frame (map-side combined, conditional sums
-    * for target vs raw in ONE pass) and the per-(doc, bucket) count
-    * frame — plus a broadcast join of the 256-row weight table. The
-    * corpus text never shuffles; (doc_id, 2-hex-char) keys do. */
+    * Scale shape: the global 256-row bucket-count frame (map-side
+    * combined, conditional sums for target vs raw in ONE pass), then
+    * token rows join the broadcast 256-row weight table MAP-SIDE and
+    * aggregate straight to per-doc scores — no per-(doc, bucket)
+    * pre-aggregation (buckets ≈ tokens per doc, so it reduced nothing
+    * and cost a full row-scale shuffle; audited 5 → 4 exchanges). The
+    * corpus text never shuffles; (doc_id, lang) keys do. */
   def importanceWeights(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
@@ -1981,12 +1983,10 @@ object Curation {
         .divide((col("rc") + 1).cast("decimal(19,0)")
           * sum(col("tc")).over(Window.partitionBy()).cast("decimal(19,0)"))
         .cast("decimal(38,6)").as("w"))
-    val perDoc = toks.groupBy(col("doc_id"), col("lang"), col("b"))
-      .agg(count(lit(1)).as("cnt"))
-    perDoc.join(broadcast(w), Seq("b"))
+    toks.join(broadcast(w), Seq("b"))
       .groupBy(col("doc_id"), col("lang"))
-      .agg(sum(col("cnt")).cast("bigint").as("n_tokens"),
-        sum(col("cnt").cast("decimal(19,0)") * col("w")).as("score"))
+      .agg(count(lit(1)).cast("bigint").as("n_tokens"),
+        sum(col("w")).as("score"))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         (col("lang") === "en").as("is_target"),
         dec6(col("score") / col("n_tokens").cast("decimal(19,0)"))
