@@ -1073,7 +1073,214 @@ object Events {
       |    AS DECIMAL(38,6)) AS DOUBLE) AS share
       |FROM c ORDER BY channel""".stripMargin
 
+  /** Q152: NELSON-AALEN CUMULATIVE HAZARD — the survival-analysis
+    * companion to q123's retention cohorts: user lifetime = days
+    * between first and last event (last-seen as the churn proxy),
+    * risk set n_t = users with lifetime ≥ t, discrete hazard
+    * h_t = d_t/n_t, and the Nelson-Aalen cumulative hazard
+    * H_t = Σ_{s≤t} h_s.
+    *
+    * Exactness convention (pinned, both engines): each h_t is rounded
+    * HALF_UP to 6 decimals FIRST, and H_t is the exact decimal sum of
+    * those rounded terms — order-independent, no float accumulation.
+    *
+    * Scale shape: one row-scale (user) aggregation to lifetimes, one
+    * map-side-combined count to the ≤|days|-row lifetime histogram;
+    * both windows (reverse cumsum for the risk set, forward cumsum
+    * for H) move only that bounded frame — single-task on ~30 rows
+    * by design, the q146 marginal-window argument. */
+  def nelsonAalen(spark: SparkSession, dir: String): DataFrame = {
+    val life = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(datediff(max(col("ts").cast("date")), min(col("ts").cast("date")))
+        .as("t"))
+    val d = life.groupBy(col("t")).agg(count(lit(1)).as("churned"))
+    val wAtRisk = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    d.withColumn("n_at_risk", sum(col("churned")).over(wAtRisk))
+      .withColumn("h6", (col("churned").cast("decimal(19,0)")
+          / col("n_at_risk").cast("decimal(19,0)"))
+        .cast("decimal(38,6)"))
+      .select(col("t").cast("int").as("lifetime_days"),
+        col("n_at_risk").cast("bigint").as("n_at_risk"),
+        col("churned").cast("bigint").as("churned"),
+        col("h6").cast("double").as("hazard"),
+        sum(col("h6")).over(wCum).cast("double").as("cum_hazard"))
+      .orderBy(col("lifetime_days"))
+  }
+
+  val nelsonAalenSql: String =
+    """WITH life AS (
+      |  SELECT user_id,
+      |    datediff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) AS t
+      |  FROM events GROUP BY 1),
+      |d AS (SELECT t, COUNT(*) AS churned FROM life GROUP BY 1),
+      |rk AS (SELECT t, churned,
+      |         SUM(churned) OVER (ORDER BY t DESC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_at_risk
+      |       FROM d),
+      |h AS (SELECT t, churned, n_at_risk,
+      |        CAST(ROUND(churned / n_at_risk, 6) AS DECIMAL(38,6)) AS h6
+      |      FROM rk)
+      |SELECT CAST(t AS INT) AS lifetime_days,
+      |  CAST(n_at_risk AS BIGINT) AS n_at_risk,
+      |  CAST(churned AS BIGINT) AS churned,
+      |  CAST(h6 AS DOUBLE) AS hazard,
+      |  CAST(SUM(h6) OVER (ORDER BY t
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_hazard
+      |FROM h ORDER BY lifetime_days""".stripMargin
+
+  /** EWMA lookback (hours) for [[ewmaTrend]] — dyadic half-life-1h
+    * weights 2^(11−age) over a 12-hour window. */
+  val EwmaWindowHours = 12
+
+  /** Q153: EWMA TREND — per event type and hour, the exponentially
+    * weighted moving average of hourly value totals with halving
+    * weights (age i hours → weight 2^(11−i)), over ONLY the hours
+    * that exist (gap hours neither contribute nor shift the window —
+    * q132's both-defined discipline on a weighted frame).
+    *
+    * Exactness: weights are integer powers of two via shiftleft —
+    * no float pow; numerator Σv·2^(11−i) and denominator Σ2^(11−i)
+    * are exact BIGINTs and the EWMA is one dec6 division.
+    *
+    * Scale shape: window functions cannot weight by distance, and a
+    * banded self-join re-shuffles the frame per probe; instead each
+    * hourly row EXPLODES into the ≤12 future anchor hours it
+    * contributes to (map-side ×12 on the already-bounded hourly
+    * frame), one aggregation reassembles the weighted sums, and an
+    * inner join back to the hourly frame keeps only real anchors.
+    * Row-scale data pays exactly ONE aggregation (the hourly
+    * rollup); everything after moves the |types|×|hours| frame. */
+  def ewmaTrend(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("ts_ns div 3600000000000").as("hr"))
+      .agg(sum((col("value").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("long")).as("v"))
+    val contrib = hourly
+      .select(col("event_type"), col("hr"), col("v"),
+        explode(sequence(col("hr"), col("hr") + (EwmaWindowHours - 1)))
+          .as("t"))
+      .withColumn("w", expr(s"shiftleft(1L, cast(${EwmaWindowHours - 1} - (t - hr) as int))"))
+    val ew = contrib.groupBy(col("event_type"), col("t"))
+      .agg(sum(col("v") * col("w")).as("num"), sum(col("w")).as("den"))
+      .withColumnRenamed("event_type", "et2")
+    hourly.join(ew, col("event_type") === col("et2")
+        && col("hr") === col("t"))
+      .select(col("event_type"), col("hr").as("hour_idx"),
+        dec2(col("v").cast("decimal(19,0)") / 100).as("hour_value"),
+        dec6(col("num").cast("decimal(38,0)")
+          / (col("den").cast("decimal(19,0)") * 100)).as("ewma_value"))
+      .orderBy(col("event_type"), col("hour_idx"))
+  }
+
+  val ewmaTrendSql: String =
+    """WITH h AS (
+      |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,
+      |    SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
+      |  FROM events GROUP BY 1, 2)
+      |SELECT a.event_type, a.hr AS hour_idx,
+      |  CAST(CAST(ROUND(a.v / 100, 2) AS DECIMAL(38,2)) AS DOUBLE) AS hour_value,
+      |  CAST(CAST(ROUND(SUM(b.v * (1::BIGINT << CAST(11 - (a.hr - b.hr) AS INT)))
+      |      / (SUM(1::BIGINT << CAST(11 - (a.hr - b.hr) AS INT)) * 100), 6)
+      |    AS DECIMAL(38,6)) AS DOUBLE) AS ewma_value
+      |FROM h a JOIN h b
+      |  ON a.event_type = b.event_type AND b.hr BETWEEN a.hr - 11 AND a.hr
+      |GROUP BY a.event_type, a.hr, a.v
+      |ORDER BY a.event_type, hour_idx""".stripMargin
+
+  /** Idle timeout appended to every session interval in
+    * [[sessionOverlap]] (ns) — a session counts as active until its
+    * timeout expires, which is what makes single-event sessions
+    * non-degenerate intervals. */
+  val SessionTailNs: Long = 30L * 60 * 1000 * 1000 * 1000
+
+  /** Q154: INTERVAL-OVERLAP JOIN — cross-activity concurrency: for
+    * each user, sessionize each event type separately (30-min gap
+    * rule, q22's convention), extend every session by the 30-min idle
+    * timeout, and measure how long sessions of DIFFERENT types
+    * overlap for the same user; report per type pair the overlapping
+    * session-pair count, users involved, and total/mean overlap.
+    *
+    * Exactness: all interval arithmetic in exact ns longs; overlap =
+    * (min(end) − max(start)) div 1e9 seconds (floor, positive by the
+    * join predicate); only the final mean divides.
+    *
+    * Scale shape: the overlap join is EQUI on user_id — the interval
+    * predicate is a post-join filter within one user's sessions, so
+    * pair expansion is bounded per user (sessions/user/type is
+    * gap-bounded), never corpus-quadratic; at 100 TB a hot user is
+    * q65-salting territory, the join motif is unchanged. Output
+    * aggregates to the ≤C(|types|,2) frame. */
+  def sessionOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val byKey = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    val gapNs = 30L * 60 * 1000 * 1000 * 1000
+    val sessions = Tables.events(spark, dir)
+      .withColumn("prev_ns", lag(col("ts_ns"), 1).over(byKey))
+      .withColumn("new_session",
+        when(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > gapNs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byKey.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("event_type"), col("session_id"))
+      .agg(min(col("ts_ns")).as("s"), max(col("ts_ns")).as("e"))
+      .withColumn("e", col("e") + SessionTailNs)
+    val a = sessions.select(col("user_id"), col("event_type").as("type_a"),
+      col("s").as("sa"), col("e").as("ea"))
+    val b = sessions.select(col("user_id"), col("event_type").as("type_b"),
+      col("s").as("sb"), col("e").as("eb"))
+    a.join(b, Seq("user_id"))
+      .filter(col("type_a") < col("type_b")
+        && col("sa") < col("eb") && col("sb") < col("ea"))
+      .withColumn("ov_s",
+        expr("(least(ea, eb) - greatest(sa, sb)) div 1000000000"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("ov_s")).cast("bigint").as("total_overlap_s"),
+        (sum(col("ov_s")).cast("decimal(19,0)")
+          / count(lit(1)).cast("decimal(19,0)")).cast("decimal(38,6)")
+          .cast("double").as("avg_overlap_s"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val sessionOverlapSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_type, event_id, epoch_ns(ts) AS ns,
+      |    CASE WHEN LAG(epoch_ns(ts)) OVER w IS NULL
+      |           OR epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w > 30*60*1000000000::BIGINT
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id, event_type
+      |               ORDER BY epoch_ns(ts), event_id)),
+      |sid AS (SELECT user_id, event_type, ns,
+      |          SUM(new_session) OVER (PARTITION BY user_id, event_type
+      |            ORDER BY ns, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |        FROM flagged),
+      |sess AS (SELECT user_id, event_type, session_id,
+      |           MIN(ns) AS s, MAX(ns) + 30*60*1000000000::BIGINT AS e
+      |         FROM sid GROUP BY 1, 2, 3),
+      |pairs AS (SELECT a.user_id, a.event_type AS type_a, b.event_type AS type_b,
+      |            (LEAST(a.e, b.e) - GREATEST(a.s, b.s)) // 1000000000 AS ov_s
+      |          FROM sess a JOIN sess b ON a.user_id = b.user_id
+      |          WHERE a.event_type < b.event_type
+      |            AND a.s < b.e AND b.s < a.e)
+      |SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(SUM(ov_s) AS BIGINT) AS total_overlap_s,
+      |  CAST(CAST(ROUND(SUM(ov_s) / COUNT(*), 6) AS DECIMAL(38,6)) AS DOUBLE)
+      |    AS avg_overlap_s
+      |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q152_nelson_aalen" -> (nelsonAalen _),
+    "q153_ewma_trend" -> (ewmaTrend _),
+    "q154_session_overlap" -> (sessionOverlap _),
     "q127_event_trigrams" -> (eventTrigrams _),
     "q136_time_weighted_avg" -> (timeWeightedAvg _),
     "q138_attribution" -> (lastTouchAttribution _),
@@ -1100,6 +1307,9 @@ object Events {
   )
 
   def oracles: Map[String, String] = Map(
+    "q152_nelson_aalen" -> nelsonAalenSql,
+    "q153_ewma_trend" -> ewmaTrendSql,
+    "q154_session_overlap" -> sessionOverlapSql,
     "q124_burst_detection" -> burstDetectionSql,
     "q136_time_weighted_avg" -> timeWeightedAvgSql,
     "q138_attribution" -> lastTouchAttributionSql,

@@ -434,4 +434,100 @@ class EventsSpec extends SparkSuite {
     // both marketing channels must appear for the test to mean anything
     assert(expected.keySet.intersect(Set("click", "view")).size === 2)
   }
+
+  test("q152 Nelson-Aalen: matches a driver-side survival replay") {
+    import spark.implicits._
+    val life = Tables.events(spark, Sf0001)
+      .select($"user_id", $"ts".cast("date").cast("string"))
+      .as[(Long, String)].collect()
+      .groupBy(_._1).map { case (_, rs) =>
+        val days = rs.map(r => java.time.LocalDate.parse(r._2))
+        java.time.temporal.ChronoUnit.DAYS.between(days.min, days.max).toInt
+      }.toSeq
+    val dBy = life.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ts = dBy.keys.toSeq.sorted
+    val got = operators.Events.nelsonAalen(spark, Sf0001).collect()
+    assert(got.map(_.getInt(0)).toSeq === ts)
+    var cum = BigDecimal(0)
+    got.foreach { r =>
+      val t = r.getInt(0)
+      val n = life.count(_ >= t).toLong
+      assert(r.getLong(1) === n, s"n_at_risk $r")
+      assert(r.getLong(2) === dBy(t), s"churned $r")
+      val h = (BigDecimal(dBy(t)) / BigDecimal(n))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      assert(r.getDouble(3) === h.toDouble, s"hazard $r")
+      cum += h
+      assert(r.getDouble(4) === cum.toDouble, s"cum_hazard $r")
+    }
+    // risk set is the whole population at t = min lifetime
+    assert(got.head.getLong(1) === life.size.toLong)
+  }
+
+  test("q153 EWMA trend: matches a driver-side weighted replay") {
+    import spark.implicits._
+    val hourly = Tables.events(spark, Sf0001)
+      .select($"event_type", $"ts_ns", $"value").as[(String, Long, Double)]
+      .collect()
+      .groupBy(t => (t._1, t._2 / 3600000000000L))
+      .view.mapValues(_.map(e => BigDecimal.valueOf(e._3)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).*(100).toLongExact).sum)
+      .toMap
+    val got = operators.Events.ewmaTrend(spark, Sf0001).collect()
+    assert(got.length === hourly.size)
+    got.foreach { r =>
+      val key = (r.getString(0), r.getLong(1))
+      assert(hourly.contains(key), r)
+      val (num, den) = (0 until 12).flatMap { i =>
+        hourly.get((key._1, key._2 - i)).map { v =>
+          val w = 1L << (11 - i)
+          (BigInt(v) * w, BigInt(w))
+        }
+      }.foldLeft((BigInt(0), BigInt(0))) { case ((n, d), (a, b)) => (n + a, d + b) }
+      val ewma = (BigDecimal(num) / BigDecimal(den * 100))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) === ewma, s"ewma $r")
+      // the current hour always dominates the window: EWMA sits within
+      // the window's value range by convexity
+      assert(r.getDouble(2) === (BigDecimal(hourly(key)) / 100)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble, r)
+    }
+  }
+
+  test("q154 session overlap: matches a driver-side interval replay") {
+    import spark.implicits._
+    val ev = Tables.events(spark, Sf0001)
+      .select($"user_id", $"event_type", $"event_id", $"ts_ns")
+      .as[(Long, String, Long, Long)].collect()
+    val gap = 30L * 60 * 1000 * 1000 * 1000
+    val sessions = ev.groupBy(e => (e._1, e._2)).toSeq.flatMap { case ((u, et), rs) =>
+      val sorted = rs.sortBy(e => (e._4, e._3))
+      val sess = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      sorted.foreach { e =>
+        if (sess.nonEmpty && e._4 - sess.last._2 <= gap)
+          sess(sess.length - 1) = (sess.last._1, e._4)
+        else sess += ((e._4, e._4))
+      }
+      sess.map { case (s, e) => (u, et, s, e + gap) }
+    }
+    val pairs = for {
+      a <- sessions; b <- sessions
+      if a._1 == b._1 && a._2 < b._2 && a._3 < b._4 && b._3 < a._4
+    } yield (a._2, b._2, a._1, (math.min(a._4, b._4) - math.max(a._3, b._3)) / 1000000000L)
+    val expected = pairs.groupBy(p => (p._1, p._2)).view.mapValues { ps =>
+      (ps.size.toLong, ps.map(_._3).distinct.size.toLong, ps.map(_._4).sum)
+    }.toMap
+    val got = operators.Events.sessionOverlap(spark, Sf0001).collect()
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSet === expected.keySet)
+    got.foreach { r =>
+      val e = expected((r.getString(0), r.getString(1)))
+      assert(r.getLong(2) === e._1, s"n_pairs $r")
+      assert(r.getLong(3) === e._2, s"n_users $r")
+      assert(r.getLong(4) === e._3, s"total_overlap_s $r")
+      val avg = (BigDecimal(e._3) / BigDecimal(e._1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(5) === avg, s"avg_overlap_s $r")
+    }
+    assert(got.nonEmpty, "no overlapping cross-type sessions — test degenerate")
+  }
 }
