@@ -131,9 +131,19 @@ object Clustering {
       java.nio.file.Paths.get(s"$path/_SUCCESS"))
     if (!complete) {
       graft.Scratch.deleteNow(path)
+      graft.Scratch.deleteNow(path + "_cents")
       graft.Scratch.deleteOnExit(path)
+      graft.Scratch.deleteOnExit(path + "_cents")
       val codes = codeVectors(spark, dir)
       val cents = lloyd(codes)
+      // final centroids land beside the assignments (bounded K x Dims
+      // longs) so consumers needing all-centroid distances (q155's
+      // silhouette) never re-run Lloyd; written BEFORE the assignment
+      // table whose _SUCCESS closes the artifact transaction
+      import spark.implicits._
+      cents.zipWithIndex.map { case (c, k) => (k, c.toSeq) }.toSeq
+        .toDF("cid", "cent")
+        .write.mode("overwrite").parquet(path + "_cents")
       val assigned =
         if (cents.isEmpty) // empty corpus: schema-correct empty frame
           codes.select(col("vec_id"), col("label"),
@@ -146,6 +156,87 @@ object Clustering {
     spark.read.schema("vec_id BIGINT, label INT, cid INT, d BIGINT")
       .parquet(path)
   }
+
+  /** Final Lloyd centroids of the [[kmeansAssignments]] artifact —
+    * bounded K×Dims longs, driver control flow for literal-plan
+    * consumers. Ensures the artifact exists first. */
+  private[graft] def kmeansCentroids(spark: SparkSession, dir: String): Array[Array[Long]] = {
+    kmeansAssignments(spark, dir).queryExecution // ensure artifact
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_kmeans_" +
+      s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}_cents"
+    spark.read.schema("cid INT, cent ARRAY<BIGINT>").parquet(path)
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Long](1).toArray)
+  }
+
+  /** Q155: SIMPLIFIED SILHOUETTE — the standard clustering-quality
+    * audit for q109's k-means, in the centroid-based (a.k.a.
+    * "simplified") form that stays exact: per vector, a = squared
+    * distance to its own centroid (the persisted assignment distance),
+    * b = min squared distance to any OTHER centroid, and
+    * s = (b − a)/max(a, b) ∈ [−1, 1] (s = 0 when both are zero). A
+    * negative s marks a vector closer to a foreign centroid than its
+    * own — the misassignment signal a curriculum/mixture consumer
+    * checks before trusting cluster labels.
+    *
+    * Exactness: all distances are exact BIGINTs on SQ8 codes (the
+    * q109 discipline); s is one dec6-rounded integer rational per
+    * vector — per-vector output on purpose, so no second rounding
+    * ever stacks on the first (the q151 layered-rounding trap).
+    *
+    * Scale shape: ONE scan of the code vectors joined to the
+    * persisted assignments; the K×Dims centroid matrix rides the plan
+    * as a broadcast literal and the K-distance array is bound once
+    * per row (transform-over-singleton, the q44/CollapseProject
+    * discipline). No shuffle beyond the artifact join and the output
+    * sort. Lloyd is NOT re-run — centroids come from the artifact. */
+  def silhouette(spark: SparkSession, dir: String): DataFrame = {
+    val cents = kmeansCentroids(spark, dir)
+    val asg = kmeansAssignments(spark, dir)
+      .select(col("vec_id"), col("cid"), col("d"))
+    if (cents.isEmpty)
+      return asg.select(col("vec_id"), col("cid").cast("bigint").as("cluster_id"),
+        col("d").as("a_dist"), col("d").as("b_dist"),
+        lit(0.0).as("silhouette")).limit(0)
+    val cl = centsLit(cents)
+    val dists = transform(sequence(lit(0), lit(cents.length - 1)), k =>
+      aggregate(zip_with(col("codes"), element_at(cl, k + 1),
+        (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+    val bMin = transform(array(dists), ds =>
+      array_min(filter(ds, (_, i) => i =!= col("cid")))).getItem(0)
+    codeVectors(spark, dir).select(col("vec_id"), col("codes"))
+      .join(asg, Seq("vec_id"))
+      .withColumn("b", bMin)
+      .select(col("vec_id"), col("cid").cast("bigint").as("cluster_id"),
+        col("d").as("a_dist"), col("b").as("b_dist"),
+        when(greatest(col("d"), col("b")) === 0, lit(0.0))
+          .otherwise(dec6((col("b") - col("d")).cast("decimal(19,0)")
+            / greatest(col("d"), col("b")).cast("decimal(19,0)")))
+          .as("silhouette"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Oracle: re-runs the full unrolled Lloyd chain, computes ALL
+    * vector×centroid distances against the final centroids, and takes
+    * the min over foreign clusters — an independent formulation of the
+    * same exact integers. */
+  val silhouetteSql: String =
+    s"""WITH $kmeansCtes,
+       |alld AS MATERIALIZED (
+       |  SELECT v.vec_id, c.cid,
+       |    SUM((v.codes[g.i+1] - c.cent[g.i+1]) * (v.codes[g.i+1] - c.cent[g.i+1])) AS d
+       |  FROM codes v, c$Iters c, generate_series(0, ${Dims - 1}) g(i)
+       |  GROUP BY v.vec_id, c.cid),
+       |sil AS (
+       |  SELECT f.vec_id, f.cid, f.d AS a,
+       |    MIN(CASE WHEN ad.cid <> f.cid THEN ad.d END) AS b
+       |  FROM asgF f JOIN alld ad ON f.vec_id = ad.vec_id
+       |  GROUP BY f.vec_id, f.cid, f.d)
+       |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id,
+       |  CAST(a AS BIGINT) AS a_dist, CAST(b AS BIGINT) AS b_dist,
+       |  CASE WHEN GREATEST(a, b) = 0 THEN 0.0
+       |       ELSE CAST(CAST(ROUND((b - a) / GREATEST(a, b), 6) AS DECIMAL(38,6)) AS DOUBLE)
+       |  END AS silhouette
+       |FROM sil ORDER BY vec_id""".stripMargin
 
   /** Q109: k-means cluster accounting — per cluster: member count,
     * exact integer inertia (sum of squared distances to the assigned
@@ -405,6 +496,7 @@ object Clustering {
     "q110_semantic_dedup" -> (semanticDedup _),
     "q113_prototype_sample" -> (prototypeSample _),
     "q117_cluster_outliers" -> (clusterOutliers _),
+    "q155_silhouette" -> (silhouette _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -412,5 +504,6 @@ object Clustering {
     "q110_semantic_dedup" -> semanticDedupSql,
     "q113_prototype_sample" -> prototypeSampleSql,
     "q117_cluster_outliers" -> clusterOutliersSql,
+    "q155_silhouette" -> silhouetteSql,
   )
 }

@@ -12,6 +12,9 @@ import graft.Tables
   */
 object Quality {
 
+  private val stopwordSqlList =
+    graft.functions.TextFunctions.EnglishStopwords.map(s => s"'$s'").mkString(", ")
+
   /** Q79: constraint suite — each rule is (name, n_checked,
     * n_violations), evaluated in one scan per source table plus one
     * key join for referential integrity; results union into the
@@ -481,6 +484,138 @@ object Quality {
       |    AS abs_gap
       |FROM m ORDER BY digit""".stripMargin
 
+  /** Q156: RELIABILITY / CALIBRATION TABLE — the eval-side audit for
+    * any [0,1]-scored classifier: bucket rows by predicted score, and
+    * per fixed-width score bin report the observed positive rate next
+    * to the mean score. The audited scorer here is the stopword-share
+    * "looks English" heuristic against the lang label — which on the
+    * synthetic corpus is KNOWN-miscalibrated (every lang draws from
+    * the same English-ish vocabulary, so the share carries no language
+    * signal), and the table's job is precisely to expose that: the
+    * per-bin gap |1000·pos − Σscore| / (1000·n) is the bin's ECE
+    * contribution, exact as one integer rational (never a difference
+    * of two rounded rates — the q151 layered-rounding discipline), and
+    * the spec asserts the audit actually flags the bad scorer.
+    *
+    * Fixed-width bins (10 × 100 permille) instead of score deciles on
+    * purpose: deciles need a global rank (the q91 machinery) and tie
+    * handling; calibration literature bins by score value, which is a
+    * pure map. Scale shape: one row-scale map-side-combined count into
+    * a ≤10-row frame. */
+  def calibrationTable(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    import graft.functions.Parity._
+    val scored = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select((col("lang") === "en").as("pos"),
+        (stopwordCount(col("text")) * 1000).as("sw1000"),
+        tokenCount(col("text")).as("tc"))
+      .withColumn("score", expr("sw1000 div tc"))
+      .withColumn("bin", least(expr("score div 100"), lit(9L)))
+    scored.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_en"),
+        sum(col("score")).as("s"))
+      .select(col("bin").cast("int").as("score_bin"),
+        col("n_docs").cast("bigint").as("n_docs"),
+        col("n_en").cast("bigint").as("n_en"),
+        dec6(col("s").cast("decimal(19,0)")
+          / (col("n_docs").cast("decimal(19,0)") * 1000)).as("mean_score"),
+        dec6(col("n_en").cast("decimal(19,0)")
+          / col("n_docs").cast("decimal(19,0)")).as("en_rate"),
+        dec6(abs(col("n_en").cast("decimal(19,0)") * 1000
+            - col("s").cast("decimal(19,0)"))
+          / (col("n_docs").cast("decimal(19,0)") * 1000)).as("gap"))
+      .orderBy(col("score_bin"))
+  }
+
+  val calibrationTableSql: String =
+    s"""WITH scored AS (
+       |  SELECT lang = 'en' AS pos,
+       |    len(list_filter(string_split(text, ' '), t -> t IN ($stopwordSqlList)))
+       |      * 1000 // len(string_split(text, ' ')) AS score
+       |  FROM documents WHERE text IS NOT NULL),
+       |b AS (SELECT LEAST(score // 100, 9) AS bin, pos, score FROM scored)
+       |SELECT CAST(bin AS INT) AS score_bin, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       |  CAST(CAST(ROUND(SUM(score) / (COUNT(*) * 1000), 6) AS DECIMAL(38,6)) AS DOUBLE)
+       |    AS mean_score,
+       |  CAST(CAST(ROUND(SUM(CASE WHEN pos THEN 1 ELSE 0 END) / COUNT(*), 6)
+       |    AS DECIMAL(38,6)) AS DOUBLE) AS en_rate,
+       |  CAST(CAST(ROUND(ABS(SUM(CASE WHEN pos THEN 1 ELSE 0 END) * 1000 - SUM(score))
+       |    / (COUNT(*) * 1000), 6) AS DECIMAL(38,6)) AS DOUBLE) AS gap
+       |FROM b GROUP BY bin ORDER BY score_bin""".stripMargin
+
+  /** Q157: COHEN'S KAPPA — chance-corrected agreement between two
+    * independent raters, the standard metric before trusting any
+    * rule ensemble or annotator pool. Raters here are two en-detector
+    * heuristics over different evidence: A = at least 2 function-word
+    * hits; B = the document contains 'the' or 'is' as a token. Kappa
+    * is computed as the single cross-multiplied integer rational
+    * (N·agree − Σ marginal products) / (N² − Σ marginal products) —
+    * po and pe are reported dec6 but NEVER subtracted post-rounding.
+    *
+    * Scale shape: one map-side-combined conditional-count scan into a
+    * 1-row frame; the kappa arithmetic moves 6 integers. */
+  def cohensKappa(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    import graft.functions.Parity._
+    val rated = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select((stopwordCount(col("text")) >= 2).as("a"),
+        arrays_overlap(tokens(col("text")), array(lit("the"), lit("is")))
+          .as("b"))
+    def d19(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    rated.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+      .withColumn("pe_num",
+        d19(col("n11") + col("n10")) * d19(col("n11") + col("n01"))
+          + d19(col("n00") + col("n10")) * d19(col("n00") + col("n01")))
+      .select(col("n").cast("bigint").as("n_docs"),
+        col("n11").cast("bigint").as("n11"),
+        col("n10").cast("bigint").as("n10"),
+        col("n01").cast("bigint").as("n01"),
+        col("n00").cast("bigint").as("n00"),
+        dec6(d19(col("n11") + col("n00")) / d19(col("n"))).as("po"),
+        dec6(col("pe_num") / (d19(col("n")) * d19(col("n")))).as("pe"),
+        // kappa is 0 by convention when chance agreement is total
+        // (constant raters: pe = 1 makes the ratio 0/0)
+        when(d19(col("n")) * d19(col("n")) === col("pe_num"), lit(0.0))
+          .otherwise(
+            dec6((d19(col("n")) * d19(col("n11") + col("n00")) - col("pe_num"))
+              / (d19(col("n")) * d19(col("n")) - col("pe_num"))))
+          .as("kappa"))
+  }
+
+  val cohensKappaSql: String =
+    s"""WITH rated AS (
+       |  SELECT
+       |    len(list_filter(string_split(text, ' '), t -> t IN ($stopwordSqlList))) >= 2 AS a,
+       |    len(list_filter(string_split(text, ' '), t -> t IN ('the', 'is'))) >= 1 AS b
+       |  FROM documents WHERE text IS NOT NULL),
+       |c AS (SELECT COUNT(*) AS n,
+       |        SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS n11,
+       |        SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS n10,
+       |        SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS n01,
+       |        SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS n00
+       |      FROM rated),
+       |k AS (SELECT *, (n11 + n10) * (n11 + n01) + (n00 + n10) * (n00 + n01) AS pe_num
+       |      FROM c)
+       |SELECT CAST(n AS BIGINT) AS n_docs, CAST(n11 AS BIGINT) AS n11,
+       |  CAST(n10 AS BIGINT) AS n10, CAST(n01 AS BIGINT) AS n01,
+       |  CAST(n00 AS BIGINT) AS n00,
+       |  CAST(CAST(ROUND((n11 + n00) / n, 6) AS DECIMAL(38,6)) AS DOUBLE) AS po,
+       |  CAST(CAST(ROUND(pe_num / (n * n), 6) AS DECIMAL(38,6)) AS DOUBLE) AS pe,
+       |  CASE WHEN n * n = pe_num THEN 0.0
+       |       ELSE CAST(CAST(ROUND((n * (n11 + n00) - pe_num) / (n * n - pe_num), 6)
+       |         AS DECIMAL(38,6)) AS DOUBLE)
+       |  END AS kappa
+       |FROM k""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q79_constraint_suite" -> (constraintSuite _),
     "q80_snapshot_diff" -> (snapshotDiff _),
@@ -489,6 +624,8 @@ object Quality {
     "q146_chi_square" -> (chiSquareAudit _),
     "q147_mad_outliers" -> (madOutliers _),
     "q148_benford_audit" -> (benfordAudit _),
+    "q156_calibration_table" -> (calibrationTable _),
+    "q157_cohens_kappa" -> (cohensKappa _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -499,5 +636,7 @@ object Quality {
     "q146_chi_square" -> chiSquareAuditSql,
     "q147_mad_outliers" -> madOutliersSql,
     "q148_benford_audit" -> benfordAuditSql,
+    "q156_calibration_table" -> calibrationTableSql,
+    "q157_cohens_kappa" -> cohensKappaSql,
   )
 }

@@ -138,4 +138,33 @@ class ClusteringSpec extends SparkSuite {
     val b = Clustering.kmeansClusters(spark, Sf0001).collect().toSeq
     assert(a === b)
   }
+
+  test("q155 silhouette: matches a driver-side all-centroid replay") {
+    import spark.implicits._
+    val cents = Clustering.kmeansCentroids(spark, Sf0001)
+    assert(cents.nonEmpty)
+    val codes = Clustering.codeVectors(spark, Sf0001)
+      .select($"vec_id", $"codes").as[(Long, Seq[Long])].collect().toMap
+    val got = Clustering.silhouette(spark, Sf0001).collect()
+    assert(got.length === codes.size)
+    got.foreach { r =>
+      val cs = codes(r.getLong(0))
+      val dists = cents.map(c =>
+        cs.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum)
+      val cid = r.getLong(1).toInt
+      val a = dists(cid)
+      val b = dists.zipWithIndex.filter(_._2 != cid).map(_._1).min
+      // assignment is argmin: a is the global min (first-min tiebreak)
+      assert(a === dists.min, r)
+      assert(r.getLong(2) === a, s"a_dist $r")
+      assert(r.getLong(3) === b, s"b_dist $r")
+      val s = if (math.max(a, b) == 0) 0.0
+        else (BigDecimal(b - a) / BigDecimal(math.max(a, b)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(4) === s, s"silhouette $r")
+      // a is the assigned (minimal) distance, so s is never negative
+      // under argmin assignment — and bounded by 1
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0, r)
+    }
+  }
 }

@@ -194,6 +194,67 @@ class QualitySpec extends SparkSuite {
     }
   }
 
+  test("q156 calibration table: bins partition the corpus, gaps exact") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf0001)
+      .select($"lang", $"text").as[(String, String)].collect()
+      .filter(_._2 != null)
+    val stop = graft.functions.TextFunctions.EnglishStopwords.toSet
+    val scored = docs.map { case (lang, text) =>
+      val toks = text.split(" ", -1)
+      val score = toks.count(stop) * 1000L / toks.length
+      (lang == "en", score, math.min(score / 100, 9L))
+    }
+    val got = Q.calibrationTable(spark, Sf0001).collect()
+    assert(got.map(_.getLong(1)).sum === docs.length.toLong)
+    got.foreach { r =>
+      val bin = scored.filter(_._3 == r.getInt(0).toLong)
+      assert(r.getLong(1) === bin.length.toLong, s"n_docs $r")
+      assert(r.getLong(2) === bin.count(_._1).toLong, s"n_en $r")
+      val gap = (BigDecimal((BigInt(bin.count(_._1)) * 1000
+        - BigInt(bin.map(_._2).sum)).abs)
+        / BigDecimal(bin.length * 1000L))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(5) === gap, s"gap $r")
+    }
+    // the audit's JOB on this corpus is to flag the scorer as
+    // miscalibrated (stopword share carries no language signal in the
+    // synthetic data): expected calibration error is far from zero
+    val n = got.map(_.getLong(1)).sum
+    val ece = got.map(r => r.getLong(1) * r.getDouble(5)).sum / n
+    assert(ece > 0.05, s"audit failed to flag the known-bad scorer: ece=$ece")
+  }
+
+  test("q157 Cohen's kappa: matches a driver-side contingency replay") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf0001)
+      .select($"text").as[String].collect().filter(_ != null)
+    val stop = graft.functions.TextFunctions.EnglishStopwords.toSet
+    val rated = docs.map { text =>
+      val toks = text.split(" ", -1)
+      (toks.count(stop) >= 2, toks.exists(t => t == "the" || t == "is"))
+    }
+    val (n11, n10, n01, n00) = (
+      rated.count(r => r._1 && r._2).toLong,
+      rated.count(r => r._1 && !r._2).toLong,
+      rated.count(r => !r._1 && r._2).toLong,
+      rated.count(r => !r._1 && !r._2).toLong)
+    val n = rated.length.toLong
+    val got = Q.cohensKappa(spark, Sf0001).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      === ((n11, n10, n01, n00)))
+    val peNum = BigInt(n11 + n10) * BigInt(n11 + n01) +
+      BigInt(n00 + n10) * BigInt(n00 + n01)
+    val kappa = (BigDecimal(BigInt(n) * BigInt(n11 + n00) - peNum)
+      / BigDecimal(BigInt(n) * BigInt(n) - peNum))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(7) === kappa, s"kappa $r")
+    // the two en-detectors agree far beyond chance on this corpus
+    assert(r.getDouble(7) > 0.3, s"kappa degenerate: $r")
+  }
+
   test("q143 k-anonymity: generalization only retires risk") {
     val rows = Q.kAnonymity(spark, Sf0001).collect()
     assert(rows.length === 2)
