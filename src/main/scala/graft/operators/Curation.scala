@@ -2022,7 +2022,99 @@ object Curation {
       |  CAST((2 * n6 + n) // (2 * n) AS DOUBLE) / 1000000 AS importance
       |FROM sc ORDER BY doc_id""".stripMargin
 
+  /** Q160: WATER-FILLING MIXTURE ALLOCATION — the budgeted equal-share
+    * mixture solver between q93 (fixed target proportions) and q131
+    * (proportional quotas): given a token budget B (half the corpus),
+    * give every source an EQUAL share, except sources with less
+    * availability than their share contribute everything they have and
+    * their unused share redistributes — the classic water-filling
+    * solution to max-min fair allocation.
+    *
+    * Closed form, NOT an iterative loop: sort sources ascending by
+    * (availability, source); a source is capped iff
+    * avail·m ≤ B − cum_prev (m = sources from it onward, all exact
+    * integers, cross-multiplied — and once false it stays false, so
+    * cappedness is a prefix of the sorted order). Uncapped sources
+    * split the residual R equally: base = R div m_K with the first
+    * R mod m_K of them taking +1 (largest-remainder, q131's
+    * convention). Σ allocated = B exactly — asserted in CurationSpec.
+    *
+    * Scale shape: ONE row-scale token-count aggregation into the
+    * ≤|sources| frame; every window after moves only that bounded
+    * frame (single-task by design, the q146 argument). */
+  def waterfillMixture(spark: SparkSession, dir: String): DataFrame = {
+    val avail = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .groupBy(col("source"))
+      .agg(sum(tokenCount(col("text"))).cast("long").as("avail"))
+    val ord = Window.orderBy(col("avail"), col("source"))
+    val all = Window.partitionBy()
+    val cumW = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val f = avail
+      .withColumn("i", row_number().over(ord))
+      .withColumn("s_cnt", count(lit(1)).over(all))
+      .withColumn("total", sum(col("avail")).over(all))
+      .withColumn("b", expr("total div 2"))
+      .withColumn("cum_prev",
+        coalesce(sum(col("avail")).over(cumW), lit(0L)))
+      .withColumn("m", col("s_cnt") - col("i") + 1)
+      .withColumn("capped",
+        col("avail") * col("m") <= col("b") - col("cum_prev"))
+    val g = f
+      .withColumn("cum_k",
+        coalesce(sum(when(col("capped"), col("avail"))).over(all), lit(0L)))
+      .withColumn("m_k",
+        sum(when(!col("capped"), 1L).otherwise(0L)).over(all))
+      .withColumn("r", col("b") - col("cum_k"))
+      .withColumn("urank",
+        sum(when(!col("capped"), 1L).otherwise(0L))
+          .over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("allocated",
+        when(col("capped"), col("avail"))
+          .otherwise(expr("r div m_k")
+            + when(col("urank") <= expr("r % m_k"), 1L).otherwise(0L)))
+    g.select(col("source"), col("avail"),
+        col("allocated").cast("bigint").as("allocated"),
+        col("capped"),
+        dec6(col("allocated").cast("decimal(19,0)")
+          / col("avail").cast("decimal(19,0)")).as("fill_ratio"))
+      .orderBy(col("source"))
+  }
+
+  val waterfillMixtureSql: String =
+    """WITH avail AS (
+      |  SELECT source, SUM(len(string_split(text, ' '))) AS avail
+      |  FROM documents WHERE text IS NOT NULL GROUP BY 1),
+      |f AS (SELECT source, avail,
+      |        ROW_NUMBER() OVER (ORDER BY avail, source) AS i,
+      |        COUNT(*) OVER () AS s_cnt,
+      |        SUM(avail) OVER () // 2 AS b,
+      |        COALESCE(SUM(avail) OVER (ORDER BY avail, source
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+      |      FROM avail),
+      |c AS (SELECT *, s_cnt - i + 1 AS m,
+      |        avail * (s_cnt - i + 1) <= b - cum_prev AS capped
+      |      FROM f),
+      |g AS (SELECT *,
+      |        COALESCE(SUM(CASE WHEN capped THEN avail END) OVER (), 0) AS cum_k,
+      |        SUM(CASE WHEN capped THEN 0 ELSE 1 END) OVER () AS m_k,
+      |        SUM(CASE WHEN capped THEN 0 ELSE 1 END) OVER (ORDER BY avail, source
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS urank
+      |      FROM c)
+      |SELECT source, CAST(avail AS BIGINT) AS avail,
+      |  CAST(CASE WHEN capped THEN avail
+      |            ELSE (b - cum_k) // m_k
+      |              + CASE WHEN urank <= (b - cum_k) % m_k THEN 1 ELSE 0 END
+      |       END AS BIGINT) AS allocated,
+      |  capped,
+      |  CAST(CAST(ROUND(CASE WHEN capped THEN avail
+      |            ELSE (b - cum_k) // m_k
+      |              + CASE WHEN urank <= (b - cum_k) % m_k THEN 1 ELSE 0 END
+      |       END / avail, 6) AS DECIMAL(38,6)) AS DOUBLE) AS fill_ratio
+      |FROM g ORDER BY source""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q160_waterfill_mixture" -> (waterfillMixture _),
     "q149_rag_chunking" -> (ragChunking _),
     "q151_importance_weights" -> (importanceWeights _),
     "q119_overlap_minhash" -> (sourceOverlapMinHash _),
@@ -2054,6 +2146,7 @@ object Curation {
   )
 
   def oracles: Map[String, String] = Map(
+    "q160_waterfill_mixture" -> waterfillMixtureSql,
     "q149_rag_chunking" -> ragChunkingSql,
     "q151_importance_weights" -> importanceWeightsSql,
     "q119_overlap_minhash" -> sourceOverlapMinHashSql,

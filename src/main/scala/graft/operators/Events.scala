@@ -1277,7 +1277,74 @@ object Events {
       |    AS avg_overlap_s
       |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Q159: CONVERSION LATENCY QUANTILES — the funnel-timing companion
+    * to q138's attribution: for every purchase with an attributable
+    * click (latest click by the same user within the 1-hour lookback,
+    * q138's rule), the click→purchase latency in whole seconds, and
+    * the conversion-latency distribution: count, exact p50/p90 by
+    * pinned integer-rank convention, and mean.
+    *
+    * Scale shape: attribution is one per-user window (running
+    * last-click max with the ROWS …1 PRECEDING self-exclusion guard —
+    * never a click×purchase join); p50/p90 come from the shared
+    * [[TwoPass.groupRankLookup]] kernel (single group — no global
+    * sort); the summary agg is one map-side-combined pass over the
+    * conversions frame. */
+  def conversionLatency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lookbackNs = 3600L * 1000 * 1000 * 1000
+    def lat = Tables.events(spark, dir)
+      .filter(col("event_type").isInCollection(Seq("click", "purchase")))
+      .withColumn("last_click_ns",
+        max(when(col("event_type") === "click", col("ts_ns"))).over(w))
+      .filter(col("event_type") === "purchase"
+        && col("last_click_ns").isNotNull
+        && col("ts_ns") - col("last_click_ns") <= lookbackNs)
+      .select(expr("(ts_ns - last_click_ns) div 1000000000").as("lat_s"))
+    val lookup = TwoPass.groupRankLookup(spark,
+      lat.select(lit("all").as("k"), col("lat_s").as("c")),
+      n => Seq((n + 1) / 2, (9 * n + 9) / 10))
+    // a slice with zero conversions degrades to the oracle's NULL row,
+    // never a crash (latent-but-load-bearing hardening discipline)
+    val gr = lookup.getOrElse("all", TwoPass.GroupRanks(0L, Map.empty))
+    def rankLit(r: Long) =
+      gr.at.get(r).map(lit(_)).getOrElse(lit(null)).cast("bigint")
+    lat.agg(count(lit(1)).cast("bigint").as("n_conversions"),
+        sum(col("lat_s")).cast("decimal(19,0)").as("s"))
+      .select(col("n_conversions"),
+        rankLit((gr.n + 1) / 2).as("p50_s"),
+        rankLit((9 * gr.n + 9) / 10).as("p90_s"),
+        when(col("n_conversions") === 0, lit(null).cast("double"))
+          .otherwise(dec6(col("s") / col("n_conversions").cast("decimal(19,0)")))
+          .as("mean_s"))
+  }
+
+  val conversionLatencySql: String =
+    """WITH f AS (
+      |  SELECT user_id, event_type, event_id, epoch_ns(ts) AS ns
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |att AS (SELECT event_type, ns,
+      |          MAX(CASE WHEN event_type = 'click' THEN ns END) OVER (
+      |            PARTITION BY user_id ORDER BY ns, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lc
+      |        FROM f),
+      |conv AS (SELECT (ns - lc) // 1000000000 AS lat_s FROM att
+      |         WHERE event_type = 'purchase' AND lc IS NOT NULL
+      |           AND ns - lc <= 3600000000000),
+      |r AS (SELECT lat_s, ROW_NUMBER() OVER (ORDER BY lat_s) AS rn,
+      |        COUNT(*) OVER () AS n
+      |      FROM conv)
+      |SELECT CAST(MAX(n) AS BIGINT) AS n_conversions,
+      |  CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN lat_s END) AS BIGINT) AS p50_s,
+      |  CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN lat_s END) AS BIGINT) AS p90_s,
+      |  CAST(CAST(ROUND(SUM(lat_s) / MAX(n), 6) AS DECIMAL(38,6)) AS DOUBLE) AS mean_s
+      |FROM r""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q159_conversion_latency" -> (conversionLatency _),
     "q152_nelson_aalen" -> (nelsonAalen _),
     "q153_ewma_trend" -> (ewmaTrend _),
     "q154_session_overlap" -> (sessionOverlap _),
@@ -1307,6 +1374,7 @@ object Events {
   )
 
   def oracles: Map[String, String] = Map(
+    "q159_conversion_latency" -> conversionLatencySql,
     "q152_nelson_aalen" -> nelsonAalenSql,
     "q153_ewma_trend" -> ewmaTrendSql,
     "q154_session_overlap" -> sessionOverlapSql,

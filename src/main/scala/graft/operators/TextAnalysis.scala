@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -469,7 +469,88 @@ object TextAnalysis {
       |    AS low_diversity
       |FROM g ORDER BY doc_id""".stripMargin
 
+  /** Q158: HEAPS-LAW VOCABULARY GROWTH — the tokenizer-sizing curve:
+    * as the corpus grows (docs in doc_id ingestion order), how fast
+    * does the distinct-token vocabulary grow? Reported at corpus
+    * deciles: docs seen, cumulative token instances, vocabulary size,
+    * and the type-token ratio — the curve's flattening is what decides
+    * vocab size and whether more data still buys new tokens.
+    *
+    * Exactness: checkpoints are pinned integer ranks ceil(k·N/10);
+    * counts are integers; TTR is one dec6 division.
+    *
+    * Scale shape: decile doc_id thresholds come from the shared
+    * [[TwoPass.groupRankLookup]] kernel (single group — never a global
+    * sort); vocabulary growth is per-token FIRST OCCURRENCE (one
+    * map-side-combined min per token — the vocab-scale frame), then
+    * ten conditional sums in ONE aggregation pass each over the
+    * first-occurrence and doc-length frames (never a theta-join of
+    * tokens × thresholds); the two 1-row results stack to deciles and
+    * equi-join on k. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), tokenCount(col("text")).as("nt"))
+    val lookup = TwoPass.groupRankLookup(spark,
+      docs.select(lit("all").as("k"), col("doc_id").as("c")),
+      n => (1 to 10).map(k => (k * n + 9) / 10))
+    val gr = lookup("all")
+    val th = (1 to 10).map { k =>
+      val rk = (k * gr.n + 9) / 10
+      (k, rk, gr.at(rk))
+    }
+    val thDf = th.toDF("k", "n_docs", "th")
+    val firstOcc = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("fd"))
+    def stacked(src: DataFrame, value: Column, pred: Long => Column,
+        out: String): DataFrame = {
+      val aggs = th.map { case (k, _, t) => sum(when(pred(t), value)
+        .otherwise(0L)).as(s"c$k") }
+      val cells = th.map { case (k, _, _) => s"$k, c$k" }.mkString(", ")
+      src.agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(10, $cells) as (k, $out)"))
+    }
+    val vocab = stacked(firstOcc, lit(1L), t => col("fd") <= t, "vocab")
+    val cum = stacked(docs, col("nt"), t => col("doc_id") <= t, "cum_tokens")
+    thDf.join(vocab, Seq("k")).join(cum, Seq("k"))
+      .select(col("k").cast("int").as("decile"),
+        col("n_docs").cast("bigint").as("n_docs"),
+        col("cum_tokens").cast("bigint").as("cum_tokens"),
+        col("vocab").cast("bigint").as("vocab"),
+        dec6(col("vocab").cast("decimal(19,0)")
+          / col("cum_tokens").cast("decimal(19,0)")).as("type_token_ratio"))
+      .orderBy(col("decile"))
+  }
+
+  val vocabGrowthSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS nt
+      |  FROM documents WHERE text IS NOT NULL),
+      |rk AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn,
+      |         COUNT(*) OVER () AS n
+      |       FROM docs),
+      |th AS (SELECT g.k, MAX((g.k * r.n + 9) // 10) AS n_docs,
+      |         MAX(CASE WHEN r.rn = (g.k * r.n + 9) // 10 THEN r.doc_id END) AS th
+      |       FROM rk r, generate_series(1, 10) g(k) GROUP BY g.k),
+      |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |         FROM documents WHERE text IS NOT NULL),
+      |fo AS (SELECT tok, MIN(doc_id) AS fd FROM toks GROUP BY 1),
+      |v AS (SELECT th.k, COUNT(*) AS vocab
+      |      FROM th JOIN fo ON fo.fd <= th.th GROUP BY th.k),
+      |ct AS (SELECT th.k, MAX(th.n_docs) AS n_docs, SUM(d.nt) AS cum_tokens
+      |       FROM th JOIN docs d ON d.doc_id <= th.th GROUP BY th.k)
+      |SELECT CAST(v.k AS INT) AS decile, CAST(ct.n_docs AS BIGINT) AS n_docs,
+      |  CAST(ct.cum_tokens AS BIGINT) AS cum_tokens,
+      |  CAST(v.vocab AS BIGINT) AS vocab,
+      |  CAST(CAST(ROUND(v.vocab / ct.cum_tokens, 6) AS DECIMAL(38,6)) AS DOUBLE)
+      |    AS type_token_ratio
+      |FROM v JOIN ct ON v.k = ct.k ORDER BY decile""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q158_vocab_growth" -> (vocabGrowth _),
     "q150_lexical_diversity" -> (lexicalDiversity _),
     "q100_bpe_merge_learning" -> (bpeMergeLearning _),
     "q102_apply_tokenizer" -> (applyTokenizer _),
@@ -485,6 +566,7 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "q158_vocab_growth" -> vocabGrowthSql,
     "q150_lexical_diversity" -> lexicalDiversitySql,
     "q102_apply_tokenizer" -> applyTokenizerSql,
     "q24_text_stats" -> textStatsSql,

@@ -838,4 +838,52 @@ class CurationSpec extends SparkSuite {
     // the weighting separates the slices: target docs score higher on average
     assert(enScores.sum / enScores.size > otherScores.sum / otherScores.size)
   }
+
+  test("q160 waterfill: budget exactly spent, max-min fair, matches replay") {
+    import spark.implicits._
+    val avail = Tables.documents(spark, Sf0001)
+      .filter($"text".isNotNull)
+      .select($"source", $"text").as[(String, String)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2.split(" ", -1).length.toLong).sum).toMap
+    val total = avail.values.sum
+    val b = total / 2
+    // driver-side water-filling replay (iterative reference algorithm —
+    // an INDEPENDENT formulation of the closed form)
+    var uncapped = avail.keySet
+    var alloc = Map.empty[String, Long]
+    var budget = b
+    var changed = true
+    while (changed) {
+      changed = false
+      val share = if (uncapped.isEmpty) 0L else budget / uncapped.size
+      uncapped.toSeq.sortBy(s => (avail(s), s)).foreach { s =>
+        if (avail(s) <= share && uncapped(s)) {
+          alloc += s -> avail(s); budget -= avail(s)
+          uncapped -= s; changed = true
+        }
+      }
+    }
+    val sorted = uncapped.toSeq.sortBy(s => (avail(s), s))
+    val base = if (sorted.isEmpty) 0L else budget / sorted.size
+    val rem = if (sorted.isEmpty) 0L else budget % sorted.size
+    sorted.zipWithIndex.foreach { case (s, i) =>
+      alloc += s -> (base + (if (i < rem) 1L else 0L))
+    }
+    val got = Curation.waterfillMixture(spark, Sf0001).collect()
+    assert(got.map(_.getString(0)).toSet === avail.keySet)
+    assert(got.map(_.getLong(2)).sum === b, "budget not exactly spent")
+    got.foreach { r =>
+      assert(r.getLong(1) === avail(r.getString(0)), s"avail $r")
+      assert(r.getLong(2) === alloc(r.getString(0)), s"allocated $r")
+      assert(r.getLong(2) <= r.getLong(1), s"over-allocated $r")
+    }
+    // max-min fairness: every capped source is fully taken, and no
+    // capped source has more availability than any uncapped allocation
+    val capped = got.filter(_.getBoolean(3))
+    val uncappedAlloc = got.filter(!_.getBoolean(3)).map(_.getLong(2))
+    capped.foreach(r => assert(r.getLong(2) === r.getLong(1), r))
+    if (uncappedAlloc.nonEmpty)
+      capped.foreach(r => assert(r.getLong(1) <= uncappedAlloc.max + 1, r))
+  }
 }

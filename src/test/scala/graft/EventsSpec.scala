@@ -530,4 +530,32 @@ class EventsSpec extends SparkSuite {
     }
     assert(got.nonEmpty, "no overlapping cross-type sessions — test degenerate")
   }
+
+  test("q159 conversion latency: matches a driver-side attribution replay") {
+    import spark.implicits._
+    val ev = Tables.events(spark, Sf0001)
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"user_id", $"event_type", $"event_id", $"ts_ns")
+      .as[(Long, String, Long, Long)].collect()
+    val lats = ev.groupBy(_._1).values.flatMap { rs =>
+      val sorted = rs.sortBy(e => (e._4, e._3))
+      sorted.zipWithIndex.collect {
+        case ((_, "purchase", _, ts), i)
+            if sorted.take(i).exists(_._2 == "click") =>
+          val lc = sorted.take(i).filter(_._2 == "click").map(_._4).max
+          ts - lc
+      }.filter(_ <= 3600L * 1000 * 1000 * 1000).map(_ / 1000000000L)
+    }.toSeq.sorted
+    val got = operators.Events.conversionLatency(spark, Sf0001).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getLong(0) === lats.length.toLong, s"n $r")
+    assert(lats.nonEmpty, "no conversions at sf0.001 — test degenerate")
+    assert(r.getLong(1) === lats(((lats.length + 1) / 2 - 1)), s"p50 $r")
+    assert(r.getLong(2) === lats(((9 * lats.length + 9) / 10 - 1)), s"p90 $r")
+    val mean = (BigDecimal(lats.sum) / BigDecimal(lats.length))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(3) === mean, s"mean $r")
+    assert(r.getLong(1) <= r.getLong(2), "p50 > p90")
+  }
 }

@@ -205,4 +205,28 @@ class TextAnalysisSpec extends SparkSuite {
     // natural text at these lengths is diverse: most docs pass the cut
     assert(got.count(!_.getBoolean(4)) > got.length / 2)
   }
+
+  test("q158 vocab growth: matches a driver-side prefix replay") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .filter(_._2 != null).sortBy(_._1)
+    val n = docs.length.toLong
+    val got = operators.TextAnalysis.vocabGrowth(spark, Sf0001).collect()
+    assert(got.map(_.getInt(0)).toSeq === (1 to 10))
+    got.foreach { r =>
+      val k = r.getInt(0)
+      val nd = ((k * n + 9) / 10).toInt
+      val prefix = docs.take(nd)
+      val toks = prefix.flatMap(_._2.split(" ", -1))
+      assert(r.getLong(1) === nd.toLong, s"n_docs $r")
+      assert(r.getLong(2) === toks.length.toLong, s"cum_tokens $r")
+      assert(r.getLong(3) === toks.distinct.length.toLong, s"vocab $r")
+    }
+    // growth curves are monotone and sublinear at the tail: the last
+    // decile adds fewer new types than the first
+    val vocabs = got.map(_.getLong(3))
+    assert(vocabs.zip(vocabs.tail).forall { case (a, b) => b >= a })
+    assert(vocabs(9) - vocabs(8) < vocabs(0))
+  }
 }
