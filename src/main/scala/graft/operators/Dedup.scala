@@ -547,7 +547,79 @@ object Dedup {
       |FROM pairs WHERE edit_dist BETWEEN 1 AND 3
       |ORDER BY name_a, name_b""".stripMargin
 
+  /** Q162: GOLDEN-RECORD RESOLUTION — q139's consumer, completing the
+    * entity-resolution pipeline the way q63→q64 completes near-dup:
+    * fuzzy-linked name pairs collapse into entities via the SAME star
+    * contraction (it is type-generic — greatest/least/min work
+    * lexicographically, so components run directly on name strings,
+    * no name→id mapping pass), and each multi-name entity elects one
+    * golden record: the most frequent variant, smallest name as the
+    * tiebreak (integer-exact keeper choice, the q64 argument).
+    * Singleton names are implicitly golden and not listed (the q63
+    * convention).
+    *
+    * Scale shape: pair generation is q139's vocabulary-scale blocked
+    * join; contraction is O(log n) rounds on the name-pair graph;
+    * election is one per-entity top-1 window. Nothing row-scale moves
+    * after the initial name-frequency aggregation. */
+  def goldenRecords(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir)
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("block", element_at(split(col("name"), " "), -1))
+    val a = names.select(col("block"), col("name").as("name_a"), col("freq").as("freq_a"))
+    val b = names.select(col("block"), col("name").as("name_b"), col("freq").as("freq_b"))
+    val pairs = a.join(b, Seq("block"))
+      .filter(col("name_a") < col("name_b"))
+      .filter(levenshtein(col("name_a"), col("name_b")).between(1, 3))
+      .select(col("name_a").as("doc_a"), col("name_b").as("doc_b"))
+    val labels = connectedComponents(pairs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lbl")).orderBy(col("freq").desc, col("node"))
+    labels.join(names.withColumnRenamed("name", "node"), Seq("node"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("lbl"))
+      .agg(max(when(col("rk") === 1, col("node"))).as("golden_name"),
+        count(lit(1)).cast("bigint").as("n_variants"),
+        sum(col("freq")).cast("bigint").as("n_rows"))
+      .select(col("lbl").as("entity"), col("golden_name"),
+        col("n_variants"), col("n_rows"))
+      .orderBy(col("entity"))
+  }
+
+  /** Oracle: q139's pair SQL + WITH RECURSIVE reachability (the q63
+    * independent-formulation cross-check) + the same election. */
+  val goldenRecordsSql: String =
+    """WITH RECURSIVE names AS (
+      |  SELECT p_name AS name, COUNT(*) AS freq,
+      |    string_split(p_name, ' ')[-1] AS block
+      |  FROM part GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.name AS name_a, b.name AS name_b
+      |  FROM names a JOIN names b USING (block)
+      |  WHERE a.name < b.name AND levenshtein(a.name, b.name) BETWEEN 1 AND 3),
+      |edges AS (
+      |  SELECT name_a AS src, name_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT name_b, name_a FROM pairs),
+      |cc AS (
+      |  SELECT DISTINCT src AS node, src AS lbl FROM edges
+      |  UNION
+      |  SELECT e.src, cc.lbl FROM edges e JOIN cc ON e.dst = cc.node),
+      |lab AS (SELECT node, MIN(lbl) AS entity FROM cc GROUP BY node),
+      |ranked AS (
+      |  SELECT lab.entity, lab.node, names.freq,
+      |    ROW_NUMBER() OVER (PARTITION BY lab.entity
+      |      ORDER BY names.freq DESC, lab.node) AS rk
+      |  FROM lab JOIN names ON lab.node = names.name)
+      |SELECT entity,
+      |  MAX(CASE WHEN rk = 1 THEN node END) AS golden_name,
+      |  CAST(COUNT(*) AS BIGINT) AS n_variants,
+      |  CAST(SUM(freq) AS BIGINT) AS n_rows
+      |FROM ranked GROUP BY entity ORDER BY entity""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q162_golden_records" -> (goldenRecords _),
     "q139_fuzzy_linkage" -> (fuzzyLinkage _),
     "q29_dedup_exact" -> (dedupExact _),
     "q30_neardup_jaccard" -> (neardupJaccard _),
@@ -559,6 +631,7 @@ object Dedup {
   )
 
   def oracles: Map[String, String] = Map(
+    "q162_golden_records" -> goldenRecordsSql,
     "q139_fuzzy_linkage" -> fuzzyLinkageSql,
     "q29_dedup_exact" -> dedupExactSql,
     "q30_neardup_jaccard" -> neardupJaccardSql,

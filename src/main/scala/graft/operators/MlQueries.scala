@@ -241,13 +241,130 @@ object MlQueries {
       |      AS DECIMAL(38,6)) AS DOUBLE) END AS r2
       |FROM s ORDER BY l_returnflag""".stripMargin
 
+  /** Q161: K-FOLD CROSS-VALIDATED OLS — the evaluation harness q135's
+    * fit was missing: 5 deterministic folds (l_orderkey mod 5), and
+    * for each fold an OLS of price-cents on quantity trained on the
+    * OTHER four folds and scored on the held-out fold by mean absolute
+    * error.
+    *
+    * Aggregate-once discipline: sufficient statistics are computed
+    * per fold in ONE pass; each fold's TRAINING stats are the window
+    * totals minus its own row — never five training passes. The
+    * evaluation convention is pinned and realistic: coefficients are
+    * "published" at micro-cent precision (round-half-away integer
+    * micro-units, the q151 integer formula on BOTH engines — never a
+    * scale-6 decimal re-rounded to integer, which double-rounds), and
+    * residuals are exact BIGINT micro-cents from those published
+    * coefficients, so MAE is one single-rounded division of exact
+    * integers ((38,0)/(38,0) → scale-6 HALF_UP on the Spark side, the
+    * (2N+D)//(2D) micro formula in DuckDB).
+    *
+    * Scale shape: two row-scale passes (fold stats; residual scoring
+    * against the broadcast 5-row coefficient frame) — everything else
+    * moves the 5-row frame. */
+  def kfoldOls(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      expr("l_orderkey % 5").as("fold"),
+      col("l_quantity").cast("decimal(18,0)").as("x"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").as("y"))
+    val perFold = li.groupBy(col("fold")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).cast("decimal(19,0)").as("sx"),
+      sum(col("y")).cast("decimal(19,0)").as("sy"),
+      sum(col("x") * col("x")).cast("decimal(19,0)").as("sxx"),
+      sum(col("x") * col("y")).cast("decimal(28,0)").as("sxy"))
+    val all = Window.partitionBy()
+    def tr(c: String) = (sum(col(c)).over(all) - col(c)).as(s"t_$c")
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val train = perFold
+      .select(col("fold"), col("n"),
+        (sum(col("n")).over(all) - col("n")).as("t_n"),
+        tr("sx"), tr("sy"), tr("sxx"), tr("sxy"))
+      .withColumn("num",
+        d38(col("t_n")) * col("t_sxy") - d38(col("t_sx")) * col("t_sy"))
+      .withColumn("dx",
+        d38(col("t_n")) * col("t_sxx") - d38(col("t_sx")) * col("t_sx"))
+      .withColumn("numi",
+        d38(col("t_sy")) * col("t_sxx") - d38(col("t_sx")) * col("t_sxy"))
+      // published micro-cent coefficients: round-half-away-from-zero,
+      // computed as ONE integer division (never decimal re-rounding)
+      .withColumn("b6", expr(
+        """case when dx = 0 then null else
+          |cast(sign(num) as decimal(2,0)) * ((2 * abs(num) * 1000000 + dx) div (2 * dx))
+          |end""".stripMargin))
+      .withColumn("a6", expr(
+        """case when dx = 0 then null else
+          |cast(sign(numi) as decimal(2,0)) * ((2 * abs(numi) * 1000000 + dx) div (2 * dx))
+          |end""".stripMargin))
+      .select(col("fold").as("tfold"), col("t_n"), col("b6"), col("a6"))
+    val scored = li.join(broadcast(train), col("fold") === col("tfold"))
+      .select(col("fold"),
+        (abs(d38(col("y")) * 1000000 - col("a6") - col("b6") * d38(col("x"))))
+          .as("abs_e"),
+        col("t_n"), col("b6"), col("a6"))
+    scored.groupBy(col("fold"), col("t_n"), col("b6"), col("a6"))
+      .agg(count(lit(1)).as("n_test"), sum(col("abs_e")).as("sae"))
+      .select(col("fold").cast("int").as("fold"),
+        col("t_n").cast("bigint").as("n_train"),
+        col("n_test").cast("bigint").as("n_test"),
+        dec6(d38(col("b6")) / 1000000).as("slope_cents_per_unit"),
+        dec6(d38(col("a6")) / 100000000).as("intercept_dollars"),
+        dec6(d38(col("sae")) / d38(col("n_test") * 100000000L))
+          .as("mae_dollars"))
+      .orderBy(col("fold"))
+  }
+
+  val kfoldOlsSql: String =
+    """WITH m AS (
+      |  SELECT l_orderkey % 5 AS fold, CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      |  FROM lineitem),
+      |s AS (SELECT fold, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |        SUM(x*x) AS sxx, SUM(x*y) AS sxy
+      |      FROM m GROUP BY 1),
+      |t AS (SELECT fold, n,
+      |        SUM(n) OVER () - n AS t_n, SUM(sx) OVER () - sx AS t_sx,
+      |        SUM(sy) OVER () - sy AS t_sy, SUM(sxx) OVER () - sxx AS t_sxx,
+      |        SUM(sxy) OVER () - sxy AS t_sxy
+      |      FROM s),
+      |coef AS (SELECT fold, t_n,
+      |           t_n * t_sxy - t_sx * t_sy AS num,
+      |           t_n * t_sxx - t_sx * t_sx AS dx,
+      |           t_sy * t_sxx - t_sx * t_sxy AS numi
+      |         FROM t),
+      |pub AS (SELECT fold, t_n,
+      |          CASE WHEN dx = 0 THEN NULL
+      |               WHEN num < 0 THEN -((2 * (-num) * 1000000 + dx) // (2 * dx))
+      |               ELSE (2 * num * 1000000 + dx) // (2 * dx) END AS b6,
+      |          CASE WHEN dx = 0 THEN NULL
+      |               WHEN numi < 0 THEN -((2 * (-numi) * 1000000 + dx) // (2 * dx))
+      |               ELSE (2 * numi * 1000000 + dx) // (2 * dx) END AS a6
+      |        FROM coef),
+      |sc AS (SELECT m.fold, p.t_n, p.b6, p.a6,
+      |         ABS(m.y * 1000000 - p.a6 - p.b6 * m.x) AS abs_e
+      |       FROM m JOIN pub p ON m.fold = p.fold),
+      |ev AS (SELECT fold, t_n, b6, a6, COUNT(*) AS n_test, SUM(abs_e) AS sae
+      |       FROM sc GROUP BY 1, 2, 3, 4)
+      |SELECT CAST(fold AS INT) AS fold, CAST(t_n AS BIGINT) AS n_train,
+      |  CAST(n_test AS BIGINT) AS n_test,
+      |  CAST(b6 AS DOUBLE) / 1000000 AS slope_cents_per_unit,
+      |  CAST(CASE WHEN a6 < 0 THEN -((2 * (-a6) + 100) // 200)
+      |            ELSE (2 * a6 + 100) // 200 END AS DOUBLE) / 1000000
+      |    AS intercept_dollars,
+      |  CAST((2 * sae + n_test * 100) // (2 * n_test * 100) AS DOUBLE) / 1000000
+      |    AS mae_dollars
+      |FROM ev ORDER BY fold""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q37_ml_champion" -> (championPrediction _),
     "q135_grouped_ols" -> (groupedOls _),
+    "q161_kfold_ols" -> (kfoldOls _),
   )
 
   def oracles: Map[String, String] = Map(
     "q37_ml_champion" -> championPredictionSql,
     "q135_grouped_ols" -> groupedOlsSql,
+    "q161_kfold_ols" -> kfoldOlsSql,
   )
 }

@@ -549,7 +549,59 @@ object TextAnalysis {
       |    AS type_token_ratio
       |FROM v JOIN ct ON v.k = ct.k ORDER BY decile""".stripMargin
 
+  /** Ranks reported by [[zipfDeviation]]. */
+  val ZipfTopRanks = 50
+
+  /** Q163: ZIPF RANK-FREQUENCY AUDIT — does the corpus token
+    * distribution follow the power law natural text does? For the top
+    * [[ZipfTopRanks]] tokens by frequency: rank, frequency, and the
+    * Zipf ratio r·f_r / f_1 — exactly 1 under ideal Zipf, drifting
+    * high for flat (synthetic/templated) distributions and low for
+    * head-heavy ones. The standard log-log slope fit needs logarithms;
+    * the cross-ratio form is the SAME diagnostic as an exact rational
+    * of integer counts (the no-libm discipline of q66's idf).
+    *
+    * Scale shape: one row-scale token count aggregation, then a
+    * global top-k that plans as TakeOrderedAndProject (per-partition
+    * heaps, k rows to the driver — never a full sort); rank and f_1
+    * windows move only the 50-row frame. */
+  def zipfDeviation(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok"))
+      .limit(ZipfTopRanks)
+    val ord = Window.orderBy(col("freq").desc, col("tok"))
+    top
+      .withColumn("rank", row_number().over(ord))
+      .withColumn("f1", max(col("freq")).over(Window.partitionBy()))
+      .select(col("rank").cast("int").as("rank"), col("tok").as("token"),
+        col("freq").cast("bigint").as("freq"),
+        dec6((col("rank").cast("decimal(19,0)") * col("freq"))
+          / col("f1").cast("decimal(19,0)")).as("zipf_ratio"))
+      .orderBy(col("rank"))
+  }
+
+  val zipfDeviationSql: String =
+    """WITH f AS (
+      |  SELECT tok, COUNT(*) AS freq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS tok
+      |    FROM documents WHERE text IS NOT NULL)
+      |  GROUP BY 1),
+      |r AS (SELECT tok, freq,
+      |        ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rank,
+      |        MAX(freq) OVER () AS f1
+      |      FROM f)
+      |SELECT CAST(rank AS INT) AS rank, tok AS token,
+      |  CAST(freq AS BIGINT) AS freq,
+      |  CAST(CAST(ROUND(rank * freq / f1, 6) AS DECIMAL(38,6)) AS DOUBLE)
+      |    AS zipf_ratio
+      |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q163_zipf_deviation" -> (zipfDeviation _),
     "q158_vocab_growth" -> (vocabGrowth _),
     "q150_lexical_diversity" -> (lexicalDiversity _),
     "q100_bpe_merge_learning" -> (bpeMergeLearning _),
@@ -566,6 +618,7 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "q163_zipf_deviation" -> zipfDeviationSql,
     "q158_vocab_growth" -> vocabGrowthSql,
     "q150_lexical_diversity" -> lexicalDiversitySql,
     "q102_apply_tokenizer" -> applyTokenizerSql,

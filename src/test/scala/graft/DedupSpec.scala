@@ -288,4 +288,44 @@ class DedupSpec extends SparkSuite {
     } yield 1).size
     info(s"blocked recall: ${got.size} found, $missed cross-block pairs skipped")
   }
+
+  test("q162 golden records: matches a driver-side union-find replay") {
+    import spark.implicits._
+    val names = Tables.part(spark, Sf0001)
+      .select($"p_name").as[String].collect()
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val keys = names.keys.toSeq
+    val parent = scala.collection.mutable.Map(keys.map(k => k -> k): _*)
+    def find(x: String): String =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    for {
+      a <- keys; b <- keys
+      if a < b && a.split(" ").last == b.split(" ").last
+      d = lev(a, b) if d >= 1 && d <= 3
+    } { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+    val comps = keys.groupBy(find).filter(_._2.size > 1)
+    val expected = comps.map { case (_, members) =>
+      val entity = members.min
+      val golden = members.minBy(m => (-names(m), m))
+      entity -> (golden, members.size.toLong, members.map(names).sum)
+    }
+    val got = Dedup.goldenRecords(spark, Sf0001).collect()
+    assert(got.map(_.getString(0)).toSet === expected.keySet)
+    got.foreach { r =>
+      val e = expected(r.getString(0))
+      assert(r.getString(1) === e._1, s"golden_name $r")
+      assert(r.getLong(2) === e._2, s"n_variants $r")
+      assert(r.getLong(3) === e._3, s"n_rows $r")
+    }
+    assert(got.nonEmpty, "no multi-variant entities — test degenerate")
+  }
 }

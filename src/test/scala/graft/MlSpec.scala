@@ -118,4 +118,46 @@ class MlSpec extends SparkSuite {
       assert(r2 >= 0.0 && r2 <= 1.0, r)
     }
   }
+
+  test("q161 k-fold OLS: matches a driver-side train/eval replay") {
+    import spark.implicits._
+    val rows = Tables.lineitem(spark, Sf0001)
+      .select($"l_orderkey", $"l_quantity", $"l_extendedprice")
+      .as[(Long, Double, Double)].collect()
+      .map { case (k, q, p) =>
+        (k % 5,
+          BigInt(BigDecimal.valueOf(q).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact),
+          BigInt(BigDecimal.valueOf(p).setScale(2, BigDecimal.RoundingMode.HALF_UP).*(100).toLongExact))
+      }
+    def halfAway(n: BigInt, d: BigInt): BigInt = {
+      require(d > 0)
+      if (n < 0) -((2 * -n + d) / (2 * d)) else (2 * n + d) / (2 * d)
+    }
+    val got = MlQueries.kfoldOls(spark, Sf0001).collect()
+    assert(got.map(_.getInt(0)).toSeq === (0 to 4))
+    got.foreach { r =>
+      val f = r.getInt(0).toLong
+      val tr = rows.filter(_._1 != f); val te = rows.filter(_._1 == f)
+      val n = BigInt(tr.length)
+      val sx = tr.map(_._2).sum; val sy = tr.map(_._3).sum
+      val sxx = tr.map(t => t._2 * t._2).sum
+      val sxy = tr.map(t => t._2 * t._3).sum
+      val num = n * sxy - sx * sy
+      val dx = n * sxx - sx * sx
+      val numi = sy * sxx - sx * sxy
+      val b6 = halfAway(num * 1000000, dx)
+      val a6 = halfAway(numi * 1000000, dx)
+      assert(r.getLong(1) === tr.length.toLong, s"n_train $r")
+      assert(r.getLong(2) === te.length.toLong, s"n_test $r")
+      assert(r.getDouble(3) === (BigDecimal(b6) / 1000000).toDouble, s"slope $r")
+      assert(r.getDouble(4) ===
+        (BigDecimal(halfAway(a6, BigInt(100))) / 1000000).toDouble, s"intercept $r")
+      val sae = te.map(t => (t._3 * 1000000 - a6 - b6 * t._2).abs).sum
+      val mae = (BigDecimal(halfAway(sae, BigInt(te.length) * 100)) / 1000000).toDouble
+      assert(r.getDouble(5) === mae, s"mae $r")
+      // held-out error stays in the same ballpark as the fit itself:
+      // folds are exchangeable, so MAE is positive and finite
+      assert(r.getDouble(5) > 0.0)
+    }
+  }
 }

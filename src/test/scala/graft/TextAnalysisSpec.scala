@@ -229,4 +229,27 @@ class TextAnalysisSpec extends SparkSuite {
     assert(vocabs.zip(vocabs.tail).forall { case (a, b) => b >= a })
     assert(vocabs(9) - vocabs(8) < vocabs(0))
   }
+
+  test("q163 Zipf audit: matches a driver-side rank-frequency replay") {
+    import spark.implicits._
+    val freqs = Tables.documents(spark, Sf0001)
+      .select($"text").as[String].collect().filter(_ != null)
+      .flatMap(_.split(" ", -1))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (t, f) => (-f, t) }
+    val top = freqs.take(50)
+    val f1 = top.head._2
+    val got = operators.TextAnalysis.zipfDeviation(spark, Sf0001).collect()
+    assert(got.length === math.min(50, freqs.length))
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getInt(0) === i + 1, r)
+      assert(r.getString(1) === top(i)._1, s"token $r")
+      assert(r.getLong(2) === top(i)._2, s"freq $r")
+      val ratio = (BigDecimal(BigInt(i + 1) * top(i)._2) / BigDecimal(f1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) === ratio, s"zipf_ratio $r")
+    }
+    // rank 1 always scores exactly 1 by construction
+    assert(got.head.getDouble(3) === 1.0)
+  }
 }
