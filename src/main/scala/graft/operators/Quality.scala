@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -616,7 +616,71 @@ object Quality {
        |  END AS kappa
        |FROM k""".stripMargin
 
+  /** Deterministic deletion-request slice for [[deletionCascade]]:
+    * customers with custkey ≡ 0 (mod 25), standing in for an external
+    * right-to-be-forgotten queue. */
+  val DeletionModulus = 25
+
+  /** Q165: DELETION-CASCADE AUDIT (GDPR / right-to-be-forgotten) —
+    * before a deletion batch runs, account for its full referential
+    * blast radius: deleting a customer set cascades to their orders
+    * and to those orders' line items. Per table: total rows, rows the
+    * cascade removes, rows kept (closure — no kept row references a
+    * deleted parent — is pinned in QualitySpec rather than padded into
+    * the report, since it holds by construction of the semi-joins).
+    *
+    * Scale shape: each level is ONE anti/semi-join on its FK — the
+    * deleted-customer key set is corpus-fraction-sized (NOT assumed
+    * broadcastable; the joins shuffle on the key, AQE picks the
+    * strategy), and the deleted-ORDER set needed by level 3 is the
+    * semi-join output projected to keys only. Counts are map-side
+    * conditional sums; the whole audit never moves a payload column. */
+  def deletionCascade(spark: SparkSession, dir: String): DataFrame = {
+    val delC = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % DeletionModulus === 0)
+      .select(col("c_custkey").as("dk"))
+    val orders = Tables.orders(spark, dir)
+    val delO = orders.join(delC, col("o_custkey") === col("dk"), "left_semi")
+      .select(col("o_orderkey").as("dok"))
+    def audit(name: String, df: DataFrame, deleted: Column): DataFrame =
+      df.agg(lit(name).as("table_name"),
+        count(lit(1)).cast("bigint").as("n_rows"),
+        sum(when(deleted, 1L).otherwise(0L)).cast("bigint").as("n_deleted"))
+        .withColumn("n_kept", col("n_rows") - col("n_deleted"))
+    val cA = audit("customer", Tables.customer(spark, dir),
+      col("c_custkey") % DeletionModulus === 0)
+    val oA = audit("orders",
+      orders.join(delC, col("o_custkey") === col("dk"), "left_outer"),
+      col("dk").isNotNull)
+    val lA = audit("lineitem",
+      Tables.lineitem(spark, dir)
+        .join(delO, col("l_orderkey") === col("dok"), "left_outer"),
+      col("dok").isNotNull)
+    cA.unionAll(oA).unionAll(lA).orderBy(col("table_name"))
+  }
+
+  val deletionCascadeSql: String =
+    """WITH delc AS (SELECT c_custkey AS dk FROM customer WHERE c_custkey % 25 = 0),
+      |delo AS (SELECT o_orderkey AS dok FROM orders
+      |         WHERE o_custkey IN (SELECT dk FROM delc))
+      |SELECT 'customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CASE WHEN c_custkey % 25 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+      |  CAST(SUM(CASE WHEN c_custkey % 25 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+      |FROM customer
+      |UNION ALL
+      |SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(CASE WHEN l_orderkey IN (SELECT dok FROM delo) THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(SUM(CASE WHEN l_orderkey IN (SELECT dok FROM delo) THEN 0 ELSE 1 END) AS BIGINT)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(CASE WHEN o_custkey IN (SELECT dk FROM delc) THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(SUM(CASE WHEN o_custkey IN (SELECT dk FROM delc) THEN 0 ELSE 1 END) AS BIGINT)
+      |FROM orders
+      |ORDER BY table_name""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q165_deletion_cascade" -> (deletionCascade _),
     "q79_constraint_suite" -> (constraintSuite _),
     "q80_snapshot_diff" -> (snapshotDiff _),
     "q141_winsorized_stats" -> (winsorizedStats _),
@@ -638,5 +702,6 @@ object Quality {
     "q148_benford_audit" -> benfordAuditSql,
     "q156_calibration_table" -> calibrationTableSql,
     "q157_cohens_kappa" -> cohensKappaSql,
+    "q165_deletion_cascade" -> deletionCascadeSql,
   )
 }

@@ -560,7 +560,80 @@ object Relational {
       |  CAST(CAST(ROUND((2*s - (n+1)*t) / (n*t), 6) AS DECIMAL(38,6)) AS DOUBLE) AS gini
       |FROM a ORDER BY segment""".stripMargin
 
+  /** Q166: MARKET-SHARE SHIFT — period-over-period share-of-total
+    * movement, the BI staple that is quietly a parity minefield: each
+    * nation's revenue share in 1996 vs 1997 and the percentage-point
+    * change. The pp change is computed as the single cross-multiplied
+    * rational (r_new·T_old − r_old·T_new)·100 / (T_new·T_old) — NEVER
+    * the difference of two already-rounded shares (the q151
+    * layered-rounding trap: share_new − share_old stacks two 6-decimal
+    * roundings and flips the 6th decimal ~1/n of the time).
+    *
+    * Scale shape: one scan with conditional cent sums into the
+    * |nations| frame (dims broadcast); the two totals are windows over
+    * that bounded frame. */
+  def shareShift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Parity._
+    val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
+      .cast("decimal(18,0)").cast("long")
+    val base = Tables.orders(spark, dir)
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(sum(when(year(col("o_orderdate")) === 1996, cents).otherwise(0L))
+          .cast("decimal(19,0)").as("r_old"),
+        sum(when(year(col("o_orderdate")) === 1997, cents).otherwise(0L))
+          .cast("decimal(19,0)").as("r_new"))
+    val all = Window.partitionBy()
+    def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    base
+      .withColumn("t_old", sum(col("r_old")).over(all))
+      .withColumn("t_new", sum(col("r_new")).over(all))
+      .select(col("nation"),
+        dec2(col("r_old") / 100).as("revenue_old"),
+        dec2(col("r_new") / 100).as("revenue_new"),
+        dec6(d(col("r_old")) * 100 / d(col("t_old"))).as("share_old_pct"),
+        dec6(d(col("r_new")) * 100 / d(col("t_new"))).as("share_new_pct"),
+        dec6((d(col("r_new")) * d(col("t_old"))
+            - d(col("r_old")) * d(col("t_new"))) * 100
+          / (d(col("t_new")) * d(col("t_old")))).as("share_change_pp"))
+      .orderBy(col("nation"))
+  }
+
+  val shareShiftSql: String =
+    """WITH base AS (
+      |  SELECT n_name AS nation,
+      |    SUM(CASE WHEN year(o_orderdate) = 1996
+      |        THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |        ELSE 0 END) AS r_old,
+      |    SUM(CASE WHEN year(o_orderdate) = 1997
+      |        THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |        ELSE 0 END) AS r_new
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE year(o_orderdate) IN (1996, 1997)
+      |  GROUP BY 1),
+      |t AS (SELECT nation, r_old, r_new,
+      |        SUM(r_old) OVER () AS t_old, SUM(r_new) OVER () AS t_new
+      |      FROM base)
+      |SELECT nation,
+      |  CAST(CAST(ROUND(r_old / 100, 2) AS DECIMAL(38,2)) AS DOUBLE) AS revenue_old,
+      |  CAST(CAST(ROUND(r_new / 100, 2) AS DECIMAL(38,2)) AS DOUBLE) AS revenue_new,
+      |  CAST(CAST(ROUND(r_old * 100 / t_old, 6) AS DECIMAL(38,6)) AS DOUBLE)
+      |    AS share_old_pct,
+      |  CAST(CAST(ROUND(r_new * 100 / t_new, 6) AS DECIMAL(38,6)) AS DOUBLE)
+      |    AS share_new_pct,
+      |  CAST(CAST(ROUND((r_new * t_old - r_old * t_new) * 100 / (t_new * t_old), 6)
+      |    AS DECIMAL(38,6)) AS DOUBLE) AS share_change_pp
+      |FROM t ORDER BY nation""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q166_share_shift" -> (shareShift _),
     "q1_pricing_summary" -> (pricingSummary _),
     "q137_star_revenue" -> (starRevenue _),
     "q145_gini_concentration" -> (giniConcentration _),
@@ -579,6 +652,7 @@ object Relational {
   )
 
   def oracles: Map[String, String] = Map(
+    "q166_share_shift" -> shareShiftSql,
     "q1_pricing_summary" -> pricingSummarySql,
     "q137_star_revenue" -> starRevenueSql,
     "q145_gini_concentration" -> giniConcentrationSql,

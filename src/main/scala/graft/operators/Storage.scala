@@ -402,6 +402,59 @@ object Storage {
     (s"$aggTableBase/base_$sf", s"$aggTableBase/delta_$sf")
   }
 
+  /** Q164: INCREMENTAL JOIN-VIEW MAINTENANCE — q85's join-view
+    * sibling: a materialized join view V = orders ⋈ customer is
+    * refreshed under inserts on BOTH sides by the delta algebra
+    * ΔV = ΔO⋈C_old ∪ O_old⋈ΔC ∪ ΔO⋈ΔC (disjoint and complete for an
+    * inner join under insert-only deltas), never by re-joining
+    * history. Old/delta slices use the q80/q122 snapshot convention
+    * (orderkey/custkey mod cuts). The maintained view is materialized
+    * to parquet (the q85 stored-table discipline), read back, and
+    * aggregated per market segment; the ORACLE aggregates the full
+    * re-join of the new snapshot — result identity between the
+    * incremental path and the recompute IS the delta-algebra proof
+    * (the q144 argument).
+    *
+    * Scale shape: three delta joins touch only delta-sized inputs on
+    * at least one side (broadcast the small side); history re-join
+    * happens once to seed V_old (in production it already exists).
+    * The final aggregation is map-side-combined into the bounded
+    * segment frame. */
+  def joinViewMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val viewPath = s"$aggTableBase/joinview_${dir.stripSuffix("/").split('/').last}"
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), money(col("o_totalprice")).as("price"))
+    val customer = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val oOld = orders.filter(col("o_orderkey") % 3 =!= 0)
+    val oDelta = orders.filter(col("o_orderkey") % 3 === 0)
+    val cOld = customer.filter(col("c_custkey") % 5 =!= 0)
+    val cDelta = customer.filter(col("c_custkey") % 5 === 0)
+    def v(o: DataFrame, c: DataFrame) =
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_mktsegment"), col("price"))
+    // V_old seeded once; the refresh writes ONLY the three delta joins
+    v(oOld, cOld).write.mode("overwrite").parquet(s"$viewPath/seed")
+    v(oDelta, cOld).unionAll(v(oOld, cDelta)).unionAll(v(oDelta, cDelta))
+      .write.mode("overwrite").parquet(s"$viewPath/delta")
+    spark.read.parquet(s"$viewPath/seed")
+      .unionAll(spark.read.parquet(s"$viewPath/delta"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).cast("bigint").as("n_orders"),
+        dec2(sum(col("price"))).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Oracle: the full re-join of the new snapshot — independent of the
+    * delta decomposition. */
+  val joinViewMaintenanceSql: String =
+    """SELECT c_mktsegment,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+      |    AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   /** Q85: incremental aggregate maintenance — the warehouse pattern
     * that makes 100 TB aggregations affordable: a stored aggregate
     * table is REFRESHED by merging a delta batch's partial aggregate,
@@ -631,9 +684,11 @@ object Storage {
     "q76_subqueries" -> (subqueries _),
     "q84_zorder_compaction" -> (zorderCompaction _),
     "q85_incremental_agg" -> (incrementalAgg _),
+    "q164_join_view_maintenance" -> (joinViewMaintenance _),
   )
 
   def oracles: Map[String, String] = Map(
+    "q164_join_view_maintenance" -> joinViewMaintenanceSql,
     "q125_write_manifest" -> writeManifestSql,
     "q47_partitioned_prune" -> partitionedPruneSql,
     "q48_sql_surface" -> revenueByNationSql,

@@ -255,6 +255,29 @@ class QualitySpec extends SparkSuite {
     assert(r.getDouble(7) > 0.3, s"kappa degenerate: $r")
   }
 
+  test("q165 deletion cascade: exact counts and referential closure") {
+    import spark.implicits._
+    val delC = Tables.customer(spark, Sf0001)
+      .filter($"c_custkey" % Q.DeletionModulus === 0)
+      .select($"c_custkey").as[Long].collect().toSet
+    val orders = Tables.orders(spark, Sf0001)
+      .select($"o_orderkey", $"o_custkey").as[(Long, Long)].collect()
+    val delO = orders.filter(o => delC(o._2)).map(_._1).toSet
+    val li = Tables.lineitem(spark, Sf0001)
+      .select($"l_orderkey").as[Long].collect()
+    val got = Q.deletionCascade(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet === Set("customer", "orders", "lineitem"))
+    assert(got("customer")._2 === delC.size.toLong)
+    assert(got("orders")._2 === delO.size.toLong)
+    assert(got("lineitem")._2 === li.count(delO).toLong)
+    got.values.foreach { case (n, d, k) => assert(n === d + k) }
+    // closure: kept orders reference only kept customers, kept
+    // lineitems only kept orders
+    assert(!orders.exists(o => !delO(o._1) && delC(o._2)))
+    assert(delC.nonEmpty && delO.nonEmpty, "cascade degenerate at sf0.001")
+  }
+
   test("q143 k-anonymity: generalization only retires risk") {
     val rows = Q.kAnonymity(spark, Sf0001).collect()
     assert(rows.length === 2)

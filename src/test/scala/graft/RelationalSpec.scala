@@ -146,4 +146,40 @@ class RelationalSpec extends SparkSuite {
       assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0, r)
     }
   }
+
+  test("q166 share shift: exact cross-multiplied pp change, shares sum to 100") {
+    import spark.implicits._
+    val rows = Tables.orders(spark, Sf0001)
+      .join(Tables.customer(spark, Sf0001), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, Sf0001), col("c_nationkey") === col("n_nationkey"))
+      .select($"n_name", year($"o_orderdate"), $"o_totalprice")
+      .as[(String, Int, Double)].collect()
+      .filter(t => t._2 == 1996 || t._2 == 1997)
+    def cents(d: Double): BigInt =
+      BigInt(BigDecimal.valueOf(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .*(100).toLongExact)
+    val byNation = rows.groupBy(_._1).view.mapValues { rs =>
+      (rs.filter(_._2 == 1996).map(r => cents(r._3)).sum,
+        rs.filter(_._2 == 1997).map(r => cents(r._3)).sum)
+    }.toMap
+    val tOld = byNation.values.map(_._1).sum
+    val tNew = byNation.values.map(_._2).sum
+    val got = Relational.shareShift(spark, Sf0001).collect()
+    assert(got.map(_.getString(0)).toSet === byNation.keySet)
+    got.foreach { r =>
+      val (ro, rn) = byNation(r.getString(0))
+      val pp = (BigDecimal((rn * tOld - ro * tNew) * 100)
+        / BigDecimal(tNew * tOld))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(5) === pp, s"share_change_pp $r")
+      val shOld = (BigDecimal(ro * 100) / BigDecimal(tOld))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) === shOld, s"share_old $r")
+    }
+    // shares sum to ~100 in each period (rounding residue < 1e-4 pp)
+    assert(math.abs(got.map(_.getDouble(3)).sum - 100.0) < 1e-4)
+    assert(math.abs(got.map(_.getDouble(4)).sum - 100.0) < 1e-4)
+    // pp changes sum to ~0 (shares are zero-sum)
+    assert(math.abs(got.map(_.getDouble(5)).sum) < 1e-4)
+  }
 }

@@ -312,4 +312,27 @@ class StorageSpec extends SparkSuite {
     assert(fromArtifact.map(_.getAs[Long]("n_rows")).sum ===
       Tables.lineitem(spark, Sf0001).count())
   }
+
+  test("q164 join-view maintenance: incremental path == full recompute") {
+    val got = Storage.joinViewMaintenance(spark, Sf0001).collect()
+    val direct = Tables.orders(spark, Sf0001)
+      .join(Tables.customer(spark, Sf0001), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("s"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2).doubleValue())).toMap
+    assert(got.map(_.getString(0)).toSet === direct.keySet)
+    got.foreach { r =>
+      val (n, s) = direct(r.getString(0))
+      assert(r.getLong(1) === n, s"n_orders $r")
+      assert(r.getDouble(2) === s, s"revenue $r")
+    }
+    // the delta actually carried rows: both materialized slices non-empty
+    val base = Storage.aggTableBase
+    val sf = Sf0001.stripSuffix("/").split('/').last
+    assert(spark.read.parquet(s"$base/joinview_$sf/seed").count() > 0)
+    assert(spark.read.parquet(s"$base/joinview_$sf/delta").count() > 0)
+  }
 }
