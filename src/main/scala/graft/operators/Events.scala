@@ -1343,7 +1343,129 @@ object Events {
       |  CAST(CAST(ROUND(SUM(lat_s) / MAX(n), 6) AS DECIMAL(38,6)) AS DOUBLE) AS mean_s
       |FROM r""".stripMargin
 
+  /** Trailing window (days) for [[rollingActiveUsers]]. */
+  val RollingWindowDays = 7
+
+  /** Q167: ROLLING 7-DAY ACTIVE USERS — the analytics staple whose
+    * naive form does NOT scale: "distinct users active in the trailing
+    * week, per day" as a day×window join pays a COUNT(DISTINCT) over
+    * users×7 exploded rows, and sliding distinct cannot map-side
+    * combine. The scalable identity: a user contributes to day d iff
+    * some active day lies in (d−6..d], i.e. the user COVERS the union
+    * of intervals [a, a+6] over their active days a — so merge each
+    * user's intervals (per-user gap-merge, the q22 sessionize trick
+    * with gap = window), explode only the MERGED spans into days, and
+    * count plain rows per day: after the merge, each (user, day) pair
+    * exists at most once, so no distinct is ever needed.
+    *
+    * Reported days are clamped to the observed corpus day range (a
+    * trailing window at the edge reports over what exists — both
+    * engines clamp identically).
+    *
+    * Scale shape: one plain (user, day) input dedup, one per-user
+    * window (merge), one explode bounded by span×users, ONE
+    * map-side-combined count per day — the SLIDING distinct (the
+    * thing that can't combine) never exists. The corpus max day is a
+    * 1-value driver scalar (bounded control flow — keeps the clamp
+    * out of a single-row BNLJ). */
+  def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val w = RollingWindowDays
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("date").as("d")).distinct()
+      .withColumn("dn", datediff(col("d"), lit("1970-01-01").cast("date"))
+        .cast("long"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("dn"))
+    val merged = days
+      .withColumn("prev", lag(col("dn"), 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev").isNull || col("dn") - col("prev") > w - 1, 1L)
+          .otherwise(0L))
+      .withColumn("span", sum(col("brk")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("span"))
+      .agg(min(col("dn")).as("s"), (max(col("dn")) + (w - 1)).as("e"))
+    val maxd: Long = Tables.events(spark, dir)
+      .agg(datediff(max(col("ts").cast("date")),
+        lit("1970-01-01").cast("date")).cast("long").as("maxd"))
+      .head().getLong(0)
+    val perDay = merged
+      .select(col("user_id"),
+        explode(sequence(col("s"), least(col("e"), lit(maxd)))).as("dn"))
+      .groupBy(col("dn")).agg(count(lit(1)).as("active_users"))
+    perDay
+      .select(date_add(lit("1970-01-01").cast("date"),
+          col("dn").cast("int")).as("day"),
+        col("active_users").cast("bigint").as("active_users"))
+      .orderBy(col("day"))
+  }
+
+  /** Oracle: the NAIVE day×window COUNT(DISTINCT) — an independent
+    * formulation; identity with the interval-merge plan is the
+    * correctness proof of the no-distinct rewrite. */
+  val rollingActiveUsersSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |cal AS (SELECT DISTINCT d FROM ud),
+      |allday AS (SELECT DISTINCT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+      |           FROM (SELECT MIN(d) AS mn, MAX(d) AS mx FROM cal))
+      |SELECT a.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS active_users
+      |FROM allday a JOIN ud u
+      |  ON u.d <= a.day AND u.d > a.day - INTERVAL 7 DAY
+      |GROUP BY a.day
+      |ORDER BY a.day""".stripMargin
+
+  /** Q168: DAILY PERCENTILE BANDS — per-day p10/p50/p90 of event value
+    * (the latency-band / SLO chart): the shared
+    * [[TwoPass.groupRankLookup]] kernel generalized to MANY ranks per
+    * group (three per day), proving the kernel's cost is per-PASS, not
+    * per-quantile: one histogram + one pruned fetch serve all three
+    * bands for every day. Exact integer-rank convention
+    * (⌈q·n⌉ = (q·n + 9)/10 pinned), exact cents.
+    *
+    * Scale shape: identical to q141/q147 — never a per-day sort
+    * window; thresholds return as a broadcast |days|×3 frame joined
+    * to nothing (they ARE the answer) plus one count agg for n. */
+  def dailyPercentileBands(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def rows = Tables.events(spark, dir).select(
+      col("ts").cast("date").cast("string").as("k"),
+      (col("value").cast("decimal(18,2)") * 100).cast("decimal(18,0)")
+        .cast("long").as("c"))
+    val lookup = TwoPass.groupRankLookup(spark, rows,
+      n => Seq((n + 9) / 10, (5 * n + 9) / 10, (9 * n + 9) / 10))
+    val bands = lookup.toSeq.map { case (day, gr) =>
+      (day, gr.n, gr.at((gr.n + 9) / 10), gr.at((5 * gr.n + 9) / 10),
+        gr.at((9 * gr.n + 9) / 10))
+    }.toDF("k", "n", "p10c", "p50c", "p90c")
+    import graft.functions.Parity._
+    bands.select(col("k").cast("date").as("day"),
+        col("n").cast("bigint").as("n_events"),
+        dec2(col("p10c").cast("decimal(18,0)") / 100).as("p10"),
+        dec2(col("p50c").cast("decimal(18,0)") / 100).as("p50"),
+        dec2(col("p90c").cast("decimal(18,0)") / 100).as("p90"))
+      .orderBy(col("day"))
+  }
+
+  val dailyPercentileBandsSql: String =
+    """WITH e AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM events),
+      |r AS (SELECT day, c,
+      |        ROW_NUMBER() OVER (PARTITION BY day ORDER BY c) AS rn,
+      |        COUNT(*) OVER (PARTITION BY day) AS n
+      |      FROM e)
+      |SELECT day, CAST(MAX(n) AS BIGINT) AS n_events,
+      |  CAST(CAST(ROUND(MAX(CASE WHEN rn = (n + 9) // 10 THEN c END) / 100, 2)
+      |    AS DECIMAL(38,2)) AS DOUBLE) AS p10,
+      |  CAST(CAST(ROUND(MAX(CASE WHEN rn = (5 * n + 9) // 10 THEN c END) / 100, 2)
+      |    AS DECIMAL(38,2)) AS DOUBLE) AS p50,
+      |  CAST(CAST(ROUND(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN c END) / 100, 2)
+      |    AS DECIMAL(38,2)) AS DOUBLE) AS p90
+      |FROM r GROUP BY day ORDER BY day""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q167_rolling_active_users" -> (rollingActiveUsers _),
+    "q168_percentile_bands" -> (dailyPercentileBands _),
     "q159_conversion_latency" -> (conversionLatency _),
     "q152_nelson_aalen" -> (nelsonAalen _),
     "q153_ewma_trend" -> (ewmaTrend _),
@@ -1374,6 +1496,8 @@ object Events {
   )
 
   def oracles: Map[String, String] = Map(
+    "q167_rolling_active_users" -> rollingActiveUsersSql,
+    "q168_percentile_bands" -> dailyPercentileBandsSql,
     "q159_conversion_latency" -> conversionLatencySql,
     "q152_nelson_aalen" -> nelsonAalenSql,
     "q153_ewma_trend" -> ewmaTrendSql,

@@ -402,6 +402,55 @@ object Storage {
     (s"$aggTableBase/base_$sf", s"$aggTableBase/delta_$sf")
   }
 
+  /** Q169: MERKLE CORPUS MANIFEST — content-addressed freeze
+    * manifest, the cryptographic upgrade of q125's count/sum ledger:
+    * per source, the Merkle-style root md5(concat(sorted leaf md5s))
+    * over document contents, plus a corpus root over the sorted
+    * source roots. Two frozen corpora are byte-identical iff the
+    * corpus roots match; a diverging source is located by comparing
+    * the |sources| roots — no row-level diff needed.
+    *
+    * Determinism: leaves are sorted md5 strings (total ASCII order,
+    * engine-independent); the concatenation order is therefore pinned
+    * and both engines derive identical roots.
+    *
+    * Scale shape: one scan to leaf hashes (32-byte rows — payloads
+    * never move), one per-source agg; the per-source sort is over ONE
+    * source's leaf hashes (at true scale, a two-level tree — chunk
+    * roots then source roots — bounds every sort; noted here, single
+    * level implemented as the testdata fits). The corpus root is a
+    * window over the bounded source frame. */
+  def merkleManifest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val leaves = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("source"), md5(col("text")).as("leaf"))
+    val roots = leaves.groupBy(col("source"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        md5(concat_ws("", array_sort(collect_list(col("leaf")))))
+          .as("source_root"))
+    roots
+      .withColumn("corpus_root",
+        md5(concat_ws("", array_sort(collect_list(col("source_root"))
+          .over(Window.partitionBy())))))
+      .select(col("source"), col("n_docs"), col("source_root"),
+        col("corpus_root"))
+      .orderBy(col("source"))
+  }
+
+  val merkleManifestSql: String =
+    """WITH leaves AS (
+      |  SELECT source, md5(text) AS leaf
+      |  FROM documents WHERE text IS NOT NULL),
+      |roots AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    md5(string_agg(leaf, '' ORDER BY leaf)) AS source_root
+      |  FROM leaves GROUP BY 1)
+      |SELECT source, n_docs, source_root,
+      |  (SELECT md5(string_agg(source_root, '' ORDER BY source_root)) FROM roots)
+      |    AS corpus_root
+      |FROM roots ORDER BY source""".stripMargin
+
   /** Q164: INCREMENTAL JOIN-VIEW MAINTENANCE — q85's join-view
     * sibling: a materialized join view V = orders ⋈ customer is
     * refreshed under inserts on BOTH sides by the delta algebra
@@ -685,9 +734,11 @@ object Storage {
     "q84_zorder_compaction" -> (zorderCompaction _),
     "q85_incremental_agg" -> (incrementalAgg _),
     "q164_join_view_maintenance" -> (joinViewMaintenance _),
+    "q169_merkle_manifest" -> (merkleManifest _),
   )
 
   def oracles: Map[String, String] = Map(
+    "q169_merkle_manifest" -> merkleManifestSql,
     "q164_join_view_maintenance" -> joinViewMaintenanceSql,
     "q125_write_manifest" -> writeManifestSql,
     "q47_partitioned_prune" -> partitionedPruneSql,

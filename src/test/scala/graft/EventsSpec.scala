@@ -558,4 +558,51 @@ class EventsSpec extends SparkSuite {
     assert(r.getDouble(3) === mean, s"mean $r")
     assert(r.getLong(1) <= r.getLong(2), "p50 > p90")
   }
+
+  test("q167 rolling active users: matches a brute-force trailing distinct") {
+    import spark.implicits._
+    val ud = Tables.events(spark, Sf0001)
+      .select($"user_id", $"ts".cast("date").cast("string"))
+      .as[(Long, String)].collect()
+      .map { case (u, d) => (u, java.time.LocalDate.parse(d).toEpochDay) }
+      .distinct
+    val (mn, mx) = (ud.map(_._2).min, ud.map(_._2).max)
+    val expected = (mn to mx).flatMap { d =>
+      val n = ud.filter(t => t._2 <= d && t._2 > d - 7).map(_._1).distinct.size
+      if (n > 0) Some(d -> n.toLong) else None
+    }.toMap
+    val got = operators.Events.rollingActiveUsers(spark, Sf0001).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val d = r.getDate(0).toLocalDate.toEpochDay
+      assert(r.getLong(1) === expected(d), s"day $r")
+    }
+    // the interval merge produced no duplicate (user, day): counts never
+    // exceed the distinct user population
+    val users = ud.map(_._1).distinct.size.toLong
+    got.foreach(r => assert(r.getLong(1) <= users, r))
+  }
+
+  test("q168 percentile bands: matches a driver-side sorted replay") {
+    import spark.implicits._
+    val evs = Tables.events(spark, Sf0001)
+      .select($"ts".cast("date").cast("string"), $"value")
+      .as[(String, Double)].collect()
+    def cents(d: Double): Long =
+      BigDecimal.valueOf(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .*(100).toLongExact
+    val byDay = evs.groupBy(_._1).view.mapValues(_.map(e => cents(e._2)).sorted)
+    val got = operators.Events.dailyPercentileBands(spark, Sf0001).collect()
+    assert(got.map(_.getDate(0).toString).toSet === byDay.keys.toSet)
+    got.foreach { r =>
+      val s = byDay(r.getDate(0).toString)
+      val n = s.length.toLong
+      assert(r.getLong(1) === n, r)
+      def at(rank: Long) = s((rank - 1).toInt) / 100.0
+      assert(r.getDouble(2) === at((n + 9) / 10), s"p10 $r")
+      assert(r.getDouble(3) === at((5 * n + 9) / 10), s"p50 $r")
+      assert(r.getDouble(4) === at((9 * n + 9) / 10), s"p90 $r")
+      assert(r.getDouble(2) <= r.getDouble(3) && r.getDouble(3) <= r.getDouble(4), r)
+    }
+  }
 }

@@ -335,4 +335,30 @@ class StorageSpec extends SparkSuite {
     assert(spark.read.parquet(s"$base/joinview_$sf/seed").count() > 0)
     assert(spark.read.parquet(s"$base/joinview_$sf/delta").count() > 0)
   }
+
+  test("q169 Merkle manifest: matches a driver-side hash-tree replay") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val docs = Tables.documents(spark, Sf0001)
+      .select($"source", $"text").as[(String, String)].collect()
+      .filter(_._2 != null)
+    val roots = docs.groupBy(_._1).view.mapValues { ds =>
+      (ds.length.toLong, md5hex(ds.map(d => md5hex(d._2)).sorted.mkString))
+    }.toMap
+    val corpusRoot = md5hex(roots.values.map(_._2).toSeq.sorted.mkString)
+    val got = Storage.merkleManifest(spark, Sf0001).collect()
+    assert(got.map(_.getString(0)).toSet === roots.keySet)
+    got.foreach { r =>
+      val (n, root) = roots(r.getString(0))
+      assert(r.getLong(1) === n, r)
+      assert(r.getString(2) === root, s"source_root $r")
+      assert(r.getString(3) === corpusRoot, s"corpus_root $r")
+    }
+    // sensitivity: a one-character change flips the source root
+    val tweaked = md5hex((md5hex(docs.head._2 + " ") +:
+      docs.tail.filter(_._1 == docs.head._1).map(d => md5hex(d._2))).sorted.mkString)
+    assert(tweaked !== roots(docs.head._1)._2)
+  }
 }
