@@ -455,7 +455,80 @@ object Derivations {
       |      / (n * (n - 1)), 6) AS DECIMAL(38,6)) AS DOUBLE) END AS var_price
       |FROM s ORDER BY l_returnflag""".stripMargin
 
+  /** Bucket count for [[equiDepthHistogram]]. */
+  val HistogramBuckets = 8
+
+  /** Q170: EQUI-DEPTH HISTOGRAM (ANALYZE-statistics build) — the
+    * cost-based-optimizer statistic engines collect: 8 equal-depth
+    * buckets over price cents with exact boundary values (value at
+    * rank ⌈k·n/B⌉, pinned integer convention) and the TRUE row count
+    * per bucket — which differs from n/B exactly where ties straddle a
+    * boundary, and an honest histogram reports that, not the nominal
+    * depth.
+    *
+    * Scale shape: boundaries from the shared
+    * [[TwoPass.groupRankLookup]] kernel (single group, never a global
+    * sort); true counts are B conditional sums fused into ONE
+    * aggregation against the boundary literals (the q158 pattern —
+    * never a rows×buckets theta-join). */
+  def equiDepthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val b = HistogramBuckets
+    def rows = Tables.lineitem(spark, dir).select(
+      (col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("long").as("c"))
+    val lookup = TwoPass.groupRankLookup(spark,
+      rows.select(lit("all").as("k"), col("c")),
+      n => 1L +: (1 to b).map(k => (k * n + b - 1) / b))
+    val gr = lookup("all")
+    val minV = gr.at(1L)
+    val bounds = (1 to b).map(k => gr.at((k * gr.n + b - 1) / b))
+    val aggs = (1 to b).map { k =>
+      val lo = if (k == 1) minV - 1 else bounds(k - 2)
+      sum(when(col("c") > lo && col("c") <= bounds(k - 1), 1L).otherwise(0L))
+        .as(s"c$k")
+    }
+    val cells = (1 to b).map(k => s"$k, c$k").mkString(", ")
+    val counts = rows.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack($b, $cells) as (bucket, n_rows)"))
+    val boundDf = (1 to b).map { k =>
+      (k, if (k == 1) minV else bounds(k - 2), bounds(k - 1))
+    }.toDF("bucket", "lo", "hi")
+    boundDf.join(counts, Seq("bucket"))
+      .select(col("bucket").cast("int").as("bucket"),
+        dec2(col("lo").cast("decimal(18,0)") / 100).as("lo_price"),
+        dec2(col("hi").cast("decimal(18,0)") / 100).as("hi_price"),
+        col("n_rows").cast("bigint").as("n_rows"))
+      .orderBy(col("bucket"))
+  }
+
+  val equiDepthHistogramSql: String =
+    """WITH c AS (
+      |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM lineitem),
+      |r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn,
+      |        COUNT(*) OVER () AS n
+      |      FROM c),
+      |bd AS (SELECT g.k AS bucket,
+      |         MAX(CASE WHEN r.rn = (g.k * r.n + 7) // 8 THEN r.c END) AS hi,
+      |         MAX(CASE WHEN r.rn = 1 THEN r.c END) AS mn
+      |       FROM r, generate_series(1, 8) g(k) GROUP BY g.k),
+      |bs AS (SELECT bucket,
+      |         COALESCE(LAG(hi) OVER (ORDER BY bucket),
+      |                  (SELECT MAX(mn) FROM bd)) AS lo0,
+      |         CASE WHEN bucket = 1 THEN (SELECT MAX(mn) FROM bd) - 1
+      |              ELSE LAG(hi) OVER (ORDER BY bucket) END AS lo_excl,
+      |         hi
+      |       FROM bd)
+      |SELECT CAST(bs.bucket AS INT) AS bucket,
+      |  CAST(CAST(ROUND(bs.lo0 / 100, 2) AS DECIMAL(38,2)) AS DOUBLE) AS lo_price,
+      |  CAST(CAST(ROUND(bs.hi / 100, 2) AS DECIMAL(38,2)) AS DOUBLE) AS hi_price,
+      |  CAST((SELECT COUNT(*) FROM c WHERE c.c > bs.lo_excl AND c.c <= bs.hi) AS BIGINT)
+      |    AS n_rows
+      |FROM bs ORDER BY bucket""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q170_equi_depth_histogram" -> (equiDepthHistogram _),
     "q13_case_when" -> (caseWhen _),
     "q82_numeric_profile" -> (numericProfile _),
     "q49_approx_distinct" -> (approxDistinct _),
@@ -473,6 +546,7 @@ object Derivations {
   )
 
   def oracles: Map[String, String] = Map(
+    "q170_equi_depth_histogram" -> equiDepthHistogramSql,
     "q13_case_when" -> caseWhenSql,
     "q82_numeric_profile" -> numericProfileSql,
     "q50_rollup" -> rollupCountsSql,

@@ -679,7 +679,83 @@ object Quality {
       |FROM orders
       |ORDER BY table_name""".stripMargin
 
+  /** Q172: EXACT AUC (Mann-Whitney) — q156's discrimination twin: the
+    * probability a random positive outscores a random negative, with
+    * TIES handled exactly by midrank (never a float perturbation).
+    * AUC = (Σ_pos 2·midrank − n_pos·(n_pos+1)) / (2·n_pos·n_neg) — a
+    * single cross-multiplied integer rational: midranks double to
+    * 2·cum_prev + cnt + 1 on the grouped-score frame, so no halves
+    * ever materialize.
+    *
+    * Same honest framing as q156: the synthetic corpus gives the
+    * en-scorer no signal, so the audit's JOB is to report AUC ≈ 0.5 —
+    * and the spec pins it against a brute-force concordant-pair count
+    * (an independent formulation of the same statistic).
+    *
+    * Scale shape: the score domain is permille (≤1001 values), so one
+    * row-scale conditional-count aggregation lands on a bounded
+    * frame; the rank algebra is two windows over that frame and a
+    * 1-row reduce. */
+  def aucScorer(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions._
+    import graft.functions.Parity._
+    val byScore = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select((col("lang") === "en").as("pos"),
+        (stopwordCount(col("text")) * 1000).as("sw1000"),
+        tokenCount(col("text")).as("tc"))
+      .withColumn("score", expr("sw1000 div tc"))
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("np"))
+    val ord = Window.orderBy(col("score"))
+    val all = Window.partitionBy()
+    def d(c: Column) = c.cast("decimal(38,0)")
+    byScore
+      .withColumn("cum_prev",
+        coalesce(sum(col("cnt")).over(ord.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("mr2", lit(2L) * col("cum_prev") + col("cnt") + 1)
+      .agg(sum(col("cnt")).as("n"),
+        sum(col("np")).as("n_pos"),
+        sum(col("np") * col("mr2")).as("num2"))
+      .select(col("n").cast("bigint").as("n_docs"),
+        col("n_pos").cast("bigint").as("n_pos"),
+        (col("n") - col("n_pos")).cast("bigint").as("n_neg"),
+        // AUC undefined on a one-class corpus: NULL, not a crash
+        when(col("n_pos") === 0 || col("n") === col("n_pos"),
+          lit(null).cast("double"))
+          .otherwise(dec6((d(col("num2")) - d(col("n_pos")) * (col("n_pos") + 1))
+            / (lit(2).cast("decimal(2,0)") * d(col("n_pos"))
+              * (col("n") - col("n_pos"))))).as("auc"))
+  }
+
+  val aucScorerSql: String =
+    s"""WITH scored AS (
+       |  SELECT lang = 'en' AS pos,
+       |    len(list_filter(string_split(text, ' '), t -> t IN ($stopwordSqlList)))
+       |      * 1000 // len(string_split(text, ' ')) AS score
+       |  FROM documents WHERE text IS NOT NULL),
+       |g AS (SELECT score, COUNT(*) AS cnt,
+       |        SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS np
+       |      FROM scored GROUP BY 1),
+       |r AS (SELECT score, cnt, np,
+       |        COALESCE(SUM(cnt) OVER (ORDER BY score
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+       |      FROM g)
+       |SELECT CAST(SUM(cnt) AS BIGINT) AS n_docs,
+       |  CAST(SUM(np) AS BIGINT) AS n_pos,
+       |  CAST(SUM(cnt) - SUM(np) AS BIGINT) AS n_neg,
+       |  CASE WHEN SUM(np) = 0 OR SUM(np) = SUM(cnt) THEN NULL
+       |       ELSE CAST(CAST(ROUND(
+       |         (SUM(np * (2 * cum_prev + cnt + 1)) - SUM(np) * (SUM(np) + 1))
+       |           / (2 * SUM(np) * (SUM(cnt) - SUM(np))), 6) AS DECIMAL(38,6)) AS DOUBLE)
+       |  END AS auc
+       |FROM r""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q172_auc_scorer" -> (aucScorer _),
     "q165_deletion_cascade" -> (deletionCascade _),
     "q79_constraint_suite" -> (constraintSuite _),
     "q80_snapshot_diff" -> (snapshotDiff _),
@@ -703,5 +779,6 @@ object Quality {
     "q156_calibration_table" -> calibrationTableSql,
     "q157_cohens_kappa" -> cohensKappaSql,
     "q165_deletion_cascade" -> deletionCascadeSql,
+    "q172_auc_scorer" -> aucScorerSql,
   )
 }

@@ -560,6 +560,68 @@ object Relational {
       |  CAST(CAST(ROUND((2*s - (n+1)*t) / (n*t), 6) AS DECIMAL(38,6)) AS DOUBLE) AS gini
       |FROM a ORDER BY segment""".stripMargin
 
+  /** Q171: BASKET PAIR CO-OCCURRENCE — market-basket mining on the
+    * order→lineitem path: part pairs bought in the same order, top 20
+    * by co-occurrence with exact support and lift. Lift is the single
+    * cross-multiplied rational cnt·N / (cnt_a·cnt_b) — the same
+    * no-stacked-rounding discipline as q130's token lift, here on the
+    * transactional FK path.
+    *
+    * Scale shape: pair expansion is bounded per order by basket size
+    * (the within-order self-join — never a global part×part join);
+    * pair counting is one map-side-combined aggregation; top-20 plans
+    * as TakeOrderedAndProject under the (cnt desc, a, b) total order;
+    * per-part frequencies broadcast onto the 20-row result. */
+  def basketPairs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Parity._
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val nOrders = items.select(col("ok")).distinct().count()
+    val partFreq = items.groupBy(col("pk")).agg(count(lit(1)).as("pf"))
+    val a = items.select(col("ok"), col("pk").as("part_a"))
+    val b = items.select(col("ok"), col("pk").as("part_b"))
+    val pairs = a.join(b, Seq("ok"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("part_a"), col("part_b"))
+      .limit(20)
+    pairs
+      .join(broadcast(partFreq.withColumnRenamed("pk", "part_a")
+        .withColumnRenamed("pf", "fa")), Seq("part_a"))
+      .join(broadcast(partFreq.withColumnRenamed("pk", "part_b")
+        .withColumnRenamed("pf", "fb")), Seq("part_b"))
+      .select(col("part_a"), col("part_b"),
+        col("cnt").cast("bigint").as("n_orders_together"),
+        dec6(col("cnt").cast("decimal(19,0)")
+          / lit(nOrders).cast("decimal(19,0)")).as("support"),
+        dec6(col("cnt").cast("decimal(19,0)") * lit(nOrders)
+          / (col("fa").cast("decimal(19,0)") * col("fb"))).as("lift"))
+      .orderBy(col("n_orders_together").desc, col("part_a"), col("part_b"))
+  }
+
+  val basketPairsSql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM items),
+      |pf AS (SELECT pk, COUNT(*) AS pf FROM items GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS cnt
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2
+      |  ORDER BY cnt DESC, part_a, part_b LIMIT 20)
+      |SELECT part_a, part_b, CAST(cnt AS BIGINT) AS n_orders_together,
+      |  CAST(CAST(ROUND(cnt / n.n_orders, 6) AS DECIMAL(38,6)) AS DOUBLE) AS support,
+      |  CAST(CAST(ROUND(cnt * n.n_orders / (fa.pf * fb.pf), 6) AS DECIMAL(38,6)) AS DOUBLE)
+      |    AS lift
+      |FROM pairs
+      |CROSS JOIN n
+      |JOIN pf fa ON pairs.part_a = fa.pk
+      |JOIN pf fb ON pairs.part_b = fb.pk
+      |ORDER BY n_orders_together DESC, part_a, part_b""".stripMargin
+
   /** Q166: MARKET-SHARE SHIFT — period-over-period share-of-total
     * movement, the BI staple that is quietly a parity minefield: each
     * nation's revenue share in 1996 vs 1997 and the percentage-point
@@ -634,6 +696,7 @@ object Relational {
 
   def queries: Map[String, Q] = Map(
     "q166_share_shift" -> (shareShift _),
+    "q171_basket_pairs" -> (basketPairs _),
     "q1_pricing_summary" -> (pricingSummary _),
     "q137_star_revenue" -> (starRevenue _),
     "q145_gini_concentration" -> (giniConcentration _),
@@ -653,6 +716,7 @@ object Relational {
 
   def oracles: Map[String, String] = Map(
     "q166_share_shift" -> shareShiftSql,
+    "q171_basket_pairs" -> basketPairsSql,
     "q1_pricing_summary" -> pricingSummarySql,
     "q137_star_revenue" -> starRevenueSql,
     "q145_gini_concentration" -> giniConcentrationSql,

@@ -125,4 +125,27 @@ class DerivationsSpec extends SparkSuite {
     assert(Derivations.quantilesDistributed(spark, edge).collect().toSeq
       === viaAgg(edge).collect().toSeq)
   }
+
+  test("q170 equi-depth histogram: matches a driver-side sorted replay") {
+    import spark.implicits._
+    val cents = Tables.lineitem(spark, Sf0001)
+      .select($"l_extendedprice").as[Double].collect()
+      .map(d => BigDecimal.valueOf(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .*(100).toLongExact).sorted
+    val n = cents.length.toLong
+    val b = Derivations.HistogramBuckets
+    val bounds = (1 to b).map(k => cents((((k * n + b - 1) / b) - 1).toInt))
+    val got = Derivations.equiDepthHistogram(spark, Sf0001).collect()
+    assert(got.map(_.getInt(0)).toSeq === (1 to b))
+    assert(got.map(_.getLong(3)).sum === n, "buckets partition the rows")
+    got.foreach { r =>
+      val k = r.getInt(0)
+      val lo = if (k == 1) cents.head else bounds(k - 2)
+      val loExcl = if (k == 1) cents.head - 1 else bounds(k - 2)
+      assert(r.getDouble(1) === lo / 100.0, s"lo $r")
+      assert(r.getDouble(2) === bounds(k - 1) / 100.0, s"hi $r")
+      assert(r.getLong(3) ===
+        cents.count(c => c > loExcl && c <= bounds(k - 1)).toLong, s"n $r")
+    }
+  }
 }

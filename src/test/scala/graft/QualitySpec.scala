@@ -278,6 +278,35 @@ class QualitySpec extends SparkSuite {
     assert(delC.nonEmpty && delO.nonEmpty, "cascade degenerate at sf0.001")
   }
 
+  test("q172 AUC: matches a brute-force concordant-pair count") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf0001)
+      .select($"lang", $"text").as[(String, String)].collect()
+      .filter(_._2 != null)
+    val stop = graft.functions.TextFunctions.EnglishStopwords.toSet
+    val scored = docs.map { case (lang, text) =>
+      val toks = text.split(" ", -1)
+      (lang == "en", toks.count(stop) * 1000L / toks.length)
+    }
+    val pos = scored.filter(_._1).map(_._2)
+    val neg = scored.filter(!_._1).map(_._2)
+    // brute force: P(pos > neg) + 0.5 P(tie), as an exact rational
+    val conc2 = (for (p <- pos; q <- neg)
+      yield if (p > q) BigInt(2) else if (p == q) BigInt(1) else BigInt(0)).sum
+    val auc = (BigDecimal(conc2)
+      / BigDecimal(BigInt(2) * pos.length * neg.length))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Q.aucScorer(spark, Sf0001).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getLong(0) === scored.length.toLong)
+    assert(r.getLong(1) === pos.length.toLong)
+    assert(r.getLong(2) === neg.length.toLong)
+    assert(r.getDouble(3) === auc, s"auc $r")
+    // the honest expectation: no language signal -> AUC near chance
+    assert(math.abs(r.getDouble(3) - 0.5) < 0.15, s"unexpected signal $r")
+  }
+
   test("q143 k-anonymity: generalization only retires risk") {
     val rows = Q.kAnonymity(spark, Sf0001).collect()
     assert(rows.length === 2)

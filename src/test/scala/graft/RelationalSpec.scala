@@ -182,4 +182,29 @@ class RelationalSpec extends SparkSuite {
     // pp changes sum to ~0 (shares are zero-sum)
     assert(math.abs(got.map(_.getDouble(5)).sum) < 1e-4)
   }
+
+  test("q171 basket pairs: matches a driver-side pair enumeration") {
+    import spark.implicits._
+    val items = Tables.lineitem(spark, Sf0001)
+      .select($"l_orderkey", $"l_partkey").as[(Long, Long)].collect().distinct
+    val nOrders = items.map(_._1).distinct.length.toLong
+    val pf = items.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairCnt = items.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val top = pairCnt.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.take(20)
+    val got = Relational.basketPairs(spark, Sf0001).collect()
+    assert(got.length === top.length)
+    got.zip(top).foreach { case (r, ((a, b), c)) =>
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((a, b, c)), r)
+      val support = (BigDecimal(c) / BigDecimal(nOrders))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) === support, s"support $r")
+      val lift = (BigDecimal(BigInt(c) * nOrders)
+        / BigDecimal(BigInt(pf(a)) * pf(b)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(4) === lift, s"lift $r")
+    }
+  }
 }
