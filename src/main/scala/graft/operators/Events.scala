@@ -1463,7 +1463,85 @@ object Events {
       |    AS DECIMAL(38,2)) AS DOUBLE) AS p90
       |FROM r GROUP BY day ORDER BY day""".stripMargin
 
+  /** Q174: LINEAR-INTERPOLATION GAP REPAIR — the numeric sibling of
+    * q77's carry-forward fill: per event type, the dense hourly grid
+    * over the type's observed span, with missing hours repaired by
+    * exact linear interpolation between the nearest observed
+    * neighbours. The interpolated value is computed as the SINGLE
+    * rational (pv·(nh−hr) + nv·(hr−ph)) / (nh−ph) — symmetric form,
+    * one dec6 division, never prev + rounded-fraction (the stacked-
+    * rounding discipline). Edge hours are always observed (the grid
+    * spans min..max of real data), so interior gaps always have both
+    * neighbours.
+    *
+    * Scale shape: one hourly rollup (the only row-scale exchange),
+    * a per-type grid explode, and two IGNORE-NULLS windows over the
+    * |types|×|hours| frame. */
+  def linearInterpolation(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity._
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("ts_ns div 3600000000000").as("hr"))
+      .agg(sum((col("value").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("long")).as("v"))
+    val grid = hourly.groupBy(col("event_type"))
+      .agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
+      .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("hr"))
+    val joined = grid.join(hourly, Seq("event_type", "hr"), "left")
+    val wPrev = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    def d(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    joined
+      .withColumn("ph", last(when(col("v").isNotNull, col("hr")), ignoreNulls = true).over(wPrev))
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("nh", first(when(col("v").isNotNull, col("hr")), ignoreNulls = true).over(wNext))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .select(col("event_type"), col("hr").as("hour_idx"),
+        col("v").isNotNull.as("is_observed"),
+        when(col("v").isNotNull, dec6(d(col("v")) / 100))
+          .otherwise(dec6(
+            (d(col("pv")) * (col("nh") - col("hr"))
+              + d(col("nv")) * (col("hr") - col("ph")))
+            / (d(col("nh") - col("ph")) * 100)))
+          .as("value_dollars"))
+      .orderBy(col("event_type"), col("hour_idx"))
+  }
+
+  val linearInterpolationSql: String =
+    """WITH h AS (
+      |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,
+      |    SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT event_type, unnest(range(mn, mx + 1)) AS hr
+      |  FROM (SELECT event_type, MIN(hr) AS mn, MAX(hr) AS mx FROM h GROUP BY 1)),
+      |j AS (SELECT g.event_type, g.hr, h.v
+      |      FROM grid g LEFT JOIN h ON g.event_type = h.event_type AND g.hr = h.hr),
+      |w AS (SELECT event_type, hr, v,
+      |        LAST_VALUE(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS) OVER
+      |          (PARTITION BY event_type ORDER BY hr
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ph,
+      |        LAST_VALUE(v IGNORE NULLS) OVER
+      |          (PARTITION BY event_type ORDER BY hr
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+      |        FIRST_VALUE(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS) OVER
+      |          (PARTITION BY event_type ORDER BY hr
+      |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nh,
+      |        FIRST_VALUE(v IGNORE NULLS) OVER
+      |          (PARTITION BY event_type ORDER BY hr
+      |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv
+      |      FROM j)
+      |SELECT event_type, hr AS hour_idx, v IS NOT NULL AS is_observed,
+      |  CASE WHEN v IS NOT NULL
+      |       THEN CAST(CAST(ROUND(v / 100, 6) AS DECIMAL(38,6)) AS DOUBLE)
+      |       ELSE CAST(CAST(ROUND((pv * (nh - hr) + nv * (hr - ph))
+      |         / ((nh - ph) * 100), 6) AS DECIMAL(38,6)) AS DOUBLE)
+      |  END AS value_dollars
+      |FROM w ORDER BY event_type, hour_idx""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q174_linear_interpolation" -> (linearInterpolation _),
     "q167_rolling_active_users" -> (rollingActiveUsers _),
     "q168_percentile_bands" -> (dailyPercentileBands _),
     "q159_conversion_latency" -> (conversionLatency _),
@@ -1496,6 +1574,7 @@ object Events {
   )
 
   def oracles: Map[String, String] = Map(
+    "q174_linear_interpolation" -> linearInterpolationSql,
     "q167_rolling_active_users" -> rollingActiveUsersSql,
     "q168_percentile_bands" -> dailyPercentileBandsSql,
     "q159_conversion_latency" -> conversionLatencySql,

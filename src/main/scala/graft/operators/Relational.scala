@@ -622,6 +622,133 @@ object Relational {
       |JOIN pf fb ON pairs.part_b = fb.pk
       |ORDER BY n_orders_together DESC, part_a, part_b""".stripMargin
 
+  /** Q173: ABC / PARETO CLASSIFICATION — inventory analytics' 80/95
+    * rule: rank parts by revenue and classify into A (parts up to 80%
+    * of cumulative revenue), B (to 95%), C (tail). Membership is
+    * pinned by the EXCLUSIVE prefix: class A iff 5·cum_prev < 4·T —
+    * exact integer cross-multiplication, so the boundary part that
+    * CROSSES 80% still counts as A on both engines.
+    *
+    * Scale shape: the global revenue-descending prefix sum is the one
+    * shape that degenerates to a single-task sort, so this reuses
+    * q94's distributed two-pass prefix sum — sampled balance-only
+    * buckets over the per-part frame, bounded per-bucket subtotals as
+    * driver control flow, broadcast offsets, within-bucket window.
+    * The class rollup is a 3-row aggregation. */
+  def abcClassification(spark: SparkSession, dir: String): DataFrame = {
+    def rows = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("long")).as("c"))
+      .withColumn("sc", -col("c"))
+    val nBuckets = spark.conf.get("spark.sql.shuffle.partitions").toInt.max(2)
+    val bucketOf = TwoPass.scoreBuckets(rows, col("sc"), nBuckets)
+    val sub = rows.withColumn("b", bucketOf(col("sc")))
+      .groupBy(col("b")).agg(sum(col("c")).as("t"))
+      .collect().sortBy(_.getAs[Int]("b"))
+    val cum = sub.scanLeft(0L)(_ + _.getAs[Long]("t"))
+    val total = cum.last
+    val offsets = spark.createDataFrame(
+      sub.zip(cum).map { case (r, off) => (r.getAs[Int]("b"), off) }.toSeq)
+      .toDF("b", "off")
+    val w = Window.partitionBy(col("b")).orderBy(col("sc"), col("pk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    rows.withColumn("b", bucketOf(col("sc")))
+      .join(broadcast(offsets), Seq("b"))
+      .withColumn("cum_prev",
+        col("off") + coalesce(sum(col("c")).over(w), lit(0L)))
+      .withColumn("abc_class",
+        when(col("cum_prev") * 5 < lit(total) * 4, "A")
+          .when(col("cum_prev") * 20 < lit(total) * 19, "B")
+          .otherwise("C"))
+      .groupBy(col("abc_class"))
+      .agg(count(lit(1)).cast("bigint").as("n_parts"),
+        sum(col("c")).as("revc"))
+      .select(col("abc_class"),
+        col("n_parts"),
+        dec2(col("revc").cast("decimal(19,0)") / 100).as("revenue"),
+        dec6(col("revc").cast("decimal(19,0)") * 100
+          / lit(total).cast("decimal(19,0)")).as("revenue_share_pct"))
+      .orderBy(col("abc_class"))
+  }
+
+  val abcClassificationSql: String =
+    """WITH p AS (
+      |  SELECT l_partkey AS pk,
+      |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS c
+      |  FROM lineitem GROUP BY 1),
+      |t AS (SELECT SUM(c) AS tot FROM p),
+      |r AS (SELECT pk, c,
+      |        COALESCE(SUM(c) OVER (ORDER BY c DESC, pk
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cp
+      |      FROM p),
+      |cls AS (SELECT CASE WHEN cp * 5 < tot * 4 THEN 'A'
+      |                    WHEN cp * 20 < tot * 19 THEN 'B'
+      |                    ELSE 'C' END AS abc_class, c, tot
+      |        FROM r CROSS JOIN t)
+      |SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+      |  CAST(CAST(ROUND(SUM(c) / 100, 2) AS DECIMAL(38,2)) AS DOUBLE) AS revenue,
+      |  CAST(CAST(ROUND(SUM(c) * 100 / MAX(tot), 6) AS DECIMAL(38,6)) AS DOUBLE)
+      |    AS revenue_share_pct
+      |FROM cls GROUP BY abc_class ORDER BY abc_class""".stripMargin
+
+  /** Q175: RATIO-TO-PARENT CONTRIBUTION — the hierarchical BI report
+    * (contribution analysis): revenue per nation with its share of the
+    * parent region and the region's share of the corpus, each a single
+    * exact dec6 division of integer cents (shares never derived from
+    * other rounded shares — the q151/q166 discipline).
+    *
+    * Scale shape: one row-scale conditional-sum aggregation into the
+    * |nations| frame (dims broadcast); both parent totals are windows
+    * over that bounded frame. */
+  def ratioToParent(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity._
+    val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
+      .cast("decimal(18,0)").cast("long")
+    val base = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(sum(cents).as("c"))
+    val byRegion = Window.partitionBy(col("region"))
+    val all = Window.partitionBy()
+    base
+      .withColumn("rt", sum(col("c")).over(byRegion))
+      .withColumn("tt", sum(col("c")).over(all))
+      .select(col("region"), col("nation"),
+        dec2(col("c").cast("decimal(19,0)") / 100).as("revenue"),
+        dec6(col("c").cast("decimal(19,0)") * 100
+          / col("rt").cast("decimal(19,0)")).as("share_of_region_pct"),
+        dec6(col("rt").cast("decimal(19,0)") * 100
+          / col("tt").cast("decimal(19,0)")).as("region_share_pct"))
+      .orderBy(col("region"), col("nation"))
+  }
+
+  val ratioToParentSql: String =
+    """WITH base AS (
+      |  SELECT r_name AS region, n_name AS nation,
+      |    SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS c
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2),
+      |w AS (SELECT region, nation, c,
+      |        SUM(c) OVER (PARTITION BY region) AS rt,
+      |        SUM(c) OVER () AS tt
+      |      FROM base)
+      |SELECT region, nation,
+      |  CAST(CAST(ROUND(c / 100, 2) AS DECIMAL(38,2)) AS DOUBLE) AS revenue,
+      |  CAST(CAST(ROUND(c * 100 / rt, 6) AS DECIMAL(38,6)) AS DOUBLE)
+      |    AS share_of_region_pct,
+      |  CAST(CAST(ROUND(rt * 100 / tt, 6) AS DECIMAL(38,6)) AS DOUBLE)
+      |    AS region_share_pct
+      |FROM w ORDER BY region, nation""".stripMargin
+
   /** Q166: MARKET-SHARE SHIFT — period-over-period share-of-total
     * movement, the BI staple that is quietly a parity minefield: each
     * nation's revenue share in 1996 vs 1997 and the percentage-point
@@ -697,6 +824,8 @@ object Relational {
   def queries: Map[String, Q] = Map(
     "q166_share_shift" -> (shareShift _),
     "q171_basket_pairs" -> (basketPairs _),
+    "q173_abc_classification" -> (abcClassification _),
+    "q175_ratio_to_parent" -> (ratioToParent _),
     "q1_pricing_summary" -> (pricingSummary _),
     "q137_star_revenue" -> (starRevenue _),
     "q145_gini_concentration" -> (giniConcentration _),
@@ -717,6 +846,8 @@ object Relational {
   def oracles: Map[String, String] = Map(
     "q166_share_shift" -> shareShiftSql,
     "q171_basket_pairs" -> basketPairsSql,
+    "q173_abc_classification" -> abcClassificationSql,
+    "q175_ratio_to_parent" -> ratioToParentSql,
     "q1_pricing_summary" -> pricingSummarySql,
     "q137_star_revenue" -> starRevenueSql,
     "q145_gini_concentration" -> giniConcentrationSql,

@@ -605,4 +605,41 @@ class EventsSpec extends SparkSuite {
       assert(r.getDouble(2) <= r.getDouble(3) && r.getDouble(3) <= r.getDouble(4), r)
     }
   }
+
+  test("q174 linear interpolation: matches a driver-side repair replay") {
+    import spark.implicits._
+    val hourly = Tables.events(spark, Sf0001)
+      .select($"event_type", $"ts_ns", $"value").as[(String, Long, Double)]
+      .collect()
+      .groupBy(t => (t._1, t._2 / 3600000000000L))
+      .view.mapValues(_.map(e => BigDecimal.valueOf(e._3)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).*(100).toLongExact).sum)
+      .toMap
+    val got = operators.Events.linearInterpolation(spark, Sf0001).collect()
+    val byType = hourly.keys.groupBy(_._1).view
+      .mapValues(ks => (ks.map(_._2).min, ks.map(_._2).max)).toMap
+    val expectedRows = byType.map { case (_, (mn, mx)) => mx - mn + 1 }.sum
+    assert(got.length === expectedRows.toInt, "dense grid per type")
+    got.foreach { r =>
+      val key = (r.getString(0), r.getLong(1))
+      if (r.getBoolean(2)) {
+        assert(r.getDouble(3) === (BigDecimal(hourly(key)) / 100)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, r)
+      } else {
+        val hrs = hourly.keys.filter(_._1 == key._1).map(_._2)
+        val ph = hrs.filter(_ < key._2).max
+        val nh = hrs.filter(_ > key._2).min
+        val (pv, nv) = (hourly((key._1, ph)), hourly((key._1, nh)))
+        val interp = (BigDecimal(
+          BigInt(pv) * (nh - key._2) + BigInt(nv) * (key._2 - ph))
+          / BigDecimal(BigInt(nh - ph) * 100))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getDouble(3) === interp, s"interp $r")
+        // interpolation stays within the neighbour band
+        assert(r.getDouble(3) >= math.min(pv, nv) / 100.0 - 1e-6
+          && r.getDouble(3) <= math.max(pv, nv) / 100.0 + 1e-6, r)
+      }
+    }
+    assert(got.exists(!_.getBoolean(2)), "no gaps at sf0.001 — degenerate")
+  }
 }

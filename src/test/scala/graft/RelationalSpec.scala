@@ -207,4 +207,57 @@ class RelationalSpec extends SparkSuite {
       assert(r.getDouble(4) === lift, s"lift $r")
     }
   }
+
+  test("q173 ABC classification: matches a driver-side Pareto replay") {
+    import spark.implicits._
+    val perPart = Tables.lineitem(spark, Sf0001)
+      .select($"l_partkey", $"l_extendedprice").as[(Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(e =>
+        BigDecimal.valueOf(e._2).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .*(100).toLongExact).sum).toSeq
+      .sortBy { case (pk, c) => (-c, pk) }
+    val total = perPart.map(_._2).sum
+    var cumPrev = 0L
+    val classified = perPart.map { case (pk, c) =>
+      val cls = if (cumPrev * 5 < total * 4) "A"
+        else if (cumPrev * 20 < total * 19) "B" else "C"
+      cumPrev += c
+      (cls, c)
+    }
+    val expected = classified.groupBy(_._1).view.mapValues { xs =>
+      (xs.length.toLong, xs.map(_._2).sum)
+    }.toMap
+    val got = Relational.abcClassification(spark, Sf0001).collect()
+    assert(got.map(_.getString(0)).toSet === expected.keySet)
+    got.foreach { r =>
+      val (n, rev) = expected(r.getString(0))
+      assert(r.getLong(1) === n, s"n_parts $r")
+      assert(r.getDouble(2) === (BigDecimal(rev) / 100)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble, s"revenue $r")
+    }
+    // Pareto shape: A has the most revenue in the fewest parts
+    val byCls = got.map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    if (byCls.contains("A") && byCls.contains("C"))
+      assert(byCls("A")._2 > byCls("C")._2 || byCls("A")._1 < byCls("C")._1)
+  }
+
+  test("q175 ratio-to-parent: shares reconcile up the hierarchy") {
+    val got = Relational.ratioToParent(spark, Sf0001).collect()
+    // nation shares sum to 100 within each region
+    got.groupBy(_.getString(0)).foreach { case (region, rows) =>
+      assert(math.abs(rows.map(_.getDouble(3)).sum - 100.0) < 1e-3, region)
+      // region share identical on every row of the region
+      assert(rows.map(_.getDouble(4)).distinct.length === 1, region)
+    }
+    // region shares sum to 100 over distinct regions
+    val regionShares = got.groupBy(_.getString(0)).view
+      .mapValues(_.head.getDouble(4)).values.sum
+    assert(math.abs(regionShares - 100.0) < 1e-3)
+    // revenue reconciles with a direct recompute
+    val direct = Tables.orders(spark, Sf0001)
+      .join(Tables.customer(spark, Sf0001), col("o_custkey") === col("c_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))).collect()
+      .head.getDecimal(0).doubleValue()
+    assert(math.abs(got.map(_.getDouble(2)).sum - direct) < 1e-6)
+  }
 }
