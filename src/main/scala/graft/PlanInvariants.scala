@@ -113,7 +113,18 @@ object PlanInvariants {
     Map("q79_constraint_suite" -> 7, "q66_distinctive_terms" -> 6,
       "q103_span_scrub" -> 5, "q115_source_overlap" -> 5,
       "q126_version_drift" -> 6, "q129_dup_pagerank" -> 10,
-      "q134_skew_profile" -> 12, "q140_dup_triangles" -> 12)
+      "q134_skew_profile" -> 12, "q140_dup_triangles" -> 12,
+      // q176 audits THREE independent cardinality profiles (exact,
+      // 16-bucket, 256-bucket) — each pays its own per-side count
+      // aggregation + 1-row reduce, the q134 "pays the shuffle it
+      // audits" argument; after the first agg every exchange carries
+      // key/bucket frames, never raw rows
+      "q176_join_cardinality" -> 9,
+      // q177's bucketized sweep line: session window, per-(type,hour)
+      // net agg, bounded offset window, within-bucket running sums,
+      // bounded peak window + output sort — the offset machinery is
+      // the price of never running a global per-type ordered sum
+      "q177_peak_concurrency" -> 6)
 
   /** Every other plan holds at <= 4 exchanges today (audited r5). */
   val defaultShuffleCeiling: Int = 4

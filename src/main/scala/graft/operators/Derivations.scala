@@ -527,7 +527,76 @@ object Derivations {
       |    AS n_rows
       |FROM bs ORDER BY bucket""".stripMargin
 
+  /** Q176: JOIN-CARDINALITY ESTIMATOR AUDIT — the CBO sanity check
+    * beside q170's histograms and q134's skew profile: estimate
+    * |orders ⋈ customer| from per-key count sketches at two bucket
+    * widths (md5-bucketed key histograms, est = Σ_b cO(b)·cC(b)) and
+    * report them against the EXACT actual (Σ_k cO(k)·cC(k)). Bucket
+    * collisions only ever ADD phantom matches, so est ≥ actual is an
+    * invariant (pinned in spec), and the over-estimation ratio is the
+    * resolution-vs-cost curve a planner tunes.
+    *
+    * Exactness: everything is integer sums; ratios are single dec6
+    * divisions.
+    *
+    * Scale shape: per side, ONE map-side-combined count aggregation
+    * per resolution (the exact path groups true keys — at 100 TB the
+    * sketch path is the one a planner keeps, which is the point of
+    * the audit); bucket frames are ≤256 rows, and the three 1-row
+    * results assemble by tag-union + conditional max (never a 1-row
+    * crossJoin BNLJ). */
+  def joinCardinalityAudit(spark: SparkSession, dir: String): DataFrame = {
+    def keyed(df: DataFrame, key: String) =
+      df.select(col(key).cast("string").as("k"))
+    val o = keyed(Tables.orders(spark, dir), "o_custkey")
+    val c = keyed(Tables.customer(spark, dir), "c_custkey")
+    val oExact = o.groupBy(col("k")).agg(count(lit(1)).as("co"))
+    val cExact = c.groupBy(col("k")).agg(count(lit(1)).as("cc"))
+    val actual = oExact.join(cExact, Seq("k"))
+      .agg(sum(col("co") * col("cc")).cast("bigint").as("v"))
+      .select(lit("actual").as("m"), col("v"))
+    def est(buckets: Int): DataFrame = {
+      val b = substring(md5(col("k")), 1, if (buckets == 16) 1 else 2)
+      val ob = o.groupBy(b.as("b")).agg(count(lit(1)).as("co"))
+      val cb = c.groupBy(b.as("b")).agg(count(lit(1)).as("cc"))
+      ob.join(cb, Seq("b"))
+        .agg(sum(col("co") * col("cc")).cast("bigint").as("v"))
+        .select(lit(s"est_$buckets").as("m"), col("v"))
+    }
+    import graft.functions.Parity._
+    actual.unionAll(est(16)).unionAll(est(256))
+      .agg(max(when(col("m") === "actual", col("v"))).as("actual"),
+        max(when(col("m") === "est_16", col("v"))).as("est_16"),
+        max(when(col("m") === "est_256", col("v"))).as("est_256"))
+      .select(col("actual").cast("bigint").as("actual"),
+        col("est_16").cast("bigint").as("est_16"),
+        col("est_256").cast("bigint").as("est_256"),
+        dec6(col("est_16").cast("decimal(19,0)")
+          / col("actual").cast("decimal(19,0)")).as("ratio_16"),
+        dec6(col("est_256").cast("decimal(19,0)")
+          / col("actual").cast("decimal(19,0)")).as("ratio_256"))
+  }
+
+  val joinCardinalityAuditSql: String =
+    """WITH o AS (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders),
+      |c AS (SELECT CAST(c_custkey AS VARCHAR) AS k FROM customer),
+      |oe AS (SELECT k, COUNT(*) AS co FROM o GROUP BY 1),
+      |ce AS (SELECT k, COUNT(*) AS cc FROM c GROUP BY 1),
+      |act AS (SELECT SUM(co * cc) AS actual FROM oe JOIN ce USING (k)),
+      |o16 AS (SELECT substr(md5(k), 1, 1) AS b, COUNT(*) AS co FROM o GROUP BY 1),
+      |c16 AS (SELECT substr(md5(k), 1, 1) AS b, COUNT(*) AS cc FROM c GROUP BY 1),
+      |e16 AS (SELECT SUM(co * cc) AS est_16 FROM o16 JOIN c16 USING (b)),
+      |o256 AS (SELECT substr(md5(k), 1, 2) AS b, COUNT(*) AS co FROM o GROUP BY 1),
+      |c256 AS (SELECT substr(md5(k), 1, 2) AS b, COUNT(*) AS cc FROM c GROUP BY 1),
+      |e256 AS (SELECT SUM(co * cc) AS est_256 FROM o256 JOIN c256 USING (b))
+      |SELECT CAST(actual AS BIGINT) AS actual,
+      |  CAST(est_16 AS BIGINT) AS est_16, CAST(est_256 AS BIGINT) AS est_256,
+      |  CAST(CAST(ROUND(est_16 / actual, 6) AS DECIMAL(38,6)) AS DOUBLE) AS ratio_16,
+      |  CAST(CAST(ROUND(est_256 / actual, 6) AS DECIMAL(38,6)) AS DOUBLE) AS ratio_256
+      |FROM act CROSS JOIN e16 CROSS JOIN e256""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q176_join_cardinality" -> (joinCardinalityAudit _),
     "q170_equi_depth_histogram" -> (equiDepthHistogram _),
     "q13_case_when" -> (caseWhen _),
     "q82_numeric_profile" -> (numericProfile _),
@@ -546,6 +615,7 @@ object Derivations {
   )
 
   def oracles: Map[String, String] = Map(
+    "q176_join_cardinality" -> joinCardinalityAuditSql,
     "q170_equi_depth_histogram" -> equiDepthHistogramSql,
     "q13_case_when" -> caseWhenSql,
     "q82_numeric_profile" -> numericProfileSql,

@@ -1540,7 +1540,155 @@ object Events {
       |  END AS value_dollars
       |FROM w ORDER BY event_type, hour_idx""".stripMargin
 
+  /** Q177: PEAK CONCURRENCY (sweep line) — capacity planning over
+    * q154's session intervals: per event type, the maximum number of
+    * simultaneously-active sessions and the first hour it occurs.
+    * Sweep convention pinned: at equal timestamps, ends (−1) process
+    * before starts (+1) — ORDER BY (ns, delta), so touching intervals
+    * never double-count.
+    *
+    * Scale shape: a global per-type running sum is a single task per
+    * type, so the sweep is bucketized (the q94 offset idea in-plan):
+    * per (type, hour) net deltas → prefix offsets via a window over
+    * the BOUNDED bucket frame → within-bucket running sums (each
+    * bucket's slice only) → per-bucket local peaks → final max/argmax
+    * over the bounded frame. Running-sum values are tie-order
+    * invariant (equal (ns, delta) rows are interchangeable), so the
+    * peak and its hour are deterministic at any parallelism. */
+  def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val byKey = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    val gapNs = 30L * 60 * 1000 * 1000 * 1000
+    val sessions = Tables.events(spark, dir)
+      .withColumn("prev_ns", lag(col("ts_ns"), 1).over(byKey))
+      .withColumn("new_session",
+        when(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > gapNs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byKey.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("event_type"), col("session_id"))
+      .agg(min(col("ts_ns")).as("s"),
+        (max(col("ts_ns")) + SessionTailNs).as("e"))
+    val deltas = sessions.select(col("event_type"), col("s").as("ns"), lit(1L).as("d"))
+      .unionAll(sessions.select(col("event_type"), col("e").as("ns"), lit(-1L).as("d")))
+      .withColumn("hb", expr("ns div 3600000000000"))
+    val net = deltas.groupBy(col("event_type"), col("hb"))
+      .agg(sum(col("d")).as("net"))
+    val wOff = Window.partitionBy(col("event_type")).orderBy(col("hb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = net
+      .withColumn("off", coalesce(sum(col("net")).over(wOff), lit(0L)))
+      .select(col("event_type"), col("hb"), col("off"))
+    val wIn = Window.partitionBy(col("event_type"), col("hb"))
+      .orderBy(col("ns"), col("d"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val bstats = deltas.join(offsets, Seq("event_type", "hb"))
+      .withColumn("rs", col("off") + sum(col("d")).over(wIn))
+      .groupBy(col("event_type"), col("hb"))
+      .agg(max(col("rs")).as("bpeak"),
+        sum(when(col("d") === 1, 1L).otherwise(0L)).as("starts"))
+    val wT = Window.partitionBy(col("event_type"))
+    bstats
+      .withColumn("peak", max(col("bpeak")).over(wT))
+      .groupBy(col("event_type"))
+      .agg(sum(col("starts")).cast("bigint").as("n_sessions"),
+        max(col("bpeak")).cast("bigint").as("peak_concurrent"),
+        min(when(col("bpeak") === col("peak"), col("hb"))).cast("bigint")
+          .as("peak_hour_idx"))
+      .orderBy(col("event_type"))
+  }
+
+  val peakConcurrencySql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_type, event_id, epoch_ns(ts) AS ns,
+      |    CASE WHEN LAG(epoch_ns(ts)) OVER w IS NULL
+      |           OR epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w > 30*60*1000000000::BIGINT
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id, event_type
+      |               ORDER BY epoch_ns(ts), event_id)),
+      |sid AS (SELECT user_id, event_type, ns,
+      |          SUM(new_session) OVER (PARTITION BY user_id, event_type
+      |            ORDER BY ns, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |        FROM flagged),
+      |sess AS (SELECT user_id, event_type, session_id,
+      |           MIN(ns) AS s, MAX(ns) + 30*60*1000000000::BIGINT AS e
+      |         FROM sid GROUP BY 1, 2, 3),
+      |deltas AS (
+      |  SELECT event_type, s AS ns, 1 AS d FROM sess
+      |  UNION ALL
+      |  SELECT event_type, e, -1 FROM sess),
+      |rs AS (SELECT event_type, ns, d,
+      |         SUM(d) OVER (PARTITION BY event_type ORDER BY ns, d
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs
+      |       FROM deltas),
+      |p AS (SELECT event_type, MAX(rs) AS peak FROM rs GROUP BY 1)
+      |SELECT r.event_type,
+      |  CAST(SUM(CASE WHEN r.d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+      |  CAST(MAX(p.peak) AS BIGINT) AS peak_concurrent,
+      |  CAST(MIN(CASE WHEN r.rs = p.peak THEN r.ns // 3600000000000 END) AS BIGINT)
+      |    AS peak_hour_idx
+      |FROM rs r JOIN p ON r.event_type = p.event_type
+      |GROUP BY r.event_type
+      |ORDER BY r.event_type""".stripMargin
+
+  /** Q178: MIN-MAX FEATURE SCALING — the feature-store normalization
+    * pass: per event type, scale value cents to integer permille of
+    * the type's [min, max] span (floor division — the pinned integer
+    * convention; a constant column scales to 0). Reported as the
+    * per-type accounting (n, min, max, exact scaled sum and mean) so
+    * the full scaled column never needs to round-trip the harness.
+    *
+    * Scale shape: TWO map-side-combined aggregations (min/max, then
+    * the scaled rollup against the broadcast |types|-row bounds) —
+    * the scaled value itself is a pure per-row map, usable as a
+    * column in any downstream feature pipeline. */
+  def minmaxScaling(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity._
+    def rows = Tables.events(spark, dir).select(col("event_type"),
+      (col("value").cast("decimal(18,2)") * 100).cast("decimal(18,0)")
+        .cast("long").as("c"))
+    val bounds = rows.groupBy(col("event_type"))
+      .agg(min(col("c")).as("mn"), max(col("c")).as("mx"))
+    rows.join(broadcast(bounds), Seq("event_type"))
+      .withColumn("scaled",
+        when(col("mx") === col("mn"), 0L)
+          .otherwise(expr("((c - mn) * 1000) div (mx - mn)")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        max(col("mn")).as("mnc"), max(col("mx")).as("mxc"),
+        sum(col("scaled")).cast("bigint").as("sum_scaled"))
+      .select(col("event_type"), col("n"),
+        dec2(col("mnc").cast("decimal(18,0)") / 100).as("min_value"),
+        dec2(col("mxc").cast("decimal(18,0)") / 100).as("max_value"),
+        col("sum_scaled"),
+        dec6(col("sum_scaled").cast("decimal(19,0)")
+          / col("n").cast("decimal(19,0)")).as("mean_scaled"))
+      .orderBy(col("event_type"))
+  }
+
+  val minmaxScalingSql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM events),
+      |b AS (SELECT event_type, MIN(c) AS mn, MAX(c) AS mx FROM e GROUP BY 1),
+      |s AS (SELECT e.event_type, e.c, b.mn, b.mx,
+      |        CASE WHEN b.mx = b.mn THEN 0
+      |             ELSE ((e.c - b.mn) * 1000) // (b.mx - b.mn) END AS scaled
+      |      FROM e JOIN b ON e.event_type = b.event_type)
+      |SELECT event_type, COUNT(*) AS n,
+      |  CAST(CAST(ROUND(MAX(mn) / 100, 2) AS DECIMAL(38,2)) AS DOUBLE) AS min_value,
+      |  CAST(CAST(ROUND(MAX(mx) / 100, 2) AS DECIMAL(38,2)) AS DOUBLE) AS max_value,
+      |  CAST(SUM(scaled) AS BIGINT) AS sum_scaled,
+      |  CAST(CAST(ROUND(SUM(scaled) / COUNT(*), 6) AS DECIMAL(38,6)) AS DOUBLE)
+      |    AS mean_scaled
+      |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q177_peak_concurrency" -> (peakConcurrency _),
+    "q178_minmax_scaling" -> (minmaxScaling _),
     "q174_linear_interpolation" -> (linearInterpolation _),
     "q167_rolling_active_users" -> (rollingActiveUsers _),
     "q168_percentile_bands" -> (dailyPercentileBands _),
@@ -1574,6 +1722,8 @@ object Events {
   )
 
   def oracles: Map[String, String] = Map(
+    "q177_peak_concurrency" -> peakConcurrencySql,
+    "q178_minmax_scaling" -> minmaxScalingSql,
     "q174_linear_interpolation" -> linearInterpolationSql,
     "q167_rolling_active_users" -> rollingActiveUsersSql,
     "q168_percentile_bands" -> dailyPercentileBandsSql,

@@ -148,4 +148,22 @@ class DerivationsSpec extends SparkSuite {
         cents.count(c => c > loExcl && c <= bounds(k - 1)).toLong, s"n $r")
     }
   }
+
+  test("q176 join-cardinality audit: exact actual, estimates only over-count") {
+    import spark.implicits._
+    val ok = Tables.orders(spark, Sf0001).select($"o_custkey").as[Long].collect()
+    val ck = Tables.customer(spark, Sf0001).select($"c_custkey").as[Long].collect()
+    val cCnt = ck.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val actual = ok.map(k => cCnt.getOrElse(k, 0L)).sum
+    val got = Derivations.joinCardinalityAudit(spark, Sf0001).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getLong(0) === actual, s"actual $r")
+    // bucket collisions only ADD phantom matches
+    assert(r.getLong(1) >= r.getLong(0), "est_16 under-counted")
+    assert(r.getLong(2) >= r.getLong(0), "est_256 under-counted")
+    // finer buckets estimate no worse than coarser ones
+    assert(r.getLong(2) <= r.getLong(1), "more buckets got worse")
+    assert(r.getDouble(3) >= 1.0 && r.getDouble(4) >= 1.0, r)
+  }
 }

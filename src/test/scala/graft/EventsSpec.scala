@@ -642,4 +642,63 @@ class EventsSpec extends SparkSuite {
     }
     assert(got.exists(!_.getBoolean(2)), "no gaps at sf0.001 — degenerate")
   }
+
+  test("q177 peak concurrency: matches a driver-side sweep-line replay") {
+    import spark.implicits._
+    val ev = Tables.events(spark, Sf0001)
+      .select($"user_id", $"event_type", $"event_id", $"ts_ns")
+      .as[(Long, String, Long, Long)].collect()
+    val gap = 30L * 60 * 1000 * 1000 * 1000
+    val sessions = ev.groupBy(e => (e._1, e._2)).toSeq.flatMap { case ((_, et), rs) =>
+      val sorted = rs.sortBy(e => (e._4, e._3))
+      val sess = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      sorted.foreach { e =>
+        if (sess.nonEmpty && e._4 - sess.last._2 <= gap)
+          sess(sess.length - 1) = (sess.last._1, e._4)
+        else sess += ((e._4, e._4))
+      }
+      sess.map { case (s, e) => (et, s, e + gap) }
+    }
+    val got = operators.Events.peakConcurrency(spark, Sf0001).collect()
+    assert(got.map(_.getString(0)).toSet === sessions.map(_._1).toSet)
+    got.foreach { r =>
+      val et = r.getString(0)
+      val mine = sessions.filter(_._1 == et)
+      assert(r.getLong(1) === mine.length.toLong, s"n_sessions $r")
+      val deltas = (mine.map(s => (s._2, 1)) ++ mine.map(s => (s._3, -1)))
+        .sortBy(identity)
+      var rs = 0L
+      val trace = deltas.map { case (ns, d) => rs += d; (ns, rs) }
+      val peak = trace.map(_._2).max
+      val peakHour = trace.filter(_._2 == peak).map(_._1 / 3600000000000L).min
+      assert(r.getLong(2) === peak, s"peak $r")
+      assert(r.getLong(3) === peakHour, s"peak_hour $r")
+      // peak is bounded by the session count of this type
+      assert(peak <= mine.length)
+    }
+  }
+
+  test("q178 min-max scaling: matches a driver-side replay") {
+    import spark.implicits._
+    val evs = Tables.events(spark, Sf0001)
+      .select($"event_type", $"value").as[(String, Double)].collect()
+    def cents(d: Double): Long =
+      BigDecimal.valueOf(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .*(100).toLongExact
+    val byType = evs.groupBy(_._1).view.mapValues(_.map(e => cents(e._2))).toMap
+    val got = operators.Events.minmaxScaling(spark, Sf0001).collect()
+    assert(got.map(_.getString(0)).toSet === byType.keySet)
+    got.foreach { r =>
+      val cs = byType(r.getString(0))
+      val (mn, mx) = (cs.min, cs.max)
+      val scaled = cs.map(c => if (mx == mn) 0L
+        else BigInt((c - mn)) * 1000 / BigInt(mx - mn) match { case b => b.toLong })
+      assert(r.getLong(1) === cs.length.toLong, r)
+      assert(r.getDouble(2) === mn / 100.0, s"min $r")
+      assert(r.getDouble(3) === mx / 100.0, s"max $r")
+      assert(r.getLong(4) === scaled.sum, s"sum_scaled $r")
+      // scaled values live in [0, 1000]
+      assert(scaled.forall(s => s >= 0 && s <= 1000))
+    }
+  }
 }
