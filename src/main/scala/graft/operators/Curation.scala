@@ -2113,7 +2113,63 @@ object Curation {
       |       END / avail, 6) AS DECIMAL(38,6)) AS DOUBLE) AS fill_ratio
       |FROM g ORDER BY source""".stripMargin
 
+  /** Q179: EVAL-CONTAINMENT MATRIX — the DIRECTIONAL overlap q115's
+    * symmetric Jaccard cannot express and q71's per-doc flags do not
+    * aggregate: per training source, what fraction of the evaluation
+    * slice's distinct 8-grams the source CONTAINS. Containment is the
+    * decontamination-relevant direction (a source covering 40% of the
+    * benchmark is a leak even if the benchmark is a rounding error of
+    * the source), and per-source attribution says WHERE the leak
+    * lives.
+    *
+    * Scale shape: grams travel as md5 (q71's discipline); the eval
+    * side collapses to its distinct gram set and broadcasts; the
+    * train side dedups (source, gh) BEFORE the join so multiplicity
+    * can't inflate containment; counts are map-side conditional sums
+    * into the |sources| frame. */
+  def containmentMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val isEval = col("doc_id") % 25 === 0
+    val grams = d
+      .select(col("doc_id"), col("source"),
+        explode(wordShingles(col("text"), 8)).as("gram"))
+      .select(col("doc_id"), col("source"), md5(col("gram")).as("gh"))
+    val evalGrams = grams.filter(isEval).select(col("gh")).distinct()
+    val nEval = evalGrams.count() // 1-value driver scalar
+    grams.filter(!isEval)
+      .select(col("source"), col("gh")).distinct()
+      .join(broadcast(evalGrams.withColumn("hit", lit(1))), Seq("gh"), "left")
+      .groupBy(col("source"))
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_eval_grams_hit"))
+      .select(col("source"), lit(nEval).as("n_eval_grams"),
+        col("n_eval_grams_hit"),
+        dec6(col("n_eval_grams_hit").cast("decimal(19,0)")
+          / lit(nEval).cast("decimal(19,0)")).as("containment"))
+      .orderBy(col("source"))
+  }
+
+  val containmentMatrixSql: String =
+    """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      |pos AS (SELECT doc_id, source, t, unnest(generate_series(1, len(t)-7)) AS g
+      |        FROM toks WHERE len(t) >= 8),
+      |grams AS (SELECT DISTINCT doc_id, source,
+      |            md5(array_to_string(t[g:g+7], ' ')) AS gh
+      |          FROM pos),
+      |eval_grams AS (SELECT DISTINCT gh FROM grams WHERE doc_id % 25 = 0),
+      |ne AS (SELECT COUNT(*) AS n FROM eval_grams),
+      |tr AS (SELECT DISTINCT source, gh FROM grams WHERE doc_id % 25 != 0)
+      |SELECT tr.source, CAST(ne.n AS BIGINT) AS n_eval_grams,
+      |  CAST(COUNT(e.gh) AS BIGINT) AS n_eval_grams_hit,
+      |  CAST(CAST(ROUND(CAST(COUNT(e.gh) AS DECIMAL(19,0)) / ne.n, 6)
+      |    AS DECIMAL(38,6)) AS DOUBLE) AS containment
+      |FROM tr
+      |LEFT JOIN eval_grams e USING (gh)
+      |CROSS JOIN ne
+      |GROUP BY tr.source, ne.n
+      |ORDER BY tr.source""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q179_containment_matrix" -> (containmentMatrix _),
     "q160_waterfill_mixture" -> (waterfillMixture _),
     "q149_rag_chunking" -> (ragChunking _),
     "q151_importance_weights" -> (importanceWeights _),
@@ -2146,6 +2202,7 @@ object Curation {
   )
 
   def oracles: Map[String, String] = Map(
+    "q179_containment_matrix" -> containmentMatrixSql,
     "q160_waterfill_mixture" -> waterfillMixtureSql,
     "q149_rag_chunking" -> ragChunkingSql,
     "q151_importance_weights" -> importanceWeightsSql,

@@ -1686,7 +1686,112 @@ object Events {
       |    AS mean_scaled
       |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Q181: RFM SEGMENTATION — the classic customer-value grid: per
+    * user, Recency (days since last event, against the corpus max
+    * day), Frequency (events), Monetary (exact cents), each cut into
+    * quintiles by the pinned rank convention (threshold k = value at
+    * rank ⌈k·n/5⌉; quintile = smallest k with value ≤ threshold_k, so
+    * ties share a quintile deterministically). Output is the
+    * aggregated ≤125-cell grid — the per-user segment assignment is a
+    * pure map against six broadcast threshold literals.
+    *
+    * Scale shape: one row-scale user aggregation; THREE single-group
+    * [[TwoPass.groupRankLookup]] passes over the user frame (one per
+    * dimension — never a global sort); the final binning is one
+    * map-side-combined count into the bounded grid. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity._
+    val maxDay: String = Tables.events(spark, dir)
+      .agg(max(col("ts").cast("date")).cast("string")).head().getString(0)
+    def users = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(datediff(lit(maxDay).cast("date"), max(col("ts").cast("date")))
+          .cast("long").as("r"),
+        count(lit(1)).as("f"),
+        sum((col("value").cast("decimal(18,2)") * 100)
+          .cast("decimal(18,0)").cast("long")).as("m"))
+    def thresholds(dim: String): Seq[Long] = {
+      val gr = TwoPass.groupRankLookup(spark,
+        users.select(lit("all").as("k"), col(dim).as("c")),
+        n => (1 to 4).map(k => (k * n + 4) / 5))("all")
+      (1 to 4).map(k => gr.at((k * gr.n + 4) / 5))
+    }
+    def quintile(c: org.apache.spark.sql.Column,
+        th: Seq[Long]): org.apache.spark.sql.Column =
+      when(c <= th(0), 1).when(c <= th(1), 2).when(c <= th(2), 3)
+        .when(c <= th(3), 4).otherwise(5)
+    val (rt, ft, mt) = (thresholds("r"), thresholds("f"), thresholds("m"))
+    users
+      .withColumn("r_quintile", quintile(col("r"), rt))
+      .withColumn("f_quintile", quintile(col("f"), ft))
+      .withColumn("m_quintile", quintile(col("m"), mt))
+      .groupBy(col("r_quintile"), col("f_quintile"), col("m_quintile"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("r")).as("sr"), sum(col("f")).as("sf"), sum(col("m")).as("sm"))
+      .select(col("r_quintile").cast("int").as("r_quintile"),
+        col("f_quintile").cast("int").as("f_quintile"),
+        col("m_quintile").cast("int").as("m_quintile"),
+        col("n_users").cast("bigint").as("n_users"),
+        dec6(col("sr").cast("decimal(19,0)")
+          / col("n_users").cast("decimal(19,0)")).as("avg_recency_days"),
+        dec6(col("sf").cast("decimal(19,0)")
+          / col("n_users").cast("decimal(19,0)")).as("avg_frequency"),
+        dec6(col("sm").cast("decimal(19,0)")
+          / (col("n_users").cast("decimal(19,0)") * 100)).as("avg_monetary"))
+      .orderBy(col("r_quintile"), col("f_quintile"), col("m_quintile"))
+  }
+
+  val rfmSegmentsSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    datediff('day', MAX(CAST(ts AS DATE)),
+      |      (SELECT MAX(CAST(ts AS DATE)) FROM events)) AS r,
+      |    COUNT(*) AS f,
+      |    SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS m
+      |  FROM events GROUP BY 1),
+      |rr AS (SELECT r AS v, ROW_NUMBER() OVER (ORDER BY r) AS rn,
+      |         COUNT(*) OVER () AS n FROM u),
+      |rt AS (SELECT MAX(CASE WHEN rn = (1*n+4)//5 THEN v END) AS t1,
+      |         MAX(CASE WHEN rn = (2*n+4)//5 THEN v END) AS t2,
+      |         MAX(CASE WHEN rn = (3*n+4)//5 THEN v END) AS t3,
+      |         MAX(CASE WHEN rn = (4*n+4)//5 THEN v END) AS t4 FROM rr),
+      |fr AS (SELECT f AS v, ROW_NUMBER() OVER (ORDER BY f) AS rn,
+      |         COUNT(*) OVER () AS n FROM u),
+      |ft AS (SELECT MAX(CASE WHEN rn = (1*n+4)//5 THEN v END) AS t1,
+      |         MAX(CASE WHEN rn = (2*n+4)//5 THEN v END) AS t2,
+      |         MAX(CASE WHEN rn = (3*n+4)//5 THEN v END) AS t3,
+      |         MAX(CASE WHEN rn = (4*n+4)//5 THEN v END) AS t4 FROM fr),
+      |mr AS (SELECT m AS v, ROW_NUMBER() OVER (ORDER BY m) AS rn,
+      |         COUNT(*) OVER () AS n FROM u),
+      |mt AS (SELECT MAX(CASE WHEN rn = (1*n+4)//5 THEN v END) AS t1,
+      |         MAX(CASE WHEN rn = (2*n+4)//5 THEN v END) AS t2,
+      |         MAX(CASE WHEN rn = (3*n+4)//5 THEN v END) AS t3,
+      |         MAX(CASE WHEN rn = (4*n+4)//5 THEN v END) AS t4 FROM mr),
+      |q AS (SELECT u.*,
+      |        CASE WHEN r <= rt.t1 THEN 1 WHEN r <= rt.t2 THEN 2
+      |             WHEN r <= rt.t3 THEN 3 WHEN r <= rt.t4 THEN 4
+      |             ELSE 5 END AS r_quintile,
+      |        CASE WHEN f <= ft.t1 THEN 1 WHEN f <= ft.t2 THEN 2
+      |             WHEN f <= ft.t3 THEN 3 WHEN f <= ft.t4 THEN 4
+      |             ELSE 5 END AS f_quintile,
+      |        CASE WHEN m <= mt.t1 THEN 1 WHEN m <= mt.t2 THEN 2
+      |             WHEN m <= mt.t3 THEN 3 WHEN m <= mt.t4 THEN 4
+      |             ELSE 5 END AS m_quintile
+      |      FROM u CROSS JOIN rt CROSS JOIN ft CROSS JOIN mt)
+      |SELECT CAST(r_quintile AS INT) AS r_quintile,
+      |  CAST(f_quintile AS INT) AS f_quintile,
+      |  CAST(m_quintile AS INT) AS m_quintile,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(CAST(ROUND(SUM(r) / COUNT(*), 6) AS DECIMAL(38,6)) AS DOUBLE)
+      |    AS avg_recency_days,
+      |  CAST(CAST(ROUND(SUM(f) / COUNT(*), 6) AS DECIMAL(38,6)) AS DOUBLE)
+      |    AS avg_frequency,
+      |  CAST(CAST(ROUND(SUM(m) / (COUNT(*) * 100), 6) AS DECIMAL(38,6)) AS DOUBLE)
+      |    AS avg_monetary
+      |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q181_rfm_segments" -> (rfmSegments _),
     "q177_peak_concurrency" -> (peakConcurrency _),
     "q178_minmax_scaling" -> (minmaxScaling _),
     "q174_linear_interpolation" -> (linearInterpolation _),
@@ -1722,6 +1827,7 @@ object Events {
   )
 
   def oracles: Map[String, String] = Map(
+    "q181_rfm_segments" -> rfmSegmentsSql,
     "q177_peak_concurrency" -> peakConcurrencySql,
     "q178_minmax_scaling" -> minmaxScalingSql,
     "q174_linear_interpolation" -> linearInterpolationSql,

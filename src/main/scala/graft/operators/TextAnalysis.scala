@@ -600,7 +600,52 @@ object TextAnalysis {
       |    AS zipf_ratio
       |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin
 
+  /** Concordance query term and context radius for [[kwicConcordance]]. */
+  val KwicTerm = "spark"
+  val KwicRadius = 3
+
+  /** Q180: KWIC CONCORDANCE — keyword-in-context extraction, the
+    * retrieval/debug staple behind every "show me where the corpus
+    * says X" tool: every occurrence of [[KwicTerm]] with its
+    * ±[[KwicRadius]]-token window, positions 1-based and clamped at
+    * document edges (pinned arithmetic on both engines).
+    *
+    * Scale shape: one scan with a per-row position explode (bounded by
+    * occurrences, not tokens — the filter runs inside the explode
+    * expression via array matching); context slices read the already-
+    * loaded token array, so no second scan and nothing joins. */
+  def kwicConcordance(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+    d.select(col("doc_id"), col("t"), col("n"),
+        posexplode(col("t")).as(Seq("p0", "tok")))
+      .filter(col("tok") === KwicTerm)
+      .select(col("doc_id"), (col("p0") + 1).cast("bigint").as("pos"),
+        concat_ws(" ", slice(col("t"),
+          greatest(col("p0") + 1 - KwicRadius, lit(1)).cast("int"),
+          (least(col("p0") + 1 + KwicRadius, col("n"))
+            - greatest(col("p0") + 1 - KwicRadius, lit(1)) + 1).cast("int")))
+          .as("context"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  val kwicConcordanceSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+       |  FROM documents WHERE text IS NOT NULL),
+       |hits AS (
+       |  SELECT doc_id, t, n, unnest(generate_series(1, n)) AS p
+       |  FROM toks)
+       |SELECT doc_id, CAST(p AS BIGINT) AS pos,
+       |  array_to_string(t[GREATEST(p - $KwicRadius, 1) : LEAST(p + $KwicRadius, n)], ' ')
+       |    AS context
+       |FROM hits WHERE t[p] = '$KwicTerm'
+       |ORDER BY doc_id, pos""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q180_kwic_concordance" -> (kwicConcordance _),
     "q163_zipf_deviation" -> (zipfDeviation _),
     "q158_vocab_growth" -> (vocabGrowth _),
     "q150_lexical_diversity" -> (lexicalDiversity _),
@@ -618,6 +663,7 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "q180_kwic_concordance" -> kwicConcordanceSql,
     "q163_zipf_deviation" -> zipfDeviationSql,
     "q158_vocab_growth" -> vocabGrowthSql,
     "q150_lexical_diversity" -> lexicalDiversitySql,

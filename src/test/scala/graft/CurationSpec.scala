@@ -886,4 +886,29 @@ class CurationSpec extends SparkSuite {
     if (uncappedAlloc.nonEmpty)
       capped.foreach(r => assert(r.getLong(1) <= uncappedAlloc.max + 1, r))
   }
+
+  test("q179 containment matrix: matches a driver-side gram replay") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf0001)
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)]
+      .collect()
+    def grams(text: String): Set[String] =
+      text.split(" ", -1).sliding(8).filter(_.length == 8)
+        .map(_.mkString(" ")).toSet
+    val evalGrams = docs.filter(_._1 % 25 == 0).flatMap(d => grams(d._3)).toSet
+    val bySource = docs.filter(_._1 % 25 != 0).groupBy(_._2).view
+      .mapValues(_.flatMap(d => grams(d._3)).toSet).toMap
+    val got = Curation.containmentMatrix(spark, Sf0001).collect()
+    assert(got.map(_.getString(0)).toSet === bySource.keySet)
+    got.foreach { r =>
+      val hits = bySource(r.getString(0)).intersect(evalGrams).size.toLong
+      assert(r.getLong(1) === evalGrams.size.toLong, r)
+      assert(r.getLong(2) === hits, s"hits $r")
+      val c = (BigDecimal(hits) / BigDecimal(evalGrams.size))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) === c, s"containment $r")
+    }
+    // the duplicated synthetic slices guarantee SOME containment
+    assert(got.exists(_.getLong(2) > 0), "no containment anywhere — degenerate")
+  }
 }

@@ -701,4 +701,44 @@ class EventsSpec extends SparkSuite {
       assert(scaled.forall(s => s >= 0 && s <= 1000))
     }
   }
+
+  test("q181 RFM segments: matches a driver-side quintile replay") {
+    import spark.implicits._
+    val ev = Tables.events(spark, Sf0001)
+      .select($"user_id", $"ts".cast("date").cast("string"), $"value")
+      .as[(Long, String, Double)].collect()
+    def cents(d: Double): Long =
+      BigDecimal.valueOf(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .*(100).toLongExact
+    val maxDay = ev.map(e => java.time.LocalDate.parse(e._2)).max
+    val users = ev.groupBy(_._1).map { case (_, rs) =>
+      val last = rs.map(e => java.time.LocalDate.parse(e._2)).max
+      (java.time.temporal.ChronoUnit.DAYS.between(last, maxDay),
+        rs.length.toLong, rs.map(e => cents(e._3)).sum)
+    }.toSeq
+    val n = users.length.toLong
+    def th(vals: Seq[Long]): Seq[Long] = {
+      val s = vals.sorted
+      (1 to 4).map(k => s((((k * n + 4) / 5) - 1).toInt))
+    }
+    val (rt, ft, mt) = (th(users.map(_._1)), th(users.map(_._2)), th(users.map(_._3)))
+    def q(v: Long, t: Seq[Long]): Int = t.indexWhere(v <= _) match {
+      case -1 => 5; case i => i + 1
+    }
+    val cells = users.groupBy(u => (q(u._1, rt), q(u._2, ft), q(u._3, mt)))
+      .view.mapValues(us => (us.length.toLong, us.map(_._1).sum,
+        us.map(_._2).sum, us.map(_._3).sum)).toMap
+    val got = operators.Events.rfmSegments(spark, Sf0001).collect()
+    assert(got.map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+      === cells.keySet)
+    assert(got.map(_.getLong(3)).sum === n, "cells partition the users")
+    got.foreach { r =>
+      val (cnt, sr, sf, sm) = cells((r.getInt(0), r.getInt(1), r.getInt(2)))
+      assert(r.getLong(3) === cnt, s"n_users $r")
+      assert(r.getDouble(4) === (BigDecimal(sr) / cnt)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"avg_r $r")
+      assert(r.getDouble(6) === (BigDecimal(sm) / (BigDecimal(cnt) * 100))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"avg_m $r")
+    }
+  }
 }

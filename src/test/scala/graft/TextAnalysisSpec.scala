@@ -252,4 +252,26 @@ class TextAnalysisSpec extends SparkSuite {
     // rank 1 always scores exactly 1 by construction
     assert(got.head.getDouble(3) === 1.0)
   }
+
+  test("q180 KWIC concordance: matches a driver-side window replay") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .filter(_._2 != null)
+    val term = operators.TextAnalysis.KwicTerm
+    val rad = operators.TextAnalysis.KwicRadius
+    val expected = docs.flatMap { case (id, text) =>
+      val t = text.split(" ", -1)
+      t.zipWithIndex.collect { case (tok, i) if tok == term =>
+        val lo = math.max(i - rad, 0); val hi = math.min(i + rad, t.length - 1)
+        (id, (i + 1).toLong, t.slice(lo, hi + 1).mkString(" "))
+      }
+    }.sortBy(e => (e._1, e._2))
+    val got = operators.TextAnalysis.kwicConcordance(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got === expected.toSeq)
+    assert(got.nonEmpty, s"term '$term' absent at sf0.001 — degenerate")
+    // every context actually contains the term
+    got.foreach { case (_, _, ctx) => assert(ctx.split(" ").contains(term)) }
+  }
 }
