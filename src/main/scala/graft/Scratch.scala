@@ -20,6 +20,50 @@ object Scratch {
     else System.getProperty("java.io.tmpdir")
   }
 
+  /** Root override for PERSISTED derived artifacts (ANN/gram indexes,
+    * k-means assignments, dup-cluster labels, split assignments).
+    * Unset (the default): artifacts are per-process scratch —
+    * pid-suffixed under java.io.tmpdir and deleted on exit, so
+    * concurrent JVMs never probe each other's half-built index. Set
+    * `SPARK_GRAFT_ARTIFACT_ROOT` (env; `spark.graft.artifactRoot`
+    * sys-prop for in-JVM tests) to a durable shared path — e.g. an
+    * HDFS-mounted or job-scoped cluster dir — and the pid drops out
+    * (cross-run reuse is the point), nothing is exit-deleted, and the
+    * `_SUCCESS` transaction discipline still gates completeness: a
+    * build that died mid-write has no marker and is rebuilt, never
+    * probed. Concurrent FIRST builds of the same (root, corpus) must
+    * be serialized externally, the same caveat as any non-atomic
+    * `mode(overwrite)` to a shared path; once `_SUCCESS` exists every
+    * reader/rebuilder short-circuits. */
+  def artifactRootOverride: Option[String] =
+    sys.props.get("spark.graft.artifactRoot")
+      .orElse(sys.env.get("SPARK_GRAFT_ARTIFACT_ROOT"))
+
+  /** Path of the persisted artifact `kind` derived from corpus `dir`
+    * (plus an optional family `variant` — e.g. LSH geometry — so
+    * distinct parameterizations can never serve each other's data). */
+  def artifactPath(kind: String, dir: String, variant: String = ""): String =
+    artifactRootOverride match {
+      case Some(root) =>
+        s"$root/graft_${kind}_${math.abs(dir.hashCode)}$variant"
+      case None =>
+        s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_" +
+          s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}$variant"
+    }
+
+  /** The artifact transaction marker: complete iff Spark's `_SUCCESS`
+    * landed (bare dir existence would accept a torn build). */
+  def artifactComplete(path: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/_SUCCESS"))
+
+  /** Pre-build hygiene for [[artifactPath]] paths: invalidate any
+    * partial content now; register exit cleanup ONLY in the default
+    * ephemeral mode (durable artifacts outlive the process by design). */
+  def prepareArtifact(paths: String*): Unit = paths.foreach { p =>
+    deleteNow(p)
+    if (artifactRootOverride.isEmpty) deleteOnExit(p)
+  }
+
   private val registered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 

@@ -124,16 +124,18 @@ object Clustering {
     * (vec_id, label, cid, d) as parquet; q109's stats, q110's pair
     * stage, and any downstream mixture/curriculum consumer read the
     * landed table instead of re-clustering. _SUCCESS-guarded. */
+  /** One path scheme for the assignment table and (via the `_cents`
+    * suffix) its centroid sidecar — shared by [[kmeansAssignments]] and
+    * [[kmeansCentroids]] so a scheme change can never desync the two
+    * reads at runtime. [[graft.Scratch.artifactPath]] carries the
+    * ephemeral-vs-durable-root decision. */
+  private def kmeansArtifactPath(dir: String): String =
+    graft.Scratch.artifactPath("kmeans", dir)
+
   private[graft] def kmeansAssignments(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_kmeans_" +
-      s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
-    val complete = java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$path/_SUCCESS"))
-    if (!complete) {
-      graft.Scratch.deleteNow(path)
-      graft.Scratch.deleteNow(path + "_cents")
-      graft.Scratch.deleteOnExit(path)
-      graft.Scratch.deleteOnExit(path + "_cents")
+    val path = kmeansArtifactPath(dir)
+    if (!graft.Scratch.artifactComplete(path)) {
+      graft.Scratch.prepareArtifact(path, path + "_cents")
       val codes = codeVectors(spark, dir)
       val cents = lloyd(codes)
       // final centroids land beside the assignments (bounded K x Dims
@@ -162,8 +164,7 @@ object Clustering {
     * consumers. Ensures the artifact exists first. */
   private[graft] def kmeansCentroids(spark: SparkSession, dir: String): Array[Array[Long]] = {
     kmeansAssignments(spark, dir).queryExecution // ensure artifact
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_kmeans_" +
-      s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}_cents"
+    val path = kmeansArtifactPath(dir) + "_cents"
     spark.read.schema("cid INT, cent ARRAY<BIGINT>").parquet(path)
       .collect().sortBy(_.getInt(0)).map(_.getSeq[Long](1).toArray)
   }
@@ -323,13 +324,9 @@ object Clustering {
     * bounded blocking is SemDeDup's core approximation, and K scaling
     * with corpus size is what keeps it O(n * cluster_size) at 100 TB. */
   private[graft] def semanticClusterLabels(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_sem_clusters_" +
-      s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
-    val complete = java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$path/_SUCCESS"))
-    if (!complete) {
-      graft.Scratch.deleteNow(path)
-      graft.Scratch.deleteOnExit(path)
+    val path = graft.Scratch.artifactPath("sem_clusters", dir)
+    if (!graft.Scratch.artifactComplete(path)) {
+      graft.Scratch.prepareArtifact(path)
       // centered codes: the stored int8 qcodes ARE code-128; double
       // widening is exact, so the compiled dotProduct kernel yields
       // exactly-integral doubles (|dot| <= 64*128^2 < 2^53) and the

@@ -882,13 +882,9 @@ object Curation {
   }
 
   private[graft] def leakageSplitAssignments(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_splits_" +
-      s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
-    val complete = java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$path/_SUCCESS"))
-    if (!complete) {
-      graft.Scratch.deleteNow(path)
-      graft.Scratch.deleteOnExit(path)
+    val path = graft.Scratch.artifactPath("splits", dir)
+    if (!graft.Scratch.artifactComplete(path)) {
+      graft.Scratch.prepareArtifact(path)
       val d = Tables.documents(spark, dir).filter(col("text").isNotNull)
       val edges = dupStarPairs(spark, dir)
       val labels = Dedup.connectedComponents(edges) // (node, lbl = min of component)
@@ -1502,11 +1498,9 @@ object Curation {
     * by every round's join, multiplying the row-scale gram scan by
     * K+1 (measured 5.2s -> materialized ~1s at sf0.1). */
   def dupPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val edgePath = s"${System.getProperty("java.io.tmpdir")}/graft_dupedges_" +
-      s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$edgePath/_SUCCESS"))) {
-      graft.Scratch.deleteNow(edgePath)
-      graft.Scratch.deleteOnExit(edgePath)
+    val edgePath = graft.Scratch.artifactPath("dupedges", dir)
+    if (!graft.Scratch.artifactComplete(edgePath)) {
+      graft.Scratch.prepareArtifact(edgePath)
       dupStarPairs(spark, dir).write.mode("overwrite").parquet(edgePath)
     }
     val pairs = spark.read.schema("doc_a BIGINT, doc_b BIGINT").parquet(edgePath)

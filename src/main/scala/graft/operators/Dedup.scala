@@ -403,13 +403,9 @@ object Dedup {
     * next to the corpus exactly once, it doesn't re-cluster per
     * consumer. _SUCCESS-guarded like the IVF build. */
   private[graft] def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_dup_clusters_" +
-      s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
-    val complete = java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$path/_SUCCESS"))
-    if (!complete) {
-      graft.Scratch.deleteNow(path)
-      graft.Scratch.deleteOnExit(path)
+    val path = graft.Scratch.artifactPath("dup_clusters", dir)
+    if (!graft.Scratch.artifactComplete(path)) {
+      graft.Scratch.prepareArtifact(path)
       connectedComponents(
         neardupVerified(spark, dir).select(col("doc_a"), col("doc_b")))
         .write.mode("overwrite").parquet(path)

@@ -45,11 +45,10 @@ object Indexes {
   private val IndexBuckets = 64
 
   private def artifactPath(dir: String, kind: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_" +
-      s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+    graft.Scratch.artifactPath(kind, dir)
 
   private def isComplete(path: String): Boolean =
-    java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/_SUCCESS"))
+    graft.Scratch.artifactComplete(path)
 
   private[operators] def bucketOf(gh: Column): Column =
     pmod(xxhash64(gh), lit(IndexBuckets.toLong)).cast("int")
@@ -74,8 +73,7 @@ object Indexes {
     val indexPath = artifactPath(dir, "gram_index")
     val bloomPath = artifactPath(dir, "gram_bloom")
     if (!isComplete(indexPath) || !isComplete(bloomPath)) {
-      graft.Scratch.deleteNow(indexPath); graft.Scratch.deleteNow(bloomPath)
-      graft.Scratch.deleteOnExit(indexPath); graft.Scratch.deleteOnExit(bloomPath)
+      graft.Scratch.prepareArtifact(indexPath, bloomPath)
       val d = Tables.documents(spark, dir).filter(col("text").isNotNull)
       gramFrame(d.filter(col("doc_id") % BatchMod =!= 0))
         .select(col("gh")).distinct()
@@ -204,8 +202,7 @@ object Indexes {
   private[graft] def buildPhraseIndex(spark: SparkSession, dir: String): String = {
     val path = artifactPath(dir, "phrase_index")
     if (!isComplete(path)) {
-      graft.Scratch.deleteNow(path)
-      graft.Scratch.deleteOnExit(path)
+      graft.Scratch.prepareArtifact(path)
       Tables.documents(spark, dir).filter(col("text").isNotNull)
         .select(col("doc_id"),
           explode(wordShingles(col("text"), PhraseLen)).as("phrase"))

@@ -403,19 +403,21 @@ object Quality {
       |         COUNT(*) OVER (PARTITION BY et) AS n
       |       FROM d),
       |mad AS (SELECT et, MAX(CASE WHEN rn = (n + 1) // 2 THEN dc END) AS mad
-      |        FROM dr GROUP BY et)
-      |SELECT e.et AS event_type, med.n,
-      |  CAST(CAST(ROUND(med.med / 100, 2) AS DECIMAL(38,2)) AS DOUBLE) AS median_value,
-      |  CAST(CAST(ROUND(mad.mad / 100, 2) AS DECIMAL(38,2)) AS DOUBLE) AS mad_value,
-      |  CAST(SUM(CASE WHEN ABS(e.c - med.med) > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
-      |    AS n_outliers,
-      |  CAST(CAST(ROUND(SUM(CASE WHEN ABS(e.c - med.med) > 3 * mad.mad THEN 1 ELSE 0 END)
-      |    / med.n, 6) AS DECIMAL(38,6)) AS DOUBLE) AS outlier_rate
-      |FROM e
-      |JOIN med ON e.et = med.et
-      |JOIN mad ON e.et = mad.et
-      |GROUP BY e.et, med.n, med.med, mad.mad
-      |ORDER BY event_type""".stripMargin
+      |        FROM dr GROUP BY et),
+      |agg AS (SELECT e.et, med.n, med.med, mad.mad,
+      |          SUM(CASE WHEN ABS(e.c - med.med) > 3 * mad.mad THEN 1 ELSE 0 END)
+      |            AS n_out
+      |        FROM e
+      |        JOIN med ON e.et = med.et
+      |        JOIN mad ON e.et = mad.et
+      |        GROUP BY e.et, med.n, med.med, mad.mad)
+      |SELECT et AS event_type, n,
+      |  CAST(CAST(ROUND(med / 100, 2) AS DECIMAL(38,2)) AS DOUBLE) AS median_value,
+      |  CAST(CAST(ROUND(mad / 100, 2) AS DECIMAL(38,2)) AS DOUBLE) AS mad_value,
+      |  CAST(n_out AS BIGINT) AS n_outliers,
+      |  CAST((2 * n_out * 1000000 + n) // (2 * n) AS DOUBLE) / 1000000
+      |    AS outlier_rate
+      |FROM agg ORDER BY event_type""".stripMargin
 
   /** Benford per-mille probabilities for first digits 1..9 —
     * round(1000·log10(1+1/d)); the SAME integer literals are embedded

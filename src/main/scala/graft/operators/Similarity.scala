@@ -161,11 +161,8 @@ object Similarity {
     * (3 bits x 8 tables) family; Dedup's q44 self-joins its own
     * (4 x 6) family index. Parameters live in the path so distinct
     * families can never serve each other's buckets. */
-  private[graft] def ivfIndexPath(dir: String, bits: Int, tables: Int): String = {
-    val p = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_" +
-      s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}_${bits}x$tables"
-    p
-  }
+  private[graft] def ivfIndexPath(dir: String, bits: Int, tables: Int): String =
+    graft.Scratch.artifactPath("ivf_index", dir, s"_${bits}x$tables")
 
   private[graft] def buildIvfIndex(spark: SparkSession, dir: String,
       bits: Int = ivfBits, tables: Int = ivfTables, dims: Int = ivfDims): String = {
@@ -173,13 +170,10 @@ object Similarity {
     // completeness = Spark's _SUCCESS marker, not bare dir existence: a
     // build that died mid-write must be discarded and rebuilt, never
     // silently probed as a truncated index
-    val complete = java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$path/_SUCCESS"))
-    if (!complete) {
-      graft.Scratch.deleteNow(path)
-      // per-process scratch index, removed on JVM exit (same discipline
-      // as Storage.scratchDir — no accumulation across driver rounds)
-      graft.Scratch.deleteOnExit(path)
+    if (!graft.Scratch.artifactComplete(path)) {
+      // ephemeral mode: removed on JVM exit (same discipline as
+      // Storage.scratchDir); durable-root mode: persists for reuse
+      graft.Scratch.prepareArtifact(path)
       val e = Tables.embeddings(spark, dir)
         .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
       bucketedIds(e, bits, tables, dims)
@@ -238,13 +232,9 @@ object Similarity {
     * decode-error bound (< range/255 per coordinate) and a
     * reconstructed-cosine witness against the exact q33 pairs. */
   private[graft] def buildSq8(spark: SparkSession, dir: String): String = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_sq8_" +
-      s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
-    val complete = java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$path/_SUCCESS"))
-    if (!complete) {
-      graft.Scratch.deleteNow(path)
-      graft.Scratch.deleteOnExit(path)
+    val path = graft.Scratch.artifactPath("sq8", dir)
+    if (!graft.Scratch.artifactComplete(path)) {
+      graft.Scratch.prepareArtifact(path)
       val e = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("emb"))
       val aggs = (0 until ivfDims).map(i =>

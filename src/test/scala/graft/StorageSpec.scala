@@ -361,4 +361,35 @@ class StorageSpec extends SparkSuite {
       docs.tail.filter(_._1 == docs.head._1).map(d => md5hex(d._2))).sorted.mkString)
     assert(tweaked !== roots(docs.head._1)._2)
   }
+
+  test("durable artifact root: index builds land under SPARK_GRAFT_ARTIFACT_ROOT") {
+    // sys-prop alias of the env conf (same resolution path in
+    // Scratch.artifactRootOverride) so the test can flip it in-JVM
+    val root = java.nio.file.Files.createTempDirectory("graft_artifacts").toString
+    System.setProperty("spark.graft.artifactRoot", root)
+    try {
+      val p = Scratch.artifactPath("sq8", Sf0001)
+      // durable paths key on the corpus only — no pid, so a later run
+      // (different process) resolves the SAME path and reuses the build
+      assert(p.startsWith(root), p)
+      assert(!p.contains(ProcessHandle.current().pid().toString + "_"), p)
+      val built = graft.operators.Similarity.buildSq8(spark, Sf0001)
+      assert(built === p)
+      assert(Scratch.artifactComplete(built), s"_SUCCESS missing under $built")
+      assert(spark.read.parquet(built).count() > 0)
+      // second call short-circuits on the _SUCCESS transaction marker
+      val mtime = java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(s"$built/_SUCCESS"))
+      graft.operators.Similarity.buildSq8(spark, Sf0001)
+      assert(java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(s"$built/_SUCCESS")) === mtime)
+    } finally {
+      System.clearProperty("spark.graft.artifactRoot")
+      Scratch.deleteNow(root)
+    }
+    // with the override cleared, paths return to pid-suffixed tmp scratch
+    val ephemeral = Scratch.artifactPath("sq8", Sf0001)
+    assert(!ephemeral.startsWith(root), ephemeral)
+    assert(ephemeral.contains(s"${ProcessHandle.current().pid()}_"), ephemeral)
+  }
 }
