@@ -124,7 +124,14 @@ object PlanInvariants {
       // net agg, bounded offset window, within-bucket running sums,
       // bounded peak window + output sort — the offset machinery is
       // the price of never running a global per-type ordered sum
-      "q177_peak_concurrency" -> 6)
+      "q177_peak_concurrency" -> 6,
+      // q183 fits a bigram LM then scores with it: pair-stream ->
+      // bigram-count agg (row-scale), left-context window over the
+      // bounded <= (V+1)^2 model frame, per-doc score agg (row-scale),
+      // (source, bucket) report agg + output sort. After the two
+      // row-scale aggregations every exchange carries the bounded
+      // model frame or the (source, bucket) grid
+      "q183_bigram_surprisal" -> 5)
 
   /** Every other plan holds at <= 4 exchanges today (audited r5). */
   val defaultShuffleCeiling: Int = 4

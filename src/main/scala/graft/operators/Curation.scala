@@ -1311,6 +1311,140 @@ object Curation {
        |    / (2 * n_total * n_tokens), 6) AS DECIMAL(38,6)) AS DOUBLE) AS anomaly
        |FROM sc ORDER BY anomaly DESC, doc_id LIMIT 20""".stripMargin
 
+  /** Vocabulary size for [[bigramSurprisal]] — the q120/q130 bounded
+    * top-64 convention; everything outside it folds into `<unk>`. */
+  val SurprisalVocab = 64
+
+  /** Q183: BIGRAM-LM SURPRISAL SCORING — the CCNet perplexity-bucket
+    * filter (q89's unigram rarity upgraded to a conditional model): fit
+    * a bigram language model over a bounded vocabulary on the corpus
+    * itself, score every document by its mean per-transition surprisal
+    * proxy, and bucket the corpus into head/middle/tail thirds (CCNet's
+    * split — head = most in-distribution text) with a per-(source,
+    * bucket) report.
+    *
+    * No libm anywhere (the q66/q89 discipline): the per-transition
+    * score is the exact INVERSE CONDITIONAL PROBABILITY c(w1)/c(w1,w2)
+    * — monotone with -log p like every rarity proxy in this suite —
+    * published at micro-unit integers via the (2N+D)//(2D) half-up
+    * formula (q151), so per-pair scores, per-doc means, tercile
+    * thresholds and bucket averages are ALL exact integer arithmetic
+    * both engines replay bit-for-bit. Out-of-vocabulary tokens fold to
+    * `<unk>` BEFORE counting (standard open-vocабulary backoff), and
+    * since model counts and scored pairs come from the same corpus,
+    * every scored transition has a count — no smoothing term to drift.
+    *
+    * Scale shape: one row-scale token aggregation bounds the
+    * vocabulary (collected as 64 strings of driver control flow — the
+    * q130 codebook convention); the bigram model is a bounded
+    * ≤ (V+1)² frame built from one pair-stream aggregation and joined
+    * back as a BROADCAST; the per-doc score is one map-side-combined
+    * aggregation keyed by high-cardinality doc_id; terciles come from
+    * [[TwoPass.groupRankLookup]] (never a global sort); the final
+    * report aggregates to the bounded (source, bucket) grid. Integer
+    * headroom: 2·c(w1)·10⁶ caps at ~5·10¹¹ at sf0.1 and holds to
+    * ~10¹² transitions; beyond that the BOUNDED model frame's s6
+    * arithmetic widens to DECIMAL(38,0) (ANSI mode throws, never
+    * corrupts) — the row-scale passes carry only counts either way.
+    * Documents with < 2 tokens have no transitions and drop from the
+    * report on both engines (mirrored len >= 2). */
+  def bigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+    val vocab: Seq[String] = d.select(explode(col("t")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(SurprisalVocab)
+      .collect().map(_.getString(0)).toSeq
+    def mapped(c: Column): Column =
+      when(c.isInCollection(vocab), c).otherwise(lit("<unk>"))
+    val pairs = d.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .select(col("doc_id"), col("source"),
+        mapped(col("p.a")).as("w1"), mapped(col("p.b")).as("w2"))
+    val bigrams = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).cast("bigint").as("c12"))
+    val surp = bigrams
+      .withColumn("c1", sum(col("c12"))
+        .over(Window.partitionBy(col("w1"))).cast("bigint"))
+      .withColumn("s6", expr("(2 * c1 * 1000000 + c12) div (2 * c12)"))
+      .select(col("w1"), col("w2"), col("s6"))
+    // localCheckpoint: the rank kernel makes two more passes (histogram
+    // + pruned fetch) and the report a third — lazily each would replay
+    // the whole explode->join->agg pipeline (the q129 trap; measured
+    // 5.1 s -> 1.4 s at sf0.1). The materialized frame is |docs| rows
+    // of four narrow columns, executor-local blocks.
+    val perDoc = pairs.join(broadcast(surp), Seq("w1", "w2"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+        sum(col("s6")).cast("bigint").as("ssum"))
+      .withColumn("mean6", expr("(2 * ssum + n_pairs) div (2 * n_pairs)"))
+      .localCheckpoint()
+    val gr = TwoPass.groupRankLookup(spark,
+      perDoc.select(lit("all").as("k"), col("mean6").as("c")),
+      n => Seq(math.max(n / 3, 1L), math.max(2 * n / 3, 1L)))
+      .getOrElse("all", TwoPass.GroupRanks(0L, Map.empty))
+    val v1 = gr.at.getOrElse(math.max(gr.n / 3, 1L), Long.MaxValue)
+    val v2 = gr.at.getOrElse(math.max(2 * gr.n / 3, 1L), Long.MaxValue)
+    perDoc
+      .withColumn("bucket",
+        when(col("mean6") <= v1, "head")
+          .when(col("mean6") <= v2, "middle").otherwise("tail"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(col("mean6")).cast("bigint").as("smean"))
+      .select(col("source"), col("bucket"), col("n_docs"),
+        (expr("(2 * smean + n_docs) div (2 * n_docs)").cast("double") / 1000000)
+          .as("avg_surprisal"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
+  /** DuckDB twin: replays the whole chain — vocab, `<unk>` fold,
+    * bigram/left-context counts, micro-unit scores, per-doc means,
+    * tercile thresholds at the same GREATEST(n//3, 1) ranks, bucket
+    * report — all in the same exact integer arithmetic. */
+  val bigramSurprisalSql: String =
+    s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS t
+       |           FROM documents WHERE text IS NOT NULL),
+       |tok AS (SELECT unnest(t) AS tok FROM d),
+       |vocab AS (SELECT tok FROM (SELECT tok, COUNT(*) AS c FROM tok
+       |          GROUP BY tok ORDER BY c DESC, tok LIMIT $SurprisalVocab)),
+       |ix AS (SELECT doc_id, source, t,
+       |         unnest(generate_series(1, len(t) - 1)) AS i
+       |       FROM d WHERE len(t) >= 2),
+       |pr AS (SELECT doc_id, source,
+       |         CASE WHEN t[i] IN (SELECT tok FROM vocab)
+       |              THEN t[i] ELSE '<unk>' END AS w1,
+       |         CASE WHEN t[i+1] IN (SELECT tok FROM vocab)
+       |              THEN t[i+1] ELSE '<unk>' END AS w2
+       |       FROM ix),
+       |bg AS (SELECT w1, w2, COUNT(*) AS c12 FROM pr GROUP BY 1, 2),
+       |sp AS (SELECT w1, w2, c12,
+       |         SUM(c12) OVER (PARTITION BY w1) AS c1 FROM bg),
+       |s6 AS (SELECT w1, w2,
+       |         (2 * c1 * 1000000 + c12) // (2 * c12) AS s6 FROM sp),
+       |pd AS (SELECT doc_id, source, COUNT(*) AS n_pairs, SUM(s6) AS ssum
+       |       FROM pr JOIN s6 USING (w1, w2) GROUP BY 1, 2),
+       |md AS (SELECT doc_id, source,
+       |         (2 * ssum + n_pairs) // (2 * n_pairs) AS mean6 FROM pd),
+       |rk AS (SELECT source, mean6, ROW_NUMBER() OVER (ORDER BY mean6) AS rn,
+       |         COUNT(*) OVER () AS n FROM md),
+       |th AS (SELECT MAX(CASE WHEN rn = GREATEST(n // 3, 1) THEN mean6 END) AS v1,
+       |              MAX(CASE WHEN rn = GREATEST(2 * n // 3, 1) THEN mean6 END) AS v2
+       |       FROM rk),
+       |b AS (SELECT source,
+       |        CASE WHEN mean6 <= t.v1 THEN 'head'
+       |             WHEN mean6 <= t.v2 THEN 'middle' ELSE 'tail' END AS bucket,
+       |        mean6
+       |      FROM rk CROSS JOIN th t)
+       |SELECT source, bucket, COUNT(*) AS n_docs,
+       |  CAST((2 * SUM(mean6) + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 1000000
+       |    AS avg_surprisal
+       |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Q122: CORPUS SNAPSHOT DIFF — the incremental-ingest delta report
     * between two corpus versions: which documents were added, removed,
     * changed, or untouched, per source. The two snapshots are
@@ -2176,6 +2310,7 @@ object Curation {
     "q126_version_drift" -> (versionDrift _),
     "q122_snapshot_diff" -> (snapshotDiff _),
     "q120_distribution_anomaly" -> (distributionalAnomaly _),
+    "q183_bigram_surprisal" -> (bigramSurprisal _),
     "q101_dup_spans" -> (dupSpans _),
     "q111_training_batches" -> (trainingBatches _),
     "q112_gopher_rules" -> (gopherRules _),
@@ -2209,6 +2344,7 @@ object Curation {
     "q130_token_cooccurrence" -> tokenCooccurrenceSql,
     "q131_proportional_sample" -> proportionalSampleSql,
     "q120_distribution_anomaly" -> distributionalAnomalySql,
+    "q183_bigram_surprisal" -> bigramSurprisalSql,
     "q101_dup_spans" -> dupSpansSql,
     "q111_training_batches" -> trainingBatchesSql,
     "q112_gopher_rules" -> gopherRulesSql,

@@ -356,15 +356,147 @@ object MlQueries {
       |    AS mae_dollars
       |FROM ev ORDER BY fold""".stripMargin
 
+  /** Cross-process export dir for q182's fitted coefficient row —
+    * same per-SF convention (and staleness argument) as
+    * [[modelExportPath]]. */
+  def qualityModelExportPath(dir: String): String =
+    s"/tmp/graft_q182_model_${dir.stripSuffix("/").split('/').last}"
+
+  /** Assembler input order for q182 — serving and the DuckDB oracle
+    * must evaluate the linear form in exactly this feature order. */
+  val qualityFeatureColumns: Array[String] =
+    Array("f_n", "f_mwl", "f_ttr", "f_srat")
+
+  /** Q182: TRAINED DOCUMENT-QUALITY CLASSIFIER — the fastText/CCNet-
+    * class model-based filter stage (the one standard LLM-curation pass
+    * the rule batteries q112/q116 are not): train logistic regression
+    * on per-document shape features against a deterministic weak-label
+    * rule, export the fitted coefficients, score the WHOLE corpus with
+    * the linear form, and report the per-source keep funnel.
+    *
+    * Features (fixed [[qualityFeatureColumns]] order, all exact-count
+    * ratios both engines derive identically): token count, mean token
+    * length, type-token ratio, stopword ratio. Weak label = the
+    * q112 stopword-ratio AND type-token rules (nstop·20 ≥ n ∧ nd·2 ≥ n
+    * — ~25% positive on this corpus); distilling a cheap rule into a
+    * smooth scorer is exactly the production pattern (rules label a
+    * seed set, the classifier generalizes the boundary).
+    *
+    * Oracle discipline = q37's: training is the ONE non-SQL step, so
+    * the query exports the 5 fitted doubles to
+    * [[qualityModelExportPath]] and the DuckDB oracle recomputes
+    * features → margin (same left-to-right IEEE evaluation order —
+    * bit-deterministic on both engines) → keep decision (margin > 0,
+    * i.e. p > 0.5) → per-source counts, so the entire serving path is
+    * independently verified. No sigmoid anywhere (q37's libm-ulp
+    * argument).
+    *
+    * Scale shape: the TRAINING set is a deterministic bounded
+    * subsample (sampleBucket < 50 here; a 100 TB deployment caps it at
+    * ~10⁵-10⁶ docs — quality classifiers train on a seed sample
+    * regardless of corpus size, exactly like fastText/CCNet), and
+    * coalesce(1) on that bounded frame pins LBFGS's gradient-sum order
+    * so the fitted coefficients are bit-reproducible at any
+    * parallelism. SCORING is the distributed pass: one linear scan,
+    * margin as a codegen'd Column over broadcast coefficient literals,
+    * one map-side-combined aggregate keyed by the tiny source
+    * dimension. Nothing shuffles the corpus payload. */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{tokenCount, distinctTokens, stopwordCount}
+    val d = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val m = d.select(col("doc_id"), col("source"),
+      tokenCount(col("text")).as("n"),
+      (length(col("text")) - tokenCount(col("text")) + 1).as("tokchars"),
+      size(distinctTokens(col("text"))).cast("bigint").as("nd"),
+      stopwordCount(col("text")).as("nstop"))
+    val featured = m
+      .withColumn("f_n", col("n").cast("double"))
+      .withColumn("f_mwl", col("tokchars").cast("double") / col("n").cast("double"))
+      .withColumn("f_ttr", col("nd").cast("double") / col("n").cast("double"))
+      .withColumn("f_srat", col("nstop").cast("double") / col("n").cast("double"))
+      .withColumn("label",
+        when(col("nstop") * 20 >= col("n") && col("nd") * 2 >= col("n"), 1.0)
+          .otherwise(0.0))
+    val train = featured
+      .filter(Curation.sampleBucket(col("doc_id")) < 50).coalesce(1)
+    val assembler = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(qualityFeatureColumns).setOutputCol("features")
+    val lr = new org.apache.spark.ml.classification.LogisticRegression()
+      .setMaxIter(25).setTol(1e-5).setRegParam(0.01).setLabelCol("label")
+    val fitted = new org.apache.spark.ml.Pipeline()
+      .setStages(Array(assembler, lr)).fit(train)
+    val lrm = fitted.stages.last
+      .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+    locally {
+      import spark.implicits._
+      val coefs = Seq((lrm.coefficients(0), lrm.coefficients(1),
+        lrm.coefficients(2), lrm.coefficients(3), lrm.intercept))
+        .toDF("w_n", "w_mwl", "w_ttr", "w_srat", "intercept")
+      graft.Scratch.publishStaged(qualityModelExportPath(dir))(stage =>
+        coefs.coalesce(1).write.mode("overwrite").parquet(stage))
+    }
+    // left-to-right fold — the oracle's SQL `+` chain is the same tree
+    val margin = qualityFeatureColumns.zipWithIndex.map { case (c, i) =>
+      col(c) * lit(lrm.coefficients(i))
+    }.reduce(_ + _) + lit(lrm.intercept)
+    featured
+      .withColumn("keep", margin > 0)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("label").cast("bigint")).cast("bigint").as("n_label_pos"),
+        sum(when(col("keep"), 1L).otherwise(0L)).cast("bigint").as("n_pred_keep"),
+        sum(when(col("keep") === (col("label") === 1.0), 1L).otherwise(0L))
+          .cast("bigint").as("n_agree"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB twin of the q182 serving path: identical feature counts
+    * (the q112 oracle's expressions), the exported coefficients read
+    * from parquet, the margin summed in the same left-to-right order
+    * (IEEE doubles in identical order are bit-deterministic), the same
+    * margin > 0 keep rule. */
+  val qualityClassifierSql: String = {
+    val stopList = graft.functions.TextFunctions.EnglishStopwords
+      .map(s => s"'$s'").mkString(", ")
+    val model = qualityModelExportPath("sf0.01")
+    s"""WITH d AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS t, len(text) AS L
+       |  FROM documents WHERE text IS NOT NULL),
+       |m AS (
+       |  SELECT doc_id, source, len(t) AS n, L - len(t) + 1 AS tokchars,
+       |    len(list_distinct(t)) AS nd,
+       |    len(list_filter(t, x -> x IN ($stopList))) AS nstop
+       |  FROM d),
+       |c AS (SELECT * FROM read_parquet('$model/*.parquet')),
+       |s AS (
+       |  SELECT source,
+       |    CASE WHEN nstop*20 >= n AND nd*2 >= n THEN 1 ELSE 0 END AS lab,
+       |    CAST(n AS DOUBLE) * w_n
+       |      + CAST(tokchars AS DOUBLE) / CAST(n AS DOUBLE) * w_mwl
+       |      + CAST(nd AS DOUBLE) / CAST(n AS DOUBLE) * w_ttr
+       |      + CAST(nstop AS DOUBLE) / CAST(n AS DOUBLE) * w_srat
+       |      + intercept AS margin
+       |  FROM m CROSS JOIN c)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(lab) AS BIGINT) AS n_label_pos,
+       |  CAST(SUM(CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_keep,
+       |  CAST(SUM(CASE WHEN (margin > 0) = (lab = 1) THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_agree
+       |FROM s GROUP BY source ORDER BY source""".stripMargin
+  }
+
   def queries: Map[String, Relational.Q] = Map(
     "q37_ml_champion" -> (championPrediction _),
     "q135_grouped_ols" -> (groupedOls _),
     "q161_kfold_ols" -> (kfoldOls _),
+    "q182_quality_classifier" -> (qualityClassifier _),
   )
 
   def oracles: Map[String, String] = Map(
     "q37_ml_champion" -> championPredictionSql,
     "q135_grouped_ols" -> groupedOlsSql,
     "q161_kfold_ols" -> kfoldOlsSql,
+    "q182_quality_classifier" -> qualityClassifierSql,
   )
 }

@@ -911,4 +911,53 @@ class CurationSpec extends SparkSuite {
     // the duplicated synthetic slices guarantee SOME containment
     assert(got.exists(_.getLong(2) > 0), "no containment anywhere — degenerate")
   }
+
+  test("q183 bigram surprisal: matches a driver-side LM replay") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf0001)
+      .filter(col("text").isNotNull)
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)]
+      .collect().toSeq
+    def toks(t: String): Seq[String] = t.split(" ", -1).toSeq
+    // replay: vocab -> <unk> fold -> bigram/left counts -> micro scores
+    val freq = docs.flatMap(d => toks(d._3)).groupBy(identity)
+      .view.mapValues(_.size).toSeq
+    val vocab = freq.sortBy { case (t, c) => (-c, t) }
+      .take(Curation.SurprisalVocab).map(_._1).toSet
+    def m(t: String) = if (vocab(t)) t else "<unk>"
+    val pairs = docs.flatMap { case (id, src, t) =>
+      val ts = toks(t); ts.zip(ts.drop(1)).map(p => (id, src, m(p._1), m(p._2)))
+    }
+    val c12 = pairs.groupBy(p => (p._3, p._4)).view.mapValues(_.size.toLong).toMap
+    val c1 = pairs.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    def half(nn: BigInt, dd: BigInt): BigInt = (2 * nn + dd) / (2 * dd)
+    val s6 = c12.map { case (k, c) => k -> half(BigInt(c1(k._1)) * 1000000, BigInt(c)) }
+    val mean6 = pairs.groupBy(p => (p._1, p._2)).view.mapValues { ps =>
+      val ss = ps.map(p => s6((p._3, p._4))).sum
+      half(ss, BigInt(ps.size))
+    }.toMap
+    val n = mean6.size.toLong
+    val sorted = mean6.values.toSeq.sorted
+    val v1 = sorted((math.max(n / 3, 1L) - 1).toInt)
+    val v2 = sorted((math.max(2 * n / 3, 1L) - 1).toInt)
+    def bucket(v: BigInt) =
+      if (v <= v1) "head" else if (v <= v2) "middle" else "tail"
+    val expect = mean6.toSeq.groupBy { case ((_, src), v) => (src, bucket(v)) }
+      .view.mapValues { g =>
+        val vs = g.map(_._2)
+        (vs.size.toLong,
+          (BigDecimal(half(vs.sum, BigInt(vs.size))) / 1000000).toDouble)
+      }.toMap
+    val got = Curation.bigramSurprisal(spark, Sf0001).collect()
+    assert(got.length === expect.size)
+    got.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      val (en, eavg) = expect(k)
+      assert(r.getLong(2) === en, s"n_docs $r")
+      assert(r.getDouble(3) === eavg, s"avg $r")
+    }
+    // the terciles genuinely split the corpus (non-degenerate scoring)
+    val byBucket = got.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum)
+    assert(byBucket.keySet === Set("head", "middle", "tail"), byBucket.toMap)
+  }
 }

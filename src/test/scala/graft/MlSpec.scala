@@ -160,4 +160,30 @@ class MlSpec extends SparkSuite {
       assert(r.getDouble(5) > 0.0)
     }
   }
+
+  test("q182: classifier separates the weak label well above the majority baseline") {
+    val rows = MlQueries.qualityClassifier(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getAs[Long]("n_docs")).sum
+    val pos = rows.map(_.getAs[Long]("n_label_pos")).sum
+    val agree = rows.map(_.getAs[Long]("n_agree")).sum
+    val kept = rows.map(_.getAs[Long]("n_pred_keep")).sum
+    // the label rule must genuinely discriminate on this corpus (the
+    // q112 probed-thresholds discipline) and the model must actually
+    // restrict the corpus, not rubber-stamp everything
+    assert(pos > 0 && pos < n, s"degenerate label: $pos/$n")
+    assert(kept > 0 && kept < n, s"degenerate keep: $kept/$n")
+    // separation witness: beat BOTH the majority-class baseline and a
+    // fixed 80% bar — logistic regression on the very ratios the rule
+    // thresholds must learn a useful boundary, else the export is noise
+    val majority = math.max(pos, n - pos).toDouble / n
+    assert(agree.toDouble / n > majority, s"agree=$agree/$n majority=$majority")
+    assert(agree.toDouble / n > 0.80, s"agree=$agree/$n")
+    // the exported coefficient row exists and is readable (the oracle's
+    // read path), with the five serving columns
+    val coefs = spark.read.parquet(MlQueries.qualityModelExportPath(Sf0001))
+    assert(coefs.columns.toSeq ===
+      Seq("w_n", "w_mwl", "w_ttr", "w_srat", "intercept"))
+    assert(coefs.count() === 1)
+  }
 }
