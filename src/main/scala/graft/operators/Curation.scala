@@ -803,6 +803,15 @@ object Curation {
     * and a production threshold change is a constant edit that leaves
     * the plan untouched. Thresholds were probed to discriminate on the
     * synthetic corpus (each rule passes 40-80% of docs at sf0.01). */
+  /** The q112 rule battery as ONE conjunction over the four exact
+    * count columns — shared by q112's funnel and q184's streaming gate
+    * so a threshold change can never drift between the two. */
+  private[graft] def gopherPassAll(n: Column, tokchars: Column,
+      nd: Column, nstop: Column): Column =
+    n.between(20, 80) &&
+      tokchars * 100 >= n * 420 && tokchars * 100 <= n * 470 &&
+      nstop >= 2 && nstop * 20 >= n && nd * 2 >= n
+
   def gopherRules(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).filter(col("text").isNotNull)
     val m = d.select(col("source"),
@@ -825,7 +834,8 @@ object Curation {
         cnt(rStop).as("pass_stopcount"),
         cnt(rSrat).as("pass_stopratio"),
         cnt(rTtr).as("pass_ttr"),
-        cnt(rWc && rMwl && rStop && rSrat && rTtr).as("pass_all"))
+        cnt(gopherPassAll(col("n"), col("tokchars"), col("nd"), col("nstop")))
+          .as("pass_all"))
       .orderBy(col("source"))
   }
 

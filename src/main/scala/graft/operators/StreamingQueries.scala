@@ -523,7 +523,169 @@ object StreamingQueries {
       |GROUP BY b.doc_id HAVING COUNT(c.gh) > 0
       |ORDER BY doc_id""".stripMargin
 
+  /** Q184: STREAMING END-TO-END CURATION — the composition proof: one
+    * continuous file-stream query chains q112's rule gate → q108's
+    * decontamination probe (against the SAME persisted q104 artifacts)
+    * → cross-batch exact dedup → q74's sequence packing, landing the
+    * per-document bin assignment in an idempotent partitioned sink.
+    * Each stage is the operator family's own logic (the shared
+    * [[Curation.gopherPassAll]] conjunction, the bloom-pruned index
+    * equi-join, keep-first-arrived dedup, the packBins cum/floor
+    * arithmetic), so this is q87's batch pipeline re-deployed as
+    * continuous ingestion.
+    *
+    * CROSS-BATCH STATE LIVES IN THE COMMITTED TABLE, not a state
+    * store: a batch reads prior batches' content hashes (dedup) and
+    * per-source token totals (packing offsets) from the sink itself —
+    * the warehouse-native pattern (Delta/Iceberg MERGE state), bounded
+    * per trigger by O(committed assignments), and the natural shape
+    * when downstream consumers need the assignments as a table anyway.
+    * Exactly-once: each batch overwrites its own DETERMINISTIC
+    * partition path (`batch=<id>`, staged-published); a re-delivered
+    * batch recomputes offsets from strictly-earlier batches
+    * (batch < id) and rewrites byte-identical content. Dedup keeps the
+    * FIRST-ARRIVED copy (the streaming reality); with the harness's
+    * single-file source every doc arrives in one batch in doc_id
+    * order, so the result equals the batch oracle's keep-min-doc_id —
+    * StreamingSpec additionally splits the corpus into two ordered
+    * files and pins 2-batch ≡ 1-batch equality (offsets + dedup
+    * actually crossing a trigger boundary).
+    *
+    * Scale shape per trigger: the gate and gram probe are batch-local
+    * (bloom prunes before the index join, candidate grams only); the
+    * dedup anti-join keys on 32-char hashes; the packing window
+    * partitions by source; the prior-state read carries three narrow
+    * columns. Nothing rescans the corpus, nothing shuffles text. */
+  def streamCuration(spark: SparkSession, dir: String): DataFrame =
+    streamCurationOn(spark, dir, s"$dir/{documents.parquet}", "cura")
+
+  private[graft] def streamCurationOn(spark: SparkSession, dir: String,
+      streamPath: String, tagPrefix: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.{tokenCount, distinctTokens, stopwordCount, wordShingles}
+    val (indexPath, bloom) = Indexes.buildCorpusGramIndex(spark, dir)
+    val tag = s"${tagPrefix}_${math.abs((dir + "|" + streamPath).hashCode)}"
+    val outPath = s"$fileSinkDataBase/$tag"
+    val chk = s"$fileSinkCkptBase/chk_$tag"
+    val docsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+    val reader = spark.readStream.schema(docsSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader.parquet(streamPath)
+      .filter(col("doc_id") % Indexes.BatchMod === 0 && col("text").isNotNull)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ss = batch.sparkSession
+        // q112 gate over exact count features (shared conjunction)
+        val m = batch.select(col("doc_id"), col("source"), col("text"),
+          tokenCount(col("text")).as("n"),
+          (length(col("text")) - tokenCount(col("text")) + 1).as("tokchars"),
+          size(distinctTokens(col("text"))).cast("bigint").as("nd"),
+          stopwordCount(col("text")).as("nstop"))
+        val gated = m.filter(Curation.gopherPassAll(
+          col("n"), col("tokchars"), col("nd"), col("nstop")))
+        // q108 probe: a doc survives iff it shares NO corpus 8-gram
+        // (inner join keeps only true hits; zero shared instances ==
+        // zero shared distinct grams, so the gate is accounting-free)
+        val index = ss.read.parquet(indexPath)
+        val contaminated = gated
+          .select(col("doc_id"),
+            explode(wordShingles(col("text"), Indexes.GramK)).as("gram"))
+          .select(col("doc_id"), md5(col("gram")).as("gh"))
+          .withColumn("bucket",
+            when(Indexes.bloomMightContain(col("gh"), bloom),
+              Indexes.bucketOf(col("gh"))))
+          .join(index, Seq("bucket", "gh"))
+          .select(col("doc_id")).distinct()
+        val clean = gated.join(contaminated, Seq("doc_id"), "left_anti")
+          .withColumn("h", md5(col("text")))
+          .select(col("doc_id"), col("source"), col("h"), col("n"))
+        val prior =
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(outPath)))
+            Some(ss.read.parquet(outPath).filter(col("batch") < batchId)
+              .select(col("source"), col("h"), col("n")).localCheckpoint(true))
+          else None
+        val newDocs = prior match {
+          case Some(p) =>
+            clean.join(p.select(col("h")).distinct(), Seq("h"), "left_anti")
+          case None => clean
+        }
+        val withinW = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+        val deduped = newDocs.withColumn("rn", row_number().over(withinW))
+          .filter(col("rn") === 1).drop("rn")
+        val packW = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        val packed0 = deduped.withColumn("cum0", sum(col("n")).over(packW))
+        val offs = prior.map(_.groupBy(col("source"))
+          .agg(sum(col("n")).as("off")))
+        val packed = (offs match {
+          case Some(o) => packed0.join(broadcast(o), Seq("source"), "left")
+            .withColumn("cum", col("cum0") + coalesce(col("off"), lit(0L)))
+          case None => packed0.withColumn("cum", col("cum0"))
+        })
+          // floor, not a bare cast (the packBins parity note)
+          .withColumn("bin",
+            floor((col("cum") - col("n")) / Curation.PackBudget).cast("bigint"))
+          .select(col("doc_id"), col("source"), col("h"), col("n"), col("bin"))
+        graft.Scratch.publishStaged(s"$outPath/batch=$batchId")(stage =>
+          packed.write.mode("overwrite").parquet(stage))
+        ()
+      }
+      .option("checkpointLocation", chk)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outPath)
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).cast("bigint").as("bin_tokens"),
+        min(col("doc_id")).cast("bigint").as("first_doc"),
+        max(col("doc_id")).cast("bigint").as("last_doc"))
+      .orderBy(col("source"), col("bin"))
+  }
+
+  /** DuckDB twin: gate → no-shared-gram filter → keep-min-doc dedup →
+    * per-source packing, replayed over the same %5 slice. */
+  val streamCurationSql: String = {
+    val stopList = graft.functions.TextFunctions.EnglishStopwords
+      .map(s => s"'$s'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, source, text, string_split(text, ' ') AS t
+       |           FROM documents WHERE text IS NOT NULL),
+       |feat AS (SELECT doc_id, source, text, t, len(t) AS n,
+       |           len(text) - len(t) + 1 AS tokchars,
+       |           len(list_distinct(t)) AS nd,
+       |           len(list_filter(t, x -> x IN ($stopList))) AS nstop
+       |         FROM d WHERE doc_id % 5 = 0),
+       |gated AS (SELECT * FROM feat
+       |          WHERE n BETWEEN 20 AND 80
+       |            AND tokchars*100 >= n*420 AND tokchars*100 <= n*470
+       |            AND nstop >= 2 AND nstop*20 >= n AND nd*2 >= n),
+       |corpus AS (SELECT DISTINCT md5(array_to_string(t[g:g+7], ' ')) AS gh
+       |           FROM (SELECT t, unnest(generate_series(1, len(t) - 7)) AS g
+       |                 FROM d WHERE doc_id % 5 != 0 AND len(t) >= 8)),
+       |bg AS (SELECT doc_id, md5(array_to_string(t[g:g+7], ' ')) AS gh
+       |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS g
+       |             FROM gated WHERE len(t) >= 8)),
+       |contam AS (SELECT DISTINCT doc_id FROM bg JOIN corpus USING (gh)),
+       |clean AS (SELECT g.doc_id, g.source, md5(g.text) AS h, g.n FROM gated g
+       |          WHERE g.doc_id NOT IN (SELECT doc_id FROM contam)),
+       |dedup AS (SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+       |    FROM clean) WHERE rn = 1),
+       |packed AS (SELECT *,
+       |    SUM(n) OVER (PARTITION BY source ORDER BY doc_id) AS cum FROM dedup)
+       |SELECT source, CAST(FLOOR((cum - n) / ${Curation.PackBudget}) AS BIGINT) AS bin,
+       |  COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS bin_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM packed GROUP BY 1, 2 ORDER BY source, bin""".stripMargin
+  }
+
   def queries: Map[String, Relational.Q] = Map(
+    "q184_stream_curation" -> (streamCuration _),
     "q95_stream_static_join" -> (streamStaticEnrich _),
     "q108_stream_decontam" -> (streamDecontam _),
     "q96_stream_running_totals" -> (streamRunningTotals _),
@@ -539,6 +701,7 @@ object StreamingQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q184_stream_curation" -> streamCurationSql,
     "q95_stream_static_join" -> streamStaticEnrichSql,
     "q108_stream_decontam" -> streamDecontamSql,
     "q96_stream_running_totals" -> streamRunningTotalsSql,

@@ -291,13 +291,13 @@ object TextAnalysis {
     * partitions track the SAMPLE, and a deployment training on more
     * sizes them up with it.
     *
-    * The per-row fold is an interpreted `aggregate` HOF — fine for a
-    * K-round trainer (K passes over token arrays); the 100 TB remedy
-    * is the usual native-kernel swap (LshBands pattern), same
-    * semantics, one compiled pass. No DuckDB oracle: iterated
-    * argmax-then-rewrite is not expressible as a query — the
-    * TextAnalysisSpec witness recomputes the full loop driver-side
-    * on the collected corpus and pins equality (the q31/q32 twin
+    * The fuse is the compiled [[graft.functions.BpeApply]] kernel
+    * (round-5; replaced the interpreted `aggregate` HOF). DuckDB
+    * oracle (round-6, [[bpeMergeLearningSql]]): the K fixed rounds
+    * unroll into generated MATERIALIZED CTE blocks — the q109/q129
+    * technique — with greedy non-overlap replayed as gaps-and-islands
+    * parity; the TextAnalysisSpec witness additionally recomputes the
+    * full loop driver-side and pins equality (the q31/q32 twin
     * discipline). */
   def bpeMergeLearning(spark: SparkSession, dir: String): DataFrame =
     bpeMergeLearningOn(spark,
@@ -644,6 +644,61 @@ object TextAnalysis {
        |FROM hits WHERE t[p] = '$KwicTerm'
        |ORDER BY doc_id, pos""".stripMargin
 
+  /** DuckDB oracle for q100 — the q109/q129 unrolled-CTE technique
+    * applied to the trainer loop: the K = [[BpeMerges]] rounds are
+    * FIXED control flow, so each round becomes one generated block of
+    * MATERIALIZED CTEs (pair counts → argmax with the same
+    * (n DESC, l, r) tiebreak → greedy fuse) chained t0 → t1 → … → tK,
+    * and the result is the UNION of the K argmax rows. The greedy
+    * left-to-right non-overlap rule is replayed exactly as
+    * gaps-and-islands arithmetic: within each maximal run of
+    * CONSECUTIVE matching positions, fuse the odd (1st, 3rd, …)
+    * members — for l ≠ r matches are never adjacent (every match
+    * fuses); for l = r a run of equal tokens fuses every other pair,
+    * which IS the greedy scan. The rebuild drops position i+1 for
+    * every fused i and substitutes l‖U+001F‖r at i (chr(31) — the
+    * [[MergeJoiner]]). MATERIALIZED is load-bearing: each t_k is read
+    * three times by round k+1, so an inlined plan would replay the
+    * whole prefix exponentially. */
+  val bpeMergeLearningSql: String = {
+    val rounds = (1 to BpeMerges).map { k =>
+      s"""p$k AS (SELECT doc_id, unnest(generate_series(1, len(t) - 1)) AS i, t FROM t${k - 1}),
+         |pc$k AS (SELECT t[i] AS l, t[i+1] AS r, COUNT(*) AS n FROM p$k GROUP BY 1, 2),
+         |m$k AS MATERIALIZED (SELECT l, r, n FROM pc$k ORDER BY n DESC, l, r LIMIT 1),
+         |mm$k AS (SELECT doc_id, i FROM p$k
+         |          WHERE t[i] = (SELECT l FROM m$k) AND t[i+1] = (SELECT r FROM m$k)),
+         |f$k AS MATERIALIZED (SELECT doc_id, i FROM (
+         |        SELECT doc_id, i, ROW_NUMBER() OVER (PARTITION BY doc_id, grp ORDER BY i) AS o
+         |        FROM (SELECT doc_id, i,
+         |                i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+         |              FROM mm$k))
+         |        WHERE o % 2 = 1),
+         |t$k AS MATERIALIZED (
+         |  SELECT doc_id, list(sym ORDER BY i) AS t FROM (
+         |    SELECT x.doc_id, x.i,
+         |      CASE WHEN fz.i IS NOT NULL
+         |           THEN (SELECT l FROM m$k) || chr(31) || (SELECT r FROM m$k)
+         |           ELSE x.t[x.i] END AS sym
+         |    FROM (SELECT doc_id, unnest(generate_series(1, len(t))) AS i, t
+         |          FROM t${k - 1}) x
+         |    LEFT JOIN f$k fz ON x.doc_id = fz.doc_id AND x.i = fz.i
+         |    LEFT JOIN f$k fp ON x.doc_id = fp.doc_id AND x.i = fp.i + 1
+         |    WHERE fp.i IS NULL)
+         |  GROUP BY doc_id)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to BpeMerges).map(k =>
+      s"""SELECT CAST($k AS BIGINT) AS rank, l AS "left", r AS "right", n FROM m$k""")
+      .mkString("\nUNION ALL ")
+    s"""WITH t0 AS MATERIALIZED (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE text IS NOT NULL AND doc_id % 5 = 0
+       |    AND strpos(text, chr(31)) = 0
+       |    AND len(string_split(text, ' ')) >= 2),
+       |$rounds
+       |$sel
+       |ORDER BY rank""".stripMargin
+  }
+
   def queries: Map[String, Relational.Q] = Map(
     "q180_kwic_concordance" -> (kwicConcordance _),
     "q163_zipf_deviation" -> (zipfDeviation _),
@@ -663,6 +718,7 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "q100_bpe_merge_learning" -> bpeMergeLearningSql,
     "q180_kwic_concordance" -> kwicConcordanceSql,
     "q163_zipf_deviation" -> zipfDeviationSql,
     "q158_vocab_growth" -> vocabGrowthSql,
