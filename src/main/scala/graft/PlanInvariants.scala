@@ -131,7 +131,16 @@ object PlanInvariants {
       // (source, bucket) report agg + output sort. After the two
       // row-scale aggregations every exchange carries the bounded
       // model frame or the (source, bucket) grid
-      "q183_bigram_surprisal" -> 5)
+      "q183_bigram_surprisal" -> 5,
+      // q185 prefix-filtered similarity join: shingle-df agg, per-doc
+      // prefix window, prefix self-join on shingle, candidate distinct,
+      // output sort — after the window every exchange carries prefix
+      // shingles or candidate pairs, never document payloads;
+      // verification rides entirely on broadcasts
+      "q185_prefix_jaccard_join" -> 5,
+      // q187 embeds q185's five-exchange pipeline and adds the bounded
+      // source-pair rollup; the doc->source joins are broadcasts
+      "q187_mirror_matrix" -> 6)
 
   /** Every other plan holds at <= 4 exchanges today (audited r5). */
   val defaultShuffleCeiling: Int = 4

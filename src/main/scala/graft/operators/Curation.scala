@@ -1321,6 +1321,70 @@ object Curation {
        |    / (2 * n_total * n_tokens), 6) AS DECIMAL(38,6)) AS DOUBLE) AS anomaly
        |FROM sc ORDER BY anomaly DESC, doc_id LIMIT 20""".stripMargin
 
+  /** Q187: NEAR-DUP MIRROR MATRIX — q185's consumer and the
+    * source-level rollup global dedup planning needs: which SOURCE
+    * PAIRS carry near-duplicate documents (J ≥ 0.8 on word-3-shingle
+    * sets, q185's exact prefix-filtered join), including the
+    * same-source diagonal (internal duplication). On this corpus the
+    * duplication is overwhelmingly CROSS-source (24 of 25 verified
+    * pairs at sf0.01) — exactly the mirror signal a per-source dedup
+    * would miss entirely, and the reason dedup must shuffle globally
+    * rather than per source.
+    *
+    * Scale shape: the verified pair list is the bounded output of
+    * q185's candidate-verify pipeline; everything here joins that
+    * bounded frame (broadcast) against the narrow (doc_id, source)
+    * projection and aggregates into the ≤ |sources|² grid.
+    * max_jaccard is an order statistic over already-rounded dec6
+    * values — no re-rounding (the q151 layered-rounding rule). */
+  def mirrorMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.prefixPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val src = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+    broadcast(pairs)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        Seq("doc_b"))
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+        max(col("jaccard")).as("max_jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** Oracle: the q185 brute-force chain (co-occurrence intersections —
+    * completeness argument in Dedup.prefixJaccardJoinSql) rolled up to
+    * source pairs. */
+  val mirrorMatrixSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+      |           FROM documents WHERE text IS NOT NULL),
+      |shl AS (SELECT doc_id,
+      |         list_distinct(list_transform(generate_series(1, len(t) - 2),
+      |           g -> array_to_string(t[g:g+2], ' '))) AS ts
+      |       FROM d WHERE len(t) >= 3),
+      |sz AS (SELECT doc_id, len(ts) AS s FROM shl),
+      |grams AS (SELECT doc_id, unnest(ts) AS sh FROM shl),
+      |co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      |       FROM grams a JOIN grams b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2),
+      |j AS (SELECT doc_a, doc_b, n_inter, sa.s + sb.s - n_inter AS n_union
+      |      FROM co JOIN sz sa ON doc_a = sa.doc_id
+      |      JOIN sz sb ON doc_b = sb.doc_id),
+      |v AS (SELECT doc_a, doc_b,
+      |        CAST(CAST(ROUND(CAST(n_inter AS DECIMAL(18,0)) / n_union, 6)
+      |          AS DECIMAL(38,6)) AS DOUBLE) AS jaccard
+      |      FROM j WHERE 5 * n_inter >= 4 * n_union),
+      |ds AS (SELECT doc_id, source FROM documents WHERE text IS NOT NULL)
+      |SELECT LEAST(da.source, db.source) AS source_a,
+      |  GREATEST(da.source, db.source) AS source_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  MAX(jaccard) AS max_jaccard
+      |FROM v JOIN ds da ON v.doc_a = da.doc_id
+      |JOIN ds db ON v.doc_b = db.doc_id
+      |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+
   /** Vocabulary size for [[bigramSurprisal]] — the q120/q130 bounded
     * top-64 convention; everything outside it folds into `<unk>`. */
   val SurprisalVocab = 64
@@ -2321,6 +2385,7 @@ object Curation {
     "q122_snapshot_diff" -> (snapshotDiff _),
     "q120_distribution_anomaly" -> (distributionalAnomaly _),
     "q183_bigram_surprisal" -> (bigramSurprisal _),
+    "q187_mirror_matrix" -> (mirrorMatrix _),
     "q101_dup_spans" -> (dupSpans _),
     "q111_training_batches" -> (trainingBatches _),
     "q112_gopher_rules" -> (gopherRules _),
@@ -2355,6 +2420,7 @@ object Curation {
     "q131_proportional_sample" -> proportionalSampleSql,
     "q120_distribution_anomaly" -> distributionalAnomalySql,
     "q183_bigram_surprisal" -> bigramSurprisalSql,
+    "q187_mirror_matrix" -> mirrorMatrixSql,
     "q101_dup_spans" -> dupSpansSql,
     "q111_training_batches" -> trainingBatchesSql,
     "q112_gopher_rules" -> gopherRulesSql,

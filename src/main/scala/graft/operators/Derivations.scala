@@ -527,6 +527,72 @@ object Derivations {
       |    AS n_rows
       |FROM bs ORDER BY bucket""".stripMargin
 
+  /** Buckets for [[equiWidthHistogram]]. */
+  val WidthBuckets = 16
+
+  /** Q186: EQUI-WIDTH HISTOGRAM — q170's fixed-width complement, per
+    * group: for each event type, 16 equal-width buckets spanning the
+    * type's exact [min, max] cent range, with the true count per
+    * non-empty bucket. Equi-width is the histogram monitoring systems
+    * and quick profilers build (O(1) bucket arithmetic, no rank pass);
+    * equi-depth (q170) is the optimizer's. Everything is integer:
+    * bucket = min(B−1, (c−mn)·B div (mx−mn)) — the max value folds
+    * into the last bucket, a degenerate single-value type collapses to
+    * bucket 0 (guarded identically on both engines), and the printed
+    * bucket bounds are the same floor-div arithmetic.
+    *
+    * Scale shape: one map-side-combined (type, min, max) aggregation
+    * over the bounded type dimension, broadcast back; the bucket
+    * assignment is a pure map and the count is one aggregation into
+    * the bounded ≤ types × B grid. Two row-scale passes, no window,
+    * no rank kernel — the whole point of fixed-width. */
+  def equiWidthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val b = WidthBuckets
+    val ev = Tables.events(spark, dir).select(col("event_type"),
+      (col("value").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("long").as("c"))
+    val bounds = ev.groupBy(col("event_type"))
+      .agg(min(col("c")).as("mn"), max(col("c")).as("mx"))
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .withColumn("bucket",
+        when(col("mx") === col("mn"), lit(0L)).otherwise(
+          least(lit(b - 1).cast("long"),
+            expr(s"((c - mn) * $b) div (mx - mn)"))))
+      .groupBy(col("event_type"), col("bucket"), col("mn"), col("mx"))
+      .agg(count(lit(1)).cast("bigint").as("n_events"))
+      .select(col("event_type"), col("bucket").cast("int").as("bucket"),
+        dec2((col("mn") + expr(s"(bucket * (mx - mn)) div $b"))
+          .cast("decimal(18,0)") / 100).as("lo_value"),
+        dec2((col("mn") + expr(s"((bucket + 1) * (mx - mn)) div $b"))
+          .cast("decimal(18,0)") / 100).as("hi_value"),
+        col("n_events"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  val equiWidthHistogramSql: String = {
+    val b = WidthBuckets
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+       |  FROM events),
+       |bd AS (SELECT event_type, MIN(c) AS mn, MAX(c) AS mx
+       |       FROM e GROUP BY 1),
+       |a AS (SELECT e.event_type,
+       |        CASE WHEN bd.mx = bd.mn THEN 0
+       |             ELSE LEAST($b - 1, ((e.c - bd.mn) * $b) // (bd.mx - bd.mn))
+       |        END AS bucket,
+       |        bd.mn, bd.mx
+       |      FROM e JOIN bd USING (event_type))
+       |SELECT event_type, CAST(bucket AS INT) AS bucket,
+       |  CAST(CAST(ROUND((mn + (bucket * (mx - mn)) // $b) / 100, 2)
+       |    AS DECIMAL(38,2)) AS DOUBLE) AS lo_value,
+       |  CAST(CAST(ROUND((mn + ((bucket + 1) * (mx - mn)) // $b) / 100, 2)
+       |    AS DECIMAL(38,2)) AS DOUBLE) AS hi_value,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events
+       |FROM a GROUP BY event_type, bucket, mn, mx
+       |ORDER BY event_type, bucket""".stripMargin
+  }
+
   /** Q176: JOIN-CARDINALITY ESTIMATOR AUDIT — the CBO sanity check
     * beside q170's histograms and q134's skew profile: estimate
     * |orders ⋈ customer| from per-key count sketches at two bucket
@@ -596,6 +662,7 @@ object Derivations {
       |FROM act CROSS JOIN e16 CROSS JOIN e256""".stripMargin
 
   def queries: Map[String, Relational.Q] = Map(
+    "q186_equi_width_histogram" -> (equiWidthHistogram _),
     "q176_join_cardinality" -> (joinCardinalityAudit _),
     "q170_equi_depth_histogram" -> (equiDepthHistogram _),
     "q13_case_when" -> (caseWhen _),
@@ -615,6 +682,7 @@ object Derivations {
   )
 
   def oracles: Map[String, String] = Map(
+    "q186_equi_width_histogram" -> equiWidthHistogramSql,
     "q176_join_cardinality" -> joinCardinalityAuditSql,
     "q170_equi_depth_histogram" -> equiDepthHistogramSql,
     "q13_case_when" -> caseWhenSql,

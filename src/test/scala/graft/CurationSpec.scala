@@ -960,4 +960,27 @@ class CurationSpec extends SparkSuite {
     val byBucket = got.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum)
     assert(byBucket.keySet === Set("head", "middle", "tail"), byBucket.toMap)
   }
+
+  test("q187 mirror matrix is exactly q185's pairs rolled up to source pairs") {
+    val docs = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = graft.operators.Dedup.prefixJaccardJoin(spark, Sf0001)
+      .select(col("doc_a"), col("doc_b"), col("jaccard")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = pairs.groupBy { case (a, b, _) =>
+      val (sa, sb) = (docs(a), docs(b))
+      (Seq(sa, sb).min, Seq(sa, sb).max)
+    }.map { case (k, g) => k -> (g.size.toLong, g.map(_._3).max) }
+    val got = Curation.mirrorMatrix(spark, Sf0001).collect()
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSet === expected.keySet)
+    got.foreach { r =>
+      val (n, mj) = expected((r.getString(0), r.getString(1)))
+      assert(r.getLong(2) === n, s"n_pairs $r")
+      assert(r.getDouble(3) === mj, s"max_jaccard $r")
+    }
+    // the mirror signal is real on this corpus: some pair crosses sources
+    assert(got.exists(r => r.getString(0) != r.getString(1)),
+      "no cross-source near-dup pair — mirror matrix degenerate")
+  }
 }

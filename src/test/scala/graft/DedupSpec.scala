@@ -328,4 +328,35 @@ class DedupSpec extends SparkSuite {
     }
     assert(got.nonEmpty, "no multi-variant entities — test degenerate")
   }
+
+  test("q185 prefix-filtered join matches a driver-side brute-force all-pairs replay") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf0001)
+      .filter(col("text").isNotNull)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def shingles(t: String): Set[String] =
+      t.split(" ", -1).toSeq.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSet
+    val sets = docs.map { case (id, t) => id -> shingles(t) }
+      .filter(_._2.nonEmpty).toMap
+    val expected = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = sets(a).intersect(sets(b)).size
+      un = sets(a).size + sets(b).size - inter
+      if 5 * inter >= 4 * un
+    } yield (a, b) -> (inter.toLong, un.toLong)).toMap
+    val got = Dedup.prefixJaccardJoin(spark, Sf0001).collect()
+    // exactness in BOTH directions: no pair lost by prefix filtering
+    // (completeness), no extra pair passed verification (soundness)
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet === expected.keySet)
+    got.foreach { r =>
+      val (ei, eu) = expected((r.getLong(0), r.getLong(1)))
+      assert(r.getLong(2) === ei, s"n_inter $r")
+      assert(r.getLong(3) === eu, s"n_union $r")
+      val j = (BigDecimal(ei) / BigDecimal(eu))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(4) === j, s"jaccard $r")
+    }
+    assert(got.nonEmpty, "no near-dup pairs at threshold — test degenerate")
+  }
 }

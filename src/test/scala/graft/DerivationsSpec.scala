@@ -166,4 +166,36 @@ class DerivationsSpec extends SparkSuite {
     assert(r.getLong(2) <= r.getLong(1), "more buckets got worse")
     assert(r.getDouble(3) >= 1.0 && r.getDouble(4) >= 1.0, r)
   }
+
+  test("q186 equi-width histogram matches a driver-side bucket replay") {
+    import graft.operators.Derivations
+    val b = Derivations.WidthBuckets
+    val cents = Tables.events(spark, Sf0001)
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100)
+          .cast("decimal(18,0)").cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = cents.groupBy(_._1).flatMap { case (et, rs) =>
+      val vs = rs.map(_._2)
+      val (mn, mx) = (vs.min, vs.max)
+      def bucket(c: Long) =
+        if (mx == mn) 0L else math.min((b - 1).toLong, (c - mn) * b / (mx - mn))
+      vs.groupBy(bucket).map { case (bk, g) =>
+        (et, bk.toInt) -> (mn + bk * (mx - mn) / b, mn + (bk + 1) * (mx - mn) / b,
+          g.size.toLong)
+      }
+    }
+    val got = Derivations.equiWidthHistogram(spark, Sf0001).collect()
+    assert(got.map(r => (r.getString(0), r.getInt(1))).toSet === expected.keySet)
+    got.foreach { r =>
+      val (lo, hi, n) = expected((r.getString(0), r.getInt(1)))
+      assert(r.getDouble(2) === lo.toDouble / 100, s"lo $r")
+      assert(r.getDouble(3) === hi.toDouble / 100, s"hi $r")
+      assert(r.getLong(4) === n, s"n $r")
+    }
+    // per type, bucket counts cover every event exactly once
+    val byType = got.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(4)).sum)
+    val totals = cents.groupBy(_._1).view.mapValues(_.size.toLong)
+    byType.foreach { case (et, n) => assert(n === totals(et), et) }
+  }
 }
