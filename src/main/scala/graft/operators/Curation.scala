@@ -1385,6 +1385,83 @@ object Curation {
       |JOIN ds db ON v.doc_b = db.doc_id
       |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
 
+  /** Q188: FUZZY DECONTAMINATION — the GPT-3/Pile-style NEAR-DUP
+    * admission check q71's exact-gram decontamination cannot express:
+    * an incoming document (the doc_id % 5 batch, the q104/q108/q184
+    * convention) is flagged when it is a ≥ 0.8-Jaccard near-duplicate
+    * of some CORPUS document — catching lightly-edited copies whose
+    * verbatim 8-grams were all perturbed. Per flagged doc: match
+    * count, the best corpus match (max Jaccard, ties to the lowest
+    * doc_id) and its score.
+    *
+    * Derivation: boundary-crossing pairs of the q185 verified-pair
+    * artifact (exact by the prefix-filter theorem — no recall loss),
+    * rolled up per batch doc. An INCREMENTAL deployment runs the
+    * asymmetric form of the same machinery — the corpus side's
+    * rare-first prefix index persists (q104's pattern applied to
+    * near-dup), each batch builds prefixes under the corpus ordering
+    * (unseen shingles rank rarest) and probes only the index buckets
+    * its prefixes hit; candidates and verification are unchanged.
+    *
+    * Scale shape: everything here is bounded — the artifact read, the
+    * orientation filter, the per-doc window over ≤ matches-per-doc
+    * rows. 14 of 25 verified pairs cross the batch boundary at
+    * sf0.01, so the report is non-degenerate by construction. */
+  def fuzzyDecontam(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val crossing = Dedup.prefixPairs(spark, dir)
+      .filter((col("doc_a") % 5 === 0) =!= (col("doc_b") % 5 === 0))
+      .select(
+        when(col("doc_a") % 5 === 0, col("doc_a")).otherwise(col("doc_b"))
+          .as("doc_id"),
+        when(col("doc_a") % 5 === 0, col("doc_b")).otherwise(col("doc_a"))
+          .as("corpus_doc"),
+        col("jaccard"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("jaccard").desc, col("corpus_doc"))
+    crossing
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_matches", count(lit(1))
+        .over(Window.partitionBy(col("doc_id"))).cast("bigint"))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("n_matches"),
+        col("corpus_doc").as("best_match"), col("jaccard").as("best_jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the q185 brute-force co-occurrence chain, restricted to
+    * boundary-crossing pairs and rolled up per batch doc. */
+  val fuzzyDecontamSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+      |           FROM documents WHERE text IS NOT NULL),
+      |shl AS (SELECT doc_id,
+      |         list_distinct(list_transform(generate_series(1, len(t) - 2),
+      |           g -> array_to_string(t[g:g+2], ' '))) AS ts
+      |       FROM d WHERE len(t) >= 3),
+      |sz AS (SELECT doc_id, len(ts) AS s FROM shl),
+      |grams AS (SELECT doc_id, unnest(ts) AS sh FROM shl),
+      |co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      |       FROM grams a JOIN grams b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2),
+      |v AS (SELECT doc_a, doc_b, n_inter, sa.s + sb.s - n_inter AS n_union
+      |      FROM co JOIN sz sa ON doc_a = sa.doc_id
+      |      JOIN sz sb ON doc_b = sb.doc_id
+      |      WHERE 5 * n_inter >= 4 * (sa.s + sb.s - n_inter)),
+      |x AS (SELECT
+      |        CASE WHEN doc_a % 5 = 0 THEN doc_a ELSE doc_b END AS doc_id,
+      |        CASE WHEN doc_a % 5 = 0 THEN doc_b ELSE doc_a END AS corpus_doc,
+      |        CAST(CAST(ROUND(CAST(n_inter AS DECIMAL(18,0)) / n_union, 6)
+      |          AS DECIMAL(38,6)) AS DOUBLE) AS jaccard
+      |      FROM v WHERE (doc_a % 5 = 0) != (doc_b % 5 = 0)),
+      |r AS (SELECT doc_id, corpus_doc, jaccard,
+      |        ROW_NUMBER() OVER (PARTITION BY doc_id
+      |          ORDER BY jaccard DESC, corpus_doc) AS rn,
+      |        COUNT(*) OVER (PARTITION BY doc_id) AS n_matches
+      |      FROM x)
+      |SELECT doc_id, CAST(n_matches AS BIGINT) AS n_matches,
+      |  corpus_doc AS best_match, jaccard AS best_jaccard
+      |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   /** Vocabulary size for [[bigramSurprisal]] — the q120/q130 bounded
     * top-64 convention; everything outside it folds into `<unk>`. */
   val SurprisalVocab = 64
@@ -2020,23 +2097,26 @@ object Curation {
   def ppsSample(spark: SparkSession, dir: String): DataFrame =
     ppsSampleAt(spark, dir, PpsSampleTarget)
 
-  private[graft] def ppsSampleAt(spark: SparkSession, dir: String,
-      n: Int): DataFrame = {
-    def rows = Tables.orders(spark, dir).select(col("o_orderkey"),
-      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("decimal(18,0)")
-        .cast("long").as("w"),
-      shuffleKey(col("o_orderkey")).as("sk"))
+  /** Shared Madow systematic-selection machinery (q142/q189): lay
+    * `rows` — columns `idCol`, `w` (long weight), `sk` (shuffle key) —
+    * on the deterministic (sk, id) line via the q94 distributed prefix
+    * sum and pick every `step`-th point. Returns the hit rows with a
+    * `hits` replication count. Multiple passes over `rows` (boundary
+    * sample, per-bucket subtotals, final) — pass a cheap or
+    * materialized frame. */
+  private[graft] def madowHits(spark: SparkSession, rows: => DataFrame,
+      idCol: String, target: Int): DataFrame = {
     val nBuckets = spark.conf.get("spark.sql.shuffle.partitions").toInt.max(2)
     val bucketOf = TwoPass.scoreBuckets(rows, col("sk"), nBuckets)
     val sub = rows.withColumn("b", bucketOf(col("sk")))
       .groupBy(col("b")).agg(sum(col("w")).as("t"))
       .collect().sortBy(_.getAs[Int]("b"))
     val cum = sub.scanLeft(0L)(_ + _.getAs[Long]("t"))
-    val step = math.max(1L, cum.last / n)
+    val step = math.max(1L, cum.last / target)
     val offsets = spark.createDataFrame(
       sub.zip(cum).map { case (r, off) => (r.getAs[Int]("b"), off) }.toSeq)
       .toDF("b", "off")
-    val runW = Window.partitionBy(col("b")).orderBy(col("sk"), col("o_orderkey"))
+    val runW = Window.partitionBy(col("b")).orderBy(col("sk"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, 0)
     rows.withColumn("b", bucketOf(col("sk")))
       .join(broadcast(offsets), Seq("b"))
@@ -2044,6 +2124,15 @@ object Curation {
       .withColumn("hits",
         expr(s"cum div ${step}L - (cum - w) div ${step}L").cast("bigint"))
       .filter(col("hits") > 0)
+  }
+
+  private[graft] def ppsSampleAt(spark: SparkSession, dir: String,
+      n: Int): DataFrame = {
+    def rows = Tables.orders(spark, dir).select(col("o_orderkey"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("decimal(18,0)")
+        .cast("long").as("w"),
+      shuffleKey(col("o_orderkey")).as("sk"))
+    madowHits(spark, rows, "o_orderkey", n)
       .select(col("o_orderkey"), col("w").as("weight_cents"), col("hits"))
       .orderBy(col("o_orderkey"))
   }
@@ -2061,6 +2150,92 @@ object Curation {
        |  CAST(cum // step - (cum - w) // step AS BIGINT) AS hits
        |FROM p WHERE cum // step > (cum - w) // step
        |ORDER BY o_orderkey""".stripMargin
+
+  /** Target sample size for [[dsirResample]]. */
+  val DsirSampleTarget = 100
+
+  /** Q189: DSIR IMPORTANCE RESAMPLING — the COMPOSED pipeline the DSIR
+    * paper actually runs, assembled from this suite's own stages:
+    * q151's hashed-bucket importance weights (how target-like is each
+    * document) feed q142's Madow systematic PPS selection (pick
+    * documents with probability proportional to importance, zero
+    * randomness) — the data-selection step that reshapes a raw corpus
+    * toward a target distribution before training. Heavy importance
+    * docs replicate (`hits` > 1), exactly the with-replacement
+    * semantics importance resampling wants.
+    *
+    * Everything is integer end-to-end: the per-bucket weight and the
+    * per-doc importance both use the (2N+D)//(2D) micro-unit half-up
+    * formula ON BOTH ENGINES (no decimal divide at all — one step
+    * simpler than q151's decimal-internal form), and selection is the
+    * q142 line arithmetic. Magnitude headroom: 2·(tc+1)·rn·10⁶ caps
+    * near 10¹⁴ at sf0.1 and holds to ~10¹² corpus tokens; beyond that
+    * the BOUNDED 256-row weight frame widens to DECIMAL (ANSI throws,
+    * never corrupts).
+    *
+    * Scale shape: q151's two row-scale aggregations build the per-doc
+    * weight frame, localCheckpoint-materialized (|docs| × 4 narrow
+    * columns) because the Madow machinery makes three passes over it
+    * (the q183 lesson); selection itself is the q94 distributed
+    * prefix sum — never a global sort. */
+  def dsirResample(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("tok")), 1, 2).as("b"))
+    val all = Window.partitionBy()
+    val w6 = toks.groupBy(col("b"))
+      .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tc"),
+        count(lit(1)).as("rc"))
+      .withColumn("tn", sum(col("tc")).over(all))
+      .withColumn("rn", sum(col("rc")).over(all))
+      .withColumn("w6", expr(
+        "(2 * (tc + 1) * rn * 1000000 + (rc + 1) * tn) div (2 * (rc + 1) * tn)"))
+      .select(col("b"), col("w6"))
+    val perDoc = toks.groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(w6), Seq("b"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("cnt")).as("n"), sum(col("cnt") * col("w6")).as("n6"))
+      .select(col("doc_id"), col("lang"),
+        greatest(expr("(2 * n6 + n) div (2 * n)"), lit(1L)).as("w"),
+        shuffleKey(col("doc_id")).as("sk"))
+      .localCheckpoint()
+    madowHits(spark, perDoc, "doc_id", DsirSampleTarget)
+      .select(col("doc_id"), col("lang"),
+        col("w").cast("bigint").as("weight6"), col("hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dsirResampleSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, substr(md5(unnest(string_split(text, ' '))), 1, 2) AS b
+       |  FROM documents WHERE text IS NOT NULL),
+       |bk AS (SELECT b, SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tc,
+       |         COUNT(*) AS rc
+       |       FROM toks GROUP BY 1),
+       |tot AS (SELECT SUM(tc) AS tn, SUM(rc) AS rn FROM bk),
+       |w AS (SELECT b,
+       |        (2 * (tc + 1) * rn * 1000000 + (rc + 1) * tn)
+       |          // (2 * (rc + 1) * tn) AS w6
+       |      FROM bk, tot),
+       |pd AS (SELECT doc_id, lang, b, COUNT(*) AS cnt FROM toks GROUP BY 1, 2, 3),
+       |sc AS (SELECT pd.doc_id, pd.lang, SUM(cnt) AS n, SUM(cnt * w.w6) AS n6
+       |       FROM pd JOIN w ON pd.b = w.b
+       |       GROUP BY 1, 2),
+       |imp AS (SELECT doc_id, lang,
+       |          GREATEST((2 * n6 + n) // (2 * n), 1) AS w,
+       |          ${shuffleKeySql("doc_id")} AS sk
+       |        FROM sc),
+       |c AS (SELECT *, SUM(w) OVER (ORDER BY sk, doc_id) AS cum,
+       |             SUM(w) OVER () AS tot FROM imp),
+       |p AS (SELECT *, GREATEST(1, tot // $DsirSampleTarget) AS step FROM c)
+       |SELECT doc_id, lang, CAST(w AS BIGINT) AS weight6,
+       |  CAST(cum // step - (cum - w) // step AS BIGINT) AS hits
+       |FROM p WHERE cum // step > (cum - w) // step
+       |ORDER BY doc_id""".stripMargin
 
   /** Chunk geometry for [[ragChunking]]: window of [[ChunkTokens]]
     * tokens advancing by [[ChunkStride]] (8-token overlap between
@@ -2386,6 +2561,8 @@ object Curation {
     "q120_distribution_anomaly" -> (distributionalAnomaly _),
     "q183_bigram_surprisal" -> (bigramSurprisal _),
     "q187_mirror_matrix" -> (mirrorMatrix _),
+    "q188_fuzzy_decontam" -> (fuzzyDecontam _),
+    "q189_dsir_resample" -> (dsirResample _),
     "q101_dup_spans" -> (dupSpans _),
     "q111_training_batches" -> (trainingBatches _),
     "q112_gopher_rules" -> (gopherRules _),
@@ -2421,6 +2598,8 @@ object Curation {
     "q120_distribution_anomaly" -> distributionalAnomalySql,
     "q183_bigram_surprisal" -> bigramSurprisalSql,
     "q187_mirror_matrix" -> mirrorMatrixSql,
+    "q188_fuzzy_decontam" -> fuzzyDecontamSql,
+    "q189_dsir_resample" -> dsirResampleSql,
     "q101_dup_spans" -> dupSpansSql,
     "q111_training_batches" -> trainingBatchesSql,
     "q112_gopher_rules" -> gopherRulesSql,

@@ -585,12 +585,15 @@ object Relational {
     // exchange could not be reused between them (one extra row-scale
     // exchange, observed in the plan). Keys are non-null in this
     // schema, so the filters change nothing but the canonical form.
+    // one build, four consumers (order count, pair expansion, candidate
+    // frequency count) — lazily each action would redo the scan + the
+    // distinct exchange
     val items = Tables.lineitem(spark, dir)
       .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
+      .localCheckpoint()
     val nOrders = items.select(col("ok")).distinct().count()
-    val partFreq = items.groupBy(col("pk")).agg(count(lit(1)).as("pf"))
     val a = items.select(col("ok"), col("pk").as("part_a"))
     val b = items.select(col("ok"), col("pk").as("part_b"))
     val pairs = a.join(b, Seq("ok"))
@@ -599,12 +602,23 @@ object Relational {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("part_a"), col("part_b"))
       .limit(20)
-    val withA = broadcast(pairs)
-      .join(partFreq.withColumnRenamed("pk", "part_a")
-        .withColumnRenamed("pf", "fa"), Seq("part_a"))
-    broadcast(withA)
-      .join(partFreq.withColumnRenamed("pk", "part_b")
-        .withColumnRenamed("pf", "fb"), Seq("part_b"))
+      .localCheckpoint()
+    // frequencies ONLY for the <= 40 surviving parts: a broadcast
+    // semi-filter over the item scan feeding a tiny aggregate — the
+    // |distinct parts|-scale frequency table never materializes at all
+    // (strictly better at 100 TB than streaming it through either join
+    // direction, the round-5 broadcast-direction finding taken one
+    // step further)
+    val candParts = pairs.select(col("part_a").as("pk"))
+      .union(pairs.select(col("part_b"))).distinct()
+    val freqSmall = items.join(broadcast(candParts), Seq("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("pf"))
+      .localCheckpoint()
+    pairs
+      .join(broadcast(freqSmall.withColumnRenamed("pk", "part_a")
+        .withColumnRenamed("pf", "fa")), Seq("part_a"))
+      .join(broadcast(freqSmall.withColumnRenamed("pk", "part_b")
+        .withColumnRenamed("pf", "fb")), Seq("part_b"))
       .select(col("part_a"), col("part_b"),
         col("cnt").cast("bigint").as("n_orders_together"),
         dec6(col("cnt").cast("decimal(19,0)")

@@ -660,46 +660,127 @@ object TextAnalysis {
     * [[MergeJoiner]]). MATERIALIZED is load-bearing: each t_k is read
     * three times by round k+1, so an inlined plan would replay the
     * whole prefix exponentially. */
-  val bpeMergeLearningSql: String = {
+  /** One generated greedy-fuse SQL round: rewrite chain `chain` from
+    * step k−1 to step k using the merge row in CTE `m$k`. The island
+    * parity (see [[bpeMergeLearningSql]]) is the greedy scan. `aux`
+    * disambiguates the helper CTE names when two chains coexist in one
+    * query (q190 applies the TRAIN chain's merges to a held-out
+    * chain). */
+  private def fuseRoundSql(k: Int, chain: String, aux: String): String =
+    s"""mm$aux$k AS (SELECT doc_id, i FROM (
+       |          SELECT doc_id, unnest(generate_series(1, len(t) - 1)) AS i, t
+       |          FROM $chain${k - 1}) z
+       |          WHERE z.t[z.i] = (SELECT l FROM m$k)
+       |            AND z.t[z.i+1] = (SELECT r FROM m$k)),
+       |f$aux$k AS MATERIALIZED (SELECT doc_id, i FROM (
+       |        SELECT doc_id, i, ROW_NUMBER() OVER (PARTITION BY doc_id, grp ORDER BY i) AS o
+       |        FROM (SELECT doc_id, i,
+       |                i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+       |              FROM mm$aux$k))
+       |        WHERE o % 2 = 1),
+       |$chain$k AS MATERIALIZED (
+       |  SELECT doc_id, list(sym ORDER BY i) AS t FROM (
+       |    SELECT x.doc_id, x.i,
+       |      CASE WHEN fz.i IS NOT NULL
+       |           THEN (SELECT l FROM m$k) || chr(31) || (SELECT r FROM m$k)
+       |           ELSE x.t[x.i] END AS sym
+       |    FROM (SELECT doc_id, unnest(generate_series(1, len(t))) AS i, t
+       |          FROM $chain${k - 1}) x
+       |    LEFT JOIN f$aux$k fz ON x.doc_id = fz.doc_id AND x.i = fz.i
+       |    LEFT JOIN f$aux$k fp ON x.doc_id = fp.doc_id AND x.i = fp.i + 1
+       |    WHERE fp.i IS NULL)
+       |  GROUP BY doc_id)""".stripMargin
+
+  /** The generated TRAIN chain shared by the q100 and q190 oracles:
+    * t0 (the %5 training slice, joiner-free, ≥2 tokens) plus K rounds
+    * of pair-count → argmax (m$k) → greedy fuse (t$k). */
+  private def trainChainSql: String = {
     val rounds = (1 to BpeMerges).map { k =>
-      s"""p$k AS (SELECT doc_id, unnest(generate_series(1, len(t) - 1)) AS i, t FROM t${k - 1}),
-         |pc$k AS (SELECT t[i] AS l, t[i+1] AS r, COUNT(*) AS n FROM p$k GROUP BY 1, 2),
+      s"""pc$k AS (SELECT t[i] AS l, t[i+1] AS r, COUNT(*) AS n FROM (
+         |        SELECT doc_id, unnest(generate_series(1, len(t) - 1)) AS i, t
+         |        FROM t${k - 1}) p GROUP BY 1, 2),
          |m$k AS MATERIALIZED (SELECT l, r, n FROM pc$k ORDER BY n DESC, l, r LIMIT 1),
-         |mm$k AS (SELECT doc_id, i FROM p$k
-         |          WHERE t[i] = (SELECT l FROM m$k) AND t[i+1] = (SELECT r FROM m$k)),
-         |f$k AS MATERIALIZED (SELECT doc_id, i FROM (
-         |        SELECT doc_id, i, ROW_NUMBER() OVER (PARTITION BY doc_id, grp ORDER BY i) AS o
-         |        FROM (SELECT doc_id, i,
-         |                i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
-         |              FROM mm$k))
-         |        WHERE o % 2 = 1),
-         |t$k AS MATERIALIZED (
-         |  SELECT doc_id, list(sym ORDER BY i) AS t FROM (
-         |    SELECT x.doc_id, x.i,
-         |      CASE WHEN fz.i IS NOT NULL
-         |           THEN (SELECT l FROM m$k) || chr(31) || (SELECT r FROM m$k)
-         |           ELSE x.t[x.i] END AS sym
-         |    FROM (SELECT doc_id, unnest(generate_series(1, len(t))) AS i, t
-         |          FROM t${k - 1}) x
-         |    LEFT JOIN f$k fz ON x.doc_id = fz.doc_id AND x.i = fz.i
-         |    LEFT JOIN f$k fp ON x.doc_id = fp.doc_id AND x.i = fp.i + 1
-         |    WHERE fp.i IS NULL)
-         |  GROUP BY doc_id)""".stripMargin
+         |${fuseRoundSql(k, "t", "")}""".stripMargin
     }.mkString(",\n")
-    val sel = (1 to BpeMerges).map(k =>
-      s"""SELECT CAST($k AS BIGINT) AS rank, l AS "left", r AS "right", n FROM m$k""")
-      .mkString("\nUNION ALL ")
-    s"""WITH t0 AS MATERIALIZED (
+    s"""t0 AS MATERIALIZED (
        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
        |  WHERE text IS NOT NULL AND doc_id % 5 = 0
        |    AND strpos(text, chr(31)) = 0
        |    AND len(string_split(text, ' ')) >= 2),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  val bpeMergeLearningSql: String = {
+    val sel = (1 to BpeMerges).map(k =>
+      s"""SELECT CAST($k AS BIGINT) AS rank, l AS "left", r AS "right", n FROM m$k""")
+      .mkString("\nUNION ALL ")
+    s"""WITH $trainChainSql
        |$sel
        |ORDER BY rank""".stripMargin
   }
 
+  /** Q190: HELD-OUT TOKENIZER EVALUATION — the generalization test a
+    * tokenizer pipeline runs before adopting a merge table: train the
+    * q100 BPE merges on the %5 training slice, apply them to the
+    * DISJOINT held-out slice, and report per-source compression
+    * (whitespace tokens before vs symbols after, single integer
+    * micro-unit division). Unlike q102 (whose oracle re-aggregates an
+    * exported per-doc table), this oracle replays EVERYTHING in SQL:
+    * the K training rounds AND the K held-out fuse rounds run as two
+    * generated unrolled-CTE chains sharing the per-round merge rows —
+    * training and serving both independently verified, no export
+    * contract at all.
+    *
+    * Scale shape: training is q100's bounded loop on the sample;
+    * application is ONE compiled BpeApply pass over the held-out scan
+    * feeding a map-side-combined per-source aggregate. Nothing
+    * shuffles text. */
+  def heldoutTokenizer(spark: SparkSession, dir: String): DataFrame = {
+    val merges = learnMerges(spark,
+      Tables.documents(spark, dir).filter(col("doc_id") % 5 === 0))
+      .map { case (_, l, r, _) => (l, r) }
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull && col("doc_id") % 5 =!= 0 &&
+        !col("text").contains(MergeJoiner))
+      .select(col("source"),
+        tokenCount(col("text")).as("nb"),
+        size(bpeApply(tokens(col("text")), merges, MergeJoiner))
+          .cast("bigint").as("na"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nb")).cast("bigint").as("tokens_before"),
+        sum(col("na")).cast("bigint").as("tokens_after"))
+      .select(col("source"), col("n_docs"), col("tokens_before"),
+        col("tokens_after"),
+        (expr("(2 * tokens_before * 1000000 + tokens_after) div (2 * tokens_after)")
+          .cast("double") / 1000000).as("compression"))
+      .orderBy(col("source"))
+  }
+
+  /** Two generated chains: the shared train chain (t0…tK, merge rows
+    * m1…mK) and the held-out apply chain (h0…hK) that fuses each round
+    * against the TRAIN chain's merge row. */
+  val heldoutTokenizerSql: String = {
+    val applyRounds = (1 to BpeMerges)
+      .map(k => fuseRoundSql(k, "h", "h")).mkString(",\n")
+    s"""WITH $trainChainSql,
+       |h0 AS MATERIALIZED (
+       |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+       |  WHERE text IS NOT NULL AND doc_id % 5 != 0
+       |    AND strpos(text, chr(31)) = 0),
+       |$applyRounds,
+       |res AS (SELECT h0.source, len(h0.t) AS nb, len(hf.t) AS na
+       |        FROM h0 JOIN h$BpeMerges hf USING (doc_id))
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(nb) AS BIGINT) AS tokens_before,
+       |  CAST(SUM(na) AS BIGINT) AS tokens_after,
+       |  CAST((2 * SUM(nb) * 1000000 + SUM(na)) // (2 * SUM(na)) AS DOUBLE)
+       |    / 1000000 AS compression
+       |FROM res GROUP BY source ORDER BY source""".stripMargin
+  }
+
   def queries: Map[String, Relational.Q] = Map(
+    "q190_heldout_tokenizer" -> (heldoutTokenizer _),
     "q180_kwic_concordance" -> (kwicConcordance _),
     "q163_zipf_deviation" -> (zipfDeviation _),
     "q158_vocab_growth" -> (vocabGrowth _),
@@ -718,6 +799,7 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "q190_heldout_tokenizer" -> heldoutTokenizerSql,
     "q100_bpe_merge_learning" -> bpeMergeLearningSql,
     "q180_kwic_concordance" -> kwicConcordanceSql,
     "q163_zipf_deviation" -> zipfDeviationSql,

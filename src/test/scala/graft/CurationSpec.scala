@@ -983,4 +983,51 @@ class CurationSpec extends SparkSuite {
     assert(got.exists(r => r.getString(0) != r.getString(1)),
       "no cross-source near-dup pair — mirror matrix degenerate")
   }
+
+  test("q188 fuzzy decontam is exactly the boundary-crossing rollup of q185's pairs") {
+    val pairs = graft.operators.Dedup.prefixJaccardJoin(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    val crossing = pairs.filter { case (a, b, _) => (a % 5 == 0) != (b % 5 == 0) }
+      .map { case (a, b, j) => if (a % 5 == 0) (a, b, j) else (b, a, j) }
+    val expected = crossing.groupBy(_._1).map { case (id, g) =>
+      val best = g.minBy { case (_, cd, j) => (-j, cd) }
+      id -> (g.size.toLong, best._2, best._3)
+    }
+    val got = Curation.fuzzyDecontam(spark, Sf0001).collect()
+    assert(got.map(_.getLong(0)).toSet === expected.keySet)
+    got.foreach { r =>
+      val (n, bm, bj) = expected(r.getLong(0))
+      assert(r.getLong(1) === n, s"n_matches $r")
+      assert(r.getLong(2) === bm, s"best_match $r")
+      assert(r.getDouble(3) === bj, s"best_jaccard $r")
+    }
+    // every flagged doc is a batch doc; the report is non-degenerate
+    got.foreach(r => assert(r.getLong(0) % 5 === 0, r))
+    assert(got.nonEmpty, "no boundary-crossing near-dups — degenerate")
+  }
+
+  test("q189 DSIR resample: Madow hit count on target, target language enriched") {
+    val got = Curation.dsirResample(spark, Sf0001).collect()
+    val totalHits = got.map(_.getLong(3)).sum
+    // Madow systematic selection places floor(W/step) >= target points
+    // on the line; slack is bounded by the rounding of step
+    assert(totalHits >= Curation.DsirSampleTarget.toLong, s"hits=$totalHits")
+    assert(totalHits <= Curation.DsirSampleTarget.toLong + 2, s"hits=$totalHits")
+    // importance resampling must actually reshape toward the target
+    // distribution: the en share of the SAMPLE exceeds the en share of
+    // the corpus (q151's weights give en-like buckets > 1)
+    val enHits = got.filter(_.getString(1) == "en").map(_.getLong(3)).sum
+    val corpus = Tables.documents(spark, Sf0001)
+      .filter(col("text").isNotNull)
+      .agg(count(lit(1)), sum(when(col("lang") === "en", 1L).otherwise(0L)))
+      .head()
+    val corpusShare = corpus.getLong(1).toDouble / corpus.getLong(0)
+    assert(enHits.toDouble / totalHits > corpusShare,
+      s"sample en=$enHits/$totalHits corpus=$corpusShare")
+    // weights are positive and every emitted row was actually selected
+    got.foreach { r =>
+      assert(r.getLong(2) >= 1L, s"weight $r")
+      assert(r.getLong(3) >= 1L, s"hits $r")
+    }
+  }
 }
