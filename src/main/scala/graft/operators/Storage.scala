@@ -720,7 +720,137 @@ object Storage {
       |  MIN(h) AS min_digest, MAX(h) AS max_digest
       |FROM d GROUP BY 1 ORDER BY l_returnflag""".stripMargin
 
+  /** Q191: RECURSIVE CTE (Spark 4's `WITH RECURSIVE` / UnionLoop
+    * surface): the depth-GENERIC foreign-key cascade closure — q165's
+    * blast radius re-expressed as a level-synchronous BFS over a
+    * tagged (parent, child) edge list, so the SAME query handles any
+    * FK DAG depth with zero code change (q165 hand-writes one join
+    * per level). Seeds are the q165 deletion set (customers with
+    * key % 25 = 0); the recursion walks customer → orders → lineitem
+    * edges and reports per (level, entity) affected-row counts.
+    * Spark 4.1 restricts recursive CTEs to UNION ALL, which is exact
+    * here BECAUSE the FK graph is a forest (each child has one
+    * parent, so each row is reached exactly once — no dedup needed);
+    * cyclic graphs stay on the star-contraction path (q63), which is
+    * why both operators exist.
+    *
+    * Scale shape: each recursion level is ONE distributed hash join
+    * of the frontier against the edge list (UnionLoopExec re-plans
+    * per level) — the BFS shape a warehouse cascade actually runs;
+    * the edge list is the row-scale frame, frontiers are bounded by
+    * the cascade itself. QualitySpec cross-checks the totals against
+    * q165's fixed-join audit. */
+  def recursiveCascade(spark: SparkSession, dir: String): DataFrame = {
+    val m = Quality.DeletionModulus
+    // tagged ids are PACKED INTEGERS, not strings — id = key·4 + tag
+    // (tag 0 = customer, 1 = orders, 2 = lineitem; lineitem's key is
+    // orderkey·8 + linenumber, linenumber ≤ 7) — the frontier joins
+    // hash 8-byte longs instead of concatenated strings (string tags
+    // measured ~2× slower at sf0.1)
+    val edges = Tables.orders(spark, dir).select(
+        (col("o_custkey") * 4).as("parent"),
+        (col("o_orderkey") * 4 + 1).as("child"))
+      .unionAll(Tables.lineitem(spark, dir).select(
+        (col("l_orderkey") * 4 + 1).as("parent"),
+        ((col("l_orderkey") * 8 + col("l_linenumber")) * 4 + 2).as("child")))
+    // localCheckpoint: UnionLoopExec re-plans the recursive member per
+    // level, so a lazy view would redo the two scans + tag projection
+    // every level; the materialized edge list is read by each level's
+    // frontier join instead
+    edges.localCheckpoint().createOrReplaceTempView("graft_q191_edges")
+    Tables.customer(spark, dir)
+      .filter(col("c_custkey") % m === 0)
+      .select((col("c_custkey") * 4).as("id"))
+      .createOrReplaceTempView("graft_q191_seeds")
+    spark.sql(
+      """WITH RECURSIVE r AS (
+        |  SELECT id, 0 AS lvl FROM graft_q191_seeds
+        |  UNION ALL
+        |  SELECT e.child, r.lvl + 1 FROM r
+        |  JOIN graft_q191_edges e ON e.parent = r.id)
+        |SELECT CAST(lvl AS INT) AS level,
+        |  CASE id % 4 WHEN 0 THEN 'customer'
+        |       WHEN 1 THEN 'orders' ELSE 'lineitem' END AS entity,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
+  /** Oracle: DuckDB's own WITH RECURSIVE over the same packed-integer
+    * edge list — both engines run genuine recursive SQL. */
+  val recursiveCascadeSql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT o_custkey * 4 AS parent, o_orderkey * 4 + 1 AS child
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT l_orderkey * 4 + 1, (l_orderkey * 8 + l_linenumber) * 4 + 2
+      |  FROM lineitem),
+      |s AS (SELECT c_custkey * 4 AS id FROM customer
+      |      WHERE c_custkey % 25 = 0),
+      |r AS (
+      |  SELECT id, 0 AS lvl FROM s
+      |  UNION ALL
+      |  SELECT e.child, r.lvl + 1 FROM r JOIN e ON e.parent = r.id)
+      |SELECT CAST(lvl AS INT) AS level,
+      |  CASE id % 4 WHEN 0 THEN 'customer'
+      |       WHEN 1 THEN 'orders' ELSE 'lineitem' END AS entity,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows
+      |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Q192: VARIANT SEMI-STRUCTURED ROUND-TRIP (Spark 4's VariantType)
+    * — the OPEN-schema path beside q17's string-path extraction:
+    * `props` is parsed ONCE at ingest into a binary VARIANT column
+    * (`try_parse_json` — malformed rows degrade to NULL, the ANSI
+    * dirty-data rule), LANDED to parquet in Spark's shredded VARIANT
+    * encoding, and served by reading the stored table back with typed
+    * `try_variant_get` paths. At 100 TB this is the difference
+    * between re-parsing JSON text per query (q17's shape — one parse
+    * per access) and parsing once at write time with typed
+    * sub-column access after; the aggregate equality against the
+    * oracle's direct-from-text extraction proves the encode → shred →
+    * decode chain is lossless.
+    *
+    * Scale shape: the parse is a map-side scan feeding the
+    * `_SUCCESS`-guarded landed table (built once per (process,
+    * corpus), durable-root reusable); the serving read is one
+    * map-side-combined aggregate over the bounded type dimension. */
+  def variantRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.Scratch.artifactPath("variant_events", dir)
+    if (!graft.Scratch.artifactComplete(path)) {
+      graft.Scratch.prepareArtifact(path)
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("event_type"),
+          try_parse_json(col("props")).as("v"))
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+      .select(col("event_type"),
+        try_variant_get(col("v"), "$.k", "bigint").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(col("k")).cast("bigint").as("n_with_k"),
+        sum(col("k")).cast("bigint").as("sum_k"),
+        min(col("k")).cast("bigint").as("min_k"),
+        max(col("k")).cast("bigint").as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Oracle: the same aggregates extracted DIRECTLY from the JSON
+    * text — equality proves the variant encode/shred/decode fidelity. */
+  val variantRoundtripSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+      |    AS n_with_k,
+      |  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+      |    AS sum_k,
+      |  CAST(MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+      |    AS min_k,
+      |  CAST(MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+      |    AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q192_variant_roundtrip" -> (variantRoundtrip _),
+    "q191_recursive_cte" -> (recursiveCascade _),
     "q125_write_manifest" -> (writeManifest _),
     "q47_partitioned_prune" -> (partitionedPrune _),
     "q88_csv_roundtrip" -> (csvRoundtrip _),
@@ -738,6 +868,8 @@ object Storage {
   )
 
   def oracles: Map[String, String] = Map(
+    "q192_variant_roundtrip" -> variantRoundtripSql,
+    "q191_recursive_cte" -> recursiveCascadeSql,
     "q169_merkle_manifest" -> merkleManifestSql,
     "q164_join_view_maintenance" -> joinViewMaintenanceSql,
     "q125_write_manifest" -> writeManifestSql,

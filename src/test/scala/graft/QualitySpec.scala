@@ -319,4 +319,19 @@ class QualitySpec extends SparkSuite {
     assert(l2.getLong(1) <= l1.getLong(1), "group count grew")
     assert(l1.getLong(3) > 0, "no risk at sf0.001 — audit test degenerate")
   }
+
+  test("q191 recursive cascade totals equal q165's fixed-join blast radius") {
+    val rec = graft.operators.Storage.recursiveCascade(spark, Sf0001).collect()
+    // the FK forest has exactly three levels on this schema; a
+    // depth-generic traversal must discover them, not assume them
+    assert(rec.map(r => (r.getInt(0), r.getString(1))).toSeq ===
+      Seq((0, "customer"), (1, "orders"), (2, "lineitem")))
+    val byEntity = rec.map(r => r.getString(1) -> r.getLong(2)).toMap
+    // cross-check: the recursion reaches exactly the rows q165's
+    // hand-written per-level joins mark deleted
+    val fixed = graft.operators.Quality.deletionCascade(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(byEntity === fixed, s"recursive=$byEntity fixed=$fixed")
+    assert(byEntity.values.forall(_ > 0), s"degenerate cascade: $byEntity")
+  }
 }

@@ -392,4 +392,25 @@ class StorageSpec extends SparkSuite {
     assert(!ephemeral.startsWith(root), ephemeral)
     assert(ephemeral.contains(s"${ProcessHandle.current().pid()}_"), ephemeral)
   }
+
+  test("q192: variant round-trip preserves typed paths; malformed JSON degrades to NULL") {
+    import spark.implicits._
+    // the landed table's variant column survives parquet with its
+    // typed path intact (the shredded-encoding fidelity the oracle's
+    // aggregate equality also checks, here asserted at row level)
+    val path = Scratch.artifactPath("variant_events", Sf0001)
+    graft.operators.Storage.variantRoundtrip(spark, Sf0001).collect()
+    val stored = spark.read.parquet(path)
+    assert(stored.schema("v").dataType.typeName === "variant")
+    val inferred = stored
+      .select(schema_of_variant_agg(col("v"))).head().getString(0)
+    assert(inferred === "OBJECT<k: BIGINT>", inferred)
+    // dirty-data rule: try_parse_json NULLs malformed text instead of
+    // aborting the job (ANSI mode would otherwise throw)
+    val dirty = Seq("{\"k\": 1}", "not json", "{\"k\": []}").toDF("props")
+      .select(try_parse_json(col("props")).as("v"))
+      .select(try_variant_get(col("v"), "$.k", "bigint").as("k"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(dirty.toSeq === Seq(Some(1L), None, None))
+  }
 }
