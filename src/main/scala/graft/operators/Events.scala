@@ -1803,7 +1803,115 @@ object Events {
       |    AS DOUBLE) / 1000000 AS avg_monetary
       |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  /** Q193: EXACT GROUPED MODE — the one classical location statistic
+    * the profiling family was missing (q82 mean/variance, q147
+    * median/MAD, q51/q128 quantiles): per event type, the most
+    * frequent exact cent value, its frequency, and the multimodality
+    * count (how many values tie at the max — an honest mode report
+    * says when the mode is not unique; the REPORTED mode is the
+    * smallest tied value, a deterministic convention both engines
+    * pin).
+    *
+    * Scale shape: one map-side-combined (type, cents) count — the
+    * only row-scale exchange — then two aggregations over the bounded
+    * distinct-value frame (max count per type; tie count + min-tied
+    * pick via conditional aggregation). No window over the raw rows,
+    * no sort. */
+  def groupedMode(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100)
+          .cast("decimal(18,0)").cast("long").as("c"))
+      .groupBy(col("event_type"), col("c"))
+      .agg(count(lit(1)).as("n"))
+    val top = counts.groupBy(col("event_type"))
+      .agg(max(col("n")).as("mode_n"))
+    counts.join(broadcast(top), Seq("event_type"))
+      .filter(col("n") === col("mode_n"))
+      .groupBy(col("event_type"), col("mode_n"))
+      .agg(min(col("c")).as("mc"), count(lit(1)).cast("bigint").as("n_modes"))
+      .select(col("event_type"),
+        dec2(col("mc").cast("decimal(18,0)") / 100).as("mode_value"),
+        col("mode_n").cast("bigint").as("mode_n"), col("n_modes"))
+      .orderBy(col("event_type"))
+  }
+
+  val groupedModeSql: String =
+    """WITH c AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT event_type, MAX(n) AS mode_n FROM c GROUP BY 1)
+      |SELECT c.event_type,
+      |  CAST(CAST(ROUND(MIN(c.c) / 100, 2) AS DECIMAL(38,2)) AS DOUBLE)
+      |    AS mode_value,
+      |  CAST(t.mode_n AS BIGINT) AS mode_n,
+      |  CAST(COUNT(*) AS BIGINT) AS n_modes
+      |FROM c JOIN t ON c.event_type = t.event_type AND c.n = t.mode_n
+      |GROUP BY c.event_type, t.mode_n ORDER BY c.event_type""".stripMargin
+
+  /** Q194: OHLC BARS — the time-bucketed open/high/low/close
+    * aggregation every monitoring/trading surface runs: per
+    * (event type, day): first value, max, min, last value, event
+    * count, exact sum. First/last are `min_by`/`max_by` under the
+    * TOTAL (ts, event_id) order — the deterministic-argmin rule
+    * (q134's lesson): ts alone could tie, and an engine-dependent
+    * winner would flip open/close between runs.
+    *
+    * Scale shape: ONE map-side-combined aggregation — min_by/max_by
+    * combine associatively, so open/close never need a window or a
+    * sort over the raw events; the output is the bounded
+    * types × days grid. */
+  def ohlcBars(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("event_type"), col("ts").cast("date").as("day"),
+      col("ts"), col("event_id"),
+      (col("value").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("long").as("c"))
+    ev.groupBy(col("event_type"), col("day"))
+      .agg(
+        min_by(col("c"), struct(col("ts"), col("event_id"))).as("o"),
+        max(col("c")).as("h"),
+        min(col("c")).as("l"),
+        max_by(col("c"), struct(col("ts"), col("event_id"))).as("cl"),
+        count(lit(1)).as("n_events"),
+        sum(col("c")).as("s"))
+      .select(col("event_type"), col("day").cast("string").as("day"),
+        dec2(col("o").cast("decimal(18,0)") / 100).as("open"),
+        dec2(col("h").cast("decimal(18,0)") / 100).as("high"),
+        dec2(col("l").cast("decimal(18,0)") / 100).as("low"),
+        dec2(col("cl").cast("decimal(18,0)") / 100).as("close"),
+        col("n_events").cast("bigint").as("n_events"),
+        dec2(col("s").cast("decimal(18,0)") / 100).as("volume"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val ohlcBarsSql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, ts, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM events),
+      |r AS (SELECT *,
+      |        ROW_NUMBER() OVER (PARTITION BY event_type, day
+      |          ORDER BY ts, event_id) AS rf,
+      |        ROW_NUMBER() OVER (PARTITION BY event_type, day
+      |          ORDER BY ts DESC, event_id DESC) AS rl
+      |      FROM e)
+      |SELECT event_type, day,
+      |  CAST(CAST(ROUND(MAX(CASE WHEN rf = 1 THEN c END) / 100, 2)
+      |    AS DECIMAL(38,2)) AS DOUBLE) AS open,
+      |  CAST(CAST(ROUND(MAX(c) / 100, 2) AS DECIMAL(38,2)) AS DOUBLE) AS high,
+      |  CAST(CAST(ROUND(MIN(c) / 100, 2) AS DECIMAL(38,2)) AS DOUBLE) AS low,
+      |  CAST(CAST(ROUND(MAX(CASE WHEN rl = 1 THEN c END) / 100, 2)
+      |    AS DECIMAL(38,2)) AS DOUBLE) AS close,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(CAST(ROUND(SUM(c) / 100, 2) AS DECIMAL(38,2)) AS DOUBLE) AS volume
+      |FROM r GROUP BY event_type, day ORDER BY event_type, day""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q193_grouped_mode" -> (groupedMode _),
+    "q194_ohlc_bars" -> (ohlcBars _),
     "q181_rfm_segments" -> (rfmSegments _),
     "q177_peak_concurrency" -> (peakConcurrency _),
     "q178_minmax_scaling" -> (minmaxScaling _),
@@ -1840,6 +1948,8 @@ object Events {
   )
 
   def oracles: Map[String, String] = Map(
+    "q193_grouped_mode" -> groupedModeSql,
+    "q194_ohlc_bars" -> ohlcBarsSql,
     "q181_rfm_segments" -> rfmSegmentsSql,
     "q177_peak_concurrency" -> peakConcurrencySql,
     "q178_minmax_scaling" -> minmaxScalingSql,

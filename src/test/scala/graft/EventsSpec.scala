@@ -741,4 +741,53 @@ class EventsSpec extends SparkSuite {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"avg_m $r")
     }
   }
+
+  test("q193 grouped mode matches a driver-side frequency replay") {
+    val cents = Tables.events(spark, Sf0001)
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100)
+          .cast("decimal(18,0)").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = cents.groupBy(_._1).map { case (et, rs) =>
+      val freq = rs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val mx = freq.values.max
+      val tied = freq.filter(_._2 == mx).keys
+      et -> (tied.min, mx, tied.size.toLong)
+    }
+    val got = graft.operators.Events.groupedMode(spark, Sf0001).collect()
+    assert(got.map(_.getString(0)).toSet === expected.keySet)
+    got.foreach { r =>
+      val (mc, mn, nm) = expected(r.getString(0))
+      assert(r.getDouble(1) === mc.toDouble / 100, s"mode_value $r")
+      assert(r.getLong(2) === mn, s"mode_n $r")
+      assert(r.getLong(3) === nm, s"n_modes $r")
+    }
+  }
+
+  test("q194 OHLC bars match a driver-side first/last/extremes replay") {
+    val rows = Tables.events(spark, Sf0001)
+      .select(col("event_type"), col("ts").cast("date").cast("string"),
+        col("ts").cast("long"), col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100)
+          .cast("decimal(18,0)").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val expected = rows.groupBy(r => (r._1, r._2)).map { case (k, g) =>
+      val open = g.minBy(r => (r._3, r._4))._5
+      val close = g.maxBy(r => (r._3, r._4))._5
+      k -> (open, g.map(_._5).max, g.map(_._5).min, close,
+        g.size.toLong, g.map(_._5).sum)
+    }
+    val got = graft.operators.Events.ohlcBars(spark, Sf0001).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (o, h, l, c, n, s) = expected((r.getString(0), r.getString(1)))
+      assert(r.getDouble(2) === o.toDouble / 100, s"open $r")
+      assert(r.getDouble(3) === h.toDouble / 100, s"high $r")
+      assert(r.getDouble(4) === l.toDouble / 100, s"low $r")
+      assert(r.getDouble(5) === c.toDouble / 100, s"close $r")
+      assert(r.getLong(6) === n, s"n $r")
+      assert(r.getDouble(7) === s.toDouble / 100, s"volume $r")
+    }
+  }
 }
