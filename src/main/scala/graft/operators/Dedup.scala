@@ -490,6 +490,77 @@ object Dedup {
       |    ORDER BY n_chars DESC, doc_id) AS is_kept
       |FROM x ORDER BY cluster, doc_id""".stripMargin
 
+  /** Q196: DEDUP TOKEN-YIELD LEDGER — the capacity-planning readout a
+    * dedup pass is run FOR: per source, how many documents and tokens
+    * survive canonical-doc selection (q64's rule — keep the longest
+    * per near-dup cluster, every singleton kept), and the effective
+    * token yield. This is the number that decides whether a source is
+    * worth ingesting at all (a mirror-heavy source can yield a small
+    * fraction of its raw tokens).
+    *
+    * Singletons get lbl = their own doc_id BEFORE the keeper window
+    * (the q114 coalesce convention) — a NULL-label partition would
+    * funnel every unclustered document into ONE window task, the
+    * classic skew hazard; with the coalesce each singleton is its own
+    * 1-row partition and the window stays evenly keyed.
+    *
+    * Scale shape: the cluster labels are the persisted q63 artifact
+    * (built once per corpus); one row-scale keeper window partitioned
+    * by label; one map-side-combined per-source aggregation. */
+  def tokenYield(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = clusterLabels(spark, dir)
+    val d = Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        tokenCount(col("text")).as("n"))
+    val labeled = d.join(labels, col("doc_id") === col("node"), "left")
+      .withColumn("grp", coalesce(col("lbl"), col("doc_id")))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    labeled
+      .withColumn("kept", col("doc_id") === first(col("doc_id")).over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).cast("bigint").as("n_tokens"),
+        sum(when(col("kept"), 1L).otherwise(0L)).cast("bigint").as("kept_docs"),
+        sum(when(col("kept"), col("n")).otherwise(0L)).cast("bigint")
+          .as("kept_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("kept_docs"), col("kept_tokens"),
+        (expr("(2 * kept_tokens * 1000000 + n_tokens) div (2 * n_tokens)")
+          .cast("double") / 1000000).as("token_yield"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle: the q63/q64 recursive-reachability chain plus the same
+    * coalesce-keeper-window and per-source rollup. */
+  val tokenYieldSql: String =
+    s"""WITH RECURSIVE $neardupPairsCte,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs),
+       |cc AS (
+       |  SELECT DISTINCT src AS node, src AS lbl FROM edges
+       |  UNION
+       |  SELECT e.src, cc.lbl FROM edges e JOIN cc ON e.dst = cc.node),
+       |lab AS (SELECT node, MIN(lbl) AS cluster FROM cc GROUP BY node),
+       |alldocs AS (SELECT doc_id, source, n_chars,
+       |        len(string_split(text, ' ')) AS n
+       |      FROM documents WHERE text IS NOT NULL),
+       |x AS (SELECT alldocs.*, COALESCE(lab.cluster, alldocs.doc_id) AS grp
+       |      FROM alldocs LEFT JOIN lab ON alldocs.doc_id = lab.node),
+       |k AS (SELECT *, doc_id = FIRST_VALUE(doc_id) OVER (
+       |        PARTITION BY grp ORDER BY n_chars DESC, doc_id) AS kept
+       |      FROM x)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+       |  CAST(SUM(CASE WHEN kept THEN n ELSE 0 END) AS BIGINT) AS kept_tokens,
+       |  CAST((2 * SUM(CASE WHEN kept THEN n ELSE 0 END) * 1000000 + SUM(n))
+       |    // (2 * SUM(n)) AS DOUBLE) / 1000000 AS token_yield
+       |FROM k GROUP BY source ORDER BY source""".stripMargin
+
   /** Q139: FUZZY RECORD LINKAGE — entity resolution at CHARACTER
     * granularity (edit distance), the classic master-data operator the
     * token-set family (q30-q32) can't express: "red widget" vs
@@ -738,6 +809,7 @@ object Dedup {
 
   def queries: Map[String, Relational.Q] = Map(
     "q185_prefix_jaccard_join" -> (prefixJaccardJoin _),
+    "q196_token_yield" -> (tokenYield _),
     "q162_golden_records" -> (goldenRecords _),
     "q139_fuzzy_linkage" -> (fuzzyLinkage _),
     "q29_dedup_exact" -> (dedupExact _),
@@ -751,6 +823,7 @@ object Dedup {
 
   def oracles: Map[String, String] = Map(
     "q185_prefix_jaccard_join" -> prefixJaccardJoinSql,
+    "q196_token_yield" -> tokenYieldSql,
     "q162_golden_records" -> goldenRecordsSql,
     "q139_fuzzy_linkage" -> fuzzyLinkageSql,
     "q29_dedup_exact" -> dedupExactSql,

@@ -848,7 +848,48 @@ object Storage {
       |    AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Q195: LATERAL CORRELATED SUBQUERY — the per-row-parameterized
+    * subquery surface q76's scalar/EXISTS decorrelation does not
+    * cover: for each customer in a bounded probe set, the top-2 orders
+    * by price via a LATERAL subquery with ORDER BY + LIMIT. Catalyst
+    * DECORRELATES this into a ranked window join (there is no per-row
+    * re-execution at runtime — the plan-level rewrite IS the point of
+    * exposing the surface: users write the intuitive per-row form and
+    * get the set-based plan). DuckDB executes its own LATERAL as the
+    * oracle.
+    *
+    * Scale shape: after decorrelation this is one orders-side window
+    * partitioned by custkey (high-cardinality, even reducers) joined
+    * to the probe set — the same shape as a hand-written q7-style
+    * rank filter, which is exactly what the rewrite must produce. */
+  def lateralTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_q195_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_q195_orders")
+    spark.sql(
+      """SELECT c.c_custkey AS custkey, o.o_orderkey AS orderkey,
+        |  CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
+        |FROM graft_q195_customer c,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM graft_q195_orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |WHERE c.c_custkey % 100 = 0
+        |ORDER BY custkey, totalprice DESC, orderkey""".stripMargin)
+  }
+
+  val lateralTopOrdersSql: String =
+    """SELECT c.c_custkey AS custkey, o.o_orderkey AS orderkey,
+      |  CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
+      |FROM customer c,
+      |LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      |WHERE c.c_custkey % 100 = 0
+      |ORDER BY custkey, totalprice DESC, orderkey""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q195_lateral_topk" -> (lateralTopOrders _),
     "q192_variant_roundtrip" -> (variantRoundtrip _),
     "q191_recursive_cte" -> (recursiveCascade _),
     "q125_write_manifest" -> (writeManifest _),
@@ -868,6 +909,7 @@ object Storage {
   )
 
   def oracles: Map[String, String] = Map(
+    "q195_lateral_topk" -> lateralTopOrdersSql,
     "q192_variant_roundtrip" -> variantRoundtripSql,
     "q191_recursive_cte" -> recursiveCascadeSql,
     "q169_merkle_manifest" -> merkleManifestSql,

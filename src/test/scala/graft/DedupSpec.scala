@@ -359,4 +359,23 @@ class DedupSpec extends SparkSuite {
     }
     assert(got.nonEmpty, "no near-dup pairs at threshold — test degenerate")
   }
+
+  test("q196 token yield: ledger arithmetic consistent, dedup actually deflates") {
+    val got = Dedup.tokenYield(spark, Sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1), s"kept_docs > n_docs $r")
+      assert(r.getLong(4) <= r.getLong(2), s"kept_tokens > n_tokens $r")
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0, s"yield $r")
+      // exactly one keeper per cluster and all singletons kept means a
+      // source loses docs only to clustering
+      assert(r.getLong(3) >= 1L, r)
+    }
+    // the corpus HAS near-dup clusters, so somewhere yield < 1
+    assert(got.exists(_.getDouble(5) < 1.0), "no deflation — degenerate")
+    // global doc conservation: kept + dropped == total
+    val totalDocs = Tables.documents(spark, Sf0001)
+      .filter(col("text").isNotNull).count()
+    assert(got.map(_.getLong(1)).sum === totalDocs)
+  }
 }
