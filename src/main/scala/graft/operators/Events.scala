@@ -1909,7 +1909,83 @@ object Events {
       |  CAST(CAST(ROUND(SUM(c) / 100, 2) AS DECIMAL(38,2)) AS DOUBLE) AS volume
       |FROM r GROUP BY event_type, day ORDER BY event_type, day""".stripMargin
 
+  /** Q197: SESSION FLOW MATRIX — the landing/exit web-analytics
+    * readout on top of q22's sessionization: for every session (the
+    * same 30-minute-gap rule), its ENTRY and EXIT event types under
+    * the total (ts_ns, event_id) order, rolled into the bounded
+    * (entry, exit) matrix with bounce accounting (single-event
+    * sessions) and mean session length (integer micro-unit half-up).
+    *
+    * Scale shape: ONE per-user window pass assigns session ids; the
+    * per-session aggregate needs NO new exchange (hash(user_id)
+    * already clusters (user_id, session_id) — grouping keys that
+    * extend the window's partition key reuse its shuffle); min_by/
+    * max_by pick entry/exit associatively; the matrix is the bounded
+    * ≤ types² grid. */
+  def sessionFlows(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    val gapNs = 30L * 60 * 1000 * 1000 * 1000
+    val per = ev
+      .withColumn("prev_ns", lag(col("ts_ns"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > gapNs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(
+        min_by(col("event_type"), struct(col("ts_ns"), col("event_id")))
+          .as("entry_type"),
+        max_by(col("event_type"), struct(col("ts_ns"), col("event_id")))
+          .as("exit_type"),
+        count(lit(1)).as("ne"))
+    per.groupBy(col("entry_type"), col("exit_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("ne") === 1, 1L).otherwise(0L)).cast("bigint")
+          .as("n_bounce"),
+        sum(col("ne")).as("se"))
+      .select(col("entry_type"), col("exit_type"),
+        col("n_sessions").cast("bigint").as("n_sessions"), col("n_bounce"),
+        (expr("(2 * se * 1000000 + n_sessions) div (2 * n_sessions)")
+          .cast("double") / 1000000).as("avg_events"))
+      .orderBy(col("entry_type"), col("exit_type"))
+  }
+
+  val sessionFlowsSql: String =
+    """WITH f AS (
+      |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS ns,
+      |    CASE WHEN LAG(epoch_ns(ts)) OVER w IS NULL
+      |           OR epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w
+      |              > 30*60*1000000000::BIGINT
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+      |s AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+      |        ORDER BY ns, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM f),
+      |r AS (SELECT *,
+      |        ROW_NUMBER() OVER (PARTITION BY user_id, sid
+      |          ORDER BY ns, event_id) AS rf,
+      |        ROW_NUMBER() OVER (PARTITION BY user_id, sid
+      |          ORDER BY ns DESC, event_id DESC) AS rl,
+      |        COUNT(*) OVER (PARTITION BY user_id, sid) AS ne
+      |      FROM s),
+      |per AS (SELECT user_id, sid,
+      |          MAX(CASE WHEN rf = 1 THEN event_type END) AS entry_type,
+      |          MAX(CASE WHEN rl = 1 THEN event_type END) AS exit_type,
+      |          MAX(ne) AS ne
+      |        FROM r GROUP BY 1, 2)
+      |SELECT entry_type, exit_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      |  CAST(SUM(CASE WHEN ne = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+      |  CAST((2 * SUM(ne) * 1000000 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+      |    / 1000000 AS avg_events
+      |FROM per GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q197_session_flows" -> (sessionFlows _),
     "q193_grouped_mode" -> (groupedMode _),
     "q194_ohlc_bars" -> (ohlcBars _),
     "q181_rfm_segments" -> (rfmSegments _),
@@ -1948,6 +2024,7 @@ object Events {
   )
 
   def oracles: Map[String, String] = Map(
+    "q197_session_flows" -> sessionFlowsSql,
     "q193_grouped_mode" -> groupedModeSql,
     "q194_ohlc_bars" -> ohlcBarsSql,
     "q181_rfm_segments" -> rfmSegmentsSql,

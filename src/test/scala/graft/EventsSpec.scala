@@ -790,4 +790,40 @@ class EventsSpec extends SparkSuite {
       assert(r.getDouble(7) === s.toDouble / 100, s"volume $r")
     }
   }
+
+  test("q197 session flows match a driver-side sessionization replay") {
+    val rows = Tables.events(spark, Sf0001)
+      .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val gap = 30L * 60 * 1000 * 1000 * 1000
+    val sessions = rows.groupBy(_._1).values.flatMap { g =>
+      val sorted = g.sortBy(r => (r._2, r._3)).toList
+      // split at >30min gaps
+      sorted.tail.foldLeft(List(List(sorted.head))) { (acc, e) =>
+        if (e._2 - acc.head.head._2 > gap) List(e) :: acc
+        else (e :: acc.head) :: acc.tail // head of acc.head = latest event
+      }.map(_.reverse)
+    }.toSeq
+    val expected = sessions.groupBy(s => (s.head._4, s.last._4))
+      .map { case (k, g) =>
+        k -> (g.size.toLong, g.count(_.size == 1).toLong,
+          g.map(_.size.toLong).sum)
+      }
+    val got = graft.operators.Events.sessionFlows(spark, Sf0001).collect()
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSet === expected.keySet)
+    def half(n: BigInt, d: BigInt) = (2 * n + d) / (2 * d)
+    got.foreach { r =>
+      val (ns, nb, se) = expected((r.getString(0), r.getString(1)))
+      assert(r.getLong(2) === ns, s"n_sessions $r")
+      assert(r.getLong(3) === nb, s"n_bounce $r")
+      assert(r.getDouble(4) ===
+        (BigDecimal(half(BigInt(se) * 1000000, BigInt(ns))) / 1000000).toDouble,
+        s"avg_events $r")
+    }
+    // conservation: matrix totals cover every session exactly once
+    val totalSessions = graft.operators.Events.sessionize(spark, Sf0001)
+      .agg(sum(col("n_sessions"))).head().getLong(0)
+    assert(got.map(_.getLong(2)).sum === totalSessions)
+  }
 }
