@@ -39,29 +39,68 @@ object Scratch {
     sys.props.get("spark.graft.artifactRoot")
       .orElse(sys.env.get("SPARK_GRAFT_ARTIFACT_ROOT"))
 
-  /** Path of the persisted artifact `kind` derived from corpus `dir`
-    * (plus an optional family `variant` — e.g. LSH geometry — so
-    * distinct parameterizations can never serve each other's data). */
+  /** Full-width corpus key: 16 hex chars of md5(dir). `String.hashCode`
+    * was both collision-prone (32 bits over arbitrarily many corpus
+    * dirs sharing one durable root) and sign-broken
+    * (`math.abs(Int.MinValue)` is negative); a truncated crypto hash
+    * is uniform, non-negative by construction, and stable across JVMs. */
+  private def dirKey(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+
+  /** Path of the persisted artifact `kind` derived from corpus `dir`.
+    * `variant` is the PARAMETER FINGERPRINT: every call site whose
+    * artifact depends on tunable constants (shingle k, Jaccard
+    * threshold, K/iters/dims, bucket counts, output schema rev) must
+    * interpolate those constants into `variant` — under a durable
+    * `SPARK_GRAFT_ARTIFACT_ROOT` the path is the cache key, and a
+    * constant bumped in code with an unchanged path would silently
+    * serve the stale build. Interpolating the constants themselves
+    * (`s"_k${K}i$Iters"`), not hand-typed copies, keeps the
+    * fingerprint honest by construction. */
   def artifactPath(kind: String, dir: String, variant: String = ""): String =
     artifactRootOverride match {
       case Some(root) =>
-        s"$root/graft_${kind}_${math.abs(dir.hashCode)}$variant"
+        s"$root/graft_${kind}_${dirKey(dir)}$variant"
       case None =>
         s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_" +
-          s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}$variant"
+          s"${ProcessHandle.current().pid()}_${dirKey(dir)}$variant"
     }
 
   /** The artifact transaction marker: complete iff Spark's `_SUCCESS`
-    * landed (bare dir existence would accept a torn build). */
-  def artifactComplete(path: String): Boolean =
-    java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/_SUCCESS"))
+    * landed (bare dir existence would accept a torn build). Resolved
+    * through Hadoop's FileSystem so a durable artifact root on a
+    * distributed store (HDFS/S3A) probes the real path — java.nio
+    * would silently answer `false` for any non-local URI and force a
+    * rebuild on every run. Local paths route to LocalFileSystem, same
+    * answer as before. */
+  def artifactComplete(path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    p.getFileSystem(conf).exists(p)
+  }
 
   /** Pre-build hygiene for [[artifactPath]] paths: invalidate any
     * partial content now; register exit cleanup ONLY in the default
-    * ephemeral mode (durable artifacts outlive the process by design). */
+    * ephemeral mode (durable artifacts outlive the process by design).
+    * Durable-root paths may live on a distributed store, so their
+    * invalidation goes through Hadoop's FileSystem ([[deleteNow]] is
+    * java.nio and local-only); the subsequent `mode(overwrite)` write
+    * would clear the dir anyway — this just guarantees no torn content
+    * is visible between probe and write. */
   def prepareArtifact(paths: String*): Unit = paths.foreach { p =>
-    deleteNow(p)
-    if (artifactRootOverride.isEmpty) deleteOnExit(p)
+    if (artifactRootOverride.isEmpty) { deleteNow(p); deleteOnExit(p) }
+    else {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val conf = org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sparkContext.hadoopConfiguration)
+        .getOrElse(new org.apache.hadoop.conf.Configuration())
+      try hp.getFileSystem(conf).delete(hp, true)
+      catch { case _: java.io.IOException => () }
+    }
   }
 
   private val registered =

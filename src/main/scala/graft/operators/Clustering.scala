@@ -130,7 +130,7 @@ object Clustering {
     * reads at runtime. [[graft.Scratch.artifactPath]] carries the
     * ephemeral-vs-durable-root decision. */
   private def kmeansArtifactPath(dir: String): String =
-    graft.Scratch.artifactPath("kmeans", dir)
+    graft.Scratch.artifactPath("kmeans", dir, s"_k${K}i${Iters}d$Dims")
 
   private[graft] def kmeansAssignments(spark: SparkSession, dir: String): DataFrame = {
     val path = kmeansArtifactPath(dir)
@@ -235,7 +235,11 @@ object Clustering {
        |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id,
        |  CAST(a AS BIGINT) AS a_dist, CAST(b AS BIGINT) AS b_dist,
        |  CASE WHEN GREATEST(a, b) = 0 THEN 0.0
-       |       ELSE CAST(CAST(ROUND((b - a) / GREATEST(a, b), 6) AS DECIMAL(38,6)) AS DOUBLE)
+       |       ELSE CAST(CASE WHEN b < a
+       |         THEN -((2 * (a - b) * 1000000 + GREATEST(a, b))
+       |                // (2 * GREATEST(a, b)))
+       |         ELSE (2 * (b - a) * 1000000 + GREATEST(a, b))
+       |                // (2 * GREATEST(a, b)) END AS DOUBLE) / 1000000
        |  END AS silhouette
        |FROM sil ORDER BY vec_id""".stripMargin
 
@@ -324,7 +328,8 @@ object Clustering {
     * bounded blocking is SemDeDup's core approximation, and K scaling
     * with corpus size is what keeps it O(n * cluster_size) at 100 TB. */
   private[graft] def semanticClusterLabels(spark: SparkSession, dir: String): DataFrame = {
-    val path = graft.Scratch.artifactPath("sem_clusters", dir)
+    val path = graft.Scratch.artifactPath("sem_clusters", dir,
+      s"_k${K}t${TauSqNum}_$TauSqDen")
     if (!graft.Scratch.artifactComplete(path)) {
       graft.Scratch.prepareArtifact(path)
       // centered codes: the stored int8 qcodes ARE code-128; double

@@ -352,11 +352,12 @@ object Curation {
       |n AS (SELECT COUNT(*) AS n_tok FROM toks),
       |per_tok AS (
       |  SELECT t.doc_id,
-      |    CAST(ROUND(CAST(n.n_tok AS DECIMAL(18,0)) / tf.tf, 6) AS DECIMAL(38,6)) AS rarity
+      |    (2 * n.n_tok * 1000000 + tf.tf) // (2 * tf.tf) AS r6
       |  FROM toks t JOIN tf USING (token) CROSS JOIN n
       |  WHERE t.doc_id < 20)
       |SELECT doc_id, COUNT(*) AS n_tokens,
-      |  CAST(CAST(ROUND(SUM(rarity) / COUNT(*), 6) AS DECIMAL(38,6)) AS DOUBLE) AS avg_rarity
+      |  CAST((2 * SUM(r6) + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 1000000
+      |    AS avg_rarity
       |FROM per_tok GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Stand-in PII-shaped redaction pattern — long alphabetic runs, the
@@ -876,9 +877,13 @@ object Curation {
     * clique) and connectivity-preserving, so star-component labels
     * equal the full shared-gram graph's. Shared by q114 (components →
     * splits) and q129 (PageRank over the same graph). */
+  /** Overlap unit of the shared-gram document graph (q71's gram size);
+    * interpolated into the q114/q129 artifact fingerprints. */
+  private[graft] val StarGramK = 8
+
   private[graft] def dupStarPairs(spark: SparkSession, dir: String): DataFrame = {
     val grams = Tables.documents(spark, dir).filter(col("text").isNotNull)
-      .select(col("doc_id"), explode(wordShingles(col("text"), 8)).as("gram"))
+      .select(col("doc_id"), explode(wordShingles(col("text"), StarGramK)).as("gram"))
       .select(col("doc_id"), md5(col("gram")).as("gh"))
       .distinct()
     val roots = grams.groupBy(col("gh"))
@@ -891,8 +896,14 @@ object Curation {
       .distinct()
   }
 
+  /** 80/10/10 split boundaries (bucket < Train → train, < Valid →
+    * valid, else test); part of the splits artifact fingerprint. */
+  private val SplitTrainPct = 80
+  private val SplitValidPct = 90
+
   private[graft] def leakageSplitAssignments(spark: SparkSession, dir: String): DataFrame = {
-    val path = graft.Scratch.artifactPath("splits", dir)
+    val path = graft.Scratch.artifactPath("splits", dir,
+      s"_g${StarGramK}s${SplitTrainPct}_$SplitValidPct")
     if (!graft.Scratch.artifactComplete(path)) {
       graft.Scratch.prepareArtifact(path)
       val d = Tables.documents(spark, dir).filter(col("text").isNotNull)
@@ -902,8 +913,8 @@ object Curation {
         .join(labels, col("doc_id") === col("node"), "left")
         .withColumn("lbl", coalesce(col("lbl"), col("doc_id")))
         .withColumn("split",
-          when(sampleBucket(col("lbl")) < 80, "train")
-            .when(sampleBucket(col("lbl")) < 90, "valid")
+          when(sampleBucket(col("lbl")) < SplitTrainPct, "train")
+            .when(sampleBucket(col("lbl")) < SplitValidPct, "valid")
             .otherwise("test"))
         .select(col("doc_id"), col("source"), col("n_tokens"), col("lbl"), col("split"))
         .write.mode("overwrite").parquet(path)
@@ -1331,18 +1342,23 @@ object Curation {
     * would miss entirely, and the reason dedup must shuffle globally
     * rather than per source.
     *
-    * Scale shape: the verified pair list is the bounded output of
-    * q185's candidate-verify pipeline; everything here joins that
-    * bounded frame (broadcast) against the narrow (doc_id, source)
-    * projection and aggregates into the ≤ |sources|² grid.
-    * max_jaccard is an order statistic over already-rounded dec6
-    * values — no re-rounding (the q151 layered-rounding rule). */
+    * Scale shape: the verified pair list is q185's candidate-verify
+    * output — small on THIS corpus, but NOT bounded in general: on a
+    * mirror-heavy corpus (this operator's own motivating case) the
+    * near-dup pair count grows with the square of cluster sizes, so no
+    * broadcast hint on it — the doc→source joins shuffle on doc id
+    * (AQE still broadcasts when the measured pair frame is small) and
+    * the rollup aggregates into the ≤ |sources|² grid. A deployment
+    * that must bound the pair frame caps cluster contribution first
+    * (q63's cluster labels give the cap key). max_jaccard is an order
+    * statistic over already-rounded dec6 values — no re-rounding (the
+    * q151 layered-rounding rule). */
   def mirrorMatrix(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.prefixPairs(spark, dir)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
     val src = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"))
-    broadcast(pairs)
+    pairs
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
         Seq("doc_a"))
       .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
@@ -1783,7 +1799,7 @@ object Curation {
     * by every round's join, multiplying the row-scale gram scan by
     * K+1 (measured 5.2s -> materialized ~1s at sf0.1). */
   def dupPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val edgePath = graft.Scratch.artifactPath("dupedges", dir)
+    val edgePath = graft.Scratch.artifactPath("dupedges", dir, s"_g$StarGramK")
     if (!graft.Scratch.artifactComplete(edgePath)) {
       graft.Scratch.prepareArtifact(edgePath)
       dupStarPairs(spark, dir).write.mode("overwrite").parquet(edgePath)
@@ -2069,8 +2085,8 @@ object Curation {
       |  CAST(t.n_triangles AS BIGINT) AS n_triangles,
       |  CAST(w.n_wedges AS BIGINT) AS n_wedges,
       |  CASE WHEN w.n_wedges > 0 THEN
-      |    CAST(CAST(ROUND(t.n_triangles * 3 / w.n_wedges, 6)
-      |      AS DECIMAL(38,6)) AS DOUBLE) END AS transitivity
+      |    CAST((2 * t.n_triangles * 3 * 1000000 + w.n_wedges)
+      |      // (2 * w.n_wedges) AS DOUBLE) / 1000000 END AS transitivity
       |FROM w, t""".stripMargin
 
   /** Target sample size for [[ppsSample]]. */
@@ -2315,10 +2331,10 @@ object Curation {
       |nd AS (SELECT source, COUNT(*) AS n_docs FROM t GROUP BY 1)
       |SELECT agg.source, nd.n_docs, CAST(n_chunks AS BIGINT) AS n_chunks,
       |  CAST(distinct_chunks AS BIGINT) AS distinct_chunks,
-      |  CAST(CAST(ROUND(1 - distinct_chunks / n_chunks, 6) AS DECIMAL(38,6)) AS DOUBLE)
-      |    AS dup_chunk_rate,
-      |  CAST(CAST(ROUND(tok_sum / n_chunks, 6) AS DECIMAL(38,6)) AS DOUBLE)
-      |    AS avg_chunk_tokens
+      |  CAST((2 * (n_chunks - distinct_chunks) * 1000000 + n_chunks)
+      |    // (2 * n_chunks) AS DOUBLE) / 1000000 AS dup_chunk_rate,
+      |  CAST((2 * tok_sum * 1000000 + n_chunks) // (2 * n_chunks) AS DOUBLE)
+      |    / 1000000 AS avg_chunk_tokens
       |FROM agg JOIN nd ON agg.source = nd.source
       |ORDER BY agg.source""".stripMargin
 
@@ -2477,18 +2493,18 @@ object Curation {
       |        SUM(CASE WHEN capped THEN 0 ELSE 1 END) OVER () AS m_k,
       |        SUM(CASE WHEN capped THEN 0 ELSE 1 END) OVER (ORDER BY avail, source
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS urank
-      |      FROM c)
+      |      FROM c),
+      |a2 AS (SELECT source, avail, capped,
+      |         CASE WHEN capped THEN avail
+      |              ELSE (b - cum_k) // m_k
+      |                + CASE WHEN urank <= (b - cum_k) % m_k THEN 1 ELSE 0 END
+      |         END AS allocated
+      |       FROM g)
       |SELECT source, CAST(avail AS BIGINT) AS avail,
-      |  CAST(CASE WHEN capped THEN avail
-      |            ELSE (b - cum_k) // m_k
-      |              + CASE WHEN urank <= (b - cum_k) % m_k THEN 1 ELSE 0 END
-      |       END AS BIGINT) AS allocated,
-      |  capped,
-      |  CAST(CAST(ROUND(CASE WHEN capped THEN avail
-      |            ELSE (b - cum_k) // m_k
-      |              + CASE WHEN urank <= (b - cum_k) % m_k THEN 1 ELSE 0 END
-      |       END / avail, 6) AS DECIMAL(38,6)) AS DOUBLE) AS fill_ratio
-      |FROM g ORDER BY source""".stripMargin
+      |  CAST(allocated AS BIGINT) AS allocated, capped,
+      |  CAST((2 * allocated * 1000000 + avail) // (2 * avail) AS DOUBLE) / 1000000
+      |    AS fill_ratio
+      |FROM a2 ORDER BY source""".stripMargin
 
   /** Q179: EVAL-CONTAINMENT MATRIX — the DIRECTIONAL overlap q115's
     * symmetric Jaccard cannot express and q71's per-doc flags do not

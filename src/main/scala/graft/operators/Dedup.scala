@@ -79,19 +79,27 @@ object Dedup {
   /** Verified near-dup pairs with their intersection/union counts —
     * shared candidate-generation + verification core of q30 (formatted
     * jaccard output) and q63 (cluster resolution over the pair graph). */
+  /** q30/q63 length-band width (chars) and Jaccard threshold; both are
+    * interpolated into the dup_clusters artifact fingerprint. */
+  private val NdBandChars = 32
+  private val NdTau = 0.8
+
   private[graft] def neardupVerified(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"),
-        expr("n_chars div 32").as("band"),
+        expr(s"n_chars div $NdBandChars").as("band"),
         element_at(split(col("text"), " "), 1).as("ftok"),
         array_distinct(tokens(col("text"))).as("toks"))
     val toks = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
-    // global document frequency per distinct token: vocabulary-bounded
-    // (size of the token vocabulary, not the corpus), so it broadcasts
+    // global document frequency per distinct token. Vocabulary-scale, NOT
+    // bounded: by Heaps' law a 100 TB corpus has billions of distinct
+    // tokens (typos/URLs), so no broadcast hint — the join shuffles on
+    // `tok` (already the grouping key, so the exchange is reused) and AQE
+    // may still broadcast it when the measured size is small.
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     // rarest token per doc — min by (df, tok); the lexicographic
     // tiebreak makes the anchor deterministic
-    val rare = toks.join(broadcast(dfreq), Seq("tok"))
+    val rare = toks.join(dfreq, Seq("tok"))
       .groupBy("doc_id")
       .agg(min_by(col("tok"), struct(col("df"), col("tok"))).as("rtok"))
     val d = docs.join(rare, Seq("doc_id"))
@@ -125,7 +133,7 @@ object Dedup {
       // was the single largest allocation in the verify stage
       .withColumn("n_inter", size(array_intersect(col("toks_a"), col("toks_b"))))
       .withColumn("n_union", col("nt_a") + col("nt_b") - col("n_inter"))
-      .filter(col("n_inter").cast("double") / col("n_union") >= 0.8)
+      .filter(col("n_inter").cast("double") / col("n_union") >= NdTau)
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"))
   }
 
@@ -403,7 +411,8 @@ object Dedup {
     * next to the corpus exactly once, it doesn't re-cluster per
     * consumer. _SUCCESS-guarded like the IVF build. */
   private[graft] def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
-    val path = graft.Scratch.artifactPath("dup_clusters", dir)
+    val path = graft.Scratch.artifactPath("dup_clusters", dir,
+      s"_b${NdBandChars}t${math.round(NdTau * 100)}")
     if (!graft.Scratch.artifactComplete(path)) {
       graft.Scratch.prepareArtifact(path)
       connectedComponents(
@@ -619,6 +628,8 @@ object Dedup {
     * cross-multiplied; no float threshold exists anywhere. */
   private val PjNum = 4
   private val PjDen = 5
+  /** q185 word-shingle size; part of the prefix_pairs fingerprint. */
+  private val PjShingleK = 3
 
   /** Q185: PREFIX-FILTERED EXACT SIMILARITY JOIN (the PPJoin family) —
     * the third candidate-generation strategy for set-similarity joins
@@ -659,7 +670,8 @@ object Dedup {
 
   /** The persisted verified-pair artifact behind q185/q187. */
   private[graft] def prefixPairs(spark: SparkSession, dir: String): DataFrame = {
-    val path = graft.Scratch.artifactPath("prefix_pairs", dir)
+    val path = graft.Scratch.artifactPath("prefix_pairs", dir,
+      s"_s${PjShingleK}j${PjNum}_$PjDen")
     if (!graft.Scratch.artifactComplete(path)) {
       graft.Scratch.prepareArtifact(path)
       computePrefixJaccard(spark, dir)
@@ -673,7 +685,7 @@ object Dedup {
   private def computePrefixJaccard(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = Tables.documents(spark, dir).filter(col("text").isNotNull)
-      .select(col("doc_id"), array_distinct(wordShingles(col("text"), 3)).as("ts"))
+      .select(col("doc_id"), array_distinct(wordShingles(col("text"), PjShingleK)).as("ts"))
       .filter(size(col("ts")) >= 1)
       .withColumn("s", size(col("ts")).cast("bigint"))
     // one build, three consumers (df agg, prefix window, verification)

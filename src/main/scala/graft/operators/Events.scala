@@ -989,10 +989,10 @@ object Events {
       |SELECT event_type, COUNT(*) AS n_intervals,
       |  CAST(SUM(dur_us) AS BIGINT) AS held_us,
       |  CASE WHEN SUM(dur_us) > 0 THEN
-      |    CAST(CAST(ROUND(SUM(cents * dur_us) / (SUM(dur_us) * 100), 6)
-      |      AS DECIMAL(38,6)) AS DOUBLE) END AS twa_value,
-      |  CAST(CAST(ROUND(SUM(cents) / (COUNT(*) * 100), 6)
-      |    AS DECIMAL(38,6)) AS DOUBLE) AS mean_value
+      |    CAST((2 * SUM(cents * dur_us) * 1000000 + SUM(dur_us) * 100)
+      |      // (2 * SUM(dur_us) * 100) AS DOUBLE) / 1000000 END AS twa_value,
+      |  CAST((2 * SUM(cents) * 10000 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+      |    / 1000000 AS mean_value
       |FROM i WHERE dur_us IS NOT NULL
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 

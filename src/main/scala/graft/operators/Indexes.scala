@@ -44,8 +44,19 @@ object Indexes {
     * layouts (the unit dynamic partition pruning skips by). */
   private val IndexBuckets = 64
 
+  /** Parameter fingerprints per index kind (the Scratch.artifactPath
+    * durable-root cache-key discipline): gram index/bloom depend on
+    * gram size + bucket/bloom geometry; phrase index on phrase length
+    * + buckets. Interpolated from the constants themselves. */
+  private def indexVariant(kind: String): String = kind match {
+    case "gram_index" => s"_g${GramK}b$IndexBuckets"
+    case "gram_bloom" => s"_g${GramK}m${BloomBits}k$BloomHashes"
+    case "phrase_index" => s"_p${PhraseLen}b$IndexBuckets"
+    case _ => ""
+  }
+
   private def artifactPath(dir: String, kind: String): String =
-    graft.Scratch.artifactPath(kind, dir)
+    graft.Scratch.artifactPath(kind, dir, indexVariant(kind))
 
   private def isComplete(path: String): Boolean =
     graft.Scratch.artifactComplete(path)

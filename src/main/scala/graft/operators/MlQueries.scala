@@ -213,9 +213,14 @@ object MlQueries {
   }
 
   /** DuckDB twin: the same sufficient statistics in HUGEINT (SUM(BIGINT)
-    * widens to 128-bit, so no precision dance), the same guarded single
-    * divisions (DuckDB `/` on integers yields DOUBLE; values sit far
-    * from the 1e-6 rounding boundary, the established oracle pattern). */
+    * widens to 128-bit, so no precision dance). Means, slope and
+    * intercept use the sign-aware (2N+D)//(2D) integer micro-unit
+    * half-up — exact, no float division anywhere. r2 alone keeps the
+    * double quotient: its exact form needs 2·num²·10⁶ ≤ 1.7e38, and on
+    * correlated groups (TPC-H price ∝ quantity) num ≈ n²·cov reaches
+    * ~2e18 at sf0.1, so num²·2e6 ≈ 7e42 overflows HUGEINT; the
+    * flip-risk is a ~1e-17-relative tie crossing, accepted and
+    * documented (NOTES 'oracle rounding discipline'). */
   val groupedOlsSql: String =
     """WITH m AS (
       |  SELECT l_returnflag,
@@ -225,21 +230,29 @@ object MlQueries {
       |s AS (
       |  SELECT l_returnflag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
       |    SUM(x*x) AS sxx, SUM(x*y) AS sxy, SUM(y*y) AS syy
-      |  FROM m GROUP BY 1)
+      |  FROM m GROUP BY 1),
+      |d AS (
+      |  SELECT l_returnflag, n, sx, sy,
+      |    n*sxy - sx*sy AS num, n*sxx - sx*sx AS dx,
+      |    n*syy - sy*sy AS dy, sy*sxx - sx*sxy AS numi
+      |  FROM s)
       |SELECT l_returnflag, n,
-      |  CAST(CAST(ROUND(sx / n, 6) AS DECIMAL(38,6)) AS DOUBLE) AS mean_qty,
-      |  CAST(CAST(ROUND(sy / (n * 100), 2) AS DECIMAL(38,2)) AS DOUBLE) AS mean_price,
-      |  CASE WHEN n*sxx - sx*sx <> 0 THEN
-      |    CAST(CAST(ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6)
-      |      AS DECIMAL(38,6)) AS DOUBLE) END AS slope_cents_per_unit,
-      |  CASE WHEN n*sxx - sx*sx <> 0 THEN
-      |    CAST(CAST(ROUND((sy*sxx - sx*sxy) / ((n*sxx - sx*sx) * 100), 6)
-      |      AS DECIMAL(38,6)) AS DOUBLE) END AS intercept_dollars,
-      |  CASE WHEN n*sxx - sx*sx <> 0 AND n*syy - sy*sy <> 0 THEN
-      |    CAST(CAST(ROUND((n*sxy - sx*sy) * (n*sxy - sx*sy)
-      |      / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6)
+      |  CAST((2 * sx * 1000000 + n) // (2 * n) AS DOUBLE) / 1000000 AS mean_qty,
+      |  CAST((2 * sy + n) // (2 * n) AS DOUBLE) / 100 AS mean_price,
+      |  CASE WHEN dx <> 0 THEN
+      |    CAST(CASE WHEN num < 0
+      |      THEN -((2 * (-num) * 1000000 + dx) // (2 * dx))
+      |      ELSE (2 * num * 1000000 + dx) // (2 * dx) END AS DOUBLE) / 1000000
+      |  END AS slope_cents_per_unit,
+      |  CASE WHEN dx <> 0 THEN
+      |    CAST(CASE WHEN numi < 0
+      |      THEN -((2 * (-numi) * 10000 + dx) // (2 * dx))
+      |      ELSE (2 * numi * 10000 + dx) // (2 * dx) END AS DOUBLE) / 1000000
+      |  END AS intercept_dollars,
+      |  CASE WHEN dx <> 0 AND dy <> 0 THEN
+      |    CAST(CAST(ROUND(num * num / (dx * dy), 6)
       |      AS DECIMAL(38,6)) AS DOUBLE) END AS r2
-      |FROM s ORDER BY l_returnflag""".stripMargin
+      |FROM d ORDER BY l_returnflag""".stripMargin
 
   /** Q161: K-FOLD CROSS-VALIDATED OLS — the evaluation harness q135's
     * fit was missing: 5 deterministic folds (l_orderkey mod 5), and

@@ -205,9 +205,10 @@ object Quality {
       |  CAST(CAST(ROUND(th.hi / 100, 2) AS DECIMAL(38,2)) AS DOUBLE) AS p95,
       |  CAST(SUM(CASE WHEN e.c < th.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
       |  CAST(SUM(CASE WHEN e.c > th.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
-      |  CAST(CAST(ROUND(SUM(e.c) / (th.n * 100), 6) AS DECIMAL(38,6)) AS DOUBLE) AS mean_value,
-      |  CAST(CAST(ROUND(SUM(LEAST(GREATEST(e.c, th.lo), th.hi)) / (th.n * 100), 6)
-      |    AS DECIMAL(38,6)) AS DOUBLE) AS wins_mean
+      |  CAST((2 * SUM(e.c) * 10000 + th.n) // (2 * th.n) AS DOUBLE) / 1000000
+      |    AS mean_value,
+      |  CAST((2 * SUM(LEAST(GREATEST(e.c, th.lo), th.hi)) * 10000 + th.n)
+      |    // (2 * th.n) AS DOUBLE) / 1000000 AS wins_mean
       |FROM e JOIN th ON e.et = th.et
       |GROUP BY e.et, th.n, th.lo, th.hi
       |ORDER BY event_type""".stripMargin
@@ -331,9 +332,10 @@ object Quality {
       |        SUM(o) OVER () AS nn
       |      FROM obs)
       |SELECT segment, region, CAST(o AS BIGINT) AS observed,
-      |  CAST(CAST(ROUND(rt * ct / nn, 6) AS DECIMAL(38,6)) AS DOUBLE) AS expected,
-      |  CAST(CAST(ROUND((o*nn - rt*ct) * (o*nn - rt*ct) / (nn * rt * ct), 6)
-      |    AS DECIMAL(38,6)) AS DOUBLE) AS contribution
+      |  CAST((2 * rt * ct * 1000000 + nn) // (2 * nn) AS DOUBLE) / 1000000
+      |    AS expected,
+      |  CAST((2 * (o*nn - rt*ct) * (o*nn - rt*ct) * 1000000 + nn * rt * ct)
+      |    // (2 * nn * rt * ct) AS DOUBLE) / 1000000 AS contribution
       |FROM m ORDER BY segment, region""".stripMargin
 
   /** Q147: MAD ROBUST OUTLIER AUDIT — the median/MAD robust z-score
@@ -480,9 +482,9 @@ object Quality {
       |        SUM(COALESCE(o.o, 0)) OVER () AS n
       |      FROM b LEFT JOIN o ON b.digit = o.digit)
       |SELECT digit, CAST(o AS BIGINT) AS observed,
-      |  CAST(CAST(ROUND(o / n, 6) AS DECIMAL(38,6)) AS DOUBLE) AS observed_share,
+      |  CAST((2 * o * 1000000 + n) // (2 * n) AS DOUBLE) / 1000000 AS observed_share,
       |  CAST(CAST(ROUND(pm / 1000.0, 6) AS DECIMAL(38,6)) AS DOUBLE) AS benford_share,
-      |  CAST(CAST(ROUND(ABS(o * 1000 - n * pm) / (n * 1000), 6) AS DECIMAL(38,6)) AS DOUBLE)
+      |  CAST((2 * ABS(o * 1000 - n * pm) * 1000 + n) // (2 * n) AS DOUBLE) / 1000000
       |    AS abs_gap
       |FROM m ORDER BY digit""".stripMargin
 
@@ -540,12 +542,12 @@ object Quality {
        |b AS (SELECT LEAST(score // 100, 9) AS bin, pos, score FROM scored)
        |SELECT CAST(bin AS INT) AS score_bin, COUNT(*) AS n_docs,
        |  CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
-       |  CAST(CAST(ROUND(SUM(score) / (COUNT(*) * 1000), 6) AS DECIMAL(38,6)) AS DOUBLE)
-       |    AS mean_score,
-       |  CAST(CAST(ROUND(SUM(CASE WHEN pos THEN 1 ELSE 0 END) / COUNT(*), 6)
-       |    AS DECIMAL(38,6)) AS DOUBLE) AS en_rate,
-       |  CAST(CAST(ROUND(ABS(SUM(CASE WHEN pos THEN 1 ELSE 0 END) * 1000 - SUM(score))
-       |    / (COUNT(*) * 1000), 6) AS DECIMAL(38,6)) AS DOUBLE) AS gap
+       |  CAST((2 * SUM(score) * 1000 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+       |    / 1000000 AS mean_score,
+       |  CAST((2 * SUM(CASE WHEN pos THEN 1 ELSE 0 END) * 1000000 + COUNT(*))
+       |    // (2 * COUNT(*)) AS DOUBLE) / 1000000 AS en_rate,
+       |  CAST((2 * ABS(SUM(CASE WHEN pos THEN 1 ELSE 0 END) * 1000 - SUM(score)) * 1000
+       |    + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 1000000 AS gap
        |FROM b GROUP BY bin ORDER BY score_bin""".stripMargin
 
   /** Q157: COHEN'S KAPPA — chance-corrected agreement between two
@@ -610,11 +612,14 @@ object Quality {
        |SELECT CAST(n AS BIGINT) AS n_docs, CAST(n11 AS BIGINT) AS n11,
        |  CAST(n10 AS BIGINT) AS n10, CAST(n01 AS BIGINT) AS n01,
        |  CAST(n00 AS BIGINT) AS n00,
-       |  CAST(CAST(ROUND((n11 + n00) / n, 6) AS DECIMAL(38,6)) AS DOUBLE) AS po,
-       |  CAST(CAST(ROUND(pe_num / (n * n), 6) AS DECIMAL(38,6)) AS DOUBLE) AS pe,
+       |  CAST((2 * (n11 + n00) * 1000000 + n) // (2 * n) AS DOUBLE) / 1000000 AS po,
+       |  CAST((2 * pe_num * 1000000 + n * n) // (2 * n * n) AS DOUBLE) / 1000000 AS pe,
        |  CASE WHEN n * n = pe_num THEN 0.0
-       |       ELSE CAST(CAST(ROUND((n * (n11 + n00) - pe_num) / (n * n - pe_num), 6)
-       |         AS DECIMAL(38,6)) AS DOUBLE)
+       |       ELSE CAST(CASE WHEN n * (n11 + n00) < pe_num
+       |         THEN -((2 * (pe_num - n * (n11 + n00)) * 1000000 + (n * n - pe_num))
+       |                // (2 * (n * n - pe_num)))
+       |         ELSE (2 * (n * (n11 + n00) - pe_num) * 1000000 + (n * n - pe_num))
+       |                // (2 * (n * n - pe_num)) END AS DOUBLE) / 1000000
        |  END AS kappa
        |FROM k""".stripMargin
 
@@ -750,9 +755,10 @@ object Quality {
        |  CAST(SUM(np) AS BIGINT) AS n_pos,
        |  CAST(SUM(cnt) - SUM(np) AS BIGINT) AS n_neg,
        |  CASE WHEN SUM(np) = 0 OR SUM(np) = SUM(cnt) THEN NULL
-       |       ELSE CAST(CAST(ROUND(
-       |         (SUM(np * (2 * cum_prev + cnt + 1)) - SUM(np) * (SUM(np) + 1))
-       |           / (2 * SUM(np) * (SUM(cnt) - SUM(np))), 6) AS DECIMAL(38,6)) AS DOUBLE)
+       |       ELSE CAST(
+       |         (2 * (SUM(np * (2 * cum_prev + cnt + 1)) - SUM(np) * (SUM(np) + 1))
+       |            * 1000000 + 2 * SUM(np) * (SUM(cnt) - SUM(np)))
+       |           // (2 * (2 * SUM(np) * (SUM(cnt) - SUM(np)))) AS DOUBLE) / 1000000
        |  END AS auc
        |FROM r""".stripMargin
 

@@ -587,7 +587,11 @@ object Relational {
     // schema, so the filters change nothing but the canonical form.
     // one build, four consumers (order count, pair expansion, candidate
     // frequency count) — lazily each action would redo the scan + the
-    // distinct exchange
+    // distinct exchange. NOTE this frame is ROW-SCALE: localCheckpoint
+    // is right for the single-JVM harness, but at cluster scale it
+    // writes the full frame to executor-local disk and dies with any
+    // executor — a deployment uses persist(DISK_ONLY) + unpersist or a
+    // reused exchange instead (SCALE.md q171)
     val items = Tables.lineitem(spark, dir)
       .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))

@@ -162,7 +162,7 @@ object Similarity {
     * (4 x 6) family index. Parameters live in the path so distinct
     * families can never serve each other's buckets. */
   private[graft] def ivfIndexPath(dir: String, bits: Int, tables: Int): String =
-    graft.Scratch.artifactPath("ivf_index", dir, s"_${bits}x$tables")
+    graft.Scratch.artifactPath("ivf_index", dir, s"_${bits}x${tables}d$ivfDims")
 
   private[graft] def buildIvfIndex(spark: SparkSession, dir: String,
       bits: Int = ivfBits, tables: Int = ivfTables, dims: Int = ivfDims): String = {
@@ -232,7 +232,7 @@ object Similarity {
     * decode-error bound (< range/255 per coordinate) and a
     * reconstructed-cosine witness against the exact q33 pairs. */
   private[graft] def buildSq8(spark: SparkSession, dir: String): String = {
-    val path = graft.Scratch.artifactPath("sq8", dir)
+    val path = graft.Scratch.artifactPath("sq8", dir, s"_d$ivfDims")
     if (!graft.Scratch.artifactComplete(path)) {
       graft.Scratch.prepareArtifact(path)
       val e = Tables.embeddings(spark, dir)

@@ -814,7 +814,9 @@ object Storage {
     * corpus), durable-root reusable); the serving read is one
     * map-side-combined aggregate over the bounded type dimension. */
   def variantRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val path = graft.Scratch.artifactPath("variant_events", dir)
+    // "_v1" = landed-schema revision (event_id, event_type, v VARIANT);
+    // bump when the parse projection changes
+    val path = graft.Scratch.artifactPath("variant_events", dir, "_v1")
     if (!graft.Scratch.artifactComplete(path)) {
       graft.Scratch.prepareArtifact(path)
       Tables.events(spark, dir)

@@ -605,8 +605,16 @@ object StreamingQueries {
         val clean = gated.join(contaminated, Seq("doc_id"), "left_anti")
           .withColumn("h", md5(col("text")))
           .select(col("doc_id"), col("source"), col("h"), col("n"))
+        // prior-state probe through Hadoop's FileSystem, not java.nio:
+        // the sink path is warehouse-native, so under an HDFS/S3A base
+        // a local-filesystem check would silently answer false and
+        // every batch would restart offsets as if no state existed
+        val outHPath = new org.apache.hadoop.fs.Path(outPath)
+        val outExists = outHPath
+          .getFileSystem(ss.sparkContext.hadoopConfiguration)
+          .exists(outHPath)
         val prior =
-          if (java.nio.file.Files.exists(java.nio.file.Paths.get(outPath)))
+          if (outExists)
             Some(ss.read.parquet(outPath).filter(col("batch") < batchId)
               .select(col("source"), col("h"), col("n")).localCheckpoint(true))
           else None
@@ -631,6 +639,12 @@ object StreamingQueries {
           .withColumn("bin",
             floor((col("cum") - col("n")) / Curation.PackBudget).cast("bigint"))
           .select(col("doc_id"), col("source"), col("h"), col("n"), col("bin"))
+        // NOTE: publishStaged's rename-aside swap is java.nio and thus
+        // POSIX-local; a distributed sink (HDFS/S3A) would instead rely
+        // on the partition dir's own atomic commit (write to
+        // batch=N.tmp + FileSystem.rename), which HDFS rename gives
+        // directly. The prior-state PROBE above is already FS-correct;
+        // only the publish step carries the local restriction.
         graft.Scratch.publishStaged(s"$outPath/batch=$batchId")(stage =>
           packed.write.mode("overwrite").parquet(stage))
         ()

@@ -460,14 +460,15 @@ object TextAnalysis {
       |  FROM documents WHERE text IS NOT NULL),
       |c AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
       |g AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS d, SUM(c * c) AS s2
-      |      FROM c GROUP BY 1)
+      |      FROM c GROUP BY 1),
+      |g6 AS (SELECT doc_id, n, d,
+      |         (2 * (n*n - s2) * 1000000 + n*n) // (2 * n*n) AS s6
+      |       FROM g)
       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
       |  CAST(d AS BIGINT) AS distinct_tokens,
-      |  CAST(CAST(ROUND(1 - s2 / (n * n), 6) AS DECIMAL(38,6)) AS DOUBLE)
-      |    AS simpson_diversity,
-      |  CAST(CAST(ROUND(1 - s2 / (n * n), 6) AS DECIMAL(38,6)) AS DOUBLE) < 0.5
-      |    AS low_diversity
-      |FROM g ORDER BY doc_id""".stripMargin
+      |  CAST(s6 AS DOUBLE) / 1000000 AS simpson_diversity,
+      |  s6 < 500000 AS low_diversity
+      |FROM g6 ORDER BY doc_id""".stripMargin
 
   /** Q158: HEAPS-LAW VOCABULARY GROWTH — the tokenizer-sizing curve:
     * as the corpus grows (docs in doc_id ingestion order), how fast
@@ -545,8 +546,8 @@ object TextAnalysis {
       |SELECT CAST(v.k AS INT) AS decile, CAST(ct.n_docs AS BIGINT) AS n_docs,
       |  CAST(ct.cum_tokens AS BIGINT) AS cum_tokens,
       |  CAST(v.vocab AS BIGINT) AS vocab,
-      |  CAST(CAST(ROUND(v.vocab / ct.cum_tokens, 6) AS DECIMAL(38,6)) AS DOUBLE)
-      |    AS type_token_ratio
+      |  CAST((2 * v.vocab * 1000000 + ct.cum_tokens) // (2 * ct.cum_tokens)
+      |    AS DOUBLE) / 1000000 AS type_token_ratio
       |FROM v JOIN ct ON v.k = ct.k ORDER BY decile""".stripMargin
 
   /** Ranks reported by [[zipfDeviation]]. */
@@ -596,7 +597,7 @@ object TextAnalysis {
       |      FROM f)
       |SELECT CAST(rank AS INT) AS rank, tok AS token,
       |  CAST(freq AS BIGINT) AS freq,
-      |  CAST(CAST(ROUND(rank * freq / f1, 6) AS DECIMAL(38,6)) AS DOUBLE)
+      |  CAST((2 * rank * freq * 1000000 + f1) // (2 * f1) AS DOUBLE) / 1000000
       |    AS zipf_ratio
       |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin
 

@@ -368,7 +368,7 @@ class StorageSpec extends SparkSuite {
     val root = java.nio.file.Files.createTempDirectory("graft_artifacts").toString
     System.setProperty("spark.graft.artifactRoot", root)
     try {
-      val p = Scratch.artifactPath("sq8", Sf0001)
+      val p = Scratch.artifactPath("sq8", Sf0001, "_d64")
       // durable paths key on the corpus only — no pid, so a later run
       // (different process) resolves the SAME path and reuses the build
       assert(p.startsWith(root), p)
@@ -388,7 +388,7 @@ class StorageSpec extends SparkSuite {
       Scratch.deleteNow(root)
     }
     // with the override cleared, paths return to pid-suffixed tmp scratch
-    val ephemeral = Scratch.artifactPath("sq8", Sf0001)
+    val ephemeral = Scratch.artifactPath("sq8", Sf0001, "_d64")
     assert(!ephemeral.startsWith(root), ephemeral)
     assert(ephemeral.contains(s"${ProcessHandle.current().pid()}_"), ephemeral)
   }
@@ -398,7 +398,7 @@ class StorageSpec extends SparkSuite {
     // the landed table's variant column survives parquet with its
     // typed path intact (the shredded-encoding fidelity the oracle's
     // aggregate equality also checks, here asserted at row level)
-    val path = Scratch.artifactPath("variant_events", Sf0001)
+    val path = Scratch.artifactPath("variant_events", Sf0001, "_v1")
     graft.operators.Storage.variantRoundtrip(spark, Sf0001).collect()
     val stored = spark.read.parquet(path)
     assert(stored.schema("v").dataType.typeName === "variant")
