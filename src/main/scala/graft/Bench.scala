@@ -195,7 +195,13 @@ object Bench {
     // failures surface in the metric line itself — a stderr-only signal
     // would let a broken query silently "improve" the total
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val headline = f""""total":$total%.3f,"n_queries":${results.size},"worst":$worst,"calibration":$calMedian%.4f,"calibration_passes":$calPasses,"failed":$failedJson"""
+    // total normalized by the probe (total / calibration): container
+    // speed drifts up to ~2x between rounds on identical code, so the
+    // probe-relative total is the ONLY number comparable across rounds
+    // without manual adjudication. Pass/fail-neutral — emitted for the
+    // reader, never gated on.
+    val calUnits = if (calMedian > 0) total / calMedian else -1.0
+    val headline = f""""total":$total%.3f,"n_queries":${results.size},"worst":$worst,"calibration":$calMedian%.4f,"calibration_passes":$calPasses,"total_cal_units":$calUnits%.1f,"failed":$failedJson"""
     // summary-first line: survives head-truncation of the artifact
     println(s"""{"metric":"summary",$headline,"reps":$reps,"sf":"$sfDir"}""")
     // metric line (driver contract): headline fields repeat AFTER the

@@ -243,7 +243,10 @@ object Dedup {
 
   /** Q32: SimHash near-dup (X2) — 32-bit signature from per-bit majority
     * vote over distinct-token hashes; exact-signature collisions are dup
-    * candidates. No oracle (xxhash64); spec-tested.
+    * candidates. No oracle: the signature kernel hashes tokens with
+    * Spark's xxhash64, which DuckDB does not implement, so the VALUES
+    * cannot be mirrored in oracle SQL (spec-tested here; q201 is the
+    * md5 twin that oracles the identical majority-vote logic).
     *
     * Shape: ONE native compiled pass per document
     * ([[graft.functions.SimHashSig]]) — token byte-spans hashed in
@@ -264,6 +267,67 @@ object Dedup {
       .filter(col("n_docs") > 1)
       .select(col("sig"), col("n_docs"), col("first_doc"))
       .orderBy(col("first_doc"))
+  }
+
+  /** Q201: MD5 SIMHASH TWIN — q32's majority-vote signature with a
+    * cross-engine hash, the q200/q46 split applied to SimHash: each
+    * distinct token's 32-bit value is the first 8 hex chars of its
+    * md5 (both engines compute the identical digest), bit j of the
+    * document signature is the majority vote of bit j across the
+    * doc's tokens (ties round up: 2·ones ≥ n), and exact-signature
+    * groups with n > 1 are the dup candidates — fully DuckDB-oracled.
+    * q32's compiled kernel remains the fast path (one xxhash64 pass,
+    * no digest allocation).
+    *
+    * Shape: explode distinct tokens → 32 conditional bit-sums in ONE
+    * map-side-combined per-doc aggregation (codegen'd; no interpreted
+    * HOF lambda per bit — the NOTES CollapseProject×HOF trap), then a
+    * group on the reassembled 32-bit signature. */
+  def simhashMd5(spark: SparkSession, dir: String): DataFrame = {
+    val bits = 32
+    val toks = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("v"))
+    val bitSums = (0 until bits).map(j =>
+      sum(shiftright(col("v"), j).bitwiseAND(1L)).as(s"b$j"))
+    val sig = (0 until bits).map(j =>
+      when(col(s"b$j") * 2 >= col("n"), lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    val aggs = count(lit(1)).as("n") +: bitSums
+    toks.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), sig.as("sig"))
+      .groupBy(col("sig"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("first_doc"))
+  }
+
+  /** Oracle: hex-decode of md5's first 8 chars (the q119 position-in
+    * alphabet trick, 8 terms), bit extraction via >>/&, the same
+    * ties-up majority, reassembled with << — all integer. */
+  val simhashMd5Sql: String = {
+    val hexVal = (1 to 8).map { i =>
+      val mult = math.pow(16, 8 - i).toLong
+      s"(position(substring(m, $i, 1) IN '0123456789abcdef') - 1) * $mult"
+    }.mkString("\n      |      + ")
+    s"""WITH toks AS (
+       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents WHERE text IS NOT NULL),
+       |h AS (SELECT doc_id, md5(tok) AS m FROM toks),
+       |v AS (SELECT doc_id,
+       |      $hexVal AS v
+       |      FROM h),
+       |b AS (SELECT doc_id, g.j, COUNT(*) AS n, SUM((v >> g.j) & 1) AS ones
+       |      FROM v, generate_series(0, 31) g(j) GROUP BY 1, 2),
+       |s AS (SELECT doc_id,
+       |        SUM(CASE WHEN 2 * ones >= n THEN (1::BIGINT << j) ELSE 0 END) AS sig
+       |      FROM b GROUP BY 1)
+       |SELECT CAST(sig AS BIGINT) AS sig, COUNT(*) AS n_docs,
+       |  MIN(doc_id) AS first_doc
+       |FROM s GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY first_doc""".stripMargin
   }
 
   /** Q44: embedding-cosine near-dup (X2 embedding path) — hyperplane-LSH
@@ -828,6 +892,7 @@ object Dedup {
     "q30_neardup_jaccard" -> (neardupJaccard _),
     "q31_minhash_lsh" -> (minhashLsh _),
     "q32_simhash" -> (simhash _),
+    "q201_simhash_md5" -> (simhashMd5 _),
     "q44_neardup_embedding" -> (neardupEmbedding _),
     "q63_dup_clusters" -> (dupClusters _),
     "q64_canonical_docs" -> (canonicalDocs _),
@@ -844,5 +909,7 @@ object Dedup {
     "q64_canonical_docs" -> canonicalDocsSql,
     // q31/q32 intentionally omitted: xxhash64-based, not expressible in
     // portable SQL; covered by DedupSpec against the exact-Jaccard oracle.
+    // q201 is q32's md5 twin — same majority-vote logic, fully oracled.
+    "q201_simhash_md5" -> simhashMd5Sql,
   )
 }

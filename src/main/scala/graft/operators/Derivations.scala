@@ -449,10 +449,13 @@ object Derivations {
       |SELECT l_returnflag, n,
       |  CAST(min_price AS DOUBLE) AS min_price,
       |  CAST(max_price AS DOUBLE) AS max_price,
-      |  CAST(CAST(ROUND(s1 / n, 6) AS DECIMAL(38,6)) AS DOUBLE) AS mean_price,
+      |  CAST((2 * CAST(s1 * 100 AS HUGEINT) * 10000 + n) // (2 * n) AS DOUBLE)
+      |    / 1000000 AS mean_price,
       |  CASE WHEN n >= 2 THEN
-      |    CAST(CAST(ROUND((CAST(n AS DECIMAL(9,0)) * s2 - s1 * CAST(s1 AS DECIMAL(18,2)))
-      |      / (n * (n - 1)), 6) AS DECIMAL(38,6)) AS DOUBLE) END AS var_price
+      |    CAST((2 * (n * CAST(s2 * 10000 AS HUGEINT)
+      |        - CAST(s1 * 100 AS HUGEINT) * CAST(s1 * 100 AS HUGEINT)) * 100
+      |      + n * (n - 1)) // (2 * n * (n - 1)) AS DOUBLE) / 1000000
+      |  END AS var_price
       |FROM s ORDER BY l_returnflag""".stripMargin
 
   /** Bucket count for [[equiDepthHistogram]]. */
@@ -657,8 +660,10 @@ object Derivations {
       |e256 AS (SELECT SUM(co * cc) AS est_256 FROM o256 JOIN c256 USING (b))
       |SELECT CAST(actual AS BIGINT) AS actual,
       |  CAST(est_16 AS BIGINT) AS est_16, CAST(est_256 AS BIGINT) AS est_256,
-      |  CAST(CAST(ROUND(est_16 / actual, 6) AS DECIMAL(38,6)) AS DOUBLE) AS ratio_16,
-      |  CAST(CAST(ROUND(est_256 / actual, 6) AS DECIMAL(38,6)) AS DOUBLE) AS ratio_256
+      |  CAST((2 * est_16 * 1000000 + actual) // (2 * actual) AS DOUBLE) / 1000000
+      |    AS ratio_16,
+      |  CAST((2 * est_256 * 1000000 + actual) // (2 * actual) AS DOUBLE) / 1000000
+      |    AS ratio_256
       |FROM act CROSS JOIN e16 CROSS JOIN e256""".stripMargin
 
   def queries: Map[String, Relational.Q] = Map(

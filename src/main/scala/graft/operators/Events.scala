@@ -1069,8 +1069,8 @@ object Events {
       |      FROM p GROUP BY 1)
       |SELECT channel, n_purchases,
       |  CAST(CAST(ROUND(cents / 100, 2) AS DECIMAL(38,2)) AS DOUBLE) AS revenue,
-      |  CAST(CAST(ROUND(n_purchases / (SELECT SUM(n_purchases) FROM c), 6)
-      |    AS DECIMAL(38,6)) AS DOUBLE) AS share
+      |  CAST((2 * n_purchases * 1000000 + (SELECT SUM(n_purchases) FROM c))
+      |    // (2 * (SELECT SUM(n_purchases) FROM c)) AS DOUBLE) / 1000000 AS share
       |FROM c ORDER BY channel""".stripMargin
 
   /** Q152: NELSON-AALEN CUMULATIVE HAZARD — the survival-analysis
@@ -1185,9 +1185,10 @@ object Events {
       |  FROM events GROUP BY 1, 2)
       |SELECT a.event_type, a.hr AS hour_idx,
       |  CAST(CAST(ROUND(a.v / 100, 2) AS DECIMAL(38,2)) AS DOUBLE) AS hour_value,
-      |  CAST(CAST(ROUND(SUM(b.v * (1::BIGINT << CAST(11 - (a.hr - b.hr) AS INT)))
-      |      / (SUM(1::BIGINT << CAST(11 - (a.hr - b.hr) AS INT)) * 100), 6)
-      |    AS DECIMAL(38,6)) AS DOUBLE) AS ewma_value
+      |  CAST((2 * SUM(b.v * (1::BIGINT << CAST(11 - (a.hr - b.hr) AS INT))) * 1000000
+      |      + SUM(1::BIGINT << CAST(11 - (a.hr - b.hr) AS INT)) * 100)
+      |    // (2 * SUM(1::BIGINT << CAST(11 - (a.hr - b.hr) AS INT)) * 100)
+      |    AS DOUBLE) / 1000000 AS ewma_value
       |FROM h a JOIN h b
       |  ON a.event_type = b.event_type AND b.hr BETWEEN a.hr - 11 AND a.hr
       |GROUP BY a.event_type, a.hr, a.v
@@ -1539,8 +1540,8 @@ object Events {
       |SELECT event_type, hr AS hour_idx, v IS NOT NULL AS is_observed,
       |  CASE WHEN v IS NOT NULL
       |       THEN CAST(CAST(ROUND(v / 100, 6) AS DECIMAL(38,6)) AS DOUBLE)
-      |       ELSE CAST(CAST(ROUND((pv * (nh - hr) + nv * (hr - ph))
-      |         / ((nh - ph) * 100), 6) AS DECIMAL(38,6)) AS DOUBLE)
+      |       ELSE CAST((2 * (pv * (nh - hr) + nv * (hr - ph)) * 1000000
+      |           + (nh - ph) * 100) // (2 * (nh - ph) * 100) AS DOUBLE) / 1000000
       |  END AS value_dollars
       |FROM w ORDER BY event_type, hour_idx""".stripMargin
 
@@ -1686,8 +1687,8 @@ object Events {
       |  CAST(CAST(ROUND(MAX(mn) / 100, 2) AS DECIMAL(38,2)) AS DOUBLE) AS min_value,
       |  CAST(CAST(ROUND(MAX(mx) / 100, 2) AS DECIMAL(38,2)) AS DOUBLE) AS max_value,
       |  CAST(SUM(scaled) AS BIGINT) AS sum_scaled,
-      |  CAST(CAST(ROUND(SUM(scaled) / COUNT(*), 6) AS DECIMAL(38,6)) AS DOUBLE)
-      |    AS mean_scaled
+      |  CAST((2 * SUM(scaled) * 1000000 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+      |    / 1000000 AS mean_scaled
       |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Q181: RFM SEGMENTATION — the classic customer-value grid: per

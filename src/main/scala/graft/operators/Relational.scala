@@ -557,7 +557,8 @@ object Relational {
       |      FROM r GROUP BY 1)
       |SELECT segment, CAST(n AS BIGINT) AS n_orders,
       |  CAST(CAST(ROUND(t / 100, 2) AS DECIMAL(38,2)) AS DOUBLE) AS total_value,
-      |  CAST(CAST(ROUND((2*s - (n+1)*t) / (n*t), 6) AS DECIMAL(38,6)) AS DOUBLE) AS gini
+      |  CAST((2 * (2*s - (n+1)*t) * 1000000 + n*t) // (2 * n*t) AS DOUBLE)
+      |    / 1000000 AS gini
       |FROM a ORDER BY segment""".stripMargin
 
   /** Q171: BASKET PAIR CO-OCCURRENCE — market-basket mining on the
@@ -643,9 +644,10 @@ object Relational {
       |  GROUP BY 1, 2
       |  ORDER BY cnt DESC, part_a, part_b LIMIT 20)
       |SELECT part_a, part_b, CAST(cnt AS BIGINT) AS n_orders_together,
-      |  CAST(CAST(ROUND(cnt / n.n_orders, 6) AS DECIMAL(38,6)) AS DOUBLE) AS support,
-      |  CAST(CAST(ROUND(cnt * n.n_orders / (fa.pf * fb.pf), 6) AS DECIMAL(38,6)) AS DOUBLE)
-      |    AS lift
+      |  CAST((2 * cnt * 1000000 + n.n_orders) // (2 * n.n_orders) AS DOUBLE)
+      |    / 1000000 AS support,
+      |  CAST((2 * cnt * n.n_orders * 1000000 + fa.pf * fb.pf)
+      |    // (2 * fa.pf * fb.pf) AS DOUBLE) / 1000000 AS lift
       |FROM pairs
       |CROSS JOIN n
       |JOIN pf fa ON pairs.part_a = fa.pk
@@ -718,8 +720,8 @@ object Relational {
       |        FROM r CROSS JOIN t)
       |SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
       |  CAST(CAST(ROUND(SUM(c) / 100, 2) AS DECIMAL(38,2)) AS DOUBLE) AS revenue,
-      |  CAST(CAST(ROUND(SUM(c) * 100 / MAX(tot), 6) AS DECIMAL(38,6)) AS DOUBLE)
-      |    AS revenue_share_pct
+      |  CAST((2 * SUM(c) * 100000000 + MAX(tot)) // (2 * MAX(tot)) AS DOUBLE)
+      |    / 1000000 AS revenue_share_pct
       |FROM cls GROUP BY abc_class ORDER BY abc_class""".stripMargin
 
   /** Q175: RATIO-TO-PARENT CONTRIBUTION — the hierarchical BI report
@@ -773,9 +775,9 @@ object Relational {
       |      FROM base)
       |SELECT region, nation,
       |  CAST(CAST(ROUND(c / 100, 2) AS DECIMAL(38,2)) AS DOUBLE) AS revenue,
-      |  CAST(CAST(ROUND(c * 100 / rt, 6) AS DECIMAL(38,6)) AS DOUBLE)
+      |  CAST((2 * c * 100000000 + rt) // (2 * rt) AS DOUBLE) / 1000000
       |    AS share_of_region_pct,
-      |  CAST(CAST(ROUND(rt * 100 / tt, 6) AS DECIMAL(38,6)) AS DOUBLE)
+      |  CAST((2 * rt * 100000000 + tt) // (2 * tt) AS DOUBLE) / 1000000
       |    AS region_share_pct
       |FROM w ORDER BY region, nation""".stripMargin
 
@@ -843,15 +845,91 @@ object Relational {
       |SELECT nation,
       |  CAST(CAST(ROUND(r_old / 100, 2) AS DECIMAL(38,2)) AS DOUBLE) AS revenue_old,
       |  CAST(CAST(ROUND(r_new / 100, 2) AS DECIMAL(38,2)) AS DOUBLE) AS revenue_new,
-      |  CAST(CAST(ROUND(r_old * 100 / t_old, 6) AS DECIMAL(38,6)) AS DOUBLE)
+      |  CAST((2 * r_old * 100000000 + t_old) // (2 * t_old) AS DOUBLE) / 1000000
       |    AS share_old_pct,
-      |  CAST(CAST(ROUND(r_new * 100 / t_new, 6) AS DECIMAL(38,6)) AS DOUBLE)
+      |  CAST((2 * r_new * 100000000 + t_new) // (2 * t_new) AS DOUBLE) / 1000000
       |    AS share_new_pct,
-      |  CAST(CAST(ROUND((r_new * t_old - r_old * t_new) * 100 / (t_new * t_old), 6)
-      |    AS DECIMAL(38,6)) AS DOUBLE) AS share_change_pp
+      |  CAST(CASE WHEN r_new * t_old < r_old * t_new
+      |    THEN -((2 * (r_old * t_new - r_new * t_old) * 100000000 + t_new * t_old)
+      |           // (2 * t_new * t_old))
+      |    ELSE (2 * (r_new * t_old - r_old * t_new) * 100000000 + t_new * t_old)
+      |           // (2 * t_new * t_old) END AS DOUBLE) / 1000000 AS share_change_pp
       |FROM t ORDER BY nation""".stripMargin
 
+  /** Q199: RANK-DISTRIBUTION WINDOW SURFACE — percent_rank, cume_dist
+    * and percentile_cont, the three classical rank-statistics windows
+    * this suite had not yet exposed (rank/dense_rank q7, ntile q91,
+    * range frames q78 cover the rest). Per customer market segment:
+    * the top-5 orders by total price, each with its percent_rank and
+    * cume_dist within the FULL segment (ascending price order, so the
+    * top order scores ~1), joined with the segment's exact
+    * percentile_cont(0.25/0.5/0.75) price quartiles.
+    *
+    * Exactness — why these doubles carry NO rounding: percent_rank is
+    * one division (rank−1)/(n−1) of exact integers, cume_dist is
+    * peers_cum/n, and both engines produce the identical
+    * correctly-rounded IEEE double for a single division — no
+    * summation-order nondeterminism, so no dec6 is needed (rounding
+    * would only ADD a tie class). percentile_cont over integer cents
+    * interpolates at fractions {0, ¼, ½, ¾}: every intermediate is an
+    * exact multiple of 2⁻² below 2⁵³, so both engines' interpolation
+    * is exact, not merely close.
+    *
+    * Scale shape: one shuffle co-locates each segment for the rank
+    * windows (inherent to exact global rank statistics — the 100×
+    * alternative is the TwoPass targeted-rank kernel, q168/q170's
+    * path; THIS query is the built-in-surface twin), the quartile
+    * aggregate reuses the same exchange, and only the 5-per-segment
+    * winners plus the |segments|-row quartile frame leave it. */
+  def rankDistributions(spark: SparkSession, dir: String): DataFrame = {
+    val j = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"), col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("decimal(18,0)").cast("long").as("cents"))
+    val byPrice = Window.partitionBy(col("segment")).orderBy(col("cents"))
+    val pick = Window.partitionBy(col("segment"))
+      .orderBy(col("cents").desc, col("o_orderkey"))
+    val quart = j.groupBy(col("segment")).agg(
+      expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY cents)").as("p25_cents"),
+      expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY cents)").as("median_cents"),
+      expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY cents)").as("p75_cents"))
+    j.withColumn("pct_rank", percent_rank().over(byPrice))
+      .withColumn("cume_dist", cume_dist().over(byPrice))
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") <= 5)
+      .join(quart, Seq("segment"))
+      .select(col("segment"), col("o_orderkey"),
+        col("cents").as("price_cents"), col("pct_rank"), col("cume_dist"),
+        col("p25_cents"), col("median_cents"), col("p75_cents"))
+      .orderBy(col("segment"), col("price_cents").desc, col("o_orderkey"))
+  }
+
+  val rankDistributionsSql: String =
+    """WITH j AS (
+      |  SELECT c.c_mktsegment AS segment, o.o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |r AS (SELECT segment, o_orderkey, cents,
+      |        percent_rank() OVER (PARTITION BY segment ORDER BY cents) AS pct_rank,
+      |        cume_dist() OVER (PARTITION BY segment ORDER BY cents) AS cume_dist,
+      |        ROW_NUMBER() OVER (PARTITION BY segment
+      |          ORDER BY cents DESC, o_orderkey) AS rn
+      |      FROM j),
+      |p AS (SELECT segment,
+      |        percentile_cont(0.25) WITHIN GROUP (ORDER BY cents) AS p25_cents,
+      |        percentile_cont(0.5) WITHIN GROUP (ORDER BY cents) AS median_cents,
+      |        percentile_cont(0.75) WITHIN GROUP (ORDER BY cents) AS p75_cents
+      |      FROM j GROUP BY segment)
+      |SELECT r.segment, r.o_orderkey, r.cents AS price_cents,
+      |  r.pct_rank, r.cume_dist, p.p25_cents, p.median_cents, p.p75_cents
+      |FROM r JOIN p USING (segment) WHERE rn <= 5
+      |ORDER BY segment, price_cents DESC, o_orderkey""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q199_rank_distributions" -> (rankDistributions _),
     "q166_share_shift" -> (shareShift _),
     "q171_basket_pairs" -> (basketPairs _),
     "q173_abc_classification" -> (abcClassification _),
@@ -874,6 +952,7 @@ object Relational {
   )
 
   def oracles: Map[String, String] = Map(
+    "q199_rank_distributions" -> rankDistributionsSql,
     "q166_share_shift" -> shareShiftSql,
     "q171_basket_pairs" -> basketPairsSql,
     "q173_abc_classification" -> abcClassificationSql,

@@ -654,6 +654,61 @@ object Storage {
     s"""read_json('${jsonExportPath("sf0.01")}/*.json', format='newline_delimited',
        |  columns={'doc_id':'BIGINT','lang':'VARCHAR','source':'VARCHAR','text':'VARCHAR','n_chars':'BIGINT'})""".stripMargin)
 
+  /** Q198: ORC source/sink round-trip — the last built-in columnar
+    * format without coverage (q88 CSV, q90 JSONL, parquet everywhere).
+    * DuckDB cannot READ ORC, so the q88 read-the-same-files oracle is
+    * unavailable; instead this uses q125's manifest pattern: the
+    * readback is digested row-by-row (md5 over engine-stable
+    * renderings, ∅-guarded nulls) into a per-lang ledger of counts +
+    * min/max digest, and the oracle recomputes the SAME ledger from
+    * the source parquet — equality proves Spark's ORC writer+reader
+    * preserved every row and value, including the null/empty-string
+    * distinction ORC (unlike CSV) represents natively.
+    *
+    * Scale shape: the export is `_SUCCESS`-guarded (one write per
+    * process/corpus, durable-root reusable); the measured serving
+    * cost is one ORC scan with digests computed at scan time (16
+    * bytes/row past the scan) into a map-side-combined bounded
+    * per-lang frame. StorageSpec pins the physical layout (.orc
+    * files, zlib default) and readback row identity. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.Scratch.artifactPath("orc_docs", dir, "_v1")
+    if (!graft.Scratch.artifactComplete(out)) {
+      graft.Scratch.prepareArtifact(out)
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"),
+          col("n_chars"))
+        .write.mode("overwrite").orc(out)
+    }
+    def nn(c: Column): Column = coalesce(c, lit("∅"))
+    spark.read.schema(docsRoundtripSchema).orc(out)
+      .withColumn("h", md5(concat_ws("|",
+        nn(col("doc_id").cast("string")), nn(col("lang")), nn(col("source")),
+        nn(col("text")), nn(col("n_chars").cast("string")))))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("text")).as("docs_with_text"),
+        sum(col("n_chars")).cast("bigint").as("total_chars"),
+        min(col("h")).as("min_digest"),
+        max(col("h")).as("max_digest"))
+      .orderBy(col("lang"))
+  }
+
+  /** Oracle: the identical digest ledger recomputed from the source
+    * parquet (DuckDB has no ORC reader — the artifact is validated
+    * through the ledger equality, the q125 discipline). */
+  val orcRoundtripSql: String =
+    """WITH d AS (SELECT lang, text, n_chars,
+      |    md5(COALESCE(CAST(doc_id AS VARCHAR), '∅') || '|'
+      |      || COALESCE(lang, '∅') || '|' || COALESCE(source, '∅') || '|'
+      |      || COALESCE(text, '∅') || '|'
+      |      || COALESCE(CAST(n_chars AS VARCHAR), '∅')) AS h
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_docs, COUNT(text) AS docs_with_text,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  MIN(h) AS min_digest, MAX(h) AS max_digest
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Q125: EXPORT MANIFEST — the write-validation ledger for a
     * partitioned export: after writing lineitem partitioned by
     * l_returnflag, the manifest is computed from the WRITTEN artifact
@@ -898,6 +953,7 @@ object Storage {
     "q47_partitioned_prune" -> (partitionedPrune _),
     "q88_csv_roundtrip" -> (csvRoundtrip _),
     "q90_json_roundtrip" -> (jsonRoundtrip _),
+    "q198_orc_roundtrip" -> (orcRoundtrip _),
     "q48_sql_surface" -> (sqlSurface _),
     "q56_bucketed_join" -> (bucketedJoin _),
     "q68_compaction" -> (compaction _),
@@ -928,5 +984,6 @@ object Storage {
     "q85_incremental_agg" -> incrementalAggSql,
     "q88_csv_roundtrip" -> csvRoundtripSql,
     "q90_json_roundtrip" -> jsonRoundtripSql,
+    "q198_orc_roundtrip" -> orcRoundtripSql,
   )
 }

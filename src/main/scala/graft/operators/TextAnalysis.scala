@@ -212,6 +212,43 @@ object TextAnalysis {
       .orderBy(col("first_doc"))
   }
 
+  /** Q200: MD5 ROLLING-FINGERPRINT TWIN — q46's operator logic with a
+    * cross-engine hash. q46's kernel hashes char-8-grams with Spark's
+    * xxhash64 (seed 42), which DuckDB does not implement, so q46's
+    * VALUES are un-oracle-able by construction — that, not the window
+    * arithmetic, is why q46 is spec-verified. This twin swaps the gram
+    * hash to md5 and keeps everything else identical (min over all
+    * char-8-gram hashes per doc, duplicate groups with n > 1), so the
+    * rolling-fingerprint family gets a full DuckDB rows+schema+hash
+    * witness. q46 remains the fast path: its compiled rolling loop is
+    * one xxhash64 per gram with zero allocation, while md5-per-gram
+    * allocates a digest per position (~10× measured) — the exact
+    * kernel-vs-portable-twin split of q31/q30.
+    *
+    * Scale shape: identical to q46 — one projection computing a
+    * per-row scalar at scan time, one map-side-combined group on the
+    * 16-byte fingerprint, dup filter, bounded output. */
+  def rollingFingerprintMd5(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull && length(col("text")) >= 8)
+      .select(col("doc_id"), expr(
+        "array_min(transform(sequence(1, length(text) - 7)," +
+          " i -> md5(substr(text, i, 8))))").as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("first_doc"))
+  }
+
+  val rollingFingerprintMd5Sql: String =
+    """WITH g AS (
+      |  SELECT doc_id, MIN(md5(substring(text, p, 8))) AS fingerprint
+      |  FROM documents, unnest(generate_series(1, length(text) - 7)) AS u(p)
+      |  WHERE text IS NOT NULL AND length(text) >= 8
+      |  GROUP BY doc_id)
+      |SELECT fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+      |FROM g GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY first_doc""".stripMargin
+
   /** Q62: deterministic stratified sampling — the data-mixing primitive
     * of a training-data pipeline (sample each language at its own
     * rate). Sampling is CONSISTENT, not RNG-based: a multiplicative
@@ -793,6 +830,7 @@ object TextAnalysis {
     "q66_distinctive_terms" -> (distinctiveTerms _),
     "q45_bpe_tokens" -> (bpeTokens _),
     "q46_rolling_fingerprint" -> (rollingFingerprint _),
+    "q200_rolling_fp_md5" -> (rollingFingerprintMd5 _),
     "q25_token_freq" -> (tokenFreq _),
     "q26_quality_score" -> (qualityScore _),
     "q27_lang_guess" -> (langGuess _),
@@ -811,7 +849,13 @@ object TextAnalysis {
     "q62_stratified_sample" -> stratifiedSampleSql,
     "q66_distinctive_terms" -> distinctiveTermsSql,
     "q45_bpe_tokens" -> bpeTokensSql,
-    // q46 omitted: xxhash64-based, spec-tested.
+    // q46 omitted: its kernel hashes grams with Spark's xxhash64,
+    // which DuckDB does not implement — the VALUES cannot be mirrored
+    // in any oracle SQL. Spec-tested instead (StorageSpec: exact-dup
+    // agreement, determinism, bit-equality with the HOF formulation),
+    // and q200 is the md5 twin giving the SAME operator logic a full
+    // DuckDB rows+schema+hash witness.
+    "q200_rolling_fp_md5" -> rollingFingerprintMd5Sql,
     "q25_token_freq" -> tokenFreqSql,
     "q26_quality_score" -> qualityScoreSql,
     "q27_lang_guess" -> langGuessSql,

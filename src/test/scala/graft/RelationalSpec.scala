@@ -34,6 +34,28 @@ class RelationalSpec extends SparkSuite {
     assert(rankPlan.contains("BroadcastHashJoin"), rankPlan)
   }
 
+  test("q5 anti join: non-vacuity pin — orphan customers ARE reported") {
+    // the sf0.01 CORRECTNESS entry passes with 0 rows (the generator
+    // gives every customer an order), which is vacuously hash-equal;
+    // this fixture proves the anti join actually emits orphans, so the
+    // oracle entry is evidenced by a non-empty case too
+    import spark.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q5_fixture_" +
+      ProcessHandle.current().pid()
+    Scratch.deleteOnExit(dir)
+    Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L))
+      .toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((100L, 1L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((10L, "ALPHA"), (20L, "BETA")).toDF("n_nationkey", "n_name")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    val got = Relational.antiJoin(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // customer 1 has the order; 2, 3, 4 are orphans
+    assert(got === Seq(("ALPHA", 1L), ("BETA", 2L)))
+  }
+
   test("q10 top-k plans as TakeOrderedAndProject, not a global sort") {
     val p = plan(Relational.topK(spark, Sf0001))
     assert(p.contains("TakeOrderedAndProject"), p)

@@ -217,6 +217,22 @@ class StorageSpec extends SparkSuite {
     assert(agg.map(_.getAs[Long]("total_chars")).sum === trueChars)
   }
 
+  test("q198 orc round-trip: .orc layout on disk, readback preserves every row") {
+    Storage.orcRoundtrip(spark, Sf0001).collect() // builds the export
+    val out = Scratch.artifactPath("orc_docs", Sf0001, "_v1")
+    // physical layout: actual ORC part files landed (not parquet/csv)
+    val files = new java.io.File(out).listFiles()
+    assert(files.exists(_.getName.endsWith(".orc")), files.mkString(","))
+    assert(files.exists(_.getName == "_SUCCESS"))
+    // readback row identity against the source (exceptAll both ways)
+    val src = Tables.documents(spark, Sf0001)
+      .select("doc_id", "lang", "source", "text", "n_chars")
+    val back = spark.read.orc(out)
+    assert(back.count() === src.count())
+    assert(back.exceptAll(src).count() === 0)
+    assert(src.exceptAll(back).count() === 0)
+  }
+
   test("q90 json round-trip conserves rows and characters") {
     val agg = Storage.jsonRoundtrip(spark, Sf0001).collect()
     val d = Tables.documents(spark, Sf0001)

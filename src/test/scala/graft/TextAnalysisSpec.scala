@@ -69,6 +69,23 @@ class TextAnalysisSpec extends SparkSuite {
     assert(fp === textDups)
   }
 
+  test("q28 fingerprints: non-vacuity pin — duplicate texts form groups") {
+    // the sf0.01 CORRECTNESS entry passes with 0 rows (no exact dups in
+    // the generated corpus) — vacuously hash-equal; this fixture proves
+    // the registered query emits groups when dups exist
+    import spark.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q28_fixture_" +
+      ProcessHandle.current().pid()
+    Scratch.deleteOnExit(dir)
+    Seq((1L, "same text"), (2L, "same text"), (3L, "unique"), (4L, "same text"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.fingerprints(spark, dir).collect()
+    assert(got.length === 1)
+    assert(got(0).getLong(1) === 3L) // n_copies
+    assert(got(0).getLong(2) === 1L) // first_doc
+  }
+
   test("q100 BPE merges match a driver-side reference trainer") {
     import spark.implicits._
     val got = TextAnalysis.bpeMergeLearning(spark, Sf0001).collect()
