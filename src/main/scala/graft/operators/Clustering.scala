@@ -482,8 +482,9 @@ object Clustering {
   val clusterOutliersSql: String =
     s"""WITH $kmeansCtes
        |SELECT CAST(cid AS BIGINT) AS cluster_id, rk, vec_id, CAST(d AS BIGINT) AS d,
-       |  CAST(CAST(ROUND(CAST(d * n AS DECIMAL(18,0)) / NULLIF(sum_d, 0), 6)
-       |    AS DECIMAL(38,6)) AS DOUBLE) AS rel_dist
+       |  CAST(CASE WHEN sum_d > 0
+       |    THEN (2 * d * n * 1000000 + sum_d) // (2 * sum_d) END AS DOUBLE)
+       |    / 1000000 AS rel_dist
        |FROM (
        |  SELECT cid, vec_id, d,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY cid ORDER BY d DESC, vec_id) AS BIGINT) AS rk,

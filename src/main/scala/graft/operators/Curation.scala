@@ -67,7 +67,8 @@ object Curation {
       |eval_grams AS (SELECT DISTINCT gh FROM grams WHERE doc_id % 25 = 0)
       |SELECT doc_id, COUNT(*) AS n_grams,
       |  CAST(COUNT(e.gh) AS BIGINT) AS n_contaminated,
-      |  CAST(CAST(ROUND(CAST(COUNT(e.gh) AS DECIMAL(18,0)) / COUNT(*), 6) AS DECIMAL(38,6)) AS DOUBLE) AS contaminated_frac
+      |  CAST((2 * COUNT(e.gh) * 1000000 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+      |    / 1000000 AS contaminated_frac
       |FROM (SELECT * FROM grams WHERE doc_id % 25 != 0) t
       |LEFT JOIN eval_grams e USING (gh)
       |GROUP BY doc_id HAVING COUNT(e.gh) > 0
@@ -162,7 +163,8 @@ object Curation {
       |            FROM per_gram GROUP BY 1, 2)
       |SELECT source, COUNT(*) AS n_docs,
       |  CAST(SUM(CASE WHEN top_c * 100 >= total * 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
-      |  MAX(CAST(CAST(ROUND(CAST(top_c AS DECIMAL(18,0)) / total, 6) AS DECIMAL(38,6)) AS DOUBLE)) AS max_top_share
+      |  MAX(CAST((2 * top_c * 1000000 + total) // (2 * total) AS DOUBLE) / 1000000)
+      |    AS max_top_share
       |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
 
   /** Token budget per packed training sequence (the fixed context
@@ -465,7 +467,8 @@ object Curation {
        |  ORDER BY CAST(w_s AS DOUBLE) / n_s DESC, source LIMIT 1)
        |SELECT d.source AS source, c.w_s AS target_w, c.n_s AS n_source,
        |  COUNT(*) AS n_kept,
-       |  CAST(CAST(ROUND(CAST(COUNT(*) AS DECIMAL(18,0)) / c.n_s, 6) AS DECIMAL(38,6)) AS DOUBLE) AS kept_frac
+       |  CAST((2 * COUNT(*) * 1000000 + c.n_s) // (2 * c.n_s) AS DOUBLE) / 1000000
+       |    AS kept_frac
        |FROM documents d JOIN counts c USING (source) CROSS JOIN top
        |WHERE ${sampleBucketSql("d.doc_id")} * w_max * n_s < 100 * w_s * n_max
        |GROUP BY d.source, c.w_s, c.n_s ORDER BY source""".stripMargin
@@ -1033,8 +1036,10 @@ object Curation {
       |       GROUP BY 1, 2)
       |SELECT source_a, source_b, shared_grams,
       |  ta.n_grams AS grams_a, tb.n_grams AS grams_b,
-      |  CAST(CAST(ROUND(CAST(shared_grams AS DECIMAL(18,0))
-      |    / (ta.n_grams + tb.n_grams - shared_grams), 6) AS DECIMAL(38,6)) AS DOUBLE) AS jaccard
+      |  CAST((2 * shared_grams * 1000000
+      |      + (ta.n_grams + tb.n_grams - shared_grams))
+      |    // (2 * (ta.n_grams + tb.n_grams - shared_grams)) AS DOUBLE) / 1000000
+      |    AS jaccard
       |FROM sh
       |JOIN tot ta ON sh.source_a = ta.source
       |JOIN tot tb ON sh.source_b = tb.source
@@ -1110,8 +1115,8 @@ object Curation {
       |SELECT source, CAST(MAX(n_docs) AS BIGINT) AS n_docs, MAX(score) AS threshold,
       |  CAST(arg_max(cum, score) AS BIGINT) AS n_kept,
       |  CAST(arg_max(cum_tok, score) AS BIGINT) AS kept_tokens,
-      |  CAST(CAST(ROUND(CAST(arg_max(cum, score) AS DECIMAL(18,0)) / MAX(n_docs), 6)
-      |    AS DECIMAL(38,6)) AS DOUBLE) AS kept_frac
+      |  CAST((2 * arg_max(cum, score) * 1000000 + MAX(n_docs))
+      |    // (2 * MAX(n_docs)) AS DOUBLE) / 1000000 AS kept_frac
       |FROM c WHERE cum * 5 >= n_docs
       |GROUP BY source ORDER BY source""".stripMargin
 
@@ -1174,8 +1179,8 @@ object Curation {
        |  COUNT(*) AS n_batches,
        |  CAST(SUM(s) AS BIGINT) AS batch_tokens,
        |  CAST(SUM(c * mx) AS BIGINT) AS padded_tokens,
-       |  CAST(CAST(ROUND(CAST(SUM(c * mx) - SUM(s) AS DECIMAL(18,0))
-       |    / SUM(c * mx), 6) AS DECIMAL(38,6)) AS DOUBLE) AS waste_frac
+       |  CAST((2 * (SUM(c * mx) - SUM(s)) * 1000000 + SUM(c * mx))
+       |    // (2 * SUM(c * mx)) AS DOUBLE) / 1000000 AS waste_frac
        |FROM g GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin
 
   /** MinHash permutations for q119's sketch estimate. */
@@ -1328,8 +1333,8 @@ object Curation {
        |       FROM dl LEFT JOIN part p USING (doc_id), scal s)
        |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
        |  CAST(l1_score AS BIGINT) AS l1_score,
-       |  CAST(CAST(ROUND(CAST(l1_score AS DECIMAL(18,0))
-       |    / (2 * n_total * n_tokens), 6) AS DECIMAL(38,6)) AS DOUBLE) AS anomaly
+       |  CAST((2 * l1_score * 1000000 + 2 * n_total * n_tokens)
+       |    // (2 * 2 * n_total * n_tokens) AS DOUBLE) / 1000000 AS anomaly
        |FROM sc ORDER BY anomaly DESC, doc_id LIMIT 20""".stripMargin
 
   /** Q187: NEAR-DUP MIRROR MATRIX — q185's consumer and the
@@ -1389,8 +1394,8 @@ object Curation {
       |      FROM co JOIN sz sa ON doc_a = sa.doc_id
       |      JOIN sz sb ON doc_b = sb.doc_id),
       |v AS (SELECT doc_a, doc_b,
-      |        CAST(CAST(ROUND(CAST(n_inter AS DECIMAL(18,0)) / n_union, 6)
-      |          AS DECIMAL(38,6)) AS DOUBLE) AS jaccard
+      |        CAST((2 * n_inter * 1000000 + n_union) // (2 * n_union) AS DOUBLE)
+      |          / 1000000 AS jaccard
       |      FROM j WHERE 5 * n_inter >= 4 * n_union),
       |ds AS (SELECT doc_id, source FROM documents WHERE text IS NOT NULL)
       |SELECT LEAST(da.source, db.source) AS source_a,
@@ -1466,8 +1471,8 @@ object Curation {
       |x AS (SELECT
       |        CASE WHEN doc_a % 5 = 0 THEN doc_a ELSE doc_b END AS doc_id,
       |        CASE WHEN doc_a % 5 = 0 THEN doc_b ELSE doc_a END AS corpus_doc,
-      |        CAST(CAST(ROUND(CAST(n_inter AS DECIMAL(18,0)) / n_union, 6)
-      |          AS DECIMAL(38,6)) AS DOUBLE) AS jaccard
+      |        CAST((2 * n_inter * 1000000 + n_union) // (2 * n_union) AS DOUBLE)
+      |          / 1000000 AS jaccard
       |      FROM v WHERE (doc_a % 5 = 0) != (doc_b % 5 = 0)),
       |r AS (SELECT doc_id, corpus_doc, jaccard,
       |        ROW_NUMBER() OVER (PARTITION BY doc_id
@@ -1766,8 +1771,9 @@ object Curation {
        |  CAST(dr.n_old_tokens AS BIGINT) AS n_old_tokens,
        |  CAST(dr.n_new_tokens AS BIGINT) AS n_new_tokens,
        |  CAST(dr.l1_drift AS BIGINT) AS l1_drift,
-       |  CAST(CAST(ROUND(CAST(dr.l1_drift AS DECIMAL(18,0))
-       |    / (2 * dr.n_old_tokens * dr.n_new_tokens), 6) AS DECIMAL(38,6)) AS DOUBLE) AS drift
+       |  CAST((2 * dr.l1_drift * 1000000 + 2 * dr.n_old_tokens * dr.n_new_tokens)
+       |    // (2 * 2 * dr.n_old_tokens * dr.n_new_tokens) AS DOUBLE) / 1000000
+       |    AS drift
        |FROM dr JOIN nd ON dr.source = nd.source
        |ORDER BY dr.source""".stripMargin
 
@@ -1924,8 +1930,8 @@ object Curation {
        |SELECT x, y, c_xy, c_x, c_y, lift FROM (
        |  SELECT p.x, p.y, CAST(p.c_xy AS BIGINT) AS c_xy,
        |    CAST(fa.c AS BIGINT) AS c_x, CAST(fb.c AS BIGINT) AS c_y,
-       |    CAST(CAST(ROUND(CAST(p.c_xy * n.n_docs AS DECIMAL(18,0))
-       |      / (fa.c * fb.c), 6) AS DECIMAL(38,6)) AS DOUBLE) AS lift
+       |    CAST((2 * p.c_xy * n.n_docs * 1000000 + fa.c * fb.c)
+       |      // (2 * fa.c * fb.c) AS DOUBLE) / 1000000 AS lift
        |  FROM p JOIN df fa ON p.x = fa.tok JOIN df fb ON p.y = fb.tok, n
        |  WHERE p.c_xy >= $CoocMinSupport)
        |ORDER BY lift DESC, x, y LIMIT 20""".stripMargin
@@ -2553,8 +2559,8 @@ object Curation {
       |tr AS (SELECT DISTINCT source, gh FROM grams WHERE doc_id % 25 != 0)
       |SELECT tr.source, CAST(ne.n AS BIGINT) AS n_eval_grams,
       |  CAST(COUNT(e.gh) AS BIGINT) AS n_eval_grams_hit,
-      |  CAST(CAST(ROUND(CAST(COUNT(e.gh) AS DECIMAL(19,0)) / ne.n, 6)
-      |    AS DECIMAL(38,6)) AS DOUBLE) AS containment
+      |  CAST((2 * COUNT(e.gh) * 1000000 + ne.n) // (2 * ne.n) AS DOUBLE)
+      |    / 1000000 AS containment
       |FROM tr
       |LEFT JOIN eval_grams e USING (gh)
       |CROSS JOIN ne

@@ -183,7 +183,8 @@ object Dedup {
   val neardupJaccardSql: String =
     s"""WITH $neardupPairsCte
       |SELECT doc_a, doc_b,
-      |  CAST(CAST(ROUND(CAST(n_inter AS DECIMAL(18,0)) / n_union, 6) AS DECIMAL(38,6)) AS DOUBLE) AS jaccard
+      |  CAST((2 * n_inter * 1000000 + n_union) // (2 * n_union) AS DOUBLE)
+      |    / 1000000 AS jaccard
       |FROM pairs ORDER BY doc_a, doc_b""".stripMargin
 
   /** Q31: MinHash + LSH banding (X2 scale path) — 32-permutation
@@ -807,8 +808,8 @@ object Dedup {
        |      JOIN sz sb ON doc_b = sb.doc_id)
        |SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
        |  CAST(n_union AS BIGINT) AS n_union,
-       |  CAST(CAST(ROUND(CAST(n_inter AS DECIMAL(18,0)) / n_union, 6)
-       |    AS DECIMAL(38,6)) AS DOUBLE) AS jaccard
+       |  CAST((2 * n_inter * 1000000 + n_union) // (2 * n_union) AS DOUBLE)
+       |    / 1000000 AS jaccard
        |FROM j WHERE $PjDen * n_inter >= $PjNum * n_union
        |ORDER BY doc_a, doc_b""".stripMargin
 

@@ -678,9 +678,11 @@ object Events {
       |        COUNT(DISTINCT e.user_id) AS n_users
       |      FROM e JOIN f USING (user_id) GROUP BY 1, 2)
       |SELECT cohort_day, day_offset, CAST(n_users AS BIGINT) AS n_users,
-      |  CAST(CAST(ROUND(CAST(n_users AS DECIMAL(18,0))
-      |    / MAX(CASE WHEN day_offset = 0 THEN n_users END)
-      |        OVER (PARTITION BY cohort_day), 6) AS DECIMAL(38,6)) AS DOUBLE) AS retention
+      |  CAST((2 * n_users * 1000000
+      |      + MAX(CASE WHEN day_offset = 0 THEN n_users END)
+      |          OVER (PARTITION BY cohort_day))
+      |    // (2 * MAX(CASE WHEN day_offset = 0 THEN n_users END)
+      |          OVER (PARTITION BY cohort_day)) AS DOUBLE) / 1000000 AS retention
       |FROM a ORDER BY cohort_day, day_offset""".stripMargin
 
   /** Q124: BURST DETECTION — time-series anomaly flagging over the
@@ -728,8 +730,8 @@ object Events {
       |SELECT event_type, hr, CAST(n AS BIGINT) AS n,
       |  CAST(hours_prev AS BIGINT) AS hours_prev,
       |  CAST(sum_prev AS BIGINT) AS sum_prev,
-      |  CAST(CAST(ROUND(CAST(n * hours_prev AS DECIMAL(18,0)) / sum_prev, 6)
-      |    AS DECIMAL(38,6)) AS DOUBLE) AS burst_ratio
+      |  CAST((2 * n * hours_prev * 1000000 + sum_prev) // (2 * sum_prev) AS DOUBLE)
+      |    / 1000000 AS burst_ratio
       |FROM w
       |WHERE hours_prev >= 3 AND 2 * n * hours_prev > 3 * sum_prev
       |ORDER BY event_type, hr""".stripMargin
@@ -858,11 +860,11 @@ object Events {
       |SELECT event_type, COUNT(*) AS eval_hours,
       |  CAST(SUM(ABS(n - lag168)) AS BIGINT) AS sae_seasonal,
       |  CAST(SUM(ABS(n - lag1)) AS BIGINT) AS sae_persist,
-      |  CAST(CAST(ROUND(CAST(SUM(ABS(n - lag168)) AS DECIMAL(18,0))
-      |    / COUNT(*), 6) AS DECIMAL(38,6)) AS DOUBLE) AS mae_seasonal,
+      |  CAST((2 * SUM(ABS(n - lag168)) * 1000000 + COUNT(*)) // (2 * COUNT(*))
+      |    AS DOUBLE) / 1000000 AS mae_seasonal,
       |  CASE WHEN SUM(ABS(n - lag168)) > 0 THEN
-      |    CAST(CAST(ROUND(CAST(SUM(ABS(n - lag1)) AS DECIMAL(18,0))
-      |      / SUM(ABS(n - lag168)), 6) AS DECIMAL(38,6)) AS DOUBLE)
+      |    CAST((2 * SUM(ABS(n - lag1)) * 1000000 + SUM(ABS(n - lag168)))
+      |      // (2 * SUM(ABS(n - lag168))) AS DOUBLE) / 1000000
       |  END AS skill
       |FROM w WHERE lag168 IS NOT NULL AND lag1 IS NOT NULL
       |GROUP BY event_type ORDER BY event_type""".stripMargin
@@ -927,8 +929,8 @@ object Events {
       |SELECT profile, CAST(n_rows AS BIGINT) AS n_rows,
       |  CAST(n_keys AS BIGINT) AS n_keys,
       |  CAST(mx AS BIGINT) AS max_key_rows, tk AS top_key,
-      |  CAST(CAST(ROUND(CAST(mx * n_keys AS DECIMAL(18,0)) / n_rows, 6)
-      |    AS DECIMAL(38,6)) AS DOUBLE) AS skew_ratio
+      |  CAST((2 * mx * n_keys * 1000000 + n_rows) // (2 * n_rows) AS DOUBLE)
+      |    / 1000000 AS skew_ratio
       |FROM u ORDER BY profile""".stripMargin
 
   /** Q136: TIME-WEIGHTED AVERAGE — the sensor/pricing semantics every

@@ -171,7 +171,8 @@ object Indexes {
        |batch AS (SELECT doc_id, gh FROM grams WHERE doc_id % $BatchMod = 0)
        |SELECT b.doc_id, COUNT(*) AS n_grams,
        |  CAST(COUNT(c.gh) AS BIGINT) AS n_shared,
-       |  CAST(CAST(ROUND(CAST(COUNT(c.gh) AS DECIMAL(18,0)) / COUNT(*), 6) AS DECIMAL(38,6)) AS DOUBLE) AS shared_frac
+       |  CAST((2 * COUNT(c.gh) * 1000000 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+       |    / 1000000 AS shared_frac
        |FROM batch b LEFT JOIN corpus c USING (gh)
        |GROUP BY b.doc_id HAVING COUNT(c.gh) > 0
        |ORDER BY doc_id""".stripMargin

@@ -99,7 +99,8 @@ object TextAnalysis {
       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
       |scored AS (
       |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
-      |    CAST(CAST(ROUND(CAST(tf.tf * n.n_docs AS DECIMAL(18,0)) / df.df, 6) AS DECIMAL(38,6)) AS DOUBLE) AS score
+      |    CAST((2 * tf.tf * n.n_docs * 1000000 + df.df) // (2 * df.df) AS DOUBLE)
+      |      / 1000000 AS score
       |  FROM tf JOIN df USING (token) CROSS JOIN n)
       |SELECT doc_id, rnk, token, tf, df, score FROM (
       |  SELECT doc_id, token, tf, df, score,
@@ -127,10 +128,12 @@ object TextAnalysis {
     s"""SELECT doc_id, lang, n_chars,
        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
-       |  CAST(CAST(ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DECIMAL(18,0))
-       |    / len(string_split(text, ' ')), 6) AS DECIMAL(38,6)) AS DOUBLE) AS ttr,
-       |  CAST(CAST(ROUND(CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopwordSqlList))) AS DECIMAL(18,0))
-       |    / len(string_split(text, ' ')), 6) AS DECIMAL(38,6)) AS DOUBLE) AS stopword_ratio
+       |  CAST((2 * len(list_distinct(string_split(text, ' '))) * 1000000
+       |    + len(string_split(text, ' ')))
+       |    // (2 * len(string_split(text, ' '))) AS DOUBLE) / 1000000 AS ttr,
+       |  CAST((2 * len(list_filter(string_split(text, ' '), t -> t IN ($stopwordSqlList))) * 1000000
+       |    + len(string_split(text, ' ')))
+       |    // (2 * len(string_split(text, ' '))) AS DOUBLE) / 1000000 AS stopword_ratio
        |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Q27: language-ID heuristic — English function-word hit ratio vs the
