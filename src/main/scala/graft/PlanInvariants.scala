@@ -73,7 +73,11 @@ object PlanInvariants {
     Set("q33_cosine_topk", "q35_label_centroids", "q66_distinctive_terms",
       "q89_token_rarity", "q93_mixture_resample", "q120_distribution_anomaly",
       "q121_rp_ann", "q130_token_cooccurrence", "q134_skew_profile",
-      "q140_dup_triangles")
+      "q140_dup_triangles",
+      // q203/q205: q33's brute-force-baseline rationale — the bounded
+      // query frame broadcasts into the corpus scan under a non-equi
+      // (id/label inequality) condition
+      "q203_hard_negatives", "q205_truncation_recall")
 
   /** Per-query shuffle ceilings above the [[defaultShuffleCeiling]].
     * These are the audited round-5 counts — intentionally exact, so an

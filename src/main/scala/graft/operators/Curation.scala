@@ -2567,7 +2567,70 @@ object Curation {
       |GROUP BY tr.source, ne.n
       |ORDER BY tr.source""".stripMargin
 
+  /** Q202: BOILERPLATE PREFIX/SUFFIX DETECTION — the template-header/
+    * footer signal web-corpus curation cuts on (CCNet/RefinedWeb strip
+    * repeated page chrome before any quality scoring): per source, the
+    * most common LEADING 3-token prefix and TRAILING 3-token suffix
+    * across documents, with the share of docs carrying it. A source
+    * whose docs overwhelmingly open or close with one fixed phrase is
+    * templated; the gram itself tells the curator what to strip. This
+    * is the cross-DOC template axis — orthogonal to q73 (within-doc
+    * repetition) and q30/q185 (whole-doc near-dup): a thin boilerplate
+    * header never clears a whole-document Jaccard threshold.
+    *
+    * Scale shape: one scan emitting two fixed-width (source, kind,
+    * gram) rows per doc — never the document — into a map-side-
+    * combined count; the top-1 window and share arithmetic run on the
+    * bounded (source × distinct-gram) frame; doc totals broadcast. */
+  def boilerplateDetection(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("source"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+    val grams = d.select(col("source"), lit("prefix").as("kind"),
+        concat_ws(" ", slice(col("t"), 1, 3)).as("gram"))
+      .unionByName(d.select(col("source"), lit("suffix").as("kind"),
+        concat_ws(" ", slice(col("t"), -3, 3)).as("gram")))
+    val counts = grams.groupBy(col("source"), col("kind"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+    val tot = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("source"), col("kind"))
+      .orderBy(col("c").desc, col("gram"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(broadcast(tot), Seq("source"))
+      .select(col("source"), col("kind"), col("gram").as("top_gram"),
+        col("c").cast("bigint").as("n_docs_with_gram"),
+        col("n_docs").cast("bigint").as("n_docs"),
+        dec6(col("c").cast("decimal(19,0)")
+          / col("n_docs").cast("decimal(19,0)")).as("share"))
+      .orderBy(col("source"), col("kind"))
+  }
+
+  val boilerplateDetectionSql: String =
+    """WITH d AS (
+      |  SELECT source, string_split(text, ' ') AS t
+      |  FROM documents WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 3),
+      |g AS (
+      |  SELECT source, 'prefix' AS kind, array_to_string(t[1:3], ' ') AS gram FROM d
+      |  UNION ALL
+      |  SELECT source, 'suffix', array_to_string(t[-3:], ' ') FROM d),
+      |c AS (SELECT source, kind, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+      |tot AS (SELECT source, COUNT(*) AS n_docs FROM d GROUP BY 1),
+      |r AS (SELECT source, kind, gram, c,
+      |        ROW_NUMBER() OVER (PARTITION BY source, kind
+      |          ORDER BY c DESC, gram) AS rn
+      |      FROM c)
+      |SELECT r.source, r.kind, r.gram AS top_gram,
+      |  CAST(r.c AS BIGINT) AS n_docs_with_gram,
+      |  CAST(tot.n_docs AS BIGINT) AS n_docs,
+      |  CAST((2 * r.c * 1000000 + tot.n_docs) // (2 * tot.n_docs) AS DOUBLE)
+      |    / 1000000 AS share
+      |FROM r JOIN tot ON r.source = tot.source
+      |WHERE rn = 1 ORDER BY r.source, r.kind""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q202_boilerplate" -> (boilerplateDetection _),
     "q179_containment_matrix" -> (containmentMatrix _),
     "q160_waterfill_mixture" -> (waterfillMixture _),
     "q149_rag_chunking" -> (ragChunking _),
@@ -2605,6 +2668,7 @@ object Curation {
   )
 
   def oracles: Map[String, String] = Map(
+    "q202_boilerplate" -> boilerplateDetectionSql,
     "q179_containment_matrix" -> containmentMatrixSql,
     "q160_waterfill_mixture" -> waterfillMixtureSql,
     "q149_rag_chunking" -> ragChunkingSql,

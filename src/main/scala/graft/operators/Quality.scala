@@ -762,7 +762,76 @@ object Quality {
        |  END AS auc
        |FROM r""".stripMargin
 
+  /** Q204: L-DIVERSITY AUDIT — q143's companion: k-anonymity bounds
+    * RE-IDENTIFICATION (group too small), but a large group whose
+    * SENSITIVE attribute is homogeneous still leaks it to anyone who
+    * can place a row in the group (attribute disclosure). Sensitive
+    * bit here: the customer's debt flag (acctbal < 0). Per
+    * generalization rung, the groups with fewer than 2 distinct
+    * sensitive values, the rows exposed by them, and the worst
+    * diversity — the l ≥ 2 report a release gate reads next to q143's
+    * k ≥ 5 one.
+    *
+    * Scale shape: identical to q143 — one map-side-combined
+    * aggregation per rung into the bounded QI frame, bounded rollup,
+    * broadcast dims. Diversity of the BOOLEAN sensitive attribute is
+    * computed as has_true + has_false (two conditional maxes), NOT
+    * COUNT(DISTINCT): the distinct-agg form triggers Spark's Expand
+    * rewrite (the NOTES mixed-distinct trap — observed +2 exchanges
+    * per rung when first written that way) while the max form
+    * combines map-side like any plain aggregate. */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_mktsegment").as("segment"),
+        col("n_name").as("nation"), col("r_name").as("region"),
+        (col("c_acctbal") < 0).as("in_debt"))
+    def audit(level: String, qi: Seq[String]): DataFrame =
+      base.groupBy(qi.map(col): _*)
+        .agg(count(lit(1)).as("sz"),
+          (max(when(col("in_debt"), 1L).otherwise(0L))
+            + max(when(col("in_debt"), 0L).otherwise(1L))).as("ldiv"))
+        .agg(lit(level).as("level"),
+          count(lit(1)).as("n_groups"),
+          sum(when(col("ldiv") < 2, 1L).otherwise(0L)).cast("bigint")
+            .as("n_homogeneous_groups"),
+          sum(when(col("ldiv") < 2, col("sz")).otherwise(0L)).cast("bigint")
+            .as("n_rows_exposed"),
+          min(col("ldiv")).cast("bigint").as("min_diversity"))
+    audit("1_segment_nation", Seq("segment", "nation"))
+      .unionByName(audit("2_segment_region", Seq("segment", "region")))
+      .orderBy(col("level"))
+  }
+
+  val lDiversitySql: String =
+    """WITH base AS (
+      |  SELECT c_mktsegment AS segment, n_name AS nation, r_name AS region,
+      |    c_acctbal < 0 AS in_debt
+      |  FROM customer
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey),
+      |g1 AS (SELECT COUNT(*) AS sz, COUNT(DISTINCT in_debt) AS ldiv
+      |       FROM base GROUP BY segment, nation),
+      |g2 AS (SELECT COUNT(*) AS sz, COUNT(DISTINCT in_debt) AS ldiv
+      |       FROM base GROUP BY segment, region)
+      |SELECT '1_segment_nation' AS level, COUNT(*) AS n_groups,
+      |  CAST(SUM(CASE WHEN ldiv < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_homogeneous_groups,
+      |  CAST(SUM(CASE WHEN ldiv < 2 THEN sz ELSE 0 END) AS BIGINT) AS n_rows_exposed,
+      |  CAST(MIN(ldiv) AS BIGINT) AS min_diversity
+      |FROM g1
+      |UNION ALL
+      |SELECT '2_segment_region', COUNT(*),
+      |  CAST(SUM(CASE WHEN ldiv < 2 THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(SUM(CASE WHEN ldiv < 2 THEN sz ELSE 0 END) AS BIGINT),
+      |  CAST(MIN(ldiv) AS BIGINT)
+      |FROM g2
+      |ORDER BY level""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q204_l_diversity" -> (lDiversity _),
     "q172_auc_scorer" -> (aucScorer _),
     "q165_deletion_cascade" -> (deletionCascade _),
     "q79_constraint_suite" -> (constraintSuite _),
@@ -777,6 +846,7 @@ object Quality {
   )
 
   def oracles: Map[String, String] = Map(
+    "q204_l_diversity" -> lDiversitySql,
     "q79_constraint_suite" -> constraintSuiteSql,
     "q80_snapshot_diff" -> snapshotDiffSql,
     "q141_winsorized_stats" -> winsorizedStatsSql,

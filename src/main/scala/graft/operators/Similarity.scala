@@ -467,7 +467,133 @@ object Similarity {
        |FROM ca JOIN cb ON ca.label = cb.label AND ca.pos = cb.pos
        |GROUP BY ca.label ORDER BY ca.label""".stripMargin
 
+  /** Q203: HARD-NEGATIVE MINING — the contrastive-training data pass
+    * (DPR/SimCSE discipline): for each query vector, the top-3 most
+    * similar corpus vectors whose LABEL DIFFERS from the query's own —
+    * the near-misses a contrastive loss learns most from (random
+    * negatives are trivially far; same-label neighbors are positives).
+    * Same brute-force baseline contract as q33: this is the oracled
+    * exact path, and the q59 IVF probe with a label post-filter is the
+    * 10⁹-vector path (probe buckets, rerank, drop same-label).
+    *
+    * Scale shape: bounded query frame broadcast into one corpus scan
+    * (BNLJ by design, q33's allowlist rationale); per-query top-3 via
+    * rank window over the scored scan. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"), col("label"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("label").as("q_label"))
+    val sims = e.join(broadcast(q),
+        col("vec_id") =!= col("query_id") && col("label") =!= col("q_label"))
+      .withColumn("sim", dec6(round(cosineSimilarity(col("q_emb"), col("emb")), 6)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("q_label"), col("rnk"),
+        col("vec_id"), col("label").as("neg_label"), col("sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb, label AS q_label
+       |  FROM embeddings WHERE vec_id < $NQueries),
+       |sims AS (
+       |  SELECT q.query_id, q.q_label, e.vec_id, e.label AS neg_label,
+       |    CAST(CAST(ROUND(list_cosine_similarity(q.q_emb, e.embedding::DOUBLE[]), 6) AS DECIMAL(38,6)) AS DOUBLE) AS sim
+       |  FROM embeddings e, q
+       |  WHERE e.vec_id <> q.query_id AND e.label <> q.q_label)
+       |SELECT query_id, q_label, rnk, vec_id, neg_label, sim FROM (
+       |  SELECT query_id, q_label, vec_id, neg_label, sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk
+       |  FROM sims)
+       |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+
+  /** Dimension prefix length for [[truncationRecall]]. */
+  private val TruncDims = 16
+
+  /** Q205: EMBEDDING-TRUNCATION RECALL AUDIT — the Matryoshka-
+    * representation eval an embedding pipeline runs before serving
+    * truncated vectors (MRL stores one 64-dim vector, serves the
+    * 16-dim prefix at 4× density): for each query, how many of the
+    * exact full-dimension top-k survive when BOTH sides of the search
+    * are truncated to the first [[TruncDims]] dims? recall@k per
+    * query is the deployment go/no-go number.
+    *
+    * Exactness: both rankings round sims to dec6 with a vec_id
+    * tiebreak before ranking (the q33 convention), so rank sets are
+    * deterministic in both engines; the overlap count is integer and
+    * recall divides by the constant k=$K (power-of-ten-free but
+    * CONSTANT — emitted as n/k in correctly-rounded double, identical
+    * in both engines).
+    *
+    * Scale shape: two scored scans over the same broadcast query
+    * frame (full and sliced), each a per-query top-k window; the
+    * overlap join moves only (query_id, vec_id) rank keys. */
+  def truncationRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    def topIds(simOf: (Column, Column) => Column): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("sim", dec6(round(simOf(col("q_emb"), col("emb")), 6)))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= K)
+        .select(col("query_id"), col("vec_id"))
+    }
+    val full = topIds((a, b) => cosineSimilarity(a, b))
+    val trunc = topIds((a, b) =>
+      cosineSimilarity(slice(a, 1, TruncDims), slice(b, 1, TruncDims)))
+    full.join(trunc, Seq("query_id", "vec_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .join(q.select(col("query_id")), Seq("query_id"), "right")
+      .select(col("query_id"),
+        lit(K.toLong).as("k"),
+        coalesce(col("n_overlap"), lit(0L)).cast("bigint").as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)).cast("double") / K).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
+  val truncationRecallSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+       |  FROM embeddings WHERE vec_id < $NQueries),
+       |fsims AS (
+       |  SELECT q.query_id, e.vec_id,
+       |    CAST(CAST(ROUND(list_cosine_similarity(q.q_emb, e.embedding::DOUBLE[]), 6) AS DECIMAL(38,6)) AS DOUBLE) AS sim
+       |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+       |tsims AS (
+       |  SELECT q.query_id, e.vec_id,
+       |    CAST(CAST(ROUND(list_cosine_similarity(q.q_emb[1:$TruncDims],
+       |      (e.embedding::DOUBLE[])[1:$TruncDims]), 6) AS DECIMAL(38,6)) AS DOUBLE) AS sim
+       |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+       |ftop AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+       |    FROM fsims) WHERE rnk <= $K),
+       |ttop AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+       |    FROM tsims) WHERE rnk <= $K),
+       |ov AS (SELECT f.query_id, COUNT(*) AS n_overlap
+       |       FROM ftop f JOIN ttop t ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+       |       GROUP BY 1)
+       |SELECT q.query_id, CAST($K AS BIGINT) AS k,
+       |  CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       |  CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / $K AS recall
+       |FROM q LEFT JOIN ov ON q.query_id = ov.query_id
+       |ORDER BY q.query_id""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q203_hard_negatives" -> (hardNegatives _),
+    "q205_truncation_recall" -> (truncationRecall _),
     "q121_rp_ann" -> (rpAnn _),
     "q133_embedding_drift" -> (embeddingDrift _),
     "q33_cosine_topk" -> (cosineTopK _),
@@ -478,6 +604,8 @@ object Similarity {
   )
 
   def oracles: Map[String, String] = Map(
+    "q203_hard_negatives" -> hardNegativesSql,
+    "q205_truncation_recall" -> truncationRecallSql,
     "q121_rp_ann" -> rpAnnSql,
     "q133_embedding_drift" -> embeddingDriftSql,
     "q33_cosine_topk" -> cosineTopKSql,
