@@ -74,10 +74,11 @@ object PlanInvariants {
       "q89_token_rarity", "q93_mixture_resample", "q120_distribution_anomaly",
       "q121_rp_ann", "q130_token_cooccurrence", "q134_skew_profile",
       "q140_dup_triangles",
-      // q203/q205: q33's brute-force-baseline rationale — the bounded
-      // query frame broadcasts into the corpus scan under a non-equi
-      // (id/label inequality) condition
-      "q203_hard_negatives", "q205_truncation_recall")
+      // q203/q205/q206/q207: q33's brute-force-baseline rationale — the
+      // bounded query frame broadcasts into the corpus scan under a
+      // non-equi (id/label inequality) condition
+      "q203_hard_negatives", "q205_truncation_recall",
+      "q206_label_precision", "q207_rrf_fusion")
 
   /** Per-query shuffle ceilings above the [[defaultShuffleCeiling]].
     * These are the audited round-5 counts — intentionally exact, so an
@@ -144,7 +145,14 @@ object PlanInvariants {
       "q185_prefix_jaccard_join" -> 5,
       // q187 embeds q185's five-exchange pipeline and adds the bounded
       // source-pair rollup; the doc->source joins are broadcasts
-      "q187_mirror_matrix" -> 6)
+      "q187_mirror_matrix" -> 6,
+      // q207 fuses two independently-ranked lists: after the two top-k
+      // windows every frame is bounded by NQueries·K (≤ 50 rows), and
+      // Spark cannot broadcast ANY side of a FULL OUTER join — so the
+      // fuse join pays two bounded exchanges plus the fused-rank
+      // window and output sort. Six exchanges, four of which carry
+      // ≤ 2k rows per query at any corpus size.
+      "q207_rrf_fusion" -> 6)
 
   /** Every other plan holds at <= 4 exchanges today (audited r5). */
   val defaultShuffleCeiling: Int = 4

@@ -591,7 +591,157 @@ object Similarity {
        |FROM q LEFT JOIN ov ON q.query_id = ov.query_id
        |ORDER BY q.query_id""".stripMargin
 
+  /** Q206: LABEL PRECISION@K — the intrinsic embedding-space quality
+    * eval (the kNN-probe every representation paper reports): for each
+    * query, what fraction of its exact cosine top-k carries the
+    * query's OWN label? High precision ⇒ the space clusters by label ⇒
+    * q110's SemDeDup and q203's hard negatives are meaningful; low
+    * precision is the first thing to check when either misbehaves.
+    *
+    * Exactness: the ranking is q33's (dec6 sims + vec_id tiebreak);
+    * the hit count is integer; precision divides by constant k —
+    * correctly-rounded double, identical in both engines.
+    *
+    * Scale shape: one scored corpus scan against the broadcast query
+    * frame, per-query top-k window, bounded conditional count. */
+  def labelPrecision(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"), col("label"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("label").as("q_label"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("sim", dec6(round(cosineSimilarity(col("q_emb"), col("emb")), 6)))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .groupBy(col("query_id"), col("q_label"))
+      .agg(sum(when(col("label") === col("q_label"), 1L).otherwise(0L))
+        .cast("bigint").as("n_same_label"))
+      .select(col("query_id"), col("q_label"), lit(K.toLong).as("k"),
+        col("n_same_label"),
+        (col("n_same_label").cast("double") / K).as("precision"))
+      .orderBy(col("query_id"))
+  }
+
+  val labelPrecisionSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb, label AS q_label
+       |  FROM embeddings WHERE vec_id < $NQueries),
+       |sims AS (
+       |  SELECT q.query_id, q.q_label, e.vec_id, e.label,
+       |    CAST(CAST(ROUND(list_cosine_similarity(q.q_emb, e.embedding::DOUBLE[]), 6) AS DECIMAL(38,6)) AS DOUBLE) AS sim
+       |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+       |top AS (SELECT query_id, q_label, label FROM (
+       |    SELECT query_id, q_label, label,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+       |    FROM sims) WHERE rnk <= $K)
+       |SELECT query_id, q_label, CAST($K AS BIGINT) AS k,
+       |  CAST(SUM(CASE WHEN label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_same_label,
+       |  CAST(SUM(CASE WHEN label = q_label THEN 1 ELSE 0 END) AS DOUBLE) / $K AS precision
+       |FROM top GROUP BY query_id, q_label ORDER BY query_id""".stripMargin
+
+  /** RRF rank constant (Cormack et al. 2009's k = 60). */
+  private val RrfK = 60
+
+  /** Q207: RECIPROCAL-RANK FUSION — the standard hybrid-retrieval
+    * combiner (RRF, TREC 2009; what every lexical+vector stack ships):
+    * fuse the full-dimension exact ranking with the 16-dim truncated
+    * ranking (q205's two lists) into one list by score
+    * Σ 1/(60 + rank), and report each query's fused top-5 with
+    * list-membership flags. Fusing EXACT with TRUNCATED is the
+    * cheap-first serving pattern: the truncated list is 4× denser to
+    * scan, and RRF recovers most full-dim quality without a rerank.
+    *
+    * Exactness: each reciprocal is rounded to integer micro-units via
+    * (2·10⁶ + d)//(2d) BEFORE summing (layered rounding, declared —
+    * the q151 discipline), so scores are exact BIGINT sums in both
+    * engines; ties break by vec_id.
+    *
+    * Scale shape: two scored scans (shared broadcast query frame),
+    * two top-k windows, then all arithmetic on the ≤ 2k-per-query
+    * fused key frame. */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    def ranked(simOf: (Column, Column) => Column, out: String): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("sim", dec6(round(simOf(col("q_emb"), col("emb")), 6)))
+        .withColumn(out, row_number().over(w))
+        .filter(col(out) <= K)
+        .select(col("query_id"), col("vec_id"), col(out))
+    }
+    val full = ranked((a, b) => cosineSimilarity(a, b), "rnk_full")
+    val trunc = ranked((a, b) =>
+      cosineSimilarity(slice(a, 1, TruncDims), slice(b, 1, TruncDims)), "rnk_trunc")
+    val fused = full.join(trunc, Seq("query_id", "vec_id"), "full_outer")
+      .withColumn("m_full", when(col("rnk_full").isNotNull,
+        expr(s"(2 * 1000000 + ($RrfK + rnk_full)) div (2 * ($RrfK + rnk_full))"))
+        .otherwise(0L))
+      .withColumn("m_trunc", when(col("rnk_trunc").isNotNull,
+        expr(s"(2 * 1000000 + ($RrfK + rnk_trunc)) div (2 * ($RrfK + rnk_trunc))"))
+        .otherwise(0L))
+      .withColumn("score6", (col("m_full") + col("m_trunc")).cast("bigint"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score6").desc, col("vec_id"))
+    fused.withColumn("fused_rank", row_number().over(w).cast("bigint"))
+      .filter(col("fused_rank") <= 5)
+      .select(col("query_id"), col("fused_rank"), col("vec_id"),
+        (col("score6").cast("double") / 1000000).as("rrf_score"),
+        col("rnk_full").isNotNull.as("in_full"),
+        col("rnk_trunc").isNotNull.as("in_trunc"))
+      .orderBy(col("query_id"), col("fused_rank"))
+  }
+
+  val rrfFusionSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+       |  FROM embeddings WHERE vec_id < $NQueries),
+       |fsims AS (
+       |  SELECT q.query_id, e.vec_id,
+       |    CAST(CAST(ROUND(list_cosine_similarity(q.q_emb, e.embedding::DOUBLE[]), 6) AS DECIMAL(38,6)) AS DOUBLE) AS sim
+       |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+       |tsims AS (
+       |  SELECT q.query_id, e.vec_id,
+       |    CAST(CAST(ROUND(list_cosine_similarity(q.q_emb[1:$TruncDims],
+       |      (e.embedding::DOUBLE[])[1:$TruncDims]), 6) AS DECIMAL(38,6)) AS DOUBLE) AS sim
+       |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+       |ftop AS (SELECT query_id, vec_id, rnk AS rnk_full FROM (
+       |    SELECT query_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+       |    FROM fsims) WHERE rnk <= $K),
+       |ttop AS (SELECT query_id, vec_id, rnk AS rnk_trunc FROM (
+       |    SELECT query_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+       |    FROM tsims) WHERE rnk <= $K),
+       |fused AS (
+       |  SELECT COALESCE(f.query_id, t.query_id) AS query_id,
+       |    COALESCE(f.vec_id, t.vec_id) AS vec_id, f.rnk_full, t.rnk_trunc,
+       |    (CASE WHEN f.rnk_full IS NOT NULL
+       |       THEN (2 * 1000000 + ($RrfK + f.rnk_full)) // (2 * ($RrfK + f.rnk_full))
+       |       ELSE 0 END
+       |     + CASE WHEN t.rnk_trunc IS NOT NULL
+       |       THEN (2 * 1000000 + ($RrfK + t.rnk_trunc)) // (2 * ($RrfK + t.rnk_trunc))
+       |       ELSE 0 END) AS score6
+       |  FROM ftop f FULL OUTER JOIN ttop t
+       |    ON f.query_id = t.query_id AND f.vec_id = t.vec_id)
+       |SELECT query_id, fused_rank, vec_id,
+       |  CAST(score6 AS DOUBLE) / 1000000 AS rrf_score,
+       |  rnk_full IS NOT NULL AS in_full,
+       |  rnk_trunc IS NOT NULL AS in_trunc
+       |FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY score6 DESC, vec_id) AS BIGINT) AS fused_rank
+       |      FROM fused)
+       |WHERE fused_rank <= 5 ORDER BY query_id, fused_rank""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q206_label_precision" -> (labelPrecision _),
+    "q207_rrf_fusion" -> (rrfFusion _),
     "q203_hard_negatives" -> (hardNegatives _),
     "q205_truncation_recall" -> (truncationRecall _),
     "q121_rp_ann" -> (rpAnn _),
@@ -604,6 +754,8 @@ object Similarity {
   )
 
   def oracles: Map[String, String] = Map(
+    "q206_label_precision" -> labelPrecisionSql,
+    "q207_rrf_fusion" -> rrfFusionSql,
     "q203_hard_negatives" -> hardNegativesSql,
     "q205_truncation_recall" -> truncationRecallSql,
     "q121_rp_ann" -> rpAnnSql,
