@@ -884,7 +884,96 @@ object Dedup {
       |  CAST(SUM(freq) AS BIGINT) AS n_rows
       |FROM ranked GROUP BY entity ORDER BY entity""".stripMargin
 
+  /** Thresholds (percent) swept by [[dedupSensitivity]]. */
+  private val SensitivityThresholds = Seq(80, 85, 90, 95, 100)
+
+  /** Q208: DEDUP THRESHOLD SENSITIVITY — the capacity-planning sweep a
+    * team runs BEFORE committing to a near-dup threshold: for each
+    * candidate θ (80..100%, all ≥ the q185 artifact's 0.8 build
+    * threshold, so the artifact is complete for every row), the
+    * verified pair count, distinct documents involved, and their share
+    * of the corpus. Read together the rows say how sharply dedup yield
+    * falls as θ tightens — the number that decides θ, which then
+    * decides q63/q64/q196's entire downstream.
+    *
+    * Exactness: a pair passes θ iff 100·n_inter ≥ θ·n_union — pure
+    * integer cross-multiplication, never a float threshold. The corpus
+    * doc count is a 1-value driver scalar (q167's bounded-control-flow
+    * pattern — keeps the share arithmetic out of a single-row BNLJ).
+    *
+    * Scale shape: one read of the persisted pair artifact, a 5-way
+    * generator explode ON THE BOUNDED PAIR FRAME (never the corpus),
+    * distinct + two map-side-combined counts into the 5-row report. */
+  def dedupSensitivity(spark: SparkSession, dir: String): DataFrame = {
+    val nDocs = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull).count() // 1-value driver scalar
+    val pairs = prefixPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"))
+    val swept = pairs
+      .withColumn("th_pct",
+        explode(typedLit(SensitivityThresholds)))
+      .filter(lit(100) * col("n_inter") >= col("th_pct") * col("n_union"))
+    val pairCounts = swept.groupBy(col("th_pct"))
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"))
+    val docCounts = swept
+      .select(col("th_pct"), explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .distinct()
+      .groupBy(col("th_pct"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs_affected"))
+    // report FROM the threshold dimension: a θ at which zero pairs
+    // survive must still report (θ, 0, 0, 0) — a silently-missing row
+    // reads as "not swept", the no-silent-caps rule
+    val th = spark.range(1)
+      .select(explode(typedLit(SensitivityThresholds)).as("th_pct"))
+    th.join(pairCounts, Seq("th_pct"), "left")
+      .join(docCounts, Seq("th_pct"), "left")
+      .select(col("th_pct").cast("int").as("th_pct"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_affected"), lit(0L)).as("n_docs_affected"),
+        dec6(coalesce(col("n_docs_affected"), lit(0L)).cast("decimal(19,0)")
+          / lit(nDocs).cast("decimal(19,0)")).as("affected_share"))
+      .orderBy(col("th_pct"))
+  }
+
+  /** Oracle: the q185 brute-force co-occurrence chain (completeness
+    * argument at [[prefixJaccardJoinSql]]) swept over the same integer
+    * thresholds. */
+  val dedupSensitivitySql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+       |           FROM documents WHERE text IS NOT NULL),
+       |shl AS (SELECT doc_id,
+       |         list_distinct(list_transform(generate_series(1, len(t) - 2),
+       |           g -> array_to_string(t[g:g+2], ' '))) AS ts
+       |       FROM d WHERE len(t) >= 3),
+       |sz AS (SELECT doc_id, len(ts) AS s FROM shl),
+       |grams AS (SELECT doc_id, unnest(ts) AS sh FROM shl),
+       |co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+       |       FROM grams a JOIN grams b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |p AS (SELECT doc_a, doc_b, n_inter, sa.s + sb.s - n_inter AS n_union
+       |      FROM co JOIN sz sa ON doc_a = sa.doc_id
+       |      JOIN sz sb ON doc_b = sb.doc_id
+       |      WHERE $PjDen * n_inter >= $PjNum * (sa.s + sb.s - n_inter)),
+       |th(th_pct) AS (VALUES (80), (85), (90), (95), (100)),
+       |sel AS (SELECT th.th_pct, doc_a, doc_b, n_inter, n_union
+       |        FROM p, th WHERE 100 * n_inter >= th.th_pct * n_union),
+       |pc AS (SELECT th_pct, COUNT(*) AS n_pairs FROM sel GROUP BY 1),
+       |dc AS (SELECT th_pct, COUNT(*) AS n_docs_affected FROM (
+       |         SELECT DISTINCT th_pct, doc_a AS dd FROM sel
+       |         UNION SELECT DISTINCT th_pct, doc_b FROM sel)
+       |       GROUP BY 1),
+       |nd AS (SELECT COUNT(*) AS n FROM documents WHERE text IS NOT NULL)
+       |SELECT CAST(th.th_pct AS INT) AS th_pct,
+       |  CAST(COALESCE(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+       |  CAST(COALESCE(dc.n_docs_affected, 0) AS BIGINT) AS n_docs_affected,
+       |  CAST((2 * COALESCE(dc.n_docs_affected, 0) * 1000000 + nd.n)
+       |    // (2 * nd.n) AS DOUBLE) / 1000000 AS affected_share
+       |FROM th LEFT JOIN pc ON th.th_pct = pc.th_pct
+       |LEFT JOIN dc ON th.th_pct = dc.th_pct CROSS JOIN nd
+       |ORDER BY th_pct""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q208_dedup_sensitivity" -> (dedupSensitivity _),
     "q185_prefix_jaccard_join" -> (prefixJaccardJoin _),
     "q196_token_yield" -> (tokenYield _),
     "q162_golden_records" -> (goldenRecords _),
@@ -900,6 +989,7 @@ object Dedup {
   )
 
   def oracles: Map[String, String] = Map(
+    "q208_dedup_sensitivity" -> dedupSensitivitySql,
     "q185_prefix_jaccard_join" -> prefixJaccardJoinSql,
     "q196_token_yield" -> tokenYieldSql,
     "q162_golden_records" -> goldenRecordsSql,
