@@ -1987,7 +1987,262 @@ object Events {
       |    / 1000000 AS avg_events
       |FROM per GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Q209: ACTIVITY STREAKS (gaps-and-islands) — the classic consecutive-
+    * run surface this suite had not yet exposed (q22/q70 sessionize by
+    * time gap; q77 fills gaps; none detect RUNS): per user, the longest
+    * streak of consecutive ACTIVE DAYS, plus total active days and
+    * streak count. Island key is the constant-difference trick:
+    * day_number − row_number is invariant within a consecutive run.
+    * Engagement streaks are a standard retention feature and the same
+    * shape computes "days a document source kept shipping" in a
+    * curation ledger.
+    *
+    * Exactness: all-integer (dates → epoch-day ints, counts); the only
+    * non-integers are the DATE outputs, a proven parity type (q20).
+    * Tie pin: equal-length streaks resolve to the EARLIEST start.
+    *
+    * Scale shape: one shuffle on user_id; the distinct, both windows
+    * and the island aggregation all reuse that single exchange
+    * (partial_distinct combines map-side first). Output is one row per
+    * user. At 100× nothing changes — no global ordering anywhere. */
+  def activityStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+      .withColumn("day_n", datediff(col("day"), lit("1970-01-01").cast("date")))
+    val byDay = Window.partitionBy(col("user_id")).orderBy(col("day_n"))
+    val streaks = days
+      .withColumn("grp", col("day_n") - row_number().over(byDay))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"),
+        min(col("day")).as("streak_start"), max(col("day")).as("streak_end"))
+    val perUser = Window.partitionBy(col("user_id"))
+    val pick = Window.partitionBy(col("user_id"))
+      .orderBy(col("len").desc, col("streak_start"))
+    streaks
+      .withColumn("active_days", sum(col("len")).over(perUser))
+      .withColumn("n_streaks", count(lit(1)).over(perUser))
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("user_id"),
+        col("active_days").cast("bigint").as("active_days"),
+        col("n_streaks").cast("bigint").as("n_streaks"),
+        col("len").cast("bigint").as("longest_streak"),
+        col("streak_start"), col("streak_end"))
+      .orderBy(col("user_id"))
+  }
+
+  val activityStreaksSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      |  FROM events),
+      |d AS (SELECT user_id, day, day - DATE '1970-01-01' AS day_n FROM days),
+      |i AS (SELECT *, day_n - ROW_NUMBER() OVER (PARTITION BY user_id
+      |        ORDER BY day_n) AS grp
+      |      FROM d),
+      |s AS (SELECT user_id, grp, COUNT(*) AS len,
+      |        MIN(day) AS streak_start, MAX(day) AS streak_end
+      |      FROM i GROUP BY 1, 2),
+      |r AS (SELECT *,
+      |        SUM(len) OVER (PARTITION BY user_id) AS active_days,
+      |        COUNT(*) OVER (PARTITION BY user_id) AS n_streaks,
+      |        ROW_NUMBER() OVER (PARTITION BY user_id
+      |          ORDER BY len DESC, streak_start) AS rn
+      |      FROM s)
+      |SELECT user_id, CAST(active_days AS BIGINT) AS active_days,
+      |  CAST(n_streaks AS BIGINT) AS n_streaks,
+      |  CAST(len AS BIGINT) AS longest_streak, streak_start, streak_end
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** Q210: INTERVAL UNION (merge-overlaps coverage) — the set-union
+    * complement of q154's pairwise overlap join: per user, merge ALL
+    * session intervals (per-type 30-min-gap sessions extended by the
+    * 30-min idle tail, q154's exact frame) into disjoint busy islands
+    * and report covered time, busy-island count, span and utilization.
+    * Touching intervals (gap = 0) MERGE — an island break requires a
+    * strictly positive gap. This is the "active wall-clock time"
+    * utilization metric sessionization alone cannot give, because
+    * per-type sessions of one user overlap.
+    *
+    * Exactness: interval math in exact µs longs (ns are µs·1000 here,
+    * so `div 1000` is lossless; µs keeps every value < 2⁵³ where the
+    * long→double cast is exact). Utilization is ONE division of two
+    * exact-integer doubles — correctly rounded identically in both
+    * engines (q199 rule), so it is emitted raw, unrounded.
+    *
+    * Scale shape: everything — sessionize windows, the running-max-end
+    * sweep, the island and user aggregations — partitions by user_id;
+    * one exchange feeds all five steps and output is one row per user.
+    * The sweep is per-user (bounded), never global: the q177 global-
+    * sweep bucketization problem does not arise. */
+  def intervalUnion(spark: SparkSession, dir: String): DataFrame = {
+    val byKey = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    val gapNs = 30L * 60 * 1000 * 1000 * 1000
+    val sessions = Tables.events(spark, dir)
+      .withColumn("prev_ns", lag(col("ts_ns"), 1).over(byKey))
+      .withColumn("new_session",
+        when(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > gapNs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byKey.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("event_type"), col("session_id"))
+      .agg(expr("min(ts_ns) div 1000").as("s_us"),
+        expr(s"(max(ts_ns) + $SessionTailNs) div 1000").as("e_us"))
+    val sweep = Window.partitionBy(col("user_id"))
+      .orderBy(col("s_us"), col("e_us"), col("event_type"), col("session_id"))
+    val islands = sessions
+      .withColumn("prev_max_e",
+        max(col("e_us")).over(sweep.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max_e").isNull || col("s_us") > col("prev_max_e"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(
+        sweep.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("n_sess"),
+        min(col("s_us")).as("is_s"), max(col("e_us")).as("is_e"))
+    islands.groupBy(col("user_id"))
+      .agg(sum(col("n_sess")).cast("bigint").as("n_sessions"),
+        count(lit(1)).cast("bigint").as("n_islands"),
+        sum(col("is_e") - col("is_s")).cast("bigint").as("covered_us"),
+        (max(col("is_e")) - min(col("is_s"))).cast("bigint").as("span_us"),
+        max(col("is_e") - col("is_s")).cast("bigint").as("busiest_us"))
+      .withColumn("utilization",
+        col("covered_us").cast("double") / col("span_us").cast("double"))
+      .orderBy(col("user_id"))
+  }
+
+  val intervalUnionSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_type, event_id, epoch_ns(ts) AS ns,
+      |    CASE WHEN LAG(epoch_ns(ts)) OVER w IS NULL
+      |           OR epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w > 30*60*1000000000::BIGINT
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id, event_type
+      |               ORDER BY epoch_ns(ts), event_id)),
+      |sid AS (SELECT user_id, event_type, ns,
+      |          SUM(new_session) OVER (PARTITION BY user_id, event_type
+      |            ORDER BY ns, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |        FROM flagged),
+      |sess AS (SELECT user_id, event_type, session_id,
+      |           MIN(ns) // 1000 AS s_us,
+      |           (MAX(ns) + 30*60*1000000000::BIGINT) // 1000 AS e_us
+      |         FROM sid GROUP BY 1, 2, 3),
+      |sw AS (SELECT *,
+      |         MAX(e_us) OVER (PARTITION BY user_id
+      |           ORDER BY s_us, e_us, event_type, session_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e
+      |       FROM sess),
+      |fl AS (SELECT *,
+      |         CASE WHEN prev_max_e IS NULL OR s_us > prev_max_e
+      |              THEN 1 ELSE 0 END AS new_island
+      |       FROM sw),
+      |isl AS (SELECT *,
+      |          SUM(new_island) OVER (PARTITION BY user_id
+      |            ORDER BY s_us, e_us, event_type, session_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |        FROM fl),
+      |g AS (SELECT user_id, island, COUNT(*) AS n_sess,
+      |        MIN(s_us) AS is_s, MAX(e_us) AS is_e
+      |      FROM isl GROUP BY 1, 2)
+      |SELECT user_id,
+      |  CAST(SUM(n_sess) AS BIGINT) AS n_sessions,
+      |  CAST(COUNT(*) AS BIGINT) AS n_islands,
+      |  CAST(SUM(is_e - is_s) AS BIGINT) AS covered_us,
+      |  CAST(MAX(is_e) - MIN(is_s) AS BIGINT) AS span_us,
+      |  CAST(MAX(is_e - is_s) AS BIGINT) AS busiest_us,
+      |  CAST(CAST(SUM(is_e - is_s) AS BIGINT) AS DOUBLE)
+      |    / CAST(CAST(MAX(is_e) - MIN(is_s) AS BIGINT) AS DOUBLE) AS utilization
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Q214: CUSUM CHANGEPOINT — single most-likely level-shift locator
+    * per event type over the daily count series, the offline
+    * complement to q124's online burst flagger (burst = "this hour is
+    * anomalous NOW"; changepoint = "WHERE did the regime change").
+    * The statistic is the scaled CUSUM max_k |D·S_k − k·S_D| — the
+    * integer cross-multiplied form of max_k |S_k − (k/D)·S_D|, i.e.
+    * the day at which cumulative volume deviates most from a uniform
+    * pace — with the normalized deviation and the pace ratio
+    * before/after the located changepoint.
+    *
+    * Exactness: prefix sums, day indexes and the argmax statistic are
+    * all BIGINT (D·S_k ≤ 1e3·1e9 at 100× — deep inside int64); ties
+    * pin to the EARLIEST day; the two emitted ratios are single
+    * exact-integer divisions (q199 rule, raw doubles).
+    *
+    * Scale shape: one map-side-combined daily count, then windows
+    * partitioned per event_type over the |days|-bounded series frame
+    * (calendar-bounded, like q213); one output row per type. */
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val perType = Window.partitionBy(col("event_type"))
+    val sweep = daily
+      .withColumn("k", row_number().over(byDay).cast("long"))
+      .withColumn("s_k", sum(col("cnt")).over(
+        byDay.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("d_days", count(lit(1)).over(perType).cast("long"))
+      .withColumn("s_d", sum(col("cnt")).over(perType))
+      .withColumn("stat",
+        abs(col("d_days") * col("s_k") - col("k") * col("s_d")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("stat").desc, col("day"))))
+      .filter(col("rn") === 1)
+    sweep.select(col("event_type"),
+        col("d_days").cast("bigint").as("n_days"),
+        col("s_d").cast("bigint").as("total_events"),
+        col("day").as("cp_day"), col("k").cast("bigint").as("cp_index"),
+        col("stat").cast("bigint").as("cusum_num"),
+        (col("stat").cast("double")
+          / (col("d_days") * col("s_d")).cast("double")).as("cusum_norm"),
+        // events/day before (≤ cp) vs after the changepoint, each one
+        // exact division; "after" guards the cp == last-day edge
+        (col("s_k").cast("double") / col("k").cast("double")).as("rate_before"),
+        when(col("d_days") > col("k"),
+          (col("s_d") - col("s_k")).cast("double")
+            / (col("d_days") - col("k")).cast("double"))
+          .otherwise(lit(null).cast("double")).as("rate_after"))
+      .orderBy(col("event_type"))
+  }
+
+  val cusumChangepointSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |sweep AS (
+      |  SELECT event_type, day,
+      |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS k,
+      |    CAST(SUM(cnt) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) AS BIGINT) AS s_k,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS d_days,
+      |    CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS s_d
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      |ranked AS (
+      |  SELECT *, ABS(d_days * s_k - k * s_d) AS stat,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY ABS(d_days * s_k - k * s_d) DESC, day) AS rn
+      |  FROM sweep)
+      |SELECT event_type, d_days AS n_days, s_d AS total_events,
+      |  day AS cp_day, k AS cp_index, CAST(stat AS BIGINT) AS cusum_num,
+      |  CAST(stat AS DOUBLE) / CAST(d_days * s_d AS DOUBLE) AS cusum_norm,
+      |  CAST(s_k AS DOUBLE) / CAST(k AS DOUBLE) AS rate_before,
+      |  CASE WHEN d_days > k
+      |    THEN CAST(s_d - s_k AS DOUBLE) / CAST(d_days - k AS DOUBLE)
+      |    ELSE NULL END AS rate_after
+      |FROM ranked WHERE rn = 1 ORDER BY event_type""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q214_cusum_changepoint" -> (cusumChangepoint _),
+    "q209_activity_streaks" -> (activityStreaks _),
+    "q210_interval_union" -> (intervalUnion _),
     "q197_session_flows" -> (sessionFlows _),
     "q193_grouped_mode" -> (groupedMode _),
     "q194_ohlc_bars" -> (ohlcBars _),
@@ -2027,6 +2282,9 @@ object Events {
   )
 
   def oracles: Map[String, String] = Map(
+    "q214_cusum_changepoint" -> cusumChangepointSql,
+    "q209_activity_streaks" -> activityStreaksSql,
+    "q210_interval_union" -> intervalUnionSql,
     "q197_session_flows" -> sessionFlowsSql,
     "q193_grouped_mode" -> groupedModeSql,
     "q194_ohlc_bars" -> ohlcBarsSql,

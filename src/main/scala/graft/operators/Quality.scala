@@ -830,7 +830,294 @@ object Quality {
       |FROM g2
       |ORDER BY level""".stripMargin
 
+  /** Q211: MANN-WHITNEY U (Wilcoxon rank-sum) — the nonparametric
+    * two-sample location test the profiling suite lacked (q146 tests
+    * categorical independence; q211 tests whether one source's length
+    * DISTRIBUTION is shifted vs the rest — the standard "did this
+    * source drift" gate before admitting a crawl batch to a mixture).
+    * Sample A = src0 documents' n_chars, sample B = every other
+    * source; emits the tie-corrected U, z-score and rank-biserial
+    * effect size.
+    *
+    * Exactness: ranks are computed on the VALUE-GROUP frame with the
+    * doubled-rank trick — avg tied rank = c_lt + (t+1)/2 is half-
+    * integral, so 2·rank = 2·c_lt + t + 1 stays an exact BIGINT, and
+    * `u1_x2` = 2·U₁ = Σ cₐ·r2 − n₁(n₁+1) never sees a float. The z /
+    * effect doubles are a FIXED dag of correctly-rounded IEEE ops on
+    * exact-integer operands (each < 2⁵³: N³ ≈ 8e12 at sf0.1, n₁n₂ ≤
+    * 1e8), identical bit-for-bit in both engines — the q199 rule,
+    * extended to ·, √ and mirrored association. Degenerate guard:
+    * var = 0 (all values tied) cannot occur while ≥2 distinct values
+    * exist; headroom note at 1e9 docs: N³ ≈ 1e27 needs the decimal
+    * path — flagged in SCALE.md, not needed at any test SF.
+    *
+    * Scale shape: one map-side-combined groupBy over the BOUNDED
+    * value domain (n_chars ≤ max doc length — a histogram frame, not
+    * a row-scale one), then the rank cumsum runs single-task over
+    * that bounded frame (the q146 marginal-window argument); output
+    * is one row. At 100× the value domain, not the corpus, bounds the
+    * window. */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.documents(spark, dir)
+      .select(when(col("source") === "src0", 1L).otherwise(0L).as("is_a"),
+        col("n_chars").as("v"))
+      .groupBy(col("v"))
+      .agg(sum(col("is_a")).as("ca"),
+        (count(lit(1)) - sum(col("is_a"))).as("cb"))
+    val byV = Window.partitionBy().orderBy(col("v"))
+    val scalar = cells
+      .withColumn("t", col("ca") + col("cb"))
+      .withColumn("clt", coalesce(sum(col("t")).over(
+        byV.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("r2", lit(2L) * col("clt") + col("t") + lit(1L))
+      .agg(sum(col("ca")).cast("bigint").as("n1"),
+        sum(col("cb")).cast("bigint").as("n2"),
+        sum(col("ca") * col("r2")).cast("bigint").as("r1x2"),
+        sum(col("t") * col("t") * col("t") - col("t")).cast("bigint").as("tie_term"))
+    val bigN = col("n1") + col("n2")
+    val u1x2 = col("r1x2") - col("n1") * (col("n1") + lit(1L))
+    val varD = (col("n1").cast("double") * col("n2").cast("double")) *
+      (((bigN + lit(1L)) * bigN * (bigN - lit(1L)) - col("tie_term")).cast("double")
+        / (lit(12L) * bigN * (bigN - lit(1L))).cast("double"))
+    scalar.select(
+      lit("src0").as("sample_a"), lit("rest").as("sample_b"),
+      col("n1"), col("n2"),
+      u1x2.cast("bigint").as("u1_x2"),
+      col("tie_term"),
+      ((u1x2 - col("n1") * col("n2")).cast("double")
+        / (lit(2.0d) * sqrt(varD))).as("z_score"),
+      ((u1x2 - col("n1") * col("n2")).cast("double")
+        / (col("n1") * col("n2")).cast("double")).as("rank_biserial"))
+  }
+
+  val mannWhitneySql: String =
+    """WITH cells AS (
+      |  SELECT n_chars AS v,
+      |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      |  FROM documents GROUP BY 1),
+      |r AS (SELECT ca, cb, ca + cb AS t,
+      |        COALESCE(SUM(ca + cb) OVER (ORDER BY v
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS clt
+      |      FROM cells),
+      |s AS (SELECT CAST(SUM(ca) AS BIGINT) AS n1, CAST(SUM(cb) AS BIGINT) AS n2,
+      |        CAST(SUM(ca * (2 * clt + t + 1)) AS BIGINT) AS r1x2,
+      |        CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+      |      FROM r)
+      |SELECT 'src0' AS sample_a, 'rest' AS sample_b, n1, n2,
+      |  CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2, tie_term,
+      |  CAST(r1x2 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+      |    / (2.0 * SQRT((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) *
+      |        (CAST((n1 + n2 + 1) * (n1 + n2) * (n1 + n2 - 1) - tie_term AS DOUBLE)
+      |         / CAST(12 * (n1 + n2) * (n1 + n2 - 1) AS DOUBLE)))) AS z_score,
+      |  CAST(r1x2 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+      |    / CAST(n1 * n2 AS DOUBLE) AS rank_biserial
+      |FROM s""".stripMargin
+
+  /** Q212: KOLMOGOROV–SMIRNOV TWO-SAMPLE — the distribution-SHAPE
+    * companion to q211's location test: the maximum ECDF discrepancy
+    * between src0's n_chars and the rest, with the value where it
+    * occurs. The standard drift detector when a shift test is too
+    * weak (bimodal vs unimodal sources share a median).
+    *
+    * Exactness: the discrepancy is maximized in CROSS-MULTIPLIED
+    * integer form — d_num = max |n₂·F₁ᶜᵘᵐ − n₁·F₂ᶜᵘᵐ| over the value
+    * groups (ECDF evaluated after each complete tie group, the
+    * correct KS convention) — so the argmax and numerator are exact
+    * BIGINTs; D and the √(n₁n₂/N)-scaled statistic follow the q211
+    * fixed-dag double discipline. Argmax tie pin: smallest value.
+    *
+    * Scale shape: identical to q211 — histogram-frame groupBy (map-
+    * side combined), bounded single-task cumsum, one output row. */
+  def ksTwoSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.documents(spark, dir)
+      .select(when(col("source") === "src0", 1L).otherwise(0L).as("is_a"),
+        col("n_chars").as("v"))
+      .groupBy(col("v"))
+      .agg(sum(col("is_a")).as("ca"),
+        (count(lit(1)) - sum(col("is_a"))).as("cb"))
+    val byV = Window.partitionBy().orderBy(col("v"))
+    val all = Window.partitionBy()
+    val sweep = cells
+      .withColumn("cum_a", sum(col("ca")).over(
+        byV.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cum_b", sum(col("cb")).over(
+        byV.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n1", sum(col("ca")).over(all))
+      .withColumn("n2", sum(col("cb")).over(all))
+      .withColumn("d_num",
+        abs(col("n2") * col("cum_a") - col("n1") * col("cum_b")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy().orderBy(col("d_num").desc, col("v"))))
+      .filter(col("rn") === 1)
+    sweep.select(
+      lit("src0").as("sample_a"), lit("rest").as("sample_b"),
+      col("n1").cast("bigint").as("n1"), col("n2").cast("bigint").as("n2"),
+      col("d_num").cast("bigint").as("d_num"),
+      col("v").cast("bigint").as("at_value"),
+      (col("d_num").cast("double")
+        / (col("n1") * col("n2")).cast("double")).as("d_stat"),
+      ((col("d_num").cast("double") / (col("n1") * col("n2")).cast("double"))
+        * sqrt((col("n1").cast("double") * col("n2").cast("double"))
+          / (col("n1") + col("n2")).cast("double"))).as("ks_scaled"))
+  }
+
+  val ksTwoSampleSql: String =
+    """WITH cells AS (
+      |  SELECT n_chars AS v,
+      |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      |  FROM documents GROUP BY 1),
+      |c AS (SELECT v,
+      |        CAST(SUM(ca) OVER (ORDER BY v
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+      |        CAST(SUM(cb) OVER (ORDER BY v
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b,
+      |        CAST(SUM(ca) OVER () AS BIGINT) AS n1,
+      |        CAST(SUM(cb) OVER () AS BIGINT) AS n2
+      |      FROM cells),
+      |d AS (SELECT *, ABS(n2 * cum_a - n1 * cum_b) AS d_num,
+      |        ROW_NUMBER() OVER (ORDER BY ABS(n2 * cum_a - n1 * cum_b) DESC, v) AS rn
+      |      FROM c)
+      |SELECT 'src0' AS sample_a, 'rest' AS sample_b, n1, n2,
+      |  CAST(d_num AS BIGINT) AS d_num, CAST(v AS BIGINT) AS at_value,
+      |  CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS d_stat,
+      |  (CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE))
+      |    * SQRT((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+      |        / CAST(n1 + n2 AS DOUBLE)) AS ks_scaled
+      |FROM d WHERE rn = 1""".stripMargin
+
+  /** Q213: MANN-KENDALL TREND TEST — the nonparametric monotone-trend
+    * detector over a grouped time series (is a nation's monthly
+    * revenue drifting up or down?), completing the q211/q212 test
+    * trio: location shift, shape drift, temporal trend. Per nation
+    * over monthly 1996–1997 revenue: S = Σ_{i<j} sign(xⱼ − xᵢ), the
+    * tie-corrected Var(S) numerator, continuity-corrected z and
+    * Kendall's τ_b.
+    *
+    * Exactness: S and both tie terms are exact integer sums over the
+    * within-nation month-pair frame; Var(S)·18 = n(n−1)(2n+5) −
+    * Σt(t−1)(2t+5) is emitted as a BIGINT so the only doubles are the
+    * q211 fixed dag (÷18, √, one division; τ_b mirrors association).
+    * z pin: (S−1)/√Var for S>0, (S+1)/√Var for S<0, exactly 0.0 at
+    * S=0 (no division).
+    *
+    * Scale shape: the pair expansion is WITHIN a nation's month
+    * series — |months|² ≈ 576 pairs per group, bounded by the
+    * calendar, never by rows (the q171 basket rule) — and runs
+    * IN-EXPRESSION over the collected per-nation month array, so the
+    * whole test is one chain: row-scale monthly rollup (the only
+    * row-scale exchange) → nation-keyed collect (bounded frame) →
+    * array HOFs → output sort. Three exchanges, no joins, no branch
+    * recompute (the earlier window/self-join shape paid five: each
+    * broadcast branch re-ran the rollup). At 100× only the monthly
+    * rollup grows; the array stays |months| ≈ hundreds even for a
+    * decades-long corpus. */
+  def mannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
+      .groupBy(col("n_name").as("nation"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("long")).cast("long").as("rev"))
+    // one bounded array per nation, sorted by month (m is unique within
+    // a nation, so struct order = month order); every statistic is an
+    // exact-BIGINT HOF over it. Each HOF output feeds exactly one
+    // aggregate column (the NOTES.md CollapseProject rule: an inlined
+    // recompute would only re-walk a ≤|months| array anyway).
+    val arrs = monthly.groupBy(col("nation"))
+      .agg(sort_array(collect_list(struct(col("m"), col("rev")))).as("xs"))
+    // S = Σ_j (#earlier < x_j) − (#earlier > x_j): slice(xs, 1, j) is
+    // the strictly-earlier prefix under the 0-based transform index
+    val j = arrs.select(col("nation"),
+      expr("""aggregate(
+                transform(xs, (x, j) ->
+                  CAST(size(filter(slice(xs, 1, j), y -> y.rev < x.rev)) AS BIGINT)
+                  - CAST(size(filter(slice(xs, 1, j), y -> y.rev > x.rev)) AS BIGINT)),
+                CAST(0 AS BIGINT), (acc, v) -> acc + v)""").as("s_stat"),
+      // per-element contribution trick: summing (t−1)·(2t+5) over the t
+      // members of a tie group yields t(t−1)(2t+5)
+      expr("""aggregate(
+                transform(xs, x ->
+                  (CAST(size(filter(xs, y -> y.rev = x.rev)) AS BIGINT) - 1)
+                  * (2 * CAST(size(filter(xs, y -> y.rev = x.rev)) AS BIGINT) + 5)),
+                CAST(0 AS BIGINT), (acc, v) -> acc + v)""").as("tie_var_term"),
+      expr("""aggregate(
+                transform(xs, x ->
+                  CAST(size(filter(xs, y -> y.rev = x.rev)) AS BIGINT) - 1),
+                CAST(0 AS BIGINT), (acc, v) -> acc + v)""").as("tie_pair_x2"),
+      size(col("xs")).cast("long").as("n_months"))
+    val n = col("n_months")
+    val varX18 = (n * (n - 1) * (lit(2L) * n + 5) - col("tie_var_term"))
+      .cast("bigint")
+    val sd = sqrt(varX18.cast("double") / lit(18.0d))
+    val d0x2 = (n * (n - 1)).cast("double")
+    j.select(col("nation"), col("n_months").cast("bigint").as("n_months"),
+        col("s_stat").cast("bigint").as("s_stat"),
+        varX18.as("var_s_x18"),
+        when(col("s_stat") > 0, (col("s_stat") - 1).cast("double") / sd)
+          .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double") / sd)
+          .otherwise(lit(0.0d)).as("z_score"),
+        (col("s_stat").cast("double")
+          / sqrt((d0x2 / lit(2.0d))
+            * ((d0x2 - col("tie_pair_x2").cast("double")) / lit(2.0d))))
+          .as("tau_b"))
+      .orderBy(col("nation"))
+  }
+
+  val mannKendallSql: String =
+    """WITH monthly AS (
+      |  SELECT n_name AS nation,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS rev
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE year(o_orderdate) IN (1996, 1997)
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.nation,
+      |    CAST(SUM(CASE WHEN b.rev > a.rev THEN 1
+      |                  WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      |  FROM monthly a JOIN monthly b
+      |    ON a.nation = b.nation AND a.m < b.m
+      |  GROUP BY 1),
+      |ties AS (
+      |  SELECT nation, CAST(SUM(t) AS BIGINT) AS n_months,
+      |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_var_term,
+      |    CAST(SUM(t * (t - 1)) AS BIGINT) AS tie_pair_x2
+      |  FROM (SELECT nation, rev, COUNT(*) AS t FROM monthly GROUP BY 1, 2)
+      |  GROUP BY 1)
+      |SELECT p.nation, n_months, s_stat,
+      |  CAST(n_months * (n_months - 1) * (2 * n_months + 5) - tie_var_term
+      |    AS BIGINT) AS var_s_x18,
+      |  CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+      |         / SQRT(CAST(n_months * (n_months - 1) * (2 * n_months + 5)
+      |             - tie_var_term AS DOUBLE) / 18.0)
+      |       WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+      |         / SQRT(CAST(n_months * (n_months - 1) * (2 * n_months + 5)
+      |             - tie_var_term AS DOUBLE) / 18.0)
+      |       ELSE 0.0 END AS z_score,
+      |  CAST(s_stat AS DOUBLE)
+      |    / SQRT((CAST(n_months * (n_months - 1) AS DOUBLE) / 2.0)
+      |        * ((CAST(n_months * (n_months - 1) AS DOUBLE)
+      |            - CAST(tie_pair_x2 AS DOUBLE)) / 2.0)) AS tau_b
+      |FROM pairs p JOIN ties t ON p.nation = t.nation
+      |ORDER BY p.nation""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q213_mann_kendall" -> (mannKendall _),
+    "q211_mann_whitney" -> (mannWhitney _),
+    "q212_ks_two_sample" -> (ksTwoSample _),
     "q204_l_diversity" -> (lDiversity _),
     "q172_auc_scorer" -> (aucScorer _),
     "q165_deletion_cascade" -> (deletionCascade _),
@@ -846,6 +1133,9 @@ object Quality {
   )
 
   def oracles: Map[String, String] = Map(
+    "q213_mann_kendall" -> mannKendallSql,
+    "q211_mann_whitney" -> mannWhitneySql,
+    "q212_ks_two_sample" -> ksTwoSampleSql,
     "q204_l_diversity" -> lDiversitySql,
     "q79_constraint_suite" -> constraintSuiteSql,
     "q80_snapshot_diff" -> snapshotDiffSql,

@@ -699,7 +699,74 @@ object StreamingQueries {
        |FROM packed GROUP BY 1, 2 ORDER BY source, bin""".stripMargin
   }
 
+  /** Q215: WATERMARKED LEFT-OUTER STREAM-STREAM JOIN — q58's interval
+    * join with outer semantics: every click pairs with its purchases
+    * within 1 hour, AND clicks that never convert emit a null-padded
+    * row once the watermark PROVES no future purchase can match. The
+    * null-side timing is the whole operator: a row (click, NULL) is
+    * only correct once click_ts + 1h < global watermark (min of both
+    * streams' max-event-time − 2h delay), so the oracle mirrors that
+    * eviction rule exactly — unconverted clicks inside the final
+    * watermark horizon are STILL IN STATE at query end and absent
+    * from the output by design, not by bug.
+    *
+    * finalizeByWatermark = true is load-bearing here (same as q97):
+    * null-padded rows emit in the terminal no-data microbatch, after
+    * the data batch has advanced the watermark — without it the
+    * outer join degrades to the inner q58 answer.
+    *
+    * Scale shape: identical state layout to q58 (four stores per
+    * partition, eviction by the interval condition); the outer flush
+    * adds no state, only changes what eviction EMITS. At 100 TB the
+    * watermark delay is the state-size knob, unchanged. */
+  def streamOuterJoin(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+    val path = s"$dir/events.parquet"
+    val clicks = EventStream.readEvents(spark, path)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = EventStream.readEvents(spark, path)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+    EventStream.runToTable(joined, sinkName("stream_outer_join"),
+        OutputMode.Append(), finalizeByWatermark = true)
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
+  /** DuckDB twin: the matched theta join (q58's) UNION ALL the
+    * unconverted clicks whose 1-hour horizon closed under the final
+    * watermark wm = min(max click ts, max purchase ts) − 2 h. */
+  val streamOuterJoinSql: String =
+    """WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS cus
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pus
+      |      FROM events WHERE event_type = 'purchase'),
+      |wm AS (SELECT LEAST((SELECT MAX(cus) FROM c), (SELECT MAX(pus) FROM p))
+      |         - 7200000000 AS wm_us),
+      |m AS (SELECT c.user_id, c.click_id, p.purchase_id, p.pus - c.cus AS gap_us
+      |      FROM c JOIN p ON c.user_id = p.user_id
+      |        AND p.pus >= c.cus AND p.pus - c.cus <= 3600000000)
+      |SELECT user_id, click_id, purchase_id, gap_us FROM m
+      |UNION ALL
+      |SELECT c.user_id, c.click_id, CAST(NULL AS BIGINT) AS purchase_id,
+      |  CAST(NULL AS BIGINT) AS gap_us
+      |FROM c, wm
+      |WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.click_id)
+      |  AND c.cus + 3600000000 < wm.wm_us
+      |ORDER BY user_id, click_id, purchase_id""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q215_stream_outer_join" -> (streamOuterJoin _),
     "q184_stream_curation" -> (streamCuration _),
     "q95_stream_static_join" -> (streamStaticEnrich _),
     "q108_stream_decontam" -> (streamDecontam _),
@@ -716,6 +783,7 @@ object StreamingQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q215_stream_outer_join" -> streamOuterJoinSql,
     "q184_stream_curation" -> streamCurationSql,
     "q95_stream_static_join" -> streamStaticEnrichSql,
     "q108_stream_decontam" -> streamDecontamSql,
