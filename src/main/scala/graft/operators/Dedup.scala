@@ -972,7 +972,115 @@ object Dedup {
        |LEFT JOIN dc ON th.th_pct = dc.th_pct CROSS JOIN nd
        |ORDER BY th_pct""".stripMargin
 
+  /** q216 neighborhood width: each record pairs with the next
+    * [[SnmWindow]]−1 records in the sorted order. */
+  private val SnmWindow = 8
+
+  /** Q216: SORTED-NEIGHBORHOOD DEDUP (Hernández–Stolfo SNM) — the
+    * third classical blocking family, completing the set: q30 blocks
+    * by equality on derived keys, q31/q185 by hash/prefix collision;
+    * SNM blocks by PROXIMITY IN A SORT ORDER — sort the corpus by a
+    * discriminative key, slide a width-w window over the sorted
+    * sequence, verify only window-mates. Catches near-dups equality
+    * blocking structurally cannot (two docs whose block keys all
+    * differ but that sort adjacently), at a HARD candidate budget:
+    * exactly (w−1)·n pairs, the only blocking scheme whose worst case
+    * is linear by construction (q30's blocks grow with skew, LSH's
+    * with collision rates). Sort key (n_chars, first token, doc_id);
+    * window w = 8; verified at distinct-token Jaccard ≥ 0.8 (q30's
+    * threshold); output adds the rank gap at which the pair met — the
+    * SNM capacity-planning signal (gaps hugging w−1 mean the window
+    * is too narrow). Multi-pass SNM = union of this query under
+    * rotated keys; one pass suffices here.
+    *
+    * Exactness: the sort rank is a pure function of data values
+    * ((n_chars, ftok, doc_id) is a total order — no partition-id or
+    * sample-dependent rank), so ranks, pairs and gaps replay
+    * bit-for-bit on both engines and under any parallelism; jaccard
+    * publishes at dec6 via the shared micro-unit form.
+    *
+    * Scale shape: NO global sort and NO unpartitioned window over the
+    * row-scale frame. Rank = histogram two-pass (the q183 tercile
+    * machinery): base offsets from a cumsum over the BOUNDED n_chars
+    * value-histogram (broadcast back — ≤ max-doc-length rows, the
+    * q211 boundedness argument), plus a row_number partitioned BY
+    * LENGTH GROUP for the within-group order. Neighbor pairs are an
+    * EQUI-join on integer rank (each row exploded to its w−1 successor
+    * ranks — rank+id only, the candidate-pairs-before-payload rule);
+    * token sets are fetched per side after the pair set is resolved.
+    * Every stage is linear; the window never materializes globally. */
+  def sortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars").as("v"),
+        element_at(split(col("text"), " "), 1).as("ftok"))
+    val hist = docs.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val byV = Window.partitionBy().orderBy(col("v"))
+    val base = hist.withColumn("base",
+      coalesce(sum(col("c")).over(
+        byV.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val inGroup = Window.partitionBy(col("v"))
+      .orderBy(col("ftok"), col("doc_id"))
+    val ranked = docs
+      .join(broadcast(base.select(col("v"), col("base"))), Seq("v"))
+      .withColumn("rn", col("base") + row_number().over(inGroup))
+      .select(col("rn"), col("doc_id"))
+    val lhs = ranked
+      .withColumn("tgt", explode(array(
+        (1 until SnmWindow).map(j => col("rn") + j): _*)))
+      .select(col("tgt"), col("rn").as("rn_l"), col("doc_id").as("id_l"))
+    val cand = lhs.join(
+        ranked.select(col("rn").as("tgt"), col("doc_id").as("id_r")),
+        Seq("tgt"))
+      .select(least(col("id_l"), col("id_r")).as("doc_a"),
+        greatest(col("id_l"), col("id_r")).as("doc_b"),
+        (col("tgt") - col("rn_l")).as("rank_gap"))
+    val sets = Tables.documents(spark, dir)
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+      .withColumn("nt", size(col("toks")))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
+        col("nt").as("nt_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
+        col("nt").as("nt_b")), Seq("doc_b"))
+      .withColumn("n_inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("n_union", col("nt_a") + col("nt_b") - col("n_inter"))
+      .filter(col("n_inter").cast("double") / col("n_union") >= NdTau)
+      .select(col("doc_a"), col("doc_b"), col("rank_gap").cast("bigint").as("rank_gap"),
+        dec6(col("n_inter").cast("decimal(18,0)") / col("n_union")).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Oracle: the same total order spelled as one ROW_NUMBER (DuckDB
+    * runs at oracle scale, where a global sort is fine), rank-band
+    * self-join, identical verify arithmetic. */
+  val sortedNeighborhoodSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, n_chars, string_split(text, ' ')[1] AS ftok,
+       |    list_distinct(string_split(text, ' ')) AS toks
+       |  FROM documents),
+       |r AS (SELECT doc_id, toks,
+       |        ROW_NUMBER() OVER (ORDER BY n_chars, ftok, doc_id) AS rn
+       |      FROM d),
+       |cand AS (
+       |  SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
+       |    GREATEST(a.doc_id, b.doc_id) AS doc_b,
+       |    b.rn - a.rn AS rank_gap, a.toks AS ta, b.toks AS tb
+       |  FROM r a JOIN r b ON b.rn > a.rn AND b.rn < a.rn + $SnmWindow),
+       |p AS (
+       |  SELECT doc_a, doc_b, rank_gap,
+       |    len(list_intersect(ta, tb)) AS n_inter,
+       |    len(ta) + len(tb) - len(list_intersect(ta, tb)) AS n_union
+       |  FROM cand
+       |  WHERE CAST(len(list_intersect(ta, tb)) AS DOUBLE)
+       |      / (len(ta) + len(tb) - len(list_intersect(ta, tb))) >= $NdTau)
+       |SELECT doc_a, doc_b, CAST(rank_gap AS BIGINT) AS rank_gap,
+       |  CAST((2 * n_inter * 1000000 + n_union) // (2 * n_union) AS DOUBLE)
+       |    / 1000000 AS jaccard
+       |FROM p ORDER BY doc_a, doc_b""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q216_sorted_neighborhood" -> (sortedNeighborhood _),
     "q208_dedup_sensitivity" -> (dedupSensitivity _),
     "q185_prefix_jaccard_join" -> (prefixJaccardJoin _),
     "q196_token_yield" -> (tokenYield _),
@@ -989,6 +1097,7 @@ object Dedup {
   )
 
   def oracles: Map[String, String] = Map(
+    "q216_sorted_neighborhood" -> sortedNeighborhoodSql,
     "q208_dedup_sensitivity" -> dedupSensitivitySql,
     "q185_prefix_jaccard_join" -> prefixJaccardJoinSql,
     "q196_token_yield" -> tokenYieldSql,

@@ -2239,7 +2239,311 @@ object Events {
       |    ELSE NULL END AS rate_after
       |FROM ranked WHERE rn = 1 ORDER BY event_type""".stripMargin
 
+  /** q217 match tolerance: a click farther than this from the purchase
+    * (either direction) does not attribute. */
+  private val NearestTolUs = 3600L * 1000 * 1000
+
+  /** Q217: NEAREST AS-OF JOIN — q54's as-of join generalized to
+    * direction = nearest (the pandas `merge_asof` surface this suite
+    * exposed only half of): each purchase matches the user's click
+    * CLOSEST IN TIME, before or after, within a 1-hour tolerance.
+    * Backward-only as-of mis-attributes the common "purchase lands
+    * first, confirmation click arrives seconds later" ordering jitter;
+    * nearest is the standard repair. Tie pins follow pandas: equal
+    * distance prefers BACKWARD; equal timestamps within a direction
+    * pin to the highest event_id backward (the last at-or-before in
+    * q54's total order) and the lowest forward.
+    *
+    * Exactness: all comparisons in exact µs longs (the q54 domain);
+    * the emitted gap is SIGNED (negative = click precedes purchase);
+    * unmatched purchases emit with NULL click/gap/direction — the
+    * LEFT-join contract, so attribution coverage is auditable.
+    *
+    * Scale shape: identical to q54 — ONE union + ONE window exchange
+    * on user_id carries both directions (last-click-before via an
+    * unbounded-preceding frame, first-click-after via an unbounded-
+    * following frame over the same sort); no range join, no per-user
+    * pair space. At 100× the cost is exactly one sort per user. */
+  def nearestAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("event_id"), lit(0).as("side"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id"), lit(1).as("side"))
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("side"), col("event_id"))
+    val back = order.rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = order.rowsBetween(1, Window.unboundedFollowing)
+    val picked = clicks.unionByName(purchases)
+      .withColumn("b_id",
+        last(when(col("side") === 0, col("event_id")), ignoreNulls = true).over(back))
+      .withColumn("b_ts",
+        last(when(col("side") === 0, col("ts_us")), ignoreNulls = true).over(back))
+      .withColumn("f_id",
+        first(when(col("side") === 0, col("event_id")), ignoreNulls = true).over(fwd))
+      .withColumn("f_ts",
+        first(when(col("side") === 0, col("ts_us")), ignoreNulls = true).over(fwd))
+      .filter(col("side") === 1)
+    val okB = col("b_id").isNotNull &&
+      (col("ts_us") - col("b_ts")) <= NearestTolUs
+    val okF = col("f_id").isNotNull &&
+      (col("f_ts") - col("ts_us")) <= NearestTolUs
+    val useB = okB && (!okF ||
+      (col("ts_us") - col("b_ts")) <= (col("f_ts") - col("ts_us")))
+    picked.select(
+        col("user_id"), col("event_id").as("purchase_id"),
+        when(useB, col("b_id")).when(okF, col("f_id")).as("click_id"),
+        when(useB, col("b_ts") - col("ts_us"))
+          .when(okF, col("f_ts") - col("ts_us")).as("gap_us"),
+        when(useB, "backward").when(okF, "forward").as("direction"))
+      .orderBy(col("user_id"), col("purchase_id"))
+  }
+
+  /** Oracle: ordered LATERAL LIMIT 1 — distance, then direction
+    * preference, then the per-direction event_id pin (negated for
+    * backward so DESC-within-backward and ASC-within-forward share one
+    * ORDER BY). */
+  val nearestAsofSql: String =
+    s"""SELECT b.user_id, b.event_id AS purchase_id, a.event_id AS click_id,
+       |  a.gap_us, a.direction
+       |FROM events b
+       |LEFT JOIN LATERAL (
+       |  SELECT c.event_id,
+       |    epoch_us(c.ts) - epoch_us(b.ts) AS gap_us,
+       |    CASE WHEN epoch_us(c.ts) <= epoch_us(b.ts)
+       |         THEN 'backward' ELSE 'forward' END AS direction
+       |  FROM events c
+       |  WHERE c.event_type = 'click' AND c.user_id = b.user_id
+       |    AND ABS(epoch_us(c.ts) - epoch_us(b.ts)) <= $NearestTolUs
+       |  ORDER BY ABS(epoch_us(c.ts) - epoch_us(b.ts)),
+       |    CASE WHEN epoch_us(c.ts) <= epoch_us(b.ts) THEN 0 ELSE 1 END,
+       |    CASE WHEN epoch_us(c.ts) <= epoch_us(b.ts)
+       |         THEN -c.event_id ELSE c.event_id END
+       |  LIMIT 1) a ON TRUE
+       |WHERE b.event_type = 'purchase'
+       |ORDER BY b.user_id, purchase_id""".stripMargin
+
+  /** q218 maximum autocorrelation lag (days). */
+  private val AcfMaxLag = 7
+
+  /** Q218: DAILY AUTOCORRELATION FUNCTION — lag-1..7 sample ACF of
+    * each event type's daily-count series, the periodicity detector
+    * the time-series family lacked (q124 flags bursts, q132 assumes
+    * weekly seasonality, q153 smooths, q213/q214 test trend/shift —
+    * none MEASURE the correlation structure; a lag-7 peak is the
+    * evidence q132's seasonal-naive backtest presupposes). Series =
+    * observed daily counts in day order (the corpus is daily-dense;
+    * absent days would shift row lags, so n_days is emitted for the
+    * density audit).
+    *
+    * Exactness: r_k is published as the ratio of two exact BIGINTs —
+    * the n²-scaled forms num_k = n²·Σx_t·x_{t+k} − n·S·(a_k + b_k) +
+    * m_k·S², den = n²·Σx² − n·S² (the q82 sufficient-statistics
+    * expansion, partition-invariant) — divided once (q199 rule, raw
+    * double). Headroom: n²·Σx² ≤ 1e3²·1e3·1e10 ≈ 1e19 needs the
+    * decimal path past ~1e7 events/day·type; fine at every test SF.
+    *
+    * Scale shape: one map-side-combined daily rollup; the lag columns
+    * are 7 LEADs over ONE window on the |days|-bounded per-type frame
+    * (q214's argument); posexplode multiplies the BOUNDED frame by 7,
+    * never the corpus; per-type totals ride a 5-row broadcast join.
+    * Output = types × lags. */
+  def dailyAcf(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).cast("long").as("x"))
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val leads = daily.withColumn("y",
+      array((1 to AcfMaxLag).map(k => lead(col("x"), k).over(byDay)): _*))
+    val pairs = leads
+      .select(col("event_type"), col("x"), posexplode(col("y")).as(Seq("p", "y")))
+      .filter(col("y").isNotNull)
+      .groupBy(col("event_type"), (col("p") + 1).as("lag"))
+      .agg(count(lit(1)).cast("long").as("m"),
+        sum(col("x") * col("y")).cast("long").as("pxy"),
+        sum(col("x")).cast("long").as("ax"),
+        sum(col("y")).cast("long").as("sy"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("x")).cast("long").as("s"),
+        sum(col("x") * col("x")).cast("long").as("ss"))
+    pairs.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"), col("lag").cast("bigint").as("lag"),
+        col("n").cast("bigint").as("n_days"),
+        col("m").cast("bigint").as("m_pairs"),
+        ((col("n") * col("n") * col("pxy")
+          - col("n") * col("s") * (col("ax") + col("sy"))
+          + col("m") * col("s") * col("s")).cast("double")
+          / (col("n") * col("n") * col("ss")
+            - col("n") * col("s") * col("s")).cast("double")).as("acf"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  val dailyAcfSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2),
+       |r AS (SELECT event_type, x,
+       |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+       |      FROM daily),
+       |ks AS (SELECT unnest(generate_series(1, $AcfMaxLag)) AS lag),
+       |pr AS (SELECT a.event_type, k.lag,
+       |         CAST(COUNT(*) AS BIGINT) AS m,
+       |         CAST(SUM(a.x * b.x) AS BIGINT) AS pxy,
+       |         CAST(SUM(a.x) AS BIGINT) AS ax,
+       |         CAST(SUM(b.x) AS BIGINT) AS sy
+       |       FROM r a CROSS JOIN ks k
+       |       JOIN r b ON b.event_type = a.event_type AND b.rn = a.rn + k.lag
+       |       GROUP BY 1, 2),
+       |st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |         CAST(SUM(x) AS BIGINT) AS s, CAST(SUM(x * x) AS BIGINT) AS ss
+       |       FROM daily GROUP BY 1)
+       |SELECT p.event_type, CAST(p.lag AS BIGINT) AS lag, n AS n_days,
+       |  m AS m_pairs,
+       |  CAST(n * n * pxy - n * s * (ax + sy) + m * s * s AS DOUBLE)
+       |    / CAST(n * n * ss - n * s * s AS DOUBLE) AS acf
+       |FROM pr p JOIN st USING (event_type)
+       |ORDER BY event_type, lag""".stripMargin
+
+  /** Q221: SEGMENTED REGRESSION (interrupted time series) — the
+    * follow-through on q214: CUSUM locates the most likely level
+    * shift; q221 QUANTIFIES the regime change by fitting separate
+    * OLS lines (daily count vs day index) before and at-or-after the
+    * located changepoint and reporting both slopes, both intercepts
+    * and the slope change — the interrupted-time-series readout
+    * ("did the trend bend, or just step?") that a changepoint alone
+    * cannot answer.
+    *
+    * Exactness: the changepoint is q214's exact integer argmax
+    * (earliest-day tie pin); each side's slope and intercept are
+    * single divisions of exact-BIGINT sufficient statistics
+    * (m·Σky−Σk·Σy over m·Σk²−(Σk)², the q135 closed form; k is the
+    * 1-based day index so Σk² ≤ n³ ≈ 1e9 at decade scale — deep in
+    * int64), q199-rule raw doubles. A side with < 2 points (cp on
+    * the first/last day) emits NULL slope/intercept, never a 0/0.
+    *
+    * Scale shape: q214's chain — one map-side-combined daily rollup,
+    * windows on the |days|-bounded per-type frame — plus one
+    * broadcast join of the 1-row-per-type changepoint back onto the
+    * bounded daily frame and a conditional-sum aggregation to one
+    * row per type. Nothing row-scale past the first rollup. */
+  def segmentedRegression(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val perType = Window.partitionBy(col("event_type"))
+    val indexed = daily
+      .withColumn("k", row_number().over(byDay).cast("long"))
+      .withColumn("s_k", sum(col("cnt")).over(
+        byDay.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("d_days", count(lit(1)).over(perType).cast("long"))
+      .withColumn("s_d", sum(col("cnt")).over(perType))
+    val cp = indexed
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(
+          abs(col("d_days") * col("s_k") - col("k") * col("s_d")).desc,
+          col("day"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("k").as("cp_k"), col("day").as("cp_day"))
+    val sided = indexed.select(col("event_type"), col("k"), col("cnt"))
+      .join(broadcast(cp), Seq("event_type"))
+      .withColumn("pre", (col("k") <= col("cp_k")).cast("long"))
+    val g = sided.groupBy(col("event_type"), col("cp_k"), col("cp_day"))
+      .agg(
+        sum(col("pre")).cast("long").as("m_b"),
+        sum(when(col("pre") === 1L, col("k")).otherwise(0L)).cast("long").as("st_b"),
+        sum(when(col("pre") === 1L, col("cnt")).otherwise(0L)).cast("long").as("sy_b"),
+        sum(when(col("pre") === 1L, col("k") * col("k")).otherwise(0L)).cast("long").as("stt_b"),
+        sum(when(col("pre") === 1L, col("k") * col("cnt")).otherwise(0L)).cast("long").as("sty_b"),
+        sum(lit(1L) - col("pre")).cast("long").as("m_a"),
+        sum(when(col("pre") === 0L, col("k")).otherwise(0L)).cast("long").as("st_a"),
+        sum(when(col("pre") === 0L, col("cnt")).otherwise(0L)).cast("long").as("sy_a"),
+        sum(when(col("pre") === 0L, col("k") * col("k")).otherwise(0L)).cast("long").as("stt_a"),
+        sum(when(col("pre") === 0L, col("k") * col("cnt")).otherwise(0L)).cast("long").as("sty_a"))
+    def slope(m: String, st: String, sy: String, stt: String, sty: String) = {
+      val den = col(m) * col(stt) - col(st) * col(st)
+      when(den > 0,
+        (col(m) * col(sty) - col(st) * col(sy)).cast("double") / den.cast("double"))
+    }
+    def icept(m: String, st: String, sy: String, stt: String, sty: String) = {
+      val den = col(m) * col(stt) - col(st) * col(st)
+      when(den > 0,
+        (col(sy) * col(stt) - col(st) * col(sty)).cast("double") / den.cast("double"))
+    }
+    val sb = slope("m_b", "st_b", "sy_b", "stt_b", "sty_b")
+    val sa = slope("m_a", "st_a", "sy_a", "stt_a", "sty_a")
+    g.select(col("event_type"), col("cp_day"),
+        col("cp_k").cast("bigint").as("cp_index"),
+        col("m_b").as("n_before"), col("m_a").as("n_after"),
+        sb.as("slope_before"),
+        icept("m_b", "st_b", "sy_b", "stt_b", "sty_b").as("intercept_before"),
+        sa.as("slope_after"),
+        icept("m_a", "st_a", "sy_a", "stt_a", "sty_a").as("intercept_after"),
+        (sa - sb).as("slope_change"))
+      .orderBy(col("event_type"))
+  }
+
+  val segmentedRegressionSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |ix AS (
+      |  SELECT event_type, day, cnt,
+      |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS k,
+      |    CAST(SUM(cnt) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) AS BIGINT) AS s_k,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS d_days,
+      |    CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS s_d
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      |cp AS (
+      |  SELECT event_type, k AS cp_k, day AS cp_day FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY ABS(d_days * s_k - k * s_d) DESC, day) AS rn
+      |    FROM ix) WHERE rn = 1),
+      |g AS (
+      |  SELECT i.event_type, cp.cp_k, cp.cp_day,
+      |    CAST(SUM(CASE WHEN i.k <= cp.cp_k THEN 1 ELSE 0 END) AS BIGINT) AS m_b,
+      |    CAST(SUM(CASE WHEN i.k <= cp.cp_k THEN i.k ELSE 0 END) AS BIGINT) AS st_b,
+      |    CAST(SUM(CASE WHEN i.k <= cp.cp_k THEN i.cnt ELSE 0 END) AS BIGINT) AS sy_b,
+      |    CAST(SUM(CASE WHEN i.k <= cp.cp_k THEN i.k * i.k ELSE 0 END) AS BIGINT) AS stt_b,
+      |    CAST(SUM(CASE WHEN i.k <= cp.cp_k THEN i.k * i.cnt ELSE 0 END) AS BIGINT) AS sty_b,
+      |    CAST(SUM(CASE WHEN i.k > cp.cp_k THEN 1 ELSE 0 END) AS BIGINT) AS m_a,
+      |    CAST(SUM(CASE WHEN i.k > cp.cp_k THEN i.k ELSE 0 END) AS BIGINT) AS st_a,
+      |    CAST(SUM(CASE WHEN i.k > cp.cp_k THEN i.cnt ELSE 0 END) AS BIGINT) AS sy_a,
+      |    CAST(SUM(CASE WHEN i.k > cp.cp_k THEN i.k * i.k ELSE 0 END) AS BIGINT) AS stt_a,
+      |    CAST(SUM(CASE WHEN i.k > cp.cp_k THEN i.k * i.cnt ELSE 0 END) AS BIGINT) AS sty_a
+      |  FROM ix i JOIN cp ON i.event_type = cp.event_type
+      |  GROUP BY 1, 2, 3)
+      |SELECT event_type, cp_day, CAST(cp_k AS BIGINT) AS cp_index,
+      |  m_b AS n_before, m_a AS n_after,
+      |  CASE WHEN m_b * stt_b - st_b * st_b > 0
+      |    THEN CAST(m_b * sty_b - st_b * sy_b AS DOUBLE)
+      |       / CAST(m_b * stt_b - st_b * st_b AS DOUBLE) END AS slope_before,
+      |  CASE WHEN m_b * stt_b - st_b * st_b > 0
+      |    THEN CAST(sy_b * stt_b - st_b * sty_b AS DOUBLE)
+      |       / CAST(m_b * stt_b - st_b * st_b AS DOUBLE) END AS intercept_before,
+      |  CASE WHEN m_a * stt_a - st_a * st_a > 0
+      |    THEN CAST(m_a * sty_a - st_a * sy_a AS DOUBLE)
+      |       / CAST(m_a * stt_a - st_a * st_a AS DOUBLE) END AS slope_after,
+      |  CASE WHEN m_a * stt_a - st_a * st_a > 0
+      |    THEN CAST(sy_a * stt_a - st_a * sty_a AS DOUBLE)
+      |       / CAST(m_a * stt_a - st_a * st_a AS DOUBLE) END AS intercept_after,
+      |  (CASE WHEN m_a * stt_a - st_a * st_a > 0
+      |    THEN CAST(m_a * sty_a - st_a * sy_a AS DOUBLE)
+      |       / CAST(m_a * stt_a - st_a * st_a AS DOUBLE) END)
+      |  - (CASE WHEN m_b * stt_b - st_b * st_b > 0
+      |    THEN CAST(m_b * sty_b - st_b * sy_b AS DOUBLE)
+      |       / CAST(m_b * stt_b - st_b * st_b AS DOUBLE) END) AS slope_change
+      |FROM g ORDER BY event_type""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q221_segmented_regression" -> (segmentedRegression _),
+    "q217_nearest_asof" -> (nearestAsof _),
+    "q218_daily_acf" -> (dailyAcf _),
     "q214_cusum_changepoint" -> (cusumChangepoint _),
     "q209_activity_streaks" -> (activityStreaks _),
     "q210_interval_union" -> (intervalUnion _),
@@ -2282,6 +2586,9 @@ object Events {
   )
 
   def oracles: Map[String, String] = Map(
+    "q221_segmented_regression" -> segmentedRegressionSql,
+    "q217_nearest_asof" -> nearestAsofSql,
+    "q218_daily_acf" -> dailyAcfSql,
     "q214_cusum_changepoint" -> cusumChangepointSql,
     "q209_activity_streaks" -> activityStreaksSql,
     "q210_interval_union" -> intervalUnionSql,

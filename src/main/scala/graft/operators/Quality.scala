@@ -1114,7 +1114,95 @@ object Quality {
       |FROM pairs p JOIN ties t ON p.nation = t.nation
       |ORDER BY p.nation""".stripMargin
 
+  /** Q219: THEIL–SEN SLOPE — the robust trend MAGNITUDE estimator
+    * that pairs with q213's Mann-Kendall significance test (the
+    * standard reporting pair: MK says "is there a monotone trend",
+    * Theil–Sen says "how steep"): per nation, the median of all
+    * pairwise monthly-revenue slopes (rev_j − rev_i)/(m_j − m_i) over
+    * the same 1996–1997 monthly frame. Robust to outlier months where
+    * q135's least-squares slope is not (breakdown point 29%).
+    *
+    * Exactness: every slope is the exact rational (num, den) with
+    * num = Δrev in cents (BIGINT), den = Δmonths ∈ [1, 23]; the
+    * median is an ORDER STATISTIC, not an average — selected at the
+    * lower-median rank (m+1)÷2 under the total order (slope double,
+    * num, den): the IEEE quotient orders rationals correctly except
+    * for sub-ulp distinctions, and the (num, den) suffix makes the
+    * full order deterministic in both engines; the emitted slope pair
+    * is exact, the double is its one-division image (q199 rule).
+    *
+    * Scale shape: q213's chain verbatim — row-scale monthly rollup,
+    * nation-keyed collect of the calendar-bounded month array
+    * (|months| ≤ 24), pair slopes IN-EXPRESSION (≤ 276 per nation),
+    * sort_array + element_at for the median. Three exchanges, no
+    * joins, no pair frame ever leaves the array. */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
+      .groupBy(col("n_name").as("nation"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("long")).cast("long").as("rev"))
+    val arrs = monthly.groupBy(col("nation"))
+      .agg(sort_array(collect_list(struct(col("m"), col("rev")))).as("xs"))
+    val slopes = arrs.select(col("nation"),
+      size(col("xs")).cast("long").as("n_months"),
+      expr("""sort_array(flatten(transform(xs, (x, i) ->
+                transform(slice(xs, i + 2, size(xs)), y ->
+                  struct(CAST(y.rev - x.rev AS DOUBLE)
+                           / CAST(y.m - x.m AS DOUBLE) AS slope,
+                         CAST(y.rev - x.rev AS BIGINT) AS num,
+                         CAST(y.m - x.m AS BIGINT) AS den)))))""").as("sl"))
+    slopes.select(col("nation"), col("n_months"),
+        size(col("sl")).cast("long").as("n_pairs"),
+        element_at(col("sl"),
+          ((size(col("sl")) + 1) / lit(2)).cast("int")).as("med"))
+      .select(col("nation"), col("n_months"), col("n_pairs"),
+        col("med.num").as("slope_num"), col("med.den").as("slope_den"),
+        col("med.slope").as("slope_cents_per_month"))
+      .orderBy(col("nation"))
+  }
+
+  val theilSenSql: String =
+    """WITH monthly AS (
+      |  SELECT n_name AS nation,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS rev
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE year(o_orderdate) IN (1996, 1997)
+      |  GROUP BY 1, 2),
+      |sl AS (
+      |  SELECT a.nation,
+      |    CAST(b.rev - a.rev AS BIGINT) AS num,
+      |    CAST(b.m - a.m AS BIGINT) AS den,
+      |    CAST(b.rev - a.rev AS DOUBLE) / CAST(b.m - a.m AS DOUBLE) AS slope
+      |  FROM monthly a JOIN monthly b
+      |    ON a.nation = b.nation AND b.m > a.m),
+      |nm AS (SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_months
+      |       FROM monthly GROUP BY 1),
+      |r AS (SELECT nation, num, den, slope,
+      |        ROW_NUMBER() OVER (PARTITION BY nation
+      |          ORDER BY slope, num, den) AS rn,
+      |        COUNT(*) OVER (PARTITION BY nation) AS np
+      |      FROM sl)
+      |SELECT r.nation, n_months, CAST(np AS BIGINT) AS n_pairs,
+      |  num AS slope_num, den AS slope_den,
+      |  slope AS slope_cents_per_month
+      |FROM r JOIN nm ON r.nation = nm.nation
+      |WHERE rn = (np + 1) // 2
+      |ORDER BY r.nation""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q219_theil_sen" -> (theilSen _),
     "q213_mann_kendall" -> (mannKendall _),
     "q211_mann_whitney" -> (mannWhitney _),
     "q212_ks_two_sample" -> (ksTwoSample _),
@@ -1133,6 +1221,7 @@ object Quality {
   )
 
   def oracles: Map[String, String] = Map(
+    "q219_theil_sen" -> theilSenSql,
     "q213_mann_kendall" -> mannKendallSql,
     "q211_mann_whitney" -> mannWhitneySql,
     "q212_ks_two_sample" -> ksTwoSampleSql,

@@ -825,6 +825,90 @@ object Relational {
       .orderBy(col("nation"))
   }
 
+  /** Q220: MIX-VS-RATE DECOMPOSITION (Bennet/Oaxaca two-factor) — the
+    * "why did the average move" operator q166 stops short of: the
+    * change in OVERALL average order value 1996→1997 split, per
+    * priority segment, into a RATE effect (what the segment's own
+    * average did, at frozen old weights), a MIX effect (how the
+    * segment's share of orders moved, at frozen old rates) and the
+    * interaction residual — summing across segments reproduces
+    * ȳ_new − ȳ_old exactly. The standard first question against any
+    * metric regression: did behavior change, or did composition?
+    *
+    * Exactness: counts and cent sums are exact BIGINTs; weights
+    * w = n/N and rates r = S/n are each ONE exact-integer division and
+    * every effect is a fixed dag of IEEE ·/− on those quotients —
+    * bit-identical in both engines (the q211 rule), published raw.
+    * Segments empty in a period contribute rate 0 by the explicit
+    * guard (decomposition still telescopes: their mix term carries
+    * the whole movement).
+    *
+    * Scale shape: ONE scan with conditional count/sum aggregation
+    * into the |priorities| frame (map-side combined); the four totals
+    * are windows over that bounded 5-row frame. Nothing row-scale
+    * survives the first aggregation. */
+  def mixRateDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
+      .cast("decimal(18,0)").cast("long")
+    val y = year(col("o_orderdate"))
+    val base = Tables.orders(spark, dir)
+      .filter(y.isin(1996, 1997))
+      .groupBy(col("o_orderpriority").as("segment"))
+      .agg(sum(when(y === 1996, 1L).otherwise(0L)).cast("long").as("n1"),
+        sum(when(y === 1996, cents).otherwise(0L)).cast("long").as("s1"),
+        sum(when(y === 1997, 1L).otherwise(0L)).cast("long").as("n2"),
+        sum(when(y === 1997, cents).otherwise(0L)).cast("long").as("s2"))
+    val all = Window.partitionBy()
+    val tot = base
+      .withColumn("tn1", sum(col("n1")).over(all))
+      .withColumn("tn2", sum(col("n2")).over(all))
+    def rate(s: String, n: String) = when(col(n) > 0,
+      col(s).cast("double") / col(n).cast("double")).otherwise(lit(0.0d))
+    val w1 = col("n1").cast("double") / col("tn1").cast("double")
+    val w2 = col("n2").cast("double") / col("tn2").cast("double")
+    tot.select(col("segment"),
+        col("n1").as("n_old"), col("n2").as("n_new"),
+        rate("s1", "n1").as("avg_old_cents"),
+        rate("s2", "n2").as("avg_new_cents"),
+        (w1 * (rate("s2", "n2") - rate("s1", "n1"))).as("rate_effect"),
+        ((w2 - w1) * rate("s1", "n1")).as("mix_effect"),
+        ((w2 - w1) * (rate("s2", "n2") - rate("s1", "n1"))).as("interaction"))
+      .orderBy(col("segment"))
+  }
+
+  val mixRateDecompositionSql: String =
+    """WITH base AS (
+      |  SELECT o_orderpriority AS segment,
+      |    CAST(SUM(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN year(o_orderdate) = 1996
+      |        THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |        ELSE 0 END) AS BIGINT) AS s1,
+      |    CAST(SUM(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n2,
+      |    CAST(SUM(CASE WHEN year(o_orderdate) = 1997
+      |        THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |        ELSE 0 END) AS BIGINT) AS s2
+      |  FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+      |  GROUP BY 1),
+      |t AS (SELECT *, SUM(n1) OVER () AS tn1, SUM(n2) OVER () AS tn2
+      |      FROM base),
+      |e AS (SELECT segment, n1, n2,
+      |        CASE WHEN n1 > 0 THEN CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |             ELSE 0.0 END AS r1,
+      |        CASE WHEN n2 > 0 THEN CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+      |             ELSE 0.0 END AS r2,
+      |        CAST(n1 AS DOUBLE) / CAST(tn1 AS DOUBLE) AS w1,
+      |        CAST(n2 AS DOUBLE) / CAST(tn2 AS DOUBLE) AS w2
+      |      FROM t)
+      |SELECT segment, n1 AS n_old, n2 AS n_new,
+      |  r1 AS avg_old_cents, r2 AS avg_new_cents,
+      |  w1 * (r2 - r1) AS rate_effect,
+      |  (w2 - w1) * r1 AS mix_effect,
+      |  (w2 - w1) * (r2 - r1) AS interaction
+      |FROM e ORDER BY segment""".stripMargin
+
   val shareShiftSql: String =
     """WITH base AS (
       |  SELECT n_name AS nation,
@@ -931,6 +1015,7 @@ object Relational {
   def queries: Map[String, Q] = Map(
     "q199_rank_distributions" -> (rankDistributions _),
     "q166_share_shift" -> (shareShift _),
+    "q220_mix_rate_decomp" -> (mixRateDecomposition _),
     "q171_basket_pairs" -> (basketPairs _),
     "q173_abc_classification" -> (abcClassification _),
     "q175_ratio_to_parent" -> (ratioToParent _),
@@ -954,6 +1039,7 @@ object Relational {
   def oracles: Map[String, String] = Map(
     "q199_rank_distributions" -> rankDistributionsSql,
     "q166_share_shift" -> shareShiftSql,
+    "q220_mix_rate_decomp" -> mixRateDecompositionSql,
     "q171_basket_pairs" -> basketPairsSql,
     "q173_abc_classification" -> abcClassificationSql,
     "q175_ratio_to_parent" -> ratioToParentSql,

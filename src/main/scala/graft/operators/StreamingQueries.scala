@@ -284,9 +284,14 @@ object StreamingQueries {
         // completeness = the _SUCCESS marker, not bare dir existence
         // (the persisted-fixture discipline): a crash mid-overwrite
         // leaves a torn dir whose max(last_batch) read would corrupt
-        // the merge — discard it and rebuild from this batch instead
-        val complete = java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"$aggPath/_SUCCESS"))
+        // the merge — discard it and rebuild from this batch instead.
+        // Probed through Hadoop's FileSystem (the q184 rule): under an
+        // HDFS/S3A sink base a java.nio check would silently answer
+        // false and every batch would rebuild from scratch.
+        val okPath = new org.apache.hadoop.fs.Path(s"$aggPath/_SUCCESS")
+        val complete = okPath
+          .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+          .exists(okPath)
         if (!complete) graft.Scratch.deleteNow(aggPath)
         val existing =
           if (complete) Some(batch.sparkSession.read.parquet(aggPath))
