@@ -1201,7 +1201,328 @@ object Quality {
       |WHERE rn = (np + 1) // 2
       |ORDER BY r.nation""".stripMargin
 
+  /** The five order priorities, the fixed group axis of [[anovaOneWay]]
+    * — literal so the SSB dag has a pinned term order. */
+  private val Priorities = Seq(
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  /** Q223: ONE-WAY ANOVA F-TEST — does mean order value differ across
+    * the five order priorities? The k-group generalization of q211's
+    * two-sample test: F = (SSB/(k−1)) / (SSW/(N−k)) with
+    * SSB = Σ n_g(ȳ_g − ȳ)², SSW = SST − SSB. The standard gate before
+    * trusting any per-segment mean comparison (q220's rate effects).
+    *
+    * Exactness (the q211/q199 correctly-rounded-dag discipline):
+    * every input is exact — n_g, S_g in BIGINT cents (S_g ≤ ~1e14,
+    * below 2⁵³, so the double image is EXACT), ΣY² in DECIMAL(38,0) —
+    * and every published double is a FIXED dag of IEEE +,−,·,/ on
+    * those exact values. The one ordering hazard in ANOVA — the
+    * across-group Σ in SSB, which a float aggregation would make
+    * partition-order-dependent — is eliminated by PIVOTING the k=5
+    * groups into one row (conditional aggregation, integer-exact) and
+    * writing the five SSB terms as one explicit left-associated
+    * expression, identical text on both engines.
+    *
+    * Scale shape: ONE conditional-aggregation scan (map-side
+    * combined) to a single row; the dag is driver-free scalar math on
+    * that row. Adding groups means adding columns, not exchanges. */
+  def anovaOneWay(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
+      .cast("decimal(18,0)").cast("long")
+    val aggs = Priorities.zipWithIndex.flatMap { case (p, i) =>
+      Seq(
+        sum(when(col("g") === p, 1L).otherwise(0L)).cast("long")
+          .as(s"n${i + 1}"),
+        sum(when(col("g") === p, col("y")).otherwise(0L)).cast("long")
+          .as(s"s${i + 1}"))
+    } :+ sum(col("y").cast("decimal(38,0)") * col("y"))
+      .cast("decimal(38,0)").as("ssq")
+    val pivoted = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("g"), cents.as("y"))
+      .groupBy()
+      .agg(aggs.head, aggs.tail: _*)
+    val nT = (1 to 5).map(i => col(s"n$i")).reduce(_ + _)
+    val sT = (1 to 5).map(i => col(s"s$i")).reduce(_ + _)
+    val nD = col("n_total").cast("double")
+    val grand = col("s_total").cast("double") / nD
+    def term(i: Int): Column = {
+      val d = col(s"s$i").cast("double") / col(s"n$i").cast("double") - grand
+      col(s"n$i").cast("double") * (d * d)
+    }
+    val ssb = (1 to 5).map(term).reduce(_ + _)
+    val sst = col("ssq").cast("double") -
+      col("s_total").cast("double") * col("s_total").cast("double") / nD
+    pivoted
+      .withColumn("n_total", nT)
+      .withColumn("s_total", sT)
+      .withColumn("ssb", ssb)
+      .withColumn("sst", sst)
+      .withColumn("ssw", col("sst") - col("ssb"))
+      .select(lit(5L).as("k_groups"), col("n_total"),
+        grand.as("grand_mean_cents"),
+        col("ssb"), col("ssw"),
+        ((col("ssb") / lit(4.0d))
+          / (col("ssw") / (nD - lit(5.0d)))).as("f_stat"),
+        (col("ssb") / col("sst")).as("eta_sq"))
+  }
+
+  /** Oracle: the identical pivot and the identical left-associated
+    * dag — term order pinned by priority name on both engines. */
+  val anovaOneWaySql: String = {
+    val conds = Priorities.zipWithIndex.map { case (p, i) =>
+      s"""    CAST(SUM(CASE WHEN o_orderpriority = '$p' THEN 1 ELSE 0 END) AS BIGINT) AS n${i + 1},
+         |    CAST(SUM(CASE WHEN o_orderpriority = '$p'
+         |      THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      ELSE 0 END) AS BIGINT) AS s${i + 1}""".stripMargin
+    }.mkString(",\n")
+    val terms = (1 to 5).map(i =>
+      s"CAST(n$i AS DOUBLE) * ((CAST(s$i AS DOUBLE) / CAST(n$i AS DOUBLE) - grand) * (CAST(s$i AS DOUBLE) / CAST(n$i AS DOUBLE) - grand))")
+      .mkString("\n    + ")
+    s"""WITH piv AS (
+       |  SELECT
+       |$conds,
+       |    CAST(SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT)
+       |      * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS HUGEINT) AS ssq
+       |  FROM orders),
+       |t AS (
+       |  SELECT n1 + n2 + n3 + n4 + n5 AS n_total,
+       |    s1 + s2 + s3 + s4 + s5 AS s_total, * FROM piv),
+       |g AS (
+       |  SELECT *, CAST(s_total AS DOUBLE) / CAST(n_total AS DOUBLE) AS grand
+       |  FROM t),
+       |e AS (
+       |  SELECT *,
+       |    $terms AS ssb,
+       |    CAST(ssq AS DOUBLE)
+       |      - CAST(s_total AS DOUBLE) * CAST(s_total AS DOUBLE)
+       |        / CAST(n_total AS DOUBLE) AS sst
+       |  FROM g)
+       |SELECT CAST(5 AS BIGINT) AS k_groups, CAST(n_total AS BIGINT) AS n_total,
+       |  grand AS grand_mean_cents, ssb, sst - ssb AS ssw,
+       |  (ssb / 4.0) / ((sst - ssb) / (CAST(n_total AS DOUBLE) - 5.0)) AS f_stat,
+       |  ssb / sst AS eta_sq
+       |FROM e""".stripMargin
+  }
+
+  /** Q229: TRIMMED MEAN — per nation, the 10%-two-sided trimmed mean
+    * of order value: drop the k = ⌊n/10⌋ smallest and largest orders,
+    * average the rest. The robust location estimate between the mean
+    * (q1, breakdown 0%) and the median (q199, inefficient when the
+    * middle is clean) — the standard spend-per-order readout when a
+    * few whale orders would otherwise own the mean. Pairs with q147's
+    * MAD (robust scale) and q219's Theil–Sen (robust slope).
+    *
+    * Exactness: membership in the kept middle is integer rank
+    * arithmetic; the kept sum is an exact BIGINT; the mean publishes
+    * via the (2N+D)÷(2D) micro-cent form on a DECIMAL(38) numerator.
+    *
+    * Scale shape: the q212/q224 value-histogram discipline — NO
+    * per-row rank window: the row-scale frame collapses to distinct
+    * cent values in one map-side-combined aggregation; each histogram
+    * row's kept weight is the overlap of its rank interval
+    * (cum−c, cum] with the kept band (k, n−k], computed from ONE
+    * cumulative window over the bounded per-nation value frame. The
+    * oracle keeps the textbook per-row ROW_NUMBER form as the witness
+    * that both shapes agree. */
+  def trimmedMean(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
+      .cast("decimal(18,0)").cast("long")
+    val hist = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), cents.as("v"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val byV = Window.partitionBy(col("nation")).orderBy(col("v"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(
+        byV.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("nation"))))
+      .withColumn("k", expr("n div 10"))
+      .withColumn("w",
+        least(col("cum"), col("n") - col("k"))
+          - greatest(col("cum") - col("c"), col("k")))
+      .filter(col("w") > 0)
+    cum.groupBy(col("nation"))
+      .agg(max(col("n")).cast("long").as("n_orders"),
+        max(col("k")).cast("long").as("k_trim"),
+        sum(col("w")).cast("long").as("m_kept"),
+        sum(col("w") * col("v")).cast("long").as("ksum"))
+      .select(col("nation"), col("n_orders"), col("k_trim"), col("m_kept"),
+        (expr("(2 * CAST(ksum AS DECIMAL(38,0)) * 1000000 + m_kept) div (2 * m_kept)")
+          .cast("double") / 1000000).as("trimmed_mean_cents"))
+      .orderBy(col("nation"))
+  }
+
+  val trimmedMeanSql: String =
+    """WITH j AS (
+      |  SELECT n_name AS nation,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey),
+      |r AS (SELECT nation, v,
+      |        ROW_NUMBER() OVER (PARTITION BY nation ORDER BY v) AS rn,
+      |        COUNT(*) OVER (PARTITION BY nation) AS n
+      |      FROM j),
+      |kept AS (SELECT nation, v, n, n // 10 AS k
+      |         FROM r WHERE rn > n // 10 AND rn <= n - n // 10)
+      |SELECT nation, CAST(MAX(n) AS BIGINT) AS n_orders,
+      |  CAST(MAX(k) AS BIGINT) AS k_trim,
+      |  CAST(COUNT(*) AS BIGINT) AS m_kept,
+      |  CAST((2 * CAST(SUM(v) AS HUGEINT) * 1000000 + COUNT(*))
+      |    // (2 * COUNT(*)) AS DOUBLE) / 1000000 AS trimmed_mean_cents
+      |FROM kept GROUP BY nation ORDER BY nation""".stripMargin
+
+  /** Q230: WILSON SCORE INTERVAL — per supplier nation, the 95%
+    * confidence interval for the return rate (share of lineitems with
+    * l_returnflag = 'R'). Wilson is the binomial CI that behaves at
+    * extreme p̂ and small n where the naive Wald interval collapses —
+    * the gate before acting on any per-segment rate comparison (which
+    * nations' return rates are DISTINGUISHABLE, not just different).
+    *
+    * Exactness: x and n are exact BIGINTs; the interval is one fixed
+    * IEEE dag (+,−,·,/,√ are all correctly rounded — the q211
+    * extended-dag rule) written with identical association on both
+    * engines, z = 1.96 as the same literal double.
+    *
+    * Scale shape: ONE map-side-combined conditional aggregation to
+    * the |nations| frame after broadcast dim joins; the dag is scalar
+    * math on that bounded frame. */
+  def wilsonInterval(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .cast("long").as("x"))
+    val nD = col("n").cast("double")
+    val z = lit(1.96d)
+    val z2 = z * z
+    val p = col("x").cast("double") / nD
+    val denom = lit(1.0d) + z2 / nD
+    val center = (p + z2 / (lit(2.0d) * nD)) / denom
+    val half = z * sqrt(p * (lit(1.0d) - p) / nD
+      + z2 / (lit(4.0d) * nD * nD)) / denom
+    base.select(col("nation"), col("n"), col("x"),
+        p.as("p_hat"),
+        (center - half).as("wilson_lo"),
+        (center + half).as("wilson_hi"))
+      .orderBy(col("nation"))
+  }
+
+  /** Oracle: the identical dag, spelled with the same association —
+    * every subexpression textually parallel to the Column form. */
+  val wilsonIntervalSql: String =
+    """WITH b AS (
+      |  SELECT n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS x
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  GROUP BY 1),
+      |e AS (
+      |  SELECT nation, n, x,
+      |    CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+      |    CAST(n AS DOUBLE) AS nd,
+      |    1.96 * 1.96 AS z2
+      |  FROM b),
+      |f AS (
+      |  SELECT nation, n, x, p,
+      |    (p + z2 / (2.0 * nd)) / (1.0 + z2 / nd) AS center,
+      |    1.96 * sqrt(p * (1.0 - p) / nd + z2 / (4.0 * nd * nd))
+      |      / (1.0 + z2 / nd) AS half
+      |  FROM e)
+      |SELECT nation, n, x, p AS p_hat,
+      |  center - half AS wilson_lo, center + half AS wilson_hi
+      |FROM f ORDER BY nation""".stripMargin
+
+  /** Q231: HODGES–LEHMANN ESTIMATOR — per nation, the median of all
+    * Walsh averages (rev_i + rev_j)/2, i ≤ j, over the 1996–97
+    * monthly-revenue frame: the location estimate the Mann-Whitney
+    * test (q211) inverts, completing the robust trio with q219's
+    * Theil–Sen slope (same pair machinery, location instead of
+    * slope). More efficient than the plain median under near-normal
+    * noise, still 29% breakdown.
+    *
+    * Exactness: each Walsh PAIR SUM is an exact BIGINT; the median is
+    * an order statistic at rank (m+1)÷2 of the sum order (monotone
+    * image of the average order); the published estimate is sum/2.0 —
+    * division by a power of two, EXACT in IEEE, so the double is not
+    * even rounded.
+    *
+    * Scale shape: q219's chain verbatim — row-scale monthly rollup,
+    * nation-keyed collect of the calendar-bounded ≤ 24-month array,
+    * the ≤ 300 Walsh sums generated IN-EXPRESSION (self-pairs
+    * included via slice from the element itself), sort_array +
+    * element_at for the order statistic. Three exchanges, no joins. */
+  def hodgesLehmann(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
+      .groupBy(col("n_name").as("nation"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("long")).cast("long").as("rev"))
+    val arrs = monthly.groupBy(col("nation"))
+      .agg(sort_array(collect_list(col("rev"))).as("xs"))
+    arrs.select(col("nation"),
+        size(col("xs")).cast("long").as("n_months"),
+        expr("""sort_array(flatten(transform(xs, (x, i) ->
+                  transform(slice(xs, i + 1, size(xs)), y -> x + y))))""")
+          .as("ws"))
+      .select(col("nation"), col("n_months"),
+        size(col("ws")).cast("long").as("n_pairs"),
+        (element_at(col("ws"),
+          ((size(col("ws")) + 1) / lit(2)).cast("int")).cast("double")
+          / 2.0d).as("hl_cents"))
+      .orderBy(col("nation"))
+  }
+
+  val hodgesLehmannSql: String =
+    """WITH monthly AS (
+      |  SELECT n_name AS nation,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS rev
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE year(o_orderdate) IN (1996, 1997)
+      |  GROUP BY 1, 2),
+      |w AS (
+      |  SELECT a.nation, a.rev + b.rev AS s
+      |  FROM monthly a JOIN monthly b
+      |    ON a.nation = b.nation AND b.m >= a.m),
+      |nm AS (SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_months
+      |       FROM monthly GROUP BY 1),
+      |r AS (SELECT nation, s,
+      |        ROW_NUMBER() OVER (PARTITION BY nation ORDER BY s) AS rn,
+      |        COUNT(*) OVER (PARTITION BY nation) AS np
+      |      FROM w)
+      |SELECT r.nation, n_months, CAST(np AS BIGINT) AS n_pairs,
+      |  CAST(s AS DOUBLE) / 2.0 AS hl_cents
+      |FROM r JOIN nm ON r.nation = nm.nation
+      |WHERE rn = (np + 1) // 2
+      |ORDER BY r.nation""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q229_trimmed_mean" -> (trimmedMean _),
+    "q230_wilson_interval" -> (wilsonInterval _),
+    "q231_hodges_lehmann" -> (hodgesLehmann _),
+    "q223_anova_oneway" -> (anovaOneWay _),
     "q219_theil_sen" -> (theilSen _),
     "q213_mann_kendall" -> (mannKendall _),
     "q211_mann_whitney" -> (mannWhitney _),
@@ -1221,6 +1542,10 @@ object Quality {
   )
 
   def oracles: Map[String, String] = Map(
+    "q229_trimmed_mean" -> trimmedMeanSql,
+    "q230_wilson_interval" -> wilsonIntervalSql,
+    "q231_hodges_lehmann" -> hodgesLehmannSql,
+    "q223_anova_oneway" -> anovaOneWaySql,
     "q219_theil_sen" -> theilSenSql,
     "q213_mann_kendall" -> mannKendallSql,
     "q211_mann_whitney" -> mannWhitneySql,

@@ -770,7 +770,75 @@ object StreamingQueries {
       |  AND c.cus + 3600000000 < wm.wm_us
       |ORDER BY user_id, click_id, purchase_id""".stripMargin
 
+  /** Q228: NATIVE SESSION-WINDOW AGGREGATION — the DECLARATIVE twin of
+    * q40's flatMapGroupsWithState sessionizer: `session_window(ts,
+    * 30 min)` inside a watermarked groupBy, Spark's built-in
+    * merging-window state (Spark 3.2+). Same 30-minute gap semantics
+    * (an event extends a session iff it lands strictly inside the
+    * previous event's ts + gap; window end = last event + gap,
+    * end-exclusive), but the session state, merge logic and eviction
+    * are the engine's, not ours — the operator a user reaches for
+    * FIRST, with q40 as the escape hatch when per-session logic stops
+    * being an aggregation.
+    *
+    * Emission rule (mirrored exactly by the oracle, the q215
+    * discipline): Append mode emits a session only once the final
+    * watermark (global max event time − 1 h delay) has passed its
+    * window END (last event + gap) — sessions still inside the
+    * horizon remain in state at query end, absent by design.
+    * finalizeByWatermark = true is load-bearing: emission happens in
+    * the terminal no-data microbatch after the data batch advanced
+    * the watermark.
+    *
+    * Scale shape: state is keyed by (user_id, merging window) — high
+    * cardinality, distributes across executors; the watermark bounds
+    * open-session state exactly as in q40. One shuffle on user_id;
+    * session merge is per-key state-store work, never a sort. */
+  def streamSessionWindow(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+    val ev = EventStream.readEvents(spark, s"$dir/events.parquet")
+    val agg = ev
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).cast("long").as("n_events"))
+    EventStream.runToTable(agg, sinkName("stream_session_window"),
+        OutputMode.Append(), finalizeByWatermark = true)
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start_us"))
+  }
+
+  /** DuckDB twin: gaps-and-islands with the session_window break rule
+    * (new session when the gap is ≥ 30 min — window ends are
+    * exclusive, so an event AT ts+gap starts a new session; contrast
+    * q40's custom `>` rule), end = last event + gap, emitted only if
+    * end < final watermark = max(ts) − 1 h. */
+  val streamSessionWindowSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+      |              >= 30*60*1000000::BIGINT
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |numbered AS (
+      |  SELECT user_id, us,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged),
+      |sessions AS (
+      |  SELECT user_id, MIN(us) AS session_start_us,
+      |    MAX(us) + 30*60*1000000::BIGINT AS session_end_us,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM numbered GROUP BY user_id, sid),
+      |wm AS (SELECT MAX(epoch_us(ts)) - 3600000000 AS wm_us FROM events)
+      |SELECT user_id, session_start_us, session_end_us, n_events
+      |FROM sessions, wm WHERE session_end_us < wm.wm_us
+      |ORDER BY user_id, session_start_us""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q228_stream_session_window" -> (streamSessionWindow _),
     "q215_stream_outer_join" -> (streamOuterJoin _),
     "q184_stream_curation" -> (streamCuration _),
     "q95_stream_static_join" -> (streamStaticEnrich _),
@@ -788,6 +856,7 @@ object StreamingQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q228_stream_session_window" -> streamSessionWindowSql,
     "q215_stream_outer_join" -> streamOuterJoinSql,
     "q184_stream_curation" -> streamCurationSql,
     "q95_stream_static_join" -> streamStaticEnrichSql,
