@@ -78,7 +78,12 @@ object PlanInvariants {
       // bounded query frame broadcasts into the corpus scan under a
       // non-equi (id/label inequality) condition
       "q203_hard_negatives", "q205_truncation_recall",
-      "q206_label_precision", "q207_rrf_fusion")
+      "q206_label_precision", "q207_rrf_fusion",
+      // q227: the 1-row corpus-horizon aggregate broadcast into the
+      // per-user frame on a constant key — Spark folds the always-true
+      // equi-condition into a BNLJ; the broadcast side is exactly one
+      // row at any corpus size (the q66 scalar-crossJoin rationale)
+      "q227_kaplan_meier")
 
   /** Per-query shuffle ceilings above the [[defaultShuffleCeiling]].
     * These are the audited round-5 counts — intentionally exact, so an
@@ -152,7 +157,14 @@ object PlanInvariants {
       // fuse join pays two bounded exchanges plus the fused-rank
       // window and output sort. Six exchanges, four of which carry
       // ≤ 2k rows per query at any corpus size.
-      "q207_rrf_fusion" -> 6)
+      "q207_rrf_fusion" -> 6,
+      // q226's grouped collocation chain: df agg (row-scale), top-V
+      // window over the vocab-scale df frame, per-doc regroup of the
+      // universe-filtered tokens, pair agg, the bounded rank window
+      // and output sort — after the regroup every exchange carries
+      // ≤ |sources|·C(50,2) pair rows; the universe filter and both
+      // denominator joins ride broadcasts of the bounded top-V frame
+      "q226_cooccurrence_lift" -> 7)
 
   /** Every other plan holds at <= 4 exchanges today (audited r5). */
   val defaultShuffleCeiling: Int = 4

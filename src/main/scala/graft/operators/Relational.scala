@@ -1012,7 +1012,182 @@ object Relational {
       |FROM r JOIN p USING (segment) WHERE rn <= 5
       |ORDER BY segment, price_cents DESC, o_orderkey""".stripMargin
 
+  /** Q222: SKYLINE / PARETO FRONTIER — per brand, the parts not
+    * DOMINATED on (retail price, size), both minimized: part Q
+    * dominates P iff Q.price ≤ P.price ∧ Q.size ≤ P.size with at
+    * least one strict. The multi-objective shortlist operator ("no
+    * part is both cheaper AND smaller") that q173's single-axis ABC
+    * ranking cannot express; ties on BOTH axes are mutually
+    * non-dominating, so exact duplicates all stay on the frontier.
+    *
+    * Exactness: prices compare in exact cents (the decimal-cast long
+    * discipline); the frontier is a pure set predicate — no floats
+    * anywhere, so the oracle can be the textbook NOT EXISTS while the
+    * engine runs the window form and the results must agree row-set
+    * for row-set.
+    *
+    * Scale shape: the classic nested-loop skyline is O(n²); this is
+    * the SORT-FILTER skyline — ONE exchange on brand, ONE sort by
+    * price, and two running-min frames over that same sort:
+    * m0 = min size over price ≤ mine, mPrev = min size over price
+    * STRICTLY below mine (a RANGE frame to −1 cent, exact because the
+    * order key is integer cents). Survive ⟺ size == m0 (nobody at my
+    * price or cheaper is smaller) ∧ (mPrev null ∨ mPrev > size)
+    * (nobody strictly cheaper is ≤ my size). Linear after the sort,
+    * no self-join, no pair space — survives 100× untouched. */
+  def skylineParts(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (col("p_retailprice").cast("decimal(18,2)") * 100)
+      .cast("decimal(18,0)").cast("long")
+    val p = Tables.part(spark, dir)
+      .select(col("p_brand").as("brand"), col("p_partkey"),
+        cents.as("price_cents"), col("p_size").cast("long").as("size"))
+    val byPrice = Window.partitionBy(col("brand")).orderBy(col("price_cents"))
+    val upToHere = byPrice.rangeBetween(Window.unboundedPreceding, 0)
+    val strictlyCheaper = byPrice.rangeBetween(Window.unboundedPreceding, -1)
+    p.withColumn("m0", min(col("size")).over(upToHere))
+      .withColumn("m_prev", min(col("size")).over(strictlyCheaper))
+      .filter(col("size") === col("m0") &&
+        (col("m_prev").isNull || col("m_prev") > col("size")))
+      .select(col("brand"), col("p_partkey"), col("price_cents"), col("size"))
+      .orderBy(col("brand"), col("price_cents"), col("size"), col("p_partkey"))
+  }
+
+  /** Oracle: the definition itself — NOT EXISTS a dominating part
+    * (fine at oracle scale; the engine's window form must agree). */
+  val skylinePartsSql: String =
+    """WITH p AS (
+      |  SELECT p_brand AS brand, p_partkey,
+      |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS price_cents,
+      |    CAST(p_size AS BIGINT) AS size
+      |  FROM part)
+      |SELECT brand, p_partkey, price_cents, size
+      |FROM p a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM p b
+      |  WHERE b.brand = a.brand
+      |    AND b.price_cents <= a.price_cents AND b.size <= a.size
+      |    AND (b.price_cents < a.price_cents OR b.size < a.size))
+      |ORDER BY brand, price_cents, size, p_partkey""".stripMargin
+
+  /** Q224: WEIGHTED MEDIAN — per return flag, the quantity-weighted
+    * median of line-item extended price: the smallest price v whose
+    * cumulative weight reaches half the total (the lower weighted
+    * median, the order statistic q161/q219 use, generalized to
+    * weights). The robust "typical unit price" readout an unweighted
+    * median distorts whenever quantity and price correlate.
+    *
+    * Exactness: prices in exact cents, quantities as exact integer
+    * weights; the half-total threshold is the cross-multiplied
+    * integer test 2·cumW ≥ W (no division, no .5 float); the winner
+    * is an order statistic, never an average.
+    *
+    * Scale shape: the q212 value-histogram discipline — ONE map-side-
+    * combined groupBy (flag, price) collapses row scale to the
+    * bounded distinct-price frame; the cumulative and total weights
+    * are two frames over ONE (flag, price-order) window exchange; the
+    * final min-per-flag is an aggregation over the ≤ |prices| frame.
+    * Nothing row-scale past the first rollup. */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (col("l_extendedprice").cast("decimal(18,2)") * 100)
+      .cast("decimal(18,0)").cast("long")
+    val hist = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag").as("flag"), cents.as("v"))
+      .agg(sum(col("l_quantity").cast("decimal(18,0)").cast("long"))
+        .cast("long").as("w"))
+    val byV = Window.partitionBy(col("flag")).orderBy(col("v"))
+    val cum = hist
+      .withColumn("cw", sum(col("w")).over(
+        byV.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("tw", sum(col("w")).over(Window.partitionBy(col("flag"))))
+    cum.filter(lit(2L) * col("cw") >= col("tw"))
+      .groupBy(col("flag"))
+      .agg(min(col("v")).as("wmedian_cents"),
+        max(col("tw")).cast("bigint").as("total_weight"))
+      .orderBy(col("flag"))
+  }
+
+  val weightedMedianSql: String =
+    """WITH hist AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (
+      |  SELECT flag, v, w,
+      |    CAST(SUM(w) OVER (PARTITION BY flag ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+      |    CAST(SUM(w) OVER (PARTITION BY flag) AS BIGINT) AS tw
+      |  FROM hist)
+      |SELECT flag, CAST(MIN(v) AS BIGINT) AS wmedian_cents,
+      |  CAST(MAX(tw) AS BIGINT) AS total_weight
+      |FROM c WHERE 2 * cw >= tw
+      |GROUP BY flag ORDER BY flag""".stripMargin
+
+  /** Q225: ROLLUP GROUPING SETS — the classical warehouse subtotal
+    * cube: revenue and order counts at every prefix level of the
+    * region → nation → order-year hierarchy (grand total included),
+    * one pass, with an explicit grouping id so consumers can address
+    * a level without null-sniffing (NULL region in a subtotal row vs
+    * a genuinely-null dimension value are different things; grp_id
+    * disambiguates). The surface q1/q6's flat GROUP BYs and q175's
+    * ratio-to-parent presuppose but nothing exposed directly.
+    *
+    * Exactness: cents are exact BIGINTs at every level; grp_id is the
+    * explicit bit sum grouping(region)·4 + grouping(nation)·2 +
+    * grouping(year), spelled identically on both engines rather than
+    * trusting the engines' composite GROUPING_ID bit orders to agree.
+    *
+    * Scale shape: Catalyst plans rollup as Expand(4 replicas) → ONE
+    * hash aggregation with map-side combine, so the shuffle carries
+    * at most 4× the bounded (region, nation, year) grid — never 4×
+    * row scale. Dimensions ride broadcast joins; one scan total. */
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
+      .cast("decimal(18,0)").cast("long")
+    val j = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("region"), col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("order_year"),
+        cents.as("rev"))
+    j.rollup(col("region"), col("nation"), col("order_year"))
+      .agg(
+        (grouping(col("region")) * 4 + grouping(col("nation")) * 2
+          + grouping(col("order_year"))).cast("long").as("grp_id"),
+        sum(col("rev")).cast("long").as("revenue_cents"),
+        count(lit(1)).cast("long").as("n_orders"))
+      .select(col("grp_id"), col("region"), col("nation"), col("order_year"),
+        col("revenue_cents"), col("n_orders"))
+      .orderBy(col("grp_id"), col("region"), col("nation"), col("order_year"))
+  }
+
+  val rollupRevenueSql: String =
+    """WITH j AS (
+      |  SELECT r_name AS region, n_name AS nation,
+      |    CAST(year(o_orderdate) AS BIGINT) AS order_year,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS rev
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey)
+      |SELECT CAST(GROUPING(region) * 4 + GROUPING(nation) * 2
+      |    + GROUPING(order_year) AS BIGINT) AS grp_id,
+      |  region, nation, order_year,
+      |  CAST(SUM(rev) AS BIGINT) AS revenue_cents,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM j GROUP BY ROLLUP(region, nation, order_year)
+      |ORDER BY grp_id, region, nation, order_year""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q222_skyline_parts" -> (skylineParts _),
+    "q224_weighted_median" -> (weightedMedian _),
+    "q225_rollup_revenue" -> (rollupRevenue _),
     "q199_rank_distributions" -> (rankDistributions _),
     "q166_share_shift" -> (shareShift _),
     "q220_mix_rate_decomp" -> (mixRateDecomposition _),
@@ -1037,6 +1212,9 @@ object Relational {
   )
 
   def oracles: Map[String, String] = Map(
+    "q222_skyline_parts" -> skylinePartsSql,
+    "q224_weighted_median" -> weightedMedianSql,
+    "q225_rollup_revenue" -> rollupRevenueSql,
     "q199_rank_distributions" -> rankDistributionsSql,
     "q166_share_shift" -> shareShiftSql,
     "q220_mix_rate_decomp" -> mixRateDecompositionSql,

@@ -820,7 +820,135 @@ object TextAnalysis {
        |FROM res GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** q226 universe width: each source's TopV most-frequent tokens
+    * (by document frequency) form the pair universe. */
+  private val CoocTopV = 50
+
+  /** q226 minimum co-document support for a reported pair. */
+  private val CoocMinSupport = 2L
+
+  /** Q226: CO-OCCURRENCE LIFT (PMI surrogate) — per source, the top-5
+    * token PAIRS most associated at the document level: lift(a,b) =
+    * D·n_ab / (n_a·n_b), the ratio of observed co-occurrence to the
+    * independence expectation. PMI = log(lift) is monotone in it, so
+    * ranking by exact-rational lift IS the PMI ranking with no libm
+    * anywhere (the q163 cross-ratio trick). This is the GROUPED
+    * generalization of q130's global co-occurrence report: q130's
+    * scale trick — collect the one global top-64 vocabulary as a
+    * driver literal and array_intersect against it — structurally
+    * cannot produce a PER-GROUP universe (the vocab literal is one
+    * array, not one per source), so the per-source variant needs the
+    * different machinery here: a window-ranked top-V frame that rides
+    * back in as a broadcast EQUI-join. Per-source collocations are
+    * the signal that matters for mixture curation — a pair ubiquitous
+    * in one source and absent elsewhere is a template fingerprint
+    * q130's global report averages away.
+    *
+    * Exactness: n_a, n_b, n_ab, D are exact document counts on
+    * DISTINCT per-doc tokens; lift publishes via the sign-free
+    * (2N+D)÷(2D) integer micro-unit form; rank ties pin by
+    * (lift, n_ab desc, token_a, token_b) — total.
+    *
+    * Scale shape: the pair space is CAPPED BY CONSTRUCTION, not by
+    * hope — only each source's TopV=50 df-ranked tokens enter, so
+    * candidate pairs ≤ |sources|·C(50,2) at ANY corpus size, and the
+    * per-doc in-expression pair generation (the q219 array machinery)
+    * emits ≤ C(50,2) structs per doc with no self-join. The df pass
+    * is one map-side-combined aggregation; the top-V cut is a window
+    * over the vocab-scale df frame (rank only, no payload); the
+    * BOUNDED top-V frame then rides broadcast joins for both the
+    * universe filter and the n_a/n_b denominators. Exchanges: df agg,
+    * top-V window, per-doc regroup, pair agg, final bounded window —
+    * pinned in PlanInvariants with this rationale. */
+  def cooccurrenceLift(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        array_distinct(tokens(col("text"))).as("toks"))
+    val tok = docs.select(col("source"), col("doc_id"),
+      explode(col("toks")).as("tok"))
+    val dfreq = tok.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).cast("long").as("df"))
+    val top = dfreq
+      .withColumn("rn", row_number().over(w.partitionBy(col("source"))
+        .orderBy(col("df").desc, col("tok"))))
+      .filter(col("rn") <= CoocTopV)
+      .select(col("source"), col("tok"), col("df"))
+    val nDocs = docs.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+    val sets = tok.join(broadcast(top.select(col("source"), col("tok"))),
+        Seq("source", "tok"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(sort_array(collect_list(col("tok"))).as("ts"))
+    val pairs = sets
+      .select(col("source"), explode(expr(
+        """flatten(transform(ts, (x, i) ->
+          |  transform(slice(ts, i + 2, size(ts)),
+          |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+      .groupBy(col("source"), col("p.a").as("token_a"), col("p.b").as("token_b"))
+      .agg(count(lit(1)).cast("long").as("n_docs_both"))
+      .filter(col("n_docs_both") >= CoocMinSupport)
+    val scored = pairs
+      .join(broadcast(top.select(col("source"), col("tok").as("token_a"),
+        col("df").as("df_a"))), Seq("source", "token_a"))
+      .join(broadcast(top.select(col("source"), col("tok").as("token_b"),
+        col("df").as("df_b"))), Seq("source", "token_b"))
+      .join(broadcast(nDocs), Seq("source"))
+      .withColumn("lm", expr(
+        "(2 * n_docs * n_docs_both * 1000000 + df_a * df_b) div (2 * df_a * df_b)"))
+    scored
+      .withColumn("rank", row_number().over(w.partitionBy(col("source"))
+        .orderBy(col("lm").desc, col("n_docs_both").desc,
+          col("token_a"), col("token_b"))).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("source"), col("rank"), col("token_a"), col("token_b"),
+        col("n_docs_both"), col("df_a"), col("df_b"),
+        (col("lm").cast("double") / 1000000).as("lift"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  val cooccurrenceLiftSql: String =
+    s"""WITH docs AS (
+       |  SELECT source, doc_id, list_distinct(string_split(text, ' ')) AS toks
+       |  FROM documents),
+       |tok AS (SELECT source, doc_id, unnest(toks) AS tok FROM docs),
+       |df AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS df
+       |       FROM tok GROUP BY 1, 2),
+       |top AS (SELECT source, tok, df FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY df DESC, tok) AS rn FROM df)
+       |  WHERE rn <= $CoocTopV),
+       |nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |       FROM docs GROUP BY 1),
+       |kept AS (SELECT t.source, t.doc_id, t.tok
+       |         FROM tok t JOIN top USING (source, tok)),
+       |pairs AS (
+       |  SELECT a.source, a.tok AS token_a, b.tok AS token_b,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs_both
+       |  FROM kept a JOIN kept b
+       |    ON a.source = b.source AND a.doc_id = b.doc_id AND b.tok > a.tok
+       |  GROUP BY 1, 2, 3
+       |  HAVING COUNT(*) >= $CoocMinSupport),
+       |e AS (
+       |  SELECT p.source, token_a, token_b, n_docs_both,
+       |    fa.df AS df_a, fb.df AS df_b,
+       |    (2 * nd.n_docs * n_docs_both * 1000000 + fa.df * fb.df)
+       |      // (2 * fa.df * fb.df) AS lm
+       |  FROM pairs p
+       |  JOIN top fa ON fa.source = p.source AND fa.tok = p.token_a
+       |  JOIN top fb ON fb.source = p.source AND fb.tok = p.token_b
+       |  JOIN nd ON nd.source = p.source),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+       |        ORDER BY lm DESC, n_docs_both DESC, token_a, token_b) AS rk
+       |      FROM e)
+       |SELECT source, CAST(rk AS BIGINT) AS rank, token_a, token_b,
+       |  n_docs_both, df_a, df_b,
+       |  CAST(lm AS DOUBLE) / 1000000 AS lift
+       |FROM r WHERE rk <= 5
+       |ORDER BY source, rank""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q226_cooccurrence_lift" -> (cooccurrenceLift _),
     "q190_heldout_tokenizer" -> (heldoutTokenizer _),
     "q180_kwic_concordance" -> (kwicConcordance _),
     "q163_zipf_deviation" -> (zipfDeviation _),
@@ -841,6 +969,7 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "q226_cooccurrence_lift" -> cooccurrenceLiftSql,
     "q190_heldout_tokenizer" -> heldoutTokenizerSql,
     "q100_bpe_merge_learning" -> bpeMergeLearningSql,
     "q180_kwic_concordance" -> kwicConcordanceSql,
