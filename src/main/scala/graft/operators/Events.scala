@@ -2540,7 +2540,201 @@ object Events {
       |       / CAST(m_b * stt_b - st_b * st_b AS DOUBLE) END) AS slope_change
       |FROM g ORDER BY event_type""".stripMargin
 
+  /** Q227: KAPLAN–MEIER SURVIVAL CURVE — time-to-event analysis with
+    * RIGHT CENSORING, the readout q159's conversion-latency quantiles
+    * silently bias: quantiles over CONVERTED users only ignore the
+    * users still waiting, overstating conversion speed. The estimator
+    * companion to q152's Nelson–Aalen: N-A SUMS discrete hazards into
+    * cumulative hazard H(t) (uncensored lifetimes there); K-M
+    * MULTIPLIES survival factors into S(t) with explicit censoring —
+    * same risk-set machinery, different estimand and a genuinely
+    * different numeric discipline (a pinned product fold vs an exact
+    * rational sum). KM handles censoring correctly: duration = whole days from a user's first click
+    * to their first purchase AFTER it; users with no such purchase are
+    * censored at the corpus horizon (max event ts). At each event day
+    * t: n_t = users still at risk, d_t = conversions, and
+    * S(t) = Π_{t'≤t}(1 − d_t'/n_t') — the probability of remaining
+    * unconverted past t.
+    *
+    * Exactness: durations, risk counts, event and censor counts are
+    * exact integers. S(t) is a RUNNING PRODUCT of IEEE doubles —
+    * order-sensitive, so it is computed as an explicit LEFT FOLD over
+    * the day-sorted factor list on BOTH engines (Spark `aggregate`
+    * HOF / DuckDB `list_reduce`), never as a float aggregation whose
+    * combine order floats free. Each factor is one correctly-rounded
+    * division + subtraction; the fold order is pinned by the sort, so
+    * the products replay bit-for-bit (q199 dag rule, iterated).
+    *
+    * Scale shape: one user_id window exchange carries first-click,
+    * the conditional first-purchase reuses it (same partitioning, no
+    * second exchange); the corpus horizon is a 1-row aggregate joined
+    * on a constant key (BroadcastHashJoin, not a cartesian). Everything
+    * after the per-user reduce lives on the |days|-bounded duration
+    * histogram: reverse-cumulative risk counts on a single-task window
+    * over that bounded frame (the q212 argument), then ONE collected
+    * array (≤ |days| structs) for the fold — the O(|days|²) slice-fold
+    * is driver-free and bounded by the calendar, not the corpus. */
+  def kaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"))
+    val horizon = ev.agg(max(col("ts_us")).as("mt")).withColumn("k", lit(1))
+    val byUser = Window.partitionBy(col("user_id"))
+    val perUser = ev
+      .withColumn("c", min(when(col("event_type") === "click",
+        col("ts_us"))).over(byUser))
+      .filter(col("c").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(col("c")).as("c"),
+        min(when(col("event_type") === "purchase" && col("ts_us") > col("c"),
+          col("ts_us"))).as("p"))
+      .withColumn("k", lit(1))
+      .join(broadcast(horizon), Seq("k"))
+      .select(
+        when(col("p").isNotNull, expr("(p - c) div 86400000000"))
+          .otherwise(expr("(mt - c) div 86400000000")).as("dur"),
+        col("p").isNotNull.cast("long").as("ev"))
+    val days = perUser.groupBy(col("dur"))
+      .agg(sum(col("ev")).cast("long").as("d"),
+        sum(lit(1L) - col("ev")).cast("long").as("cens"))
+    val revCum = Window.partitionBy().orderBy(col("dur").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val curve = days
+      .withColumn("n", sum(col("d") + col("cens")).over(revCum))
+      .filter(col("d") > 0)
+    curve
+      .agg(sort_array(collect_list(struct(col("dur"), col("d"),
+        col("cens"), col("n")))).as("xs"))
+      .select(explode(expr(
+        """transform(xs, (x, i) -> struct(
+          |  x.dur AS duration_days, x.n AS n_risk, x.d AS n_event,
+          |  x.cens AS n_censored,
+          |  aggregate(slice(xs, 1, i + 1), CAST(1.0 AS DOUBLE),
+          |    (acc, e) -> acc * (CAST(1.0 AS DOUBLE)
+          |      - CAST(e.d AS DOUBLE) / CAST(e.n AS DOUBLE)))
+          |    AS survival))""".stripMargin)).as("r"))
+      .select(col("r.duration_days"), col("r.n_risk"), col("r.n_event"),
+        col("r.n_censored"), col("r.survival"))
+      .orderBy(col("duration_days"))
+  }
+
+  /** Oracle: identical KM chain; the fold is `list_reduce` over the
+    * same day-sorted factor list (1-based `list_slice`/lambda index
+    * mirroring Spark's 0-based `slice(…, i + 1)`). */
+  val kaplanMeierSql: String =
+    """WITH mx AS (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS mt
+      |            FROM events),
+      |u AS (SELECT user_id,
+      |        MIN(epoch_us(CAST(ts AS TIMESTAMP)))
+      |          FILTER (WHERE event_type = 'click') AS c
+      |      FROM events GROUP BY 1),
+      |p AS (SELECT e.user_id, MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS p
+      |      FROM events e JOIN u ON u.user_id = e.user_id
+      |      WHERE e.event_type = 'purchase'
+      |        AND epoch_us(CAST(e.ts AS TIMESTAMP)) > u.c
+      |      GROUP BY 1),
+      |d AS (SELECT CASE WHEN p.p IS NOT NULL
+      |          THEN (p.p - u.c) // 86400000000
+      |          ELSE (mx.mt - u.c) // 86400000000 END AS dur,
+      |        CASE WHEN p.p IS NOT NULL THEN 1 ELSE 0 END AS ev
+      |      FROM u LEFT JOIN p USING (user_id) CROSS JOIN mx
+      |      WHERE u.c IS NOT NULL),
+      |day AS (SELECT dur, CAST(SUM(ev) AS BIGINT) AS d,
+      |          CAST(SUM(1 - ev) AS BIGINT) AS cens
+      |        FROM d GROUP BY 1),
+      |r AS (SELECT dur, d, cens,
+      |        CAST(SUM(d + cens) OVER (ORDER BY dur DESC
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n
+      |      FROM day),
+      |lst AS (SELECT list(struct_pack(dur := dur, d := d, cens := cens, n := n)
+      |          ORDER BY dur) AS xs
+      |        FROM r WHERE d > 0)
+      |SELECT x.dur AS duration_days, x.n AS n_risk, x.d AS n_event,
+      |  x.cens AS n_censored,
+      |  list_reduce(
+      |    list_transform(list_slice(xs, 1, x.i),
+      |      e -> CAST(1.0 AS DOUBLE) - CAST(e.d AS DOUBLE) / CAST(e.n AS DOUBLE)),
+      |    (a, b) -> a * b) AS survival
+      |FROM (SELECT unnest(list_transform(xs, (x, i) ->
+      |        struct_pack(dur := x.dur, d := x.d, cens := x.cens,
+      |          n := x.n, i := i))) AS x, xs
+      |      FROM lst)
+      |ORDER BY duration_days""".stripMargin
+
+  /** Q234: ROLLING CORRELATION — 7-day rolling Pearson r between the
+    * daily click and purchase counts: the lead-indicator diagnostic
+    * that pairs with q218 (ACF = a series against its own past; this
+    * is two series against each other) and q221 (did the relationship
+    * itself drift, not just the level). Windows shorter than 7 days
+    * (the series head) emit with their actual m — the consumer sees
+    * the support, nothing is silently dropped.
+    *
+    * Exactness: the five sufficient statistics are exact BIGINT sums
+    * over the ROWS frame; r is ONE fixed IEEE dag
+    * (m·Σxy − ΣxΣy) / (√(m·Σx²−(Σx)²) · √(m·Σy²−(Σy)²)) on their
+    * exact double images (all ≤ 7·(counts ≤ ~1e6)² — far below 2⁵³),
+    * NULL when either side is constant (zero variance), never a 0/0.
+    *
+    * Scale shape: one map-side-combined daily rollup collapses row
+    * scale; the five window sums share ONE ROWS-7 frame over the
+    * |days|-bounded series (single-task, the q212 boundedness
+    * argument); the dag is per-row scalar math. */
+  def rollingCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .cast("long").as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .cast("long").as("y"))
+    val w = Window.partitionBy().orderBy(col("day")).rowsBetween(-6, 0)
+    val s = daily
+      .withColumn("m", count(lit(1)).over(w).cast("long"))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("syy", sum(col("y") * col("y")).over(w))
+    val varx = col("m") * col("sxx") - col("sx") * col("sx")
+    val vary = col("m") * col("syy") - col("sy") * col("sy")
+    s.select(col("day"), col("m"), col("x"), col("y"),
+        when(varx > 0 && vary > 0,
+          (col("m") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt(varx.cast("double")) * sqrt(vary.cast("double"))))
+          .as("rolling_r"))
+      .orderBy(col("day"))
+  }
+
+  val rollingCorrelationSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS y
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |  GROUP BY 1),
+      |s AS (
+      |  SELECT day, x, y,
+      |    CAST(COUNT(*) OVER w AS BIGINT) AS m,
+      |    CAST(SUM(x) OVER w AS BIGINT) AS sx,
+      |    CAST(SUM(y) OVER w AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+      |    CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+      |    CAST(SUM(y * y) OVER w AS BIGINT) AS syy
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      |SELECT day, m, x, y,
+      |  CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
+      |    THEN CAST(m * sxy - sx * sy AS DOUBLE)
+      |      / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+      |         * sqrt(CAST(m * syy - sy * sy AS DOUBLE)))
+      |  END AS rolling_r
+      |FROM s ORDER BY day""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q234_rolling_correlation" -> (rollingCorrelation _),
+    "q227_kaplan_meier" -> (kaplanMeier _),
     "q221_segmented_regression" -> (segmentedRegression _),
     "q217_nearest_asof" -> (nearestAsof _),
     "q218_daily_acf" -> (dailyAcf _),
@@ -2586,6 +2780,8 @@ object Events {
   )
 
   def oracles: Map[String, String] = Map(
+    "q234_rolling_correlation" -> rollingCorrelationSql,
+    "q227_kaplan_meier" -> kaplanMeierSql,
     "q221_segmented_regression" -> segmentedRegressionSql,
     "q217_nearest_asof" -> nearestAsofSql,
     "q218_daily_acf" -> dailyAcfSql,

@@ -499,7 +499,64 @@ object MlQueries {
        |FROM s GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** Q235: LEAVE-ONE-OUT TARGET ENCODING — the leakage-free
+    * categorical feature transform: each order's market-segment
+    * feature is the segment's mean order value EXCLUDING the order
+    * itself, enc_i = (S_seg − y_i) / (n_seg − 1). Plain target
+    * encoding leaks the row's own label into its feature (the classic
+    * silent overfit q161's k-fold machinery exists to catch); LOO is
+    * the exact closed-form fix — the k-fold limit at k = n, for free,
+    * because the sufficient statistics subtract per row.
+    *
+    * Exactness: S and n are exact BIGINT cents/counts; each encoding
+    * is ONE integer micro-unit division of (S − y_i) by (n − 1);
+    * singleton segments emit NULL (no leakage-free estimate exists),
+    * never a 0/0.
+    *
+    * Scale shape: one map-side-combined aggregation to the
+    * |segments| frame, broadcast back onto the fact scan — the
+    * encoding is a per-row expression, no window, no second shuffle
+    * beyond the output sort. The 100 TB story is unchanged for any
+    * bounded-cardinality categorical; a high-cardinality category
+    * flips the broadcast to a shuffle join and nothing else moves. */
+  def looTargetEncoding(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
+      .cast("decimal(18,0)").cast("long")
+    val j = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_mktsegment").as("segment"),
+        cents.as("y_cents"))
+    val stats = j.groupBy(col("segment"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("y_cents")).cast("long").as("s"))
+    j.join(broadcast(stats), Seq("segment"))
+      .select(col("o_orderkey"), col("segment"), col("y_cents"),
+        when(col("n") > 1,
+          expr("""(2 * CAST(s - y_cents AS DECIMAL(38,0)) * 1000000 + (n - 1))
+                 div (2 * (n - 1))""").cast("double") / 1000000)
+          .as("loo_mean_cents"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val looTargetEncodingSql: String =
+    """WITH j AS (
+      |  SELECT o_orderkey, c_mktsegment AS segment,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y_cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |st AS (SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(SUM(y_cents) AS BIGINT) AS s
+      |       FROM j GROUP BY 1)
+      |SELECT o_orderkey, segment, y_cents,
+      |  CASE WHEN n > 1 THEN
+      |    CAST((2 * CAST(s - y_cents AS HUGEINT) * 1000000 + (n - 1))
+      |      // (2 * (n - 1)) AS DOUBLE) / 1000000 END AS loo_mean_cents
+      |FROM j JOIN st USING (segment)
+      |ORDER BY o_orderkey""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q235_loo_target_encoding" -> (looTargetEncoding _),
     "q37_ml_champion" -> (championPrediction _),
     "q135_grouped_ols" -> (groupedOls _),
     "q161_kfold_ols" -> (kfoldOls _),
@@ -507,6 +564,7 @@ object MlQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q235_loo_target_encoding" -> looTargetEncodingSql,
     "q37_ml_champion" -> championPredictionSql,
     "q135_grouped_ols" -> groupedOlsSql,
     "q161_kfold_ols" -> kfoldOlsSql,

@@ -1310,7 +1310,12 @@ object Quality {
     * (q1, breakdown 0%) and the median (q199, inefficient when the
     * middle is clean) — the standard spend-per-order readout when a
     * few whale orders would otherwise own the mean. Pairs with q147's
-    * MAD (robust scale) and q219's Theil–Sen (robust slope).
+    * MAD (robust scale) and q219's Theil–Sen (robust slope); the
+    * deliberate contrast is q141, which WINSORIZES (clips the tails to
+    * the p05/p95 values, keeping n constant) where this REMOVES the
+    * tails entirely — the two canonical robust-mean treatments, with
+    * different breakdown/efficiency trade-offs and different answers
+    * on the same data.
     *
     * Exactness: membership in the kept middle is integer rank
     * arithmetic; the kept sum is an exact BIGINT; the mean publishes

@@ -1124,70 +1124,9 @@ object Relational {
       |FROM c WHERE 2 * cw >= tw
       |GROUP BY flag ORDER BY flag""".stripMargin
 
-  /** Q225: ROLLUP GROUPING SETS — the classical warehouse subtotal
-    * cube: revenue and order counts at every prefix level of the
-    * region → nation → order-year hierarchy (grand total included),
-    * one pass, with an explicit grouping id so consumers can address
-    * a level without null-sniffing (NULL region in a subtotal row vs
-    * a genuinely-null dimension value are different things; grp_id
-    * disambiguates). The surface q1/q6's flat GROUP BYs and q175's
-    * ratio-to-parent presuppose but nothing exposed directly.
-    *
-    * Exactness: cents are exact BIGINTs at every level; grp_id is the
-    * explicit bit sum grouping(region)·4 + grouping(nation)·2 +
-    * grouping(year), spelled identically on both engines rather than
-    * trusting the engines' composite GROUPING_ID bit orders to agree.
-    *
-    * Scale shape: Catalyst plans rollup as Expand(4 replicas) → ONE
-    * hash aggregation with map-side combine, so the shuffle carries
-    * at most 4× the bounded (region, nation, year) grid — never 4×
-    * row scale. Dimensions ride broadcast joins; one scan total. */
-  def rollupRevenue(spark: SparkSession, dir: String): DataFrame = {
-    val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
-      .cast("decimal(18,0)").cast("long")
-    val j = Tables.orders(spark, dir)
-      .join(broadcast(Tables.customer(spark, dir)
-          .select(col("c_custkey"), col("c_nationkey"))),
-        col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.nation(spark, dir)),
-        col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(Tables.region(spark, dir)),
-        col("n_regionkey") === col("r_regionkey"))
-      .select(col("r_name").as("region"), col("n_name").as("nation"),
-        year(col("o_orderdate")).cast("long").as("order_year"),
-        cents.as("rev"))
-    j.rollup(col("region"), col("nation"), col("order_year"))
-      .agg(
-        (grouping(col("region")) * 4 + grouping(col("nation")) * 2
-          + grouping(col("order_year"))).cast("long").as("grp_id"),
-        sum(col("rev")).cast("long").as("revenue_cents"),
-        count(lit(1)).cast("long").as("n_orders"))
-      .select(col("grp_id"), col("region"), col("nation"), col("order_year"),
-        col("revenue_cents"), col("n_orders"))
-      .orderBy(col("grp_id"), col("region"), col("nation"), col("order_year"))
-  }
-
-  val rollupRevenueSql: String =
-    """WITH j AS (
-      |  SELECT r_name AS region, n_name AS nation,
-      |    CAST(year(o_orderdate) AS BIGINT) AS order_year,
-      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS rev
-      |  FROM orders
-      |  JOIN customer ON o_custkey = c_custkey
-      |  JOIN nation ON c_nationkey = n_nationkey
-      |  JOIN region ON n_regionkey = r_regionkey)
-      |SELECT CAST(GROUPING(region) * 4 + GROUPING(nation) * 2
-      |    + GROUPING(order_year) AS BIGINT) AS grp_id,
-      |  region, nation, order_year,
-      |  CAST(SUM(rev) AS BIGINT) AS revenue_cents,
-      |  CAST(COUNT(*) AS BIGINT) AS n_orders
-      |FROM j GROUP BY ROLLUP(region, nation, order_year)
-      |ORDER BY grp_id, region, nation, order_year""".stripMargin
-
   def queries: Map[String, Q] = Map(
     "q222_skyline_parts" -> (skylineParts _),
     "q224_weighted_median" -> (weightedMedian _),
-    "q225_rollup_revenue" -> (rollupRevenue _),
     "q199_rank_distributions" -> (rankDistributions _),
     "q166_share_shift" -> (shareShift _),
     "q220_mix_rate_decomp" -> (mixRateDecomposition _),
@@ -1214,7 +1153,6 @@ object Relational {
   def oracles: Map[String, String] = Map(
     "q222_skyline_parts" -> skylinePartsSql,
     "q224_weighted_median" -> weightedMedianSql,
-    "q225_rollup_revenue" -> rollupRevenueSql,
     "q199_rank_distributions" -> rankDistributionsSql,
     "q166_share_shift" -> shareShiftSql,
     "q220_mix_rate_decomp" -> mixRateDecompositionSql,

@@ -770,16 +770,17 @@ object StreamingQueries {
       |  AND c.cus + 3600000000 < wm.wm_us
       |ORDER BY user_id, click_id, purchase_id""".stripMargin
 
-  /** Q228: NATIVE SESSION-WINDOW AGGREGATION — the DECLARATIVE twin of
-    * q40's flatMapGroupsWithState sessionizer: `session_window(ts,
-    * 30 min)` inside a watermarked groupBy, Spark's built-in
-    * merging-window state (Spark 3.2+). Same 30-minute gap semantics
-    * (an event extends a session iff it lands strictly inside the
-    * previous event's ts + gap; window end = last event + gap,
-    * end-exclusive), but the session state, merge logic and eviction
-    * are the engine's, not ours — the operator a user reaches for
-    * FIRST, with q40 as the escape hatch when per-session logic stops
-    * being an aggregation.
+  /** Q228: STREAMING SESSION-WINDOW AGGREGATION — q70's native
+    * `session_window(ts, 30 min)` run as an ACTUAL STREAM: watermarked
+    * groupBy, Spark's built-in merging-window STATE STORE, Append-mode
+    * eviction. The sessionization triangle closes here: q22 hand-rolls
+    * the lag/sum form (batch), q40 owns arbitrary per-session state
+    * (flatMapGroupsWithState, streaming), q70 proves the primitive's
+    * batch semantics — and q228 is the primitive under streaming
+    * execution, where the CONTENT is the emission rule (which sessions
+    * exist in the output at all), something the batch run never
+    * exercises. Same ≥-gap break rule as q70, pinned by the shared
+    * oracle arithmetic.
     *
     * Emission rule (mirrored exactly by the oracle, the q215
     * discipline): Append mode emits a session only once the final
