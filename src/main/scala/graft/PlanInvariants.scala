@@ -79,11 +79,12 @@ object PlanInvariants {
       // non-equi (id/label inequality) condition
       "q203_hard_negatives", "q205_truncation_recall",
       "q206_label_precision", "q207_rrf_fusion",
-      // q227: the 1-row corpus-horizon aggregate broadcast into the
-      // per-user frame on a constant key — Spark folds the always-true
-      // equi-condition into a BNLJ; the broadcast side is exactly one
-      // row at any corpus size (the q66 scalar-crossJoin rationale)
-      "q227_kaplan_meier")
+      // q227/q236: the 1-row corpus-horizon aggregate broadcast into
+      // the per-user frame on a constant key — Spark folds the
+      // always-true equi-condition into a BNLJ; the broadcast side is
+      // exactly one row at any corpus size (the q66 scalar-crossJoin
+      // rationale)
+      "q227_kaplan_meier", "q236_log_rank")
 
   /** Per-query shuffle ceilings above the [[defaultShuffleCeiling]].
     * These are the audited round-5 counts — intentionally exact, so an

@@ -1318,44 +1318,63 @@ object Quality {
     * on the same data.
     *
     * Exactness: membership in the kept middle is integer rank
-    * arithmetic; the kept sum is an exact BIGINT; the mean publishes
-    * via the (2N+D)÷(2D) micro-cent form on a DECIMAL(38) numerator.
+    * arithmetic — ties at either boundary value are apportioned by
+    * exact counts (kept sum = total − Σ(bottom k) − Σ(top k), with
+    * each tail sum = everything strictly past the boundary value plus
+    * (k − that count) copies of the boundary value itself); the mean
+    * publishes via the (2N+D)÷(2D) micro-cent form on a DECIMAL(38)
+    * numerator.
     *
-    * Scale shape: the q212/q224 value-histogram discipline — NO
-    * per-row rank window: the row-scale frame collapses to distinct
-    * cent values in one map-side-combined aggregation; each histogram
-    * row's kept weight is the overlap of its rank interval
-    * (cum−c, cum] with the kept band (k, n−k], computed from ONE
-    * cumulative window over the bounded per-nation value frame. The
-    * oracle keeps the textbook per-row ROW_NUMBER form as the witness
-    * that both shapes agree. */
+    * Scale shape: order value is QUASI-CONTINUOUS, so a distinct-value
+    * histogram is row-scale and a per-nation cumulative window would
+    * be a single-task row-scale sort — q141's exact hazard, solved
+    * the same way: [[TwoPass.groupRankLookup]] fetches the two
+    * boundary values (ranks k and n−k+1) without ever sorting a whole
+    * group, then ONE conditional aggregation against the broadcast
+    * boundary frame produces the tail-adjusted kept sum. The oracle
+    * keeps the textbook per-row ROW_NUMBER form as the witness that
+    * both shapes agree. */
   def trimmedMean(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
     val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
       .cast("decimal(18,0)").cast("long")
-    val hist = Tables.orders(spark, dir)
+    def rows = Tables.orders(spark, dir)
       .join(broadcast(Tables.customer(spark, dir)
           .select(col("c_custkey"), col("c_nationkey"))),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)),
         col("c_nationkey") === col("n_nationkey"))
-      .groupBy(col("n_name").as("nation"), cents.as("v"))
-      .agg(count(lit(1)).cast("long").as("c"))
-    val byV = Window.partitionBy(col("nation")).orderBy(col("v"))
-    val cum = hist
-      .withColumn("cum", sum(col("c")).over(
-        byV.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("nation"))))
-      .withColumn("k", expr("n div 10"))
-      .withColumn("w",
-        least(col("cum"), col("n") - col("k"))
-          - greatest(col("cum") - col("c"), col("k")))
-      .filter(col("w") > 0)
-    cum.groupBy(col("nation"))
+      .select(col("n_name").as("k"), cents.as("c"))
+    val lookup = TwoPass.groupRankLookup(spark, rows,
+      n => { val t = n / 10; Seq(t, n - t + 1).filter(r => r >= 1 && r <= n) })
+    val th = lookup.toSeq.map { case (nation, gr) =>
+      val t = gr.n / 10
+      // t = 0 (n < 10): nothing trimmed; boundaries collapse to
+      // sentinels that make both tail adjustments vanish
+      (nation, gr.n, t,
+        if (t > 0) gr.at(t) else Long.MinValue,
+        if (t > 0) gr.at(gr.n - t + 1) else Long.MaxValue)
+    }.toDF("k", "n", "t", "vlo", "vhi")
+    rows.join(broadcast(th), Seq("k"))
+      .groupBy(col("k"))
       .agg(max(col("n")).cast("long").as("n_orders"),
-        max(col("k")).cast("long").as("k_trim"),
-        sum(col("w")).cast("long").as("m_kept"),
-        sum(col("w") * col("v")).cast("long").as("ksum"))
+        max(col("t")).cast("long").as("k_trim"),
+        max(col("vlo")).as("vlo"), max(col("vhi")).as("vhi"),
+        sum(col("c").cast("decimal(38,0)")).as("s_all"),
+        sum(when(col("c") < col("vlo"), col("c")).otherwise(0L)
+          .cast("decimal(38,0)")).as("s_below"),
+        sum(when(col("c") < col("vlo"), 1L).otherwise(0L)).cast("long")
+          .as("n_below"),
+        sum(when(col("c") > col("vhi"), col("c")).otherwise(0L)
+          .cast("decimal(38,0)")).as("s_above"),
+        sum(when(col("c") > col("vhi"), 1L).otherwise(0L)).cast("long")
+          .as("n_above"))
+      .select(col("k").as("nation"), col("n_orders"), col("k_trim"),
+        (col("n_orders") - lit(2L) * col("k_trim")).as("m_kept"),
+        ((col("s_all")
+          - (col("s_below") + (col("k_trim") - col("n_below")) * col("vlo"))
+          - (col("s_above") + (col("k_trim") - col("n_above")) * col("vhi")))
+          .as("ksum")))
       .select(col("nation"), col("n_orders"), col("k_trim"), col("m_kept"),
         (expr("(2 * CAST(ksum AS DECIMAL(38,0)) * 1000000 + m_kept) div (2 * m_kept)")
           .cast("double") / 1000000).as("trimmed_mean_cents"))
@@ -1523,7 +1542,120 @@ object Quality {
       |WHERE rn = (np + 1) // 2
       |ORDER BY r.nation""".stripMargin
 
+  /** The fixed language axis of [[kruskalWallis]] — literal so the
+    * 5-term H dag has a pinned order. */
+  private val KwLangs = Seq("de", "en", "es", "fr", "zh")
+
+  /** Q237: KRUSKAL–WALLIS TEST — does document length differ across
+    * the five languages? The RANK-BASED twin of q223's ANOVA (k-group
+    * generalization of q211's Mann-Whitney): immune to the heavy
+    * tails and outliers that inflate ANOVA's SSW, at the cost of
+    * testing stochastic dominance rather than means. Tie-corrected:
+    * H / (1 − Σ(t³−t)/(N³−N)) over the tie-group sizes t.
+    *
+    * Exactness: ranks come from the n_chars VALUE HISTOGRAM with
+    * q211's doubled-rank trick — the average rank of a tied run is
+    * the possibly-.5 value (cb + (ct+1)/2), so DOUBLED ranks
+    * R2 = 2·cb + ct + 1 stay exact BIGINTs; per-language doubled rank
+    * sums and the tie term Σ(ct³−ct) accumulate in DECIMAL(38,0);
+    * H is one fixed IEEE dag on their exact double images, the five
+    * Σ R²/n terms written in pinned language order (the q223
+    * discipline; with doubled sums, 12/(N(N+1))·ΣR²/n becomes
+    * 3/(N(N+1))·ΣS2²/n).
+    *
+    * Scale shape: ONE map-side-combined aggregation to the bounded
+    * n_chars value histogram (conditional per-language counts in-row
+    * — no (lang, value) key explosion), the exclusive-cumsum window
+    * on that bounded frame (the q211/q212 single-task boundedness
+    * argument), one aggregation to a single row, scalar dag. */
+  def kruskalWallis(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = KwLangs.map(l =>
+      sum(when(col("lang") === l, 1L).otherwise(0L)).cast("long").as(s"c_$l"))
+    val hist = Tables.documents(spark, dir)
+      .filter(col("lang").isin(KwLangs: _*)) // N must equal Σn_g
+      .select(col("lang"), col("n_chars").as("v"))
+      .groupBy(col("v"))
+      .agg(counts.head, counts.tail :+
+        count(lit(1)).cast("long").as("ct"): _*)
+    val byV = Window.partitionBy().orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = hist
+      .withColumn("cb", coalesce(sum(col("ct")).over(byV), lit(0L)))
+      .withColumn("r2", lit(2L) * col("cb") + col("ct") + 1L)
+    val aggs = KwLangs.flatMap { l =>
+      Seq(sum(col(s"c_$l")).cast("long").as(s"n_$l"),
+        sum((col(s"c_$l") * col("r2")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as(s"s2_$l"))
+    } ++ Seq(
+      sum(col("ct")).cast("long").as("n"),
+      sum((col("ct") * col("ct") * col("ct") - col("ct"))
+        .cast("decimal(38,0)")).cast("decimal(38,0)").as("ties"))
+    val one = ranked.agg(aggs.head, aggs.tail: _*)
+    val nD = col("n").cast("double")
+    def term(l: String) = when(col(s"n_$l") > 0,
+      col(s"s2_$l").cast("double") * col(s"s2_$l").cast("double")
+        / col(s"n_$l").cast("double")).otherwise(lit(0.0d))
+    val tsum = KwLangs.map(term).reduce(_ + _)
+    val hUnc = lit(3.0d) * tsum / (nD * (nD + lit(1.0d))) -
+      lit(3.0d) * (nD + lit(1.0d))
+    val corr = lit(1.0d) -
+      col("ties").cast("double") / (nD * nD * nD - nD)
+    one.select(col("n").as("n_total"),
+        lit(KwLangs.size.toLong).as("k_groups"),
+        col("ties").cast("double").as("tie_term"),
+        hUnc.as("h_uncorrected"),
+        when(corr > 0, hUnc / corr).as("h_stat"))
+  }
+
+  /** Oracle: the identical pivoted histogram and the identical
+    * pinned-order dag. */
+  val kruskalWallisSql: String = {
+    val cs = KwLangs.map(l =>
+      s"    CAST(SUM(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS c_$l")
+      .mkString(",\n")
+    val ss = KwLangs.flatMap(l => Seq(
+      s"    CAST(SUM(c_$l) AS BIGINT) AS n_$l",
+      s"    CAST(SUM(CAST(c_$l AS HUGEINT) * r2) AS HUGEINT) AS s2_$l"))
+      .mkString(",\n")
+    val terms = KwLangs.map(l =>
+      s"CASE WHEN n_$l > 0 THEN CAST(s2_$l AS DOUBLE) * CAST(s2_$l AS DOUBLE) / CAST(n_$l AS DOUBLE) ELSE 0.0 END")
+      .mkString("\n      + ")
+    s"""WITH hist AS (
+       |  SELECT n_chars AS v,
+       |$cs,
+       |    CAST(COUNT(*) AS BIGINT) AS ct
+       |  FROM documents
+       |  WHERE lang IN (${KwLangs.map(l => s"'$l'").mkString(", ")})
+       |  GROUP BY 1),
+       |ranked AS (
+       |  SELECT *,
+       |    2 * COALESCE(SUM(ct) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+       |      PRECEDING AND 1 PRECEDING), 0) + ct + 1 AS r2
+       |  FROM hist),
+       |one AS (
+       |  SELECT
+       |$ss,
+       |    CAST(SUM(ct) AS BIGINT) AS n,
+       |    CAST(SUM(CAST(ct AS HUGEINT) * ct * ct - ct) AS HUGEINT) AS ties
+       |  FROM ranked),
+       |e AS (
+       |  SELECT *, CAST(n AS DOUBLE) AS nd,
+       |    $terms AS tsum
+       |  FROM one),
+       |f AS (
+       |  SELECT *,
+       |    3.0 * tsum / (nd * (nd + 1.0)) - 3.0 * (nd + 1.0) AS h_unc,
+       |    1.0 - CAST(ties AS DOUBLE) / (nd * nd * nd - nd) AS corr
+       |  FROM e)
+       |SELECT n AS n_total, CAST(${KwLangs.size} AS BIGINT) AS k_groups,
+       |  CAST(ties AS DOUBLE) AS tie_term, h_unc AS h_uncorrected,
+       |  CASE WHEN corr > 0 THEN h_unc / corr END AS h_stat
+       |FROM f""".stripMargin
+  }
+
   def queries: Map[String, Relational.Q] = Map(
+    "q237_kruskal_wallis" -> (kruskalWallis _),
     "q229_trimmed_mean" -> (trimmedMean _),
     "q230_wilson_interval" -> (wilsonInterval _),
     "q231_hodges_lehmann" -> (hodgesLehmann _),
@@ -1547,6 +1679,7 @@ object Quality {
   )
 
   def oracles: Map[String, String] = Map(
+    "q237_kruskal_wallis" -> kruskalWallisSql,
     "q229_trimmed_mean" -> trimmedMeanSql,
     "q230_wilson_interval" -> wilsonIntervalSql,
     "q231_hodges_lehmann" -> hodgesLehmannSql,

@@ -1082,29 +1082,27 @@ object Relational {
     * integer test 2·cumW ≥ W (no division, no .5 float); the winner
     * is an order statistic, never an average.
     *
-    * Scale shape: the q212 value-histogram discipline — ONE map-side-
-    * combined groupBy (flag, price) collapses row scale to the
-    * bounded distinct-price frame; the cumulative and total weights
-    * are two frames over ONE (flag, price-order) window exchange; the
-    * final min-per-flag is an aggregation over the ≤ |prices| frame.
-    * Nothing row-scale past the first rollup. */
+    * Scale shape: extendedprice is QUASI-CONTINUOUS — the distinct-
+    * value "histogram" is row-scale, so the q212 bounded-frame
+    * argument does not apply and a per-flag cumulative window would
+    * be a single-task row-scale sort (measured 3.0 s at sf0.1, and
+    * fatal at 100×). Runs on [[TwoPass.groupWeightedMedian]] instead:
+    * sampled balance-only buckets, one map-side-combined (flag,
+    * bucket) weight histogram (bounded driver frame), and a
+    * cumulative window over ONLY the one wanted bucket's slice per
+    * flag. The result frame is |flags| rows built from the kernel's
+    * bounded answer — the q141/q147 two-pass discipline. */
   def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val cents = (col("l_extendedprice").cast("decimal(18,2)") * 100)
       .cast("decimal(18,0)").cast("long")
-    val hist = Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag").as("flag"), cents.as("v"))
-      .agg(sum(col("l_quantity").cast("decimal(18,0)").cast("long"))
-        .cast("long").as("w"))
-    val byV = Window.partitionBy(col("flag")).orderBy(col("v"))
-    val cum = hist
-      .withColumn("cw", sum(col("w")).over(
-        byV.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("tw", sum(col("w")).over(Window.partitionBy(col("flag"))))
-    cum.filter(lit(2L) * col("cw") >= col("tw"))
-      .groupBy(col("flag"))
-      .agg(min(col("v")).as("wmedian_cents"),
-        max(col("tw")).cast("bigint").as("total_weight"))
-      .orderBy(col("flag"))
+    val rows = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("k"), cents.as("c"),
+        col("l_quantity").cast("decimal(18,0)").cast("long").as("w"))
+    val med = TwoPass.groupWeightedMedian(spark, rows)
+    med.toSeq.sortBy(_._1)
+      .map { case (k, (w, m)) => (k, m, w) }
+      .toDF("flag", "wmedian_cents", "total_weight")
   }
 
   val weightedMedianSql: String =

@@ -855,7 +855,12 @@ object TextAnalysis {
     * per-doc in-expression pair generation (the q219 array machinery)
     * emits ≤ C(50,2) structs per doc with no self-join. The df pass
     * is one map-side-combined aggregation; the top-V cut is a window
-    * over the vocab-scale df frame (rank only, no payload); the
+    * over the df frame with the hapax mass floored off first (the
+    * provably-neutral df ≥ MinSupport cut — see inline note; at 100×
+    * the remaining per-source sort is the honest residual cost, and a
+    * deployment squeezing it further would two-level the top-k:
+    * per-partition heaps via mapPartitions, then merge — the (d)
+    * escape hatch, not warranted at any tested scale); the
     * BOUNDED top-V frame then rides broadcast joins for both the
     * universe filter and the n_a/n_b denominators. Exchanges: df agg,
     * top-V window, per-doc regroup, pair agg, final bounded window —
@@ -869,7 +874,13 @@ object TextAnalysis {
       explode(col("toks")).as("tok"))
     val dfreq = tok.groupBy(col("source"), col("tok"))
       .agg(count(lit(1)).cast("long").as("df"))
-    val top = dfreq
+    // df >= MinSupport floor BEFORE the rank window: provably
+    // output-neutral (a df=1 token can never appear in an emitted pair
+    // — n_ab <= min(df) < MinSupport — and, ranking by df DESC, it can
+    // never displace a df>=2 token from the top-V), and it removes the
+    // hapax mass (typically half the vocabulary by Heaps' law) from
+    // the per-source sort
+    val top = dfreq.filter(col("df") >= CoocMinSupport)
       .withColumn("rn", row_number().over(w.partitionBy(col("source"))
         .orderBy(col("df").desc, col("tok"))))
       .filter(col("rn") <= CoocTopV)
@@ -913,7 +924,8 @@ object TextAnalysis {
        |  FROM documents),
        |tok AS (SELECT source, doc_id, unnest(toks) AS tok FROM docs),
        |df AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS df
-       |       FROM tok GROUP BY 1, 2),
+       |       FROM tok GROUP BY 1, 2
+       |       HAVING COUNT(*) >= $CoocMinSupport),
        |top AS (SELECT source, tok, df FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
        |      ORDER BY df DESC, tok) AS rn FROM df)

@@ -69,6 +69,58 @@ private[graft] object TwoPass {
     * bucket — the only per-group sort is over one bucket's slice.
     * Exactness is independent of boundary quality: offsets come from
     * real counts, the sketch only balances. */
+  /** Distributed WEIGHTED median (q224's kernel): for each group in
+    * `rows` — columns `k: string`, `c: long` (value), `w: long`
+    * (weight) — the total weight W and the smallest value whose
+    * inclusive cumulative weight cum satisfies 2·cum ≥ W (the lower
+    * weighted median), WITHOUT a per-group sort over the distinct
+    * values — on quasi-continuous value domains (prices) the distinct
+    * frame is row-scale, so the q212 "bounded histogram" argument
+    * does NOT apply and a per-group cumulative window would be a
+    * single-task row-scale sort (the exact hazard [[groupRankLookup]]
+    * exists to avoid).
+    *
+    * Shape: sampled balance-only buckets, ONE map-side-combined
+    * (k, bucket) WEIGHT histogram collected to the driver (bounded:
+    * |groups| × buckets), driver turns the weighted threshold into a
+    * (bucket, local residual threshold) per group, then one pruned
+    * fetch runs the cumulative-weight window over the single wanted
+    * bucket's slice only. Exact for any boundary quality: equal
+    * values never straddle a bucket (scoreBuckets invariant), and
+    * thresholds come from real weights, not the sketch. */
+  def groupWeightedMedian(spark: SparkSession,
+      rows: DataFrame): Map[String, (Long, Long)] = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val nBuckets = spark.conf.get("spark.sql.shuffle.partitions").toInt.max(2)
+    val bucketOf = scoreBuckets(rows, col("c"), nBuckets)
+    val hist = rows.withColumn("b", bucketOf(col("c")))
+      .groupBy(col("k"), col("b")).agg(sum(col("w")).cast("long").as("n"))
+      .collect()
+    val wants = Seq.newBuilder[(String, Int, Long)] // (k, b, local threshold)
+    val totals = hist.groupBy(_.getAs[String]("k")).map { case (k, rs) =>
+      val present = rs.sortBy(_.getAs[Int]("b"))
+      val cum = present.map(_.getAs[Long]("n")).scanLeft(0L)(_ + _)
+      val total = cum.last
+      val r = (total + 1) / 2 // smallest integer with 2r >= W
+      val idx = cum.lastIndexWhere(_ < r)
+      if (idx >= 0 && idx < present.length)
+        wants += ((k, present(idx).getAs[Int]("b"), r - cum(idx)))
+      k -> total
+    }
+    val wantDf = wants.result().toDF("wk", "wb", "lt")
+    val cw = Window.partitionBy(col("k"), col("b")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val med = rows.withColumn("b", bucketOf(col("c")))
+      .join(broadcast(wantDf), col("k") === col("wk") && col("b") === col("wb"))
+      .withColumn("cum", sum(col("w")).over(cw))
+      .filter(col("cum") >= col("lt"))
+      .groupBy(col("k")).agg(min(col("c")).as("m"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.map { case (k, w) => k -> (w, med(k)) }.toMap
+  }
+
   def groupRankLookup(spark: SparkSession, rows: DataFrame,
       ranksFor: Long => Seq[Long]): Map[String, GroupRanks] = {
     import org.apache.spark.sql.expressions.Window
