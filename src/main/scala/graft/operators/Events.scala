@@ -2732,7 +2732,259 @@ object Events {
       |  END AS rolling_r
       |FROM s ORDER BY day""".stripMargin
 
+  /** Q236: LOG-RANK TEST — do two cohorts share a survival curve?
+    * The inference half of the q152/q227 survival family: q227 DRAWS
+    * the click→purchase conversion curve; the log-rank test says
+    * whether the curve differs between high-activity and low-activity
+    * users (split at the exact lower-median per-user event count,
+    * fetched through the audited [[TwoPass.groupRankLookup]] kernel —
+    * no magic constant, no driver sort). At each conversion day t:
+    * O−E contribution d₁ₜ − dₜ·n₁ₜ/nₜ and hypergeometric variance
+    * dₜ·(n₁ₜ/nₜ)·(n₀ₜ/nₜ)·(nₜ−dₜ)/(nₜ−1); z = Σ(O−E)/√ΣV. Censoring
+    * identical to q227 (horizon = corpus max ts).
+    *
+    * Exactness: risk/event/censor counts are exact integers computed
+    * on the |days|-bounded frame; each day's two terms are fixed IEEE
+    * dags on those exact values; the two Σs are LEFT FOLDS over the
+    * day-sorted term list (q227's pinned-order discipline — a float
+    * aggregation's combine order would float free), and √ is correctly
+    * rounded. The split threshold is an exact order statistic.
+    *
+    * Scale shape: q227's chain with a group axis — one user_id window
+    * exchange (first click + conditional first purchase + event count
+    * in the same pass), the bounded count-histogram kernel for the
+    * median, the (dur × 2 groups) bounded day frame with two
+    * reverse-cumulative risk counts, one collected ≤|days| array for
+    * the folds. 1-row horizon broadcast as in q227 (allowlisted). */
+  def logRankTest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"))
+    val horizon = ev.agg(max(col("ts_us")).as("mt")).withColumn("k", lit(1))
+    val byUser = Window.partitionBy(col("user_id"))
+    val perUser = ev
+      .withColumn("c", min(when(col("event_type") === "click",
+        col("ts_us"))).over(byUser))
+      .filter(col("c").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(col("c")).as("c"),
+        min(when(col("event_type") === "purchase" && col("ts_us") > col("c"),
+          col("ts_us"))).as("p"),
+        count(lit(1)).cast("long").as("n_ev"))
+    val thr = TwoPass.groupRankLookup(spark,
+      perUser.select(lit("all").as("k"), col("n_ev").as("c")),
+      n => Seq((n + 1) / 2))("all").at.values.head
+    val rows = perUser
+      .withColumn("k", lit(1))
+      .join(broadcast(horizon), Seq("k"))
+      .select(
+        when(col("p").isNotNull, expr("(p - c) div 86400000000"))
+          .otherwise(expr("(mt - c) div 86400000000")).as("dur"),
+        col("p").isNotNull.cast("long").as("ev"),
+        (col("n_ev") > thr).cast("long").as("g"))
+    val days = rows.groupBy(col("dur"))
+      .agg(sum(col("ev") * col("g")).cast("long").as("d1"),
+        sum((lit(1L) - col("ev")) * col("g")).cast("long").as("c1"),
+        sum(col("ev") * (lit(1L) - col("g"))).cast("long").as("d0"),
+        sum((lit(1L) - col("ev")) * (lit(1L) - col("g"))).cast("long")
+          .as("c0"))
+    val revCum = Window.partitionBy().orderBy(col("dur").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val curve = days
+      .withColumn("n1", sum(col("d1") + col("c1")).over(revCum))
+      .withColumn("n0", sum(col("d0") + col("c0")).over(revCum))
+      .withColumn("d", col("d1") + col("d0"))
+      .withColumn("n", col("n1") + col("n0"))
+      .withColumn("oe_t",
+        col("d1").cast("double")
+          - col("d").cast("double") * col("n1").cast("double")
+            / col("n").cast("double"))
+      .withColumn("v_t",
+        when(col("n") > 1,
+          ((col("d").cast("double")
+            * (col("n1").cast("double") / col("n").cast("double")))
+            * (col("n0").cast("double") / col("n").cast("double")))
+            * ((col("n") - col("d")).cast("double")
+              / (col("n") - 1).cast("double")))
+          .otherwise(lit(0.0d)))
+    // group totals sum over ALL days (censor-only days included);
+    // the fold list keeps only event days — when() nulls are skipped
+    // by collect_list, so both ride one aggregation
+    curve
+      .agg(
+        sum(when(col("d") > 0, 1L).otherwise(0L)).cast("long")
+          .as("n_event_days"),
+        sum(col("d1") + col("c1")).cast("long").as("x1"),
+        sum(col("d0") + col("c0")).cast("long").as("x0"),
+        sort_array(collect_list(when(col("d") > 0,
+          struct(col("dur"), col("oe_t"), col("v_t"))))).as("xs"))
+      .select(lit(thr).as("split_threshold"),
+        col("x1").as("n_users_hi"), col("x0").as("n_users_lo"),
+        col("n_event_days"),
+        expr("aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.oe_t)")
+          .as("o_minus_e"),
+        expr("aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.v_t)")
+          .as("var_lr"))
+      .withColumn("z_lr",
+        when(col("var_lr") > 0, col("o_minus_e") / sqrt(col("var_lr"))))
+  }
+
+  /** Oracle: identical chain; the exact lower-median threshold is
+    * recomputed from the count histogram, and the two Σs are
+    * `list_reduce` folds over the same day-sorted term list. */
+  val logRankTestSql: String =
+    """WITH ev AS (SELECT user_id, event_type,
+      |              epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |mx AS (SELECT MAX(us) AS mt FROM ev),
+      |u AS (SELECT user_id, MIN(CASE WHEN event_type = 'click' THEN us END) AS c,
+      |        CAST(COUNT(*) AS BIGINT) AS n_ev
+      |      FROM ev GROUP BY 1),
+      |p AS (SELECT e.user_id, MIN(e.us) AS p
+      |      FROM ev e JOIN u ON u.user_id = e.user_id
+      |      WHERE e.event_type = 'purchase' AND e.us > u.c GROUP BY 1),
+      |thr AS (SELECT MIN(n_ev) AS t FROM (
+      |    SELECT n_ev,
+      |      SUM(cnt) OVER (ORDER BY n_ev ROWS UNBOUNDED PRECEDING) AS cum,
+      |      SUM(cnt) OVER () AS tot
+      |    FROM (SELECT n_ev, COUNT(*) AS cnt FROM u WHERE c IS NOT NULL
+      |          GROUP BY 1))
+      |  WHERE 2 * cum >= tot),
+      |rows_ AS (
+      |  SELECT CASE WHEN p.p IS NOT NULL THEN (p.p - u.c) // 86400000000
+      |         ELSE (mx.mt - u.c) // 86400000000 END AS dur,
+      |    CASE WHEN p.p IS NOT NULL THEN 1 ELSE 0 END AS ev,
+      |    CASE WHEN u.n_ev > thr.t THEN 1 ELSE 0 END AS g
+      |  FROM u LEFT JOIN p USING (user_id) CROSS JOIN mx CROSS JOIN thr
+      |  WHERE u.c IS NOT NULL),
+      |day AS (SELECT dur,
+      |    CAST(SUM(ev * g) AS BIGINT) AS d1,
+      |    CAST(SUM((1 - ev) * g) AS BIGINT) AS c1,
+      |    CAST(SUM(ev * (1 - g)) AS BIGINT) AS d0,
+      |    CAST(SUM((1 - ev) * (1 - g)) AS BIGINT) AS c0
+      |  FROM rows_ GROUP BY 1),
+      |r AS (SELECT dur, d1, c1, d0, c0,
+      |    CAST(SUM(d1 + c1) OVER w AS BIGINT) AS n1,
+      |    CAST(SUM(d0 + c0) OVER w AS BIGINT) AS n0
+      |  FROM day
+      |  WINDOW w AS (ORDER BY dur DESC ROWS BETWEEN UNBOUNDED PRECEDING
+      |    AND CURRENT ROW)),
+      |t AS (SELECT dur, d1, c1, d0, c0, n1, n0,
+      |    d1 + d0 AS d, n1 + n0 AS n FROM r),
+      |terms AS (SELECT dur, d1, c1, d0, c0, d,
+      |    CAST(d1 AS DOUBLE) - CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE)
+      |      / CAST(n AS DOUBLE) AS oe_t,
+      |    CASE WHEN n > 1 THEN
+      |      ((CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)))
+      |        * (CAST(n0 AS DOUBLE) / CAST(n AS DOUBLE)))
+      |        * (CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+      |      ELSE 0.0 END AS v_t
+      |  FROM t),
+      |lst AS (SELECT
+      |    CAST(COUNT(*) FILTER (WHERE d > 0) AS BIGINT) AS n_event_days,
+      |    CAST(SUM(d1 + c1) AS BIGINT) AS x1,
+      |    CAST(SUM(d0 + c0) AS BIGINT) AS x0,
+      |    list(oe_t ORDER BY dur) FILTER (WHERE d > 0) AS oes,
+      |    list(v_t ORDER BY dur) FILTER (WHERE d > 0) AS vs
+      |  FROM terms)
+      |SELECT (SELECT CAST(t AS BIGINT) FROM thr) AS split_threshold,
+      |  x1 AS n_users_hi, x0 AS n_users_lo, n_event_days,
+      |  list_reduce(oes, (a, b) -> a + b) AS o_minus_e,
+      |  list_reduce(vs, (a, b) -> a + b) AS var_lr,
+      |  CASE WHEN list_reduce(vs, (a, b) -> a + b) > 0 THEN
+      |    list_reduce(oes, (a, b) -> a + b)
+      |      / sqrt(list_reduce(vs, (a, b) -> a + b)) END AS z_lr
+      |FROM lst""".stripMargin
+
+  /** Q239: SEASONAL DECOMPOSITION (classical additive) — each event
+    * type's daily-count series split into trend + day-of-week seasonal
+    * + residual: trend = centered 7-day moving average, seasonal =
+    * the mean DETRENDED value of each weekday, residual = the rest.
+    * The analysis-side complement of the series family: q132 FORECASTS
+    * assuming weekly seasonality, q218 DETECTS it (lag-7 ACF), q153
+    * smooths through it — this one QUANTIFIES each component so a
+    * consumer can see how much of the signal is calendar. Edge days
+    * without a full 7-day window are excluded (no padded
+    * half-averages) — the decomposition telescopes exactly on every
+    * emitted row: x = trend + seasonal + residual at full precision.
+    *
+    * Exactness: everything is a rational of exact BIGINTs — trend =
+    * S₇/7, seasonal = Σ(7x−S₇)/(7·c_dow), residual =
+    * (c_dow·(7x−S₇) − Σ(7x−S₇))/(7·c_dow) — published via the
+    * sign-aware micro-unit division (detrended values go negative).
+    * Day-of-week is computed as (day − 1996-01-01) mod 7 on BOTH
+    * engines — never the engines' dayofweek(), whose weekday origin
+    * differs (Spark 1=Sunday, DuckDB 0=Sunday).
+    *
+    * Scale shape: one map-side-combined daily rollup; the ROWS-7
+    * window and the (type × 7) seasonal aggregation live on the
+    * |days|-bounded frame; seasonal means broadcast back. */
+  def seasonalDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).cast("long").as("x"))
+      .withColumn("dow", pmod(datediff(col("day"), lit("1996-01-01")), lit(7))
+        .cast("long"))
+    val w7 = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("c7", count(lit(1)).over(w7))
+      .withColumn("s7", sum(col("x")).over(w7))
+      .filter(col("c7") === 7)
+      .withColumn("dnum", lit(7L) * col("x") - col("s7")) // detrended × 7
+    val seasonal = trended.groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("dnum")).cast("long").as("snum"),
+        count(lit(1)).cast("long").as("scnt"))
+    trended.join(broadcast(seasonal), Seq("event_type", "dow"))
+      .withColumn("rnum", col("scnt") * col("dnum") - col("snum"))
+      .withColumn("sden", lit(7L) * col("scnt"))
+      .select(col("event_type"), col("day"), col("x"),
+        (expr("(2 * CAST(s7 AS DECIMAL(38,0)) * 1000000 + 7) div 14")
+          .cast("double") / 1000000).as("trend"),
+        (expr("""cast(sign(snum) as bigint)
+               * ((2 * CAST(abs(snum) AS DECIMAL(38,0)) * 1000000 + sden)
+                  div (2 * sden))""").cast("double") / 1000000).as("seasonal"),
+        (expr("""cast(sign(rnum) as bigint)
+               * ((2 * CAST(abs(rnum) AS DECIMAL(38,0)) * 1000000 + sden)
+                  div (2 * sden))""").cast("double") / 1000000).as("residual"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val seasonalDecompositionSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |d2 AS (SELECT *,
+      |    CAST(((day - DATE '1996-01-01') % 7 + 7) % 7 AS BIGINT) AS dow
+      |  FROM daily),
+      |t AS (SELECT *,
+      |    CAST(COUNT(*) OVER w AS BIGINT) AS c7,
+      |    CAST(SUM(x) OVER w AS BIGINT) AS s7
+      |  FROM d2
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |full_ AS (SELECT *, 7 * x - s7 AS dnum FROM t WHERE c7 = 7),
+      |seas AS (SELECT event_type, dow,
+      |    CAST(SUM(dnum) AS BIGINT) AS snum,
+      |    CAST(COUNT(*) AS BIGINT) AS scnt
+      |  FROM full_ GROUP BY 1, 2),
+      |j AS (SELECT f.event_type, f.day, f.x, f.s7, f.dnum,
+      |    s.snum, s.scnt, s.scnt * f.dnum - s.snum AS rnum,
+      |    7 * s.scnt AS sden
+      |  FROM full_ f JOIN seas s
+      |    ON f.event_type = s.event_type AND f.dow = s.dow)
+      |SELECT event_type, day, x,
+      |  CAST((2 * CAST(s7 AS HUGEINT) * 1000000 + 7) // 14 AS DOUBLE)
+      |    / 1000000 AS trend,
+      |  CAST(SIGN(snum) * ((2 * CAST(ABS(snum) AS HUGEINT) * 1000000 + sden)
+      |    // (2 * sden)) AS DOUBLE) / 1000000 AS seasonal,
+      |  CAST(SIGN(rnum) * ((2 * CAST(ABS(rnum) AS HUGEINT) * 1000000 + sden)
+      |    // (2 * sden)) AS DOUBLE) / 1000000 AS residual
+      |FROM j ORDER BY event_type, day""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q239_seasonal_decomposition" -> (seasonalDecomposition _),
+    "q236_log_rank" -> (logRankTest _),
     "q234_rolling_correlation" -> (rollingCorrelation _),
     "q227_kaplan_meier" -> (kaplanMeier _),
     "q221_segmented_regression" -> (segmentedRegression _),
@@ -2780,6 +3032,8 @@ object Events {
   )
 
   def oracles: Map[String, String] = Map(
+    "q239_seasonal_decomposition" -> seasonalDecompositionSql,
+    "q236_log_rank" -> logRankTestSql,
     "q234_rolling_correlation" -> rollingCorrelationSql,
     "q227_kaplan_meier" -> kaplanMeierSql,
     "q221_segmented_regression" -> segmentedRegressionSql,

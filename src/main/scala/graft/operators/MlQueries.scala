@@ -555,7 +555,131 @@ object MlQueries {
       |FROM j JOIN st USING (segment)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Q238: CONFORMAL PREDICTION INTERVAL — the distribution-free
+    * uncertainty quantification modern ML serving wraps around ANY
+    * point forecast: per nation, fit q135/q221's exact-OLS trend on
+    * the 1996–97 monthly revenue, then take the ⌈(n+1)·0.9⌉-th
+    * smallest ABSOLUTE RESIDUAL as the 90% conformal radius and emit
+    * the next-month forecast with its interval. No normality
+    * assumption, no libm — the radius is an order statistic, which is
+    * exactly why this operator fits the engine's exactness discipline
+    * where a Gaussian interval (needs Φ⁻¹) cannot. (Honest scoping:
+    * this is the in-sample "naive conformal" variant — a production
+    * split-conformal would calibrate on held-out months; same
+    * machinery, different slice.)
+    *
+    * Exactness: slope/intercept are single IEEE divisions of exact
+    * DECIMAL(38) sufficient statistics (q199 rule, q221's closed
+    * form); each residual is a fixed dag on those doubles; the radius
+    * rank ⌈9(n+1)/10⌉ is exact integer arithmetic and the pick an
+    * order statistic (NULL when the rank exceeds n — fewer than 9
+    * months cannot support a 90% naive-conformal interval);
+    * forecast/lo/hi are three more pinned IEEE ops.
+    *
+    * Scale shape: q213/q219's chain — row-scale monthly rollup, ONE
+    * nation-keyed aggregation carrying both the exact stats and the
+    * calendar-bounded ≤24-struct array, residuals + order statistic
+    * in-expression. Three exchanges, no joins. */
+  def conformalInterval(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
+      .groupBy(col("n_name").as("nation"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("long")).cast("long").as("y"))
+      .withColumn("k", row_number().over(
+        Window.partitionBy(col("nation")).orderBy(col("m"))).cast("long"))
+    val s = monthly.groupBy(col("nation"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("k")).cast("long").as("sk"),
+        sum(col("k") * col("k")).cast("long").as("skk"),
+        sum(col("y").cast("decimal(38,0)")).cast("decimal(38,0)").as("sy"),
+        sum((col("k") * col("y")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("sky"),
+        sort_array(collect_list(struct(col("k"), col("y")))).as("xs"))
+      .withColumn("den", (col("n").cast("decimal(38,0)") * col("skk")
+        - col("sk").cast("decimal(38,0)") * col("sk")).cast("decimal(38,0)"))
+      .filter(col("den") > 0)
+      .withColumn("slope",
+        (col("n").cast("decimal(38,0)") * col("sky")
+          - col("sk").cast("decimal(38,0)") * col("sy")).cast("double")
+          / col("den").cast("double"))
+      .withColumn("icept",
+        (col("sy") * col("skk") - col("sk").cast("decimal(38,0)") * col("sky"))
+          .cast("double") / col("den").cast("double"))
+    val withQ = s
+      .withColumn("absr", expr(
+        """sort_array(transform(xs, e ->
+          |  abs(CAST(e.y AS DOUBLE) - (icept + slope * CAST(e.k AS DOUBLE)))))"""
+          .stripMargin))
+      .withColumn("qrank", expr("(9 * (n + 1) + 9) div 10"))
+      .withColumn("radius",
+        when(col("qrank") <= col("n"),
+          element_at(col("absr"), col("qrank").cast("int"))))
+      .withColumn("yhat",
+        col("icept") + col("slope") * (col("n") + lit(1L)).cast("double"))
+    withQ.select(col("nation"), col("n").as("n_months"),
+        col("slope").as("slope_cents_per_month"),
+        col("icept").as("intercept_cents"),
+        col("radius").as("conformal_radius"),
+        col("yhat").as("yhat_next_cents"),
+        (col("yhat") - col("radius")).as("pi_lo"),
+        (col("yhat") + col("radius")).as("pi_hi"))
+      .orderBy(col("nation"))
+  }
+
+  val conformalIntervalSql: String =
+    """WITH monthly AS (
+      |  SELECT n_name AS nation,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS y
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE year(o_orderdate) IN (1996, 1997)
+      |  GROUP BY 1, 2),
+      |idx AS (SELECT nation, y,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY nation ORDER BY m) AS BIGINT)
+      |      AS k
+      |  FROM monthly),
+      |s AS (SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(k) AS HUGEINT) AS sk, CAST(SUM(k*k) AS HUGEINT) AS skk,
+      |    CAST(SUM(y) AS HUGEINT) AS sy,
+      |    CAST(SUM(CAST(k AS HUGEINT) * y) AS HUGEINT) AS sky
+      |  FROM idx GROUP BY 1),
+      |fit AS (SELECT nation, n, sk, skk, sy, sky,
+      |    n * skk - sk * sk AS den,
+      |    CAST(n * sky - sk * sy AS DOUBLE)
+      |      / CAST(n * skk - sk * sk AS DOUBLE) AS slope,
+      |    CAST(sy * skk - sk * sky AS DOUBLE)
+      |      / CAST(n * skk - sk * sk AS DOUBLE) AS icept
+      |  FROM s WHERE n * skk - sk * sk > 0),
+      |resid AS (SELECT f.nation, f.n, f.slope, f.icept,
+      |    ABS(CAST(i.y AS DOUBLE) - (f.icept + f.slope * CAST(i.k AS DOUBLE)))
+      |      AS ar
+      |  FROM fit f JOIN idx i ON f.nation = i.nation),
+      |ranked AS (SELECT nation, n, slope, icept, ar,
+      |    ROW_NUMBER() OVER (PARTITION BY nation ORDER BY ar) AS rn
+      |  FROM resid),
+      |pick AS (SELECT nation, n, slope, icept,
+      |    MAX(CASE WHEN rn = (9 * (n + 1) + 9) // 10 THEN ar END) AS radius
+      |  FROM ranked GROUP BY 1, 2, 3, 4)
+      |SELECT nation, n AS n_months, slope AS slope_cents_per_month,
+      |  icept AS intercept_cents, radius AS conformal_radius,
+      |  icept + slope * CAST(n + 1 AS DOUBLE) AS yhat_next_cents,
+      |  (icept + slope * CAST(n + 1 AS DOUBLE)) - radius AS pi_lo,
+      |  (icept + slope * CAST(n + 1 AS DOUBLE)) + radius AS pi_hi
+      |FROM pick ORDER BY nation""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q238_conformal_interval" -> (conformalInterval _),
     "q235_loo_target_encoding" -> (looTargetEncoding _),
     "q37_ml_champion" -> (championPrediction _),
     "q135_grouped_ols" -> (groupedOls _),
@@ -564,6 +688,7 @@ object MlQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q238_conformal_interval" -> conformalIntervalSql,
     "q235_loo_target_encoding" -> looTargetEncodingSql,
     "q37_ml_champion" -> championPredictionSql,
     "q135_grouped_ols" -> groupedOlsSql,
