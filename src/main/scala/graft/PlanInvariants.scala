@@ -84,7 +84,12 @@ object PlanInvariants {
       // always-true equi-condition into a BNLJ; the broadcast side is
       // exactly one row at any corpus size (the q66 scalar-crossJoin
       // rationale)
-      "q227_kaplan_meier", "q236_log_rank")
+      "q227_kaplan_meier", "q236_log_rank",
+      // q240: bounded × bounded dim cross (global value CDF ×
+      // per-source totals — ≤ |values|·|sources| ≈ 1e4 rows at any SF;
+      // the q35 label-bounded rationale). q241: the 1-row collected
+      // pooled-CDF array broadcast on a constant key (q66 rationale)
+      "q240_wasserstein_drift", "q241_quantile_normalize")
 
   /** Per-query shuffle ceilings above the [[defaultShuffleCeiling]].
     * These are the audited round-5 counts — intentionally exact, so an
@@ -165,7 +170,14 @@ object PlanInvariants {
       // and output sort — after the regroup every exchange carries
       // ≤ |sources|·C(50,2) pair rows; the universe filter and both
       // denominator joins ride broadcasts of the bounded top-V frame
-      "q226_cooccurrence_lift" -> 7)
+      "q226_cooccurrence_lift" -> 7,
+      // q240/q241 build three independent bounded-frame inputs (the
+      // (source, v) rollup, the global value CDF, the per-source
+      // totals) before the bounded-grid windows and output sort; only
+      // the three initial rollups see row scale — every later exchange
+      // carries ≤ |sources|·|values| rows (n_chars is domain-bounded)
+      "q240_wasserstein_drift" -> 5,
+      "q241_quantile_normalize" -> 7)
 
   /** Every other plan holds at <= 4 exchanges today (audited r5). */
   val defaultShuffleCeiling: Int = 4

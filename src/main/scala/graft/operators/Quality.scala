@@ -1654,7 +1654,175 @@ object Quality {
        |FROM f""".stripMargin
   }
 
+  /** Q240: WASSERSTEIN-1 DRIFT — per source, the earth-mover distance
+    * between the source's document-length distribution and the rest
+    * of the corpus (q211's src-vs-rest convention): W₁ = ∫|F₁ − F₂|
+    * over the merged support. The drift metric the family lacked a
+    * TRANSPORT view of: q212's KS is the sup norm (one worst point),
+    * q126/q133's L1 ignores the ORDER of the domain — W₁ weights a
+    * mismatch by how far the mass must move, which is what matters
+    * when the domain is a real quantity (chars, latency, price).
+    *
+    * Exactness: on a step CDF the integral is the exact finite sum
+    * Σ_v |n₂·C₁(v) − n₁·C₂(v)|·Δv / (n₁·n₂) — cumulative counts and
+    * gaps are exact BIGINTs, the numerator accumulates in
+    * DECIMAL(38,0), ONE micro-unit division publishes.
+    *
+    * Scale shape: n_chars is a BOUNDED domain (a few hundred distinct
+    * values at any SF — the q212 histogram argument holds here,
+    * unlike prices), so everything lives on bounded frames: the
+    * (source × value) grid is |sources|·|values| ≈ 10⁴ rows built by
+    * crossing two bounded dims (the allowlisted bounded×bounded
+    * cross), per-source cumulative windows run over ≤|values| rows,
+    * and the only row-scale work is the two initial rollups. */
+  def wassersteinDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars").as("v"))
+    val sv = docs.groupBy(col("source"), col("v"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val wV = Window.partitionBy().orderBy(col("v"))
+    val vcum = docs.groupBy(col("v")).agg(count(lit(1)).cast("long").as("ca"))
+      .withColumn("cumall", sum(col("ca")).over(
+        wV.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("dv", lead(col("v"), 1).over(wV) - col("v"))
+    val stats = docs.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n1"))
+      .withColumn("ntot", sum(col("n1")).over(Window.partitionBy()))
+    val crossed = vcum.crossJoin(broadcast(stats))
+      .join(sv, Seq("source", "v"), "left")
+      .na.fill(0L, Seq("c"))
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    crossed
+      .withColumn("cums", sum(col("c")).over(wSrc))
+      .filter(col("dv").isNotNull)
+      .withColumn("tnum",
+        (abs((col("ntot") - col("n1")) * col("cums")
+          - col("n1") * (col("cumall") - col("cums"))) * col("dv"))
+          .cast("decimal(38,0)"))
+      .groupBy(col("source"))
+      .agg(max(col("n1")).cast("long").as("n_src"),
+        max(col("ntot") - col("n1")).cast("long").as("n_rest"),
+        sum(col("tnum")).cast("decimal(38,0)").as("wnum"))
+      .select(col("source"), col("n_src"), col("n_rest"),
+        (expr("""(2 * wnum * 1000000 + CAST(n_src AS DECIMAL(38,0)) * n_rest)
+               div (2 * CAST(n_src AS DECIMAL(38,0)) * n_rest)""")
+          .cast("double") / 1000000).as("w1_chars"))
+      .orderBy(col("source"))
+  }
+
+  val wassersteinDriftSql: String =
+    """WITH docs AS (SELECT source, n_chars AS v FROM documents),
+      |sv AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS c
+      |       FROM docs GROUP BY 1, 2),
+      |vcum AS (SELECT v,
+      |    CAST(SUM(COUNT(*)) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cumall,
+      |    LEAD(v) OVER (ORDER BY v) - v AS dv
+      |  FROM docs GROUP BY v),
+      |stats AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n1,
+      |    CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS ntot
+      |  FROM docs GROUP BY 1),
+      |crossed AS (SELECT s.source, s.n1, s.ntot, vc.v, vc.cumall, vc.dv,
+      |    COALESCE(sv.c, 0) AS c
+      |  FROM vcum vc CROSS JOIN stats s
+      |  LEFT JOIN sv ON sv.source = s.source AND sv.v = vc.v),
+      |cum AS (SELECT *,
+      |    CAST(SUM(c) OVER (PARTITION BY source ORDER BY v
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cums
+      |  FROM crossed),
+      |terms AS (SELECT source, n1, ntot,
+      |    CAST(ABS((ntot - n1) * cums - n1 * (cumall - cums))
+      |      * dv AS HUGEINT) AS tnum
+      |  FROM cum WHERE dv IS NOT NULL)
+      |SELECT source, CAST(MAX(n1) AS BIGINT) AS n_src,
+      |  CAST(MAX(ntot - n1) AS BIGINT) AS n_rest,
+      |  CAST((2 * SUM(tnum) * 1000000
+      |      + CAST(MAX(n1) AS HUGEINT) * MAX(ntot - n1))
+      |    // (2 * CAST(MAX(n1) AS HUGEINT) * MAX(ntot - n1)) AS DOUBLE)
+      |    / 1000000 AS w1_chars
+      |FROM terms GROUP BY source ORDER BY source""".stripMargin
+
+  /** Q241: QUANTILE NORMALIZATION — the feature-prep transform that
+    * maps each source's length distribution onto the POOLED corpus
+    * distribution: a source value v maps to the smallest pooled value
+    * v' whose pooled CDF reaches the source's CDF at v (the classic
+    * microarray/feature-scaling recipe, the exact-quantile cousin of
+    * q178's min-max scaling — rank-preserving within source, and
+    * after mapping every source draws from the same marginal). The
+    * curation use: comparing per-source quality scores whose scales
+    * drift (q116's calibration problem) by forcing a common marginal
+    * first.
+    *
+    * Exactness: the mapping predicate is the cross-multiplied integer
+    * test n₁·cumAll(v') ≥ N·cumS(v) — no quantile floats anywhere;
+    * the pick is a first-match order statistic over the pooled
+    * support (always defined: at max v', cumAll = N and the test
+    * reduces to n₁·N ≥ N·cumS, true since cumS ≤ n₁).
+    *
+    * Scale shape: the pooled CDF lives in ONE collected ≤|values|
+    * array (n_chars is the genuinely bounded domain — see q240) that
+    * broadcasts to every (source, value) row; the lookup is an
+    * in-expression first-match filter over that array, O(|values|)
+    * per distinct (source, value) pair — never a range join. One
+    * rollup exchange, one per-source window, one 1-row broadcast. */
+  def quantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars").as("v"))
+    val wV = Window.partitionBy().orderBy(col("v"))
+    val pooled = docs.groupBy(col("v")).agg(count(lit(1)).cast("long").as("ca"))
+      .withColumn("cumall", sum(col("ca")).over(
+        wV.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("v"), col("cumall"))))
+        .as("arr"))
+      .withColumn("j", lit(1))
+    val stats = docs.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n1"))
+      .withColumn("ntot", sum(col("n1")).over(Window.partitionBy()))
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docs.groupBy(col("source"), col("v"))
+      .agg(count(lit(1)).cast("long").as("n_at_v"))
+      .withColumn("cums", sum(col("n_at_v")).over(wSrc))
+      .join(broadcast(stats), Seq("source"))
+      .withColumn("j", lit(1))
+      .join(broadcast(pooled), Seq("j"))
+      .withColumn("mapped", expr(
+        """element_at(filter(arr, e ->
+          |  CAST(n1 AS DECIMAL(38,0)) * e.cumall
+          |    >= CAST(ntot AS DECIMAL(38,0)) * cums), 1).v"""
+          .stripMargin))
+      .select(col("source"), col("v"), col("n_at_v"),
+        col("cums").cast("long").as("src_cum"),
+        col("mapped").cast("long").as("mapped_v"))
+      .orderBy(col("source"), col("v"))
+  }
+
+  val quantileNormalizeSql: String =
+    """WITH docs AS (SELECT source, n_chars AS v FROM documents),
+      |pooled AS (SELECT v,
+      |    CAST(SUM(COUNT(*)) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cumall
+      |  FROM docs GROUP BY v),
+      |stats AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n1,
+      |    CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS ntot
+      |  FROM docs GROUP BY 1),
+      |sv AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS n_at_v,
+      |    CAST(SUM(COUNT(*)) OVER (PARTITION BY source ORDER BY v
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cums
+      |  FROM docs GROUP BY 1, 2)
+      |SELECT sv.source, sv.v, sv.n_at_v, sv.cums AS src_cum,
+      |  (SELECT MIN(p.v) FROM pooled p
+      |   WHERE st.n1 * p.cumall >= st.ntot * sv.cums) AS mapped_v
+      |FROM sv JOIN stats st ON sv.source = st.source
+      |ORDER BY sv.source, sv.v""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q240_wasserstein_drift" -> (wassersteinDrift _),
+    "q241_quantile_normalize" -> (quantileNormalize _),
     "q237_kruskal_wallis" -> (kruskalWallis _),
     "q229_trimmed_mean" -> (trimmedMean _),
     "q230_wilson_interval" -> (wilsonInterval _),
@@ -1679,6 +1847,8 @@ object Quality {
   )
 
   def oracles: Map[String, String] = Map(
+    "q240_wasserstein_drift" -> wassersteinDriftSql,
+    "q241_quantile_normalize" -> quantileNormalizeSql,
     "q237_kruskal_wallis" -> kruskalWallisSql,
     "q229_trimmed_mean" -> trimmedMeanSql,
     "q230_wilson_interval" -> wilsonIntervalSql,
