@@ -2982,7 +2982,110 @@ object Events {
       |    // (2 * sden)) AS DOUBLE) / 1000000 AS residual
       |FROM j ORDER BY event_type, day""".stripMargin
 
+  /** Q243: RUNS TEST (Wald–Wolfowitz) — is each event type's daily
+    * count series RANDOM around its median, or does it clump? The
+    * randomness gate the trend/shift family presupposes: q213 tests
+    * monotone trend, q214 locates a level shift, q218 measures
+    * autocorrelation — the runs test is the model-free "is there ANY
+    * serial structure" screen that says whether those analyses have
+    * something to explain. Signs are vs the per-type exact lower
+    * median; days AT the median are discarded (the standard
+    * treatment); R = number of maximal same-sign runs in day order;
+    * z = (R − μ)/σ with μ = 2n₊n₋/n + 1 and
+    * σ² = 2n₊n₋(2n₊n₋ − n)/(n²(n−1)).
+    *
+    * Exactness: the median is an order statistic over the
+    * |days|-bounded per-type frame (the q212 boundedness argument —
+    * counts live on a bounded daily frame, so a per-type rank window
+    * is NOT the q224 hazard); runs and sign counts are exact
+    * integers; μ, σ², z are one fixed IEEE dag (·, /, √) on their
+    * exact double images.
+    *
+    * Scale shape: one map-side-combined daily rollup; every later
+    * stage (rank window, median pick, lag window, final aggregation)
+    * lives on the bounded (type × days) frame. */
+  def runsTest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).cast("long").as("x"))
+    val byX = Window.partitionBy(col("event_type")).orderBy(col("x"), col("day"))
+    val perT = Window.partitionBy(col("event_type"))
+    val med = daily
+      .withColumn("rn", row_number().over(byX))
+      .withColumn("nd", count(lit(1)).over(perT))
+      .filter(col("rn") === expr("(nd + 1) div 2"))
+      .select(col("event_type"), col("x").as("med"))
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val signed = daily.join(broadcast(med), Seq("event_type"))
+      .filter(col("x") =!= col("med"))
+      .withColumn("s", when(col("x") > col("med"), 1L).otherwise(-1L))
+      .withColumn("prev", lag(col("s"), 1).over(byDay))
+      .withColumn("run_start",
+        when(col("prev").isNull || col("prev") =!= col("s"), 1L)
+          .otherwise(0L))
+    val cells = signed.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("s") === 1L, 1L).otherwise(0L)).cast("long").as("np"),
+        sum(when(col("s") === -1L, 1L).otherwise(0L)).cast("long").as("nm"),
+        sum(col("run_start")).cast("long").as("r"))
+    val nD = col("n").cast("double")
+    val twoPN = (lit(2L) * col("np") * col("nm")).cast("double")
+    val mu = twoPN / nD + lit(1.0d)
+    val varR = (twoPN * (lit(2L) * col("np") * col("nm") - col("n"))
+      .cast("double")) / ((nD * nD) * (col("n") - 1).cast("double"))
+    cells.select(col("event_type"), col("n").as("n_days_used"),
+        col("np").as("n_above"), col("nm").as("n_below"),
+        col("r").as("n_runs"),
+        mu.as("expected_runs"),
+        when(varR > 0, (col("r").cast("double") - mu) / sqrt(varR))
+          .as("z_runs"))
+      .orderBy(col("event_type"))
+  }
+
+  val runsTestSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |med AS (SELECT event_type, x AS med FROM (
+      |    SELECT event_type, x,
+      |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x, day)
+      |        AS rn,
+      |      COUNT(*) OVER (PARTITION BY event_type) AS nd
+      |    FROM daily)
+      |  WHERE rn = (nd + 1) // 2),
+      |signed AS (
+      |  SELECT d.event_type, d.day,
+      |    CASE WHEN d.x > m.med THEN 1 ELSE -1 END AS s
+      |  FROM daily d JOIN med m ON d.event_type = m.event_type
+      |  WHERE d.x <> m.med),
+      |runs AS (
+      |  SELECT event_type, s,
+      |    CASE WHEN LAG(s) OVER w IS NULL OR LAG(s) OVER w <> s
+      |         THEN 1 ELSE 0 END AS run_start
+      |  FROM signed WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      |cells AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+      |    CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+      |    CAST(SUM(run_start) AS BIGINT) AS r
+      |  FROM runs GROUP BY 1),
+      |e AS (
+      |  SELECT *, CAST(n AS DOUBLE) AS nd,
+      |    CAST(2 * np * nm AS DOUBLE) AS twopn
+      |  FROM cells)
+      |SELECT event_type, n AS n_days_used, np AS n_above, nm AS n_below,
+      |  r AS n_runs,
+      |  twopn / nd + 1.0 AS expected_runs,
+      |  CASE WHEN (twopn * CAST(2 * np * nm - n AS DOUBLE))
+      |        / ((nd * nd) * CAST(n - 1 AS DOUBLE)) > 0 THEN
+      |    (CAST(r AS DOUBLE) - (twopn / nd + 1.0))
+      |      / sqrt((twopn * CAST(2 * np * nm - n AS DOUBLE))
+      |        / ((nd * nd) * CAST(n - 1 AS DOUBLE))) END AS z_runs
+      |FROM e ORDER BY event_type""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q243_runs_test" -> (runsTest _),
     "q239_seasonal_decomposition" -> (seasonalDecomposition _),
     "q236_log_rank" -> (logRankTest _),
     "q234_rolling_correlation" -> (rollingCorrelation _),
@@ -3032,6 +3135,7 @@ object Events {
   )
 
   def oracles: Map[String, String] = Map(
+    "q243_runs_test" -> runsTestSql,
     "q239_seasonal_decomposition" -> seasonalDecompositionSql,
     "q236_log_rank" -> logRankTestSql,
     "q234_rolling_correlation" -> rollingCorrelationSql,

@@ -1820,7 +1820,73 @@ object Quality {
       |FROM sv JOIN stats st ON sv.source = st.source
       |ORDER BY sv.source, sv.v""".stripMargin
 
+  /** Q242: McNEMAR'S TEST — the PAIRED significance companion to
+    * q157's Cohen's kappa, on the same two quality raters over the
+    * same documents: kappa says how much the raters AGREE; McNemar
+    * says whether they disagree SYMMETRICALLY — i.e. whether switching
+    * rater would change the pass RATE, which only the discordant
+    * cells (b = A-only, c = B-only) can answer. χ² = (b−c)²/(b+c)
+    * with the Edwards continuity correction (|b−c|−1)²/(b+c), the
+    * form every stats package reports. A two-independent-samples test
+    * (q146) on the same data would be wrong — the ratings are paired
+    * per document; the marginal cells a, d carry no information.
+    *
+    * Exactness: cells are exact counts; both statistics are one
+    * micro-unit integer division each ((b−c)² and (|b−c|−1)² are
+    * exact BIGINTs; NULL when b + c = 0 — no discordance, no test).
+    *
+    * Scale shape: q157's — ONE conditional aggregation to one row. */
+  def mcnemarTest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val rated = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select((stopwordCount(col("text")) >= 2).as("ra"),
+        arrays_overlap(tokens(col("text")), array(lit("the"), lit("is")))
+          .as("rb"))
+    rated.agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("ra") && !col("rb"), 1L).otherwise(0L)).cast("long")
+          .as("b"),
+        sum(when(!col("ra") && col("rb"), 1L).otherwise(0L)).cast("long")
+          .as("c"))
+      .select(col("n_docs"), col("b"), col("c"),
+        when(col("b") + col("c") > 0,
+          expr("""(2 * (b - c) * (b - c) * 1000000 + (b + c))
+                 div (2 * (b + c))""").cast("double") / 1000000)
+          .as("chi2"),
+        when(col("b") + col("c") > 0,
+          expr("""(2 * (abs(b - c) - 1) * (abs(b - c) - 1) * 1000000
+                   + (b + c)) div (2 * (b + c))""").cast("double") / 1000000)
+          .as("chi2_corrected"))
+  }
+
+  val mcnemarTestSql: String =
+    s"""WITH rated AS (
+       |  SELECT
+       |    len(list_filter(string_split(text, ' '),
+       |      t -> t IN ($stopwordSqlList))) >= 2 AS ra,
+       |    len(list_intersect(string_split(text, ' '),
+       |      ['the', 'is'])) > 0 AS rb
+       |  FROM documents WHERE text IS NOT NULL),
+       |cells AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS b,
+       |    CAST(SUM(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS c
+       |  FROM rated)
+       |SELECT n_docs, b, c,
+       |  CASE WHEN b + c > 0 THEN
+       |    CAST((2 * (b - c) * (b - c) * 1000000 + (b + c))
+       |      // (2 * (b + c)) AS DOUBLE) / 1000000 END AS chi2,
+       |  CASE WHEN b + c > 0 THEN
+       |    CAST((2 * (ABS(b - c) - 1) * (ABS(b - c) - 1) * 1000000
+       |        + (b + c)) // (2 * (b + c)) AS DOUBLE) / 1000000 END
+       |    AS chi2_corrected
+       |FROM cells""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q242_mcnemar" -> (mcnemarTest _),
     "q240_wasserstein_drift" -> (wassersteinDrift _),
     "q241_quantile_normalize" -> (quantileNormalize _),
     "q237_kruskal_wallis" -> (kruskalWallis _),
@@ -1847,6 +1913,7 @@ object Quality {
   )
 
   def oracles: Map[String, String] = Map(
+    "q242_mcnemar" -> mcnemarTestSql,
     "q240_wasserstein_drift" -> wassersteinDriftSql,
     "q241_quantile_normalize" -> quantileNormalizeSql,
     "q237_kruskal_wallis" -> kruskalWallisSql,
