@@ -18,7 +18,10 @@ import org.apache.spark.sql.SparkSession
   *
   * Each query is timed SPARK_GRAFT_BENCH_REPS times (default 3) and the
   * per-query MEDIAN is reported (the JSON carries reps/agg so the number
-  * is self-describing). Reps are INTERLEAVED — the whole suite runs
+  * is self-describing); a `spread` map carries per-query
+  * [min, median, max] so a single-query drift spike (one rep 3x the
+  * others on identical code — the q147/q241 class) is visible inside
+  * one artifact without a cross-round diff. Reps are INTERLEAVED — the whole suite runs
   * `reps` full passes, each pass visiting the queries in a fresh
   * seeded-shuffled order — never back-to-back per query. Rationale
   * (round-2/3 lesson): this container has multi-minute drift windows
@@ -180,15 +183,24 @@ object Bench {
         name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
       }.toMap
     }
-    val results = selected.flatMap { case (name, _) =>
+    // per-query (min, median, max) across passes: the spread makes a
+    // single-query drift spike (the q147/q241 class — one rep 3x the
+    // others on identical code) self-identifying in the artifact
+    // instead of needing a cross-round diff
+    val spreads = selected.flatMap { case (name, _) =>
       val times = passes.flatMap(_(name)).sorted
-      if (times.isEmpty) None else Some(name -> times(times.length / 2))
+      if (times.isEmpty) None
+      else Some(name -> (times.head, times(times.length / 2), times.last))
     }
+    val results = spreads.map { case (name, (_, med, _)) => name -> med }
     val calTimes = passes.flatMap(_(calibrationName)).sorted
     val calMedian = if (calTimes.isEmpty) -1.0 else calTimes(calTimes.length / 2)
     val calPasses = calTimes.map(t => f"$t%.4f").mkString("[", ",", "]")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val spreadJson = spreads.map { case (k, (mn, md, mx)) =>
+      s"\"" + k + "\":[" + f"$mn%.3f,$md%.3f,$mx%.3f" + "]"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val worst = results.sortBy(-_._2).take(5)
       .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
@@ -206,7 +218,7 @@ object Bench {
     println(s"""{"metric":"summary",$headline,"reps":$reps,"sf":"$sfDir"}""")
     // metric line (driver contract): headline fields repeat AFTER the
     // per-query map so tail-truncation keeps them too
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"agg":"median","sf":"$sfDir",$headline}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadJson,"reps":$reps,"agg":"median","sf":"$sfDir",$headline}""")
     spark.stop()
   }
 }

@@ -323,10 +323,13 @@ object Curation {
     * libm exposure, the same trick as q66's linear idf. Per doc, the
     * score is the mean token rarity.
     *
-    * Scale shape: tf is vocabulary-bounded → broadcast; the doc
-    * filter prunes the probe side BEFORE the join; corpus size N
-    * rides a broadcast 1-row aggregate. One corpus-wide hash agg (tf)
-    * + one per-doc agg — no payload shuffles. */
+    * Scale shape: tf is the per-token corpus-frequency table, which
+    * grows with the vocabulary — by Heaps' law a 100 TB corpus has
+    * billions of distinct tokens, so it is NOT broadcast-safe (the
+    * same argument that retired q30's dfreq hint). No hint: AQE
+    * broadcasts when the measured size is small, shuffles otherwise.
+    * The doc filter prunes the probe side BEFORE the join; corpus
+    * size N rides a broadcast 1-row aggregate. */
   def tokenRarity(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val toks = d.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
@@ -336,7 +339,7 @@ object Curation {
     // bounded probe set) — NOT a semantic threshold of the operator; a
     // deployment scores every doc, tf/N stay corpus-wide either way
     toks.filter(col("doc_id") < 20)
-      .join(broadcast(tf), Seq("token"))
+      .join(tf, Seq("token"))
       .crossJoin(broadcast(n))
       .withColumn("rarity",
         (col("n_tok").cast(org.apache.spark.sql.types.DecimalType(18, 0)) / col("tf"))

@@ -48,8 +48,10 @@ object Dedup {
     * length at all) — the first-token anchor splits each length band
     * by content, and the rarest-token anchor (round-5: the token with
     * the minimum global document frequency, ties broken
-    * lexicographically — a vocabulary-bounded broadcast, the q89
-    * discipline) splits it again by the most discriminative token the
+    * lexicographically — the dfreq table is vocabulary-scale, so the
+    * join is UNHINTED and AQE sizes it; Heaps' law makes "vocabulary
+    * fits the driver" false at 100 TB — the q89 discipline) splits it
+    * again by the most discriminative token the
     * doc carries, so block sizes scale with (docs per 32-char band per
     * leading token per rarest token), not (docs per exact length).
     * Recall contract: under the EDIT model of near-duplication (one
@@ -718,7 +720,9 @@ object Dedup {
     * AND verification — three consumers, one build); candidate pairs
     * collapse to keys BEFORE any payload join (25 pairs at sf0.01 from
     * 124k possible), verification joins only candidate documents'
-    * shingle sets (broadcast candidate list, bounded frame). Rare-first
+    * shingle sets. The pair frame is NOT hinted broadcast — it grows
+    * quadratically in duplicate-cluster sizes, so AQE decides from the
+    * measured size (the q187 rationale). Rare-first
     * ordering is the candidate suppressor: a prefix shingle shared by
     * many documents is by construction a LOW-df shingle. The PPJoin
     * position filter is the documented next squeeze if a corpus ever
@@ -772,8 +776,12 @@ object Dedup {
       .localCheckpoint()
     val candDocs = cand.select(col("da").as("doc_id"))
       .union(cand.select(col("db"))).distinct()
-    val candToks = toks.join(broadcast(candDocs), Seq("doc_id"))
-    broadcast(cand)
+    // No broadcast hints on cand/candDocs: the verified-candidate-pair
+    // frame grows quadratically in duplicate-cluster sizes (the q187
+    // rationale), so a hot corpus can blow a forced broadcast. AQE
+    // still broadcasts when the measured size is small.
+    val candToks = toks.join(candDocs, Seq("doc_id"))
+    cand
       .join(candToks.select(col("doc_id").as("da"), col("sh")), Seq("da"))
       .join(candToks.select(col("doc_id").as("db"), col("sh")), Seq("db", "sh"))
       .groupBy(col("da"), col("db"), col("sa"), col("sb"))
@@ -1011,7 +1019,11 @@ object Dedup {
     * Every stage is linear; the window never materializes globally. */
   def sortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NULL text excluded on BOTH engines: Spark ranks NULLs FIRST while
+    // DuckDB's ROW_NUMBER ranks them LAST, which would shift every
+    // neighbor-window rank (latent — current fixtures have no NULLs).
     val docs = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), col("n_chars").as("v"),
         element_at(split(col("text"), " "), 1).as("ftok"))
     val hist = docs.groupBy(col("v")).agg(count(lit(1)).as("c"))
@@ -1058,7 +1070,7 @@ object Dedup {
     s"""WITH d AS (
        |  SELECT doc_id, n_chars, string_split(text, ' ')[1] AS ftok,
        |    list_distinct(string_split(text, ' ')) AS toks
-       |  FROM documents),
+       |  FROM documents WHERE text IS NOT NULL),
        |r AS (SELECT doc_id, toks,
        |        ROW_NUMBER() OVER (ORDER BY n_chars, ftok, doc_id) AS rn
        |      FROM d),

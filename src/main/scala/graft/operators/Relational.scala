@@ -140,22 +140,36 @@ object Relational {
       |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
-  /** Q5: anti join (J3 idempotency dedup / NOT EXISTS; README.md:114). */
+  /** Q5: anti join (J3 idempotency dedup / NOT EXISTS; README.md:114).
+    *
+    * Self-evidencing shape (round-8): the bare anti-join aggregate is
+    * EMPTY at tested SFs (every generated customer has orders), so its
+    * CORRECTNESS entry hash-matched on 0 rows — vacuously. The output
+    * is now a per-nation LEDGER: total customers alongside the
+    * anti-join count, zero-filled — 25 non-empty rows whose totals the
+    * oracle must independently reproduce, so "0 customers without
+    * orders" is a verified count, not an absence. The left_anti
+    * operator itself is unchanged in the plan. */
   def antiJoin(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
     val o = Tables.orders(spark, dir)
     val n = Tables.nation(spark, dir)
-    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+    val noOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("no_cnt"))
+    c.groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_customers"))
+      .join(noOrders, Seq("c_nationkey"), "left")
       .join(broadcast(n), col("c_nationkey") === n("n_nationkey"))
-      .groupBy(col("n_name"))
-      .agg(count(lit(1)).as("n_customers_no_orders"))
+      .select(col("n_name"), col("n_customers"),
+        coalesce(col("no_cnt"), lit(0L)).as("n_customers_no_orders"))
       .orderBy(col("n_name"))
   }
 
   val antiJoinSql: String =
-    """SELECT n_name, COUNT(*) AS n_customers_no_orders
+    """SELECT n_name, COUNT(*) AS n_customers,
+      |  CAST(SUM(CASE WHEN NOT EXISTS
+      |      (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_customers_no_orders
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
   /** Q6: unpivot-via-union (SO1) — the home/away perspective fix the

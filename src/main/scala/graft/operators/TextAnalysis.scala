@@ -155,19 +155,43 @@ object TextAnalysis {
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Q28: md5 document fingerprinting; duplicate groups surface as
-    * fingerprints with count > 1 (engine-portable content hash). */
+    * fingerprints with count > 1 (engine-portable content hash).
+    *
+    * Self-evidencing shape (round-8): the generated corpus has no
+    * exact dups at tested SFs, so the bare group list hash-matched on
+    * 0 rows — vacuously. A LEDGER row (fp = '__ledger') now leads the
+    * output carrying (number of dup groups, number of docs in dup
+    * groups) in the (n_copies, first_doc) slots, so "no duplicates"
+    * is a verified (0, 0) count the oracle independently reproduces,
+    * never an empty result. Group rows follow unchanged when dups
+    * exist (TextAnalysisSpec's fixture pins that path). */
   def fingerprints(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    d.withColumn("fp", fingerprint(col("text")))
+    // localCheckpoint: the dup-group frame is BOUNDED (dup groups only)
+    // and feeds two consumers (ledger + output) — without it the ledger
+    // branch would re-run the row-scale md5 aggregation
+    val groups = d.withColumn("fp", fingerprint(col("text")))
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("first_doc"))
       .filter(col("n_copies") > 1)
-      .orderBy(col("fp"))
+      .localCheckpoint()
+    val ledger = groups.agg(
+        count(lit(1)).cast("bigint").as("n_copies"),
+        coalesce(sum(col("n_copies")), lit(0L)).cast("bigint").as("first_doc"))
+      .select(lit("__ledger").as("fp"), col("n_copies"), col("first_doc"))
+    ledger.unionByName(groups).orderBy(col("fp"))
   }
 
   val fingerprintsSql: String =
-    """SELECT md5(text) AS fp, COUNT(*) AS n_copies, MIN(doc_id) AS first_doc
-      |FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY fp""".stripMargin
+    """WITH g AS (
+      |  SELECT md5(text) AS fp, COUNT(*) AS n_copies, MIN(doc_id) AS first_doc
+      |  FROM documents GROUP BY 1 HAVING COUNT(*) > 1)
+      |SELECT * FROM (
+      |  SELECT '__ledger' AS fp, CAST(COUNT(*) AS BIGINT) AS n_copies,
+      |    CAST(COALESCE(SUM(n_copies), 0) AS BIGINT) AS first_doc FROM g
+      |  UNION ALL
+      |  SELECT fp, n_copies, first_doc FROM g)
+      |ORDER BY fp""".stripMargin
 
   /** Q45: BPE-ish regex tokenization (driver brief "whitespace + a
     * BPE-ish regex") — letter runs / digit runs / punctuation runs, the

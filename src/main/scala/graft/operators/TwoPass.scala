@@ -92,9 +92,14 @@ private[graft] object TwoPass {
       rows: DataFrame): Map[String, (Long, Long)] = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
+    // Precondition: weights are positive. Non-positive-weight rows are
+    // dropped up front (a zero-total group would otherwise be kept in
+    // `totals` but skipped from `wants`, making med(k) throw); a group
+    // with NO positive weight simply has no median and is omitted.
+    val rows0 = rows.filter(col("w") > 0)
     val nBuckets = spark.conf.get("spark.sql.shuffle.partitions").toInt.max(2)
-    val bucketOf = scoreBuckets(rows, col("c"), nBuckets)
-    val hist = rows.withColumn("b", bucketOf(col("c")))
+    val bucketOf = scoreBuckets(rows0, col("c"), nBuckets)
+    val hist = rows0.withColumn("b", bucketOf(col("c")))
       .groupBy(col("k"), col("b")).agg(sum(col("w")).cast("long").as("n"))
       .collect()
     val wants = Seq.newBuilder[(String, Int, Long)] // (k, b, local threshold)
@@ -111,14 +116,14 @@ private[graft] object TwoPass {
     val wantDf = wants.result().toDF("wk", "wb", "lt")
     val cw = Window.partitionBy(col("k"), col("b")).orderBy(col("c"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val med = rows.withColumn("b", bucketOf(col("c")))
+    val med = rows0.withColumn("b", bucketOf(col("c")))
       .join(broadcast(wantDf), col("k") === col("wk") && col("b") === col("wb"))
       .withColumn("cum", sum(col("w")).over(cw))
       .filter(col("cum") >= col("lt"))
       .groupBy(col("k")).agg(min(col("c")).as("m"))
       .collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    totals.map { case (k, w) => k -> (w, med(k)) }.toMap
+    totals.flatMap { case (k, w) => med.get(k).map(m => k -> (w, m)) }.toMap
   }
 
   def groupRankLookup(spark: SparkSession, rows: DataFrame,

@@ -51,9 +51,10 @@ class RelationalSpec extends SparkSuite {
     Seq((10L, "ALPHA"), (20L, "BETA")).toDF("n_nationkey", "n_name")
       .write.mode("overwrite").parquet(s"$dir/nation.parquet")
     val got = Relational.antiJoin(spark, dir).collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSeq
-    // customer 1 has the order; 2, 3, 4 are orphans
-    assert(got === Seq(("ALPHA", 1L), ("BETA", 2L)))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // customer 1 has the order; 2, 3, 4 are orphans (ledger shape:
+    // nation, total customers, customers without orders)
+    assert(got === Seq(("ALPHA", 2L, 1L), ("BETA", 2L, 2L)))
   }
 
   test("q10 top-k plans as TakeOrderedAndProject, not a global sort") {

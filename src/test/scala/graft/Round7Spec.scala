@@ -101,10 +101,25 @@ class Round7Spec extends SparkSuite {
     }
   }
 
-  test("q240 Wasserstein: zero iff compared against itself, non-negative always") {
+  test("q240 Wasserstein: non-negative always; zero when src == rest") {
     Quality.wassersteinDrift(spark, Sf0001).collect().foreach { r =>
       assert(r.getAs[Double]("w1_chars") >= 0, r)
     }
+    // self-comparison-zero: a fixture where every source carries the
+    // IDENTICAL n_chars multiset makes each src-vs-rest pair compare
+    // equal distributions, so W1 must be exactly 0 for every source
+    import spark.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q240_fixture_" +
+      ProcessHandle.current().pid()
+    Scratch.deleteOnExit(dir)
+    val lens = Seq(10L, 10L, 25L, 40L, 40L, 40L, 90L)
+    Seq("a", "b", "c").flatMap(s => lens.zipWithIndex.map { case (n, i) =>
+      (s.hashCode.toLong * 1000 + i, s, n)
+    }).toDF("doc_id", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val zeros = Quality.wassersteinDrift(spark, dir).collect()
+    assert(zeros.length === 3)
+    zeros.foreach(r => assert(r.getAs[Double]("w1_chars") === 0.0, r))
   }
 
   test("q241 quantile normalization is rank-preserving within source and hits the pooled support") {

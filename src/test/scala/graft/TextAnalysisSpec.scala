@@ -63,10 +63,16 @@ class TextAnalysisSpec extends SparkSuite {
   }
 
   test("q28 fingerprint groups match exact-text duplicate groups") {
-    val fp = TextAnalysis.fingerprints(spark, Sf0001).count()
+    val rows = TextAnalysis.fingerprints(spark, Sf0001).collect()
+    val ledger = rows.filter(_.getString(0) == "__ledger")
+    val groups = rows.filterNot(_.getString(0) == "__ledger")
     val textDups = Tables.documents(spark, Sf0001)
       .groupBy("text").count().filter(col("count") > 1).count()
-    assert(fp === textDups)
+    assert(groups.length.toLong === textDups)
+    // ledger self-evidences the group/doc counts
+    assert(ledger.length === 1)
+    assert(ledger(0).getLong(1) === textDups)
+    assert(ledger(0).getLong(2) === groups.map(_.getLong(1)).sum)
   }
 
   test("q28 fingerprints: non-vacuity pin — duplicate texts form groups") {
@@ -81,9 +87,13 @@ class TextAnalysisSpec extends SparkSuite {
       .toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val got = TextAnalysis.fingerprints(spark, dir).collect()
-    assert(got.length === 1)
-    assert(got(0).getLong(1) === 3L) // n_copies
-    assert(got(0).getLong(2) === 1L) // first_doc
+    assert(got.length === 2) // ledger + one group
+    val ledger = got.filter(_.getString(0) == "__ledger")(0)
+    assert(ledger.getLong(1) === 1L) // one dup group
+    assert(ledger.getLong(2) === 3L) // three docs in dup groups
+    val group = got.filterNot(_.getString(0) == "__ledger")(0)
+    assert(group.getLong(1) === 3L) // n_copies
+    assert(group.getLong(2) === 1L) // first_doc
   }
 
   test("q100 BPE merges match a driver-side reference trainer") {
