@@ -85,6 +85,10 @@ object PlanInvariants {
       // exactly one row at any corpus size (the q66 scalar-crossJoin
       // rationale)
       "q227_kaplan_meier", "q236_log_rank",
+      // q249: the 5-row probe frame (query codes + ADC tables)
+      // crossJoin-broadcast into the coded-corpus scan — the q33
+      // brute-force-baseline rationale (the audit IS the exact branch)
+      "q249_pq_adc_recall",
       // q240: bounded × bounded dim cross (global value CDF ×
       // per-source totals — ≤ |values|·|sources| ≈ 1e4 rows at any SF;
       // the q35 label-bounded rationale). q241: the 1-row collected

@@ -123,4 +123,49 @@ object Media {
   private def substring_index_bytes(content: org.apache.spark.sql.Column,
       frameIdx: org.apache.spark.sql.Column, frameBytes: Int) =
     expr(s"substring(content, cast(frame_idx * $frameBytes + 1 as int), $frameBytes)")
+
+  /** Blob-batch bound for [[stagedBlobRoot]]: caps the staged file
+    * count at any SF (a deployment stages whatever arrives; the bound
+    * is the fixture's, not the operator's). */
+  val BlobBatch = 512L
+
+  /** Stage a directory of loose binary files — how image/audio corpora
+    * actually enter a pipeline (one object per asset on blob storage),
+    * as opposed to the parquet-embedded binary column [[assets]]
+    * models. Layout is `lang=<lang>/<doc_id>.bin` with content = the
+    * document's UTF-8 bytes (deterministic, oracle-recomputable from
+    * the documents table), so a path glob over one `lang=` directory
+    * is the blob-store analog of partition pruning.
+    *
+    * The write is DISTRIBUTED (foreachPartition through Hadoop's
+    * FileSystem — works unchanged against HDFS/S3A object stores, one
+    * create per asset, no driver-side content loop) and
+    * `_SUCCESS`-guarded under the q63/q185 artifact discipline: built
+    * once per (process, corpus), served from disk afterwards. */
+  def stagedBlobRoot(spark: SparkSession, dir: String): String = {
+    val path = graft.Scratch.artifactPath("blob_corpus", dir, s"_b$BlobBatch")
+    if (!graft.Scratch.artifactComplete(path)) {
+      graft.Scratch.prepareArtifact(path)
+      import spark.implicits._
+      val serializableConf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      Tables.documents(spark, dir)
+        .filter(col("text").isNotNull && col("doc_id") < BlobBatch)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .as[(Long, String, String)]
+        .foreachPartition { it: Iterator[(Long, String, String)] =>
+          it.foreach { case (docId, lang, text) =>
+            val p = new org.apache.hadoop.fs.Path(s"$path/lang=$lang/$docId.bin")
+            val fs = p.getFileSystem(serializableConf.value)
+            val out = fs.create(p, true)
+            try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
+          }
+        }
+      val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+      marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .create(marker, true).close()
+    }
+    path
+  }
 }

@@ -95,7 +95,7 @@ object Clustering {
     * bounded driver state). Update: per-dim floor(sum/n) — integer
     * division, identical to the oracle's `//`; an empty cluster keeps
     * its previous centroid. */
-  private[graft] def lloyd(codes: DataFrame): Array[Array[Long]] = {
+  private[graft] def lloyd(codes: DataFrame, dims: Int = Dims): Array[Array[Long]] = {
     var cents: Array[Array[Long]] = codes.orderBy(col("vec_id")).limit(K)
       .select(col("vec_id"), col("codes")).collect()
       .sortBy(_.getLong(0))
@@ -103,7 +103,7 @@ object Clustering {
     var it = 0
     while (it < Iters && cents.nonEmpty) {
       val aggs = count(lit(1)).as("n") +:
-        (0 until Dims).map(d => sum(element_at(col("codes"), d + 1)).as(s"s$d"))
+        (0 until dims).map(d => sum(element_at(col("codes"), d + 1)).as(s"s$d"))
       val rows = codes.withColumn("cid", cidExpr(cents))
         .groupBy(col("cid")).agg(aggs.head, aggs.tail: _*)
         .collect() // bounded: <= K rows of dims+2 longs
@@ -111,7 +111,7 @@ object Clustering {
       rows.foreach { r =>
         val k = r.getInt(0)
         val n = r.getLong(1)
-        next(k) = Array.tabulate(Dims)(d => r.getLong(2 + d) / n)
+        next(k) = Array.tabulate(dims)(d => r.getLong(2 + d) / n)
       }
       cents = next
       it += 1
@@ -268,8 +268,11 @@ object Clustering {
     * load-bearing: without it DuckDB re-inlines the chain per
     * reference and the final round re-executes every earlier one
     * (50s -> 6s at sf0.1). */
-  private def kmeansCtes: String = {
-    val codes = s"""mm AS MATERIALIZED (
+  /** The SQ8 code-derivation CTEs (mm + codes), shared by the q109/q110
+    * k-means oracles and q249's per-subspace PQ oracle — one text so
+    * the quantization replay can never drift between them. */
+  private def sq8CodesCtes: String =
+    s"""mm AS MATERIALIZED (
        |  SELECT g.generate_series AS pos,
        |    MIN(embedding[g.generate_series + 1]::DOUBLE) AS mn,
        |    MAX(embedding[g.generate_series + 1]::DOUBLE) AS mx
@@ -279,7 +282,10 @@ object Clustering {
        |    CASE WHEN m.mx = m.mn THEN 0
        |         ELSE LEAST(255, CAST(FLOOR((e.embedding[m.pos + 1]::DOUBLE - m.mn) * 255 / (m.mx - m.mn)) AS BIGINT)) END
        |    ORDER BY m.pos) AS codes
-       |  FROM embeddings e, mm m GROUP BY e.vec_id, e.label),
+       |  FROM embeddings e, mm m GROUP BY e.vec_id, e.label)""".stripMargin
+
+  private def kmeansCtes: String = {
+    val codes = s"""$sq8CodesCtes,
        |c0 AS MATERIALIZED (
        |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, codes AS cent
        |  FROM codes ORDER BY vec_id LIMIT $K)""".stripMargin
@@ -494,7 +500,215 @@ object Clustering {
        |WHERE rk <= $OutliersPerCluster
        |ORDER BY cluster_id, rk""".stripMargin
 
+  /** PQ geometry: M subspaces of Dims/M dims, K centroids each (the
+    * shared K=8 — 3-bit codes per subspace, 12 bits per vector). */
+  private val PqM = 4
+  private val PqSubDims = Dims / PqM
+  /** Bounded ADC audit probe set + depth. */
+  private val PqQueries = 5
+  private val PqTopK = 10
+
+  private def pqArtifactPath(dir: String): String =
+    graft.Scratch.artifactPath("pq", dir, s"_m${PqM}k${K}i${Iters}d$Dims")
+
+  /** Argmin sub-centroid id of `codes`' s-th subspace slice against the
+    * literal per-subspace codebook — [[cidExpr]]'s logic on a slice,
+    * ties to the smallest cid (the oracle's `ORDER BY d, cid`). */
+  private def subCidExpr(cents: Array[Array[Long]], s: Int): Column = {
+    val cl = centsLit(cents)
+    val sub = slice(col("codes"), s * PqSubDims + 1, PqSubDims)
+    val dists = transform(sequence(lit(0), lit(cents.length - 1)), k =>
+      aggregate(zip_with(sub, element_at(cl, k + 1),
+        (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+    (transform(array(dists), ds => array_position(ds, array_min(ds)))
+      .getItem(0) - 1L).cast("int")
+  }
+
+  /** PRODUCT-QUANTIZATION artifact: per-subspace Lloyd codebooks
+    * (sidecar `_cents`: (sub, cid, cent)) and the coded corpus
+    * (vec_id, codes, cid0..cid{M-1}) — the Jégou et al. IVF-ADC code
+    * layout over the SQ8 integer domain, so training, coding and every
+    * distance stay EXACT integers. Built once per (process, corpus)
+    * under the q109 artifact discipline; full codes ride along so the
+    * recall audit needs no second join. */
+  private[graft] def pqAssignments(spark: SparkSession, dir: String): DataFrame = {
+    val path = pqArtifactPath(dir)
+    if (!graft.Scratch.artifactComplete(path)) {
+      graft.Scratch.prepareArtifact(path, path + "_cents")
+      val codes = codeVectors(spark, dir)
+      val books: Array[Array[Array[Long]]] = Array.tabulate(PqM) { s =>
+        lloyd(codes.select(col("vec_id"),
+          slice(col("codes"), s * PqSubDims + 1, PqSubDims).as("codes")),
+          PqSubDims)
+      }
+      import spark.implicits._
+      books.zipWithIndex.flatMap { case (b, s) =>
+        b.zipWithIndex.map { case (c, k) => (s, k, c.toSeq) }
+      }.toSeq.toDF("sub", "cid", "cent")
+        .write.mode("overwrite").parquet(path + "_cents")
+      val withCids = (0 until PqM).foldLeft(codes) { (df, s) =>
+        df.withColumn(s"cid$s", subCidExpr(books(s), s))
+      }
+      withCids.select(col("vec_id") +: col("codes") +:
+          (0 until PqM).map(s => col(s"cid$s")): _*)
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
+  /** Q249: PQ + ADC RECALL AUDIT — the classical missing member of the
+    * quantized-ANN family (SQ8 q106 compresses per-dim, RP q121
+    * per-direction, IVF q59 prunes candidates; PQ compresses per
+    * SUBSPACE and replaces every vector by M sub-centroid ids, 12 bits
+    * here vs 512 for SQ8). Serving-side distance is ASYMMETRIC
+    * DISTANCE COMPUTATION: per query, one M×K lookup table of exact
+    * sub-distances, then every corpus distance is M table lookups +
+    * adds — no per-dim math at scan time. Output: per probe query,
+    * exact-vs-ADC top-k overlap (recall@10), and both 10th-smallest
+    * distances (the contrast IS the quantization error).
+    *
+    * Exactness: codebooks are integer Lloyd ([[lloyd]] on subspace
+    * slices — floor-divided means, deterministic init, empty-cluster
+    * keep rule), assignments/tables/distances all exact BIGINTs; both
+    * rank orders tie-break by vec_id; recall is n_overlap/10 — a
+    * division by a power of 10 of a ≤10 integer, exact in IEEE. The
+    * oracle replays the ENTIRE pipeline (4 sub-Lloyds, coding, ADC,
+    * both rankings) in DuckDB SQL off the shared SQ8 code CTEs.
+    *
+    * Scale shape: training is M bounded-driver Lloyd loops (the q109
+    * shape); coding is one narrow map. The audit intentionally scans
+    * query×corpus — it is the brute-force BASELINE that measures ADC
+    * against ground truth (q33's rationale), bounded by the
+    * $PqQueries-probe set; a serving path would rank by ADC alone
+    * (one pass, no exact branch) or sit behind q59's IVF pruning. */
+  def pqAdcRecall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = pqAssignments(spark, dir)
+    val cents = spark.read.schema("sub INT, cid INT, cent ARRAY<BIGINT>")
+      .parquet(pqArtifactPath(dir) + "_cents")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray))
+    val books: Array[Array[Array[Long]]] = Array.tabulate(PqM) { s =>
+      cents.filter(_._1 == s).sortBy(_._2).map(_._3)
+    }
+    val probes = corpus.orderBy(col("vec_id")).limit(PqQueries)
+      .select(col("vec_id"), col("codes")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    def subDist(q: Array[Long], c: Array[Long], s: Int): Long =
+      (0 until PqSubDims).map { d =>
+        val x = q(s * PqSubDims + d) - c(d); x * x
+      }.sum
+    import spark.implicits._
+    val qdf = probes.toSeq.map { case (qid, qc) =>
+      (qid, qc.toSeq,
+        (0 until PqM).map(s => books(s).map(c => subDist(qc, c, s)).toSeq))
+    }.toDF("qid", "qcodes", "dtab")
+    val joined = corpus.crossJoin(broadcast(qdf))
+      .withColumn("d_exact",
+        aggregate(zip_with(col("codes"), col("qcodes"),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+      .withColumn("d_adc",
+        (0 until PqM).map(s =>
+          element_at(element_at(col("dtab"), s + 1), col(s"cid$s") + 1))
+          .reduce(_ + _))
+    val we = Window.partitionBy(col("qid")).orderBy(col("d_exact"), col("vec_id"))
+    val wa = Window.partitionBy(col("qid")).orderBy(col("d_adc"), col("vec_id"))
+    joined
+      .withColumn("re", row_number().over(we))
+      .withColumn("ra", row_number().over(wa))
+      .groupBy(col("qid").as("query_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_corpus"),
+        sum(when(col("re") <= PqTopK && col("ra") <= PqTopK, 1L).otherwise(0L))
+          .cast("bigint").as("n_overlap"),
+        max(when(col("re") <= PqTopK, col("d_exact"))).cast("bigint")
+          .as("exact_kth_d"),
+        max(when(col("ra") <= PqTopK, col("d_adc"))).cast("bigint")
+          .as("adc_kth_d"))
+      .withColumn("recall_at_10",
+        col("n_overlap").cast("double") / PqTopK)
+      .orderBy(col("query_id"))
+  }
+
+  /** Oracle: the full PQ replay — per-subspace deterministic Lloyd
+    * (the q109 CTE pattern on code slices), final-codebook coding,
+    * per-query ADC tables, both rankings. MATERIALIZED is load-bearing
+    * exactly as in [[kmeansCtes]]. */
+  val pqAdcRecallSql: String = {
+    val subChains = (0 until PqM).map { s =>
+      val off = s * PqSubDims
+      val c0 =
+        s"""c0_$s AS MATERIALIZED (
+           |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+           |    codes[${off + 1}:${off + PqSubDims}] AS cent
+           |  FROM codes ORDER BY vec_id LIMIT $K)""".stripMargin
+      val rounds = (1 to Iters).map { t =>
+        s"""asg${t}_$s AS MATERIALIZED (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT v.vec_id, c.cid,
+           |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+           |        ORDER BY SUM((v.codes[${off + 1} + g.i] - c.cent[g.i + 1]) * (v.codes[${off + 1} + g.i] - c.cent[g.i + 1])), c.cid) AS rn
+           |    FROM codes v, c${t - 1}_$s c, generate_series(0, ${PqSubDims - 1}) g(i)
+           |    GROUP BY v.vec_id, c.cid) WHERE rn = 1),
+           |c${t}_$s AS MATERIALIZED (
+           |  SELECT p.cid, COALESCE(nc.cent, p.cent) AS cent
+           |  FROM c${t - 1}_$s p LEFT JOIN (
+           |    SELECT cid, list(sm // n ORDER BY pos) AS cent FROM (
+           |      SELECT a.cid, g.i AS pos, COUNT(*) AS n, SUM(v.codes[${off + 1} + g.i]) AS sm
+           |      FROM asg${t}_$s a JOIN codes v USING (vec_id), generate_series(0, ${PqSubDims - 1}) g(i)
+           |      GROUP BY a.cid, g.i) GROUP BY cid) nc USING (cid))""".stripMargin
+      }
+      val fin =
+        s"""asgF_$s AS MATERIALIZED (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT v.vec_id, c.cid,
+           |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+           |        ORDER BY SUM((v.codes[${off + 1} + g.i] - c.cent[g.i + 1]) * (v.codes[${off + 1} + g.i] - c.cent[g.i + 1])), c.cid) AS rn
+           |    FROM codes v, c${Iters}_$s c, generate_series(0, ${PqSubDims - 1}) g(i)
+           |    GROUP BY v.vec_id, c.cid) WHERE rn = 1),
+           |dt_$s AS MATERIALIZED (
+           |  SELECT q.qid, c.cid,
+           |    SUM((q.qcodes[${off + 1} + g.i] - c.cent[g.i + 1]) * (q.qcodes[${off + 1} + g.i] - c.cent[g.i + 1])) AS d
+           |  FROM qset q, c${Iters}_$s c, generate_series(0, ${PqSubDims - 1}) g(i)
+           |  GROUP BY q.qid, c.cid)""".stripMargin
+      (Seq(c0) ++ rounds :+ fin).mkString(",\n")
+    }.mkString(",\n")
+    s"""WITH $sq8CodesCtes,
+       |qset AS MATERIALIZED (
+       |  SELECT vec_id AS qid, codes AS qcodes
+       |  FROM codes ORDER BY vec_id LIMIT $PqQueries),
+       |$subChains,
+       |pairs AS MATERIALIZED (
+       |  SELECT q.qid, v.vec_id,
+       |    list_sum(list_transform(generate_series(1, $Dims), i ->
+       |      (v.codes[i] - q.qcodes[i]) * (v.codes[i] - q.qcodes[i]))) AS d_exact
+       |  FROM qset q, codes v),
+       |adc AS (
+       |  SELECT p.qid, p.vec_id, dt0.d + dt1.d + dt2.d + dt3.d AS d_adc
+       |  FROM pairs p
+       |  JOIN asgF_0 a0 ON a0.vec_id = p.vec_id
+       |  JOIN dt_0 dt0 ON dt0.qid = p.qid AND dt0.cid = a0.cid
+       |  JOIN asgF_1 a1 ON a1.vec_id = p.vec_id
+       |  JOIN dt_1 dt1 ON dt1.qid = p.qid AND dt1.cid = a1.cid
+       |  JOIN asgF_2 a2 ON a2.vec_id = p.vec_id
+       |  JOIN dt_2 dt2 ON dt2.qid = p.qid AND dt2.cid = a2.cid
+       |  JOIN asgF_3 a3 ON a3.vec_id = p.vec_id
+       |  JOIN dt_3 dt3 ON dt3.qid = p.qid AND dt3.cid = a3.cid),
+       |ranked AS (
+       |  SELECT p.qid, p.vec_id, p.d_exact, a.d_adc,
+       |    ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY p.d_exact, p.vec_id) AS re,
+       |    ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY a.d_adc, p.vec_id) AS ra
+       |  FROM pairs p JOIN adc a ON a.qid = p.qid AND a.vec_id = p.vec_id)
+       |SELECT qid AS query_id, COUNT(*) AS n_corpus,
+       |  CAST(SUM(CASE WHEN re <= $PqTopK AND ra <= $PqTopK THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_overlap,
+       |  CAST(MAX(CASE WHEN re <= $PqTopK THEN d_exact END) AS BIGINT) AS exact_kth_d,
+       |  CAST(MAX(CASE WHEN ra <= $PqTopK THEN d_adc END) AS BIGINT) AS adc_kth_d,
+       |  CAST(SUM(CASE WHEN re <= $PqTopK AND ra <= $PqTopK THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / $PqTopK AS recall_at_10
+       |FROM ranked GROUP BY qid ORDER BY qid""".stripMargin
+  }
+
   def queries: Map[String, Relational.Q] = Map(
+    "q249_pq_adc_recall" -> (pqAdcRecall _),
     "q109_kmeans_clusters" -> (kmeansClusters _),
     "q110_semantic_dedup" -> (semanticDedup _),
     "q113_prototype_sample" -> (prototypeSample _),
@@ -503,6 +717,7 @@ object Clustering {
   )
 
   def oracles: Map[String, String] = Map(
+    "q249_pq_adc_recall" -> pqAdcRecallSql,
     "q109_kmeans_clusters" -> kmeansClustersSql,
     "q110_semantic_dedup" -> semanticDedupSql,
     "q113_prototype_sample" -> prototypeSampleSql,

@@ -88,15 +88,57 @@ object Multimodal {
       |           THEN 16 - n_bytes % 16 ELSE 0 END AS BIGINT) AS sampled_bytes
       |FROM f ORDER BY asset_id""".stripMargin
 
+  /** Q244: BINARY-BLOB SOURCE MANIFEST — `spark.read.format
+    * ("binaryFile")` over a staged loose-file blob directory
+    * ([[Media.stagedBlobRoot]]: `lang=<lang>/<doc_id>.bin`, content =
+    * the doc's UTF-8 bytes), the built-in source through which
+    * image/audio corpora actually enter a 100 TB pipeline (one object
+    * per asset; q41-q43 model the OTHER layout, binary columns inside
+    * parquet). The load path targets ONE `lang=en` directory + a
+    * `*.bin` glob — the blob-store analog of partition pruning: only
+    * that directory is ever listed, the other langs' files are never
+    * touched (MultimodalSpec pins the layout and the pruning). Output
+    * is the (rel_path, n_bytes, content_md5) ingest manifest — the
+    * q125/q169 digest discipline, which the oracle recomputes from the
+    * documents table WITHOUT reading any file: path from (lang,
+    * doc_id), length/md5 from the text bytes, so the hash compare
+    * verifies the staged bytes round-tripped exactly.
+    *
+    * Scale shape: binaryFile parallelizes per file (each blob one
+    * task-split; `content` is only hashed, never shuffled — the
+    * manifest rows are 3 narrow columns); the only exchange is the
+    * output sort. */
+  def blobManifest(spark: SparkSession, dir: String): DataFrame = {
+    val root = Media.stagedBlobRoot(spark, dir)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load(s"$root/lang=en")
+      .select(
+        regexp_extract(col("path"), "(lang=[^/]+/[^/]+\\.bin)$", 1).as("rel_path"),
+        col("length").cast("bigint").as("n_bytes"),
+        md5(col("content")).as("content_md5"))
+      .orderBy(col("rel_path"))
+  }
+
+  val blobManifestSql: String =
+    s"""SELECT 'lang=' || lang || '/' || CAST(doc_id AS VARCHAR) || '.bin' AS rel_path,
+       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       |  md5(text) AS content_md5
+       |FROM documents
+       |WHERE text IS NOT NULL AND doc_id < ${Media.BlobBatch} AND lang = 'en'
+       |ORDER BY rel_path""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q41_media_meta" -> (mediaMeta _),
     "q42_media_features" -> (mediaFeatures _),
     "q43_frame_sample" -> (frameSample _),
+    "q244_blob_manifest" -> (blobManifest _),
   )
 
   def oracles: Map[String, String] = Map(
     "q41_media_meta" -> mediaMetaSql,
     // q42 omitted: mapPartitions batch path, spec-tested instead.
     "q43_frame_sample" -> frameSampleSql,
+    "q244_blob_manifest" -> blobManifestSql,
   )
 }

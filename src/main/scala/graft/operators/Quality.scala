@@ -1033,8 +1033,13 @@ object Quality {
     // exact-BIGINT HOF over it. Each HOF output feeds exactly one
     // aggregate column (the NOTES.md CollapseProject rule: an inlined
     // recompute would only re-walk a ≤|months| array anyway).
+    // n_months >= 2 on BOTH engines: a 1-month nation has no pairs, so
+    // tau_b's denominator is 0 (NaN on Spark) while the oracle's inner
+    // pair-join silently drops the row — pin the degenerate case to
+    // "dropped" on both sides (same guard as q219/q231).
     val arrs = monthly.groupBy(col("nation"))
       .agg(sort_array(collect_list(struct(col("m"), col("rev")))).as("xs"))
+      .filter(size(col("xs")) >= 2)
     // S = Σ_j (#earlier < x_j) − (#earlier > x_j): slice(xs, 1, j) is
     // the strictly-earlier prefix under the 0-based transform index
     val j = arrs.select(col("nation"),
@@ -1112,6 +1117,7 @@ object Quality {
       |        * ((CAST(n_months * (n_months - 1) AS DOUBLE)
       |            - CAST(tie_pair_x2 AS DOUBLE)) / 2.0)) AS tau_b
       |FROM pairs p JOIN ties t ON p.nation = t.nation
+      |WHERE n_months >= 2
       |ORDER BY p.nation""".stripMargin
 
   /** Q219: THEIL–SEN SLOPE — the robust trend MAGNITUDE estimator
@@ -1149,8 +1155,13 @@ object Quality {
           .cast("long").as("m"))
       .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("decimal(18,0)").cast("long")).cast("long").as("rev"))
+    // n_months >= 2 on BOTH engines: a 1-month nation has an EMPTY
+    // slope array, so element_at(sl, 0) is an ANSI INVALID_INDEX_OF_ZERO
+    // runtime error on Spark while the oracle's inner pair-join drops
+    // the row — pin the degenerate case to "dropped" on both sides.
     val arrs = monthly.groupBy(col("nation"))
       .agg(sort_array(collect_list(struct(col("m"), col("rev")))).as("xs"))
+      .filter(size(col("xs")) >= 2)
     val slopes = arrs.select(col("nation"),
       size(col("xs")).cast("long").as("n_months"),
       expr("""sort_array(flatten(transform(xs, (x, i) ->
@@ -1198,7 +1209,7 @@ object Quality {
       |  num AS slope_num, den AS slope_den,
       |  slope AS slope_cents_per_month
       |FROM r JOIN nm ON r.nation = nm.nation
-      |WHERE rn = (np + 1) // 2
+      |WHERE rn = (np + 1) // 2 AND n_months >= 2
       |ORDER BY r.nation""".stripMargin
 
   /** The five order priorities, the fixed group axis of [[anovaOneWay]]
@@ -1500,8 +1511,12 @@ object Quality {
           .cast("long").as("m"))
       .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("decimal(18,0)").cast("long")).cast("long").as("rev"))
+    // n_months >= 2 on BOTH engines — not strictly needed here (self
+    // Walsh pairs make a 1-month nation well-defined and identical on
+    // both engines) but pinned for family consistency with q213/q219.
     val arrs = monthly.groupBy(col("nation"))
       .agg(sort_array(collect_list(col("rev"))).as("xs"))
+      .filter(size(col("xs")) >= 2)
     arrs.select(col("nation"),
         size(col("xs")).cast("long").as("n_months"),
         expr("""sort_array(flatten(transform(xs, (x, i) ->
@@ -1539,7 +1554,7 @@ object Quality {
       |SELECT r.nation, n_months, CAST(np AS BIGINT) AS n_pairs,
       |  CAST(s AS DOUBLE) / 2.0 AS hl_cents
       |FROM r JOIN nm ON r.nation = nm.nation
-      |WHERE rn = (np + 1) // 2
+      |WHERE rn = (np + 1) // 2 AND n_months >= 2
       |ORDER BY r.nation""".stripMargin
 
   /** The fixed language axis of [[kruskalWallis]] — literal so the
@@ -1885,7 +1900,400 @@ object Quality {
        |    AS chi2_corrected
        |FROM cells""".stripMargin
 
+  /** The q213/q219/q231 per-(nation, month) 1996-97 revenue rollup,
+    * shared by the round-8 tail (q245/q247) — one definition so a
+    * window/filter fix lands once (the TwoPass single-definition
+    * rule). `rev` is exact cents; `cnt` the month's order count. */
+  private def nationMonthly(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
+      .groupBy(col("n_name").as("nation"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"))
+      .agg(
+        sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("decimal(18,0)").cast("long")).cast("long").as("rev"),
+        count(lit(1)).cast("long").as("cnt"))
+
+  /** The monthly CTE text mirrored by every oracle over
+    * [[nationMonthly]] — one string so engine and oracle can't drift. */
+  private val nationMonthlySqlCte: String =
+    """monthly AS (
+      |  SELECT n_name AS nation,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS rev,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE year(o_orderdate) IN (1996, 1997)
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** Q245: SPEARMAN RANK CORRELATION — per nation, the rank
+    * correlation between monthly revenue and monthly order count over
+    * the 1996-97 frame: is "more orders" what moves revenue, or do
+    * big-ticket months break the coupling? The robust complement of
+    * q234's Pearson (rank-invariant to outlier months) and the
+    * x-vs-y generalization of q213's value-vs-time Kendall.
+    *
+    * Exactness: ranks use the q211/q237 DOUBLED-rank trick — tied
+    * months get the average rank, so doubled ranks 2·(#smaller) +
+    * (#ties incl. self) + 1 stay exact BIGINTs — and Spearman IS
+    * Pearson on ranks (affine-invariant, so doubled ranks change
+    * nothing). All five sufficient sums are exact integer HOF folds
+    * (n ≤ 24, ranks ≤ 49 — tiny); the published rho is ONE fixed dag
+    * (integer-exact doubles, one multiply, one √, one division).
+    * Degenerate guard: an all-tied variable has zero rank variance —
+    * rho is NULL on both engines, never 0/0.
+    *
+    * Scale shape: the q213 chain verbatim — row-scale monthly rollup,
+    * nation-keyed collect of the calendar-bounded array, ranks and
+    * sums in-expression, output sort. Three exchanges, no joins. */
+  def spearmanMonthly(spark: SparkSession, dir: String): DataFrame = {
+    val arrs = nationMonthly(spark, dir).groupBy(col("nation"))
+      .agg(sort_array(collect_list(struct(col("m"), col("rev"), col("cnt"))))
+        .as("xs"))
+      .filter(size(col("xs")) >= 2)
+    val ranked = arrs.select(col("nation"),
+      size(col("xs")).cast("long").as("n_months"),
+      expr("""transform(xs, x ->
+                2 * CAST(size(filter(xs, y -> y.rev < x.rev)) AS BIGINT)
+                + CAST(size(filter(xs, y -> y.rev = x.rev)) AS BIGINT) + 1)""")
+        .as("rx"),
+      expr("""transform(xs, x ->
+                2 * CAST(size(filter(xs, y -> y.cnt < x.cnt)) AS BIGINT)
+                + CAST(size(filter(xs, y -> y.cnt = x.cnt)) AS BIGINT) + 1)""")
+        .as("ry"))
+    val sums = ranked.select(col("nation"), col("n_months"),
+      expr("aggregate(zip_with(rx, ry, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("sxy"),
+      expr("aggregate(rx, CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("sx"),
+      expr("aggregate(ry, CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("sy"),
+      expr("aggregate(rx, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)").as("sxx"),
+      expr("aggregate(ry, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)").as("syy"))
+    val num = (col("n_months") * col("sxy") - col("sx") * col("sy")).cast("bigint")
+    val vx = (col("n_months") * col("sxx") - col("sx") * col("sx")).cast("bigint")
+    val vy = (col("n_months") * col("syy") - col("sy") * col("sy")).cast("bigint")
+    sums.select(col("nation"), col("n_months"),
+        num.as("cov_num"), vx.as("v_x"), vy.as("v_y"),
+        when(vx > 0 && vy > 0,
+          num.cast("double") / sqrt((vx * vy).cast("double"))).as("spearman_rho"))
+      .orderBy(col("nation"))
+  }
+
+  val spearmanMonthlySql: String =
+    s"""WITH $nationMonthlySqlCte,
+       |r AS (SELECT nation,
+       |    2 * (RANK() OVER (PARTITION BY nation ORDER BY rev) - 1)
+       |      + COUNT(*) OVER (PARTITION BY nation, rev) + 1 AS rx,
+       |    2 * (RANK() OVER (PARTITION BY nation ORDER BY cnt) - 1)
+       |      + COUNT(*) OVER (PARTITION BY nation, cnt) + 1 AS ry
+       |  FROM monthly),
+       |s AS (SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_months,
+       |    CAST(SUM(rx * ry) AS BIGINT) AS sxy,
+       |    CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+       |    CAST(SUM(rx * rx) AS BIGINT) AS sxx, CAST(SUM(ry * ry) AS BIGINT) AS syy
+       |  FROM r GROUP BY 1 HAVING COUNT(*) >= 2)
+       |SELECT nation, n_months,
+       |  CAST(n_months * sxy - sx * sy AS BIGINT) AS cov_num,
+       |  CAST(n_months * sxx - sx * sx AS BIGINT) AS v_x,
+       |  CAST(n_months * syy - sy * sy AS BIGINT) AS v_y,
+       |  CASE WHEN n_months * sxx - sx * sx > 0 AND n_months * syy - sy * sy > 0
+       |    THEN CAST(n_months * sxy - sx * sy AS DOUBLE)
+       |      / SQRT(CAST((n_months * sxx - sx * sx)
+       |          * (n_months * syy - sy * sy) AS DOUBLE))
+       |  END AS spearman_rho
+       |FROM s ORDER BY nation""".stripMargin
+
+  /** Q247: PETTITT CHANGEPOINT TEST — per nation, the rank-based
+    * single-changepoint locator over the 1996-97 monthly revenue
+    * series: U_t = Σ_{i≤t,j>t} sign(x_j − x_i) for every split t,
+    * K = max|U_t| and the first argmax split. The LOCATOR the
+    * change-detection family lacked: q214's CUSUM flags "a shift
+    * happened" against a reference mean, q213's Mann-Kendall says
+    * "there is a monotone trend" — Pettitt answers WHERE the level
+    * shifted, with no distributional assumption (it is Mann-Whitney
+    * at every split).
+    *
+    * Exactness: every U_t is an exact integer pair sum; K, the
+    * argmax (first-t tie rule, pinned on both engines) and the split
+    * month are integer selections — no floats anywhere.
+    *
+    * Scale shape: the q213 chain — the O(n³) split×pair sweep (≤ 24³
+    * ≈ 14k int ops per nation) runs IN-EXPRESSION over the
+    * calendar-bounded array; nothing quadratic ever materializes as
+    * rows. Three exchanges, no joins. */
+  def pettittTest(spark: SparkSession, dir: String): DataFrame = {
+    val arrs = nationMonthly(spark, dir).groupBy(col("nation"))
+      .agg(sort_array(collect_list(struct(col("m"), col("rev")))).as("xs"))
+      .filter(size(col("xs")) >= 2)
+    val u = arrs.select(col("nation"),
+      size(col("xs")).cast("long").as("n_months"), col("xs"),
+      expr("""transform(sequence(1, size(xs) - 1), t ->
+                aggregate(slice(xs, 1, t), CAST(0 AS BIGINT), (acc, a) ->
+                  acc + aggregate(slice(xs, t + 1, size(xs) - t),
+                    CAST(0 AS BIGINT), (acc2, b) ->
+                      acc2 + (CASE WHEN b.rev > a.rev THEN 1
+                                   WHEN b.rev < a.rev THEN -1
+                                   ELSE 0 END))))""").as("us"))
+    u.select(col("nation"), col("n_months"),
+        expr("array_max(transform(us, v -> abs(v)))").as("k_stat"),
+        expr("CAST(array_position(transform(us, v -> abs(v)), array_max(transform(us, v -> abs(v)))) AS BIGINT)").as("t_star"),
+        expr("element_at(us, CAST(array_position(transform(us, v -> abs(v)), array_max(transform(us, v -> abs(v)))) AS INT))").as("u_star"),
+        expr("element_at(xs, CAST(array_position(transform(us, v -> abs(v)), array_max(transform(us, v -> abs(v)))) AS INT)).m").as("split_m"))
+      .orderBy(col("nation"))
+  }
+
+  val pettittTestSql: String =
+    s"""WITH $nationMonthlySqlCte,
+       |rn AS (SELECT nation, m, rev,
+       |    ROW_NUMBER() OVER (PARTITION BY nation ORDER BY m) AS rn,
+       |    COUNT(*) OVER (PARTITION BY nation) AS n
+       |  FROM monthly),
+       |splits AS (SELECT nation, n, unnest(generate_series(1, CAST(n - 1 AS INT))) AS t
+       |  FROM (SELECT DISTINCT nation, n FROM rn) WHERE n >= 2),
+       |u AS (SELECT s.nation, s.n, s.t,
+       |    CAST(SUM(CASE WHEN b.rev > a.rev THEN 1
+       |                  WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS BIGINT) AS u
+       |  FROM splits s
+       |  JOIN rn a ON a.nation = s.nation AND a.rn <= s.t
+       |  JOIN rn b ON b.nation = s.nation AND b.rn > s.t
+       |  GROUP BY 1, 2, 3),
+       |k AS (SELECT nation, n, t, u,
+       |    MAX(ABS(u)) OVER (PARTITION BY nation) AS k_stat,
+       |    ROW_NUMBER() OVER (PARTITION BY nation ORDER BY ABS(u) DESC, t) AS pick
+       |  FROM u)
+       |SELECT k.nation, CAST(k.n AS BIGINT) AS n_months, k.k_stat,
+       |  CAST(k.t AS BIGINT) AS t_star, k.u AS u_star, rn.m AS split_m
+       |FROM k JOIN rn ON rn.nation = k.nation AND rn.rn = k.t
+       |WHERE k.pick = 1
+       |ORDER BY k.nation""".stripMargin
+
+  /** Q246: BROWN–FORSYTHE TEST (median-centered Levene) — does order
+    * value VARIANCE differ across the five priorities? The
+    * homoscedasticity gate q223's ANOVA assumes but never checks:
+    * ANOVA's F compares means under equal group variances; this runs
+    * the SAME F dag on z = |y − median_g|, whose group means ARE the
+    * groups' dispersions. Median-centered (Brown–Forsythe) rather
+    * than mean-centered (classic Levene) for robustness — and because
+    * the engine can produce EXACT group medians.
+    *
+    * Exactness: medians are exact cent values fetched by the shared
+    * [[TwoPass.groupRankLookup]] kernel at the lower-median rank
+    * (n+1)÷2 (same total order both engines, so the fetched value is
+    * identical); z is an exact BIGINT; the published row then follows
+    * q223's correctly-rounded-dag discipline verbatim — integer
+    * pivot row, ΣZ² in DECIMAL(38)/HUGEINT, one explicit
+    * left-associated 5-term SSB, fixed-dag doubles. The five medians
+    * are emitted so the oracle verifies the rank lookup itself, not
+    * just the F.
+    *
+    * Scale shape: groupRankLookup is the q224/q141 two-pass shape
+    * (sampled balance-only buckets, ONE bounded histogram to the
+    * driver, one pruned in-bucket fetch — never a per-group global
+    * sort); the F then costs ONE conditional-aggregation scan to a
+    * single row, exactly q223. */
+  def brownForsythe(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
+      .cast("decimal(18,0)").cast("long")
+    val rows = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("k"), cents.as("c"))
+    // all five priorities exist at every TPC-H SF (q223's precondition
+    // too); getOrElse keeps an absent group a NaN-F, never a crash
+    val meds: Map[String, Long] =
+      TwoPass.groupRankLookup(spark, rows, n => Seq((n + 1) / 2))
+        .map { case (k, gr) => k -> gr.at((gr.n + 1) / 2) }
+    val medCol = Priorities.foldLeft(lit(null).cast("long")) { (acc, p) =>
+      when(col("g") === p, lit(meds.getOrElse(p, 0L))).otherwise(acc)
+    }
+    val aggs = Priorities.zipWithIndex.flatMap { case (p, i) =>
+      Seq(
+        sum(when(col("g") === p, 1L).otherwise(0L)).cast("long")
+          .as(s"n${i + 1}"),
+        sum(when(col("g") === p, col("z")).otherwise(0L)).cast("long")
+          .as(s"s${i + 1}"))
+    } :+ sum(col("z").cast("decimal(38,0)") * col("z"))
+      .cast("decimal(38,0)").as("ssq")
+    val pivoted = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("g"), cents.as("y"))
+      .withColumn("z", abs(col("y") - medCol))
+      .groupBy()
+      .agg(aggs.head, aggs.tail: _*)
+    val nT = (1 to 5).map(i => col(s"n$i")).reduce(_ + _)
+    val sT = (1 to 5).map(i => col(s"s$i")).reduce(_ + _)
+    val nD = col("n_total").cast("double")
+    val grand = col("s_total").cast("double") / nD
+    def term(i: Int): Column = {
+      val d = col(s"s$i").cast("double") / col(s"n$i").cast("double") - grand
+      col(s"n$i").cast("double") * (d * d)
+    }
+    val ssb = (1 to 5).map(term).reduce(_ + _)
+    val sst = col("ssq").cast("double") -
+      col("s_total").cast("double") * col("s_total").cast("double") / nD
+    val medCols = Priorities.zipWithIndex.map { case (p, i) =>
+      lit(meds.getOrElse(p, 0L)).as(s"med${i + 1}")
+    }
+    pivoted
+      .withColumn("n_total", nT)
+      .withColumn("s_total", sT)
+      .withColumn("ssb", ssb)
+      .withColumn("sst", sst)
+      .select(Seq(lit(5L).as("k_groups"), col("n_total")) ++ medCols ++ Seq(
+        grand.as("grand_mean_absdev"),
+        col("ssb"), (col("sst") - col("ssb")).as("ssw"),
+        ((col("ssb") / lit(4.0d))
+          / ((col("sst") - col("ssb")) / (nD - lit(5.0d)))).as("f_stat")): _*)
+  }
+
+  /** Oracle: exact lower medians via ROW_NUMBER (DuckDB runs at oracle
+    * scale, where per-group sorts are fine), then q223's identical
+    * pivot + left-associated dag on z. */
+  val brownForsytheSql: String = {
+    val conds = Priorities.zipWithIndex.map { case (p, i) =>
+      s"""    CAST(SUM(CASE WHEN g = '$p' THEN 1 ELSE 0 END) AS BIGINT) AS n${i + 1},
+         |    CAST(SUM(CASE WHEN g = '$p' THEN z ELSE 0 END) AS BIGINT) AS s${i + 1}""".stripMargin
+    }.mkString(",\n")
+    val medSel = Priorities.zipWithIndex.map { case (p, i) =>
+      s"  CAST(MAX(CASE WHEN g = '$p' THEN med END) AS BIGINT) AS med${i + 1}"
+    }.mkString(",\n")
+    val terms = (1 to 5).map(i =>
+      s"CAST(n$i AS DOUBLE) * ((CAST(s$i AS DOUBLE) / CAST(n$i AS DOUBLE) - grand) * (CAST(s$i AS DOUBLE) / CAST(n$i AS DOUBLE) - grand))")
+      .mkString("\n    + ")
+    s"""WITH y AS (
+       |  SELECT o_orderpriority AS g,
+       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+       |  FROM orders),
+       |med AS (
+       |  SELECT g, c AS med FROM (
+       |    SELECT g, c, ROW_NUMBER() OVER (PARTITION BY g ORDER BY c) AS rn,
+       |      COUNT(*) OVER (PARTITION BY g) AS n
+       |    FROM y)
+       |  WHERE rn = (n + 1) // 2),
+       |medw AS (SELECT
+       |$medSel
+       |FROM med),
+       |z AS (SELECT y.g, ABS(y.c - med.med) AS z FROM y JOIN med ON y.g = med.g),
+       |piv AS (
+       |  SELECT
+       |$conds,
+       |    CAST(SUM(CAST(z AS HUGEINT) * z) AS HUGEINT) AS ssq
+       |  FROM z),
+       |t AS (
+       |  SELECT n1 + n2 + n3 + n4 + n5 AS n_total,
+       |    s1 + s2 + s3 + s4 + s5 AS s_total, * FROM piv),
+       |g AS (
+       |  SELECT *, CAST(s_total AS DOUBLE) / CAST(n_total AS DOUBLE) AS grand
+       |  FROM t),
+       |f AS (
+       |  SELECT *,
+       |    $terms AS ssb,
+       |    CAST(ssq AS DOUBLE)
+       |      - CAST(s_total AS DOUBLE) * CAST(s_total AS DOUBLE)
+       |        / CAST(n_total AS DOUBLE) AS sst
+       |  FROM g)
+       |SELECT CAST(5 AS BIGINT) AS k_groups, CAST(n_total AS BIGINT) AS n_total,
+       |  med1, med2, med3, med4, med5,
+       |  grand AS grand_mean_absdev, ssb, sst - ssb AS ssw,
+       |  (ssb / 4.0) / ((sst - ssb) / (CAST(n_total AS DOUBLE) - 5.0)) AS f_stat
+       |FROM f, medw""".stripMargin
+  }
+
+  /** Q248: ISOTONIC CALIBRATION (PAV) — the monotone recalibration of
+    * q156's reliability table: fit the best non-decreasing rate curve
+    * over the score bins (weighted L2 isotonic regression), the
+    * standard post-hoc calibrator (Zadrozny–Elkan) sitting between
+    * binning (q156) and the Platt-style parametric fit the engine
+    * avoids (it needs a sigmoid solver). Emitted per bin: raw rate
+    * and isotonic rate — where they differ, the scorer's ranking is
+    * locally inverted (exactly the q156 miscalibration made usable as
+    * a correction table).
+    *
+    * Algorithm: the max-min CLOSED FORM of pool-adjacent-violators —
+    * iso_i = max_{j≤i} min_{k≥i} rate(j..k), with rate(j,k) the
+    * pooled (Σe)/(Σn) over bins j..k — not the sequential pooling
+    * loop (same fitted values by the PAV duality theorem, but every
+    * cell is independently computable, which is what an engine wants).
+    *
+    * Exactness: "MICRO-UNIT PAV" convention, pinned on both engines —
+    * each pooled rate enters the max-min as its exact half-up
+    * micro-unit integer (2·Σe·10⁶ + Σn)÷(2·Σn), so every comparison
+    * and the published value are integer operations; deviation from
+    * real-valued PAV is < 1e-6 per pooled rate and the monotonicity
+    * of the output holds for ANY fixed rate matrix (max over a
+    * growing j-range of min over a shrinking k-range).
+    *
+    * Scale shape: q156's one row-scale map-side-combined count into
+    * the ≤10-bin frame; the O(B³)≈1k-op max-min sweep runs
+    * IN-EXPRESSION over the collected bin array (the q241 1-row
+    * pattern); output explodes ≤10 rows. */
+  def isotonicCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val scored = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select((col("lang") === "en").as("pos"),
+        (stopwordCount(col("text")) * 1000).as("sw1000"),
+        tokenCount(col("text")).as("tc"))
+      .withColumn("score", expr("sw1000 div tc"))
+      .withColumn("bin", least(expr("score div 100"), lit(9L)))
+    val bins = scored.groupBy(col("bin"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(when(col("pos"), 1L).otherwise(0L)).cast("bigint").as("e"))
+    val arr = bins.agg(
+      sort_array(collect_list(struct(col("bin"), col("n"), col("e")))).as("xs"))
+    arr.select(explode(expr(
+        """transform(xs, (x, i0) -> named_struct(
+          |  'bin', x.bin, 'n', x.n, 'e', x.e,
+          |  'iso6', array_max(transform(sequence(1, i0 + 1), j ->
+          |    array_min(transform(sequence(i0 + 1, size(xs)), k ->
+          |      (2 * aggregate(slice(xs, j, k - j + 1), CAST(0 AS BIGINT),
+          |             (a, s) -> a + s.e) * 1000000
+          |       + aggregate(slice(xs, j, k - j + 1), CAST(0 AS BIGINT),
+          |             (a, s) -> a + s.n))
+          |      div (2 * aggregate(slice(xs, j, k - j + 1), CAST(0 AS BIGINT),
+          |             (a, s) -> a + s.n))))))))""".stripMargin)).as("r"))
+      .select(col("r.bin").cast("int").as("score_bin"),
+        col("r.n").as("n_docs"), col("r.e").as("n_en"),
+        (expr("(2 * r.e * 1000000 + r.n) div (2 * r.n)").cast("double") / 1000000)
+          .as("raw_rate"),
+        (col("r.iso6").cast("double") / 1000000).as("iso_rate"))
+      .orderBy(col("score_bin"))
+  }
+
+  val isotonicCalibrationSql: String =
+    s"""WITH scored AS (
+       |  SELECT lang = 'en' AS pos,
+       |    len(list_filter(string_split(text, ' '), t -> t IN ($stopwordSqlList)))
+       |      * 1000 // len(string_split(text, ' ')) AS score
+       |  FROM documents WHERE text IS NOT NULL),
+       |g AS (SELECT LEAST(score // 100, 9) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS e
+       |  FROM scored GROUP BY 1),
+       |arr AS (SELECT list(struct_pack(bin := bin, n := n, e := e) ORDER BY bin) AS xs
+       |  FROM g),
+       |it AS (SELECT unnest(generate_series(1, len(xs))) AS i, xs FROM arr),
+       |vals AS (SELECT xs[i].bin AS score_bin, xs[i].n AS n_docs, xs[i].e AS n_en,
+       |    list_max(list_transform(generate_series(1, i), j ->
+       |      list_min(list_transform(generate_series(i, len(xs)), k ->
+       |        (2 * list_sum(list_transform(xs[j:k], s -> s.e)) * 1000000
+       |         + list_sum(list_transform(xs[j:k], s -> s.n)))
+       |        // (2 * list_sum(list_transform(xs[j:k], s -> s.n))))))) AS iso6
+       |  FROM it)
+       |SELECT CAST(score_bin AS INT) AS score_bin, n_docs, n_en,
+       |  CAST((2 * n_en * 1000000 + n_docs) // (2 * n_docs) AS DOUBLE) / 1000000
+       |    AS raw_rate,
+       |  CAST(iso6 AS DOUBLE) / 1000000 AS iso_rate
+       |FROM vals ORDER BY score_bin""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q245_spearman_monthly" -> (spearmanMonthly _),
+    "q246_brown_forsythe" -> (brownForsythe _),
+    "q247_pettitt_changepoint" -> (pettittTest _),
+    "q248_isotonic_calibration" -> (isotonicCalibration _),
     "q242_mcnemar" -> (mcnemarTest _),
     "q240_wasserstein_drift" -> (wassersteinDrift _),
     "q241_quantile_normalize" -> (quantileNormalize _),
@@ -1913,6 +2321,10 @@ object Quality {
   )
 
   def oracles: Map[String, String] = Map(
+    "q245_spearman_monthly" -> spearmanMonthlySql,
+    "q246_brown_forsythe" -> brownForsytheSql,
+    "q248_isotonic_calibration" -> isotonicCalibrationSql,
+    "q247_pettitt_changepoint" -> pettittTestSql,
     "q242_mcnemar" -> mcnemarTestSql,
     "q240_wasserstein_drift" -> wassersteinDriftSql,
     "q241_quantile_normalize" -> quantileNormalizeSql,

@@ -48,6 +48,37 @@ class MultimodalSpec extends SparkSuite {
     assert(r.filter(col("resized") && octet_length(col("content")) =!= 100).count() === 0)
   }
 
+  test("q244 blob staging: lang=<lang>/<doc_id>.bin layout; manifest reads ONLY the pruned lang dir") {
+    val root = Media.stagedBlobRoot(spark, Sf0001)
+    // layout: every staged file sits in a lang= directory, named <doc_id>.bin
+    val langDirs = new java.io.File(root).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(langDirs.nonEmpty && langDirs.forall(_.startsWith("lang=")), langDirs)
+    assert(langDirs.contains("lang=en"))
+    // ignore Hadoop hidden sidecars (LocalFileSystem .crc files) — the
+    // binaryFile source skips dot/underscore-prefixed files by the same
+    // convention
+    val enFiles = new java.io.File(s"$root/lang=en").listFiles().map(_.getName)
+      .filterNot(_.startsWith("."))
+    assert(enFiles.nonEmpty && enFiles.forall(_.matches("[0-9]+\\.bin")))
+    // pruning: the manifest's file-scan covers ONLY lang=en paths and
+    // exactly the en file count — other langs' files are never listed
+    val m = Multimodal.blobManifest(spark, Sf0001).cache()
+    assert(m.count() === enFiles.length.toLong)
+    assert(m.filter(!col("rel_path").startsWith("lang=en/")).count() === 0)
+    // staged bytes round-trip: n_bytes and md5 agree with the source table
+    val expect = Tables.documents(spark, Sf0001)
+      .filter(col("text").isNotNull && col("doc_id") < Media.BlobBatch &&
+        col("lang") === "en")
+      .select(
+        concat(lit("lang=en/"), col("doc_id"), lit(".bin")).as("rel_path"),
+        octet_length(encode(col("text"), "UTF-8")).cast("bigint").as("n_bytes"),
+        md5(encode(col("text"), "UTF-8")).as("content_md5"))
+    assert(m.exceptAll(expect).count() === 0)
+    assert(expect.exceptAll(m).count() === 0)
+    m.unpersist()
+  }
+
   test("frame sampling: every 4th frame, bytes reassemble arithmetically") {
     val out = Multimodal.frameSample(spark, Sf0001).cache()
     // n_sampled = ceil(n_frames / 4)
