@@ -678,7 +678,97 @@ object MlQueries {
       |  (icept + slope * CAST(n + 1 AS DOUBLE)) + radius AS pi_hi
       |FROM pick ORDER BY nation""".stripMargin
 
+  /** Q252: DECISION STUMP (exact-Gini CART split) — the one-node
+    * interpretable classifier between q112's hand-written rule gate
+    * and q182's trained logistic model: find the single threshold on
+    * document length that best separates lang='en' by Gini impurity
+    * reduction. The depth-1 special case of tree training, and the
+    * building block a distributed GBDT layer evaluates millions of
+    * times — worth having as a first-class exact operator.
+    *
+    * Exactness: candidate thresholds are the n_chars VALUE HISTOGRAM
+    * (bounded domain, the q212 argument); per split the weighted Gini
+    * is ONE exact rational — 2·(e_L(n_L−e_L)n_R + e_R(n_R−e_R)n_L)
+    * over N·n_L·n_R (binary Gini g = 2e(n−e)/n²) — accumulated in
+    * DECIMAL(38)/HUGEINT and compared at half-up micro-units (the
+    * q240 div discipline), ties to the smallest threshold. Headroom:
+    * the micro numerator is ~N³·10⁶ — inside DECIMAL(38) to N ≈ 10⁹
+    * docs; beyond that, drop to coarser units (documented, not
+    * silent).
+    *
+    * Scale shape: ONE row-scale map-side-combined histogram
+    * aggregation; cumulative sums + scoring run on the bounded
+    * value frame (single-task by design, the q240 pattern); the
+    * argmin is a 1-row TakeOrdered. */
+  def decisionStump(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.documents(spark, dir)
+      .groupBy(col("n_chars").as("v"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).cast("long").as("e"))
+    val wV = Window.partitionBy().orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    hist
+      .withColumn("nl", sum(col("n")).over(wV))
+      .withColumn("el", sum(col("e")).over(wV))
+      .withColumn("nt", sum(col("n")).over(wAll))
+      .withColumn("et", sum(col("e")).over(wAll))
+      .filter(col("nl") < col("nt"))
+      .withColumn("gini6", expr(
+        """(2 * (2 * (CAST(el AS DECIMAL(38,0)) * (nl - el) * (nt - nl)
+          |           + CAST(et - el AS DECIMAL(38,0)) * ((nt - nl) - (et - el)) * nl))
+          |     * 1000000
+          |   + CAST(nt AS DECIMAL(38,0)) * nl * (nt - nl))
+          |div (2 * CAST(nt AS DECIMAL(38,0)) * nl * (nt - nl))""".stripMargin))
+      .withColumn("root6", expr(
+        """(2 * (2 * CAST(et AS DECIMAL(38,0)) * (nt - et)) * 1000000
+          |   + CAST(nt AS DECIMAL(38,0)) * nt)
+          |div (2 * CAST(nt AS DECIMAL(38,0)) * nt)""".stripMargin))
+      .orderBy(col("gini6"), col("v"))
+      .limit(1)
+      .select(col("v").as("split_value"),
+        col("nl").cast("bigint").as("n_left"),
+        col("el").cast("bigint").as("en_left"),
+        (col("nt") - col("nl")).cast("bigint").as("n_right"),
+        (col("et") - col("el")).cast("bigint").as("en_right"),
+        col("nt").cast("bigint").as("n_total"),
+        col("et").cast("bigint").as("n_en"),
+        (col("gini6").cast("double") / 1000000).as("gini_split"),
+        (col("root6").cast("double") / 1000000).as("gini_root"))
+  }
+
+  val decisionStumpSql: String =
+    """WITH hist AS (
+      |  SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS e
+      |  FROM documents GROUP BY 1),
+      |cum AS (
+      |  SELECT v, n, e,
+      |    CAST(SUM(n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nl,
+      |    CAST(SUM(e) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS el,
+      |    CAST(SUM(n) OVER () AS BIGINT) AS nt,
+      |    CAST(SUM(e) OVER () AS BIGINT) AS et
+      |  FROM hist),
+      |scored AS (
+      |  SELECT *,
+      |    (2 * (2 * (CAST(el AS HUGEINT) * (nl - el) * (nt - nl)
+      |               + CAST(et - el AS HUGEINT) * ((nt - nl) - (et - el)) * nl))
+      |         * 1000000
+      |       + CAST(nt AS HUGEINT) * nl * (nt - nl))
+      |    // (2 * CAST(nt AS HUGEINT) * nl * (nt - nl)) AS gini6,
+      |    (2 * (2 * CAST(et AS HUGEINT) * (nt - et)) * 1000000
+      |       + CAST(nt AS HUGEINT) * nt)
+      |    // (2 * CAST(nt AS HUGEINT) * nt) AS root6
+      |  FROM cum WHERE nl < nt)
+      |SELECT v AS split_value, nl AS n_left, el AS en_left,
+      |  CAST(nt - nl AS BIGINT) AS n_right, CAST(et - el AS BIGINT) AS en_right,
+      |  nt AS n_total, et AS n_en,
+      |  CAST(gini6 AS DOUBLE) / 1000000 AS gini_split,
+      |  CAST(root6 AS DOUBLE) / 1000000 AS gini_root
+      |FROM scored ORDER BY gini6, v LIMIT 1""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q252_decision_stump" -> (decisionStump _),
     "q238_conformal_interval" -> (conformalInterval _),
     "q235_loo_target_encoding" -> (looTargetEncoding _),
     "q37_ml_champion" -> (championPrediction _),
@@ -688,6 +778,7 @@ object MlQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q252_decision_stump" -> decisionStumpSql,
     "q238_conformal_interval" -> conformalIntervalSql,
     "q235_loo_target_encoding" -> looTargetEncodingSql,
     "q37_ml_champion" -> championPredictionSql,

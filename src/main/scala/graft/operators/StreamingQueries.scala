@@ -165,6 +165,53 @@ object StreamingQueries {
       | AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
       |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
 
+  /** Q250: STREAM-STREAM LEFT SEMI JOIN — "which clicks converted
+    * within the hour", emitting each click AT MOST ONCE: the
+    * streaming existence test that completes the stream-stream join
+    * surface (q58 inner emits every pair — a user with 3 purchases
+    * triples each click; q215 outer adds the non-matches; semi is the
+    * dedup-on-match shape a funnel feeding a billing/attribution
+    * system actually wants). Same watermarked interval condition as
+    * q58, so click state still evicts once the purchase watermark
+    * passes click_ts + 1h — and semi state is CHEAPER than inner: a
+    * click can drop its buffered row the moment one match is seen.
+    *
+    * Batch equality: q58's single-microbatch file-source argument
+    * verbatim; the oracle is the EXISTS replay of the same predicate.
+    * Emission is eager-on-first-match (existence needs no end-of-
+    * watermark wait), so Append mode produces the batch answer. */
+  def streamSemiJoin(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+    val path = s"$dir/events.parquet"
+    val clicks = EventStream.readEvents(spark, path)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = EventStream.readEvents(spark, path)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    val joined = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+        "left_semi")
+      .select(col("c_user").as("user_id"), col("click_id"),
+        unix_micros(col("click_ts")).as("click_us"))
+    EventStream.runToTable(joined, sinkName("stream_semi"), OutputMode.Append())
+      .orderBy(col("user_id"), col("click_id"))
+  }
+
+  val streamSemiJoinSql: String =
+    """SELECT c.user_id, c.event_id AS click_id, epoch_us(c.ts) AS click_us
+      |FROM events c
+      |WHERE c.event_type = 'click' AND EXISTS (
+      |  SELECT 1 FROM events p
+      |  WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+      |    AND epoch_us(p.ts) >= epoch_us(c.ts)
+      |    AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000)
+      |ORDER BY user_id, click_id""".stripMargin
+
   /** Q61: SLIDING-window aggregation over the stream (1 h window /
     * 30 min slide — each event counts in 2 overlapping windows).
     * Streaming twin of batch q57, sharing its oracle. Complete mode is
@@ -853,6 +900,7 @@ object StreamingQueries {
     "q39_stream_dedup" -> (streamDedup _),
     "q40_stream_sessions" -> (streamSessions _),
     "q58_stream_join" -> (streamStreamJoin _),
+    "q250_stream_semi_join" -> (streamSemiJoin _),
     "q61_stream_sliding" -> (streamSliding _),
   )
 
@@ -871,6 +919,7 @@ object StreamingQueries {
     "q39_stream_dedup" -> streamDedupSql,
     "q40_stream_sessions" -> streamSessionsSql,
     "q58_stream_join" -> streamStreamJoinSql,
+    "q250_stream_semi_join" -> streamSemiJoinSql,
     // same answer as the batch sliding window — shared oracle text
     "q61_stream_sliding" -> Events.slidingWindowSql,
   )

@@ -154,6 +154,99 @@ object TextAnalysis {
        |    / len(string_split(text, ' ')) >= 0.10 THEN 1 ELSE 0 END) AS BIGINT) AS n_guessed_en
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q251's report depth. */
+  private val RakeTopK = 20
+
+  /** Q251: RAKE KEYWORD EXTRACTION (Rose et al. 2010) — the corpus
+    * keyword surfacer the family lacked: q25 ranks single tokens by
+    * raw frequency and q66 by tf-idf, but keywords are usually
+    * PHRASES, and RAKE finds them with zero training: candidate
+    * phrases are the maximal stopword-free token runs; each word
+    * scores degree/frequency (degree = Σ length of the phrases it
+    * appears in — words that live in long collocations outrank
+    * equally-frequent words that appear alone); a phrase scores the
+    * sum of its word scores. Top-[[RakeTopK]] phrases corpus-wide.
+    *
+    * Exactness: freq/degree are exact integers; each word score
+    * enters as its half-up MICRO-UNIT integer (2·deg·10⁶ + freq) ÷
+    * (2·freq) — the q248 convention — so phrase scores are integer
+    * SUMS (never a float accumulation across words) and the top-k
+    * selection is a total integer order (score6 desc, phrase text).
+    *
+    * Scale shape: one posexplode token stream (row-scale), the
+    * phrase-id cumsum window partitioned BY DOC (bounded partitions),
+    * phrase length via a (doc, grp) window on the same partitioning,
+    * one vocabulary-keyed word-stats aggregation (map-side combined;
+    * joined back UNHINTED — vocabulary-scale, the q89 rule), one
+    * (doc, grp) phrase rollup, and a TakeOrdered top-k — no global
+    * sort of the phrase frame. */
+  def rakeKeywords(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val toks = d.select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("is_stop", col("tok").isInCollection(EnglishStopwords))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grouped = toks
+      .withColumn("grp", sum(when(col("is_stop"), 1L).otherwise(0L)).over(wDoc))
+      .filter(!col("is_stop"))
+    val withLen = grouped.withColumn("len",
+      count(lit(1)).over(Window.partitionBy(col("doc_id"), col("grp"))))
+    val wordScore = withLen.groupBy(col("tok"))
+      .agg(count(lit(1)).cast("long").as("freq"),
+        sum(col("len")).cast("long").as("degree"))
+      .withColumn("r6", expr("(2 * degree * 1000000 + freq) div (2 * freq)"))
+    val phrases = withLen.join(wordScore.select(col("tok"), col("r6")), Seq("tok"))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(
+        expr("array_join(transform(sort_array(collect_list(struct(pos, tok))), s -> s.tok), ' ')")
+          .as("phrase"),
+        count(lit(1)).cast("long").as("n_words"),
+        sum(col("r6")).cast("long").as("score6"))
+    phrases.groupBy(col("phrase"))
+      .agg(max(col("n_words")).as("n_words"),
+        count(lit(1)).cast("long").as("n_occurrences"),
+        max(col("score6")).as("score6"))
+      .orderBy(col("score6").desc, col("phrase"))
+      .limit(RakeTopK)
+      .select(col("phrase"), col("n_words"), col("n_occurrences"),
+        (col("score6").cast("double") / 1000000).as("rake_score"))
+  }
+
+  val rakeKeywordsSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+       |           FROM documents WHERE text IS NOT NULL),
+       |pos0 AS (
+       |  SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS pos FROM d),
+       |toks AS (
+       |  SELECT doc_id, pos, tk[pos] AS tok,
+       |    tk[pos] IN ($stopwordSqlList) AS is_stop
+       |  FROM pos0),
+       |grps AS (
+       |  SELECT doc_id, pos, tok, is_stop,
+       |    SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM toks),
+       |wl AS (
+       |  SELECT doc_id, grp, pos, tok,
+       |    COUNT(*) OVER (PARTITION BY doc_id, grp) AS len
+       |  FROM grps WHERE NOT is_stop),
+       |ws AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq,
+       |         CAST(SUM(len) AS BIGINT) AS degree
+       |       FROM wl GROUP BY 1),
+       |r AS (SELECT tok, (2 * degree * 1000000 + freq) // (2 * freq) AS r6 FROM ws),
+       |ph AS (SELECT w.doc_id, w.grp,
+       |         string_agg(w.tok, ' ' ORDER BY w.pos) AS phrase,
+       |         CAST(COUNT(*) AS BIGINT) AS n_words,
+       |         CAST(SUM(r.r6) AS BIGINT) AS score6
+       |       FROM wl w JOIN r USING (tok) GROUP BY 1, 2),
+       |agg AS (SELECT phrase, MAX(n_words) AS n_words,
+       |          CAST(COUNT(*) AS BIGINT) AS n_occurrences, MAX(score6) AS score6
+       |        FROM ph GROUP BY 1)
+       |SELECT phrase, n_words, n_occurrences,
+       |  CAST(score6 AS DOUBLE) / 1000000 AS rake_score
+       |FROM agg ORDER BY score6 DESC, phrase LIMIT $RakeTopK""".stripMargin
+
   /** Q28: md5 document fingerprinting; duplicate groups surface as
     * fingerprints with count > 1 (engine-portable content hash).
     *
@@ -1002,6 +1095,7 @@ object TextAnalysis {
     "q26_quality_score" -> (qualityScore _),
     "q27_lang_guess" -> (langGuess _),
     "q28_fingerprints" -> (fingerprints _),
+    "q251_rake_keywords" -> (rakeKeywords _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1028,5 +1122,6 @@ object TextAnalysis {
     "q26_quality_score" -> qualityScoreSql,
     "q27_lang_guess" -> langGuessSql,
     "q28_fingerprints" -> fingerprintsSql,
+    "q251_rake_keywords" -> rakeKeywordsSql,
   )
 }

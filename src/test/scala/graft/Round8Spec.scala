@@ -99,6 +99,86 @@ class Round8Spec extends SparkSuite {
     }
   }
 
+  test("q250 stream semi join: each click at most once, and only if a purchase follows within 1h") {
+    val rows = graft.operators.StreamingQueries.streamSemiJoin(spark, Sf0001).collect()
+    val clickIds = rows.map(_.getAs[Long]("click_id"))
+    assert(clickIds.distinct.length === clickIds.length, "semi join must not duplicate clicks")
+    assert(rows.nonEmpty, "fixture has converting clicks")
+    // batch replay of the existence predicate
+    val ev = Tables.events(spark, Sf0001)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts_ns div 1000").as("us")).collect()
+    val purchases = ev.filter(_.getString(2) == "purchase")
+      .map(r => (r.getLong(0), r.getLong(3)))
+    val converting = ev.filter(_.getString(2) == "click").filter { c =>
+      purchases.exists { case (u, pus) =>
+        u == c.getLong(0) && pus >= c.getLong(3) && pus - c.getLong(3) <= 3600000000L
+      }
+    }.map(_.getLong(1)).toSet
+    assert(clickIds.toSet === converting)
+  }
+
+  test("q251 RAKE: matches a driver-side degree/frequency replay") {
+    val got = graft.operators.TextAnalysis.rakeKeywords(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_occurrences"), r.getAs[Double]("rake_score")))
+    // independent replay: build phrases, word stats, micro-unit scores
+    val stop = graft.functions.TextFunctions.EnglishStopwords.toSet
+    val docs = Tables.documents(spark, Sf0001).filter(col("text").isNotNull)
+      .select("text").collect().map(_.getString(0))
+    val phrases = docs.flatMap { t =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[Vector[String]]
+      var cur = Vector.empty[String]
+      t.split(" ", -1).foreach { w =>
+        if (stop(w)) { if (cur.nonEmpty) out += cur; cur = Vector.empty }
+        else cur :+= w
+      }
+      if (cur.nonEmpty) out += cur
+      out
+    }
+    val freq = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val deg = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    phrases.foreach(p => p.foreach { w => freq(w) += 1; deg(w) += p.length })
+    def r6(w: String) = (2 * deg(w) * 1000000 + freq(w)) / (2 * freq(w))
+    val expected = phrases.groupBy(_.mkString(" ")).map { case (ph, occ) =>
+      (ph, occ.head.length.toLong, occ.length.toLong, occ.head.map(r6).sum)
+    }.toSeq.sortBy { case (ph, _, _, s6) => (-s6, ph) }.take(20)
+      .map { case (ph, nw, no, s6) => (ph, nw, no, s6.toDouble / 1000000) }
+    assert(got.toSeq === expected)
+  }
+
+  test("q252 stump: split minimizes exact weighted Gini over the histogram; never above root") {
+    val row = graft.operators.MlQueries.decisionStump(spark, Sf0001).collect()(0)
+    assert(row.getAs[Double]("gini_split") <= row.getAs[Double]("gini_root") + 1e-6, row)
+    // independent replay with BigInt rationals (no micro rounding):
+    // the emitted split must be optimal under the EXACT order too
+    val hist = Tables.documents(spark, Sf0001)
+      .groupBy(col("n_chars")).agg(count(lit(1)).as("n"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val nt = hist.map(_._2).sum; val et = hist.map(_._3).sum
+    var nl = 0L; var el = 0L
+    val cands = hist.dropRight(1).map { case (v, n, e) =>
+      nl += n; el += e
+      val num = BigInt(2) * (BigInt(el) * (nl - el) * (nt - nl)
+        + BigInt(et - el) * ((nt - nl) - (et - el)) * nl)
+      val den = BigInt(nt) * nl * (nt - nl)
+      (v, num, den)
+    }
+    val best = cands.minBy { case (v, num, den) =>
+      // exact rational order with value tiebreak: compare via scaled BigInt
+      (num * 1000000000000L / den, v)
+    }
+    // micro-unit argmin may differ from exact argmin only when two
+    // splits tie at 1e-6 resolution; assert the emitted split's EXACT
+    // impurity is within 1 micro-unit of the exact optimum
+    val emitted = cands.find(_._1 == row.getAs[Long]("split_value")).get
+    val diff = (emitted._2 * best._3 - best._2 * emitted._3).toDouble /
+      (best._3 * emitted._3).toDouble
+    assert(diff >= 0 && diff <= 1e-6, s"emitted split must be micro-optimal (gap $diff)")
+  }
+
   test("q248 isotonic: non-decreasing, in [0,1], and within 2 micro-units of exact-rational PAV") {
     val rows = Quality.isotonicCalibration(spark, Sf0001).collect()
       .sortBy(_.getAs[Int]("score_bin"))
