@@ -3084,7 +3084,89 @@ object Events {
       |        / ((nd * nd) * CAST(n - 1 AS DOUBLE))) END AS z_runs
       |FROM e ORDER BY event_type""".stripMargin
 
+  /** Q254: HAAR MULTIRESOLUTION ENERGY — per event type, the
+    * unnormalized Haar wavelet decomposition of the first 64 days'
+    * daily-count series, reporting the detail ENERGY at each of the 6
+    * dyadic scales (level 1 = day-to-day, level 6 = 32-day halves).
+    * The burst-SCALE detector the family lacked: q124 flags WHEN a
+    * burst happens and q218/q239 assume a known (weekly) period —
+    * the Haar energy profile says at WHICH TIME SCALE the variance
+    * lives, with no period assumption (a daily-noise type concentrates
+    * in e1/e2, a regime shift in e5/e6).
+    *
+    * Exactness: unnormalized Haar (pair sum/difference, NO √2
+    * normalization) keeps every coefficient an exact BIGINT; energies
+    * are integer sums of squares (≤ 64·(2⁶·max_daily)² — tiny). The
+    * zero-fill to a dense 64-day grid is part of the operator: a
+    * missing day is a real zero of the counting process.
+    *
+    * Scale shape: one row-scale map-side-combined (type, day) count;
+    * everything after lives on the |types|×64 bounded grid — the
+    * 6-level pyramid runs IN-EXPRESSION per type over the collected
+    * 64-array (the q213 pattern); the 1-row day-origin aggregate
+    * rides a broadcast crossJoin (q66 rationale). */
+  def haarEnergy(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), expr("ts_ns div 86400000000000").as("day"))
+    val org = ev.agg(min(col("day")).as("day0"))
+    val daily = ev.crossJoin(broadcast(org))
+      .withColumn("off", col("day") - col("day0"))
+      .filter(col("off") < 64)
+      .groupBy(col("event_type"), col("off"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    var df = daily.groupBy(col("event_type"))
+      .agg(map_from_entries(collect_list(struct(col("off"), col("c")))).as("m"))
+      .withColumn("a0", expr(
+        "transform(sequence(0, 63), i -> coalesce(m[CAST(i AS BIGINT)], CAST(0 AS BIGINT)))"))
+    (1 to 6).foreach { k =>
+      val half = 64 >> k
+      df = df
+        .withColumn(s"d$k", expr(
+          s"transform(sequence(1, $half), i -> element_at(a${k - 1}, 2*i - 1) - element_at(a${k - 1}, 2*i))"))
+        .withColumn(s"a$k", expr(
+          s"transform(sequence(1, $half), i -> element_at(a${k - 1}, 2*i - 1) + element_at(a${k - 1}, 2*i))"))
+        .withColumn(s"e$k", expr(
+          s"aggregate(d$k, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"))
+    }
+    df.select(col("event_type") +: lit(64L).as("n_days") +:
+        expr("element_at(a6, 1)").as("total_sum") +:
+        (1 to 6).map(k => col(s"e$k")): _*)
+      .orderBy(col("event_type"))
+  }
+
+  val haarEnergySql: String = {
+    val levels = (1 to 6).map { k =>
+      s"""lv$k AS (SELECT event_type, idx // 2 AS idx,
+         |    CAST(SUM(CASE WHEN idx % 2 = 0 THEN s ELSE -s END) AS BIGINT) AS d,
+         |    CAST(SUM(s) AS BIGINT) AS s
+         |  FROM lv${k - 1} GROUP BY 1, 2),
+         |en$k AS (SELECT event_type, CAST(SUM(d * d) AS BIGINT) AS e
+         |  FROM lv$k GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day
+       |  FROM events),
+       |o AS (SELECT MIN(day) AS day0 FROM ev),
+       |f AS (SELECT event_type, day - day0 AS off FROM ev, o
+       |  WHERE day - day0 < 64),
+       |types AS (SELECT DISTINCT event_type FROM ev),
+       |grid AS (SELECT t.event_type, g.i AS off
+       |  FROM types t, generate_series(0, 63) g(i)),
+       |lv0 AS (SELECT g.event_type, g.off AS idx,
+       |    CAST(COUNT(f.off) AS BIGINT) AS s
+       |  FROM grid g LEFT JOIN f ON f.event_type = g.event_type AND f.off = g.off
+       |  GROUP BY 1, 2),
+       |$levels
+       |SELECT l.event_type, CAST(64 AS BIGINT) AS n_days, l.s AS total_sum,
+       |  en1.e AS e1, en2.e AS e2, en3.e AS e3, en4.e AS e4, en5.e AS e5, en6.e AS e6
+       |FROM lv6 l
+       |JOIN en1 USING (event_type) JOIN en2 USING (event_type)
+       |JOIN en3 USING (event_type) JOIN en4 USING (event_type)
+       |JOIN en5 USING (event_type) JOIN en6 USING (event_type)
+       |ORDER BY l.event_type""".stripMargin
+  }
+
   def queries: Map[String, Relational.Q] = Map(
+    "q254_haar_energy" -> (haarEnergy _),
     "q243_runs_test" -> (runsTest _),
     "q239_seasonal_decomposition" -> (seasonalDecomposition _),
     "q236_log_rank" -> (logRankTest _),
@@ -3137,6 +3219,7 @@ object Events {
   def oracles: Map[String, String] = Map(
     "q243_runs_test" -> runsTestSql,
     "q239_seasonal_decomposition" -> seasonalDecompositionSql,
+    "q254_haar_energy" -> haarEnergySql,
     "q236_log_rank" -> logRankTestSql,
     "q234_rolling_correlation" -> rollingCorrelationSql,
     "q227_kaplan_meier" -> kaplanMeierSql,

@@ -2289,11 +2289,99 @@ object Quality {
        |  CAST(iso6 AS DOUBLE) / 1000000 AS iso_rate
        |FROM vals ORDER BY score_bin""".stripMargin
 
+  /** Q253: DURBIN–WATSON TEST — per nation, the autocorrelation-of-
+    * RESIDUALS diagnostic on the monthly-revenue OLS trend:
+    * DW = Σ(e_t − e_{t−1})² / Σe_t². The regression-diagnostics gate
+    * the family lacked — q135/q238 FIT trend lines and q218 measures
+    * ACF of the raw series; DW asks whether the RESIDUALS of the fit
+    * are still serially dependent (DW ≈ 2 ⇒ independent; → 0 ⇒
+    * positive autocorrelation, the classic "trend line through a
+    * cycle" failure that invalidates q238's exchangeability
+    * assumption).
+    *
+    * Exactness: with x_t = 1..n, the OLS closed form has integer
+    * den = n·Σx² − (Σx)², b_num = n·Σxy − Σx·Σy, a_num = Σy·Σx² −
+    * Σx·Σxy, so each SCALED residual r_t = den·y_t − (a_num +
+    * b_num·t) is an exact BIGINT, and DW = Σ(Δr)²/Σr² EXACTLY (den²
+    * cancels). Squares accumulate in DECIMAL(38); ONE micro-unit
+    * division publishes. A perfect fit (Σr² = 0) yields NULL on both
+    * engines.
+    *
+    * Scale shape: the q213 chain — rollup, bounded collect, integer
+    * HOFs, sort. Three exchanges, no joins. */
+  def durbinWatson(spark: SparkSession, dir: String): DataFrame = {
+    val arrs = nationMonthly(spark, dir).groupBy(col("nation"))
+      .agg(sort_array(collect_list(struct(col("m"), col("rev")))).as("xs"))
+      .filter(size(col("xs")) >= 3)
+    val sums = arrs.select(col("nation"),
+      size(col("xs")).cast("long").as("n"),
+      expr("aggregate(xs, CAST(0 AS BIGINT), (acc, v) -> acc + v.rev)").as("sy"),
+      expr("""aggregate(zip_with(xs, sequence(1, size(xs)), (v, t) -> v.rev * t),
+                CAST(0 AS BIGINT), (acc, v) -> acc + v)""").as("sxy"),
+      col("xs"))
+    val withOls = sums
+      .withColumn("sx", (col("n") * (col("n") + 1) / 2).cast("long"))
+      .withColumn("sxx", (col("n") * (col("n") + 1) * (col("n") * 2 + 1) / 6).cast("long"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("b_num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("a_num", col("sy") * col("sxx") - col("sx") * col("sxy"))
+      .withColumn("rs", expr(
+        """zip_with(xs, sequence(1, size(xs)),
+          |  (v, t) -> den * v.rev - (a_num + b_num * t))""".stripMargin))
+    withOls.select(col("nation"), col("n").as("n_months"),
+        expr("""aggregate(rs, CAST(0 AS DECIMAL(38,0)),
+                  (acc, r) -> acc + CAST(r AS DECIMAL(38,0)) * r,
+                  acc -> acc)""").as("ssr_scaled"),
+        expr("""aggregate(zip_with(slice(rs, 2, size(rs) - 1), slice(rs, 1, size(rs) - 1),
+                    (b, a) -> b - a),
+                  CAST(0 AS DECIMAL(38,0)),
+                  (acc, d) -> acc + CAST(d AS DECIMAL(38,0)) * d,
+                  acc -> acc)""").as("ssd_scaled"))
+      .withColumn("dw", when(col("ssr_scaled") > 0,
+        expr("CAST((2 * ssd_scaled * 1000000 + ssr_scaled) div (2 * ssr_scaled) AS DOUBLE) / 1000000")))
+      .orderBy(col("nation"))
+  }
+
+  val durbinWatsonSql: String =
+    s"""WITH $nationMonthlySqlCte,
+       |tx AS (SELECT nation, rev,
+       |    ROW_NUMBER() OVER (PARTITION BY nation ORDER BY m) AS t
+       |  FROM monthly),
+       |s AS (SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(rev) AS BIGINT) AS sy, CAST(SUM(rev * t) AS BIGINT) AS sxy
+       |  FROM tx GROUP BY 1 HAVING COUNT(*) >= 3),
+       |ols AS (SELECT nation, n, sy, sxy,
+       |    n * (n + 1) // 2 AS sx,
+       |    n * (n + 1) * (2 * n + 1) // 6 AS sxx
+       |  FROM s),
+       |ols2 AS (SELECT nation, n,
+       |    n * sxx - sx * sx AS den,
+       |    n * sxy - sx * sy AS b_num,
+       |    sy * sxx - sx * sxy AS a_num
+       |  FROM ols),
+       |res AS (SELECT t.nation, o.n, t.t,
+       |    o.den * t.rev - (o.a_num + o.b_num * t.t) AS r
+       |  FROM tx t JOIN ols2 o ON t.nation = o.nation),
+       |agg AS (SELECT nation, MAX(n) AS n_months,
+       |    CAST(SUM(CAST(r AS HUGEINT) * r) AS HUGEINT) AS ssr,
+       |    CAST(SUM(CASE WHEN t > 1
+       |      THEN CAST(r - lag_r AS HUGEINT) * (r - lag_r) ELSE 0 END) AS HUGEINT) AS ssd
+       |  FROM (SELECT *, LAG(r) OVER (PARTITION BY nation ORDER BY t) AS lag_r FROM res)
+       |  GROUP BY 1)
+       |SELECT nation, n_months,
+       |  CAST(ssr AS DECIMAL(38,0)) AS ssr_scaled,
+       |  CAST(ssd AS DECIMAL(38,0)) AS ssd_scaled,
+       |  CASE WHEN ssr > 0 THEN
+       |    CAST((2 * ssd * 1000000 + ssr) // (2 * ssr) AS DOUBLE) / 1000000
+       |  END AS dw
+       |FROM agg ORDER BY nation""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q245_spearman_monthly" -> (spearmanMonthly _),
     "q246_brown_forsythe" -> (brownForsythe _),
     "q247_pettitt_changepoint" -> (pettittTest _),
     "q248_isotonic_calibration" -> (isotonicCalibration _),
+    "q253_durbin_watson" -> (durbinWatson _),
     "q242_mcnemar" -> (mcnemarTest _),
     "q240_wasserstein_drift" -> (wassersteinDrift _),
     "q241_quantile_normalize" -> (quantileNormalize _),
@@ -2324,6 +2412,7 @@ object Quality {
     "q245_spearman_monthly" -> spearmanMonthlySql,
     "q246_brown_forsythe" -> brownForsytheSql,
     "q248_isotonic_calibration" -> isotonicCalibrationSql,
+    "q253_durbin_watson" -> durbinWatsonSql,
     "q247_pettitt_changepoint" -> pettittTestSql,
     "q242_mcnemar" -> mcnemarTestSql,
     "q240_wasserstein_drift" -> wassersteinDriftSql,

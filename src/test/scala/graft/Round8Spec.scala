@@ -179,6 +179,60 @@ class Round8Spec extends SparkSuite {
     assert(diff >= 0 && diff <= 1e-6, s"emitted split must be micro-optimal (gap $diff)")
   }
 
+  test("q253 Durbin-Watson: dw in [0,4]; scaled residuals match a BigInt replay") {
+    val rows = Quality.durbinWatson(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    // independent replay of the integer OLS-residual dag
+    val monthly = Tables.orders(spark, Sf0001)
+      .join(Tables.customer(spark, Sf0001), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, Sf0001), col("c_nationkey") === col("n_nationkey"))
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
+      .groupBy(col("n_name"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long").as("m"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("long")).as("rev"))
+      .collect().groupBy(_.getString(0))
+    rows.foreach { r =>
+      val dw = r.getAs[Double]("dw")
+      assert(dw >= 0 && dw <= 4.0 + 1e-9, r)
+      val ys = monthly(r.getString(0)).map(x => (x.getLong(1), x.getLong(2)))
+        .sortBy(_._1).map(_._2)
+      val n = ys.length
+      val sx = BigInt(n) * (n + 1) / 2
+      val sxx = BigInt(n) * (n + 1) * (2 * n + 1) / 6
+      val sy = ys.map(BigInt(_)).sum
+      val sxy = ys.zipWithIndex.map { case (y, i) => BigInt(y) * (i + 1) }.sum
+      val den = n * sxx - sx * sx
+      val bN = n * sxy - sx * sy
+      val aN = sy * sxx - sx * sxy
+      val rs = ys.zipWithIndex.map { case (y, i) => den * y - (aN + bN * (i + 1)) }
+      val ssr = rs.map(x => x * x).sum
+      val ssd = rs.zip(rs.drop(1)).map { case (a, b) => (b - a) * (b - a) }.sum
+      assert(BigDecimal(r.getDecimal(2)).toBigInt === ssr, s"${r.getString(0)} ssr")
+      assert(BigDecimal(r.getDecimal(3)).toBigInt === ssd, s"${r.getString(0)} ssd")
+    }
+  }
+
+  test("q254 Haar: exact integer Parseval - 64*sum(x^2) = sum(e_k * 2^(6-k)) + total^2") {
+    val ev = Tables.events(spark, Sf0001)
+      .select(col("event_type"), expr("ts_ns div 86400000000000").as("day")).collect()
+    val day0 = ev.map(_.getLong(1)).min
+    val rows = graft.operators.Events.haarEnergy(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val counts = Array.fill(64)(0L)
+      ev.filter(_.getString(0) == t).map(_.getLong(1) - day0)
+        .filter(_ < 64).foreach(off => counts(off.toInt) += 1)
+      val sumSq = counts.map(c => BigInt(c) * c).sum
+      val energies = (1 to 6).map(k => BigInt(r.getAs[Long](s"e$k")))
+      val total = BigInt(r.getAs[Long]("total_sum"))
+      assert(total === counts.map(BigInt(_)).sum, s"$t total")
+      val rhs = (1 to 6).map(k => energies(k - 1) * BigInt(2).pow(6 - k)).sum + total * total
+      assert(BigInt(64) * sumSq === rhs, s"$t Parseval")
+    }
+  }
+
   test("q248 isotonic: non-decreasing, in [0,1], and within 2 micro-units of exact-rational PAV") {
     val rows = Quality.isotonicCalibration(spark, Sf0001).collect()
       .sortBy(_.getAs[Int]("score_bin"))
