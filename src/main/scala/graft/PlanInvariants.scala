@@ -85,9 +85,9 @@ object PlanInvariants {
       // exactly one row at any corpus size (the q66 scalar-crossJoin
       // rationale)
       "q227_kaplan_meier", "q236_log_rank",
-      // q254: the 1-row day-origin aggregate crossJoin-broadcast into
-      // the event scan (the q66 scalar rationale)
-      "q254_haar_energy",
+      // q254/q255: the 1-row day-origin aggregate crossJoin-broadcast
+      // into the event scan (the q66 scalar rationale)
+      "q254_haar_energy", "q255_cuped_adjustment",
       // q249: the 5-row probe frame (query codes + ADC tables)
       // crossJoin-broadcast into the coded-corpus scan — the q33
       // brute-force-baseline rationale (the audit IS the exact branch)

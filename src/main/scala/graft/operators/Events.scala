@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -3165,7 +3165,104 @@ object Events {
        |ORDER BY l.event_type""".stripMargin
   }
 
+  /** Q255: CUPED VARIANCE REDUCTION (Deng et al., WSDM 2013) — the
+    * experimentation-platform preprocessor: adjust each user's
+    * post-period metric by their PRE-period behavior, y' = y −
+    * θ(x − x̄) with θ = cov(x,y)/var(x), shrinking metric variance by
+    * exactly the squared correlation ρ² and making every downstream
+    * test (q211, q223) proportionally more sensitive at the same
+    * sample size. Pre-period = the corpus' first 15 days, post = the
+    * rest; users absent from a period carry an exact 0 (the standard
+    * zero-fill — the covariate must exist for everyone).
+    *
+    * Exactness: per-user cent totals are exact; the six sufficient
+    * sums accumulate in BIGINT/DECIMAL(38); θ, ρ² and the variance
+    * cut are fixed dags on those exact values (the q135 OLS
+    * discipline), with the integer witnesses published alongside so
+    * the oracle verifies the sums, not just the dag. den = 0 (no
+    * pre-period variance) or var_y = 0 degrade to NULL both engines.
+    *
+    * Scale shape: one row-scale (user, period) conditional rollup
+    * (map-side combined), one user-keyed reduce to the six sums, one
+    * 1-row output. The day-origin scalar rides a broadcast crossJoin
+    * (q66 rationale). */
+  def cupedAdjustment(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"),
+        (col("value").cast("decimal(18,2)") * 100).cast("decimal(18,0)")
+          .cast("long").as("cents"))
+    val org = ev.agg(min(col("day")).as("day0"))
+    val perUser = ev.crossJoin(broadcast(org))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("day") - col("day0") < 15, col("cents")).otherwise(0L))
+          .cast("long").as("x"),
+        sum(when(col("day") - col("day0") >= 15, col("cents")).otherwise(0L))
+          .cast("long").as("y"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val sums = perUser.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("x")).cast("bigint").as("sx"),
+      sum(col("y")).cast("bigint").as("sy"),
+      sum(d38(col("x")) * col("x")).cast("decimal(38,0)").as("sxx"),
+      sum(d38(col("x")) * col("y")).cast("decimal(38,0)").as("sxy"),
+      sum(d38(col("y")) * col("y")).cast("decimal(38,0)").as("syy"))
+    val den = (d38(col("n")) * col("sxx") - d38(col("sx")) * col("sx"))
+    val num = (d38(col("n")) * col("sxy") - d38(col("sx")) * col("sy"))
+    val vy = (d38(col("n")) * col("syy") - d38(col("sy")) * col("sy"))
+    sums
+      .withColumn("den", den).withColumn("num", num).withColumn("vy", vy)
+      .select(col("n").as("n_users"), col("sx"), col("sy"),
+        col("sxx"), col("sxy"), col("syy"),
+        when(col("den") > 0,
+          col("num").cast("double") / col("den").cast("double")).as("theta"),
+        when(col("den") > 0 && col("vy") > 0,
+          (col("num").cast("double") * col("num").cast("double"))
+            / (col("den").cast("double") * col("vy").cast("double")))
+          .as("rho_sq"),
+        when(col("den") > 0 && col("vy") > 0,
+          col("vy").cast("double") / (col("n").cast("double") * col("n"))
+            * (lit(1.0d) - (col("num").cast("double") * col("num").cast("double"))
+              / (col("den").cast("double") * col("vy").cast("double"))))
+          .as("var_adjusted"))
+  }
+
+  val cupedAdjustmentSql: String =
+    """WITH ev AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |o AS (SELECT MIN(day) AS day0 FROM ev),
+      |pu AS (SELECT user_id,
+      |    CAST(SUM(CASE WHEN day - day0 < 15 THEN cents ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN day - day0 >= 15 THEN cents ELSE 0 END) AS BIGINT) AS y
+      |  FROM ev, o GROUP BY 1),
+      |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+      |    CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+      |    CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      |  FROM pu),
+      |t AS (SELECT *,
+      |    n * sxx - CAST(sx AS HUGEINT) * sx AS den,
+      |    n * sxy - CAST(sx AS HUGEINT) * sy AS num,
+      |    n * syy - CAST(sy AS HUGEINT) * sy AS vy
+      |  FROM s)
+      |SELECT n AS n_users, sx, sy,
+      |  CAST(sxx AS DECIMAL(38,0)) AS sxx,
+      |  CAST(sxy AS DECIMAL(38,0)) AS sxy,
+      |  CAST(syy AS DECIMAL(38,0)) AS syy,
+      |  CASE WHEN den > 0 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS theta,
+      |  CASE WHEN den > 0 AND vy > 0 THEN
+      |    (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+      |      / (CAST(den AS DOUBLE) * CAST(vy AS DOUBLE)) END AS rho_sq,
+      |  CASE WHEN den > 0 AND vy > 0 THEN
+      |    CAST(vy AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+      |      * (1.0 - (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+      |        / (CAST(den AS DOUBLE) * CAST(vy AS DOUBLE))) END AS var_adjusted
+      |FROM t""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q255_cuped_adjustment" -> (cupedAdjustment _),
     "q254_haar_energy" -> (haarEnergy _),
     "q243_runs_test" -> (runsTest _),
     "q239_seasonal_decomposition" -> (seasonalDecomposition _),
@@ -3220,6 +3317,7 @@ object Events {
     "q243_runs_test" -> runsTestSql,
     "q239_seasonal_decomposition" -> seasonalDecompositionSql,
     "q254_haar_energy" -> haarEnergySql,
+    "q255_cuped_adjustment" -> cupedAdjustmentSql,
     "q236_log_rank" -> logRankTestSql,
     "q234_rolling_correlation" -> rollingCorrelationSql,
     "q227_kaplan_meier" -> kaplanMeierSql,

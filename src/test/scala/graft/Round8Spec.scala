@@ -233,6 +233,32 @@ class Round8Spec extends SparkSuite {
     }
   }
 
+  test("q255 CUPED: sums match a driver replay; adjusted variance never exceeds raw") {
+    val r = graft.operators.Events.cupedAdjustment(spark, Sf0001).collect()(0)
+    // driver replay of the per-user pre/post split and the six sums
+    val ev = Tables.events(spark, Sf0001)
+      .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"),
+        (col("value").cast("decimal(18,2)") * 100).cast("decimal(18,0)")
+          .cast("long").as("cents")).collect()
+    val day0 = ev.map(_.getLong(1)).min
+    val perUser = ev.groupBy(_.getLong(0)).map { case (_, rs) =>
+      (rs.filter(_.getLong(1) - day0 < 15).map(_.getLong(2)).sum,
+        rs.filter(_.getLong(1) - day0 >= 15).map(_.getLong(2)).sum)
+    }.toSeq
+    assert(r.getAs[Long]("n_users") === perUser.length.toLong)
+    assert(r.getAs[Long]("sx") === perUser.map(_._1).sum)
+    assert(r.getAs[Long]("sy") === perUser.map(_._2).sum)
+    assert(BigDecimal(r.getDecimal(4)).toBigInt ===
+      perUser.map { case (x, y) => BigInt(x) * y }.sum) // sxy
+    val rho2 = r.getAs[Double]("rho_sq")
+    assert(rho2 >= 0 && rho2 <= 1.0 + 1e-12, r)
+    // CUPED guarantee: adjusted variance = raw * (1 - rho^2) <= raw
+    val n = r.getAs[Long]("n_users").toDouble
+    val vyRaw = (BigDecimal(r.getDecimal(5)).toDouble * n -
+      r.getAs[Long]("sy").toDouble * r.getAs[Long]("sy")) / (n * n)
+    assert(r.getAs[Double]("var_adjusted") <= vyRaw + 1e-6, r)
+  }
+
   test("q248 isotonic: non-decreasing, in [0,1], and within 2 micro-units of exact-rational PAV") {
     val rows = Quality.isotonicCalibration(spark, Sf0001).collect()
       .sortBy(_.getAs[Int]("score_bin"))
