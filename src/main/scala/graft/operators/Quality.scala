@@ -2376,7 +2376,104 @@ object Quality {
        |  END AS dw
        |FROM agg ORDER BY nation""".stripMargin
 
+  /** Q256: COCHRAN–ARMITAGE TREND TEST — is lateness MONOTONE in
+    * order priority? The ordered-groups proportion test the battery
+    * lacked: q146's chi-square treats groups as unordered (it would
+    * spend power on any deviation pattern); CA weights the five
+    * priorities with ordinal scores 1..5 and tests specifically for a
+    * linear trend in the late-delivery rate — the one-degree-of-
+    * freedom test an ops review actually asks for. An order is late
+    * iff any line item shipped more than 90 days after the order date
+    * (the generated lineitem carries l_shipdate only — no
+    * commit/receipt dates — so the SLA is ship-latency-based).
+    *
+    * Exactness: with p̄ = E/N, T·N = Σ wᵢ(eᵢN − nᵢE) is an exact
+    * BIGINT and Var·N³ = E(N−E)·(N·Σw²n − (Σwn)²) an exact
+    * DECIMAL(38); z = (T·N)·√N / √(Var·N³) is a fixed dag on those
+    * two witnesses (both published). Degenerate E ∈ {0, N} or a
+    * single-priority corpus → NULL z on both engines.
+    *
+    * Scale shape: one per-order lateness rollup (map-side combined on
+    * l_orderkey), one orderkey join to priorities (SMJ at scale —
+    * inherent fact-fact shape, the q2 rationale), one conditional
+    * pivot to a single row. */
+  def cochranArmitage(spark: SparkSession, dir: String): DataFrame = {
+    val byPrio = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority").as("g"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("g"))
+      .agg(max(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        1L).otherwise(0L)).as("late"))
+    val aggs = Priorities.zipWithIndex.flatMap { case (p, i) =>
+      Seq(
+        sum(when(col("g") === p, 1L).otherwise(0L)).cast("long").as(s"n${i + 1}"),
+        sum(when(col("g") === p, col("late")).otherwise(0L)).cast("long")
+          .as(s"e${i + 1}"))
+    }
+    val piv = byPrio.groupBy().agg(aggs.head, aggs.tail: _*)
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val nT = (1 to 5).map(i => col(s"n$i")).reduce(_ + _)
+    val eT = (1 to 5).map(i => col(s"e$i")).reduce(_ + _)
+    val tn = (1 to 5).map(i =>
+      lit(i.toLong) * (col(s"e$i") * col("n_total") - col(s"n$i") * col("e_total")))
+      .reduce(_ + _)
+    val swn = (1 to 5).map(i => lit(i.toLong) * col(s"n$i")).reduce(_ + _)
+    val sw2n = (1 to 5).map(i => lit((i * i).toLong) * col(s"n$i")).reduce(_ + _)
+    piv
+      .withColumn("n_total", nT)
+      .withColumn("e_total", eT)
+      .withColumn("t_num", tn.cast("bigint"))
+      .withColumn("var_num",
+        (d38(col("e_total")) * (col("n_total") - col("e_total"))
+          * (d38(col("n_total")) * sw2n - d38(swn) * swn)).cast("decimal(38,0)"))
+      .select(lit(5L).as("k_groups"),
+        col("n_total").cast("bigint").as("n_total"),
+        col("e_total").cast("bigint").as("n_late"),
+        col("t_num"), col("var_num"),
+        when(col("var_num") > 0,
+          col("t_num").cast("double") * sqrt(col("n_total").cast("double"))
+            / sqrt(col("var_num").cast("double"))).as("z_trend"))
+  }
+
+  val cochranArmitageSql: String = {
+    val conds = Priorities.zipWithIndex.map { case (p, i) =>
+      s"""    CAST(SUM(CASE WHEN g = '$p' THEN 1 ELSE 0 END) AS BIGINT) AS n${i + 1},
+         |    CAST(SUM(CASE WHEN g = '$p' THEN late ELSE 0 END) AS BIGINT) AS e${i + 1}""".stripMargin
+    }.mkString(",\n")
+    val tn = (1 to 5).map(i => s"$i * (e$i * n_total - n$i * e_total)")
+      .mkString("\n    + ")
+    val swn = (1 to 5).map(i => s"$i * n$i").mkString(" + ")
+    val sw2n = (1 to 5).map(i => s"${i * i} * n$i").mkString(" + ")
+    s"""WITH j AS (
+       |  SELECT o_orderkey, o_orderpriority AS g,
+       |    MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+       |        THEN 1 ELSE 0 END) AS late
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  GROUP BY 1, 2),
+       |piv AS (
+       |  SELECT
+       |$conds
+       |  FROM j),
+       |t AS (SELECT *, n1 + n2 + n3 + n4 + n5 AS n_total,
+       |    e1 + e2 + e3 + e4 + e5 AS e_total FROM piv),
+       |u AS (SELECT *,
+       |    CAST($tn AS BIGINT) AS t_num,
+       |    CAST(CAST(e_total AS HUGEINT) * (n_total - e_total)
+       |      * (CAST(n_total AS HUGEINT) * ($sw2n)
+       |         - CAST($swn AS HUGEINT) * ($swn)) AS HUGEINT) AS var_num
+       |  FROM t)
+       |SELECT CAST(5 AS BIGINT) AS k_groups, CAST(n_total AS BIGINT) AS n_total,
+       |  CAST(e_total AS BIGINT) AS n_late, t_num,
+       |  CAST(var_num AS DECIMAL(38,0)) AS var_num,
+       |  CASE WHEN var_num > 0 THEN
+       |    CAST(t_num AS DOUBLE) * SQRT(CAST(n_total AS DOUBLE))
+       |      / SQRT(CAST(var_num AS DOUBLE)) END AS z_trend
+       |FROM u""".stripMargin
+  }
+
   def queries: Map[String, Relational.Q] = Map(
+    "q256_cochran_armitage" -> (cochranArmitage _),
     "q245_spearman_monthly" -> (spearmanMonthly _),
     "q246_brown_forsythe" -> (brownForsythe _),
     "q247_pettitt_changepoint" -> (pettittTest _),
@@ -2413,6 +2510,7 @@ object Quality {
     "q246_brown_forsythe" -> brownForsytheSql,
     "q248_isotonic_calibration" -> isotonicCalibrationSql,
     "q253_durbin_watson" -> durbinWatsonSql,
+    "q256_cochran_armitage" -> cochranArmitageSql,
     "q247_pettitt_changepoint" -> pettittTestSql,
     "q242_mcnemar" -> mcnemarTestSql,
     "q240_wasserstein_drift" -> wassersteinDriftSql,

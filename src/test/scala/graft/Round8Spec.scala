@@ -259,6 +259,35 @@ class Round8Spec extends SparkSuite {
     assert(r.getAs[Double]("var_adjusted") <= vyRaw + 1e-6, r)
   }
 
+  test("q256 Cochran-Armitage: witnesses match a BigInt replay of the ordered-group counts") {
+    val r = Quality.cochranArmitage(spark, Sf0001).collect()(0)
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val perOrder = Tables.orders(spark, Sf0001)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .join(Tables.lineitem(spark, Sf0001).select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(max(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1L)
+        .otherwise(0L)).as("late"))
+      .collect()
+    val byG = perOrder.groupBy(_.getString(1)).view
+      .mapValues(rs => (rs.length.toLong, rs.map(_.getLong(2)).sum)).toMap
+    val ns = prios.map(p => byG.get(p).map(_._1).getOrElse(0L))
+    val es = prios.map(p => byG.get(p).map(_._2).getOrElse(0L))
+    val n = ns.sum; val e = es.sum
+    val tNum = (1 to 5).map(i => BigInt(i) * (es(i - 1) * n - ns(i - 1) * e)).sum
+    val swn = (1 to 5).map(i => BigInt(i) * ns(i - 1)).sum
+    val sw2n = (1 to 5).map(i => BigInt(i * i) * ns(i - 1)).sum
+    val varNum = BigInt(e) * (n - e) * (BigInt(n) * sw2n - swn * swn)
+    assert(r.getAs[Long]("n_total") === n)
+    assert(r.getAs[Long]("n_late") === e)
+    assert(BigInt(r.getAs[Long]("t_num")) === tNum)
+    assert(BigDecimal(r.getDecimal(4)).toBigInt === varNum)
+    if (varNum > 0)
+      // z's sign IS the trend direction of the weighted late-count excess
+      assert(r.getAs[Double]("z_trend").sign === tNum.toDouble.sign, r)
+  }
+
   test("q248 isotonic: non-decreasing, in [0,1], and within 2 micro-units of exact-rational PAV") {
     val rows = Quality.isotonicCalibration(spark, Sf0001).collect()
       .sortBy(_.getAs[Int]("score_bin"))
