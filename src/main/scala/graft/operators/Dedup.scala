@@ -146,6 +146,46 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Q257: BLOCKING-STRATEGY OVERLAP AUDIT — the capacity-planning
+    * question a dedup pipeline owner actually asks before picking a
+    * candidate generator: "which pairs does equality blocking (q30)
+    * find that sorted-neighborhood (q216) misses, and vice versa?"
+    * Both strategies verify the SAME predicate (distinct-token
+    * Jaccard ≥ 0.8), so their verified-pair sets are directly
+    * comparable; the audit full-outer-joins them and reports the
+    * found-by-both / only-blocking / only-SNM partition plus each
+    * side's total. A large only-SNM count means the equality anchors
+    * (first/rarest token) are being edited away; a large
+    * only-blocking count means the SNM window is too narrow — the
+    * two failure modes steer opposite remediations (multi-pass keys
+    * vs wider window), which is why the overlap, not either count
+    * alone, is the signal.
+    *
+    * Oracle: composes the two EXISTING oracle replays verbatim as
+    * CTEs — consistency by construction, no third formulation to
+    * drift.
+    *
+    * Scale shape: both producers are bounded-pair pipelines (q30
+    * blocks, q216's (w−1)·n budget); the audit joins two
+    * pair-keyed frames that are tiny relative to the corpus and
+    * reduces to one row. */
+  def dedupStrategyOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val blk = neardupVerified(spark, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("in_blk"))
+    val snm = sortedNeighborhood(spark, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("in_snm"))
+    blk.join(snm, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(coalesce(col("in_blk"), lit(0L))).cast("bigint").as("n_blocking"),
+        sum(coalesce(col("in_snm"), lit(0L))).cast("bigint").as("n_snm"),
+        sum(when(col("in_blk").isNotNull && col("in_snm").isNotNull, 1L)
+          .otherwise(0L)).cast("bigint").as("n_both"),
+        sum(when(col("in_blk").isNotNull && col("in_snm").isNull, 1L)
+          .otherwise(0L)).cast("bigint").as("n_only_blocking"),
+        sum(when(col("in_blk").isNull && col("in_snm").isNotNull, 1L)
+          .otherwise(0L)).cast("bigint").as("n_only_snm"))
+  }
+
   /** Shared DuckDB CTE chain ending in `pairs(doc_a, doc_b, n_inter,
     * n_union)` — the oracle twin of [[neardupVerified]]. */
   private val neardupPairsCte: String =
@@ -1091,7 +1131,28 @@ object Dedup {
        |    / 1000000 AS jaccard
        |FROM p ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Oracle of [[dedupStrategyOverlap]]: the two existing replays
+    * embedded VERBATIM as subqueries — any fix to either propagates
+    * here by construction. */
+  val dedupStrategyOverlapSql: String =
+    s"""WITH blk AS (SELECT doc_a, doc_b FROM ($neardupJaccardSql)),
+       |snm AS (SELECT doc_a, doc_b FROM ($sortedNeighborhoodSql)),
+       |j AS (
+       |  SELECT COALESCE(blk.doc_a, snm.doc_a) AS doc_a,
+       |    blk.doc_a IS NOT NULL AS in_blk, snm.doc_a IS NOT NULL AS in_snm
+       |  FROM blk FULL OUTER JOIN snm
+       |    ON blk.doc_a = snm.doc_a AND blk.doc_b = snm.doc_b)
+       |SELECT CAST(SUM(CASE WHEN in_blk THEN 1 ELSE 0 END) AS BIGINT) AS n_blocking,
+       |  CAST(SUM(CASE WHEN in_snm THEN 1 ELSE 0 END) AS BIGINT) AS n_snm,
+       |  CAST(SUM(CASE WHEN in_blk AND in_snm THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       |  CAST(SUM(CASE WHEN in_blk AND NOT in_snm THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_only_blocking,
+       |  CAST(SUM(CASE WHEN NOT in_blk AND in_snm THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_only_snm
+       |FROM j""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q257_dedup_overlap" -> (dedupStrategyOverlap _),
     "q216_sorted_neighborhood" -> (sortedNeighborhood _),
     "q208_dedup_sensitivity" -> (dedupSensitivity _),
     "q185_prefix_jaccard_join" -> (prefixJaccardJoin _),
@@ -1109,6 +1170,7 @@ object Dedup {
   )
 
   def oracles: Map[String, String] = Map(
+    "q257_dedup_overlap" -> dedupStrategyOverlapSql,
     "q216_sorted_neighborhood" -> sortedNeighborhoodSql,
     "q208_dedup_sensitivity" -> dedupSensitivitySql,
     "q185_prefix_jaccard_join" -> prefixJaccardJoinSql,

@@ -288,6 +288,20 @@ class Round8Spec extends SparkSuite {
       assert(r.getAs[Double]("z_trend").sign === tNum.toDouble.sign, r)
   }
 
+  test("q257 overlap audit: partition identity holds and matches the two producers") {
+    val r = graft.operators.Dedup.dedupStrategyOverlap(spark, Sf0001).collect()(0)
+    val nBlk = r.getAs[Long]("n_blocking")
+    val nSnm = r.getAs[Long]("n_snm")
+    val both = r.getAs[Long]("n_both")
+    assert(nBlk === both + r.getAs[Long]("n_only_blocking"), r)
+    assert(nSnm === both + r.getAs[Long]("n_only_snm"), r)
+    // cross-check each side's total against its own producer query
+    val blkPairs = graft.operators.Dedup.neardupJaccard(spark, Sf0001).count()
+    val snmPairs = graft.operators.Dedup.sortedNeighborhood(spark, Sf0001).count()
+    assert(nBlk === blkPairs, "n_blocking must equal q30's pair count")
+    assert(nSnm === snmPairs, "n_snm must equal q216's pair count")
+  }
+
   test("q248 isotonic: non-decreasing, in [0,1], and within 2 micro-units of exact-rational PAV") {
     val rows = Quality.isotonicCalibration(spark, Sf0001).collect()
       .sortBy(_.getAs[Int]("score_bin"))
