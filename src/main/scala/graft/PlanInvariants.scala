@@ -184,7 +184,13 @@ object PlanInvariants {
       // the three initial rollups see row scale — every later exchange
       // carries ≤ |sources|·|values| rows (n_chars is domain-bounded)
       "q240_wasserstein_drift" -> 5,
-      "q241_quantile_normalize" -> 7)
+      "q241_quantile_normalize" -> 7,
+      // q257 COMPOSES two full audited producers (q30's block-verify
+      // pipeline + q216's two-pass-rank SNM pipeline) plus the pair-
+      // keyed full-outer join and the 1-row reduce — its exchanges are
+      // the union of its producers', each individually ceiling-checked;
+      // the audit itself adds only bounded pair-frame exchanges
+      "q257_dedup_overlap" -> 8)
 
   /** Every other plan holds at <= 4 exchanges today (audited r5). */
   val defaultShuffleCeiling: Int = 4

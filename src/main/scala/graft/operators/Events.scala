@@ -3213,7 +3213,11 @@ object Events {
     sums
       .withColumn("den", den).withColumn("num", num).withColumn("vy", vy)
       .select(col("n").as("n_users"), col("sx"), col("sy"),
-        col("sxx"), col("sxy"), col("syy"),
+        // STRING witnesses: cent-squared sums exceed 2^53 and DECIMAL
+        // outputs break the driver hash (ContractSpec) — exact digits
+        col("sxx").cast("string").as("sxx"),
+        col("sxy").cast("string").as("sxy"),
+        col("syy").cast("string").as("syy"),
         when(col("den") > 0,
           col("num").cast("double") / col("den").cast("double")).as("theta"),
         when(col("den") > 0 && col("vy") > 0,
@@ -3248,9 +3252,9 @@ object Events {
       |    n * syy - CAST(sy AS HUGEINT) * sy AS vy
       |  FROM s)
       |SELECT n AS n_users, sx, sy,
-      |  CAST(sxx AS DECIMAL(38,0)) AS sxx,
-      |  CAST(sxy AS DECIMAL(38,0)) AS sxy,
-      |  CAST(syy AS DECIMAL(38,0)) AS syy,
+      |  CAST(sxx AS VARCHAR) AS sxx,
+      |  CAST(sxy AS VARCHAR) AS sxy,
+      |  CAST(syy AS VARCHAR) AS syy,
       |  CASE WHEN den > 0 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS theta,
       |  CASE WHEN den > 0 AND vy > 0 THEN
       |    (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))

@@ -2328,17 +2328,24 @@ object Quality {
       .withColumn("rs", expr(
         """zip_with(xs, sequence(1, size(xs)),
           |  (v, t) -> den * v.rev - (a_num + b_num * t))""".stripMargin))
+    // witnesses publish as STRING: exact digits at any magnitude
+    // (~1e28 here — beyond 2^53) without a DECIMAL output column,
+    // which the driver's hash compare cannot digest (ContractSpec /
+    // round-1 lesson)
     withOls.select(col("nation"), col("n").as("n_months"),
         expr("""aggregate(rs, CAST(0 AS DECIMAL(38,0)),
                   (acc, r) -> acc + CAST(r AS DECIMAL(38,0)) * r,
-                  acc -> acc)""").as("ssr_scaled"),
+                  acc -> acc)""").as("ssr0"),
         expr("""aggregate(zip_with(slice(rs, 2, size(rs) - 1), slice(rs, 1, size(rs) - 1),
                     (b, a) -> b - a),
                   CAST(0 AS DECIMAL(38,0)),
                   (acc, d) -> acc + CAST(d AS DECIMAL(38,0)) * d,
-                  acc -> acc)""").as("ssd_scaled"))
-      .withColumn("dw", when(col("ssr_scaled") > 0,
-        expr("CAST((2 * ssd_scaled * 1000000 + ssr_scaled) div (2 * ssr_scaled) AS DOUBLE) / 1000000")))
+                  acc -> acc)""").as("ssd0"))
+      .withColumn("dw", when(col("ssr0") > 0,
+        expr("CAST((2 * ssd0 * 1000000 + ssr0) div (2 * ssr0) AS DOUBLE) / 1000000")))
+      .select(col("nation"), col("n_months"),
+        col("ssr0").cast("string").as("ssr_scaled"),
+        col("ssd0").cast("string").as("ssd_scaled"), col("dw"))
       .orderBy(col("nation"))
   }
 
@@ -2369,8 +2376,8 @@ object Quality {
        |  FROM (SELECT *, LAG(r) OVER (PARTITION BY nation ORDER BY t) AS lag_r FROM res)
        |  GROUP BY 1)
        |SELECT nation, n_months,
-       |  CAST(ssr AS DECIMAL(38,0)) AS ssr_scaled,
-       |  CAST(ssd AS DECIMAL(38,0)) AS ssd_scaled,
+       |  CAST(ssr AS VARCHAR) AS ssr_scaled,
+       |  CAST(ssd AS VARCHAR) AS ssd_scaled,
        |  CASE WHEN ssr > 0 THEN
        |    CAST((2 * ssd * 1000000 + ssr) // (2 * ssr) AS DOUBLE) / 1000000
        |  END AS dw
@@ -2430,7 +2437,10 @@ object Quality {
       .select(lit(5L).as("k_groups"),
         col("n_total").cast("bigint").as("n_total"),
         col("e_total").cast("bigint").as("n_late"),
-        col("t_num"), col("var_num"),
+        col("t_num"),
+        // STRING witness: ~1e21 exceeds 2^53 and DECIMAL outputs break
+        // the driver hash (ContractSpec) — exact digits instead
+        col("var_num").cast("string").as("var_num"),
         when(col("var_num") > 0,
           col("t_num").cast("double") * sqrt(col("n_total").cast("double"))
             / sqrt(col("var_num").cast("double"))).as("z_trend"))
@@ -2465,7 +2475,7 @@ object Quality {
        |  FROM t)
        |SELECT CAST(5 AS BIGINT) AS k_groups, CAST(n_total AS BIGINT) AS n_total,
        |  CAST(e_total AS BIGINT) AS n_late, t_num,
-       |  CAST(var_num AS DECIMAL(38,0)) AS var_num,
+       |  CAST(var_num AS VARCHAR) AS var_num,
        |  CASE WHEN var_num > 0 THEN
        |    CAST(t_num AS DOUBLE) * SQRT(CAST(n_total AS DOUBLE))
        |      / SQRT(CAST(var_num AS DOUBLE)) END AS z_trend

@@ -208,8 +208,8 @@ class Round8Spec extends SparkSuite {
       val rs = ys.zipWithIndex.map { case (y, i) => den * y - (aN + bN * (i + 1)) }
       val ssr = rs.map(x => x * x).sum
       val ssd = rs.zip(rs.drop(1)).map { case (a, b) => (b - a) * (b - a) }.sum
-      assert(BigDecimal(r.getDecimal(2)).toBigInt === ssr, s"${r.getString(0)} ssr")
-      assert(BigDecimal(r.getDecimal(3)).toBigInt === ssd, s"${r.getString(0)} ssd")
+      assert(BigInt(r.getString(2)) === ssr, s"${r.getString(0)} ssr")
+      assert(BigInt(r.getString(3)) === ssd, s"${r.getString(0)} ssd")
     }
   }
 
@@ -248,13 +248,13 @@ class Round8Spec extends SparkSuite {
     assert(r.getAs[Long]("n_users") === perUser.length.toLong)
     assert(r.getAs[Long]("sx") === perUser.map(_._1).sum)
     assert(r.getAs[Long]("sy") === perUser.map(_._2).sum)
-    assert(BigDecimal(r.getDecimal(4)).toBigInt ===
+    assert(BigInt(r.getString(4)) ===
       perUser.map { case (x, y) => BigInt(x) * y }.sum) // sxy
     val rho2 = r.getAs[Double]("rho_sq")
     assert(rho2 >= 0 && rho2 <= 1.0 + 1e-12, r)
     // CUPED guarantee: adjusted variance = raw * (1 - rho^2) <= raw
     val n = r.getAs[Long]("n_users").toDouble
-    val vyRaw = (BigDecimal(r.getDecimal(5)).toDouble * n -
+    val vyRaw = (BigInt(r.getString(5)).toDouble * n -
       r.getAs[Long]("sy").toDouble * r.getAs[Long]("sy")) / (n * n)
     assert(r.getAs[Double]("var_adjusted") <= vyRaw + 1e-6, r)
   }
@@ -282,7 +282,7 @@ class Round8Spec extends SparkSuite {
     assert(r.getAs[Long]("n_total") === n)
     assert(r.getAs[Long]("n_late") === e)
     assert(BigInt(r.getAs[Long]("t_num")) === tNum)
-    assert(BigDecimal(r.getDecimal(4)).toBigInt === varNum)
+    assert(BigInt(r.getString(4)) === varNum)
     if (varNum > 0)
       // z's sign IS the trend direction of the weighted late-count excess
       assert(r.getAs[Double]("z_trend").sign === tNum.toDouble.sign, r)
