@@ -668,6 +668,169 @@ object Relational {
       |JOIN pf fb ON pairs.part_b = fb.pk
       |ORDER BY n_orders_together DESC, part_a, part_b""".stripMargin
 
+  /** Q258: FREQUENT TRIPLES — the Apriori level-3 extension of q171's
+    * pair mining: part triples bought in the same order, top 10 by
+    * support. The level worth having explicitly because its cost
+    * model differs from pairs: the within-order expansion is C(k,3)
+    * per basket — bounded by the basket-size cap (TPC-H: ≤ 7 line
+    * items → ≤ 35 triples per order, linear total), never a global
+    * part³ join. Support publishes at half-up micro-units.
+    *
+    * Scale shape: one distinct item frame (localCheckpoint — three
+    * self-join consumers), two within-order joins that only ever
+    * expand basket-bounded groups, one map-side-combined triple
+    * count, TakeOrdered top-10 under the (cnt, a, b, c) total
+    * order. */
+  def basketTriples(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity._
+    val items = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .localCheckpoint()
+    val nOrders = items.select(col("ok")).distinct().count()
+    items.select(col("ok"), col("pk").as("part_a"))
+      .join(items.select(col("ok"), col("pk").as("part_b")), Seq("ok"))
+      .filter(col("part_a") < col("part_b"))
+      .join(items.select(col("ok"), col("pk").as("part_c")), Seq("ok"))
+      .filter(col("part_b") < col("part_c"))
+      .groupBy(col("part_a"), col("part_b"), col("part_c"))
+      .agg(count(lit(1)).cast("bigint").as("n_orders_together"))
+      .orderBy(col("n_orders_together").desc,
+        col("part_a"), col("part_b"), col("part_c"))
+      .limit(10)
+      .withColumn("support",
+        expr(s"CAST((2 * n_orders_together * 1000000 + ${nOrders}L) div (2 * ${nOrders}L) AS DOUBLE)")
+          / 1000000)
+  }
+
+  val basketTriplesSql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      |n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM items),
+      |tr AS (
+      |  SELECT a.pk AS part_a, b.pk AS part_b, c.pk AS part_c,
+      |    CAST(COUNT(*) AS BIGINT) AS n_orders_together
+      |  FROM items a
+      |  JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      |  JOIN items c ON b.ok = c.ok AND b.pk < c.pk
+      |  GROUP BY 1, 2, 3
+      |  ORDER BY n_orders_together DESC, part_a, part_b, part_c LIMIT 10)
+      |SELECT part_a, part_b, part_c, n_orders_together,
+      |  CAST((2 * n_orders_together * 1000000 + n.n_orders)
+      |    // (2 * n.n_orders) AS DOUBLE) / 1000000 AS support
+      |FROM tr CROSS JOIN n
+      |ORDER BY n_orders_together DESC, part_a, part_b, part_c""".stripMargin
+
+  /** Q259: ASSOCIATION-RULE METRICS — the directional view q171's
+    * symmetric pairs lack: each surviving pair yields the two rules
+    * A→B and B→A, scored with the standard quartet — confidence
+    * P(B|A), lift, LEVERAGE P(AB) − P(A)P(B) (additive surplus — the
+    * only signed one), and CONVICTION (1−P(B))/(1−conf), the
+    * directed-implication strength (∞-prone: a perfect rule has
+    * conf = 1 — published NULL then, both engines). Confidence ranks
+    * rules for deployment; lift/leverage say whether the association
+    * beats independence; conviction separates "A implies B" from
+    * "B is just popular".
+    *
+    * Exactness: every metric is ONE integer rational — conf cnt/fa,
+    * lift cnt·N/(fa·fb), leverage (cnt·N − fa·fb)/N² (sign-aware
+    * micro form — it goes negative), conviction (N−fb)·fa /
+    * (N·(fa−cnt)) — each published at half-up micro-units, never a
+    * difference of rounded rates (the q151 discipline).
+    *
+    * Scale shape: q171's verbatim — the 20-pair frame is bounded, so
+    * rule expansion (40 rows), frequency joins (broadcast of the
+    * ≤ 40-part frequency frame) and the output sort are all
+    * bounded-frame work; only the item scan and pair count see
+    * rows. */
+  def basketRules(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .localCheckpoint()
+    val nOrders = items.select(col("ok")).distinct().count()
+    val pairs = items.select(col("ok"), col("pk").as("pa"))
+      .join(items.select(col("ok"), col("pk").as("pb")), Seq("ok"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).cast("bigint").as("cnt"))
+      .orderBy(col("cnt").desc, col("pa"), col("pb"))
+      .limit(20)
+      .localCheckpoint()
+    val candParts = pairs.select(col("pa").as("pk"))
+      .union(pairs.select(col("pb"))).distinct()
+    val freq = items.join(broadcast(candParts), Seq("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).cast("bigint").as("pf"))
+    val rules = pairs
+      .select(col("pa").as("ante"), col("pb").as("cons"), col("cnt"))
+      .unionByName(pairs
+        .select(col("pb").as("ante"), col("pa").as("cons"), col("cnt")))
+    val n = lit(nOrders)
+    rules
+      .join(broadcast(freq.select(col("pk").as("ante"), col("pf").as("fa"))),
+        Seq("ante"))
+      .join(broadcast(freq.select(col("pk").as("cons"), col("pf").as("fb"))),
+        Seq("cons"))
+      .withColumn("confidence",
+        expr("CAST((2 * cnt * 1000000 + fa) div (2 * fa) AS DOUBLE)") / 1000000)
+      .withColumn("lift",
+        (expr(s"(2 * cnt * ${nOrders}L * 1000000 + fa * fb) div (2 * fa * fb)")
+          .cast("double")) / 1000000)
+      .withColumn("leverage",
+        (expr(s"""cast(sign(cnt * ${nOrders}L - fa * fb) as bigint)
+                * ((2 * abs(cnt * ${nOrders}L - fa * fb) * 1000000
+                    + ${nOrders}L * ${nOrders}L)
+                   div (2 * ${nOrders}L * ${nOrders}L))""")
+          .cast("double")) / 1000000)
+      .withColumn("conviction",
+        when(col("fa") > col("cnt"),
+          (expr(s"""(2 * (${nOrders}L - fb) * fa * 1000000
+                   + ${nOrders}L * (fa - cnt))
+                  div (2 * ${nOrders}L * (fa - cnt))""")
+            .cast("double")) / 1000000))
+      .select(col("ante"), col("cons"), col("cnt").as("n_together"),
+        col("fa").as("n_ante"), col("fb").as("n_cons"),
+        col("confidence"), col("lift"), col("leverage"), col("conviction"))
+      .orderBy(col("ante"), col("cons"))
+  }
+
+  val basketRulesSql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      |n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM items),
+      |pf AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS pf FROM items GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.pk AS pa, b.pk AS pb, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2
+      |  ORDER BY cnt DESC, pa, pb LIMIT 20),
+      |rules AS (
+      |  SELECT pa AS ante, pb AS cons, cnt FROM pairs
+      |  UNION ALL
+      |  SELECT pb AS ante, pa AS cons, cnt FROM pairs),
+      |m AS (
+      |  SELECT r.ante, r.cons, r.cnt, fa.pf AS fa, fb.pf AS fb, n.n_orders AS nn
+      |  FROM rules r
+      |  JOIN pf fa ON r.ante = fa.pk
+      |  JOIN pf fb ON r.cons = fb.pk
+      |  CROSS JOIN n)
+      |SELECT ante, cons, cnt AS n_together, fa AS n_ante, fb AS n_cons,
+      |  CAST((2 * cnt * 1000000 + fa) // (2 * fa) AS DOUBLE) / 1000000
+      |    AS confidence,
+      |  CAST((2 * cnt * nn * 1000000 + fa * fb) // (2 * fa * fb) AS DOUBLE)
+      |    / 1000000 AS lift,
+      |  CAST(CASE WHEN cnt * nn - fa * fb >= 0 THEN 1 ELSE -1 END
+      |    * ((2 * ABS(cnt * nn - fa * fb) * 1000000 + nn * nn)
+      |       // (2 * nn * nn)) AS DOUBLE) / 1000000 AS leverage,
+      |  CASE WHEN fa > cnt THEN
+      |    CAST((2 * (nn - fb) * fa * 1000000 + nn * (fa - cnt))
+      |      // (2 * nn * (fa - cnt)) AS DOUBLE) / 1000000 END AS conviction
+      |FROM m ORDER BY ante, cons""".stripMargin
+
   /** Q173: ABC / PARETO CLASSIFICATION — inventory analytics' 80/95
     * rule: rank parts by revenue and classify into A (parts up to 80%
     * of cumulative revenue), B (to 95%), C (tail). Membership is
@@ -1143,6 +1306,8 @@ object Relational {
     "q166_share_shift" -> (shareShift _),
     "q220_mix_rate_decomp" -> (mixRateDecomposition _),
     "q171_basket_pairs" -> (basketPairs _),
+    "q258_basket_triples" -> (basketTriples _),
+    "q259_basket_rules" -> (basketRules _),
     "q173_abc_classification" -> (abcClassification _),
     "q175_ratio_to_parent" -> (ratioToParent _),
     "q1_pricing_summary" -> (pricingSummary _),
@@ -1169,6 +1334,8 @@ object Relational {
     "q166_share_shift" -> shareShiftSql,
     "q220_mix_rate_decomp" -> mixRateDecompositionSql,
     "q171_basket_pairs" -> basketPairsSql,
+    "q258_basket_triples" -> basketTriplesSql,
+    "q259_basket_rules" -> basketRulesSql,
     "q173_abc_classification" -> abcClassificationSql,
     "q175_ratio_to_parent" -> ratioToParentSql,
     "q1_pricing_summary" -> pricingSummarySql,

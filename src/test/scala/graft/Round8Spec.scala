@@ -302,6 +302,51 @@ class Round8Spec extends SparkSuite {
     assert(nSnm === snmPairs, "n_snm must equal q216's pair count")
   }
 
+  test("q258 triples: anti-monotone — every top triple's support <= each contained pair's") {
+    val triples = graft.operators.Relational.basketTriples(spark, Sf0001).collect()
+    assert(triples.nonEmpty)
+    // driver-side pair counts from the same basket frame
+    val items = Tables.lineitem(spark, Sf0001)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = items.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def pairCount(a: Long, b: Long) =
+      byOrder.values.count(s => s.contains(a) && s.contains(b)).toLong
+    triples.foreach { r =>
+      val (a, b, c) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val cnt = r.getAs[Long]("n_orders_together")
+      assert(cnt <= pairCount(a, b) && cnt <= pairCount(a, c) && cnt <= pairCount(b, c),
+        s"triple ($a,$b,$c) support must not exceed its pairs'")
+      assert(a < b && b < c, "canonical part order")
+    }
+  }
+
+  test("q259 rules: metric identities hold on every emitted rule") {
+    val rules = graft.operators.Relational.basketRules(spark, Sf0001).collect()
+    assert(rules.length === 40) // 20 pairs x 2 directions
+    rules.foreach { r =>
+      val cnt = r.getAs[Long]("n_together")
+      val fa = r.getAs[Long]("n_ante")
+      val conf = r.getAs[Double]("confidence")
+      assert(conf > 0 && conf <= 1.0 + 1e-9, r)
+      assert(math.abs(conf - cnt.toDouble / fa) <= 1e-6, "confidence = cnt/fa")
+      // leverage sign agrees with lift vs 1 (both measure the same surplus)
+      val lift = r.getAs[Double]("lift")
+      val lev = r.getAs[Double]("leverage")
+      if (math.abs(lift - 1.0) > 1e-5)
+        assert(lev.sign === (lift - 1.0).sign, r)
+      // conviction defined iff the rule is imperfect
+      assert(r.isNullAt(r.fieldIndex("conviction")) === (cnt == fa), r)
+    }
+    // symmetric metrics match across the two directions of one pair
+    rules.groupBy(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).values.foreach { dirs =>
+      assert(dirs.length === 2)
+      assert(dirs(0).getAs[Double]("lift") === dirs(1).getAs[Double]("lift"))
+      assert(dirs(0).getAs[Double]("leverage") === dirs(1).getAs[Double]("leverage"))
+    }
+  }
+
   test("q248 isotonic: non-decreasing, in [0,1], and within 2 micro-units of exact-rational PAV") {
     val rows = Quality.isotonicCalibration(spark, Sf0001).collect()
       .sortBy(_.getAs[Int]("score_bin"))
