@@ -142,17 +142,38 @@ object Media {
     * create per asset, no driver-side content loop) and
     * `_SUCCESS`-guarded under the q63/q185 artifact discipline: built
     * once per (process, corpus), served from disk afterwards. */
-  def stagedBlobRoot(spark: SparkSession, dir: String): String = {
-    val path = graft.Scratch.artifactPath("blob_corpus", dir, s"_b$BlobBatch")
+  def stagedBlobRoot(spark: SparkSession, dir: String): String =
+    stageBlobs(spark, dir, "blob_corpus",
+      Tables.documents(spark, dir)
+        .filter(col("text").isNotNull && col("doc_id") < BlobBatch)
+        .select(col("doc_id"), col("lang"), col("text")))
+
+  /** The SECOND blob generation for q260's sync diff — deterministic
+    * overlap with [[stagedBlobRoot]]'s generation: ids [Gen2Lo,
+    * Gen2Hi) where Gen2Lo < BlobBatch < Gen2Hi, so ids < Gen2Lo are
+    * "removed", ids ≥ BlobBatch "added", and within the overlap every
+    * 7th doc carries REVERSED text ("changed" — same path, different
+    * bytes). */
+  val Gen2Lo = 256L
+  val Gen2Hi = 768L
+  def stagedBlobRootGen2(spark: SparkSession, dir: String): String =
+    stageBlobs(spark, dir, "blob_corpus_g2",
+      Tables.documents(spark, dir)
+        .filter(col("text").isNotNull &&
+          col("doc_id") >= Gen2Lo && col("doc_id") < Gen2Hi)
+        .select(col("doc_id"), col("lang"),
+          when(col("doc_id") % 7 === 0, reverse(col("text")))
+            .otherwise(col("text")).as("text")))
+
+  private def stageBlobs(spark: SparkSession, dir: String, kind: String,
+      docs: org.apache.spark.sql.DataFrame): String = {
+    val path = graft.Scratch.artifactPath(kind, dir, s"_b$BlobBatch")
     if (!graft.Scratch.artifactComplete(path)) {
       graft.Scratch.prepareArtifact(path)
       import spark.implicits._
       val serializableConf = new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration)
-      Tables.documents(spark, dir)
-        .filter(col("text").isNotNull && col("doc_id") < BlobBatch)
-        .select(col("doc_id"), col("lang"), col("text"))
-        .as[(Long, String, String)]
+      docs.as[(Long, String, String)]
         .foreachPartition { it: Iterator[(Long, String, String)] =>
           it.foreach { case (docId, lang, text) =>
             val p = new org.apache.hadoop.fs.Path(s"$path/lang=$lang/$docId.bin")

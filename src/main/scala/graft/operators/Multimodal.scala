@@ -128,7 +128,87 @@ object Multimodal {
        |WHERE text IS NOT NULL AND doc_id < ${Media.BlobBatch} AND lang = 'en'
        |ORDER BY rel_path""".stripMargin
 
+  /** Shared binaryFile manifest scan of a staged blob root (all lang
+    * dirs — recursive lookup; q244 demonstrates the pruned single-dir
+    * form). */
+  private def blobManifestAll(spark: SparkSession, root: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .option("recursiveFileLookup", "true")
+      .load(root)
+      .select(
+        regexp_extract(col("path"), "(lang=[^/]+/[^/]+\\.bin)$", 1).as("rel_path"),
+        col("length").cast("bigint").as("n_bytes"),
+        md5(col("content")).as("content_md5"))
+
+  /** Q260: BLOB-CORPUS SYNC DIFF — the content-addressed diff between
+    * two staged blob generations: per file, added / removed / changed
+    * / unchanged by (path, md5), rolled up per status with byte
+    * totals. This is the QUERY-ENGINE SEMANTICS of the reference's
+    * rsync deploy step (SURVEY S10): what an incremental blob sync
+    * must transfer is exactly the added+changed partition, and the
+    * md5 comparison (not size — generation 2's changed files keep
+    * their length by construction) is what rsync's delta detection
+    * resolves to at file granularity. Generation 2 overlaps
+    * generation 1 deterministically ([[Media.stagedBlobRootGen2]]):
+    * ids below the overlap are removals, above it additions, and
+    * every 7th overlapping doc carries reversed bytes (changed).
+    *
+    * Oracle: recomputes BOTH manifests from the documents table
+    * (md5(text) vs md5(reverse(text)) — ASCII corpus, so codepoint
+    * reversal is byte reversal on both engines) and classifies
+    * identically — the hash compare therefore proves both staged
+    * generations round-tripped and the diff logic agrees.
+    *
+    * Scale shape: two per-file-parallel binaryFile scans (content
+    * hashed in-scan, never shuffled), one full-outer join on the
+    * path-keyed 3-column manifests, one ≤4-row rollup. */
+  def blobSyncDiff(spark: SparkSession, dir: String): DataFrame = {
+    val a = blobManifestAll(spark, Media.stagedBlobRoot(spark, dir))
+      .select(col("rel_path"), col("n_bytes").as("bytes_a"),
+        col("content_md5").as("md5_a"))
+    val b = blobManifestAll(spark, Media.stagedBlobRootGen2(spark, dir))
+      .select(col("rel_path"), col("n_bytes").as("bytes_b"),
+        col("content_md5").as("md5_b"))
+    a.join(b, Seq("rel_path"), "full_outer")
+      .withColumn("status",
+        when(col("md5_a").isNull, "added")
+          .when(col("md5_b").isNull, "removed")
+          .when(col("md5_a") =!= col("md5_b"), "changed")
+          .otherwise("unchanged"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).cast("bigint").as("n_files"),
+        sum(coalesce(col("bytes_b"), col("bytes_a"))).cast("bigint").as("n_bytes"))
+      .orderBy(col("status"))
+  }
+
+  val blobSyncDiffSql: String =
+    s"""WITH ga AS (
+       |  SELECT 'lang=' || lang || '/' || CAST(doc_id AS VARCHAR) || '.bin' AS rel_path,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS bytes_a, md5(text) AS md5_a
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND doc_id < ${Media.BlobBatch}),
+       |gb AS (
+       |  SELECT 'lang=' || lang || '/' || CAST(doc_id AS VARCHAR) || '.bin' AS rel_path,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS bytes_b,
+       |    md5(CASE WHEN doc_id % 7 = 0 THEN reverse(text) ELSE text END) AS md5_b
+       |  FROM documents
+       |  WHERE text IS NOT NULL
+       |    AND doc_id >= ${Media.Gen2Lo} AND doc_id < ${Media.Gen2Hi}),
+       |j AS (
+       |  SELECT COALESCE(ga.rel_path, gb.rel_path) AS rel_path,
+       |    bytes_a, md5_a, bytes_b, md5_b,
+       |    CASE WHEN md5_a IS NULL THEN 'added'
+       |         WHEN md5_b IS NULL THEN 'removed'
+       |         WHEN md5_a <> md5_b THEN 'changed'
+       |         ELSE 'unchanged' END AS status
+       |  FROM ga FULL OUTER JOIN gb ON ga.rel_path = gb.rel_path)
+       |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_files,
+       |  CAST(SUM(COALESCE(bytes_b, bytes_a)) AS BIGINT) AS n_bytes
+       |FROM j GROUP BY status ORDER BY status""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q260_blob_sync_diff" -> (blobSyncDiff _),
     "q41_media_meta" -> (mediaMeta _),
     "q42_media_features" -> (mediaFeatures _),
     "q43_frame_sample" -> (frameSample _),
@@ -140,5 +220,6 @@ object Multimodal {
     // q42 omitted: mapPartitions batch path, spec-tested instead.
     "q43_frame_sample" -> frameSampleSql,
     "q244_blob_manifest" -> blobManifestSql,
+    "q260_blob_sync_diff" -> blobSyncDiffSql,
   )
 }

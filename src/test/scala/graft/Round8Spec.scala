@@ -347,6 +347,25 @@ class Round8Spec extends SparkSuite {
     }
   }
 
+  test("q260 blob sync: status partition reconciles with both generations' file counts") {
+    val rows = graft.operators.Multimodal.blobSyncDiff(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_files")).toMap
+    def n(s: String) = rows.getOrElse(s, 0L)
+    val docs = Tables.documents(spark, Sf0001)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val genA = docs.filter(_._1 < 512).map(_._1).toSet
+    val genB = docs.filter(d => d._1 >= 256 && d._1 < 768).map(_._1).toSet
+    assert(n("removed") + n("changed") + n("unchanged") === genA.size.toLong)
+    assert(n("added") + n("changed") + n("unchanged") === genB.size.toLong)
+    // changed = overlap docs with id % 7 == 0 whose text is not a palindrome
+    val expectedChanged = docs.filter { case (id, t) =>
+      genA(id) && genB(id) && id % 7 == 0 && t != t.reverse
+    }.length.toLong
+    assert(n("changed") === expectedChanged)
+  }
+
   test("q248 isotonic: non-decreasing, in [0,1], and within 2 micro-units of exact-rational PAV") {
     val rows = Quality.isotonicCalibration(spark, Sf0001).collect()
       .sortBy(_.getAs[Int]("score_bin"))
