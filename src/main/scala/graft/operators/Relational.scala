@@ -590,38 +590,54 @@ object Relational {
     * frequency joins (partFreq scales with |distinct parts| — at
     * 100 TB it is a multi-GB table that must stay the streamed side,
     * the round-5 judge's broadcast-direction finding). */
+  /** Persisted basket frames — ONE build serves q171/q258/q259 (the
+    * q185/q109 build-once discipline; each previously re-ran the
+    * row-scale distinct-items scan and, for q171/q259, the pair
+    * self-join). `basket_items` is the distinct (order, part) frame
+    * with a 1-row order-count sidecar written BEFORE it (the kmeans
+    * `_cents` convention — the items `_SUCCESS` closes the
+    * transaction); `basket_pairs` is the top-20 pair frame. Both
+    * null-filters are explicit before the distinct so every consumer
+    * shares one canonical form (round-5 plan finding). */
+  private[graft] def basketItems(spark: SparkSession, dir: String): (DataFrame, Long) = {
+    val path = graft.Scratch.artifactPath("basket_items", dir)
+    if (!graft.Scratch.artifactComplete(path)) {
+      graft.Scratch.prepareArtifact(path, path + "_n")
+      val items = Tables.lineitem(spark, dir)
+        .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      import spark.implicits._
+      Seq(items.select(col("ok")).distinct().count())
+        .toDF("n_orders").write.mode("overwrite").parquet(path + "_n")
+      items.write.mode("overwrite").parquet(path)
+    }
+    (spark.read.schema("ok BIGINT, pk BIGINT").parquet(path),
+      spark.read.schema("n_orders BIGINT").parquet(path + "_n")
+        .head().getLong(0))
+  }
+
+  private[graft] def basketTopPairs(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.Scratch.artifactPath("basket_pairs", dir, "_top20")
+    if (!graft.Scratch.artifactComplete(path)) {
+      graft.Scratch.prepareArtifact(path)
+      val (items, _) = basketItems(spark, dir)
+      items.select(col("ok"), col("pk").as("part_a"))
+        .join(items.select(col("ok"), col("pk").as("part_b")), Seq("ok"))
+        .filter(col("part_a") < col("part_b"))
+        .groupBy(col("part_a"), col("part_b"))
+        .agg(count(lit(1)).cast("bigint").as("cnt"))
+        .orderBy(col("cnt").desc, col("part_a"), col("part_b"))
+        .limit(20)
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.schema("part_a BIGINT, part_b BIGINT, cnt BIGINT").parquet(path)
+  }
+
   def basketPairs(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import graft.functions.Parity._
-    // both null-filters made explicit BEFORE the distinct: the pair
-    // expansion pushes isnotnull(ok) and the frequency join pushes
-    // isnotnull(pk) — left implicit, the two consumers would carry
-    // DIFFERENT filters under their distinct subtrees and the shuffle
-    // exchange could not be reused between them (one extra row-scale
-    // exchange, observed in the plan). Keys are non-null in this
-    // schema, so the filters change nothing but the canonical form.
-    // one build, four consumers (order count, pair expansion, candidate
-    // frequency count) — lazily each action would redo the scan + the
-    // distinct exchange. NOTE this frame is ROW-SCALE: localCheckpoint
-    // is right for the single-JVM harness, but at cluster scale it
-    // writes the full frame to executor-local disk and dies with any
-    // executor — a deployment uses persist(DISK_ONLY) + unpersist or a
-    // reused exchange instead (SCALE.md q171)
-    val items = Tables.lineitem(spark, dir)
-      .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-      .localCheckpoint()
-    val nOrders = items.select(col("ok")).distinct().count()
-    val a = items.select(col("ok"), col("pk").as("part_a"))
-    val b = items.select(col("ok"), col("pk").as("part_b"))
-    val pairs = a.join(b, Seq("ok"))
-      .filter(col("part_a") < col("part_b"))
-      .groupBy(col("part_a"), col("part_b"))
-      .agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("part_a"), col("part_b"))
-      .limit(20)
-      .localCheckpoint()
+    val (items, nOrders) = basketItems(spark, dir)
+    val pairs = basketTopPairs(spark, dir)
     // frequencies ONLY for the <= 40 surviving parts: a broadcast
     // semi-filter over the item scan feeding a tiny aggregate — the
     // |distinct parts|-scale frequency table never materializes at all
@@ -676,19 +692,13 @@ object Relational {
     * items → ≤ 35 triples per order, linear total), never a global
     * part³ join. Support publishes at half-up micro-units.
     *
-    * Scale shape: one distinct item frame (localCheckpoint — three
-    * self-join consumers), two within-order joins that only ever
-    * expand basket-bounded groups, one map-side-combined triple
-    * count, TakeOrdered top-10 under the (cnt, a, b, c) total
-    * order. */
+    * Scale shape: the persisted [[basketItems]] frame (built once per
+    * (process, corpus), shared with q171/q259), two within-order
+    * joins that only ever expand basket-bounded groups, one
+    * map-side-combined triple count, TakeOrdered top-10 under the
+    * (cnt, a, b, c) total order. */
   def basketTriples(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.Parity._
-    val items = Tables.lineitem(spark, dir)
-      .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-      .localCheckpoint()
-    val nOrders = items.select(col("ok")).distinct().count()
+    val (items, nOrders) = basketItems(spark, dir)
     items.select(col("ok"), col("pk").as("part_a"))
       .join(items.select(col("ok"), col("pk").as("part_b")), Seq("ok"))
       .filter(col("part_a") < col("part_b"))
@@ -740,26 +750,16 @@ object Relational {
     * (N·(fa−cnt)) — each published at half-up micro-units, never a
     * difference of rounded rates (the q151 discipline).
     *
-    * Scale shape: q171's verbatim — the 20-pair frame is bounded, so
-    * rule expansion (40 rows), frequency joins (broadcast of the
-    * ≤ 40-part frequency frame) and the output sort are all
-    * bounded-frame work; only the item scan and pair count see
-    * rows. */
+    * Scale shape: serves from the persisted [[basketItems]] /
+    * [[basketTopPairs]] artifacts (one build for q171/q258/q259) —
+    * the 20-pair frame is bounded, so rule expansion (40 rows),
+    * frequency joins (broadcast of the ≤ 40-part frequency frame)
+    * and the output sort are all bounded-frame work; only the item
+    * scan behind the frequency filter sees rows per serve. */
   def basketRules(spark: SparkSession, dir: String): DataFrame = {
-    val items = Tables.lineitem(spark, dir)
-      .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-      .localCheckpoint()
-    val nOrders = items.select(col("ok")).distinct().count()
-    val pairs = items.select(col("ok"), col("pk").as("pa"))
-      .join(items.select(col("ok"), col("pk").as("pb")), Seq("ok"))
-      .filter(col("pa") < col("pb"))
-      .groupBy(col("pa"), col("pb"))
-      .agg(count(lit(1)).cast("bigint").as("cnt"))
-      .orderBy(col("cnt").desc, col("pa"), col("pb"))
-      .limit(20)
-      .localCheckpoint()
+    val (items, nOrders) = basketItems(spark, dir)
+    val pairs = basketTopPairs(spark, dir)
+      .select(col("part_a").as("pa"), col("part_b").as("pb"), col("cnt"))
     val candParts = pairs.select(col("pa").as("pk"))
       .union(pairs.select(col("pb"))).distinct()
     val freq = items.join(broadcast(candParts), Seq("pk"))
