@@ -49,6 +49,14 @@ import org.apache.spark.sql.SparkSession
   * full metric line AND the headline fields (total/worst/calibration)
   * repeat AFTER the per-query map inside the metric line — whichever
   * end survives truncation, the headline numbers survive with it.
+  *
+  * Drift auto-adjudication (round-9): a per-query max/median > 3
+  * inside one run is the q147/q91 spike class; the flagged set is
+  * automatically re-measured with 5 extra interleaved passes and the
+  * artifact carries `drift_flags` + `drift_remeasure` — the manual
+  * REPS=5 adjudication protocol, automated. The worst-5 list also
+  * emits probe-normalized (`worst_cal_units`) so cross-round worst
+  * lists compare directly.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -195,6 +203,39 @@ object Bench {
     val results = spreads.map { case (name, (_, med, _)) => name -> med }
     val calTimes = passes.flatMap(_(calibrationName)).sorted
     val calMedian = if (calTimes.isEmpty) -1.0 else calTimes(calTimes.length / 2)
+    // Drift auto-adjudication (round-9, VERDICT r8 task 3): a single
+    // rep far above its siblings on identical code is the q147/q91
+    // drift class (GC/page-cache spike) — previously adjudicated by a
+    // human re-running REPS=5 by hand (NOTES "Round-8 outlier
+    // adjudication"). Automate exactly that protocol inside ONE
+    // artifact: flag max/median > 3, immediately re-measure the
+    // flagged set with 5 interleaved shuffled passes, and append the
+    // re-measured spreads to the JSON. The headline numbers stay the
+    // main-run medians (the re-measure is evidence, not a retake);
+    // a flag whose re-measured median is ~the main median is a real
+    // slow query, one that collapses is adjudicated drift.
+    val driftFlagged = spreads.collect {
+      case (name, (_, med, mx)) if med > 0 && mx / med > 3.0 => name
+    }
+    val driftRemeasure: Seq[(String, (Double, Double, Double))] =
+      if (driftFlagged.isEmpty) Nil
+      else {
+        val flaggedFns = selected.filter { case (n, _) => driftFlagged.contains(n) }
+        val rePasses = (1 to 5).map { _ =>
+          rng.shuffle(flaggedFns).map { case (name, fn) =>
+            val t0 = System.nanoTime()
+            val ok =
+              try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+              catch { case _: Throwable => false }
+            name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
+          }.toMap
+        }
+        driftFlagged.flatMap { name =>
+          val ts = rePasses.flatMap(_(name)).sorted
+          if (ts.isEmpty) None
+          else Some(name -> (ts.head, ts(ts.length / 2), ts.last))
+        }
+      }
     val calPasses = calTimes.map(t => f"$t%.4f").mkString("[", ",", "]")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -204,6 +245,19 @@ object Bench {
     val total = results.map(_._2).sum
     val worst = results.sortBy(-_._2).take(5)
       .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    // worst-5 in CAL-UNITS (median / calibration probe): raw-second
+    // worst lists from different rounds ran on different-speed
+    // containers — the cal-unit list is the one that compares
+    // directly across rounds (VERDICT r8 task 3)
+    val worstCal =
+      if (calMedian <= 0) "{}"
+      else results.sortBy(-_._2).take(5)
+        .map { case (k, v) => s"\"" + k + "\":" + f"${v / calMedian}%.2f" }
+        .mkString("{", ",", "}")
+    val driftFlagsJson = driftFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val driftRemeasureJson = driftRemeasure.map { case (k, (mn, md, mx)) =>
+      s"\"" + k + "\":[" + f"$mn%.3f,$md%.3f,$mx%.3f" + "]"
+    }.mkString("{", ",", "}")
     // failures surface in the metric line itself — a stderr-only signal
     // would let a broken query silently "improve" the total
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -213,7 +267,7 @@ object Bench {
     // without manual adjudication. Pass/fail-neutral — emitted for the
     // reader, never gated on.
     val calUnits = if (calMedian > 0) total / calMedian else -1.0
-    val headline = f""""total":$total%.3f,"n_queries":${results.size},"worst":$worst,"calibration":$calMedian%.4f,"calibration_passes":$calPasses,"total_cal_units":$calUnits%.1f,"failed":$failedJson"""
+    val headline = f""""total":$total%.3f,"n_queries":${results.size},"worst":$worst,"worst_cal_units":$worstCal,"calibration":$calMedian%.4f,"calibration_passes":$calPasses,"total_cal_units":$calUnits%.1f,"drift_flags":$driftFlagsJson,"drift_remeasure":$driftRemeasureJson,"failed":$failedJson"""
     // summary-first line: survives head-truncation of the artifact
     println(s"""{"metric":"summary",$headline,"reps":$reps,"sf":"$sfDir"}""")
     // metric line (driver contract): headline fields repeat AFTER the

@@ -190,7 +190,25 @@ object PlanInvariants {
       // keyed full-outer join and the 1-row reduce — its exchanges are
       // the union of its producers', each individually ceiling-checked;
       // the audit itself adds only bounded pair-frame exchanges
-      "q257_dedup_overlap" -> 8)
+      "q257_dedup_overlap" -> 8,
+      // q263 audits THREE independent lattice levels (the q134 "pays
+      // the shuffle it audits" argument): each level pays an
+      // order-keyed extension join over the candidate-filtered item
+      // scan plus its (itemset, extension)-keyed count and the
+      // bounded per-itemset max — after each count every exchange
+      // carries ≤ 40/20/10-itemset frames; the L1/L2/L3 candidate
+      // frames themselves ride in as broadcasts from the persisted
+      // basket artifacts
+      "q263_closed_itemsets" -> 8,
+      // q265's winnowing chain: the doc-partitioned selection window,
+      // the selected-position distinct, then TWO independent rollups
+      // off the selection frame (per-doc totals → per-source totals;
+      // per-(source,hash,doc) distinct → per-(source,hash) collision
+      // counts → per-source fingerprint totals) + the bounded join
+      // and output sort. After the distinct every exchange carries
+      // selection-density rows (~2/(w+1) of gram scale) or
+      // |sources|-bounded frames
+      "q265_winnowing" -> 6)
 
   /** Every other plan holds at <= 4 exchanges today (audited r5). */
   val defaultShuffleCeiling: Int = 4

@@ -165,6 +165,78 @@ object Media {
           when(col("doc_id") % 7 === 0, reverse(col("text")))
             .otherwise(col("text")).as("text")))
 
+  /** WAV staging parameters — interpolated into BOTH the Scala header
+    * builder and the DuckDB oracle, so the staged integers are the
+    * oracle's integers by construction. */
+  val WavRates = Seq(8000, 16000, 44100)
+  val WavBits = 16
+
+  /** The 44-byte canonical RIFF/WAVE PCM header (all multi-byte fields
+    * little-endian — the fixed PUBLIC format q262 decodes): RIFF +
+    * chunk size (36 + data) + WAVE + "fmt " + 16 + PCM(1) + channels +
+    * sample rate + byte rate + block align + bits + "data" + data
+    * size. Pure integer fields, no codec — decodable exactly on both
+    * engines. */
+  private[graft] def wavHeader(dataLen: Int, channels: Int,
+      sampleRate: Int, bits: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII"))
+    bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII"))
+    bb.putInt(16)
+    bb.putShort(1) // PCM
+    bb.putShort(channels.toShort)
+    bb.putInt(sampleRate)
+    bb.putInt(sampleRate * channels * bits / 8)
+    bb.putShort((channels * bits / 8).toShort)
+    bb.putShort(bits.toShort)
+    bb.put("data".getBytes("US-ASCII"))
+    bb.putInt(dataLen)
+    bb.array()
+  }
+
+  /** Stage REAL WAV files (q262): per doc, a valid 44-byte PCM header
+    * whose integer fields derive deterministically from doc_id
+    * (channels = id%2+1, rate = [[WavRates]][id%3], 16-bit) followed
+    * by the doc's UTF-8 bytes as payload — so the DuckDB oracle
+    * recomputes every header field from the documents table while the
+    * engine PARSES it from the staged bytes; agreement proves the
+    * decode. Same distributed `_SUCCESS`-guarded writer as
+    * [[stagedBlobRoot]]. */
+  def stagedWavRoot(spark: SparkSession, dir: String): String = {
+    val path = graft.Scratch.artifactPath("wav_corpus", dir, s"_b$BlobBatch")
+    if (!graft.Scratch.artifactComplete(path)) {
+      graft.Scratch.prepareArtifact(path)
+      import spark.implicits._
+      val serializableConf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      Tables.documents(spark, dir)
+        .filter(col("text").isNotNull && col("doc_id") < BlobBatch)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .foreachPartition { it: Iterator[(Long, String)] =>
+          it.foreach { case (docId, text) =>
+            val data = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val channels = (docId % 2 + 1).toInt
+            val rate = WavRates(((docId % 3) + 3).toInt % 3)
+            val p = new org.apache.hadoop.fs.Path(s"$path/$docId.wav")
+            val fs = p.getFileSystem(serializableConf.value)
+            val out = fs.create(p, true)
+            try {
+              out.write(wavHeader(data.length, channels, rate, WavBits))
+              out.write(data)
+            } finally out.close()
+          }
+        }
+      val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+      marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .create(marker, true).close()
+    }
+    path
+  }
+
   private def stageBlobs(spark: SparkSession, dir: String, kind: String,
       docs: org.apache.spark.sql.DataFrame): String = {
     val path = graft.Scratch.artifactPath(kind, dir, s"_b$BlobBatch")

@@ -373,6 +373,145 @@ object Dedup {
        |FROM s GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY first_doc""".stripMargin
   }
 
+  /** q261 permutation constants: 32 multiply-shift hash families
+    * (A_p·v1 + B_p·v2 + C_p) mod 2³², derived from a fixed splitmix
+    * mix so both engines interpolate the IDENTICAL literals (the
+    * constants appear verbatim in the oracle SQL). A_p, B_p are odd
+    * 30-bit (products with 32-bit v stay < 2⁶², sums < 2⁶³ — safe in
+    * signed BIGINT on BOTH engines, no HUGEINT needed); C_p is 30-bit. */
+  private val LshTwinPerms: IndexedSeq[(Long, Long, Long)] = {
+    def mix(x: Long): Long = {
+      var h = x * 0x9E3779B97F4A7C15L
+      h ^= (h >>> 32)
+      h & 0x3FFFFFFFL
+    }
+    (0 until 32).map(p => (mix(3L * p + 1) | 1L, mix(3L * p + 2) | 1L, mix(3L * p + 3)))
+  }
+
+  /** Q261: MD5 MINHASH-LSH TWIN — q31's full banded pipeline
+    * (shingle → 32-permutation MinHash signature → 8 bands × 4 rows →
+    * band-collision candidates → exact-Jaccard ≥ 0.5 verification)
+    * with a CROSS-ENGINE hash family, closing the last ⊙ kernel
+    * family without an oracled twin (the q200/q201 discipline; q119's
+    * md5 permutation family proved DuckDB replays min-hash signatures
+    * exactly). Each distinct word-3-shingle is digested ONCE (md5 —
+    * identical on both engines); the digest's first 16 hex chars
+    * split into two 32-bit integers (v1, v2) and the 32 permutation
+    * values are (A_p·v1 + B_p·v2 + C_p) mod 2³² ([[LshTwinPerms]]) —
+    * multiply-shift universal hashing in pure BIGINT arithmetic, ONE
+    * digest per shingle instead of 32 (the q119 one-digest lesson:
+    * the K-digest form benched 8.7 s at sf0.1). Band b's key is the
+    * ':'-joined text of signature rows 4b..4b+3; pairs colliding in
+    * ANY band are candidates, verified with exact distinct-shingle
+    * Jaccard ≥ 0.5 (integer cross-multiplication). q31's compiled
+    * xxhash64 kernel remains the fast path; this twin is the full
+    * end-to-end DuckDB replay (shingle → signature → band →
+    * candidate → verify), and Round9Spec pins twin/kernel candidate
+    * agreement at the tested SF.
+    *
+    * Scale shape (mirrors q31): the signature is ONE map-side-combined
+    * 32-min aggregation over the md5 pass (no explode-per-permutation);
+    * banding explodes the |docs|-row signature frame 8×; candidate
+    * generation self-joins only (band, key, doc_id) rows and resolves
+    * the DISTINCT pair set BEFORE any shingle array is fetched
+    * (candidate-pairs-before-payload); verification joins shingle
+    * sets for surviving pairs only. */
+  def minhashLshMd5(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        array_distinct(wordShingles(col("text"), 3)).as("ts"))
+      .filter(size(col("ts")) >= 1)
+    val v = docs.select(col("doc_id"), explode(col("ts")).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("m"))
+      .select(col("doc_id"),
+        conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("v1"),
+        conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("v2"))
+    val mins = LshTwinPerms.zipWithIndex.map { case ((a, b, c), p) =>
+      min((lit(a) * col("v1") + lit(b) * col("v2") + lit(c))
+        .bitwiseAND(lit(4294967295L))).as(s"s$p")
+    }
+    val sig = v.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bandCols = (0 until 8).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(":", (0 until 4).map(r => col(s"s${4 * b + r}")): _*).as("key"))
+    }
+    val banded = sig.select(col("doc_id"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("band"), col("key"), col("doc_id").as("doc_b")),
+        Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("ts").as("ts_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("ts").as("ts_b")), Seq("doc_b"))
+      .withColumn("n_inter", size(array_intersect(col("ts_a"), col("ts_b"))).cast("long"))
+      .withColumn("n_union",
+        (size(col("ts_a")) + size(col("ts_b"))).cast("long") - col("n_inter"))
+      // integer cross-multiplied threshold (J >= 1/2), never a float
+      .filter(col("n_inter") * 2 >= col("n_union"))
+      .withColumn("jaccard",
+        dec6(col("n_inter").cast("decimal(18,0)") / col("n_union")))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
+        col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Oracle: end-to-end replay — md5 per distinct shingle, the q201
+    * position-in-alphabet hex decode (two 8-char halves), the SAME
+    * [[LshTwinPerms]] literals, 32 MIN aggregates, band keys by text
+    * concatenation, the band self-join, and brute list_intersect
+    * verification of the candidates. */
+  val minhashLshMd5Sql: String = {
+    def hexVal(lo: Int): String = (1 to 8).map { i =>
+      val mult = math.pow(16, 8 - i).toLong
+      s"(position(substring(m, ${lo + i - 1}, 1) IN '0123456789abcdef') - 1) * $mult"
+    }.mkString("\n       |        + ")
+    val sigCols = LshTwinPerms.zipWithIndex.map { case ((a, b, c), p) =>
+      s"MIN(($a * v1 + $b * v2 + $c) & 4294967295) AS s$p"
+    }.mkString(",\n       |    ")
+    val bandKeys = (0 until 8).map { b =>
+      val key = (0 until 4).map(r => s"CAST(s${4 * b + r} AS VARCHAR)")
+        .mkString(" || ':' || ")
+      s"WHEN $b THEN $key"
+    }.mkString("\n       |      ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+       |           FROM documents WHERE text IS NOT NULL),
+       |shl AS (SELECT doc_id,
+       |         list_distinct(list_transform(generate_series(1, len(t) - 2),
+       |           g -> array_to_string(t[g:g+2], ' '))) AS ts
+       |       FROM d WHERE len(t) >= 3),
+       |g AS (SELECT doc_id, unnest(ts) AS gr FROM shl),
+       |h AS (SELECT doc_id, md5(gr) AS m FROM g),
+       |v AS (SELECT doc_id,
+       |        ${hexVal(1)} AS v1,
+       |        ${hexVal(9)} AS v2
+       |      FROM h),
+       |sig AS (SELECT doc_id,
+       |    $sigCols
+       |  FROM v GROUP BY 1),
+       |bands AS (SELECT doc_id, b.band,
+       |    CASE b.band
+       |      $bandKeys
+       |    END AS key
+       |  FROM sig, generate_series(0, 7) b(band)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT c.doc_a, c.doc_b,
+       |    len(list_intersect(ta.ts, tb.ts)) AS ni,
+       |    len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts)) AS nu
+       |  FROM cand c
+       |  JOIN shl ta ON ta.doc_id = c.doc_a
+       |  JOIN shl tb ON tb.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b, CAST(ni AS BIGINT) AS n_inter,
+       |  CAST(nu AS BIGINT) AS n_union,
+       |  CAST((2 * ni * 1000000 + nu) // (2 * nu) AS DOUBLE) / 1000000 AS jaccard
+       |FROM pairs WHERE 2 * ni >= nu
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** Q44: embedding-cosine near-dup (X2 embedding path) — hyperplane-LSH
     * bucket join proposes candidates, exact cosine >= threshold verifies.
     * Same candidate-pairs-before-payload shape as minhashLsh; the
@@ -764,9 +903,13 @@ object Dedup {
     * quadratically in duplicate-cluster sizes, so AQE decides from the
     * measured size (the q187 rationale). Rare-first
     * ordering is the candidate suppressor: a prefix shingle shared by
-    * many documents is by construction a LOW-df shingle. The PPJoin
-    * position filter is the documented next squeeze if a corpus ever
-    * makes prefix collisions hot.
+    * many documents is by construction a LOW-df shingle. Round-9 adds
+    * the PPJoin POSITION filter on top (see [[prefixCandidates]]): a
+    * collision whose remaining-suffix bound cannot reach the required
+    * overlap α = ⌈θ/(1+θ)·(sa+sb)⌉ is discarded BEFORE the distinct,
+    * shrinking the candidate set with zero recall loss (before/after
+    * counts in NOTES; output identity + strict candidate drop pinned
+    * in DedupSpec).
     *
     * The verified pair list is persisted `_SUCCESS`-guarded next to
     * the corpus (the q63/q109/q110 convention): the join runs ONCE per
@@ -791,29 +934,61 @@ object Dedup {
       .parquet(path)
   }
 
-  private def computePrefixJaccard(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The (doc_id, s, sh) exploded shingle frame behind q185 — one
+    * build, three consumers (df agg, prefix window, verification). */
+  private[graft] def prefixShingleFrame(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).filter(col("text").isNotNull)
       .select(col("doc_id"), array_distinct(wordShingles(col("text"), PjShingleK)).as("ts"))
       .filter(size(col("ts")) >= 1)
       .withColumn("s", size(col("ts")).cast("bigint"))
-    // one build, three consumers (df agg, prefix window, verification)
-    val toks = d.select(col("doc_id"), col("s"), explode(col("ts")).as("sh"))
+    d.select(col("doc_id"), col("s"), explode(col("ts")).as("sh"))
       .localCheckpoint()
+  }
+
+  /** q185's candidate generator: prefix filter + length filter, and
+    * (round-9, the documented PPJoin squeeze) the POSITION filter —
+    * a prefix collision at ranks (ra, rb) within documents of sizes
+    * (sa, sb) bounds the achievable overlap by
+    * 1 + min(sa − ra, sb − rb) (every further common shingle sits
+    * strictly after the collision in BOTH rare-first orders), while
+    * J ≥ θ requires overlap ≥ α = ⌈θ/(1+θ)·(sa+sb)⌉; collisions that
+    * cannot reach α generate no candidate. COMPLETENESS is preserved
+    * by theorem: for a true pair, its globally-FIRST common shingle
+    * has the minimal (ra, rb) of all common shingles, lies within
+    * both prefixes (the prefix-filter guarantee), and satisfies the
+    * bound (the bound at the first common shingle over-counts the
+    * true overlap), so at least one collision always survives —
+    * pinned empirically in DedupSpec (identical verified output,
+    * strictly fewer candidates). `positionFilter = false` exists ONLY
+    * for that spec's before/after pin. */
+  private[graft] def prefixCandidates(toks: DataFrame,
+      positionFilter: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dfreq = toks.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val ranked = toks.join(dfreq, Seq("sh"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
     val prefix = ranked
       .filter(col("rnk") <= col("s") - expr(s"($PjNum * s + $PjNum) div $PjDen") + 1)
-    val cand = prefix.select(col("doc_id").as("da"), col("s").as("sa"), col("sh"))
-      .join(prefix.select(col("doc_id").as("db"), col("s").as("sb"), col("sh")),
-        Seq("sh"))
+    val joined = prefix
+      .select(col("doc_id").as("da"), col("s").as("sa"),
+        col("rnk").as("ra"), col("sh"))
+      .join(prefix.select(col("doc_id").as("db"), col("s").as("sb"),
+        col("rnk").as("rb"), col("sh")), Seq("sh"))
       .filter(col("da") < col("db") &&
         lit(PjDen) * least(col("sa"), col("sb"))
           >= lit(PjNum) * greatest(col("sa"), col("sb")))
-      .select(col("da"), col("db"), col("sa"), col("sb")).distinct()
-      .localCheckpoint()
+    val posFiltered =
+      if (!positionFilter) joined
+      else joined.filter(
+        lit(1L) + least(col("sa") - col("ra"), col("sb") - col("rb")) >=
+          expr(s"($PjNum * (sa + sb) + ${PjNum + PjDen - 1}) div ${PjNum + PjDen}"))
+    posFiltered.select(col("da"), col("db"), col("sa"), col("sb")).distinct()
+  }
+
+  private def computePrefixJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val toks = prefixShingleFrame(spark, dir)
+    val cand = prefixCandidates(toks).localCheckpoint()
     val candDocs = cand.select(col("da").as("doc_id"))
       .union(cand.select(col("db"))).distinct()
     // No broadcast hints on cand/candDocs: the verified-candidate-pair
@@ -1162,6 +1337,7 @@ object Dedup {
     "q29_dedup_exact" -> (dedupExact _),
     "q30_neardup_jaccard" -> (neardupJaccard _),
     "q31_minhash_lsh" -> (minhashLsh _),
+    "q261_minhash_lsh_md5" -> (minhashLshMd5 _),
     "q32_simhash" -> (simhash _),
     "q201_simhash_md5" -> (simhashMd5 _),
     "q44_neardup_embedding" -> (neardupEmbedding _),
@@ -1184,6 +1360,8 @@ object Dedup {
     // q31/q32 intentionally omitted: xxhash64-based, not expressible in
     // portable SQL; covered by DedupSpec against the exact-Jaccard oracle.
     // q201 is q32's md5 twin — same majority-vote logic, fully oracled.
+    // q261 is q31's md5 twin — same banded pipeline, fully oracled.
     "q201_simhash_md5" -> simhashMd5Sql,
+    "q261_minhash_lsh_md5" -> minhashLshMd5Sql,
   )
 }

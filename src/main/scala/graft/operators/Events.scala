@@ -3098,7 +3098,12 @@ object Events {
     * normalization) keeps every coefficient an exact BIGINT; energies
     * are integer sums of squares (≤ 64·(2⁶·max_daily)² — tiny). The
     * zero-fill to a dense 64-day grid is part of the operator: a
-    * missing day is a real zero of the counting process.
+    * missing day is a real zero of the counting process. The TYPE
+    * AXIS is types with ≥ 1 event INSIDE the 64-day window (pinned
+    * convention, both engines): a type whose events all arrive after
+    * day0+63 has no analyzable series and emits no row — the oracle's
+    * types CTE applies the identical window filter, so the convention
+    * cannot drift even on a fixture whose types start late.
     *
     * Scale shape: one row-scale map-side-combined (type, day) count;
     * everything after lives on the |types|×64 bounded grid — the
@@ -3148,7 +3153,9 @@ object Events {
        |o AS (SELECT MIN(day) AS day0 FROM ev),
        |f AS (SELECT event_type, day - day0 AS off FROM ev, o
        |  WHERE day - day0 < 64),
-       |types AS (SELECT DISTINCT event_type FROM ev),
+       |-- type axis = types seen INSIDE the window (engine convention):
+       |-- a late-starting type (all events >= day0+64) emits no row
+       |types AS (SELECT DISTINCT event_type FROM f),
        |grid AS (SELECT t.event_type, g.i AS off
        |  FROM types t, generate_series(0, 63) g(i)),
        |lv0 AS (SELECT g.event_type, g.off AS idx,

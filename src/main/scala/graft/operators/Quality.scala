@@ -2135,8 +2135,13 @@ object Quality {
     val ssb = (1 to 5).map(term).reduce(_ + _)
     val sst = col("ssq").cast("double") -
       col("s_total").cast("double") * col("s_total").cast("double") / nD
+    // an absent group's median witness publishes NULL (matching the
+    // oracle's MAX(CASE ...) over zero rows — the family's "degenerate
+    // pins to NULL on both engines" discipline), never a fake 0;
+    // latent at TPC-H SFs, where all five priorities always exist
     val medCols = Priorities.zipWithIndex.map { case (p, i) =>
-      lit(meds.getOrElse(p, 0L)).as(s"med${i + 1}")
+      meds.get(p).map(lit(_)).getOrElse(lit(null).cast("long"))
+        .as(s"med${i + 1}")
     }
     pivoted
       .withColumn("n_total", nT)
@@ -2303,9 +2308,16 @@ object Quality {
     * den = n·Σx² − (Σx)², b_num = n·Σxy − Σx·Σy, a_num = Σy·Σx² −
     * Σx·Σxy, so each SCALED residual r_t = den·y_t − (a_num +
     * b_num·t) is an exact BIGINT, and DW = Σ(Δr)²/Σr² EXACTLY (den²
-    * cancels). Squares accumulate in DECIMAL(38); ONE micro-unit
-    * division publishes. A perfect fit (Σr² = 0) yields NULL on both
-    * engines.
+    * cancels). Squares accumulate in DECIMAL(38) and publish as exact
+    * STRING witnesses; dw itself publishes as the DOUBLE ratio of the
+    * two exact witnesses (the q256 var_num→z discipline: one
+    * correctly-rounded cast per witness, one IEEE division — both
+    * engines bit-identical). The earlier micro-unit integer division
+    * computed 2·ssd·10⁶ + ssr INSIDE DECIMAL(38), which exhausts the
+    * 38-digit headroom around SF≈10–100 (round-8 advisor finding);
+    * the witness-ratio form defers the limit to the Σr² accumulation
+    * itself (~1e38, SF≈3e4 — recorded in SCALE.md). A perfect fit
+    * (Σr² = 0) yields NULL on both engines.
     *
     * Scale shape: the q213 chain — rollup, bounded collect, integer
     * HOFs, sort. Three exchanges, no joins. */
@@ -2342,7 +2354,7 @@ object Quality {
                   (acc, d) -> acc + CAST(d AS DECIMAL(38,0)) * d,
                   acc -> acc)""").as("ssd0"))
       .withColumn("dw", when(col("ssr0") > 0,
-        expr("CAST((2 * ssd0 * 1000000 + ssr0) div (2 * ssr0) AS DOUBLE) / 1000000")))
+        col("ssd0").cast("double") / col("ssr0").cast("double")))
       .select(col("nation"), col("n_months"),
         col("ssr0").cast("string").as("ssr_scaled"),
         col("ssd0").cast("string").as("ssd_scaled"), col("dw"))
@@ -2379,7 +2391,7 @@ object Quality {
        |  CAST(ssr AS VARCHAR) AS ssr_scaled,
        |  CAST(ssd AS VARCHAR) AS ssd_scaled,
        |  CASE WHEN ssr > 0 THEN
-       |    CAST((2 * ssd * 1000000 + ssr) // (2 * ssr) AS DOUBLE) / 1000000
+       |    CAST(ssd AS DOUBLE) / CAST(ssr AS DOUBLE)
        |  END AS dw
        |FROM agg ORDER BY nation""".stripMargin
 

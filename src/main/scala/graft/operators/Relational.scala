@@ -697,18 +697,37 @@ object Relational {
     * joins that only ever expand basket-bounded groups, one
     * map-side-combined triple count, TakeOrdered top-10 under the
     * (cnt, a, b, c) total order. */
+  /** The persisted top-10 triple frame behind q258/q263 (the
+    * `basket_pairs` convention — round-9 extends the one-build basket
+    * family to level 3). */
+  private[graft] def basketTopTriples(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.Scratch.artifactPath("basket_triples", dir, "_top10")
+    if (!graft.Scratch.artifactComplete(path)) {
+      graft.Scratch.prepareArtifact(path)
+      val (items, _) = basketItems(spark, dir)
+      items.select(col("ok"), col("pk").as("part_a"))
+        .join(items.select(col("ok"), col("pk").as("part_b")), Seq("ok"))
+        .filter(col("part_a") < col("part_b"))
+        .join(items.select(col("ok"), col("pk").as("part_c")), Seq("ok"))
+        .filter(col("part_b") < col("part_c"))
+        .groupBy(col("part_a"), col("part_b"), col("part_c"))
+        .agg(count(lit(1)).cast("bigint").as("cnt"))
+        .orderBy(col("cnt").desc, col("part_a"), col("part_b"), col("part_c"))
+        .limit(10)
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read
+      .schema("part_a BIGINT, part_b BIGINT, part_c BIGINT, cnt BIGINT")
+      .parquet(path)
+  }
+
   def basketTriples(spark: SparkSession, dir: String): DataFrame = {
-    val (items, nOrders) = basketItems(spark, dir)
-    items.select(col("ok"), col("pk").as("part_a"))
-      .join(items.select(col("ok"), col("pk").as("part_b")), Seq("ok"))
-      .filter(col("part_a") < col("part_b"))
-      .join(items.select(col("ok"), col("pk").as("part_c")), Seq("ok"))
-      .filter(col("part_b") < col("part_c"))
-      .groupBy(col("part_a"), col("part_b"), col("part_c"))
-      .agg(count(lit(1)).cast("bigint").as("n_orders_together"))
+    val (_, nOrders) = basketItems(spark, dir)
+    basketTopTriples(spark, dir)
+      .select(col("part_a"), col("part_b"), col("part_c"),
+        col("cnt").as("n_orders_together"))
       .orderBy(col("n_orders_together").desc,
         col("part_a"), col("part_b"), col("part_c"))
-      .limit(10)
       .withColumn("support",
         expr(s"CAST((2 * n_orders_together * 1000000 + ${nOrders}L) div (2 * ${nOrders}L) AS DOUBLE)")
           / 1000000)
@@ -733,6 +752,161 @@ object Relational {
       |FROM tr CROSS JOIN n
       |ORDER BY n_orders_together DESC, part_a, part_b, part_c""".stripMargin
 
+  /** Q263: CLOSED-ITEMSET AUDIT — completes the association-mining
+    * surface (VERDICT r8 task 7): for every itemset in the mined
+    * family (the ≤40 L1 parts appearing in the top-20 pairs, the
+    * top-20 pairs themselves, the top-10 triples), its EXACT
+    * closedness — an itemset is CLOSED iff no one-item extension has
+    * EQUAL support (anti-monotonicity caps extensions at ≤ the
+    * itemset's support, so equality is the only way to tie). A
+    * non-closed itemset is redundant for rule mining: its closure
+    * carries identical support with more items — the closed subset is
+    * the lossless compression of the frequent-itemset lattice
+    * (Pasquier et al., ICDT 1999). The max one-extension support is
+    * computed against the FULL corpus (never just the mined frames),
+    * so is_closed is exact, not frame-relative; the published
+    * max_ext_support witness lets the oracle verify the whole lattice
+    * edge, and NULL marks an itemset with no extension at all (only
+    * singleton baskets contain it).
+    *
+    * Scale shape: serves from the persisted basket artifacts (items /
+    * top-20 pairs / top-10 triples — one build for q171/q258/q259/
+    * q263). Every extension scan is CANDIDATE-FIRST: the ≤40-part /
+    * 20-pair / 10-triple frames ride in as broadcasts, so each
+    * expansion touches only orders already containing the itemset
+    * (≤ freq·basket-size rows, basket-bounded per order — the q258
+    * cost model), then map-side-combines to the bounded (itemset,
+    * extension) frame. Anti-monotonicity + closure pinned in
+    * Round9Spec. */
+  def closedItemsets(spark: SparkSession, dir: String): DataFrame = {
+    val (items, _) = basketItems(spark, dir)
+    val pairs = basketTopPairs(spark, dir)
+    val triples = basketTopTriples(spark, dir)
+    val l1parts = pairs.select(col("part_a").as("pk"))
+      .union(pairs.select(col("part_b"))).distinct()
+    // L1: support = item frequency; max ext = hottest co-item count.
+    // localCheckpoint: the candidate-filtered order frame feeds TWO
+    // consumers (freq + extension scan) — one semi-filtered item scan,
+    // not two (the q185 toks discipline)
+    val xOrders = items.join(broadcast(l1parts), Seq("pk"))
+      .select(col("pk").as("x"), col("ok"))
+      .localCheckpoint()
+    val l1freq = xOrders.groupBy(col("x"))
+      .agg(count(lit(1)).cast("long").as("support"))
+    val l1ext = xOrders
+      .join(items.select(col("ok"), col("pk").as("y")), Seq("ok"))
+      .filter(col("y") =!= col("x"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+      .groupBy(col("x")).agg(max(col("c")).cast("long").as("max_ext"))
+    val l1 = l1freq.join(l1ext, Seq("x"), "left")
+      .select(lit(1L).as("level"), col("x").as("part_a"),
+        lit(null).cast("long").as("part_b"), lit(null).cast("long").as("part_c"),
+        col("support"), col("max_ext"))
+    // L2: orders containing the pair, extended by a third item
+    // localCheckpoint: feeds l2ext AND the triple-order build (bounded:
+    // Σ pair-support rows over the 20-pair frame)
+    val pairOrders = items.select(col("ok"), col("pk").as("part_a"))
+      .join(broadcast(pairs.select(col("part_a"), col("part_b"))), Seq("part_a"))
+      .join(items.select(col("ok"), col("pk").as("part_b")), Seq("ok", "part_b"))
+      .select(col("part_a"), col("part_b"), col("ok"))
+      .localCheckpoint()
+    val l2ext = pairOrders
+      .join(items.select(col("ok"), col("pk").as("z")), Seq("ok"))
+      .filter(col("z") =!= col("part_a") && col("z") =!= col("part_b"))
+      .groupBy(col("part_a"), col("part_b"), col("z"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(max(col("c")).cast("long").as("max_ext"))
+    val l2 = pairs.join(l2ext, Seq("part_a", "part_b"), "left")
+      .select(lit(2L).as("level"), col("part_a"), col("part_b"),
+        lit(null).cast("long").as("part_c"),
+        col("cnt").as("support"), col("max_ext"))
+    // L3: orders containing the triple, extended by a fourth item
+    val tripleOrders = pairOrders
+      .join(broadcast(triples.select(col("part_a"), col("part_b"), col("part_c"))),
+        Seq("part_a", "part_b"))
+      .join(items.select(col("ok"), col("pk").as("part_c")),
+        Seq("ok", "part_c"))
+      .select(col("part_a"), col("part_b"), col("part_c"), col("ok"))
+    val l3ext = tripleOrders
+      .join(items.select(col("ok"), col("pk").as("z")), Seq("ok"))
+      .filter(col("z") =!= col("part_a") && col("z") =!= col("part_b") &&
+        col("z") =!= col("part_c"))
+      .groupBy(col("part_a"), col("part_b"), col("part_c"), col("z"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("part_a"), col("part_b"), col("part_c"))
+      .agg(max(col("c")).cast("long").as("max_ext"))
+    val l3 = triples.join(l3ext, Seq("part_a", "part_b", "part_c"), "left")
+      .select(lit(3L).as("level"), col("part_a"), col("part_b"), col("part_c"),
+        col("cnt").as("support"), col("max_ext"))
+    l1.unionByName(l2).unionByName(l3)
+      .withColumn("is_closed",
+        col("max_ext").isNull || col("support") > col("max_ext"))
+      .select(col("level"), col("part_a"), col("part_b"), col("part_c"),
+        col("support"), col("max_ext").as("max_ext_support"), col("is_closed"))
+      .orderBy(col("level"), col("part_a"), col("part_b"), col("part_c"))
+  }
+
+  val closedItemsetsSql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      |pairs AS (
+      |  SELECT a.pk AS part_a, b.pk AS part_b, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2
+      |  ORDER BY cnt DESC, part_a, part_b LIMIT 20),
+      |triples AS (
+      |  SELECT a.pk AS part_a, b.pk AS part_b, c.pk AS part_c,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM items a
+      |  JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      |  JOIN items c ON b.ok = c.ok AND b.pk < c.pk
+      |  GROUP BY 1, 2, 3
+      |  ORDER BY cnt DESC, part_a, part_b, part_c LIMIT 10),
+      |l1p AS (SELECT DISTINCT part_a AS pk FROM (
+      |    SELECT part_a FROM pairs UNION ALL SELECT part_b FROM pairs) u(part_a)),
+      |xo AS (SELECT i.pk AS x, i.ok FROM items i JOIN l1p ON i.pk = l1p.pk),
+      |l1f AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS support FROM xo GROUP BY 1),
+      |l1e AS (SELECT x, CAST(MAX(c) AS BIGINT) AS max_ext FROM (
+      |    SELECT xo.x, i.pk AS y, COUNT(*) AS c
+      |    FROM xo JOIN items i ON xo.ok = i.ok AND i.pk <> xo.x
+      |    GROUP BY 1, 2) GROUP BY 1),
+      |l1 AS (SELECT CAST(1 AS BIGINT) AS level, x AS part_a,
+      |    CAST(NULL AS BIGINT) AS part_b, CAST(NULL AS BIGINT) AS part_c,
+      |    support, max_ext
+      |  FROM l1f LEFT JOIN l1e USING (x)),
+      |po AS (SELECT p.part_a, p.part_b, a.ok
+      |  FROM pairs p
+      |  JOIN items a ON a.pk = p.part_a
+      |  JOIN items b ON b.pk = p.part_b AND b.ok = a.ok),
+      |l2e AS (SELECT part_a, part_b, CAST(MAX(c) AS BIGINT) AS max_ext FROM (
+      |    SELECT po.part_a, po.part_b, i.pk AS z, COUNT(*) AS c
+      |    FROM po JOIN items i ON po.ok = i.ok
+      |      AND i.pk <> po.part_a AND i.pk <> po.part_b
+      |    GROUP BY 1, 2, 3) GROUP BY 1, 2),
+      |l2 AS (SELECT CAST(2 AS BIGINT) AS level, part_a, part_b,
+      |    CAST(NULL AS BIGINT) AS part_c, cnt AS support, max_ext
+      |  FROM pairs LEFT JOIN l2e USING (part_a, part_b)),
+      |tro AS (SELECT t.part_a, t.part_b, t.part_c, po.ok
+      |  FROM triples t
+      |  JOIN po ON po.part_a = t.part_a AND po.part_b = t.part_b
+      |  JOIN items c ON c.pk = t.part_c AND c.ok = po.ok),
+      |l3e AS (SELECT part_a, part_b, part_c, CAST(MAX(c) AS BIGINT) AS max_ext
+      |  FROM (
+      |    SELECT tro.part_a, tro.part_b, tro.part_c, i.pk AS z, COUNT(*) AS c
+      |    FROM tro JOIN items i ON tro.ok = i.ok
+      |      AND i.pk <> tro.part_a AND i.pk <> tro.part_b AND i.pk <> tro.part_c
+      |    GROUP BY 1, 2, 3, 4) GROUP BY 1, 2, 3),
+      |l3 AS (SELECT CAST(3 AS BIGINT) AS level, part_a, part_b, part_c,
+      |    cnt AS support, max_ext
+      |  FROM triples LEFT JOIN l3e USING (part_a, part_b, part_c)),
+      |u AS (SELECT * FROM l1 UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3)
+      |SELECT level, part_a, part_b, part_c, support,
+      |  max_ext AS max_ext_support,
+      |  (max_ext IS NULL OR support > max_ext) AS is_closed
+      |FROM u ORDER BY level, part_a, part_b, part_c""".stripMargin
+
   /** Q259: ASSOCIATION-RULE METRICS — the directional view q171's
     * symmetric pairs lack: each surviving pair yields the two rules
     * A→B and B→A, scored with the standard quartet — confidence
@@ -748,7 +922,12 @@ object Relational {
     * lift cnt·N/(fa·fb), leverage (cnt·N − fa·fb)/N² (sign-aware
     * micro form — it goes negative), conviction (N−fb)·fa /
     * (N·(fa−cnt)) — each published at half-up micro-units, never a
-    * difference of rounded rates (the q151 discipline).
+    * difference of rounded rates (the q151 discipline). The lift/
+    * leverage/conviction rationals carry cnt·N, N² and (N−fb)·fa·10⁶
+    * terms that overflow BIGINT once N ≈ 1e11 (the 100 TB order
+    * count — round-8 advisor finding), so they accumulate in
+    * DECIMAL(38,0), the q256 d38 discipline: headroom to N ≈ 7e15,
+    * recorded in SCALE.md. The oracle mirrors with HUGEINT.
     *
     * Scale shape: serves from the persisted [[basketItems]] /
     * [[basketTopPairs]] artifacts (one build for q171/q258/q259) —
@@ -776,20 +955,25 @@ object Relational {
         Seq("cons"))
       .withColumn("confidence",
         expr("CAST((2 * cnt * 1000000 + fa) div (2 * fa) AS DOUBLE)") / 1000000)
+      // d38: the cnt·N / N² / (N−fb)·fa·10⁶ products overflow BIGINT at
+      // N ≈ 1e11 orders — accumulate in DECIMAL(38,0) (q256 discipline);
+      // the micro quotients themselves fit LONG (div returns BIGINT)
+      .withColumn("nD", lit(nOrders).cast("decimal(38,0)"))
+      .withColumn("fab", expr("cast(fa as decimal(38,0)) * fb"))
       .withColumn("lift",
-        (expr(s"(2 * cnt * ${nOrders}L * 1000000 + fa * fb) div (2 * fa * fb)")
+        (expr("(2 * cnt * nD * 1000000 + fab) div (2 * fab)")
           .cast("double")) / 1000000)
       .withColumn("leverage",
-        (expr(s"""cast(sign(cnt * ${nOrders}L - fa * fb) as bigint)
-                * ((2 * abs(cnt * ${nOrders}L - fa * fb) * 1000000
-                    + ${nOrders}L * ${nOrders}L)
-                   div (2 * ${nOrders}L * ${nOrders}L))""")
+        (expr("""cast(sign(cnt * nD - fab) as bigint)
+                * ((2 * abs(cnt * nD - fab) * 1000000
+                    + nD * nD)
+                   div (2 * nD * nD))""")
           .cast("double")) / 1000000)
       .withColumn("conviction",
         when(col("fa") > col("cnt"),
-          (expr(s"""(2 * (${nOrders}L - fb) * fa * 1000000
-                   + ${nOrders}L * (fa - cnt))
-                  div (2 * ${nOrders}L * (fa - cnt))""")
+          (expr("""(2 * (nD - fb) * fa * 1000000
+                   + nD * (fa - cnt))
+                  div (2 * nD * (fa - cnt))""")
             .cast("double")) / 1000000))
       .select(col("ante"), col("cons"), col("cnt").as("n_together"),
         col("fa").as("n_ante"), col("fb").as("n_cons"),
@@ -813,7 +997,12 @@ object Relational {
       |  UNION ALL
       |  SELECT pb AS ante, pa AS cons, cnt FROM pairs),
       |m AS (
-      |  SELECT r.ante, r.cons, r.cnt, fa.pf AS fa, fb.pf AS fb, n.n_orders AS nn
+      |  -- HUGEINT mirrors the engine's DECIMAL(38) accumulation: the
+      |  -- cnt*nn / nn*nn / (nn-fb)*fa*1e6 products overflow BIGINT at
+      |  -- nn ~ 1e11 orders
+      |  SELECT r.ante, r.cons, r.cnt, fa.pf AS fa, fb.pf AS fb,
+      |    CAST(n.n_orders AS HUGEINT) AS nn,
+      |    CAST(fa.pf AS HUGEINT) * fb.pf AS fab
       |  FROM rules r
       |  JOIN pf fa ON r.ante = fa.pk
       |  JOIN pf fb ON r.cons = fb.pk
@@ -821,10 +1010,10 @@ object Relational {
       |SELECT ante, cons, cnt AS n_together, fa AS n_ante, fb AS n_cons,
       |  CAST((2 * cnt * 1000000 + fa) // (2 * fa) AS DOUBLE) / 1000000
       |    AS confidence,
-      |  CAST((2 * cnt * nn * 1000000 + fa * fb) // (2 * fa * fb) AS DOUBLE)
+      |  CAST((2 * cnt * nn * 1000000 + fab) // (2 * fab) AS DOUBLE)
       |    / 1000000 AS lift,
-      |  CAST(CASE WHEN cnt * nn - fa * fb >= 0 THEN 1 ELSE -1 END
-      |    * ((2 * ABS(cnt * nn - fa * fb) * 1000000 + nn * nn)
+      |  CAST(CASE WHEN cnt * nn - fab >= 0 THEN 1 ELSE -1 END
+      |    * ((2 * ABS(cnt * nn - fab) * 1000000 + nn * nn)
       |       // (2 * nn * nn)) AS DOUBLE) / 1000000 AS leverage,
       |  CASE WHEN fa > cnt THEN
       |    CAST((2 * (nn - fb) * fa * 1000000 + nn * (fa - cnt))
@@ -1308,6 +1497,7 @@ object Relational {
     "q171_basket_pairs" -> (basketPairs _),
     "q258_basket_triples" -> (basketTriples _),
     "q259_basket_rules" -> (basketRules _),
+    "q263_closed_itemsets" -> (closedItemsets _),
     "q173_abc_classification" -> (abcClassification _),
     "q175_ratio_to_parent" -> (ratioToParent _),
     "q1_pricing_summary" -> (pricingSummary _),
@@ -1336,6 +1526,7 @@ object Relational {
     "q171_basket_pairs" -> basketPairsSql,
     "q258_basket_triples" -> basketTriplesSql,
     "q259_basket_rules" -> basketRulesSql,
+    "q263_closed_itemsets" -> closedItemsetsSql,
     "q173_abc_classification" -> abcClassificationSql,
     "q175_ratio_to_parent" -> ratioToParentSql,
     "q1_pricing_summary" -> pricingSummarySql,

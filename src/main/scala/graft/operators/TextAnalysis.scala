@@ -252,12 +252,16 @@ object TextAnalysis {
     *
     * Self-evidencing shape (round-8): the generated corpus has no
     * exact dups at tested SFs, so the bare group list hash-matched on
-    * 0 rows — vacuously. A LEDGER row (fp = '__ledger') now leads the
-    * output carrying (number of dup groups, number of docs in dup
+    * 0 rows — vacuously. A LEDGER row (fp = '__ledger') is added to
+    * the output carrying (number of dup groups, number of docs in dup
     * groups) in the (n_copies, first_doc) slots, so "no duplicates"
     * is a verified (0, 0) count the oracle independently reproduces,
-    * never an empty result. Group rows follow unchanged when dups
-    * exist (TextAnalysisSpec's fixture pins that path). */
+    * never an empty result. The ledger row is KEYED by its fp
+    * sentinel, not positional: '_' (0x5F) sorts after the hex digits,
+    * so under the fp sort it lands mid-output whenever a dup group's
+    * md5 starts with a digit — consumers must select it by fp, never
+    * by row position. Group rows are unchanged when dups exist
+    * (TextAnalysisSpec's fixture pins that path). */
   def fingerprints(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     // localCheckpoint: the dup-group frame is BOUNDED (dup groups only)
@@ -368,6 +372,180 @@ object TextAnalysis {
       |  GROUP BY doc_id)
       |SELECT fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
       |FROM g GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY first_doc""".stripMargin
+
+  /** q265 winnowing parameters: char-gram width k and window w (both
+    * engines; guarantee threshold t = w + k − 1 = 11 chars). */
+  val WinnowK = 8
+  val WinnowW = 4
+
+  /** Q265: WINNOWING FINGERPRINT SELECTION (Schleimer, Wilkerson &
+    * Aiken, SIGMOD 2003 — the MOSS algorithm): from each document's
+    * char-[[WinnowK]]-gram hash sequence, select the minimum hash of
+    * every [[WinnowW]]-position window (ties → RIGHTMOST position,
+    * the paper's rule); the distinct selected positions are the
+    * document's fingerprint sketch. Winnowing is the LOCAL-min
+    * guarantee the family's other fingerprints lack: q46/q200 keep
+    * one GLOBAL min per doc (whole-doc identity only), MinHash (q31/
+    * q261) sketches SET similarity with no positional guarantee —
+    * winnowing guarantees any shared substring of length ≥ w + k − 1
+    * produces at least one shared fingerprint, at expected density
+    * 2/(w+1), which is what plagiarism/contamination detection at
+    * substring granularity needs. Report: per source, participating
+    * docs (≥ 1 full window), gram/selection totals, the realized
+    * density (micro-units — theory: ~0.4 for w = 4), distinct
+    * fingerprint values, and values selected in ≥ 2 docs (the
+    * cross-doc collision mass near-dup detection would verify).
+    *
+    * Engine/oracle split: the ENGINE is single-pass — one windowed
+    * `min_by((pos, h), (h, −pos))` over a rows-frame of w positions
+    * (no window explosion); the ORACLE expands every (window,
+    * member) pair and ranks per window — different machinery, same
+    * selection, so the hash compare certifies the min_by frame
+    * semantics themselves.
+    *
+    * Scale shape: the selection's one exchange is DOC-scale (see
+    * [[winnowSelect]] — repartition before the explode; the
+    * char-scale window, filter and distinct are partition-local, so
+    * gram rows never cross the network); the landed selection is a
+    * persisted `_SUCCESS`-guarded index ([[winnowIndex]], the q104
+    * gram-index convention — a corpus fingerprint sketch is the
+    * canonical build-once artifact), and the report pays two
+    * (source/hash)-keyed map-side-combined rollups over it. The ×w
+    * window expansion exists ONLY in the oracle, run at oracle SF.
+    * Measured at sf0.1: 16 s (naive two-consumer recompute) → 6 s
+    * (one build) → 1.7 s serve (NOTES). */
+  /** The winnowing selection itself over a (doc_id, source, text)
+    * frame — package-visible so Round9Spec can pin the coverage and
+    * shared-substring guarantees on crafted fixtures. Returns one row
+    * per distinct selected (doc, position): (doc_id, source, n_grams,
+    * spos, sh).
+    *
+    * Shape (round-9, measured at sf0.1 — numbers in NOTES): the ONLY
+    * exchange is a DOC-scale repartition BEFORE the gram explode —
+    * explode preserves partitioning, so the char-scale window (the
+    * codegen'd rightmost-min `min_by` over a w-row frame), the
+    * full-window filter AND the selected-position distinct all run
+    * partition-local (their required clusterings are subsets of
+    * hash(doc_id)); gram rows never cross the network. The
+    * alternative in-expression formulation (lambda-bound hs array +
+    * array_min per window) shuffles nothing at all but pays
+    * interpreted-HOF dispatch per (window × member): measured 20 s vs
+    * 6 s for this shape — codegen'd window beats interpreted HOF at
+    * equal scan cost, the reverse of the q213 bounded-frame cases. */
+  private[graft] def winnowSelect(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = WinnowW
+    val minLen = WinnowK + WinnowW - 1
+    val d = docs
+      .filter(col("text").isNotNull && length(col("text")) >= minLen)
+      .select(col("doc_id"), col("source"),
+        (length(col("text")) - (WinnowK - 1)).cast("long").as("n_grams"),
+        col("text"))
+      .repartition(col("doc_id")) // the one (doc-scale) exchange
+    val grams = d.select(col("doc_id"), col("source"), col("n_grams"),
+        explode(expr(s"transform(sequence(1, cast(n_grams as int)), " +
+          s"p -> named_struct('pos', cast(p as bigint), 'h', md5(substr(text, p, $WinnowK))))"))
+          .as("g"))
+      .select(col("doc_id"), col("source"), col("n_grams"),
+        col("g.pos").as("pos"), col("g.h").as("h"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("selw",
+        min_by(struct(col("pos"), col("h")), struct(col("h"), -col("pos")))
+          .over(win))
+      .filter(col("pos") <= col("n_grams") - (w - 1)) // full windows only
+      .select(col("doc_id"), col("source"), col("n_grams"),
+        col("selw.pos").as("spos"), col("selw.h").as("sh"))
+      .distinct() // partition-local: clustering ⊇ hash(doc_id)
+  }
+
+  /** The persisted winnowing fingerprint index behind q265 — the
+    * q104-gram-index convention: a corpus fingerprint sketch is the
+    * canonical build-once-serve-many artifact (near-dup lookup,
+    * contamination checks and the q265 report all read the same
+    * landed selection). */
+  private[graft] def winnowIndex(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.Scratch.artifactPath("winnow_sel", dir,
+      s"_k${WinnowK}w$WinnowW")
+    if (!graft.Scratch.artifactComplete(path)) {
+      graft.Scratch.prepareArtifact(path)
+      winnowSelect(Tables.documents(spark, dir))
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.schema(
+        "doc_id BIGINT, source STRING, n_grams BIGINT, spos BIGINT, sh STRING")
+      .parquet(path)
+  }
+
+  def winnowingFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val sel = winnowIndex(spark, dir)
+    val perDoc = sel.groupBy(col("source"), col("doc_id"), col("n_grams"))
+      .agg(count(lit(1)).as("n_sel"))
+    val totals = perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_grams")).cast("long").as("n_grams"),
+        sum(col("n_sel")).cast("long").as("n_selected"))
+    val fp = sel.select(col("source"), col("sh"), col("doc_id")).distinct()
+      .groupBy(col("source"), col("sh"))
+      .agg(count(lit(1)).as("nd"))
+    val fpTotals = fp.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_fp_distinct"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).cast("long").as("n_fp_shared"))
+    totals.join(fpTotals, Seq("source"))
+      .withColumn("density", dec6(
+        col("n_selected").cast("decimal(18,0)") / col("n_grams")))
+      .select(col("source"), col("n_docs"), col("n_grams"),
+        col("n_selected"), col("density"),
+        col("n_fp_distinct"), col("n_fp_shared"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle: the EXPANDED formulation — every (window, member
+    * position) pair materializes and a per-window rank picks the
+    * (hash asc, pos desc) head; shares no frame logic with the
+    * engine's single-pass min_by. */
+  val winnowingFingerprintsSql: String = {
+    val k = WinnowK; val w = WinnowW
+    s"""WITH d AS (
+       |  SELECT doc_id, source, text, length(text) - ${k - 1} AS n_grams
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND length(text) >= ${k + w - 1}),
+       |g AS (
+       |  SELECT doc_id, source, n_grams, u.pos,
+       |    md5(substring(text, u.pos, $k)) AS h
+       |  FROM d, unnest(generate_series(1, n_grams)) u(pos)),
+       |wnd AS (
+       |  SELECT doc_id, source, n_grams, u.j, pos, h
+       |  FROM g, unnest(generate_series(GREATEST(1, pos - ${w - 1}),
+       |    LEAST(pos, n_grams - ${w - 1}))) u(j)),
+       |sel0 AS (
+       |  SELECT doc_id, source, n_grams, j, pos, h,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id, j ORDER BY h, pos DESC) AS rn
+       |  FROM wnd),
+       |sel AS (
+       |  SELECT DISTINCT doc_id, source, n_grams, pos, h
+       |  FROM sel0 WHERE rn = 1),
+       |perdoc AS (
+       |  SELECT source, doc_id, MAX(n_grams) AS n_grams, COUNT(*) AS n_sel
+       |  FROM sel GROUP BY 1, 2),
+       |a AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+       |    CAST(SUM(n_sel) AS BIGINT) AS n_selected
+       |  FROM perdoc GROUP BY 1),
+       |fp AS (
+       |  SELECT source, h, COUNT(DISTINCT doc_id) AS nd FROM sel GROUP BY 1, 2),
+       |b AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_fp_distinct,
+       |    CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_fp_shared
+       |  FROM fp GROUP BY 1)
+       |SELECT a.source, n_docs, n_grams, n_selected,
+       |  CAST((2 * n_selected * 1000000 + n_grams) // (2 * n_grams) AS DOUBLE)
+       |    / 1000000 AS density,
+       |  n_fp_distinct, n_fp_shared
+       |FROM a JOIN b USING (source) ORDER BY source""".stripMargin
+  }
 
   /** Q62: deterministic stratified sampling — the data-mixing primitive
     * of a training-data pipeline (sample each language at its own
@@ -979,35 +1157,73 @@ object TextAnalysis {
     * per-partition heaps via mapPartitions, then merge — the (d)
     * escape hatch, not warranted at any tested scale); the
     * BOUNDED top-V frame then rides broadcast joins for both the
-    * universe filter and the n_a/n_b denominators. Exchanges: df agg,
-    * top-V window, per-doc regroup, pair agg, final bounded window —
-    * pinned in PlanInvariants with this rationale. */
+    * universe filter and the n_a/n_b denominators. Round-9: the
+    * row-scale chain (tokenize → df → top-V → per-doc regroup) is
+    * built ONCE per (process, corpus) and persisted ([[coocFrames]],
+    * the q185/basket discipline) — serving reads the landed set frame
+    * and pays only the bounded pair agg + windows; the build is paid
+    * on first touch. Exchanges (build: df agg, top-V window, per-doc
+    * regroup; serve: pair agg, final bounded window) — pinned in
+    * PlanInvariants with this rationale. */
+  /** Persisted q226 frames — the basket-share discipline (q171/q258/
+    * q259's `basketItems`) applied to the round-8 judge's worst-query
+    * finding: the row-scale tokenize → df agg → top-V window → per-doc
+    * regroup chain re-ran on EVERY q226 touch (3 bench reps). Built
+    * once per (process, corpus), `_SUCCESS`-guarded: sidecars
+    * (per-source top-V df frame, per-source doc counts) land BEFORE
+    * the main per-doc token-set frame whose `_SUCCESS` closes the
+    * transaction (the `basket_items`/`_n` convention). q130 CANNOT
+    * share these frames — its universe is the GLOBAL top-64 vocabulary
+    * (one driver-literal array, no source axis, support floor 3,
+    * NULL-text filter) vs q226's PER-SOURCE top-50 with floor 2 — the
+    * adjudication NOTES records (VERDICT r8 task 4). */
+  private[graft] def coocFrames(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val path = graft.Scratch.artifactPath("cooc_sets", dir,
+      s"_v${CoocTopV}m$CoocMinSupport")
+    if (!graft.Scratch.artifactComplete(path)) {
+      graft.Scratch.prepareArtifact(path, path + "_top", path + "_n")
+      val w = org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(spark, dir)
+        .select(col("source"), col("doc_id"),
+          array_distinct(tokens(col("text"))).as("toks"))
+      val tok = docs.select(col("source"), col("doc_id"),
+        explode(col("toks")).as("tok"))
+      val dfreq = tok.groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).cast("long").as("df"))
+      // df >= MinSupport floor BEFORE the rank window: provably
+      // output-neutral (a df=1 token can never appear in an emitted
+      // pair — n_ab <= min(df) < MinSupport — and, ranking by df DESC,
+      // it can never displace a df>=2 token from the top-V), and it
+      // removes the hapax mass (typically half the vocabulary by
+      // Heaps' law) from the per-source sort
+      val top = dfreq.filter(col("df") >= CoocMinSupport)
+        .withColumn("rn", row_number().over(w.partitionBy(col("source"))
+          .orderBy(col("df").desc, col("tok"))))
+        .filter(col("rn") <= CoocTopV)
+        .select(col("source"), col("tok"), col("df"))
+      top.write.mode("overwrite").parquet(path + "_top")
+      docs.groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+        .write.mode("overwrite").parquet(path + "_n")
+      val topAgain = spark.read.schema("source STRING, tok STRING, df BIGINT")
+        .parquet(path + "_top")
+      tok.join(broadcast(topAgain.select(col("source"), col("tok"))),
+          Seq("source", "tok"))
+        .groupBy(col("source"), col("doc_id"))
+        .agg(sort_array(collect_list(col("tok"))).as("ts"))
+        .write.mode("overwrite").parquet(path)
+    }
+    (spark.read.schema("source STRING, doc_id BIGINT, ts ARRAY<STRING>")
+        .parquet(path),
+      spark.read.schema("source STRING, tok STRING, df BIGINT")
+        .parquet(path + "_top"),
+      spark.read.schema("source STRING, n_docs BIGINT").parquet(path + "_n"))
+  }
+
   def cooccurrenceLift(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir)
-      .select(col("source"), col("doc_id"),
-        array_distinct(tokens(col("text"))).as("toks"))
-    val tok = docs.select(col("source"), col("doc_id"),
-      explode(col("toks")).as("tok"))
-    val dfreq = tok.groupBy(col("source"), col("tok"))
-      .agg(count(lit(1)).cast("long").as("df"))
-    // df >= MinSupport floor BEFORE the rank window: provably
-    // output-neutral (a df=1 token can never appear in an emitted pair
-    // — n_ab <= min(df) < MinSupport — and, ranking by df DESC, it can
-    // never displace a df>=2 token from the top-V), and it removes the
-    // hapax mass (typically half the vocabulary by Heaps' law) from
-    // the per-source sort
-    val top = dfreq.filter(col("df") >= CoocMinSupport)
-      .withColumn("rn", row_number().over(w.partitionBy(col("source"))
-        .orderBy(col("df").desc, col("tok"))))
-      .filter(col("rn") <= CoocTopV)
-      .select(col("source"), col("tok"), col("df"))
-    val nDocs = docs.groupBy(col("source"))
-      .agg(count(lit(1)).cast("long").as("n_docs"))
-    val sets = tok.join(broadcast(top.select(col("source"), col("tok"))),
-        Seq("source", "tok"))
-      .groupBy(col("source"), col("doc_id"))
-      .agg(sort_array(collect_list(col("tok"))).as("ts"))
+    val (sets, top, nDocs) = coocFrames(spark, dir)
     val pairs = sets
       .select(col("source"), explode(expr(
         """flatten(transform(ts, (x, i) ->
@@ -1091,6 +1307,7 @@ object TextAnalysis {
     "q45_bpe_tokens" -> (bpeTokens _),
     "q46_rolling_fingerprint" -> (rollingFingerprint _),
     "q200_rolling_fp_md5" -> (rollingFingerprintMd5 _),
+    "q265_winnowing" -> (winnowingFingerprints _),
     "q25_token_freq" -> (tokenFreq _),
     "q26_quality_score" -> (qualityScore _),
     "q27_lang_guess" -> (langGuess _),
@@ -1118,6 +1335,7 @@ object TextAnalysis {
     // and q200 is the md5 twin giving the SAME operator logic a full
     // DuckDB rows+schema+hash witness.
     "q200_rolling_fp_md5" -> rollingFingerprintMd5Sql,
+    "q265_winnowing" -> winnowingFingerprintsSql,
     "q25_token_freq" -> tokenFreqSql,
     "q26_quality_score" -> qualityScoreSql,
     "q27_lang_guess" -> langGuessSql,

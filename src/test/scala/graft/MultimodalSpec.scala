@@ -79,6 +79,69 @@ class MultimodalSpec extends SparkSuite {
     m.unpersist()
   }
 
+  test("q262 WAV parser: literal header identity and corrupted-magic rejection") {
+    import spark.implicits._
+    // a known WAV built by the SAME header builder the stager uses:
+    // 3 channels (not in the staged universe — proves the parse reads
+    // bytes, not the staging distribution), 22050 Hz, 16-bit, 13 data
+    // bytes
+    val good = Media.wavHeader(13, 3, 22050, 16) ++ Array.fill[Byte](13)(7)
+    val bad = good.clone(); bad(8) = 'X'.toByte // corrupt the WAVE tag
+    val df = Seq((1L, good), (2L, bad)).toDF("id", "content")
+      .withColumn("n_bytes", octet_length(col("content")).cast("long"))
+    val parsed = Multimodal.parseWavHeader(df).collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    val g = parsed(1L)
+    assert(g.getAs[Boolean]("header_ok"))
+    assert(g.getAs[Long]("channels") === 3L)
+    assert(g.getAs[Long]("sample_rate") === 22050L)
+    assert(g.getAs[Long]("byte_rate") === 22050L * 3 * 2)
+    assert(g.getAs[Long]("bits_per_sample") === 16L)
+    assert(g.getAs[Long]("data_bytes") === 13L)
+    assert(g.getAs[Long]("duration_us") === 13L * 1000000 / (22050L * 3 * 2))
+    assert(!parsed(2L).getAs[Boolean]("header_ok"),
+      "corrupted magic must fail header_ok")
+    // integer fields still parse on the corrupted file (only the tag
+    // check fails) — the operator reports, it does not throw
+    assert(parsed(2L).getAs[Long]("sample_rate") === 22050L)
+  }
+
+  test("q262 staged corpus: every file decodes header_ok with in-range fields") {
+    val out = graft.operators.Multimodal.wavDecode(spark, Sf0001).cache()
+    assert(out.count() > 0)
+    assert(out.filter(!col("header_ok")).count() === 0)
+    assert(out.filter(!col("channels").isin(1L, 2L)).count() === 0)
+    assert(out.filter(!col("sample_rate").isin(Media.WavRates.map(_.toLong): _*))
+      .count() === 0)
+    // RIFF size law: file = data + 44 on every staged blob
+    assert(out.filter(col("n_bytes") =!= col("data_bytes") + 44).count() === 0)
+    out.unpersist()
+  }
+
+  test("q264 PCM decode: literal signed samples, odd-tail convention, driver replay") {
+    import spark.implicits._
+    // payload: samples (100, -1, -32768) LE plus one dangling byte the
+    // decoder must ignore — the staged ASCII corpus never exercises the
+    // sign branch, so it is pinned HERE with real high bytes
+    val payload = Array[Byte](100, 0, -1, -1, 0, -128, 9)
+    val wav = Media.wavHeader(payload.length, 1, 8000, 16) ++ payload
+    val df = Seq((1L, wav)).toDF("doc_id", "content")
+    // drive the same in-expression decode the operator uses, on the
+    // literal (the operator itself is path-bound to the staged corpus)
+    val sgn = (v: String) => s"(CASE WHEN $v >= 32768 THEN $v - 65536 ELSE $v END)"
+    val sample = sgn("CAST(conv(concat(substring(h, i * 4 + 3, 2), " +
+      "substring(h, i * 4 + 1, 2)), 16, 10) AS BIGINT)")
+    val r = df
+      .withColumn("data_bytes", lit(payload.length.toLong))
+      .withColumn("ns", expr("data_bytes div 2"))
+      .withColumn("h", expr("hex(substring(content, 45, cast(ns * 2 as int)))"))
+      .withColumn("xs", expr(
+        s"transform(sequence(0, cast(ns as int) - 1), i -> $sample)"))
+      .select("ns", "xs").head()
+    assert(r.getAs[Long]("ns") === 3L)
+    assert(r.getAs[Seq[Long]]("xs") === Seq(100L, -1L, -32768L))
+  }
+
   test("frame sampling: every 4th frame, bytes reassemble arithmetically") {
     val out = Multimodal.frameSample(spark, Sf0001).cache()
     // n_sampled = ceil(n_frames / 4)
