@@ -739,7 +739,169 @@ object Similarity {
        |      FROM fused)
        |WHERE fused_rank <= 5 ORDER BY query_id, fused_rank""".stripMargin
 
+  /** q266 hyperplane-LSH twin geometry (mirrors q44's 4 bits × 6
+    * tables) and the exact cosine threshold τ = 2/5 as a rational. */
+  val HplTables = 6
+  val HplBits = 4
+  private val HplTauNum = 2
+  private val HplTauDen = 5
+
+  /** The ±1 Rademacher hyperplane matrix, one coin per (table, bit,
+    * dim): +1 iff the first hex char of md5("h:t:b:d") < '8' — the
+    * q121 md5-coin discipline, regenerated exactly by the oracle. */
+  private lazy val hplSigns: Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(HplTables * HplBits * ivfDims) { i =>
+      val t = i / (HplBits * ivfDims)
+      val b = (i / ivfDims) % HplBits
+      val d = i % ivfDims
+      val hex = md.digest(s"h:$t:$b:$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (hex.head < '8') 1L else -1L
+    }
+  }
+
+  /** Q266: HYPERPLANE-LSH TWIN, FULLY ORACLED — the q261/q201/q200
+    * twin discipline applied to the EMBEDDING family, closing the
+    * last twinnable ⊙ arc (q34/q44's float hyperplane signatures are
+    * un-oracleable; this twin runs the identical
+    * signature→bucket→candidates→verify pipeline on the persisted
+    * SQ8 INTEGER codes with md5-derived ±1 Rademacher planes, so
+    * DuckDB replays codebook → codes → planes → signatures → buckets
+    * → candidate join → exact integer-cosine verification END TO
+    * END from the raw embeddings parquet). A pair is a near-dup iff
+    * its zero-centered code vectors have cosine ≥ 2/5, tested as the
+    * cross-multiplied integer predicate dot > 0 ∧ 25·dot² ≥ 4·na·nb
+    * — codes are int8, so every quantity fits BIGINT with 2^13 of
+    * headroom (dot ≤ 64·128² ≈ 2^20). Sign convention: a plane dot
+    * of EXACTLY 0 sets the bit (≥ 0), pinned on both engines.
+    *
+    * Scale shape (mirrors q31/q261): the 24 plane dots + the norm
+    * compute in ONE codegen'd map-side-combined aggregation over the
+    * exploded (vec, dim, code) stream against a broadcast 64-row
+    * sign frame (the q201 explode shape — NEVER 1,536 interpreted
+    * HOF ops per row, the NOTES q265 lesson); buckets assemble
+    * row-locally; candidates resolve to a DISTINCT pair set on
+    * (table, bucket) collisions BEFORE any code array is fetched;
+    * verification joins code arrays for surviving pairs only. */
+  def hyperplaneLshMd5(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nPlanes = HplTables * HplBits
+    // s for the integer signature stream; sd (exact double widening of
+    // the int8 codes — products ≤ 2^14, sums ≤ 2^20 ≪ 2^53) feeds the
+    // COMPILED dot-product kernel in verification: the interpreted
+    // zip_with/aggregate form cost 9.5 s at sf0.1 over the ~750k
+    // candidate pairs (the NOTES q265 interpreted-HOF lesson), the
+    // codegen'd kernel is exact on these magnitudes (q44's pattern)
+    val codes = spark.read.parquet(buildSq8(spark, dir))
+      .select(col("vec_id"),
+        transform(col("qcodes"), c => c.cast("long")).as("s"),
+        col("qcodes").cast("array<double>").as("sd"))
+    // broadcast sign frame: (d, sgn[24]) — bounded driver literals
+    val signDf = (0 until ivfDims).map { d =>
+      (d, (0 until nPlanes).map { p =>
+        val (t, b) = (p / HplBits, p % HplBits)
+        hplSigns(t * HplBits * ivfDims + b * ivfDims + d)
+      })
+    }.toDF("d", "sgn")
+    val dcol = codes.select(col("vec_id"),
+      posexplode(col("s")).as(Seq("d", "v")))
+    val dotAggs = (0 until nPlanes).map(p =>
+      sum(col("v") * element_at(col("sgn"), p + 1)).as(s"p$p"))
+    val aggs = sum(col("v") * col("v")).cast("long").as("nrm") +: dotAggs
+    val planes = dcol.join(broadcast(signDf), Seq("d"))
+      .groupBy(col("vec_id"))
+      .agg(aggs.head, aggs.tail: _*)
+    val bucketCols = (0 until HplTables).map { t =>
+      (0 until HplBits).map(b =>
+        when(col(s"p${t * HplBits + b}") >= 0, lit(1L << b)).otherwise(0L))
+        .reduce(_ + _).as(s"bk$t")
+    }
+    val sig = planes.select(col("vec_id") +: col("nrm") +: bucketCols: _*)
+    val banded = sig.select(col("vec_id"), col("nrm"),
+        explode(array((0 until HplTables).map(t =>
+          struct(lit(t).as("t"), col(s"bk$t").as("bk"))): _*)).as("tb"))
+      .select(col("vec_id"), col("nrm"),
+        col("tb.t").as("t"), col("tb.bk").as("bk"))
+    val cand = banded.select(col("t"), col("bk"),
+        col("vec_id").as("id_a"), col("nrm").as("na"))
+      .join(banded.select(col("t"), col("bk"),
+        col("vec_id").as("id_b"), col("nrm").as("nb")), Seq("t", "bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("na"), col("nb")).distinct()
+    cand
+      .join(codes.select(col("vec_id").as("id_a"), col("sd").as("sa")), Seq("id_a"))
+      .join(codes.select(col("vec_id").as("id_b"), col("sd").as("sb")), Seq("id_b"))
+      .withColumn("dot",
+        graft.functions.VectorFunctions.dotProduct(col("sa"), col("sb"))
+          .cast("long"))
+      .filter(col("dot") > 0 &&
+        lit(HplTauDen.toLong * HplTauDen) * col("dot") * col("dot") >=
+          lit(HplTauNum.toLong * HplTauNum) * col("na") * col("nb"))
+      .select(col("id_a"), col("id_b"), col("dot"),
+        col("na").as("norm_a"), col("nb").as("norm_b"),
+        (col("dot").cast("double") /
+          sqrt(col("na").cast("double") * col("nb").cast("double"))).as("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Oracle: the COMPLETE replay from the raw embeddings parquet —
+    * q106's codebook+codes CTEs, the md5 coin per (t, b, d), plane
+    * dots and norms by aggregation, bucket assembly with `<<`, the
+    * candidate self-join and the integer-cosine verification. */
+  val hyperplaneLshMd5Sql: String =
+    s"""WITH mm AS (
+       |  SELECT g.generate_series AS pos,
+       |    MIN(embedding[g.generate_series + 1]::DOUBLE) AS mn,
+       |    MAX(embedding[g.generate_series + 1]::DOUBLE) AS mx
+       |  FROM embeddings, generate_series(0, ${ivfDims - 1}) g
+       |  GROUP BY pos),
+       |codes AS (
+       |  SELECT e.vec_id, m.pos,
+       |    (CASE WHEN m.mx = m.mn THEN 0
+       |          ELSE LEAST(255, CAST(FLOOR((e.embedding[m.pos + 1]::DOUBLE - m.mn)
+       |            * 255 / (m.mx - m.mn)) AS BIGINT)) END) - 128 AS s
+       |  FROM embeddings e, mm m),
+       |signs AS (
+       |  SELECT t.t, b.b, d.d,
+       |    CASE WHEN substring(md5('h:' || t.t || ':' || b.b || ':' || d.d), 1, 1) < '8'
+       |         THEN 1 ELSE -1 END AS sgn
+       |  FROM generate_series(0, ${HplTables - 1}) t(t),
+       |       generate_series(0, ${HplBits - 1}) b(b),
+       |       generate_series(0, ${ivfDims - 1}) d(d)),
+       |dots AS (
+       |  SELECT c.vec_id, s.t, s.b, SUM(c.s * s.sgn) AS dt
+       |  FROM codes c JOIN signs s ON s.d = c.pos
+       |  GROUP BY 1, 2, 3),
+       |nrm AS (SELECT vec_id, SUM(s * s) AS nrm FROM codes GROUP BY 1),
+       |sig AS (
+       |  SELECT vec_id, t,
+       |    SUM(CASE WHEN dt >= 0 THEN 1 << b ELSE 0 END) AS bk
+       |  FROM dots GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM sig a JOIN sig b ON a.t = b.t AND a.bk = b.bk
+       |    AND a.vec_id < b.vec_id),
+       |dotp AS (
+       |  SELECT c.id_a, c.id_b, SUM(ca.s * cb.s) AS dot
+       |  FROM cand c
+       |  JOIN codes ca ON ca.vec_id = c.id_a
+       |  JOIN codes cb ON cb.vec_id = c.id_b AND cb.pos = ca.pos
+       |  GROUP BY 1, 2)
+       |SELECT d.id_a, d.id_b, CAST(d.dot AS BIGINT) AS dot,
+       |  CAST(na.nrm AS BIGINT) AS norm_a, CAST(nb.nrm AS BIGINT) AS norm_b,
+       |  CAST(d.dot AS DOUBLE)
+       |    / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS cosine
+       |FROM dotp d
+       |JOIN nrm na ON na.vec_id = d.id_a
+       |JOIN nrm nb ON nb.vec_id = d.id_b
+       |WHERE d.dot > 0
+       |  AND ${HplTauDen * HplTauDen} * d.dot * d.dot
+       |      >= ${HplTauNum * HplTauNum} * na.nrm * nb.nrm
+       |ORDER BY id_a, id_b""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q266_hyperplane_lsh_md5" -> (hyperplaneLshMd5 _),
     "q206_label_precision" -> (labelPrecision _),
     "q207_rrf_fusion" -> (rrfFusion _),
     "q203_hard_negatives" -> (hardNegatives _),
@@ -761,9 +923,12 @@ object Similarity {
     "q121_rp_ann" -> rpAnnSql,
     "q133_embedding_drift" -> embeddingDriftSql,
     "q33_cosine_topk" -> cosineTopKSql,
-    // q34/q59 omitted: hyperplane-signature bucketing is impractical to
-    // mirror in SQL; SimilaritySpec checks q34 recall against q33 and
-    // q59 result-identity with q34 (+ partition pruning).
+    // q34/q59 omitted: FLOAT hyperplane-signature bucketing is
+    // impractical to mirror in SQL; SimilaritySpec checks q34 recall
+    // against q33 and q59 result-identity with q34 (+ partition
+    // pruning). q266 is the family's fully-oracled twin: the identical
+    // pipeline on SQ8 integer codes with md5-derived ±1 planes.
+    "q266_hyperplane_lsh_md5" -> hyperplaneLshMd5Sql,
     "q35_label_centroids" -> labelCentroidsSql,
     "q106_sq8_quantize" -> sq8QuantizeSql,
   )

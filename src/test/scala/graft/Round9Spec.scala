@@ -114,6 +114,43 @@ class Round9Spec extends SparkSuite {
       "winnowing guarantee violated: shared 11-char substring produced no shared fingerprint")
   }
 
+  test("q266 hyperplane twin: sound vs brute force, recall floor, threshold exact") {
+    import graft.operators.Similarity
+    val out = Similarity.hyperplaneLshMd5(spark, Sf0001).collect()
+    assert(out.nonEmpty, "no pairs at sf0.001 — test degenerate")
+    // driver-side brute force over the SAME persisted SQ8 codes: the
+    // exact integer-cosine >= 2/5 pair set (ground truth)
+    val codes = spark.read.parquet(Similarity.buildSq8(spark, Sf0001))
+      .collect().map { r =>
+        r.getAs[Long]("vec_id") ->
+          r.getAs[Seq[Byte]]("qcodes").map(_.toLong).toArray
+      }.sortBy(_._1)
+    val truth = (for {
+      i <- codes.indices.iterator; j <- (i + 1) until codes.length
+      (ida, sa) = codes(i); (idb, sb) = codes(j)
+      dot = sa.zip(sb).map { case (x, y) => x * y }.sum
+      na = sa.map(x => x * x).sum; nb = sb.map(x => x * x).sum
+      if dot > 0 && 25L * dot * dot >= 4L * na * nb
+    } yield (ida, idb)).toSet
+    val got = out.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // soundness: every emitted pair IS a true threshold pair (the
+    // verification step is exact, so this must be an exact subset)
+    assert(got.subsetOf(truth), s"false positives: ${got.diff(truth).take(5)}")
+    // recall floor: 4-bit x 6-table banding catches >= 60% of true
+    // pairs on this corpus (measured; collision prob for cos >= 0.4 is
+    // 1-(1-(1-acos/pi)^4)^6 >= 0.63 at the threshold, higher above it)
+    assert(got.size * 10 >= truth.size * 6,
+      s"recall ${got.size}/${truth.size} below the 60% floor")
+    // published witnesses satisfy the exact predicate
+    out.foreach { r =>
+      val (dot, na, nb) = (r.getAs[Long]("dot"),
+        r.getAs[Long]("norm_a"), r.getAs[Long]("norm_b"))
+      assert(dot > 0 && 25L * dot * dot >= 4L * na * nb, s"$r")
+      val cos = r.getAs[Double]("cosine")
+      assert(cos >= 0.4 - 1e-12 && cos <= 1.0 + 1e-12, s"$r")
+    }
+  }
+
   test("q263 L1 supports replay against a driver-side item-frequency count") {
     import spark.implicits._
     val itemFreq = Tables.lineitem(spark, Sf0001)
