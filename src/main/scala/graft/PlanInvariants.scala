@@ -96,7 +96,18 @@ object PlanInvariants {
       // per-source totals — ≤ |values|·|sources| ≈ 1e4 rows at any SF;
       // the q35 label-bounded rationale). q241: the 1-row collected
       // pooled-CDF array broadcast on a constant key (q66 rationale)
-      "q240_wasserstein_drift", "q241_quantile_normalize")
+      "q240_wasserstein_drift", "q241_quantile_normalize",
+      // q267: the 1-row corpus (N, Σdl) scalar crossJoin-broadcast
+      // into the per-(doc, term) scoring frame (q66 rationale)
+      "q267_bm25_topk",
+      // q269: the two 1-row marginal-witness aggregates (group and
+      // value tie sums) crossJoin-broadcast into the 1-row pair-sweep
+      // frame (q140's summary-record rationale)
+      "q269_jonckheere_trend",
+      // q275: the 1-row corpus-totals reduce crossJoin-broadcast into
+      // the ≤1001-row exact-score bin frame, and the 1-row REL reduce
+      // back into the totals row (q66 scalar rationale, twice)
+      "q275_brier_decomposition")
 
   /** Per-query shuffle ceilings above the [[defaultShuffleCeiling]].
     * These are the audited round-5 counts — intentionally exact, so an

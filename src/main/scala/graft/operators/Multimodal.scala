@@ -343,6 +343,91 @@ object Multimodal {
        |    / CAST(ns AS DOUBLE)) AS rms
        |FROM s ORDER BY doc_id""".stripMargin
 
+  /** Q270: TURNING-POINTS RANDOMNESS TEST over the decoded PCM — the
+    * classic signal-level randomness screen (Kendall's turning-point
+    * test): a sample is a turning point when it is a STRICT local
+    * max or min of its neighbor triple; for an i.i.d. series the
+    * count concentrates at E = 2(n−2)/3 with Var = (16n−29)/90, so
+    * the published z flags audio whose waveform is too smooth
+    * (|z| large negative — speech/music structure, constant fill) or
+    * too oscillatory (large positive — alternating/noise patterns)
+    * for its length. Extends q264's amplitude gates (loudness,
+    * clipping) with the SHAPE gate an audio curation pass runs, and
+    * is the signal-domain sibling of q243's runs test (which
+    * binarizes around a median; turning points use the full local
+    * order structure). Tie convention (pinned on both engines): a
+    * plateau edge is NOT a turning point — strict inequalities both
+    * sides.
+    *
+    * Exactness: the decode is q264's (signed LE int16, full samples
+    * only); the count is an exact integer filter over the sample
+    * array; E and z are ONE fixed dag of IEEE ops on (tp, n) —
+    * identical cross-engine (the q245 discipline).
+    *
+    * Scale shape: per-file-parallel binaryFile scan; ONE
+    * array-build pass (transform) + one bounded filter per file —
+    * all in-expression against the file's own bytes (inherent decode
+    * cost, nothing row-scale shuffles); the only exchange is the
+    * output sort. */
+  def wavTurningPoints(spark: SparkSession, dir: String): DataFrame = {
+    val root = Media.stagedWavRoot(spark, dir)
+    val sgn = (v: String) => s"(CASE WHEN $v >= 32768 THEN $v - 65536 ELSE $v END)"
+    val sample = sgn("CAST(conv(concat(substring(h, i * 4 + 3, 2), " +
+      "substring(h, i * 4 + 1, 2)), 16, 10) AS BIGINT)")
+    val nsd = col("n_samples").cast("double")
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.wav")
+      .load(root)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.wav$", 1).cast("long").as("doc_id"),
+        col("content"))
+      .withColumn("ns", expr(s"${leInt(41, 4)} div 2"))
+      .filter(col("ns") >= 3)
+      .withColumn("h",
+        expr("hex(substring(content, 45, cast(ns * 2 as int)))"))
+      .withColumn("xs", expr(
+        s"transform(sequence(0, cast(ns as int) - 1), i -> $sample)"))
+      .select(col("doc_id"), col("ns").as("n_samples"),
+        expr("""CAST(size(filter(sequence(2, cast(ns as int) - 1), i ->
+               |  (element_at(xs, i) > element_at(xs, i - 1)
+               |    AND element_at(xs, i) > element_at(xs, i + 1)) OR
+               |  (element_at(xs, i) < element_at(xs, i - 1)
+               |    AND element_at(xs, i) < element_at(xs, i + 1)))) AS BIGINT)"""
+          .stripMargin).as("n_turning"))
+      .withColumn("e_turning", lit(2.0) * (nsd - lit(2.0)) / lit(3.0))
+      .withColumn("z_turning",
+        (col("n_turning").cast("double") - lit(2.0) * (nsd - lit(2.0)) / lit(3.0))
+          / sqrt((lit(16.0) * nsd - lit(29.0)) / lit(90.0)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: q264's sample recomputation from the text characters
+    * (ASCII byte ≡ codepoint), with the identical strict-extremum
+    * filter and the identical z dag. */
+  val wavTurningPointsSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text, octet_length(encode(text)) // 2 AS ns
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND doc_id < ${Media.BlobBatch}),
+       |s AS (
+       |  SELECT doc_id, ns,
+       |    list_transform(generate_series(0, CAST(ns AS INT) - 1),
+       |      i -> ascii(substring(text, 2*i + 1, 1))
+       |           + 256 * ascii(substring(text, 2*i + 2, 1))) AS xs
+       |  FROM d WHERE ns >= 3),
+       |t AS (
+       |  SELECT doc_id, CAST(ns AS BIGINT) AS n_samples,
+       |    CAST(len(list_filter(generate_series(2, CAST(ns AS INT) - 1), i ->
+       |      (xs[i] > xs[i - 1] AND xs[i] > xs[i + 1]) OR
+       |      (xs[i] < xs[i - 1] AND xs[i] < xs[i + 1]))) AS BIGINT) AS n_turning
+       |  FROM s)
+       |SELECT doc_id, n_samples, n_turning,
+       |  2.0 * (CAST(n_samples AS DOUBLE) - 2.0) / 3.0 AS e_turning,
+       |  (CAST(n_turning AS DOUBLE)
+       |     - 2.0 * (CAST(n_samples AS DOUBLE) - 2.0) / 3.0)
+       |    / SQRT((16.0 * CAST(n_samples AS DOUBLE) - 29.0) / 90.0) AS z_turning
+       |FROM t ORDER BY doc_id""".stripMargin
+
   def wavDecode(spark: SparkSession, dir: String): DataFrame = {
     val root = Media.stagedWavRoot(spark, dir)
     val scanned = spark.read.format("binaryFile")
@@ -383,6 +468,7 @@ object Multimodal {
   }
 
   def queries: Map[String, Relational.Q] = Map(
+    "q270_wav_turning_points" -> (wavTurningPoints _),
     "q262_wav_decode" -> (wavDecode _),
     "q264_wav_sample_stats" -> (wavSampleStats _),
     "q260_blob_sync_diff" -> (blobSyncDiff _),
@@ -400,5 +486,6 @@ object Multimodal {
     "q260_blob_sync_diff" -> blobSyncDiffSql,
     "q262_wav_decode" -> wavDecodeSql,
     "q264_wav_sample_stats" -> wavSampleStatsSql,
+    "q270_wav_turning_points" -> wavTurningPointsSql,
   )
 }

@@ -2494,7 +2494,543 @@ object Quality {
        |FROM u""".stripMargin
   }
 
+  /** Q268: KENDALL τ-b — per nation, the rank correlation of monthly
+    * revenue vs order count over the 1996-97 calendar: the
+    * concordance complement of q245's Spearman (ρ sums rank GAPS,
+    * τ-b counts pair INVERSIONS) and the value-vs-value
+    * generalization of q213's Mann-Kendall (which fixes y = time),
+    * with the tie normalization both of those skip. A 1996-97 month
+    * pair is concordant when revenue and order count move the same
+    * way, discordant when they invert — τ-b is the probability-scale
+    * summary of that agreement.
+    *
+    * Exactness: every pair is classified by SIGN COMPARISONS, never a
+    * (Δrev·Δcnt) product — cent-scale revenue deltas square into
+    * ~1e30 at large SF, an ANSI BIGINT overflow, while the comparison
+    * form never multiplies data values. C/D/Tx/Ty are exact BIGINTs;
+    * τ-b = (C−D)/√((n₀−Tx)(n₀−Ty)) is one fixed dag on them
+    * (integer-exact doubles, one multiply, one √, one division — the
+    * q245 discipline). An all-tied axis ⇒ NULL, never 0/0.
+    *
+    * Scale shape: the q213/q245 chain verbatim — row-scale monthly
+    * rollup (map-side combined), nation-keyed collect of the
+    * CALENDAR-BOUNDED array (n ≤ 24 forever: the axis is the 1996-97
+    * month grid, not the row count), the O(n²) pair sweep
+    * in-expression (≤ 276 comparisons per nation), output sort.
+    * Three exchanges, no joins. */
+  def kendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val arrs = nationMonthly(spark, dir).groupBy(col("nation"))
+      .agg(sort_array(collect_list(struct(col("m"), col("rev"), col("cnt"))))
+        .as("xs"))
+      .filter(size(col("xs")) >= 2)
+    val k = arrs.select(col("nation"),
+      size(col("xs")).cast("long").as("n_months"),
+      expr("""aggregate(sequence(1, size(xs) - 1),
+             |  named_struct('c', 0L, 'd', 0L, 'tx', 0L, 'ty', 0L),
+             |  (acc, i) -> named_struct(
+             |    'c', acc.c + size(filter(slice(xs, i + 1, size(xs) - i), b ->
+             |      (b.rev > element_at(xs, i).rev AND b.cnt > element_at(xs, i).cnt) OR
+             |      (b.rev < element_at(xs, i).rev AND b.cnt < element_at(xs, i).cnt))),
+             |    'd', acc.d + size(filter(slice(xs, i + 1, size(xs) - i), b ->
+             |      (b.rev > element_at(xs, i).rev AND b.cnt < element_at(xs, i).cnt) OR
+             |      (b.rev < element_at(xs, i).rev AND b.cnt > element_at(xs, i).cnt))),
+             |    'tx', acc.tx + size(filter(slice(xs, i + 1, size(xs) - i), b ->
+             |      b.rev = element_at(xs, i).rev)),
+             |    'ty', acc.ty + size(filter(slice(xs, i + 1, size(xs) - i), b ->
+             |      b.cnt = element_at(xs, i).cnt))))""".stripMargin).as("k"))
+    val n0 = expr("n_months * (n_months - 1) div 2")
+    k.select(col("nation"), col("n_months"),
+        col("k.c").as("n_conc"), col("k.d").as("n_disc"),
+        col("k.tx").as("ties_x"), col("k.ty").as("ties_y"))
+      .withColumn("tau_b",
+        when(n0 > col("ties_x") && n0 > col("ties_y"),
+          (col("n_conc") - col("n_disc")).cast("double")
+            / sqrt(((n0 - col("ties_x")) * (n0 - col("ties_y"))).cast("double"))))
+      .orderBy(col("nation"))
+  }
+
+  val kendallTauSql: String =
+    s"""WITH $nationMonthlySqlCte,
+       |p AS (SELECT a.nation,
+       |    CASE WHEN (b.rev > a.rev AND b.cnt > a.cnt)
+       |           OR (b.rev < a.rev AND b.cnt < a.cnt) THEN 1 ELSE 0 END AS c,
+       |    CASE WHEN (b.rev > a.rev AND b.cnt < a.cnt)
+       |           OR (b.rev < a.rev AND b.cnt > a.cnt) THEN 1 ELSE 0 END AS d,
+       |    CASE WHEN b.rev = a.rev THEN 1 ELSE 0 END AS tx,
+       |    CASE WHEN b.cnt = a.cnt THEN 1 ELSE 0 END AS ty
+       |  FROM monthly a JOIN monthly b ON a.nation = b.nation AND a.m < b.m),
+       |n AS (SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_months
+       |  FROM monthly GROUP BY 1 HAVING COUNT(*) >= 2),
+       |s AS (SELECT nation, CAST(SUM(c) AS BIGINT) AS c, CAST(SUM(d) AS BIGINT) AS d,
+       |    CAST(SUM(tx) AS BIGINT) AS tx, CAST(SUM(ty) AS BIGINT) AS ty
+       |  FROM p GROUP BY 1)
+       |SELECT n.nation, n.n_months, s.c AS n_conc, s.d AS n_disc,
+       |  s.tx AS ties_x, s.ty AS ties_y,
+       |  CASE WHEN n_months * (n_months - 1) // 2 > tx
+       |        AND n_months * (n_months - 1) // 2 > ty THEN
+       |    CAST(c - d AS DOUBLE)
+       |      / SQRT(CAST((n_months * (n_months - 1) // 2 - tx)
+       |          * (n_months * (n_months - 1) // 2 - ty) AS DOUBLE))
+       |  END AS tau_b
+       |FROM n JOIN s USING (nation) ORDER BY nation""".stripMargin
+
+  /** Q269: JONCKHEERE–TERPSTRA ORDERED-TREND TEST — does worst-line
+    * ship latency INCREASE along the priority order 1-URGENT → 5-LOW?
+    * The ordered-alternative test for a CONTINUOUS outcome: q256's
+    * Cochran-Armitage orders the groups but needs a binary outcome
+    * (late y/n); q237's Kruskal-Wallis takes the continuous outcome
+    * but treats groups as unordered. JT is Mann-Whitney summed over
+    * every ordered group pair — J = Σ_{i<j} U_ij — the one-sided
+    * power of both.
+    *
+    * Exactness: per-order latency v = max ship lag is a DOMAIN-
+    * bounded integer (the generator ships inside a fixed multi-year
+    * calendar window around the order date: lag ∈ [−2400, 2500] at
+    * every SF — ~5k distinct day values, measured 9.7k/19.9k
+    * populated (group, day) cells at sf0.01/0.1 against the ~24.5k
+    * domain ceiling), so the test runs on contingency counts whose
+    * cardinality is SF-INDEPENDENT. J2 = 2·#less + #ties and every
+    * tie-corrected variance witness (Σnᵢ(nᵢ−1)(2nᵢ+5) etc.) is exact
+    * DECIMAL(38,0) arithmetic on cell counts (published as STRING —
+    * the q256 >2⁵³ discipline; headroom: nᵢ³ ≤ 1e38 up to nᵢ ~ 4e12
+    * orders per priority, far past 100 TB). z is one fixed dag of
+    * IEEE ops on the exact witnesses, identical on both engines; the
+    * variance is the full Hollander-Wolfe tie-corrected form (the
+    * day-valued outcome is heavily tied — the uncorrected variance
+    * would overstate it).
+    *
+    * Pair counting is SORT-BASED, never quadratic: with the cells
+    * pivoted to one row per day value (n1..n5 group counts), #less =
+    * Σ_v Σ_j n_j(v)·Σ_{i<j} cumᵢ(<v) via ONE running-sum window over
+    * the day axis — O(|domain|) exact integer work. (The first cut
+    * swept collected cell pairs in an interpreted HOF: 19.9k² ≈ 4e8
+    * lambda ops = 72 s at sf0.1 — the q265 interpreted-HOF lesson
+    * extended: a DOMAIN-bounded frame is not automatically small
+    * enough to SQUARE in-expression.)
+    *
+    * Scale shape: one per-order lateness rollup (map-side combined on
+    * l_orderkey) after the orderkey join (SMJ at scale, the q256
+    * shape), ONE day-keyed pivot aggregation (≤ |domain| rows,
+    * localCheckpointed for its three consumers — the q263 rule), the
+    * single-task running-sum window over the ≤5k-row day axis (the
+    * q211/q212 value-domain-window class), and the 1-row reduces
+    * crossJoin-broadcast together. */
+  def jonckheereTrend(spark: SparkSession, dir: String): DataFrame = {
+    val lat = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        substring(col("o_orderpriority"), 1, 1).cast("int").as("gi"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("gi"))
+      .agg(max(datediff(col("l_shipdate"), col("o_orderdate"))).as("v"))
+    val pivAggs = (1 to 5).map(i =>
+      sum(when(col("gi") === i, 1L).otherwise(0L)).cast("long").as(s"n$i"))
+    val piv = lat.groupBy(col("v"))
+      .agg(pivAggs.head, pivAggs.tail: _*)
+      .localCheckpoint()
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = piv.select(col("v") +:
+      ((1 to 5).map(i => col(s"n$i")) ++
+        (1 to 5).map(i =>
+          coalesce(sum(col(s"n$i")).over(w), lit(0L)).as(s"cum$i"))): _*)
+    // #less = Σ_v Σ_j n_j(v)·Σ_{i<j} cumᵢ(<v); #ties = Σ_v Σ_{i<j} nᵢ·n_j —
+    // d38 before the product: count × cumulative reaches ~1.5e20 at 100 TB
+    val lessRow = (2 to 5).map(j =>
+      d38(col(s"n$j")) * (1 until j).map(i => col(s"cum$i")).reduce(_ + _))
+      .reduce(_ + _)
+    val tieRow = (for (i <- 1 to 4; j <- (i + 1) to 5)
+      yield d38(col(s"n$i")) * col(s"n$j")).reduce(_ + _)
+    val pairs = cum.agg(
+      sum(lessRow).cast("decimal(38,0)").as("n_less"),
+      sum(tieRow).cast("decimal(38,0)").as("n_tie"))
+    val grpAggs = (1 to 5).map(i => sum(col(s"n$i")).cast("long").as(s"g$i"))
+    val grp = piv
+      .agg(grpAggs.head, grpAggs.tail: _*)
+      .select(
+        (1 to 5).map(i => col(s"g$i")).reduce(_ + _).cast("long").as("n_total"),
+        (1 to 5).map(i => d38(col(s"g$i")) * col(s"g$i")).reduce(_ + _)
+          .cast("decimal(38,0)").as("s2"),
+        (1 to 5).map(i => d38(col(s"g$i")) * (col(s"g$i") - 1)
+          * (lit(2) * col(s"g$i") + 5)).reduce(_ + _)
+          .cast("decimal(38,0)").as("a3"),
+        (1 to 5).map(i => d38(col(s"g$i")) * (col(s"g$i") - 1)
+          * (col(s"g$i") - 2)).reduce(_ + _)
+          .cast("decimal(38,0)").as("c1"),
+        (1 to 5).map(i => d38(col(s"g$i")) * (col(s"g$i") - 1)).reduce(_ + _)
+          .cast("decimal(38,0)").as("c2"))
+    val vals = piv
+      .select(((1 to 5).map(i => col(s"n$i")).reduce(_ + _)).cast("long").as("t"))
+      .agg(
+        sum(d38(col("t")) * (col("t") - 1) * (lit(2) * col("t") + 5))
+          .cast("decimal(38,0)").as("b3"),
+        sum(d38(col("t")) * (col("t") - 1) * (col("t") - 2))
+          .cast("decimal(38,0)").as("d1"),
+        sum(d38(col("t")) * (col("t") - 1)).cast("decimal(38,0)").as("d2"))
+    val one = pairs.crossJoin(broadcast(grp)).crossJoin(broadcast(vals))
+      .withColumn("j2", (lit(2) * col("n_less") + col("n_tie")).cast("decimal(38,0)"))
+      .withColumn("mean2",
+        ((d38(col("n_total")) * col("n_total") - col("s2")) / 2).cast("decimal(38,0)"))
+      .withColumn("t0",
+        (d38(col("n_total")) * (col("n_total") - 1) * (lit(2) * col("n_total") + 5))
+          .cast("decimal(38,0)"))
+    val nd = col("n_total").cast("double")
+    val vr =
+      (col("t0") - col("a3") - col("b3")).cast("decimal(38,0)").cast("double") / 72.0 +
+        (col("c1").cast("double") * col("d1").cast("double") /
+          (lit(36.0) * nd * (nd - 1.0) * (nd - 2.0))) +
+        (col("c2").cast("double") * col("d2").cast("double") /
+          (lit(8.0) * nd * (nd - 1.0)))
+    one.select(
+      lit(5L).as("k_groups"),
+      col("n_total"),
+      col("j2").cast("string").as("j2"),
+      col("mean2").cast("string").as("mean2"),
+      when(vr > 0.0,
+        (col("j2").cast("double") - col("mean2").cast("double"))
+          / (lit(2.0) * sqrt(vr))).as("z_trend"))
+  }
+
+  val jonckheereTrendSql: String =
+    """WITH lat AS (
+      |  SELECT o_orderkey, CAST(substring(o_orderpriority, 1, 1) AS INT) AS gi,
+      |    MAX(datediff('day', o_orderdate, l_shipdate)) AS v
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  GROUP BY 1, 2),
+      |piv AS (SELECT v,
+      |    CAST(SUM(CASE WHEN gi = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN gi = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |    CAST(SUM(CASE WHEN gi = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+      |    CAST(SUM(CASE WHEN gi = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+      |    CAST(SUM(CASE WHEN gi = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n5
+      |  FROM lat GROUP BY 1),
+      |cum AS (SELECT *,
+      |    COALESCE(SUM(n1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum1,
+      |    COALESCE(SUM(n2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum2,
+      |    COALESCE(SUM(n3) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum3,
+      |    COALESCE(SUM(n4) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum4
+      |  FROM piv),
+      |pairs AS (SELECT
+      |    CAST(SUM(CAST(n2 AS HUGEINT) * cum1
+      |           + CAST(n3 AS HUGEINT) * (cum1 + cum2)
+      |           + CAST(n4 AS HUGEINT) * (cum1 + cum2 + cum3)
+      |           + CAST(n5 AS HUGEINT) * (cum1 + cum2 + cum3 + cum4)) AS HUGEINT) AS n_less,
+      |    CAST(SUM(CAST(n1 AS HUGEINT) * (n2 + n3 + n4 + n5)
+      |           + CAST(n2 AS HUGEINT) * (n3 + n4 + n5)
+      |           + CAST(n3 AS HUGEINT) * (n4 + n5)
+      |           + CAST(n4 AS HUGEINT) * n5) AS HUGEINT) AS n_tie
+      |  FROM cum),
+      |g AS (SELECT CAST(SUM(n1) AS BIGINT) AS g1, CAST(SUM(n2) AS BIGINT) AS g2,
+      |    CAST(SUM(n3) AS BIGINT) AS g3, CAST(SUM(n4) AS BIGINT) AS g4,
+      |    CAST(SUM(n5) AS BIGINT) AS g5 FROM piv),
+      |grp AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+      |    CAST(SUM(CAST(n AS HUGEINT) * n) AS HUGEINT) AS s2,
+      |    CAST(SUM(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5)) AS HUGEINT) AS a3,
+      |    CAST(SUM(CAST(n AS HUGEINT) * (n - 1) * (n - 2)) AS HUGEINT) AS c1,
+      |    CAST(SUM(CAST(n AS HUGEINT) * (n - 1)) AS HUGEINT) AS c2
+      |  FROM (SELECT unnest([g1, g2, g3, g4, g5]) AS n FROM g)),
+      |vals AS (SELECT
+      |    CAST(SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS HUGEINT) AS b3,
+      |    CAST(SUM(CAST(t AS HUGEINT) * (t - 1) * (t - 2)) AS HUGEINT) AS d1,
+      |    CAST(SUM(CAST(t AS HUGEINT) * (t - 1)) AS HUGEINT) AS d2
+      |  FROM (SELECT n1 + n2 + n3 + n4 + n5 AS t FROM piv)),
+      |one AS (SELECT *,
+      |    2 * n_less + n_tie AS j2,
+      |    (CAST(n_total AS HUGEINT) * n_total - s2) // 2 AS mean2,
+      |    CAST(n_total AS HUGEINT) * (n_total - 1) * (2 * n_total + 5) AS t0
+      |  FROM pairs CROSS JOIN grp CROSS JOIN vals),
+      |z AS (SELECT *,
+      |    CAST(t0 - a3 - b3 AS DOUBLE) / 72.0
+      |      + (CAST(c1 AS DOUBLE) * CAST(d1 AS DOUBLE))
+      |        / (36.0 * CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) - 1.0)
+      |           * (CAST(n_total AS DOUBLE) - 2.0))
+      |      + (CAST(c2 AS DOUBLE) * CAST(d2 AS DOUBLE))
+      |        / (8.0 * CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) - 1.0)) AS vr
+      |  FROM one)
+      |SELECT CAST(5 AS BIGINT) AS k_groups, n_total,
+      |  CAST(j2 AS VARCHAR) AS j2, CAST(mean2 AS VARCHAR) AS mean2,
+      |  CASE WHEN vr > 0.0 THEN
+      |    (CAST(j2 AS DOUBLE) - CAST(mean2 AS DOUBLE)) / (2.0 * SQRT(vr))
+      |  END AS z_trend
+      |FROM z""".stripMargin
+
+  /** Q271: FLEISS' κ — chance-corrected agreement of THREE independent
+    * deterministic quality raters over the document corpus, the
+    * multi-rater generalization of q157's two-rater Cohen's κ (whose
+    * math caps at 2 raters; Fleiss handles n). The raters are three
+    * real curation heuristics binning each doc into quality class
+    * {0,1,2}: length (n_chars ≥ 330 / ≥ 180), stopword naturalness
+    * (100·stop ≥ 10·tokens / ≥ 5·tokens — exact integer predicates,
+    * never a float ratio), and lexical diversity (100·types ≥
+    * 52·tokens / ≥ 42·tokens). "Do our quality signals agree beyond
+    * chance?" is the calibration question a multi-signal quality gate
+    * (q116) must answer before votes are combined.
+    *
+    * Exactness: with n=3 raters and k=3 categories, κ reduces to the
+    * exact integer form κ = (3MS − 2Q)/(2(9M² − Q)) where M = docs,
+    * S = Σ_i(Σ_j n_ij² − 3) (per-doc agreement witnesses ∈ {0,2,6}),
+    * Q = Σ_j c_j² (category marginals) — DECIMAL(38,0) exact to
+    * M ~ 1e17 docs; κ/P̄/Pₑ are fixed dags on those integers.
+    * Degenerate single-category corpus ⇒ NULL κ on both engines.
+    *
+    * Scale shape: ONE map-side-combinable aggregation over the doc
+    * scan (every rater is a per-row expression); output is a single
+    * row. One exchange. */
+  def fleissKappa(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val d = Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .withColumn("nt", tokenCount(col("text")))
+      .withColumn("ty", size(distinctTokens(col("text"))).cast("long"))
+      .withColumn("ns", stopwordCount(col("text")))
+      .withColumn("ra",
+        when(col("n_chars") >= 330, 2L).when(col("n_chars") >= 180, 1L).otherwise(0L))
+      .withColumn("rb",
+        when(lit(100) * col("ns") >= lit(10) * col("nt"), 2L)
+          .when(lit(100) * col("ns") >= lit(5) * col("nt"), 1L).otherwise(0L))
+      .withColumn("rc",
+        when(lit(100) * col("ty") >= lit(52) * col("nt"), 2L)
+          .when(lit(100) * col("ty") >= lit(42) * col("nt"), 1L).otherwise(0L))
+    def nj(j: Int) =
+      when(col("ra") === j, 1L).otherwise(0L) +
+        when(col("rb") === j, 1L).otherwise(0L) +
+        when(col("rc") === j, 1L).otherwise(0L)
+    val counted = d.select(
+      nj(0).as("n0"), nj(1).as("n1"), nj(2).as("n2"))
+    val agg = counted.agg(
+      count(lit(1)).cast("long").as("m"),
+      sum(col("n0") * col("n0") + col("n1") * col("n1") + col("n2") * col("n2") - 3)
+        .cast("long").as("s"),
+      sum(col("n0")).cast("long").as("c0"),
+      sum(col("n1")).cast("long").as("c1"),
+      sum(col("n2")).cast("long").as("c2"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val q = (d38(col("c0")) * col("c0") + d38(col("c1")) * col("c1")
+      + d38(col("c2")) * col("c2")).cast("decimal(38,0)")
+    val num = (lit(3) * d38(col("m")) * col("s") - lit(2) * q).cast("decimal(38,0)")
+    val den = (lit(2) * (lit(9) * d38(col("m")) * col("m") - q)).cast("decimal(38,0)")
+    agg.select(
+      col("m").as("n_docs"), lit(3L).as("n_raters"),
+      col("c0"), col("c1"), col("c2"), col("s").as("s_agree"),
+      (col("s").cast("double") / (lit(6.0) * col("m").cast("double"))).as("p_bar"),
+      (q.cast("double")
+        / (lit(9.0) * col("m").cast("double") * col("m").cast("double"))).as("p_e"),
+      when(den =!= 0, num.cast("double") / den.cast("double")).as("kappa"))
+  }
+
+  val fleissKappaSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, n_chars,
+       |    len(string_split(text, ' ')) AS nt,
+       |    len(list_distinct(string_split(text, ' '))) AS ty,
+       |    len(list_filter(string_split(text, ' '), x -> x IN ($stopwordSqlList))) AS ns
+       |  FROM documents WHERE text IS NOT NULL),
+       |r AS (SELECT
+       |    CASE WHEN n_chars >= 330 THEN 2 WHEN n_chars >= 180 THEN 1 ELSE 0 END AS ra,
+       |    CASE WHEN 100 * ns >= 10 * nt THEN 2
+       |         WHEN 100 * ns >= 5 * nt THEN 1 ELSE 0 END AS rb,
+       |    CASE WHEN 100 * ty >= 52 * nt THEN 2
+       |         WHEN 100 * ty >= 42 * nt THEN 1 ELSE 0 END AS rc
+       |  FROM t),
+       |cnt AS (SELECT
+       |    (CASE WHEN ra = 0 THEN 1 ELSE 0 END + CASE WHEN rb = 0 THEN 1 ELSE 0 END
+       |     + CASE WHEN rc = 0 THEN 1 ELSE 0 END) AS n0,
+       |    (CASE WHEN ra = 1 THEN 1 ELSE 0 END + CASE WHEN rb = 1 THEN 1 ELSE 0 END
+       |     + CASE WHEN rc = 1 THEN 1 ELSE 0 END) AS n1,
+       |    (CASE WHEN ra = 2 THEN 1 ELSE 0 END + CASE WHEN rb = 2 THEN 1 ELSE 0 END
+       |     + CASE WHEN rc = 2 THEN 1 ELSE 0 END) AS n2
+       |  FROM r),
+       |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+       |    CAST(SUM(n0 * n0 + n1 * n1 + n2 * n2 - 3) AS BIGINT) AS s,
+       |    CAST(SUM(n0) AS BIGINT) AS c0, CAST(SUM(n1) AS BIGINT) AS c1,
+       |    CAST(SUM(n2) AS BIGINT) AS c2
+       |  FROM cnt),
+       |w AS (SELECT *,
+       |    CAST(c0 AS HUGEINT) * c0 + CAST(c1 AS HUGEINT) * c1
+       |      + CAST(c2 AS HUGEINT) * c2 AS q,
+       |    3 * CAST(m AS HUGEINT) * s
+       |      - 2 * (CAST(c0 AS HUGEINT) * c0 + CAST(c1 AS HUGEINT) * c1
+       |             + CAST(c2 AS HUGEINT) * c2) AS num,
+       |    2 * (9 * CAST(m AS HUGEINT) * m
+       |         - (CAST(c0 AS HUGEINT) * c0 + CAST(c1 AS HUGEINT) * c1
+       |            + CAST(c2 AS HUGEINT) * c2)) AS den
+       |  FROM agg)
+       |SELECT m AS n_docs, CAST(3 AS BIGINT) AS n_raters, c0, c1, c2, s AS s_agree,
+       |  CAST(s AS DOUBLE) / (6.0 * CAST(m AS DOUBLE)) AS p_bar,
+       |  CAST(q AS DOUBLE) / (9.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)) AS p_e,
+       |  CASE WHEN den <> 0 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS kappa
+       |FROM w""".stripMargin
+
+  /** Q275: BRIER-SCORE MURPHY DECOMPOSITION — the q156 calibration
+    * table's summary statistic, decomposed: for the permille
+    * stopword-share forecast of "is English", Brier = REL − RES +
+    * UNC, where reliability (how far forecast groups sit from their
+    * observed rates — q156's gap, squared and weighted), resolution
+    * (how much the groups separate from the base rate — the score's
+    * actual skill), and uncertainty (the irreducible base-rate
+    * variance) answer what a single Brier number hides: a score can
+    * be well-calibrated and useless, or skilled and miscalibrated.
+    * Bins are EXACT SCORE VALUES (≤1001 — the permille domain), so
+    * the decomposition identity is exact, not the fixed-width-bin
+    * approximation (which would leak within-bin variance terms).
+    *
+    * Exactness: Brier and UNC are single exact rationals (Σ(s−1000y)²
+    * / (10⁶·N) and E(N−E)/N²) published half-up micro; REL is the sum
+    * of per-bin half-up micro contributions (the q251 RAKE
+    * integer-sum rule — never a float accumulation across bins); RES
+    * is published THROUGH THE IDENTITY (rel6 − brier6 + unc6, exact
+    * integer arithmetic on the three published micros, ±2 µ of the
+    * unrounded value — the convention both engines share by
+    * construction). Headroom: per-bin (s·n−1000e)² ≤ 10⁶·n² — inside
+    * DECIMAL(38) to ~10¹⁶ docs.
+    *
+    * Scale shape: one row-scale map-side-combined count into the
+    * ≤1001-row exact-score frame (localCheckpointed — totals and the
+    * REL pass both read it), a 1-row totals reduce crossJoin-broadcast
+    * back for the per-bin REL terms, one final 1-row reduce. */
+  def brierDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val scored = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select((col("lang") === "en").as("pos"),
+        (stopwordCount(col("text")) * 1000).as("sw1000"),
+        tokenCount(col("text")).as("tc"))
+      .withColumn("s", expr("sw1000 div tc"))
+    val bins = scored.groupBy(col("s"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("pos"), 1L).otherwise(0L)).cast("long").as("e"))
+      .localCheckpoint()
+    val tot = bins.agg(
+      sum(col("n")).cast("long").as("nd"),
+      sum(col("e")).cast("long").as("ep"),
+      count(lit(1)).cast("long").as("nb"),
+      sum(d38(col("e")) * (col("s") - 1000) * (col("s") - 1000)
+        + d38(col("n") - col("e")) * col("s") * col("s"))
+        .cast("decimal(38,0)").as("s2"))
+    val rel = bins.crossJoin(broadcast(tot))
+      .withColumn("dv", d38(col("s") * col("n") - lit(1000) * col("e")))
+      .withColumn("r6n", (lit(2) * col("dv") * col("dv")
+        + d38(col("n")) * col("nd")).cast("decimal(38,0)"))
+      .withColumn("r6d", (lit(2) * d38(col("n")) * col("nd")).cast("decimal(38,0)"))
+      .withColumn("r6", expr("r6n div r6d"))
+      .agg(sum(col("r6")).cast("long").as("rel6"))
+    tot.crossJoin(broadcast(rel))
+      .withColumn("b6n", (lit(2) * col("s2") + col("nd")).cast("decimal(38,0)"))
+      .withColumn("b6d", (lit(2) * d38(col("nd"))).cast("decimal(38,0)"))
+      .withColumn("brier6", expr("b6n div b6d"))
+      .withColumn("u6n", (lit(2) * lit(1000000) * d38(col("ep")) * (col("nd") - col("ep"))
+        + d38(col("nd")) * col("nd")).cast("decimal(38,0)"))
+      .withColumn("u6d", (lit(2) * d38(col("nd")) * col("nd")).cast("decimal(38,0)"))
+      .withColumn("unc6", expr("u6n div u6d"))
+      .select(
+        col("nd").as("n_docs"), col("ep").as("n_pos"), col("nb").as("n_bins"),
+        (col("brier6").cast("double") / 1000000).as("brier"),
+        (col("unc6").cast("double") / 1000000).as("uncertainty"),
+        (col("rel6").cast("double") / 1000000).as("reliability"),
+        ((col("rel6") - col("brier6") + col("unc6")).cast("double") / 1000000)
+          .as("resolution"))
+  }
+
+  val brierDecompositionSql: String =
+    s"""WITH scored AS (
+       |  SELECT lang = 'en' AS pos,
+       |    len(list_filter(string_split(text, ' '), t -> t IN ($stopwordSqlList)))
+       |      * 1000 // len(string_split(text, ' ')) AS s
+       |  FROM documents WHERE text IS NOT NULL),
+       |bins AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS e
+       |  FROM scored GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nd, CAST(SUM(e) AS BIGINT) AS ep,
+       |    CAST(COUNT(*) AS BIGINT) AS nb,
+       |    CAST(SUM(CAST(e AS HUGEINT) * (s - 1000) * (s - 1000)
+       |             + CAST(n - e AS HUGEINT) * s * s) AS HUGEINT) AS s2
+       |  FROM bins),
+       |rel AS (SELECT CAST(SUM(
+       |    (2 * CAST(s * n - 1000 * e AS HUGEINT) * (s * n - 1000 * e)
+       |     + CAST(n AS HUGEINT) * nd) // (2 * CAST(n AS HUGEINT) * nd))
+       |    AS BIGINT) AS rel6
+       |  FROM bins CROSS JOIN tot),
+       |mic AS (SELECT nd, ep, nb, rel6,
+       |    CAST((2 * s2 + nd) // (2 * nd) AS BIGINT) AS brier6,
+       |    CAST((2 * 1000000 * CAST(ep AS HUGEINT) * (nd - ep)
+       |          + CAST(nd AS HUGEINT) * nd)
+       |      // (2 * CAST(nd AS HUGEINT) * nd) AS BIGINT) AS unc6
+       |  FROM tot CROSS JOIN rel)
+       |SELECT nd AS n_docs, ep AS n_pos, nb AS n_bins,
+       |  CAST(brier6 AS DOUBLE) / 1000000 AS brier,
+       |  CAST(unc6 AS DOUBLE) / 1000000 AS uncertainty,
+       |  CAST(rel6 AS DOUBLE) / 1000000 AS reliability,
+       |  CAST(rel6 - brier6 + unc6 AS DOUBLE) / 1000000 AS resolution
+       |FROM mic""".stripMargin
+
+  /** Q276: HOLT LINEAR-TREND SMOOTHING — double exponential smoothing
+    * over each nation's 1996-97 monthly revenue (α = 0.2, β = 0.1;
+    * init l₂ = y₂, b₂ = y₂ − y₁): the trend-aware rung above q153's
+    * single EWMA (which a trending series systematically lags), with
+    * the 3-month-ahead forecast l + 3b a planning rollup would
+    * publish. The verification technique is the novelty: the engine
+    * folds the recurrence IN-EXPRESSION (one sequential `aggregate`
+    * over the calendar-bounded array), the oracle replays it as a
+    * DuckDB RECURSIVE CTE — two independent sequential evaluators of
+    * the same IEEE dag, so agreement is bit-exact, no rounding
+    * tolerance (the fixed-dag discipline extended from single
+    * expressions to RECURRENCES; cent revenues < 2⁵³ keep the double
+    * images of the inputs exact to ~10¹⁵ cents/month, documented
+    * headroom).
+    *
+    * Scale shape: the q213/q245 chain — row-scale monthly rollup,
+    * nation-keyed collect of the ≤24-element array, the fold
+    * in-expression, output sort. Three exchanges, no joins. */
+  def holtLinear(spark: SparkSession, dir: String): DataFrame = {
+    val arrs = nationMonthly(spark, dir).groupBy(col("nation"))
+      .agg(sort_array(collect_list(struct(col("m"), col("rev")))).as("xs"))
+      .filter(size(col("xs")) >= 2)
+    arrs.select(col("nation"),
+        size(col("xs")).cast("long").as("n_months"),
+        expr("""aggregate(slice(xs, 3, size(xs) - 2),
+               |  named_struct(
+               |    'l', CAST(element_at(xs, 2).rev AS DOUBLE),
+               |    'b', CAST(element_at(xs, 2).rev AS DOUBLE)
+               |         - CAST(element_at(xs, 1).rev AS DOUBLE)),
+               |  (acc, x) -> named_struct(
+               |    'l', 0.2D * CAST(x.rev AS DOUBLE) + 0.8D * (acc.l + acc.b),
+               |    'b', 0.1D * ((0.2D * CAST(x.rev AS DOUBLE)
+               |                  + 0.8D * (acc.l + acc.b)) - acc.l)
+               |         + 0.9D * acc.b))""".stripMargin).as("st"))
+      .select(col("nation"), col("n_months"),
+        col("st.l").as("level"), col("st.b").as("trend"),
+        (col("st.l") + lit(3.0) * col("st.b")).as("forecast_3"))
+      .orderBy(col("nation"))
+  }
+
+  val holtLinearSql: String =
+    s"""WITH RECURSIVE $nationMonthlySqlCte,
+       |ser AS (SELECT nation, CAST(rev AS DOUBLE) AS y,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY nation ORDER BY m) AS INT) AS i
+       |  FROM monthly),
+       |cnt AS (SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_months
+       |  FROM ser GROUP BY 1 HAVING COUNT(*) >= 2),
+       |r AS (
+       |  SELECT s2.nation, 2 AS i, s2.y AS l, s2.y - s1.y AS b
+       |  FROM ser s1 JOIN ser s2 ON s1.nation = s2.nation
+       |    AND s1.i = 1 AND s2.i = 2
+       |  UNION ALL
+       |  SELECT r.nation, r.i + 1,
+       |    0.2 * s.y + 0.8 * (r.l + r.b),
+       |    0.1 * ((0.2 * s.y + 0.8 * (r.l + r.b)) - r.l) + 0.9 * r.b
+       |  FROM r JOIN ser s ON s.nation = r.nation AND s.i = r.i + 1)
+       |SELECT c.nation, c.n_months, r.l AS level, r.b AS trend,
+       |  r.l + 3.0 * r.b AS forecast_3
+       |FROM cnt c JOIN r ON r.nation = c.nation AND r.i = c.n_months
+       |ORDER BY c.nation""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q275_brier_decomposition" -> (brierDecomposition _),
+    "q276_holt_linear" -> (holtLinear _),
+    "q268_kendall_tau" -> (kendallTau _),
+    "q269_jonckheere_trend" -> (jonckheereTrend _),
+    "q271_fleiss_kappa" -> (fleissKappa _),
     "q256_cochran_armitage" -> (cochranArmitage _),
     "q245_spearman_monthly" -> (spearmanMonthly _),
     "q246_brown_forsythe" -> (brownForsythe _),
@@ -2528,6 +3064,11 @@ object Quality {
   )
 
   def oracles: Map[String, String] = Map(
+    "q275_brier_decomposition" -> brierDecompositionSql,
+    "q276_holt_linear" -> holtLinearSql,
+    "q268_kendall_tau" -> kendallTauSql,
+    "q269_jonckheere_trend" -> jonckheereTrendSql,
+    "q271_fleiss_kappa" -> fleissKappaSql,
     "q245_spearman_monthly" -> spearmanMonthlySql,
     "q246_brown_forsythe" -> brownForsytheSql,
     "q248_isotonic_calibration" -> isotonicCalibrationSql,

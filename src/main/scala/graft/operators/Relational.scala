@@ -1488,7 +1488,85 @@ object Relational {
       |FROM c WHERE 2 * cw >= tw
       |GROUP BY flag ORDER BY flag""".stripMargin
 
+  /** Q274: SEQUENTIAL PATTERN PAIRS (PrefixSpan level 2) — "customers
+    * who bought A in an earlier order later bought B": the ORDER-
+    * sensitive complement of the basket family (q171/q258/q259 count
+    * same-order co-occurrence; a→b counts cross-order succession per
+    * CUSTOMER), the level-2 core of PrefixSpan with Apriori-style
+    * item pruning. Candidate items are the top-20 parts by purchase
+    * count (the q226 top-V convention — PrefixSpan's frequent-item
+    * prune made deterministic by the (count, part) total order);
+    * a→b holds for a customer iff some order with A strictly
+    * PREDATES (by calendar day — same-day orders don't sequence,
+    * convention pinned in the oracle) some order with B, i.e.
+    * min_date(A) < max_date(B) — so the per-customer frame is ONE
+    * (part, min_d, max_d) row per candidate part, never an
+    * order-pair expansion. Confidence = seq-support / antecedent
+    * customers, half-up micro.
+    *
+    * Scale shape: the ≤20-part candidate frame broadcasts into the
+    * persisted basket-item scan (shared artifact, q171 convention)
+    * BEFORE the orders join; the per-(customer, part) min/max rollup
+    * is map-side combined; the within-customer pair join runs over
+    * ≤20-row groups on the localCheckpointed event frame (≤V²
+    * pairs/customer, linear total — three consumers, one build);
+    * top-10 by the (support, a, b) total order is
+    * TakeOrderedAndProject. */
+  def sequentialPairs(spark: SparkSession, dir: String): DataFrame = {
+    val (items, _) = basketItems(spark, dir)
+    val topParts = items.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pk")).limit(20).select(col("pk"))
+    val ev = items.join(broadcast(topParts), Seq("pk"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey").as("ok"),
+        col("o_custkey").as("cust"), col("o_orderdate").as("d")), Seq("ok"))
+      .groupBy(col("cust"), col("pk"))
+      .agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+      .localCheckpoint()
+    val a = ev.select(col("cust"), col("pk").as("part_a"), col("dmin"))
+    val b = ev.select(col("cust"), col("pk").as("part_b"), col("dmax"))
+    val sp = a.join(b, Seq("cust"))
+      .filter(col("part_a") =!= col("part_b") && col("dmin") < col("dmax"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).cast("long").as("n_cust_seq"))
+    val na = ev.groupBy(col("pk").as("part_a"))
+      .agg(count(lit(1)).cast("long").as("n_cust_a"))
+    sp.join(broadcast(na), Seq("part_a"))
+      .orderBy(col("n_cust_seq").desc, col("part_a"), col("part_b"))
+      .limit(10)
+      // half-up micro confidence; LONG-safe to ~4.6e12 antecedent
+      // customers (2·n·10⁶ < 2⁶³)
+      .withColumn("c6",
+        expr("(2 * n_cust_seq * 1000000 + n_cust_a) div (2 * n_cust_a)"))
+      .select(col("part_a"), col("part_b"), col("n_cust_seq"), col("n_cust_a"),
+        (col("c6").cast("double") / 1000000).as("confidence"))
+  }
+
+  val sequentialPairsSql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |top AS (SELECT pk FROM (
+      |    SELECT pk, COUNT(*) AS cnt FROM items GROUP BY 1)
+      |  ORDER BY cnt DESC, pk LIMIT 20),
+      |ev AS (SELECT o.o_custkey AS cust, i.pk,
+      |    MIN(o.o_orderdate) AS dmin, MAX(o.o_orderdate) AS dmax
+      |  FROM items i JOIN top USING (pk)
+      |  JOIN orders o ON i.ok = o.o_orderkey
+      |  GROUP BY 1, 2),
+      |sp AS (SELECT a.pk AS part_a, b.pk AS part_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_cust_seq
+      |  FROM ev a JOIN ev b ON a.cust = b.cust
+      |    AND a.pk <> b.pk AND a.dmin < b.dmax
+      |  GROUP BY 1, 2),
+      |na AS (SELECT pk AS part_a, CAST(COUNT(*) AS BIGINT) AS n_cust_a
+      |  FROM ev GROUP BY 1)
+      |SELECT part_a, part_b, n_cust_seq, n_cust_a,
+      |  CAST((2 * n_cust_seq * 1000000 + n_cust_a) // (2 * n_cust_a)
+      |    AS DOUBLE) / 1000000 AS confidence
+      |FROM sp JOIN na USING (part_a)
+      |ORDER BY n_cust_seq DESC, part_a, part_b LIMIT 10""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q274_sequential_pairs" -> (sequentialPairs _),
     "q222_skyline_parts" -> (skylineParts _),
     "q224_weighted_median" -> (weightedMedian _),
     "q199_rank_distributions" -> (rankDistributions _),
@@ -1524,6 +1602,7 @@ object Relational {
     "q166_share_shift" -> shareShiftSql,
     "q220_mix_rate_decomp" -> mixRateDecompositionSql,
     "q171_basket_pairs" -> basketPairsSql,
+    "q274_sequential_pairs" -> sequentialPairsSql,
     "q258_basket_triples" -> basketTriplesSql,
     "q259_basket_rules" -> basketRulesSql,
     "q263_closed_itemsets" -> closedItemsetsSql,

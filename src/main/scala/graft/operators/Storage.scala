@@ -945,7 +945,72 @@ object Storage {
       |WHERE c.c_custkey % 100 = 0
       |ORDER BY custkey, totalprice DESC, orderkey""".stripMargin
 
+  /** Q272: RENDEZVOUS-HASH SHARD PLACEMENT + RESHARD AUDIT — assign
+    * every document to a shard by highest-random-weight hashing
+    * (Thaler-Ravishankar rendezvous: shard = argmax_s md5(doc:s)),
+    * the placement law behind consistent data distribution in
+    * object stores and training-data shard layouts, then audit the
+    * N=8 → N=9 reshard: per shard, the old and new populations and
+    * how many docs MOVED IN. Rendezvous's minimal-disruption theorem
+    * is visible in the output: a doc moves iff the NEW shard's hash
+    * is its new global max, so every moved doc lands on shard 8 and
+    * `moved_in` is 0 for shards 0..7 (oracle-checked; Round9Spec
+    * pins it plus the ≈1/9 movement fraction). The placement
+    * complement of q47's partition pruning and q65's salting: those
+    * layout VALUES, this layouts the CORPUS.
+    *
+    * Exactness: md5 is the cross-engine hash (the q200/q261
+    * discipline); argmax over the 9 hex strings is a total lexical
+    * order (ties would need an md5 collision); counts are exact.
+    *
+    * Scale shape: the shard sweep is IN-EXPRESSION over one shared
+    * 9-hash array per row (map-side, no 9× explode — at S shards
+    * the cost is O(S) hashes per row with zero extra rows or
+    * shuffles, vs the S× row blowup of the explode formulation);
+    * two map-side-combinable shard-keyed aggregations (≤ 9 groups),
+    * one ≤9-row join, output sort. */
+  def rendezvousShards(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"))
+      .withColumn("hs", expr(
+        "transform(sequence(0, 8), s -> " +
+          "md5(concat(cast(doc_id as string), ':', cast(s as string))))"))
+      .withColumn("s9", expr("array_position(hs, array_max(hs)) - 1").cast("long"))
+      .withColumn("s8", expr(
+        "array_position(slice(hs, 1, 8), array_max(slice(hs, 1, 8))) - 1")
+        .cast("long"))
+    val a8 = d.groupBy(col("s8").as("shard"))
+      .agg(count(lit(1)).cast("long").as("n_docs_8"))
+    val a9 = d.groupBy(col("s9").as("shard"))
+      .agg(count(lit(1)).cast("long").as("n_docs_9"),
+        sum(when(col("s8") =!= col("s9"), 1L).otherwise(0L)).cast("long")
+          .as("moved_in"))
+    a9.join(a8, Seq("shard"), "left")
+      .select(col("shard"), coalesce(col("n_docs_8"), lit(0L)).as("n_docs_8"),
+        col("n_docs_9"), col("moved_in"))
+      .orderBy(col("shard"))
+  }
+
+  val rendezvousShardsSql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(0, 8),
+      |      s -> md5(doc_id || ':' || s)) AS hs
+      |  FROM documents),
+      |a AS (SELECT doc_id,
+      |    CAST(list_position(hs, list_max(hs)) - 1 AS BIGINT) AS s9,
+      |    CAST(list_position(hs[1:8], list_max(hs[1:8])) - 1 AS BIGINT) AS s8
+      |  FROM h),
+      |g8 AS (SELECT s8 AS shard, CAST(COUNT(*) AS BIGINT) AS n8 FROM a GROUP BY 1),
+      |g9 AS (SELECT s9 AS shard, CAST(COUNT(*) AS BIGINT) AS n9,
+      |    CAST(SUM(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END) AS BIGINT) AS moved_in
+      |  FROM a GROUP BY 1)
+      |SELECT g9.shard, COALESCE(g8.n8, CAST(0 AS BIGINT)) AS n_docs_8,
+      |  g9.n9 AS n_docs_9, g9.moved_in
+      |FROM g9 LEFT JOIN g8 USING (shard)
+      |ORDER BY shard""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q272_rendezvous_shards" -> (rendezvousShards _),
     "q195_lateral_topk" -> (lateralTopOrders _),
     "q192_variant_roundtrip" -> (variantRoundtrip _),
     "q191_recursive_cte" -> (recursiveCascade _),
@@ -967,6 +1032,7 @@ object Storage {
   )
 
   def oracles: Map[String, String] = Map(
+    "q272_rendezvous_shards" -> rendezvousShardsSql,
     "q195_lateral_topk" -> lateralTopOrdersSql,
     "q192_variant_roundtrip" -> variantRoundtripSql,
     "q191_recursive_cte" -> recursiveCascadeSql,

@@ -817,6 +817,80 @@ object StreamingQueries {
       |  AND c.cus + 3600000000 < wm.wm_us
       |ORDER BY user_id, click_id, purchase_id""".stripMargin
 
+  /** Q273: WATERMARKED FULL-OUTER STREAM-STREAM JOIN — the last cell
+    * of the stream-stream join matrix (inner q58, left-outer q215,
+    * left-semi q250): every click×purchase match within the hour,
+    * PLUS null-padded rows for BOTH kinds of orphans — clicks that
+    * never converted AND purchases with no attributable click. The
+    * purchase side's emission rule is the new semantics: a purchase
+    * can match clicks with click_ts ∈ [purchase_ts − 1h, purchase_ts],
+    * and since arriving clicks carry event time ≥ watermark, the
+    * orphan (NULL, purchase) row is provably final exactly when
+    * purchase_ts < wm — a DIFFERENT horizon than the click side's
+    * click_ts + 1h < wm (the join condition is asymmetric, so the
+    * two eviction frontiers are too; both mirrored in the oracle).
+    * Orphans inside their horizon at query end are STILL IN STATE
+    * and absent by design (the q215 rule).
+    *
+    * finalizeByWatermark = true is load-bearing (q215/q97): both
+    * null-padded sides emit in the terminal no-data microbatch.
+    *
+    * Scale shape: q58's state layout; the full-outer flush changes
+    * only what eviction EMITS on each side, never what is stored —
+    * at 100 TB the watermark delay remains the state-size knob. */
+  def streamFullOuterJoin(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+    val path = s"$dir/events.parquet"
+    val clicks = EventStream.readEvents(spark, path)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = EventStream.readEvents(spark, path)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "full_outer")
+      .select(coalesce(col("c_user"), col("p_user")).as("user_id"),
+        col("click_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+    EventStream.runToTable(joined, sinkName("stream_full_outer"),
+        OutputMode.Append(), finalizeByWatermark = true)
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
+  /** DuckDB twin: q215's matched+unconverted-clicks union, plus the
+    * orphan purchases whose horizon closed (pus < wm — the asymmetric
+    * right-side frontier). */
+  val streamFullOuterJoinSql: String =
+    """WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS cus
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pus
+      |      FROM events WHERE event_type = 'purchase'),
+      |wm AS (SELECT LEAST((SELECT MAX(cus) FROM c), (SELECT MAX(pus) FROM p))
+      |         - 7200000000 AS wm_us),
+      |m AS (SELECT c.user_id, c.click_id, p.purchase_id, p.pus - c.cus AS gap_us
+      |      FROM c JOIN p ON c.user_id = p.user_id
+      |        AND p.pus >= c.cus AND p.pus - c.cus <= 3600000000)
+      |SELECT user_id, click_id, purchase_id, gap_us FROM m
+      |UNION ALL
+      |SELECT c.user_id, c.click_id, CAST(NULL AS BIGINT) AS purchase_id,
+      |  CAST(NULL AS BIGINT) AS gap_us
+      |FROM c, wm
+      |WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.click_id)
+      |  AND c.cus + 3600000000 < wm.wm_us
+      |UNION ALL
+      |SELECT p.user_id, CAST(NULL AS BIGINT) AS click_id, p.purchase_id,
+      |  CAST(NULL AS BIGINT) AS gap_us
+      |FROM p, wm
+      |WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.purchase_id = p.purchase_id)
+      |  AND p.pus < wm.wm_us
+      |ORDER BY user_id, click_id, purchase_id""".stripMargin
+
   /** Q228: STREAMING SESSION-WINDOW AGGREGATION — q70's native
     * `session_window(ts, 30 min)` run as an ACTUAL STREAM: watermarked
     * groupBy, Spark's built-in merging-window STATE STORE, Append-mode
@@ -888,6 +962,7 @@ object StreamingQueries {
   def queries: Map[String, Relational.Q] = Map(
     "q228_stream_session_window" -> (streamSessionWindow _),
     "q215_stream_outer_join" -> (streamOuterJoin _),
+    "q273_stream_full_outer" -> (streamFullOuterJoin _),
     "q184_stream_curation" -> (streamCuration _),
     "q95_stream_static_join" -> (streamStaticEnrich _),
     "q108_stream_decontam" -> (streamDecontam _),
@@ -907,6 +982,7 @@ object StreamingQueries {
   def oracles: Map[String, String] = Map(
     "q228_stream_session_window" -> streamSessionWindowSql,
     "q215_stream_outer_join" -> streamOuterJoinSql,
+    "q273_stream_full_outer" -> streamFullOuterJoinSql,
     "q184_stream_curation" -> streamCurationSql,
     "q95_stream_static_join" -> streamStaticEnrichSql,
     "q108_stream_decontam" -> streamDecontamSql,

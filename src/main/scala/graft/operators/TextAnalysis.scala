@@ -1292,7 +1292,115 @@ object TextAnalysis {
        |FROM r WHERE rk <= 5
        |ORDER BY source, rank""".stripMargin
 
+  /** Q267: BM25 TOP-K RANKING (Robertson-Spärck Jones, the Okapi
+    * weighting every lexical retrieval stack still runs) — score the
+    * corpus against its own five head terms (top-5 non-stopword tokens
+    * by frequency, a deterministic self-contained query) and return
+    * the top-[[Bm25TopK]] documents. The retrieval complement of the
+    * family's scoring shapes: q66 ranks TERMS per doc (tf-idf), q105
+    * finds exact phrases, q183 scores fluency — BM25 ranks DOCS for a
+    * query, with the two saturations tf-idf lacks: term-frequency
+    * saturation (k₁ = 1.2) and length normalization (b = 0.75).
+    *
+    * Exactness (the q66 no-ln discipline): idf enters as the RSJ
+    * RATIONAL (2N−2df+1)/(2df+1) — the quantity inside Robertson's
+    * log, which is monotone in it, so the ranking is BM25's while
+    * staying exact integer arithmetic (ln is a libm call with no
+    * cross-engine ulp guarantee). With k₁ = 6/5 and b = 3/4
+    * multiplied through by 20·Σdl, each term's score is the exact
+    * rational [ (2N−2df+1)·44·tf·Σdl ] / [ (2df+1)·(20·tf·Σdl +
+    * 6·Σdl + 18·dl·N) ], published as a half-up micro-unit BIGINT
+    * (the q248 idiom, DECIMAL(38,0) internals — numerator ×2·10⁶
+    * ≤ ~1e35 at 100 TB, inside the 38-digit headroom); per-doc
+    * scores are integer SUMS of term micros, and the top-k order is
+    * the total integer order (score6 desc, doc_id).
+    *
+    * Scale shape: the 5-term query frame broadcasts into the token
+    * stream BEFORE any aggregation (a ~vocab/5000 selectivity
+    * prefilter), tf carries dl via max() so no doc-length join ever
+    * happens, df falls out of the materialized tf frame (one row per
+    * contained term per doc — no second corpus scan, no distinct),
+    * N/Σdl is the q66 1-row scalar crossJoin, and the final top-k is
+    * TakeOrderedAndProject — no global sort. The query-derivation
+    * pass (top-5 head terms) is a separate scan BY DESIGN: a
+    * user-supplied term list replaces it and the scoring side is
+    * untouched. */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val toks = d.select(col("doc_id"), tokenCount(col("text")).as("dl"),
+      explode(tokens(col("text"))).as("token"))
+    val qterms = toks.filter(!col("token").isInCollection(EnglishStopwords))
+      .groupBy(col("token")).agg(count(lit(1)).as("ctok"))
+      .orderBy(col("ctok").desc, col("token")).limit(5)
+      .select(col("token"))
+    val toksQ = toks.join(broadcast(qterms), Seq("token"))
+    // localCheckpoint: tf feeds scoring AND the df rollup — without
+    // materialization each consumer re-runs the token explode (the
+    // q263 shared-consumer rule); the frame is the candidate set
+    // (docs containing a query term × ≤5 terms, 4 narrow columns)
+    val tf = toksQ.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).cast("long").as("tf"), max(col("dl")).as("dl"))
+      .localCheckpoint()
+    // df = rows per token in tf (a doc appears once per contained
+    // term) — no second corpus scan, no distinct
+    val dfq = tf.groupBy(col("token")).agg(count(lit(1)).cast("long").as("df"))
+    val corpus = d.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum(tokenCount(col("text"))).cast("long").as("sum_dl"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val num = ((lit(2) * col("n_docs") - lit(2) * col("df") + 1)
+      * lit(44) * d38(col("tf")) * col("sum_dl")).cast("decimal(38,0)")
+    val den = ((lit(2) * col("df") + 1)
+      * (lit(20) * d38(col("tf")) * col("sum_dl") + lit(6) * d38(col("sum_dl"))
+         + lit(18) * d38(col("dl")) * col("n_docs"))).cast("decimal(38,0)")
+    tf.join(broadcast(dfq), Seq("token"))
+      .crossJoin(broadcast(corpus))
+      // half-up micro-unit quotient of the exact rational (the q248
+      // idiom on DECIMAL(38,0) operands): ⌊(2·num·10⁶ + den)/(2·den)⌋
+      // via IntegralDivide (`div`) — decimal `/` would HALF_UP-round
+      // at scale 6 instead of flooring and break the +den/2den trick
+      .withColumn("s6n", (lit(2) * num * lit(1000000) + den).cast("decimal(38,0)"))
+      .withColumn("s6d", (lit(2) * den).cast("decimal(38,0)"))
+      .withColumn("s6", expr("s6n div s6d").cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_hit"), sum(col("s6")).as("score6"))
+      .orderBy(col("score6").desc, col("doc_id"))
+      .limit(Bm25TopK)
+      .select(col("doc_id"), col("n_hit"),
+        (col("score6").cast("double") / 1000000).as("score"))
+  }
+
+  private val Bm25TopK = 10
+
+  val bm25TopKSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+       |    unnest(string_split(text, ' ')) AS token
+       |  FROM documents WHERE text IS NOT NULL),
+       |qt AS (SELECT token FROM (
+       |    SELECT token, COUNT(*) AS ctok FROM toks
+       |    WHERE token NOT IN ($stopwordSqlList) GROUP BY 1)
+       |  ORDER BY ctok DESC, token LIMIT 5),
+       |tq AS (SELECT doc_id, token, CAST(COUNT(*) AS HUGEINT) AS tf,
+       |    CAST(MAX(dl) AS HUGEINT) AS dl
+       |  FROM toks JOIN qt USING (token) GROUP BY 1, 2),
+       |dfq AS (SELECT token, CAST(COUNT(*) AS HUGEINT) AS df
+       |  FROM tq GROUP BY 1),
+       |corpus AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n_docs,
+       |    CAST(SUM(len(string_split(text, ' '))) AS HUGEINT) AS sum_dl
+       |  FROM documents WHERE text IS NOT NULL),
+       |sc AS (SELECT doc_id,
+       |    (2 * ((2 * n_docs - 2 * df + 1) * 44 * tf * sum_dl) * 1000000
+       |     + ((2 * df + 1) * (20 * tf * sum_dl + 6 * sum_dl + 18 * dl * n_docs)))
+       |    // (2 * ((2 * df + 1)
+       |        * (20 * tf * sum_dl + 6 * sum_dl + 18 * dl * n_docs))) AS s6
+       |  FROM tq JOIN dfq USING (token) CROSS JOIN corpus)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit,
+       |  CAST(CAST(SUM(s6) AS BIGINT) AS DOUBLE) / 1000000 AS score
+       |FROM sc GROUP BY 1
+       |ORDER BY SUM(s6) DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q267_bm25_topk" -> (bm25TopK _),
     "q226_cooccurrence_lift" -> (cooccurrenceLift _),
     "q190_heldout_tokenizer" -> (heldoutTokenizer _),
     "q180_kwic_concordance" -> (kwicConcordance _),
@@ -1316,6 +1424,7 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "q267_bm25_topk" -> bm25TopKSql,
     "q226_cooccurrence_lift" -> cooccurrenceLiftSql,
     "q190_heldout_tokenizer" -> heldoutTokenizerSql,
     "q100_bpe_merge_learning" -> bpeMergeLearningSql,

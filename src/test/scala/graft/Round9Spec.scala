@@ -163,4 +163,183 @@ class Round9Spec extends SparkSuite {
         assert(r.getAs[Long]("support") === itemFreq(r.getAs[Long]("part_a")), s"$r")
       }
   }
+
+  // ---- wave 4 ----
+
+  test("q268 Kendall tau-b: pair accounting and |tau| <= 1") {
+    val rows = operators.Quality.kendallTau(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_months")
+      val n0 = n * (n - 1) / 2
+      val (c, d) = (r.getAs[Long]("n_conc"), r.getAs[Long]("n_disc"))
+      val (tx, ty) = (r.getAs[Long]("ties_x"), r.getAs[Long]("ties_y"))
+      // every pair is exactly one of {concordant, discordant, tied}:
+      // c + d <= n0 − max(tx-only, ty-only) — the sharp identity needs
+      // the both-tied count, but the bounds below are exact
+      assert(c + d <= n0 && tx <= n0 && ty <= n0, s"$r")
+      assert(c + d + math.max(tx, ty) >= c + d, s"$r") // sanity
+      Option(r.getAs[Any]("tau_b")).map(_.asInstanceOf[Double]).foreach { t =>
+        assert(t >= -1.0 - 1e-12 && t <= 1.0 + 1e-12, s"$r")
+        // sign of tau matches sign of c − d
+        assert(math.signum(t) === math.signum((c - d).toDouble), s"$r")
+      }
+    }
+  }
+
+  test("q269 Jonckheere-Terpstra: J2 within its exact lattice bounds") {
+    val r = operators.Quality.jonckheereTrend(spark, Sf0001).collect().head
+    val j2 = BigInt(r.getAs[String]("j2"))
+    val mean2 = BigInt(r.getAs[String]("mean2"))
+    // J = Σ U_ij ∈ [0, Σ_{i<j} n_i·n_j] and mean2 = Σ_{i<j} n_i·n_j,
+    // so 0 <= j2 <= 2·mean2 exactly
+    assert(j2 >= 0 && j2 <= 2 * mean2, s"j2=$j2 mean2=$mean2")
+    assert(r.getAs[Long]("n_total") > 0)
+    val z = r.getAs[Double]("z_trend")
+    assert(!z.isNaN && !z.isInfinite)
+  }
+
+  test("q270 turning points: count bound and literal-series kernel identity") {
+    val rows = operators.Multimodal.wavTurningPoints(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, tp) = (r.getAs[Long]("n_samples"), r.getAs[Long]("n_turning"))
+      assert(tp >= 0 && tp <= n - 2, s"$r")
+      // E and z are the documented dags of (tp, n)
+      val e = 2.0 * (n - 2.0) / 3.0
+      assert(r.getAs[Double]("e_turning") === e, s"$r")
+      assert(r.getAs[Double]("z_turning") ===
+        (tp.toDouble - e) / math.sqrt((16.0 * n - 29.0) / 90.0), s"$r")
+    }
+    // literal kernel identity on a crafted alternating + plateau series:
+    // samples 1,3,1,1,2,2,5 → strict extrema at i=2 (3) and i=4?
+    //   i=2: 3>1,3>1 yes; i=3: 1<3,1=1 no; i=4: 1=1 no; i=5: 2=2 no;
+    //   i=6: 2<5 no → exactly 1 turning point
+    import spark.implicits._
+    val xs = Seq(1L, 3L, 1L, 1L, 2L, 2L, 5L)
+    val lit1 = Seq(xs).toDF("xs")
+      .selectExpr("""CAST(size(filter(sequence(2, size(xs) - 1), i ->
+        (element_at(xs, i) > element_at(xs, i - 1)
+          AND element_at(xs, i) > element_at(xs, i + 1)) OR
+        (element_at(xs, i) < element_at(xs, i - 1)
+          AND element_at(xs, i) < element_at(xs, i + 1)))) AS BIGINT) AS tp""")
+      .collect().head.getLong(0)
+    assert(lit1 === 1L, "strict-extremum tie convention drifted")
+  }
+
+  test("q271 Fleiss kappa: exact-rational identity and bounds") {
+    val r = operators.Quality.fleissKappa(spark, Sf0001).collect().head
+    val m = r.getAs[Long]("n_docs")
+    val cs = Seq("c0", "c1", "c2").map(r.getAs[Long](_))
+    assert(cs.sum === 3 * m, s"marginals don't sum to 3M: $r")
+    val s = r.getAs[Long]("s_agree")
+    assert(s >= 0 && s <= 6 * m, s"$r")
+    val q = cs.map(c => BigInt(c) * c).sum
+    val kappa = r.getAs[Double]("kappa")
+    // κ = (3MS − 2Q)/(2(9M² − Q)) exactly, and κ ∈ [−1/2, 1] for n=3
+    val num = 3 * BigInt(m) * s - 2 * q
+    val den = 2 * (9 * BigInt(m) * m - q)
+    assert(den != BigInt(0))
+    assert(kappa === num.toDouble / den.toDouble, s"$r")
+    assert(kappa >= -0.5 - 1e-12 && kappa <= 1.0 + 1e-12, s"$r")
+  }
+
+  test("q272 rendezvous resharding moves docs ONLY to the new shard") {
+    val rows = operators.Storage.rendezvousShards(spark, Sf0001).collect()
+    val byShard = rows.map(r => r.getAs[Long]("shard") -> r).toMap
+    assert(byShard.keySet === (0L to 8L).toSet)
+    val n = rows.map(_.getAs[Long]("n_docs_9")).sum
+    assert(rows.map(_.getAs[Long]("n_docs_8")).sum === n, "population drifted")
+    assert(byShard(8L).getAs[Long]("n_docs_8") === 0L)
+    // the minimal-disruption theorem: a doc moves iff shard 8's hash
+    // is its new global max → moved_in = 0 everywhere else
+    (0L to 7L).foreach { s =>
+      assert(byShard(s).getAs[Long]("moved_in") === 0L, s"shard $s gained docs")
+    }
+    val moved = byShard(8L).getAs[Long]("moved_in")
+    assert(moved === byShard(8L).getAs[Long]("n_docs_9"),
+      "every doc on the new shard must have moved there")
+    // ≈1/9 of the corpus moves (binomial around n/9; wide CI for tiny SF)
+    assert(moved * 100 >= n * 3 && moved * 100 <= n * 25,
+      s"moved=$moved of $n outside the ~1/9 band")
+  }
+
+  // ---- wave 5 ----
+
+  test("q273 full-outer stream join ⊇ inner matches, orphans on both sides null-padded") {
+    val rows = operators.StreamingQueries.streamFullOuterJoin(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val matched = rows.filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+    val clickOrphans = rows.filter(r => !r.isNullAt(1) && r.isNullAt(2))
+    val purchaseOrphans = rows.filter(r => r.isNullAt(1) && !r.isNullAt(2))
+    // the matrix cell is only exercised if both orphan kinds appear
+    assert(clickOrphans.nonEmpty, "no unconverted clicks — fixture degenerate")
+    assert(purchaseOrphans.nonEmpty, "no orphan purchases — fixture degenerate")
+    // matched rows are exactly q58's inner join (restricted to shared cols)
+    val inner = operators.StreamingQueries.streamStreamJoin(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(matched.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet === inner)
+    // null-padded rows never carry a gap
+    (clickOrphans ++ purchaseOrphans).foreach(r => assert(r.isNullAt(3), s"$r"))
+  }
+
+  test("q274 sequential pairs: asymmetry and antecedent bounds") {
+    val rows = operators.Relational.sequentialPairs(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (seq, na) = (r.getAs[Long]("n_cust_seq"), r.getAs[Long]("n_cust_a"))
+      assert(seq >= 1 && seq <= na,
+        s"sequence support exceeds antecedent customers: $r")
+      assert(r.getAs[Long]("part_a") !== r.getAs[Long]("part_b"), s"$r")
+      val conf = r.getAs[Double]("confidence")
+      assert(conf > 0.0 && conf <= 1.0 + 1e-12, s"$r")
+    }
+  }
+
+  test("q275 Brier decomposition: identity, bounds, and exact-bin axis") {
+    val r = operators.Quality.brierDecomposition(spark, Sf0001).collect().head
+    val (brier, unc, rel, res) = (r.getAs[Double]("brier"),
+      r.getAs[Double]("uncertainty"), r.getAs[Double]("reliability"),
+      r.getAs[Double]("resolution"))
+    // Murphy identity holds by construction on the published micros
+    assert(math.abs((rel - res + unc) - brier) < 1e-9, s"$r")
+    assert(brier >= 0 && brier <= 1 && unc >= 0 && unc <= 0.25 + 1e-12, s"$r")
+    assert(rel >= 0, s"$r")
+    // resolution can dip ≤2µ negative from the three roundings, no more
+    assert(res >= -2e-6 && res <= unc + 2e-6,
+      s"resolution outside [0, uncertainty]: $r")
+    assert(r.getAs[Long]("n_bins") <= 1001, s"$r")
+  }
+
+  test("q276 Holt fold equals a driver-side replay of the recurrence") {
+    import spark.implicits._
+    val monthly = Tables.orders(spark, Sf0001)
+      .join(Tables.customer(spark, Sf0001)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, Sf0001), col("c_nationkey") === col("n_nationkey"))
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
+      .groupBy(col("n_name").as("nation"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("long")).cast("long").as("rev"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).map { case (n, xs) =>
+        n -> xs.sortBy(_._2).map(_._3.toDouble)
+      }
+    val got = operators.Quality.holtLinear(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getAs[Double]("level"), r.getAs[Double]("trend")))
+      .toMap
+    monthly.filter(_._2.length >= 2).foreach { case (n, ys) =>
+      var l = ys(1); var b = ys(1) - ys(0)
+      ys.drop(2).foreach { y =>
+        val l2 = 0.2 * y + 0.8 * (l + b)
+        b = 0.1 * (l2 - l) + 0.9 * b
+        l = l2
+      }
+      // same IEEE dag in the same order → bit-exact, no tolerance
+      assert(got(n)._1 === l && got(n)._2 === b, s"nation $n diverged")
+    }
+  }
 }
