@@ -107,7 +107,13 @@ object PlanInvariants {
       // q275: the 1-row corpus-totals reduce crossJoin-broadcast into
       // the ≤1001-row exact-score bin frame, and the 1-row REL reduce
       // back into the totals row (q66 scalar rationale, twice)
-      "q275_brier_decomposition")
+      "q275_brier_decomposition",
+      // q279: the 1-row margin-totals reduce crossJoin-broadcast into
+      // the 10-cell contingency frame (q66 scalar rationale)
+      "q279_pearson_residuals",
+      // q281: the 1-row sample-quantile frame crossJoin-broadcast into
+      // the rank-audit scan (q66 scalar rationale)
+      "q281_sampled_quantiles")
 
   /** Per-query shuffle ceilings above the [[defaultShuffleCeiling]].
     * These are the audited round-5 counts — intentionally exact, so an
@@ -219,7 +225,12 @@ object PlanInvariants {
       // and output sort. After the distinct every exchange carries
       // selection-density rows (~2/(w+1) of gram scale) or
       // |sources|-bounded frames
-      "q265_winnowing" -> 6)
+      "q265_winnowing" -> 6,
+      // q277 pays one pushdown-pruned distinct per FIXED flag branch
+      // (3 — each feeding a distributed TakeOrdered bottom-k) plus the
+      // two-stage exact-count-distinct audit; every post-distinct
+      // frame is ≤ 64 rows
+      "q277_kmv_cardinality" -> 6)
 
   /** Every other plan holds at <= 4 exchanges today (audited r5). */
   val defaultShuffleCeiling: Int = 4

@@ -192,6 +192,188 @@ object Derivations {
       .orderBy(col("l_returnflag"))
   }
 
+  private val KmvK = 64
+  /** The fixed l_returnflag domain — branch literals for [[kmvCardinality]]
+    * (the Priorities-literal convention). */
+  private val ReturnFlags = Seq("A", "N", "R")
+
+  /** Q277: KMV (BOTTOM-K) CARDINALITY SKETCH — the fully-oracled twin
+    * for q49's ⊙ family (the q200/q261/q266 twin discipline applied
+    * to SKETCHES): q49's HLL++ buffers are Spark-internal and can
+    * never hash-match an oracle, but the k-minimum-values estimator
+    * (Bar-Yossef et al. 2002) is the same one-pass mergeable-sketch
+    * class with a CROSS-ENGINE hash — per return flag, hash each
+    * distinct part to a 48-bit md5 uniform, keep the k = 64 smallest,
+    * and estimate distinct = (k−1)·2⁴⁸/u₍ₖ₎. DuckDB replays hash,
+    * order statistic and estimate exactly; the published rel_err
+    * against the exact count is the sketch-accuracy audit q49 could
+    * only spec-pin.
+    *
+    * Exactness: u is an exact BIGINT (12 hex chars of md5 — ties
+    * broken by pk so the order statistic is total even under 48-bit
+    * collisions); the estimate is the half-up micro idiom on
+    * (k−1)·2⁴⁸ / u₍ₖ₎ (numerator ×2·10⁶ ≈ 3.5e22 — DECIMAL(38,0) /
+    * HUGEINT); a flag with fewer than k distinct parts publishes its
+    * exact count (degenerate convention, both engines). rel_err is
+    * the one fixed dag on (estimate, n_exact).
+    *
+    * Scale shape: one TakeOrderedAndProject per FIXED flag branch —
+    * Spark's distributed bottom-k (per-partition heaps, 64-row
+    * merge), never a per-group sort window over the part domain; each
+    * branch's scan is pushdown-pruned to its flag. The exact-count
+    * side is one map-side partial-distinct aggregation (it exists
+    * only to audit the sketch — a production deployment ships the
+    * 64-value sketch alone, which is what makes KMV mergeable across
+    * 100 TB shards: union-then-bottom-k is associative). */
+  def kmvCardinality(spark: SparkSession, dir: String): DataFrame = {
+    val two48 = 281474976710656L // 2^48
+    val sketches = ReturnFlags.map { fl =>
+      Tables.lineitem(spark, dir)
+        .filter(col("l_returnflag") === fl)
+        .select(col("l_partkey").as("pk")).distinct()
+        .select(col("pk"),
+          conv(substring(md5(col("pk").cast("string")), 1, 12), 16, 10)
+            .cast("long").as("u"))
+        .orderBy(col("u"), col("pk")).limit(KmvK)
+        .agg(max(col("u")).as("u_k"),
+          count(lit(1)).cast("long").as("n_in_sketch"))
+        .withColumn("f", lit(fl))
+    }.reduce(_ union _)
+    val exact = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag").as("f"))
+      .agg(countDistinct(col("l_partkey")).cast("long").as("n_exact"))
+    val est6 = when(col("n_exact") >= KmvK,
+      expr(s"(2 * CAST(${KmvK - 1} AS DECIMAL(38,0)) * $two48 * 1000000 + u_k) " +
+        s"div (2 * u_k)"))
+      .otherwise(col("n_exact") * 1000000L)
+    exact.join(broadcast(sketches), Seq("f"))
+      .withColumn("kmv_estimate", est6.cast("double") / 1000000)
+      .select(col("f").as("l_returnflag"), col("n_exact"),
+        col("n_in_sketch"), col("u_k"), col("kmv_estimate"),
+        ((col("kmv_estimate") - col("n_exact").cast("double"))
+          / col("n_exact").cast("double")).as("rel_err"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val kmvCardinalitySql: String = {
+    val two48 = 281474976710656L
+    s"""WITH dv AS (SELECT DISTINCT l_returnflag AS f, l_partkey AS pk FROM lineitem),
+       |h AS (SELECT f, pk,
+       |    CAST(('0x' || substring(md5(CAST(pk AS VARCHAR)), 1, 12)) AS BIGINT) AS u
+       |  FROM dv),
+       |rk AS (SELECT f, u,
+       |    ROW_NUMBER() OVER (PARTITION BY f ORDER BY u, pk) AS rn FROM h),
+       |sk AS (SELECT f, CAST(MAX(u) AS BIGINT) AS u_k,
+       |    CAST(COUNT(*) AS BIGINT) AS n_in_sketch
+       |  FROM rk WHERE rn <= $KmvK GROUP BY 1),
+       |ex AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS n_exact FROM dv GROUP BY 1),
+       |est AS (SELECT ex.f, ex.n_exact, sk.n_in_sketch, sk.u_k,
+       |    CAST(CASE WHEN ex.n_exact >= $KmvK THEN
+       |        (2 * CAST(${KmvK - 1} AS HUGEINT) * $two48 * 1000000 + u_k)
+       |          // (2 * u_k)
+       |      ELSE ex.n_exact * 1000000 END AS BIGINT) AS e6
+       |  FROM ex JOIN sk USING (f))
+       |SELECT f AS l_returnflag, n_exact, n_in_sketch, u_k,
+       |  CAST(e6 AS DOUBLE) / 1000000 AS kmv_estimate,
+       |  (CAST(e6 AS DOUBLE) / 1000000 - CAST(n_exact AS DOUBLE))
+       |    / CAST(n_exact AS DOUBLE) AS rel_err
+       |FROM est ORDER BY l_returnflag""".stripMargin
+  }
+
+  private val SqK = 1024
+  private val SqPs = Seq(50, 90, 99) // percent numerators
+
+  /** Q281: HASH-SAMPLED QUANTILES — the fully-oracled twin for q128's
+    * ⊙ approx-quantile family (closing the sketch-twin program q277
+    * started: q49→q277 cardinality, q128→q281 quantiles): a
+    * deterministic uniform sample — the [[SqK]] = 1024 orders with
+    * the smallest 48-bit md5(o_orderkey) — stands in for the stream,
+    * and the sample's discrete quantiles estimate the population's.
+    * The audit is the RANK ERROR: for each estimate q̂ₚ, one
+    * conditional count gives its exact population rank, and
+    * |rank/N − p| is the quantity uniform-sampling theory bounds
+    * (≈1/√k) — no exact-quantile machinery needed, which is the
+    * point: q51 pays a two-pass global-rank dance for exactness;
+    * q281 pays one bottom-k plus one audit scan.
+    *
+    * Exactness: u is an exact BIGINT (12 md5 hex chars, ties broken
+    * by key); the sample quantile is element ⌈p·k⌉ of the collected
+    * sorted 1024-array (exact cents, in-expression); rank and the
+    * micro rank-error are exact integers (half-up idiom). k > N
+    * degenerates to the exact disc quantile (index scales with the
+    * actual sample size).
+    *
+    * Scale shape: one distributed bottom-k (TakeOrderedAndProject —
+    * the q277 rationale), one 1024-element collect into a single
+    * row, one audit scan with three conditional counts crossJoin-
+    * broadcast against the 1-row quantile frame. The sample IS the
+    * mergeable sketch: bottom-k of a union is the bottom-k of
+    * per-shard bottom-ks. */
+  def sampledQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val vals = Tables.orders(spark, dir).select(col("o_orderkey").as("k"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("long").as("cents"))
+    val sample = vals
+      .select(col("k"), col("cents"),
+        conv(substring(md5(col("k").cast("string")), 1, 12), 16, 10)
+          .cast("long").as("u"))
+      .orderBy(col("u"), col("k")).limit(SqK)
+      .agg(sort_array(collect_list(col("cents"))).as("xs"))
+      .select(col("xs") +:
+        SqPs.map(p => expr(
+          s"element_at(xs, cast(($p * size(xs) + 99) div 100 as int))")
+          .as(s"q$p")): _*)
+      .drop("xs")
+    val auditAggs = (count(lit(1)).cast("long").as("n") +:
+      SqPs.map(p => max(col(s"q$p")).as(s"q$p"))) ++
+      SqPs.map(p => sum(when(col("cents") <= col(s"q$p"), 1L).otherwise(0L))
+        .cast("long").as(s"r$p"))
+    val audited = vals.crossJoin(broadcast(sample))
+      .agg(auditAggs.head, auditAggs.tail: _*)
+    // long form: (p, sample_q, exact_rank, rank_err_micro)
+    audited.select(explode(array(SqPs.map(p => struct(
+        lit(p.toLong).as("pct"),
+        col(s"q$p").as("sample_q_cents"),
+        col(s"r$p").as("exact_rank"),
+        abs(expr(s"(2 * r$p * 1000000 + n) div (2 * n)") - lit(p * 10000L))
+          .as("rank_err_micro"))): _*)).as("row"), col("n"))
+      .select(col("row.pct").as("pct"), col("n").as("n_total"),
+        col("row.sample_q_cents").as("sample_q_cents"),
+        col("row.exact_rank").as("exact_rank"),
+        col("row.rank_err_micro").as("rank_err_micro"))
+      .orderBy(col("pct"))
+  }
+
+  val sampledQuantilesSql: String = {
+    val qcols = SqPs.map(p =>
+      s"xs[CAST(($p * len(xs) + 99) // 100 AS INT)] AS q$p").mkString(",\n       |    ")
+    val rcols = SqPs.map(p =>
+      s"CAST(SUM(CASE WHEN cents <= q$p THEN 1 ELSE 0 END) AS BIGINT) AS r$p")
+      .mkString(",\n       |    ")
+    val outRows = SqPs.map(p =>
+      s"""SELECT CAST($p AS BIGINT) AS pct, n AS n_total,
+         |  q$p AS sample_q_cents, r$p AS exact_rank,
+         |  ABS((2 * r$p * 1000000 + n) // (2 * n) - ${p * 10000L}) AS rank_err_micro
+         |FROM audited""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH vals AS (SELECT o_orderkey AS k,
+       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM orders),
+       |h AS (SELECT k, cents,
+       |    CAST(('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 12)) AS BIGINT) AS u
+       |  FROM vals),
+       |sm AS (SELECT cents FROM h ORDER BY u, k LIMIT $SqK),
+       |arr AS (SELECT list_sort(list(cents)) AS xs FROM sm),
+       |qs AS (SELECT
+       |    $qcols
+       |  FROM arr),
+       |audited AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    MAX(q50) AS q50, MAX(q90) AS q90, MAX(q99) AS q99,
+       |    $rcols
+       |  FROM vals CROSS JOIN qs)
+       |$outRows
+       |ORDER BY pct""".stripMargin
+  }
+
   /** Q50: ROLLUP — hierarchical subtotals (returnflag -> linestatus ->
     * grand total) in one pass; grouping() disambiguates genuine NULL
     * keys from subtotal rows. Oracle-checked: DuckDB shares ROLLUP
@@ -673,6 +855,8 @@ object Derivations {
     "q13_case_when" -> (caseWhen _),
     "q82_numeric_profile" -> (numericProfile _),
     "q49_approx_distinct" -> (approxDistinct _),
+    "q277_kmv_cardinality" -> (kmvCardinality _),
+    "q281_sampled_quantiles" -> (sampledQuantiles _),
     "q50_rollup" -> (rollupCounts _),
     "q51_quantiles" -> (quantiles _),
     "q52_cube" -> (cubeCounts _),
@@ -689,6 +873,8 @@ object Derivations {
   def oracles: Map[String, String] = Map(
     "q186_equi_width_histogram" -> equiWidthHistogramSql,
     "q176_join_cardinality" -> joinCardinalityAuditSql,
+    "q277_kmv_cardinality" -> kmvCardinalitySql,
+    "q281_sampled_quantiles" -> sampledQuantilesSql,
     "q170_equi_depth_histogram" -> equiDepthHistogramSql,
     "q13_case_when" -> caseWhenSql,
     "q82_numeric_profile" -> numericProfileSql,

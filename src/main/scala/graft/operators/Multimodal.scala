@@ -428,6 +428,108 @@ object Multimodal {
        |    / SQRT((16.0 * CAST(n_samples AS DOUBLE) - 29.0) / 90.0) AS z_turning
        |FROM t ORDER BY doc_id""".stripMargin
 
+  /** Q278: STEREO CHANNEL DE-INTERLEAVE — per-channel sample
+    * statistics for the 2-channel WAVs: q264 reduces the payload as
+    * one mono stream, but a real stereo PCM frame interleaves
+    * [L, R] samples, and channel-aware curation (dead-channel
+    * detection, L/R imbalance) must DE-INTERLEAVE first. Stereo
+    * files are selected BY THE DECODED HEADER FIELD (channels = 2
+    * parsed from the bytes, not from the staging rule — the
+    * content-aware discipline); sample i belongs to channel i mod 2.
+    * Per (file, channel): sample count, Σ|s| and peak |s| — the
+    * q264 gates, split by channel. Convention (pinned): a trailing
+    * lone L sample (odd full-sample count) still counts for channel
+    * 0 — de-interleave is per-sample parity, not per-complete-frame.
+    *
+    * Exactness: q264's decode (signed LE int16, full samples only);
+    * all outputs exact BIGINTs.
+    *
+    * Scale shape: per-file-parallel binaryFile scan; ONE
+    * in-expression fold carrying both channels' accumulators (the
+    * file's own bytes — inherent decode cost), a 2-element explode,
+    * output sort. */
+  def wavChannelStats(spark: SparkSession, dir: String): DataFrame = {
+    val root = Media.stagedWavRoot(spark, dir)
+    val sgn = (v: String) => s"(CASE WHEN $v >= 32768 THEN $v - 65536 ELSE $v END)"
+    val sample = sgn("CAST(conv(concat(substring(h, i * 4 + 3, 2), " +
+      "substring(h, i * 4 + 1, 2)), 16, 10) AS BIGINT)")
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.wav")
+      .load(root)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.wav$", 1).cast("long").as("doc_id"),
+        col("content"))
+      .withColumn("channels", expr(leInt(23, 2)))
+      .filter(col("channels") === 2)
+      .withColumn("ns", expr(s"${leInt(41, 4)} div 2"))
+      .filter(col("ns") >= 1)
+      .withColumn("h",
+        expr("hex(substring(content, 45, cast(ns * 2 as int)))"))
+      .withColumn("st", expr(
+        s"""aggregate(sequence(0, cast(ns as int) - 1),
+           |  named_struct('sa0', 0L, 'pk0', 0L, 'sa1', 0L, 'pk1', 0L),
+           |  (a, i) -> CASE WHEN i % 2 = 0 THEN named_struct(
+           |      'sa0', a.sa0 + abs($sample),
+           |      'pk0', greatest(a.pk0, abs($sample)),
+           |      'sa1', a.sa1, 'pk1', a.pk1)
+           |    ELSE named_struct('sa0', a.sa0, 'pk0', a.pk0,
+           |      'sa1', a.sa1 + abs($sample),
+           |      'pk1', greatest(a.pk1, abs($sample))) END)""".stripMargin))
+      .select(col("doc_id"), col("ns"),
+        explode(expr(
+          """array(
+            |  named_struct('channel', 0L, 'n_samples', (ns + 1) div 2,
+            |    'sum_abs', st.sa0, 'peak_abs', st.pk0),
+            |  named_struct('channel', 1L, 'n_samples', ns div 2,
+            |    'sum_abs', st.sa1, 'peak_abs', st.pk1))""".stripMargin)).as("c"))
+      .filter(col("c.n_samples") >= 1)
+      .select(col("doc_id"), col("c.channel").as("channel"),
+        col("c.n_samples").as("n_samples"),
+        col("c.sum_abs").as("sum_abs"), col("c.peak_abs").as("peak_abs"))
+      .orderBy(col("doc_id"), col("channel"))
+  }
+
+  /** Oracle: stereo files are exactly the staging rule's doc_id%2=1
+    * (agreement with the engine's header-decoded channel count IS the
+    * parse check); per-channel sums recompute from index parity over
+    * the text characters (the q264 ASCII argument). */
+  val wavChannelStatsSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text, octet_length(encode(text)) // 2 AS ns
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND doc_id < ${Media.BlobBatch}
+       |    AND doc_id % 2 = 1),
+       |s AS (
+       |  SELECT doc_id, ns,
+       |    list_transform(generate_series(0, CAST(ns AS INT) - 1),
+       |      i -> ascii(substring(text, 2*i + 1, 1))
+       |           + 256 * ascii(substring(text, 2*i + 2, 1))) AS xs
+       |  FROM d WHERE ns >= 1),
+       |ch AS (
+       |  SELECT doc_id, 0 AS channel, (ns + 1) // 2 AS n_samples,
+       |    list_sum(list_transform(
+       |      list_filter(generate_series(0, CAST(ns AS INT) - 1), i -> i % 2 = 0),
+       |      i -> abs(xs[i + 1]))) AS sum_abs,
+       |    list_max(list_transform(
+       |      list_filter(generate_series(0, CAST(ns AS INT) - 1), i -> i % 2 = 0),
+       |      i -> abs(xs[i + 1]))) AS peak_abs
+       |  FROM s
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS channel, ns // 2 AS n_samples,
+       |    list_sum(list_transform(
+       |      list_filter(generate_series(0, CAST(ns AS INT) - 1), i -> i % 2 = 1),
+       |      i -> abs(xs[i + 1]))) AS sum_abs,
+       |    list_max(list_transform(
+       |      list_filter(generate_series(0, CAST(ns AS INT) - 1), i -> i % 2 = 1),
+       |      i -> abs(xs[i + 1]))) AS peak_abs
+       |  FROM s)
+       |SELECT doc_id, CAST(channel AS BIGINT) AS channel,
+       |  CAST(n_samples AS BIGINT) AS n_samples,
+       |  CAST(sum_abs AS BIGINT) AS sum_abs,
+       |  CAST(peak_abs AS BIGINT) AS peak_abs
+       |FROM ch WHERE n_samples >= 1
+       |ORDER BY doc_id, channel""".stripMargin
+
   def wavDecode(spark: SparkSession, dir: String): DataFrame = {
     val root = Media.stagedWavRoot(spark, dir)
     val scanned = spark.read.format("binaryFile")
@@ -469,6 +571,7 @@ object Multimodal {
 
   def queries: Map[String, Relational.Q] = Map(
     "q270_wav_turning_points" -> (wavTurningPoints _),
+    "q278_wav_channel_stats" -> (wavChannelStats _),
     "q262_wav_decode" -> (wavDecode _),
     "q264_wav_sample_stats" -> (wavSampleStats _),
     "q260_blob_sync_diff" -> (blobSyncDiff _),
@@ -487,5 +590,6 @@ object Multimodal {
     "q262_wav_decode" -> wavDecodeSql,
     "q264_wav_sample_stats" -> wavSampleStatsSql,
     "q270_wav_turning_points" -> wavTurningPointsSql,
+    "q278_wav_channel_stats" -> wavChannelStatsSql,
   )
 }

@@ -2416,14 +2416,30 @@ object Quality {
     * l_orderkey), one orderkey join to priorities (SMJ at scale —
     * inherent fact-fact shape, the q2 rationale), one conditional
     * pivot to a single row. */
-  def cochranArmitage(spark: SparkSession, dir: String): DataFrame = {
-    val byPrio = Tables.orders(spark, dir)
+  /** Per-order lateness flag (any line shipped > 90 days after the
+    * order date), keyed by priority — shared by q256 (Cochran-Armitage
+    * trend) and q279 (adjusted residuals); one definition per the
+    * TwoPass single-definition rule. */
+  private def orderLateness(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority").as("g"))
       .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate")),
         col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderkey"), col("g"))
       .agg(max(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
         1L).otherwise(0L)).as("late"))
+
+  /** The `j` CTE mirrored by every oracle over [[orderLateness]]. */
+  private val orderLatenessSqlCte: String =
+    """j AS (
+      |  SELECT o_orderkey, o_orderpriority AS g,
+      |    MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+      |        THEN 1 ELSE 0 END) AS late
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  GROUP BY 1, 2)""".stripMargin
+
+  def cochranArmitage(spark: SparkSession, dir: String): DataFrame = {
+    val byPrio = orderLateness(spark, dir)
     val aggs = Priorities.zipWithIndex.flatMap { case (p, i) =>
       Seq(
         sum(when(col("g") === p, 1L).otherwise(0L)).cast("long").as(s"n${i + 1}"),
@@ -2467,12 +2483,7 @@ object Quality {
       .mkString("\n    + ")
     val swn = (1 to 5).map(i => s"$i * n$i").mkString(" + ")
     val sw2n = (1 to 5).map(i => s"${i * i} * n$i").mkString(" + ")
-    s"""WITH j AS (
-       |  SELECT o_orderkey, o_orderpriority AS g,
-       |    MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
-       |        THEN 1 ELSE 0 END) AS late
-       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-       |  GROUP BY 1, 2),
+    s"""WITH $orderLatenessSqlCte,
        |piv AS (
        |  SELECT
        |$conds
@@ -2777,9 +2788,13 @@ object Quality {
     * Scale shape: ONE map-side-combinable aggregation over the doc
     * scan (every rater is a per-row expression); output is a single
     * row. One exchange. */
-  def fleissKappa(spark: SparkSession, dir: String): DataFrame = {
+  /** The three deterministic quality raters shared by q271 (Fleiss' κ)
+    * and q280 (Cochran's Q) — one definition so a threshold change
+    * lands once (the TwoPass single-definition rule). Classes {0,1,2},
+    * every predicate exact-integer. */
+  private def qualityRaters(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions._
-    val d = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    Tables.documents(spark, dir).filter(col("text").isNotNull)
       .withColumn("nt", tokenCount(col("text")))
       .withColumn("ty", size(distinctTokens(col("text"))).cast("long"))
       .withColumn("ns", stopwordCount(col("text")))
@@ -2791,6 +2806,27 @@ object Quality {
       .withColumn("rc",
         when(lit(100) * col("ty") >= lit(52) * col("nt"), 2L)
           .when(lit(100) * col("ty") >= lit(42) * col("nt"), 1L).otherwise(0L))
+  }
+
+  /** The `r` CTE (ra/rb/rc) mirrored by every oracle over
+    * [[qualityRaters]] — one string so engine and oracle can't drift. */
+  private val qualityRatersSqlCte: String =
+    s"""rt AS (
+       |  SELECT doc_id, n_chars,
+       |    len(string_split(text, ' ')) AS nt,
+       |    len(list_distinct(string_split(text, ' '))) AS ty,
+       |    len(list_filter(string_split(text, ' '), x -> x IN ($stopwordSqlList))) AS ns
+       |  FROM documents WHERE text IS NOT NULL),
+       |r AS (SELECT
+       |    CASE WHEN n_chars >= 330 THEN 2 WHEN n_chars >= 180 THEN 1 ELSE 0 END AS ra,
+       |    CASE WHEN 100 * ns >= 10 * nt THEN 2
+       |         WHEN 100 * ns >= 5 * nt THEN 1 ELSE 0 END AS rb,
+       |    CASE WHEN 100 * ty >= 52 * nt THEN 2
+       |         WHEN 100 * ty >= 42 * nt THEN 1 ELSE 0 END AS rc
+       |  FROM rt)""".stripMargin
+
+  def fleissKappa(spark: SparkSession, dir: String): DataFrame = {
+    val d = qualityRaters(spark, dir)
     def nj(j: Int) =
       when(col("ra") === j, 1L).otherwise(0L) +
         when(col("rb") === j, 1L).otherwise(0L) +
@@ -2819,19 +2855,7 @@ object Quality {
   }
 
   val fleissKappaSql: String =
-    s"""WITH t AS (
-       |  SELECT doc_id, n_chars,
-       |    len(string_split(text, ' ')) AS nt,
-       |    len(list_distinct(string_split(text, ' '))) AS ty,
-       |    len(list_filter(string_split(text, ' '), x -> x IN ($stopwordSqlList))) AS ns
-       |  FROM documents WHERE text IS NOT NULL),
-       |r AS (SELECT
-       |    CASE WHEN n_chars >= 330 THEN 2 WHEN n_chars >= 180 THEN 1 ELSE 0 END AS ra,
-       |    CASE WHEN 100 * ns >= 10 * nt THEN 2
-       |         WHEN 100 * ns >= 5 * nt THEN 1 ELSE 0 END AS rb,
-       |    CASE WHEN 100 * ty >= 52 * nt THEN 2
-       |         WHEN 100 * ty >= 42 * nt THEN 1 ELSE 0 END AS rc
-       |  FROM t),
+    s"""WITH $qualityRatersSqlCte,
        |cnt AS (SELECT
        |    (CASE WHEN ra = 0 THEN 1 ELSE 0 END + CASE WHEN rb = 0 THEN 1 ELSE 0 END
        |     + CASE WHEN rc = 0 THEN 1 ELSE 0 END) AS n0,
@@ -3025,7 +3049,284 @@ object Quality {
        |FROM cnt c JOIN r ON r.nation = c.nation AND r.i = c.n_months
        |ORDER BY c.nation""".stripMargin
 
+  /** Q279: ADJUSTED PEARSON RESIDUALS — the per-cell drill-down the
+    * omnibus tests can't give: q146's chi-square and q256's trend say
+    * THAT the (priority × late) table deviates; the Haberman-adjusted
+    * residual rᵢⱼ = (O − E)/√(E(1−rᵢ/N)(1−cⱼ/N)) says WHICH cells
+    * carry it, each on an approximate N(0,1) scale (the plain
+    * (O−E)/√E understates significance for big margins — the
+    * adjustment divides out the margin variance). The standard next
+    * question after any significant contingency test.
+    *
+    * Exactness: O, row/col margins and N are exact BIGINTs; the
+    * deviation witness O·N − rᵢ·cⱼ is exact DECIMAL(38,0) published
+    * as STRING (O·N ~ 2e22 at 100 TB, the q256 >2⁵³ rule); the
+    * residual is ONE fixed dag of IEEE ops on the exact values.
+    *
+    * Scale shape: the shared [[orderLateness]] rollup (map-side
+    * combined after the SMJ), one 5-row pivot aggregation, the
+    * long-form explode to 10 cells, 1-row totals crossJoin-broadcast.
+    * Nothing after the rollup exceeds 10 rows. */
+  def pearsonResiduals(spark: SparkSession, dir: String): DataFrame = {
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val byG = orderLateness(spark, dir).groupBy(col("g"))
+      .agg(count(lit(1)).cast("long").as("r_tot"),
+        sum(col("late")).cast("long").as("o1"))
+    val cells = byG.select(col("g"), col("r_tot"),
+        explode(array(
+          struct(lit(0L).as("late"), (col("r_tot") - col("o1")).as("o")),
+          struct(lit(1L).as("late"), col("o1").as("o")))).as("cell"))
+      .select(col("g"), col("r_tot"), col("cell.late").as("late"),
+        col("cell.o").as("o"))
+    val tot = byG.agg(sum(col("r_tot")).cast("long").as("n_all"),
+      sum(col("o1")).cast("long").as("c1_tot"))
+    val withTot = cells.crossJoin(broadcast(tot))
+      .withColumn("c_tot",
+        when(col("late") === 1, col("c1_tot"))
+          .otherwise(col("n_all") - col("c1_tot")))
+    val od = col("o").cast("double")
+    val rd = col("r_tot").cast("double")
+    val cd = col("c_tot").cast("double")
+    val nd = col("n_all").cast("double")
+    val e = rd * cd / nd
+    withTot.select(col("g").as("priority"), col("late"),
+        col("o").as("n_obs"),
+        col("r_tot"), col("c_tot"),
+        (d38(col("o")) * col("n_all") - d38(col("r_tot")) * col("c_tot"))
+          .cast("decimal(38,0)").cast("string").as("dev_num"),
+        when(col("c_tot") > 0 && col("c_tot") < col("n_all")
+            && col("r_tot") < col("n_all"),
+          (od - e) / sqrt(e * (lit(1.0) - rd / nd) * (lit(1.0) - cd / nd)))
+          .as("adj_resid"))
+      .orderBy(col("priority"), col("late"))
+  }
+
+  val pearsonResidualsSql: String =
+    s"""WITH $orderLatenessSqlCte,
+       |byg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS r_tot,
+       |    CAST(SUM(late) AS BIGINT) AS o1
+       |  FROM j GROUP BY 1),
+       |cells AS (
+       |  SELECT g, r_tot, CAST(0 AS BIGINT) AS late, r_tot - o1 AS o FROM byg
+       |  UNION ALL
+       |  SELECT g, r_tot, CAST(1 AS BIGINT) AS late, o1 AS o FROM byg),
+       |tot AS (SELECT CAST(SUM(r_tot) AS BIGINT) AS n_all,
+       |    CAST(SUM(o1) AS BIGINT) AS c1_tot FROM byg),
+       |wt AS (SELECT g, late, o, r_tot,
+       |    CASE WHEN late = 1 THEN c1_tot ELSE n_all - c1_tot END AS c_tot,
+       |    n_all
+       |  FROM cells CROSS JOIN tot)
+       |SELECT g AS priority, late, o AS n_obs, r_tot, c_tot,
+       |  CAST(CAST(o AS HUGEINT) * n_all - CAST(r_tot AS HUGEINT) * c_tot
+       |    AS VARCHAR) AS dev_num,
+       |  CASE WHEN c_tot > 0 AND c_tot < n_all AND r_tot < n_all THEN
+       |    (CAST(o AS DOUBLE)
+       |       - CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE) / CAST(n_all AS DOUBLE))
+       |    / SQRT(CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE) / CAST(n_all AS DOUBLE)
+       |        * (1.0 - CAST(r_tot AS DOUBLE) / CAST(n_all AS DOUBLE))
+       |        * (1.0 - CAST(c_tot AS DOUBLE) / CAST(n_all AS DOUBLE)))
+       |  END AS adj_resid
+       |FROM wt ORDER BY priority, late""".stripMargin
+
+  /** Q280: COCHRAN'S Q TEST — do the three binary quality gates (each
+    * [[qualityRaters]] rater voting "high", class 2) PASS DIFFERENT
+    * FRACTIONS of the corpus? The k-related-samples extension of
+    * q242's McNemar (which caps at 2 raters) and the rate-side
+    * complement of q271's Fleiss κ (κ asks "do they agree per doc";
+    * Q asks "do their marginal rates differ" — raters can agree badly
+    * yet pass identical fractions, or vice versa). The standard gate
+    * before pooling heterogeneous quality votes.
+    *
+    * Exactness: with k=3, Q reduces to the single integer rational
+    * 2(3Σtⱼ² − T²)/(3T − ΣRᵢ²) (Σⱼ(tⱼ−T/3)² = (3Σt²−T²)/3, so every
+    * witness is an exact integer; 3T − ΣR² = ΣRᵢ(3−Rᵢ) ≥ 0, zero iff
+    * every doc is unanimous — NULL Q on both engines). The numerator
+    * (~6·M² = 6e22 at 100 TB) publishes as a DECIMAL(38,0) STRING
+    * witness; Q is the one-division double dag.
+    *
+    * Scale shape: ONE map-side-combinable aggregation over the doc
+    * scan (raters are per-row predicates); single-row output. */
+  def cochranQ(spark: SparkSession, dir: String): DataFrame = {
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val flags = qualityRaters(spark, dir).select(
+      when(col("ra") === 2, 1L).otherwise(0L).as("ha"),
+      when(col("rb") === 2, 1L).otherwise(0L).as("hb"),
+      when(col("rc") === 2, 1L).otherwise(0L).as("hc"))
+    val agg = flags.agg(
+      count(lit(1)).cast("long").as("m"),
+      sum(col("ha")).cast("long").as("ta"),
+      sum(col("hb")).cast("long").as("tb"),
+      sum(col("hc")).cast("long").as("tc"),
+      sum((col("ha") + col("hb") + col("hc"))
+        * (col("ha") + col("hb") + col("hc"))).cast("long").as("sum_r2"))
+    val t = (col("ta") + col("tb") + col("tc")).cast("long")
+    val qn = (lit(2) * (lit(3) * (d38(col("ta")) * col("ta")
+      + d38(col("tb")) * col("tb") + d38(col("tc")) * col("tc"))
+      - d38(t) * t)).cast("decimal(38,0)")
+    val qd = (lit(3) * t - col("sum_r2")).cast("long")
+    agg.select(
+      col("m").as("n_docs"),
+      col("ta"), col("tb"), col("tc"), col("sum_r2"),
+      qn.cast("string").as("q_num"),
+      qd.as("q_den"),
+      when(qd > 0, qn.cast("double") / qd.cast("double")).as("q_stat"))
+  }
+
+  val cochranQSql: String =
+    s"""WITH $qualityRatersSqlCte,
+       |f AS (SELECT
+       |    CASE WHEN ra = 2 THEN 1 ELSE 0 END AS ha,
+       |    CASE WHEN rb = 2 THEN 1 ELSE 0 END AS hb,
+       |    CASE WHEN rc = 2 THEN 1 ELSE 0 END AS hc
+       |  FROM r),
+       |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+       |    CAST(SUM(ha) AS BIGINT) AS ta, CAST(SUM(hb) AS BIGINT) AS tb,
+       |    CAST(SUM(hc) AS BIGINT) AS tc,
+       |    CAST(SUM((ha + hb + hc) * (ha + hb + hc)) AS BIGINT) AS sum_r2
+       |  FROM f),
+       |w AS (SELECT *,
+       |    2 * (3 * (CAST(ta AS HUGEINT) * ta + CAST(tb AS HUGEINT) * tb
+       |              + CAST(tc AS HUGEINT) * tc)
+       |         - CAST(ta + tb + tc AS HUGEINT) * (ta + tb + tc)) AS qn,
+       |    3 * (ta + tb + tc) - sum_r2 AS qd
+       |  FROM agg)
+       |SELECT m AS n_docs, ta, tb, tc, sum_r2,
+       |  CAST(qn AS VARCHAR) AS q_num, CAST(qd AS BIGINT) AS q_den,
+       |  CASE WHEN qd > 0 THEN CAST(qn AS DOUBLE) / CAST(qd AS DOUBLE) END AS q_stat
+       |FROM w""".stripMargin
+
+  private val BootB = 32
+  /** Cumulative Poisson(1) probabilities (k = 0..7) scaled to the
+    * 32-bit mix domain — compile-time constants interpolated as the
+    * SAME literals into engine and oracle, so both draw identical
+    * weights. A hash beyond the last threshold gets weight 8
+    * (P ≈ 1e-5 per draw; documented cap). */
+  private val PoissonThresh32: Seq[Long] = {
+    val fact = (0 to 7).scanLeft(1L)((a, k) => a * (k + 1)).init // 0!..7!
+    val cums = fact.indices.map(k =>
+      (0 to k).map(j => math.exp(-1.0) / fact(j)).sum)
+    cums.map(c => (c * 4294967296.0).toLong)
+  }
+
+  /** Per-resample multiply-shift constants (A, B, C) — 30-bit odd
+    * multipliers (the q261 overflow-safety argument: A·v1 + B·v2 + C
+    * < 2⁶³ with v < 2³²), derived from golden-ratio multiples so the
+    * B mixes decorrelate; deterministic compile-time literals shared
+    * with the oracle. */
+  private val BootMix: Seq[(Long, Long, Long)] = (0 until BootB).map { b =>
+    def odd30(x: Long): Long = ((x * 0x9E3779B9L) & 0x3FFFFFFEL) | 1L
+    (odd30(2L * b + 1), odd30(2L * b + 2), (b * 0x85EBCA6BL) & 0x3FFFFFFFL)
+  }
+
+  /** Q282: DETERMINISTIC POISSON BOOTSTRAP — a distribution-free
+    * standard error for the mean order value in ONE PASS: each of
+    * B = 32 resamples weights every order w ~ Poisson(1), the
+    * single-pass approximation of sampling-with-replacement that
+    * (unlike the classic bootstrap's B index draws) needs no global
+    * indexing and map-side-combines — THE bootstrap form that works
+    * on a 100 TB shard set. Weights are derived, not random: ONE md5
+    * per row splits into two 32-bit halves and the per-resample
+    * multiply-shift mix ([[BootMix]], the q261 hash-family
+    * discipline) yields the B uniforms — a per-(row, b) md5
+    * formulation measured 12.4 s at sf0.1 vs ~1 s for the mix
+    * (NOTES) — each inverted through the Poisson(1) CDF thresholds
+    * ([[PoissonThresh32]] — exact shared literals), so both engines
+    * draw the identical resamples (the q62/q93 no-rand determinism
+    * rule extended to resampling). The spread of the 32 published
+    * resample means IS the standard-error estimate a parametric-
+    * assumption-free pipeline gate wants.
+    *
+    * Exactness: weights are exact integers (8 threshold compares per
+    * draw; mix stays in BIGINT — the 30-bit-odd q261 argument); Σw
+    * and Σw·cents are exact. Σw·cents ~ 7e19 exceeds BIGINT at
+    * 100 TB, but a DECIMAL(38) accumulator put 32 BigDecimal sums on
+    * the hot path (measured ~6 s at sf0.1): instead cents splits
+    * radix-10⁴ into (hi, lo) and each resample carries TWO long sums
+    * (Σw·hi ≤ 4.8e4·N, Σw·lo ≤ 8e4·N — inside 2⁶³ to N ~ 1e14 rows,
+    * documented headroom), recombined into DECIMAL(38) only on the
+    * 32-row result and published as STRING per the q256 rule; each
+    * resample mean is the half-up micro idiom.
+    *
+    * Scale shape: a PIPELINED per-row explode over the B resample
+    * ids feeding the partial aggregate in the same task — the B×
+    * rows exist only inside the operator pipeline, the exchange
+    * carries 32 groups × partitions partials (a first cut kept all
+    * 2·B sums as one 96-field wide aggregate and fell out of
+    * whole-stage codegen — interpreted eval measured ~5 s at sf0.1;
+    * the small per-(row, b) expression keeps codegen on, NOTES).
+    * 1 md5 + B mul-adds per row either way. */
+  def poissonBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val vals = Tables.orders(spark, dir).select(
+      (col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("long").as("cents"),
+      md5(col("o_orderkey").cast("string")).as("h"))
+      .withColumn("v1", expr("CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("v2", expr("CAST(conv(substring(h, 9, 8), 16, 10) AS BIGINT)"))
+      .withColumn("chi", expr("cents div 10000"))
+      .withColumn("clo", expr("cents % 10000"))
+    val ma = typedlit(BootMix.map(_._1).toArray)
+    val mb = typedlit(BootMix.map(_._2).toArray)
+    val mc = typedlit(BootMix.map(_._3).toArray)
+    val exploded = vals
+      .select(col("chi"), col("clo"), col("v1"), col("v2"),
+        explode(expr(s"sequence(0, ${BootB - 1})")).as("b"))
+      .withColumn("u",
+        (element_at(ma, col("b") + 1) * col("v1")
+          + element_at(mb, col("b") + 1) * col("v2")
+          + element_at(mc, col("b") + 1)).bitwiseAND(lit(4294967295L)))
+      .withColumn("w", expr(PoissonThresh32
+        .map(t => s"(CASE WHEN u >= ${t}L THEN 1 ELSE 0 END)")
+        .mkString(" + ")).cast("long"))
+    exploded.groupBy(col("b"))
+      .agg(sum(col("w")).cast("long").as("n_eff"),
+        sum(col("w") * col("chi")).cast("long").as("sh"),
+        sum(col("w") * col("clo")).cast("long").as("sl"))
+      .withColumn("s", (d38(col("sh")) * 10000 + col("sl")).cast("decimal(38,0)"))
+      .select(col("b").cast("long").as("resample"),
+        col("n_eff"),
+        col("s").cast("string").as("sum_cents"),
+        (expr("(2 * s * 1000000 + n_eff) div (2 * n_eff)").cast("double") / 1000000)
+          .as("mean_cents"))
+      .orderBy(col("resample"))
+  }
+
+  /** Oracle: the explode-and-group formulation (independent of the
+    * engine's wide single-pass aggregate — DuckDB runs locally where
+    * the B× row expansion is free); the per-resample mix constants
+    * ride in as a VALUES list of the same literals. */
+  val poissonBootstrapSql: String = {
+    val wTerms = PoissonThresh32
+      .map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)")
+      .mkString("\n       |      + ")
+    val mixRows = BootMix.zipWithIndex
+      .map { case ((a, bb, c), i) => s"($i, $a, $bb, $c)" }.mkString(", ")
+    s"""WITH v AS (SELECT
+       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+       |    CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) AS v1,
+       |    CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 9, 8)) AS BIGINT) AS v2
+       |  FROM orders),
+       |mx(b, ma, mb, mc) AS (VALUES $mixRows),
+       |u AS (SELECT b, cents,
+       |    (ma * v1 + mb * v2 + mc) & 4294967295 AS u
+       |  FROM v CROSS JOIN mx),
+       |w AS (SELECT b, cents,
+       |    $wTerms AS w
+       |  FROM u),
+       |agg AS (SELECT b, CAST(SUM(w) AS BIGINT) AS n_eff,
+       |    CAST(SUM(CAST(w AS HUGEINT) * cents) AS HUGEINT) AS s
+       |  FROM w GROUP BY b)
+       |SELECT CAST(b AS BIGINT) AS resample, n_eff,
+       |  CAST(s AS VARCHAR) AS sum_cents,
+       |  CAST((2 * s * 1000000 + n_eff) // (2 * n_eff) AS DOUBLE) / 1000000
+       |    AS mean_cents
+       |FROM agg ORDER BY resample""".stripMargin
+  }
+
   def queries: Map[String, Relational.Q] = Map(
+    "q282_poisson_bootstrap" -> (poissonBootstrap _),
+    "q279_pearson_residuals" -> (pearsonResiduals _),
+    "q280_cochran_q" -> (cochranQ _),
     "q275_brier_decomposition" -> (brierDecomposition _),
     "q276_holt_linear" -> (holtLinear _),
     "q268_kendall_tau" -> (kendallTau _),
@@ -3064,6 +3365,9 @@ object Quality {
   )
 
   def oracles: Map[String, String] = Map(
+    "q282_poisson_bootstrap" -> poissonBootstrapSql,
+    "q279_pearson_residuals" -> pearsonResidualsSql,
+    "q280_cochran_q" -> cochranQSql,
     "q275_brier_decomposition" -> brierDecompositionSql,
     "q276_holt_linear" -> holtLinearSql,
     "q268_kendall_tau" -> kendallTauSql,

@@ -342,4 +342,103 @@ class Round9Spec extends SparkSuite {
       assert(got(n)._1 === l && got(n)._2 === b, s"nation $n diverged")
     }
   }
+
+  // ---- wave 6 ----
+
+  test("q277 KMV estimate lands inside the 4/√k relative-error band") {
+    val rows = operators.Derivations.kmvCardinality(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, k) = (r.getAs[Long]("n_exact"), r.getAs[Long]("n_in_sketch"))
+      val est = r.getAs[Double]("kmv_estimate")
+      assert(k <= 64 && k >= math.min(n, 64L), s"$r")
+      if (n < 64) assert(est === n.toDouble, s"degenerate convention broke: $r")
+      // KMV std error ≈ 1/√k ≈ 12.5%; 4σ band = 50%
+      else assert(math.abs(est - n) <= 0.5 * n, s"estimate off by >4σ: $r")
+    }
+  }
+
+  test("q278 channel stats recombine to q264's mono totals") {
+    val mono = operators.Multimodal.wavSampleStats(spark, Sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_samples"), r.getAs[Long]("sum_abs"), r.getAs[Long]("peak_abs")))
+      .toMap
+    val ch = operators.Multimodal.wavChannelStats(spark, Sf0001).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(ch.nonEmpty)
+    ch.foreach { case (id, rows) =>
+      val (n, sa, pk) = mono(id)
+      // de-interleave must partition the mono stream exactly
+      assert(rows.map(_.getAs[Long]("n_samples")).sum === n, s"doc $id")
+      assert(rows.map(_.getAs[Long]("sum_abs")).sum === sa, s"doc $id")
+      assert(rows.map(_.getAs[Long]("peak_abs")).max === pk, s"doc $id")
+    }
+  }
+
+  test("q279 residuals: zero-sum deviations and paired antisymmetry") {
+    val rows = operators.Quality.pearsonResiduals(spark, Sf0001).collect()
+    assert(rows.length === 10)
+    // each priority's two cells carry equal-magnitude opposite deviations
+    rows.groupBy(_.getAs[String]("priority")).foreach { case (p, cells) =>
+      val devs = cells.map(r => BigInt(r.getAs[String]("dev_num")))
+      assert(devs.sum === BigInt(0), s"$p deviations don't cancel")
+      val res = cells.map(_.getAs[Double]("adj_resid"))
+      assert(math.abs(res.sum) < 1e-9, s"$p residuals don't cancel")
+    }
+    // the deviation witness sums to zero over the whole table too
+    assert(rows.map(r => BigInt(r.getAs[String]("dev_num"))).sum === BigInt(0))
+  }
+
+  test("q280 Cochran's Q: identity on the published witnesses and Q >= 0") {
+    val r = operators.Quality.cochranQ(spark, Sf0001).collect().head
+    val ts = Seq("ta", "tb", "tc").map(r.getAs[Long](_))
+    val t = ts.sum
+    val qn = BigInt(r.getAs[String]("q_num"))
+    assert(qn === 2 * (3 * ts.map(x => BigInt(x) * x).sum - BigInt(t) * t), s"$r")
+    assert(qn >= 0, s"$r") // Cauchy-Schwarz: 3Σt² ≥ T²
+    val qd = r.getAs[Long]("q_den")
+    assert(qd >= 0 && qd === 3 * t - r.getAs[Long]("sum_r2"), s"$r")
+    if (qd > 0)
+      assert(r.getAs[Double]("q_stat") === qn.toDouble / qd.toDouble, s"$r")
+  }
+
+  // ---- wave 7 ----
+
+  test("q281 sampled quantiles: rank error within the sampling bound") {
+    val rows = operators.Derivations.sampledQuantiles(spark, Sf0001).collect()
+    assert(rows.map(_.getAs[Long]("pct")).toSeq === Seq(50L, 90L, 99L))
+    rows.foreach { r =>
+      val (p, n) = (r.getAs[Long]("pct"), r.getAs[Long]("n_total"))
+      val rank = r.getAs[Long]("exact_rank")
+      assert(rank >= 1 && rank <= n, s"$r")
+      // uniform bottom-k sampling: |rank/N − p| ≤ 4/√k w.h.p. (k=1024 → 12.5%)
+      assert(r.getAs[Long]("rank_err_micro") <= 125000L, s"$r")
+      // the published error IS |half-up(rank/N in micro) − p·10⁴|
+      val micro = (2 * rank * 1000000L + n) / (2 * n)
+      assert(r.getAs[Long]("rank_err_micro") === math.abs(micro - p * 10000L), s"$r")
+    }
+  }
+
+  test("q282 bootstrap resamples bracket the population mean") {
+    val rows = operators.Quality.poissonBootstrap(spark, Sf0001).collect()
+    assert(rows.length === 32)
+    val popMean = Tables.orders(spark, Sf0001)
+      .agg(avg((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("long")).cast("double"))
+      .collect().head.getDouble(0)
+    val means = rows.map(_.getAs[Double]("mean_cents"))
+    val n = Tables.orders(spark, Sf0001).count()
+    rows.foreach { r =>
+      val nEff = r.getAs[Long]("n_eff")
+      // Σ Poisson(1) over n draws: mean n, sd √n — 6σ band
+      assert(math.abs(nEff - n) <= 6 * math.sqrt(n.toDouble) + 1, s"$r")
+      assert(BigInt(r.getAs[String]("sum_cents")) > 0, s"$r")
+    }
+    // the bootstrap distribution centers on the population mean
+    val center = means.sum / means.length
+    val sd = math.sqrt(means.map(m => (m - center) * (m - center)).sum / (means.length - 1))
+    assert(sd > 0, "degenerate bootstrap spread")
+    assert(math.abs(center - popMean) <= 5 * sd / math.sqrt(32.0) + 5 * sd,
+      s"center $center vs pop $popMean (sd $sd)")
+  }
 }
