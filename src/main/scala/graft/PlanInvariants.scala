@@ -113,7 +113,13 @@ object PlanInvariants {
       "q279_pearson_residuals",
       // q281: the 1-row sample-quantile frame crossJoin-broadcast into
       // the rank-audit scan (q66 scalar rationale)
-      "q281_sampled_quantiles")
+      "q281_sampled_quantiles",
+      // q283: two 1-row collected-sample frames crossJoined for the
+      // in-expression pair sweep (q140's summary-record rationale)
+      "q283_energy_distance",
+      // q285: the 1-row observed-gap frame crossJoin-broadcast into
+      // the 32-row permutation frame (q66 scalar rationale)
+      "q285_permutation_test")
 
   /** Per-query shuffle ceilings above the [[defaultShuffleCeiling]].
     * These are the audited round-5 counts — intentionally exact, so an

@@ -1237,7 +1237,10 @@ object Quality {
     * Scale shape: ONE conditional-aggregation scan (map-side
     * combined) to a single row; the dag is driver-free scalar math on
     * that row. Adding groups means adding columns, not exchanges. */
-  def anovaOneWay(spark: SparkSession, dir: String): DataFrame = {
+  /** The one-row (n₁..n₅, s₁..s₅, Σy²) sufficient-statistics pivot of
+    * order value cents by priority — shared by q223 (ANOVA) and q284
+    * (Tukey-Kramer); one definition per the TwoPass rule. */
+  private def priorityCentsPivot(spark: SparkSession, dir: String): DataFrame = {
     val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
       .cast("decimal(18,0)").cast("long")
     val aggs = Priorities.zipWithIndex.flatMap { case (p, i) =>
@@ -1248,10 +1251,14 @@ object Quality {
           .as(s"s${i + 1}"))
     } :+ sum(col("y").cast("decimal(38,0)") * col("y"))
       .cast("decimal(38,0)").as("ssq")
-    val pivoted = Tables.orders(spark, dir)
+    Tables.orders(spark, dir)
       .select(col("o_orderpriority").as("g"), cents.as("y"))
       .groupBy()
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  def anovaOneWay(spark: SparkSession, dir: String): DataFrame = {
+    val pivoted = priorityCentsPivot(spark, dir)
     val nT = (1 to 5).map(i => col(s"n$i")).reduce(_ + _)
     val sT = (1 to 5).map(i => col(s"s$i")).reduce(_ + _)
     val nD = col("n_total").cast("double")
@@ -3323,7 +3330,229 @@ object Quality {
        |FROM agg ORDER BY resample""".stripMargin
   }
 
+  /** Q284: TUKEY-KRAMER HSD — the post-hoc q223 cannot answer: ANOVA's
+    * F says SOME priority's mean order value differs; Tukey-Kramer
+    * says WHICH pairs, via the studentized-range statistic
+    * q_ij = |ȳᵢ−ȳⱼ| / √(MSW/2·(1/nᵢ+1/nⱼ)) for all 10 priority
+    * pairs — the family-wise follow-up every significant omnibus
+    * test demands (10 naive t-tests would inflate the error rate;
+    * the q scale is what the studentized-range tables correct).
+    *
+    * Exactness: shares [[priorityCentsPivot]]'s exact sufficient
+    * statistics with q223 (single-definition rule) and q223's SSW
+    * dag verbatim (same term order); each q_ij is one fixed dag of
+    * IEEE ops on the exact (nᵢ, sᵢ, SSW) witnesses. Degenerate
+    * MSW ≤ 0 or an empty group ⇒ NULL q on both engines.
+    *
+    * Scale shape: the one map-side pivot aggregation (row-scale),
+    * then a 10-element explode of the single result row. One
+    * exchange plus the output sort. */
+  def tukeyHsd(spark: SparkSession, dir: String): DataFrame = {
+    val piv = priorityCentsPivot(spark, dir)
+      .withColumn("n_total", (1 to 5).map(i => col(s"n$i")).reduce(_ + _))
+      .withColumn("s_total", (1 to 5).map(i => col(s"s$i")).reduce(_ + _))
+    val nD = col("n_total").cast("double")
+    val grand = col("s_total").cast("double") / nD
+    def term(i: Int): Column = {
+      val d = col(s"s$i").cast("double") / col(s"n$i").cast("double") - grand
+      col(s"n$i").cast("double") * (d * d)
+    }
+    val ssb = (1 to 5).map(term).reduce(_ + _)
+    val sst = col("ssq").cast("double") -
+      col("s_total").cast("double") * col("s_total").cast("double") / nD
+    val withMsw = piv
+      .withColumn("ssw", sst - ssb)
+      .withColumn("msw", col("ssw") / (nD - lit(5.0d)))
+    val pairs = for (i <- 1 to 4; j <- (i + 1) to 5) yield {
+      val ma = col(s"s$i").cast("double") / col(s"n$i").cast("double")
+      val mb = col(s"s$j").cast("double") / col(s"n$j").cast("double")
+      struct(
+        lit(Priorities(i - 1)).as("g_a"), lit(Priorities(j - 1)).as("g_b"),
+        col(s"n$i").as("n_a"), col(s"n$j").as("n_b"),
+        ma.as("mean_a"), mb.as("mean_b"),
+        when(col("msw") > 0.0 && col(s"n$i") > 0 && col(s"n$j") > 0,
+          abs(ma - mb) / sqrt(col("msw") / lit(2.0)
+            * (lit(1.0) / col(s"n$i").cast("double")
+               + lit(1.0) / col(s"n$j").cast("double")))).as("q_stat"))
+    }
+    withMsw.select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.g_a").as("g_a"), col("p.g_b").as("g_b"),
+        col("p.n_a").as("n_a"), col("p.n_b").as("n_b"),
+        col("p.mean_a").as("mean_a"), col("p.mean_b").as("mean_b"),
+        col("p.q_stat").as("q_stat"))
+      .orderBy(col("g_a"), col("g_b"))
+  }
+
+  val tukeyHsdSql: String = {
+    val conds = Priorities.zipWithIndex.map { case (p, i) =>
+      s"""    CAST(SUM(CASE WHEN o_orderpriority = '$p' THEN 1 ELSE 0 END) AS BIGINT) AS n${i + 1},
+         |    CAST(SUM(CASE WHEN o_orderpriority = '$p'
+         |      THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      ELSE 0 END) AS BIGINT) AS s${i + 1}""".stripMargin
+    }.mkString(",\n")
+    val terms = (1 to 5).map(i =>
+      s"CAST(n$i AS DOUBLE) * ((CAST(s$i AS DOUBLE) / CAST(n$i AS DOUBLE) - grand) * (CAST(s$i AS DOUBLE) / CAST(n$i AS DOUBLE) - grand))")
+      .mkString("\n    + ")
+    val rows = (for (i <- 1 to 4; j <- (i + 1) to 5) yield {
+      val (pa, pb) = (Priorities(i - 1), Priorities(j - 1))
+      s"""SELECT '$pa' AS g_a, '$pb' AS g_b, n$i AS n_a, n$j AS n_b,
+         |  CAST(s$i AS DOUBLE) / CAST(n$i AS DOUBLE) AS mean_a,
+         |  CAST(s$j AS DOUBLE) / CAST(n$j AS DOUBLE) AS mean_b,
+         |  CASE WHEN msw > 0.0 AND n$i > 0 AND n$j > 0 THEN
+         |    ABS(CAST(s$i AS DOUBLE) / CAST(n$i AS DOUBLE)
+         |        - CAST(s$j AS DOUBLE) / CAST(n$j AS DOUBLE))
+         |    / SQRT(msw / 2.0 * (1.0 / CAST(n$i AS DOUBLE)
+         |                        + 1.0 / CAST(n$j AS DOUBLE)))
+         |  END AS q_stat
+         |FROM m""".stripMargin
+    }).mkString("\nUNION ALL\n")
+    s"""WITH piv AS (
+       |  SELECT
+       |$conds,
+       |    CAST(SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT)
+       |      * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS HUGEINT) AS ssq
+       |  FROM orders),
+       |t AS (SELECT *, n1 + n2 + n3 + n4 + n5 AS n_total,
+       |    s1 + s2 + s3 + s4 + s5 AS s_total FROM piv),
+       |g AS (SELECT *, CAST(s_total AS DOUBLE) / CAST(n_total AS DOUBLE) AS grand
+       |  FROM t),
+       |m AS (SELECT *,
+       |    ((CAST(ssq AS DOUBLE)
+       |       - CAST(s_total AS DOUBLE) * CAST(s_total AS DOUBLE) / CAST(n_total AS DOUBLE))
+       |     - ($terms))
+       |    / (CAST(n_total AS DOUBLE) - 5.0) AS msw
+       |  FROM g)
+       |$rows
+       |ORDER BY g_a, g_b""".stripMargin
+  }
+
+  /** Q285: DETERMINISTIC PERMUTATION TEST — the hypothesis-test half
+    * of the resampling pair q282's bootstrap started (bootstrap
+    * answers "how uncertain is the estimate", permutation answers
+    * "could the observed GAP be chance"): is the mean document
+    * length of English docs different from the rest? Under the null
+    * the labels are exchangeable, so each of B = 32 permutations
+    * reassigns every doc to a pseudo-group by one fair bit of the
+    * q282 multiply-shift mix (top bit — the low bits of a
+    * multiply-shift are its weak ones) and recomputes the mean gap;
+    * the one-row report publishes the observed gap, how many
+    * permuted |gaps| reach it, and the exact mid-less p-value
+    * (1 + #extreme)/(B + 1).
+    *
+    * Exactness: group sums/counts are exact BIGINTs; each gap's
+    * micro value is the half-up idiom on the exact cross-product
+    * rational (sₐ·n_b − s_b·nₐ)/(nₐ·n_b) — DECIMAL(38,0) internals
+    * (sₐ·n_b ~ 1e25 at 100 TB); the extreme count compares micro
+    * integers, never floats; p is an exact rational over B+1.
+    *
+    * Scale shape: the q282 pipelined explode → map-side combine on
+    * 32 keys (1 md5 + B mul-adds per row), ONE observed-gap
+    * aggregation over the same scan, a 32-row × 1-row broadcast
+    * join, a 1-row reduce. */
+  def permutationTest(spark: SparkSession, dir: String): DataFrame = {
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .select((col("lang") === "en").as("is_en"), col("n_chars"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("v1", expr("CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("v2", expr("CAST(conv(substring(h, 9, 8), 16, 10) AS BIGINT)"))
+    val obs = docs.agg(
+      sum(when(col("is_en"), 1L).otherwise(0L)).cast("long").as("na"),
+      sum(when(col("is_en"), col("n_chars")).otherwise(0L)).cast("long").as("sa"),
+      sum(when(!col("is_en"), 1L).otherwise(0L)).cast("long").as("nb"),
+      sum(when(!col("is_en"), col("n_chars")).otherwise(0L)).cast("long").as("sb"))
+    val ma = typedlit(BootMix.map(_._1).toArray)
+    val mb = typedlit(BootMix.map(_._2).toArray)
+    val mc = typedlit(BootMix.map(_._3).toArray)
+    val perms = docs
+      .select(col("n_chars"), col("v1"), col("v2"),
+        explode(expr(s"sequence(0, ${BootB - 1})")).as("b"))
+      .withColumn("u",
+        (element_at(ma, col("b") + 1) * col("v1")
+          + element_at(mb, col("b") + 1) * col("v2")
+          + element_at(mc, col("b") + 1)).bitwiseAND(lit(4294967295L)))
+      .withColumn("ga", col("u") >= 2147483648L)
+      .groupBy(col("b"))
+      .agg(
+        sum(when(col("ga"), 1L).otherwise(0L)).cast("long").as("na"),
+        sum(when(col("ga"), col("n_chars")).otherwise(0L)).cast("long").as("sa"),
+        sum(when(!col("ga"), 1L).otherwise(0L)).cast("long").as("nb"),
+        sum(when(!col("ga"), col("n_chars")).otherwise(0L)).cast("long").as("sb"))
+    def absGap6(sa: String, na: String, sb: String, nb: String): Column =
+      expr(s"(2 * abs(CAST($sa AS DECIMAL(38,0)) * $nb " +
+        s"- CAST($sb AS DECIMAL(38,0)) * $na) * 1000000 " +
+        s"+ CAST($na AS DECIMAL(38,0)) * $nb) " +
+        s"div (2 * CAST($na AS DECIMAL(38,0)) * $nb)")
+    val obsG = obs.withColumn("obs_abs6", absGap6("sa", "na", "sb", "nb"))
+      .withColumn("obs_sign",
+        signum((d38(col("sa")) * col("nb") - d38(col("sb")) * col("na"))
+          .cast("double")).cast("long"))
+    val permG = perms.withColumn("perm_abs6", absGap6("sa", "na", "sb", "nb"))
+    permG.crossJoin(broadcast(obsG.select(
+        col("na").as("n_en"), col("nb").as("n_other"),
+        col("obs_abs6"), col("obs_sign"))))
+      .agg(
+        max(col("n_en")).as("n_en"),
+        max(col("n_other")).as("n_other"),
+        count(lit(1)).cast("long").as("n_perms"),
+        max(col("obs_abs6") * col("obs_sign")).as("obs6"),
+        sum(when(col("perm_abs6") >= col("obs_abs6"), 1L).otherwise(0L))
+          .cast("long").as("n_extreme"))
+      .select(col("n_en"), col("n_other"), col("n_perms"),
+        (col("obs6").cast("double") / 1000000).as("obs_gap"),
+        col("n_extreme"),
+        (expr(s"(2 * (1 + n_extreme) * 1000000 + (n_perms + 1)) " +
+          s"div (2 * (n_perms + 1))").cast("double") / 1000000).as("p_value"))
+  }
+
+  val permutationTestSql: String = {
+    val mixRows = BootMix.zipWithIndex
+      .map { case ((a, bb, c), i) => s"($i, $a, $bb, $c)" }.mkString(", ")
+    s"""WITH d AS (SELECT lang = 'en' AS is_en, n_chars,
+       |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS v1,
+       |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 9, 8)) AS BIGINT) AS v2
+       |  FROM documents WHERE text IS NOT NULL),
+       |obs AS (SELECT
+       |    CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS na,
+       |    CAST(SUM(CASE WHEN is_en THEN n_chars ELSE 0 END) AS BIGINT) AS sa,
+       |    CAST(SUM(CASE WHEN NOT is_en THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+       |    CAST(SUM(CASE WHEN NOT is_en THEN n_chars ELSE 0 END) AS BIGINT) AS sb
+       |  FROM d),
+       |mx(b, ma, mb, mc) AS (VALUES $mixRows),
+       |pg AS (SELECT b,
+       |    CAST(SUM(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT) AS na,
+       |    CAST(SUM(CASE WHEN ga THEN n_chars ELSE 0 END) AS BIGINT) AS sa,
+       |    CAST(SUM(CASE WHEN NOT ga THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+       |    CAST(SUM(CASE WHEN NOT ga THEN n_chars ELSE 0 END) AS BIGINT) AS sb
+       |  FROM (SELECT b, n_chars,
+       |      ((ma * v1 + mb * v2 + mc) & 4294967295) >= 2147483648 AS ga
+       |    FROM d CROSS JOIN mx)
+       |  GROUP BY b),
+       |og AS (SELECT na AS n_en, nb AS n_other,
+       |    (2 * abs(CAST(sa AS HUGEINT) * nb - CAST(sb AS HUGEINT) * na) * 1000000
+       |     + CAST(na AS HUGEINT) * nb) // (2 * CAST(na AS HUGEINT) * nb) AS obs_abs6,
+       |    CASE WHEN CAST(sa AS HUGEINT) * nb - CAST(sb AS HUGEINT) * na >= 0
+       |         THEN 1 ELSE -1 END AS obs_sign
+       |  FROM obs),
+       |pp AS (SELECT b,
+       |    (2 * abs(CAST(sa AS HUGEINT) * nb - CAST(sb AS HUGEINT) * na) * 1000000
+       |     + CAST(na AS HUGEINT) * nb) // (2 * CAST(na AS HUGEINT) * nb) AS perm_abs6
+       |  FROM pg)
+       |SELECT og.n_en, og.n_other,
+       |  CAST(COUNT(*) AS BIGINT) AS n_perms,
+       |  CAST(MAX(og.obs_abs6 * og.obs_sign) AS DOUBLE) / 1000000 AS obs_gap,
+       |  CAST(SUM(CASE WHEN pp.perm_abs6 >= og.obs_abs6 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_extreme,
+       |  CAST((2 * (1 + SUM(CASE WHEN pp.perm_abs6 >= og.obs_abs6 THEN 1 ELSE 0 END))
+       |        * 1000000 + (COUNT(*) + 1))
+       |    // (2 * (COUNT(*) + 1)) AS DOUBLE) / 1000000 AS p_value
+       |FROM pp CROSS JOIN og
+       |GROUP BY og.n_en, og.n_other""".stripMargin
+  }
+
   def queries: Map[String, Relational.Q] = Map(
+    "q285_permutation_test" -> (permutationTest _),
+    "q284_tukey_hsd" -> (tukeyHsd _),
     "q282_poisson_bootstrap" -> (poissonBootstrap _),
     "q279_pearson_residuals" -> (pearsonResiduals _),
     "q280_cochran_q" -> (cochranQ _),
@@ -3365,6 +3594,8 @@ object Quality {
   )
 
   def oracles: Map[String, String] = Map(
+    "q285_permutation_test" -> permutationTestSql,
+    "q284_tukey_hsd" -> tukeyHsdSql,
     "q282_poisson_bootstrap" -> poissonBootstrapSql,
     "q279_pearson_residuals" -> pearsonResidualsSql,
     "q280_cochran_q" -> cochranQSql,

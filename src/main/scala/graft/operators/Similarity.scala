@@ -900,7 +900,119 @@ object Similarity {
        |      >= ${HplTauNum * HplTauNum} * na.nrm * nb.nrm
        |ORDER BY id_a, id_b""".stripMargin
 
+  private val EnergyK = 48
+
+  /** Q283: ENERGY-DISTANCE TWO-SAMPLE TEST — are label-0 and label-1
+    * embeddings drawn from the SAME distribution? The proper
+    * two-sample statistic for vectors (Székely-Rizzo):
+    * D = 2·E|X−Y| − E|X−X'| − E|Y−Y'| ≥ 0 with equality iff the
+    * distributions coincide — it sees shape differences q133's
+    * centroid drift cannot (two clouds can share a mean and differ
+    * everywhere else). Ground metric is L1 on the persisted SQ8
+    * integer codes (a metric of negative type, so the energy
+    * statistic is valid — and EXACT: |a−b|₁ on int8 codes is
+    * integer arithmetic, where the Euclidean form's √ would make
+    * pair sums an order-dependent float accumulation; the shared
+    * code offset cancels in every difference, so engine int8 codes
+    * and oracle 0..255 codes agree term-for-term).
+    *
+    * Sampling: the deterministic md5 bottom-[[EnergyK]] per label
+    * (the q277/q281 sample-sketch discipline) bounds the pair work;
+    * expectations are U-statistics over ordered pairs (within-group
+    * divisor n(n−1); the i=j diagonal contributes 0 and is
+    * harmless in the sum). All three pair sums are exact BIGINTs;
+    * per-expectation micros use the half-up idiom and D sums them
+    * (the q251 integer-sum rule).
+    *
+    * Scale shape: two pushdown-pruned TakeOrdered bottom-k branches
+    * over the artifact scan, two 48-array collects into 1-row
+    * frames, one crossJoin of the two rows, and the 48²×64 pair
+    * sweep IN-EXPRESSION (≈ 450k int ops in one task — bounded by
+    * k², not the corpus; the q247 rule). */
+  def energyDistance(spark: SparkSession, dir: String): DataFrame = {
+    val codes = spark.read.parquet(buildSq8(spark, dir))
+    def sample(label: Int, out: String, n: String) = codes
+      .filter(col("label") === label)
+      .select(col("vec_id"), col("qcodes"),
+        conv(substring(md5(col("vec_id").cast("string")), 1, 12), 16, 10)
+          .cast("long").as("u"))
+      .orderBy(col("u"), col("vec_id")).limit(EnergyK)
+      .agg(collect_list(col("qcodes")).as(out), count(lit(1)).cast("long").as(n))
+    val l1 = "aggregate(zip_with(x, y, (p, q) -> abs(CAST(p AS BIGINT) - q)), " +
+      "0L, (s, v) -> s + v)"
+    def pairSum(as: String, bs: String) =
+      expr(s"""aggregate($as, 0L, (acc, x) ->
+              |  acc + aggregate($bs, 0L, (a2, y) -> a2 + $l1))""".stripMargin)
+    val one = sample(0, "xs", "n_x").crossJoin(broadcast(sample(1, "ys", "n_y")))
+      .select(col("n_x"), col("n_y"),
+        pairSum("xs", "ys").as("sum_dxy"),
+        pairSum("xs", "xs").as("sum_dxx"),
+        pairSum("ys", "ys").as("sum_dyy"))
+    one
+      .withColumn("exy6", expr("(2 * sum_dxy * 1000000 + n_x * n_y) " +
+        "div (2 * n_x * n_y)"))
+      .withColumn("exx6", expr("(2 * sum_dxx * 1000000 + n_x * (n_x - 1)) " +
+        "div (2 * n_x * (n_x - 1))"))
+      .withColumn("eyy6", expr("(2 * sum_dyy * 1000000 + n_y * (n_y - 1)) " +
+        "div (2 * n_y * (n_y - 1))"))
+      .select(col("n_x"), col("n_y"),
+        col("sum_dxy"), col("sum_dxx"), col("sum_dyy"),
+        (col("exy6").cast("double") / 1000000).as("e_xy"),
+        (col("exx6").cast("double") / 1000000).as("e_xx"),
+        (col("eyy6").cast("double") / 1000000).as("e_yy"),
+        ((lit(2) * col("exy6") - col("exx6") - col("eyy6")).cast("double") / 1000000)
+          .as("energy_dist"))
+  }
+
+  val energyDistanceSql: String =
+    s"""WITH mm AS (
+       |  SELECT g.generate_series AS pos,
+       |    MIN(embedding[g.generate_series + 1]::DOUBLE) AS mn,
+       |    MAX(embedding[g.generate_series + 1]::DOUBLE) AS mx
+       |  FROM embeddings, generate_series(0, ${ivfDims - 1}) g
+       |  GROUP BY pos),
+       |lc AS (
+       |  SELECT e.vec_id, e.label, m.pos,
+       |    CASE WHEN m.mx = m.mn THEN 0
+       |         ELSE LEAST(255, CAST(FLOOR((e.embedding[m.pos + 1]::DOUBLE - m.mn) * 255 / (m.mx - m.mn)) AS BIGINT)) END AS code
+       |  FROM embeddings e, mm m
+       |  WHERE e.label IN (0, 1)),
+       |vecs AS (SELECT vec_id, label,
+       |    list(code ORDER BY pos) AS c,
+       |    CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 12)) AS BIGINT) AS u
+       |  FROM lc GROUP BY vec_id, label),
+       |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY label ORDER BY u, vec_id) AS rn
+       |  FROM vecs),
+       |s0 AS (SELECT c FROM rk WHERE label = 0 AND rn <= $EnergyK),
+       |s1 AS (SELECT c FROM rk WHERE label = 1 AND rn <= $EnergyK),
+       |n AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s0) AS n_x,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_y),
+       |dxy AS (SELECT CAST(SUM(list_sum(list_transform(
+       |      generate_series(1, ${ivfDims}),
+       |      i -> abs(a.c[i] - b.c[i])))) AS BIGINT) AS sum_dxy
+       |  FROM s0 a CROSS JOIN s1 b),
+       |dxx AS (SELECT CAST(SUM(list_sum(list_transform(
+       |      generate_series(1, ${ivfDims}),
+       |      i -> abs(a.c[i] - b.c[i])))) AS BIGINT) AS sum_dxx
+       |  FROM s0 a CROSS JOIN s0 b),
+       |dyy AS (SELECT CAST(SUM(list_sum(list_transform(
+       |      generate_series(1, ${ivfDims}),
+       |      i -> abs(a.c[i] - b.c[i])))) AS BIGINT) AS sum_dyy
+       |  FROM s1 a CROSS JOIN s1 b),
+       |w AS (SELECT n_x, n_y, sum_dxy, sum_dxx, sum_dyy,
+       |    (2 * sum_dxy * 1000000 + n_x * n_y) // (2 * n_x * n_y) AS exy6,
+       |    (2 * sum_dxx * 1000000 + n_x * (n_x - 1)) // (2 * n_x * (n_x - 1)) AS exx6,
+       |    (2 * sum_dyy * 1000000 + n_y * (n_y - 1)) // (2 * n_y * (n_y - 1)) AS eyy6
+       |  FROM n CROSS JOIN dxy CROSS JOIN dxx CROSS JOIN dyy)
+       |SELECT n_x, n_y, sum_dxy, sum_dxx, sum_dyy,
+       |  CAST(exy6 AS DOUBLE) / 1000000 AS e_xy,
+       |  CAST(exx6 AS DOUBLE) / 1000000 AS e_xx,
+       |  CAST(eyy6 AS DOUBLE) / 1000000 AS e_yy,
+       |  CAST(2 * exy6 - exx6 - eyy6 AS DOUBLE) / 1000000 AS energy_dist
+       |FROM w""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q283_energy_distance" -> (energyDistance _),
     "q266_hyperplane_lsh_md5" -> (hyperplaneLshMd5 _),
     "q206_label_precision" -> (labelPrecision _),
     "q207_rrf_fusion" -> (rrfFusion _),
@@ -916,6 +1028,7 @@ object Similarity {
   )
 
   def oracles: Map[String, String] = Map(
+    "q283_energy_distance" -> energyDistanceSql,
     "q206_label_precision" -> labelPrecisionSql,
     "q207_rrf_fusion" -> rrfFusionSql,
     "q203_hard_negatives" -> hardNegativesSql,

@@ -441,4 +441,76 @@ class Round9Spec extends SparkSuite {
     assert(math.abs(center - popMean) <= 5 * sd / math.sqrt(32.0) + 5 * sd,
       s"center $center vs pop $popMean (sd $sd)")
   }
+
+  // ---- wave 8 ----
+
+  test("q283 energy distance matches a driver-side replay and sits near 0 on exchangeable labels") {
+    val r = operators.Similarity.energyDistance(spark, Sf0001).collect().head
+    val (nx, ny) = (r.getAs[Long]("n_x"), r.getAs[Long]("n_y"))
+    assert(nx >= 2 && ny >= 2)
+    // driver replay: same artifact, same bottom-k rule, exact same sums
+    val codes = spark.read.parquet(
+      operators.Similarity.buildSq8(spark, Sf0001))
+      .filter(col("label").isin(0, 1))
+      .select(col("vec_id"), col("label"), col("qcodes")).collect()
+      .map(row => (row.getLong(0), row.getInt(1),
+        row.getSeq[Byte](2).map(_.toLong).toArray))
+    def bottomK(label: Int) = codes.filter(_._2 == label)
+      .map { case (id, _, c) =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (java.lang.Long.parseLong(h.take(12), 16), id, c)
+      }.sortBy(t => (t._1, t._2)).take(48).map(_._3)
+    val (xs, ys) = (bottomK(0), bottomK(1))
+    def l1(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (p, q) => math.abs(p - q) }.sum
+    def pairSum(as: Seq[Array[Long]], bs: Seq[Array[Long]]) =
+      as.map(a => bs.map(b => l1(a, b)).sum).sum
+    assert(r.getAs[Long]("sum_dxy") === pairSum(xs, ys), "xy sum diverged")
+    assert(r.getAs[Long]("sum_dxx") === pairSum(xs, xs), "xx sum diverged")
+    assert(r.getAs[Long]("sum_dyy") === pairSum(ys, ys), "yy sum diverged")
+    // labels are exchangeable in the synthetic corpus → D ≈ 0
+    val d = r.getAs[Double]("energy_dist")
+    assert(math.abs(d) <= 0.05 * r.getAs[Double]("e_xy"),
+      s"energy distance $d too large for exchangeable labels")
+  }
+
+  test("q284 Tukey-Kramer: 10 ordered pairs, nonnegative q, pooled-mean identity") {
+    val rows = operators.Quality.tukeyHsd(spark, Sf0001).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      assert(r.getAs[String]("g_a") < r.getAs[String]("g_b"), s"$r")
+      val q = r.getAs[Double]("q_stat")
+      assert(!q.isNaN && q >= 0.0, s"$r")
+    }
+    // Σ n_i·mean_i recovers the total cents exactly enough (means are
+    // exact-int ratios in doubles)
+    val perG = rows.flatMap(r => Seq(
+      r.getAs[String]("g_a") -> (r.getAs[Long]("n_a"), r.getAs[Double]("mean_a")),
+      r.getAs[String]("g_b") -> (r.getAs[Long]("n_b"), r.getAs[Double]("mean_b"))))
+      .toMap
+    assert(perG.size === 5)
+    val total = perG.values.map { case (n, m) => n * m }.sum
+    val exact = Tables.orders(spark, Sf0001)
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("long")).cast("double"))
+      .collect().head.getDouble(0)
+    assert(math.abs(total - exact) / exact < 1e-9, s"$total vs $exact")
+  }
+
+  test("q285 permutation test: exact p-value arithmetic and exchangeable null") {
+    val r = operators.Quality.permutationTest(spark, Sf0001).collect().head
+    assert(r.getAs[Long]("n_perms") === 32L)
+    val ne = r.getAs[Long]("n_extreme")
+    assert(ne >= 0 && ne <= 32, s"$r")
+    // p = (1 + n_extreme)/(B + 1), half-up micro — recompute exactly
+    val p6 = (2 * (1 + ne) * 1000000L + 33) / (2 * 33)
+    assert(r.getAs[Double]("p_value") === p6.toDouble / 1000000, s"$r")
+    assert(r.getAs[Double]("p_value") > 0.0 && r.getAs[Double]("p_value") <= 1.0)
+    // the synthetic langs are exchangeable: the test should NOT reject
+    // (a false rejection at 3% would indicate broken permutation draws)
+    assert(r.getAs[Double]("p_value") >= 0.03,
+      s"rejected an exchangeable null: $r")
+  }
 }
