@@ -242,7 +242,10 @@ object Derivations {
     val exact = Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag").as("f"))
       .agg(countDistinct(col("l_partkey")).cast("long").as("n_exact"))
-    val est6 = when(col("n_exact") >= KmvK,
+    // u_k > 0 guard: an all-zero 48-bit md5 prefix among the bottom-k
+    // is ~2⁻⁴⁸ per key but nonzero at extreme scale — fall back to the
+    // exact count rather than an ANSI division error (both engines)
+    val est6 = when(col("n_exact") >= KmvK && col("u_k") > 0,
       expr(s"(2 * CAST(${KmvK - 1} AS DECIMAL(38,0)) * $two48 * 1000000 + u_k) " +
         s"div (2 * u_k)"))
       .otherwise(col("n_exact") * 1000000L)
@@ -268,7 +271,7 @@ object Derivations {
        |  FROM rk WHERE rn <= $KmvK GROUP BY 1),
        |ex AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS n_exact FROM dv GROUP BY 1),
        |est AS (SELECT ex.f, ex.n_exact, sk.n_in_sketch, sk.u_k,
-       |    CAST(CASE WHEN ex.n_exact >= $KmvK THEN
+       |    CAST(CASE WHEN ex.n_exact >= $KmvK AND u_k > 0 THEN
        |        (2 * CAST(${KmvK - 1} AS HUGEINT) * $two48 * 1000000 + u_k)
        |          // (2 * u_k)
        |      ELSE ex.n_exact * 1000000 END AS BIGINT) AS e6

@@ -3293,7 +3293,10 @@ object Quality {
       .select(col("b").cast("long").as("resample"),
         col("n_eff"),
         col("s").cast("string").as("sum_cents"),
-        (expr("(2 * s * 1000000 + n_eff) div (2 * n_eff)").cast("double") / 1000000)
+        // n_eff = 0 is a ~e⁻ᴺ event but would be an ANSI division
+        // error — NULL mean on both engines (the family rule)
+        when(col("n_eff") > 0,
+          expr("(2 * s * 1000000 + n_eff) div (2 * n_eff)").cast("double") / 1000000)
           .as("mean_cents"))
       .orderBy(col("resample"))
   }
@@ -3325,8 +3328,9 @@ object Quality {
        |  FROM w GROUP BY b)
        |SELECT CAST(b AS BIGINT) AS resample, n_eff,
        |  CAST(s AS VARCHAR) AS sum_cents,
-       |  CAST((2 * s * 1000000 + n_eff) // (2 * n_eff) AS DOUBLE) / 1000000
-       |    AS mean_cents
+       |  CASE WHEN n_eff > 0 THEN
+       |    CAST((2 * s * 1000000 + n_eff) // (2 * n_eff) AS DOUBLE) / 1000000
+       |  END AS mean_cents
        |FROM agg ORDER BY resample""".stripMargin
   }
 
@@ -3369,7 +3373,9 @@ object Quality {
       struct(
         lit(Priorities(i - 1)).as("g_a"), lit(Priorities(j - 1)).as("g_b"),
         col(s"n$i").as("n_a"), col(s"n$j").as("n_b"),
-        ma.as("mean_a"), mb.as("mean_b"),
+        // empty-group means pin to NULL (not 0/0 = NaN) on both engines
+        when(col(s"n$i") > 0, ma).as("mean_a"),
+        when(col(s"n$j") > 0, mb).as("mean_b"),
         when(col("msw") > 0.0 && col(s"n$i") > 0 && col(s"n$j") > 0,
           abs(ma - mb) / sqrt(col("msw") / lit(2.0)
             * (lit(1.0) / col(s"n$i").cast("double")
@@ -3396,8 +3402,8 @@ object Quality {
     val rows = (for (i <- 1 to 4; j <- (i + 1) to 5) yield {
       val (pa, pb) = (Priorities(i - 1), Priorities(j - 1))
       s"""SELECT '$pa' AS g_a, '$pb' AS g_b, n$i AS n_a, n$j AS n_b,
-         |  CAST(s$i AS DOUBLE) / CAST(n$i AS DOUBLE) AS mean_a,
-         |  CAST(s$j AS DOUBLE) / CAST(n$j AS DOUBLE) AS mean_b,
+         |  CASE WHEN n$i > 0 THEN CAST(s$i AS DOUBLE) / CAST(n$i AS DOUBLE) END AS mean_a,
+         |  CASE WHEN n$j > 0 THEN CAST(s$j AS DOUBLE) / CAST(n$j AS DOUBLE) END AS mean_b,
          |  CASE WHEN msw > 0.0 AND n$i > 0 AND n$j > 0 THEN
          |    ABS(CAST(s$i AS DOUBLE) / CAST(n$i AS DOUBLE)
          |        - CAST(s$j AS DOUBLE) / CAST(n$j AS DOUBLE))
@@ -3478,11 +3484,14 @@ object Quality {
         sum(when(col("ga"), col("n_chars")).otherwise(0L)).cast("long").as("sa"),
         sum(when(!col("ga"), 1L).otherwise(0L)).cast("long").as("nb"),
         sum(when(!col("ga"), col("n_chars")).otherwise(0L)).cast("long").as("sb"))
+    // an empty side (a ~2⁻ᴺ event for the permuted halves) pins the
+    // gap to NULL rather than an ANSI division error (both engines)
     def absGap6(sa: String, na: String, sb: String, nb: String): Column =
-      expr(s"(2 * abs(CAST($sa AS DECIMAL(38,0)) * $nb " +
-        s"- CAST($sb AS DECIMAL(38,0)) * $na) * 1000000 " +
-        s"+ CAST($na AS DECIMAL(38,0)) * $nb) " +
-        s"div (2 * CAST($na AS DECIMAL(38,0)) * $nb)")
+      when(col(na) > 0 && col(nb) > 0,
+        expr(s"(2 * abs(CAST($sa AS DECIMAL(38,0)) * $nb " +
+          s"- CAST($sb AS DECIMAL(38,0)) * $na) * 1000000 " +
+          s"+ CAST($na AS DECIMAL(38,0)) * $nb) " +
+          s"div (2 * CAST($na AS DECIMAL(38,0)) * $nb)"))
     val obsG = obs.withColumn("obs_abs6", absGap6("sa", "na", "sb", "nb"))
       .withColumn("obs_sign",
         signum((d38(col("sa")) * col("nb") - d38(col("sb")) * col("na"))
@@ -3529,14 +3538,18 @@ object Quality {
        |    FROM d CROSS JOIN mx)
        |  GROUP BY b),
        |og AS (SELECT na AS n_en, nb AS n_other,
-       |    (2 * abs(CAST(sa AS HUGEINT) * nb - CAST(sb AS HUGEINT) * na) * 1000000
-       |     + CAST(na AS HUGEINT) * nb) // (2 * CAST(na AS HUGEINT) * nb) AS obs_abs6,
+       |    CASE WHEN na > 0 AND nb > 0 THEN
+       |      (2 * abs(CAST(sa AS HUGEINT) * nb - CAST(sb AS HUGEINT) * na) * 1000000
+       |       + CAST(na AS HUGEINT) * nb) // (2 * CAST(na AS HUGEINT) * nb)
+       |    END AS obs_abs6,
        |    CASE WHEN CAST(sa AS HUGEINT) * nb - CAST(sb AS HUGEINT) * na >= 0
        |         THEN 1 ELSE -1 END AS obs_sign
        |  FROM obs),
        |pp AS (SELECT b,
-       |    (2 * abs(CAST(sa AS HUGEINT) * nb - CAST(sb AS HUGEINT) * na) * 1000000
-       |     + CAST(na AS HUGEINT) * nb) // (2 * CAST(na AS HUGEINT) * nb) AS perm_abs6
+       |    CASE WHEN na > 0 AND nb > 0 THEN
+       |      (2 * abs(CAST(sa AS HUGEINT) * nb - CAST(sb AS HUGEINT) * na) * 1000000
+       |       + CAST(na AS HUGEINT) * nb) // (2 * CAST(na AS HUGEINT) * nb)
+       |    END AS perm_abs6
        |  FROM pg)
        |SELECT og.n_en, og.n_other,
        |  CAST(COUNT(*) AS BIGINT) AS n_perms,

@@ -948,13 +948,18 @@ object Similarity {
         pairSum("xs", "ys").as("sum_dxy"),
         pairSum("xs", "xs").as("sum_dxx"),
         pairSum("ys", "ys").as("sum_dyy"))
+    // n < 2 degenerates (a one-vector group has no within-pairs) pin
+    // to NULL on both engines rather than an ANSI division error; the
+    // NULL propagates into energy_dist automatically
     one
-      .withColumn("exy6", expr("(2 * sum_dxy * 1000000 + n_x * n_y) " +
-        "div (2 * n_x * n_y)"))
-      .withColumn("exx6", expr("(2 * sum_dxx * 1000000 + n_x * (n_x - 1)) " +
-        "div (2 * n_x * (n_x - 1))"))
-      .withColumn("eyy6", expr("(2 * sum_dyy * 1000000 + n_y * (n_y - 1)) " +
-        "div (2 * n_y * (n_y - 1))"))
+      .withColumn("exy6", when(col("n_x") >= 1 && col("n_y") >= 1,
+        expr("(2 * sum_dxy * 1000000 + n_x * n_y) div (2 * n_x * n_y)")))
+      .withColumn("exx6", when(col("n_x") >= 2,
+        expr("(2 * sum_dxx * 1000000 + n_x * (n_x - 1)) " +
+          "div (2 * n_x * (n_x - 1))")))
+      .withColumn("eyy6", when(col("n_y") >= 2,
+        expr("(2 * sum_dyy * 1000000 + n_y * (n_y - 1)) " +
+          "div (2 * n_y * (n_y - 1))")))
       .select(col("n_x"), col("n_y"),
         col("sum_dxy"), col("sum_dxx"), col("sum_dyy"),
         (col("exy6").cast("double") / 1000000).as("e_xy"),
@@ -1000,9 +1005,12 @@ object Similarity {
        |      i -> abs(a.c[i] - b.c[i])))) AS BIGINT) AS sum_dyy
        |  FROM s1 a CROSS JOIN s1 b),
        |w AS (SELECT n_x, n_y, sum_dxy, sum_dxx, sum_dyy,
-       |    (2 * sum_dxy * 1000000 + n_x * n_y) // (2 * n_x * n_y) AS exy6,
-       |    (2 * sum_dxx * 1000000 + n_x * (n_x - 1)) // (2 * n_x * (n_x - 1)) AS exx6,
-       |    (2 * sum_dyy * 1000000 + n_y * (n_y - 1)) // (2 * n_y * (n_y - 1)) AS eyy6
+       |    CASE WHEN n_x >= 1 AND n_y >= 1 THEN
+       |      (2 * sum_dxy * 1000000 + n_x * n_y) // (2 * n_x * n_y) END AS exy6,
+       |    CASE WHEN n_x >= 2 THEN
+       |      (2 * sum_dxx * 1000000 + n_x * (n_x - 1)) // (2 * n_x * (n_x - 1)) END AS exx6,
+       |    CASE WHEN n_y >= 2 THEN
+       |      (2 * sum_dyy * 1000000 + n_y * (n_y - 1)) // (2 * n_y * (n_y - 1)) END AS eyy6
        |  FROM n CROSS JOIN dxy CROSS JOIN dxx CROSS JOIN dyy)
        |SELECT n_x, n_y, sum_dxy, sum_dxx, sum_dyy,
        |  CAST(exy6 AS DOUBLE) / 1000000 AS e_xy,
