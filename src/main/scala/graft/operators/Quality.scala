@@ -3563,7 +3563,171 @@ object Quality {
        |GROUP BY og.n_en, og.n_other""".stripMargin
   }
 
+  /** Q286: COHEN'S d / HEDGES' g — the EFFECT SIZE the test battery
+    * mostly lacks: q211/q223 say whether 1-URGENT and 5-LOW order
+    * values differ *significantly* (which any difference does at
+    * 100 TB row counts); d = (ȳ₁−ȳ₂)/s_pooled says whether the
+    * difference is *big*, on the scale every power analysis and
+    * meta-analysis uses, with Hedges' small-sample correction
+    * g = d·(1 − 3/(4·df − 1)).
+    *
+    * Exactness: the two groups' (n, Σy, Σy²) are exact
+    * (BIGINT/DECIMAL(38) — the q223 sufficient-statistics
+    * discipline); s²_pooled = (ss₁ + ss₂)/df with ssᵢ = Σy² − Sᵢ²/nᵢ,
+    * and d/g are ONE fixed dag of IEEE ops on the exact witnesses.
+    * Degenerate df ≤ 0 or zero pooled variance ⇒ NULL on both
+    * engines; the Hedges factor enters as the exact rational
+    * (4·df − 4)/(4·df − 1) in doubles.
+    *
+    * Scale shape: ONE map-side-combinable two-group aggregation
+    * (pushdown-prunable priority filter), single-row output. */
+  def cohensD(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
+      .cast("decimal(18,0)").cast("long")
+    val agg = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select((col("o_orderpriority") === "1-URGENT").as("g1"), cents.as("y"))
+      .agg(
+        sum(when(col("g1"), 1L).otherwise(0L)).cast("long").as("n1"),
+        sum(when(col("g1"), col("y")).otherwise(0L)).cast("long").as("s1"),
+        sum(when(col("g1"), col("y").cast("decimal(38,0)") * col("y")).otherwise(0))
+          .cast("decimal(38,0)").as("q1"),
+        sum(when(!col("g1"), 1L).otherwise(0L)).cast("long").as("n2"),
+        sum(when(!col("g1"), col("y")).otherwise(0L)).cast("long").as("s2"),
+        sum(when(!col("g1"), col("y").cast("decimal(38,0)") * col("y")).otherwise(0))
+          .cast("decimal(38,0)").as("q2"))
+    def nd(c: String) = col(c).cast("double")
+    val ss1 = col("q1").cast("double") - nd("s1") * nd("s1") / nd("n1")
+    val ss2 = col("q2").cast("double") - nd("s2") * nd("s2") / nd("n2")
+    val df = nd("n1") + nd("n2") - lit(2.0)
+    val sp2 = (ss1 + ss2) / df
+    val d = (nd("s1") / nd("n1") - nd("s2") / nd("n2")) / sqrt(sp2)
+    agg.select(
+      col("n1"), col("s1"), col("n2"), col("s2"),
+      col("q1").cast("string").as("sumsq_1"),
+      col("q2").cast("string").as("sumsq_2"),
+      when(col("n1") > 1 && col("n2") > 1 && sp2 > 0.0, d).as("cohens_d"),
+      when(col("n1") > 1 && col("n2") > 1 && sp2 > 0.0,
+        d * ((lit(4.0) * df - 4.0) / (lit(4.0) * df - 1.0))).as("hedges_g"))
+  }
+
+  val cohensDSql: String =
+    """WITH agg AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+      |      THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END) AS BIGINT) AS s1,
+      |    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+      |      THEN CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT)
+      |           * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      ELSE 0 END) AS HUGEINT) AS q1,
+      |    CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |    CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+      |      THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END) AS BIGINT) AS s2,
+      |    CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+      |      THEN CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT)
+      |           * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      ELSE 0 END) AS HUGEINT) AS q2
+      |  FROM orders
+      |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+      |w AS (SELECT *,
+      |    CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS ss1,
+      |    CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS ss2,
+      |    CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0 AS df
+      |  FROM agg),
+      |z AS (SELECT *, (ss1 + ss2) / df AS sp2,
+      |    (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |     - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) AS md
+      |  FROM w)
+      |SELECT n1, s1, n2, s2,
+      |  CAST(q1 AS VARCHAR) AS sumsq_1, CAST(q2 AS VARCHAR) AS sumsq_2,
+      |  CASE WHEN n1 > 1 AND n2 > 1 AND sp2 > 0.0 THEN md / SQRT(sp2) END AS cohens_d,
+      |  CASE WHEN n1 > 1 AND n2 > 1 AND sp2 > 0.0 THEN
+      |    md / SQRT(sp2) * ((4.0 * df - 4.0) / (4.0 * df - 1.0))
+      |  END AS hedges_g
+      |FROM z""".stripMargin
+
+  /** Q287: HOLT IN-SAMPLE FORECAST ACCURACY (MASE) — the evaluation
+    * q276 publishes no number for: was the trend model worth fitting?
+    * The fold that runs Holt's recurrence ALSO accumulates the
+    * one-step-ahead absolute errors |yₜ − (l+b)ₜ₋₁| (each forecast
+    * made strictly before its observation — honest in-sample
+    * evaluation), and MASE divides by the naive-forecast MAE
+    * Σ|yₜ − yₜ₋₁| over the same steps (Hyndman-Koehler 2006): MASE
+    * < 1 ⇔ the model beats "predict last month". The q276
+    * recurrence-replay verification extends to the ERROR
+    * accumulator: the same sequential dag on both engines, bit-exact.
+    *
+    * Exactness: naive errors are exact BIGINTs; Holt errors are the
+    * deterministic sequential-fold doubles (HOF fold ≡ recursive
+    * CTE); MASE is one division of the two accumulated values.
+    *
+    * Scale shape: the q213/q245/q276 chain — three exchanges, no
+    * joins; n ≥ 3 so at least one evaluated step exists. */
+  def holtMase(spark: SparkSession, dir: String): DataFrame = {
+    val arrs = nationMonthly(spark, dir).groupBy(col("nation"))
+      .agg(sort_array(collect_list(struct(col("m"), col("rev")))).as("xs"))
+      .filter(size(col("xs")) >= 3)
+    arrs.select(col("nation"),
+        size(col("xs")).cast("long").as("n_months"),
+        expr("""aggregate(slice(xs, 3, size(xs) - 2),
+               |  named_struct(
+               |    'l', CAST(element_at(xs, 2).rev AS DOUBLE),
+               |    'b', CAST(element_at(xs, 2).rev AS DOUBLE)
+               |         - CAST(element_at(xs, 1).rev AS DOUBLE),
+               |    'sae', CAST(0 AS DOUBLE)),
+               |  (acc, x) -> named_struct(
+               |    'l', 0.2D * CAST(x.rev AS DOUBLE) + 0.8D * (acc.l + acc.b),
+               |    'b', 0.1D * ((0.2D * CAST(x.rev AS DOUBLE)
+               |                  + 0.8D * (acc.l + acc.b)) - acc.l)
+               |         + 0.9D * acc.b,
+               |    'sae', acc.sae + abs(CAST(x.rev AS DOUBLE) - (acc.l + acc.b))))"""
+          .stripMargin).as("st"),
+        expr("""aggregate(sequence(3, size(xs)), 0L, (acc, i) ->
+               |  acc + abs(element_at(xs, i).rev
+               |            - element_at(xs, i - 1).rev))""".stripMargin)
+          .as("naive_sae"))
+      .select(col("nation"), col("n_months"),
+        col("st.sae").as("holt_sae"),
+        col("naive_sae"),
+        when(col("naive_sae") > 0,
+          col("st.sae") / col("naive_sae").cast("double")).as("mase"))
+      .orderBy(col("nation"))
+  }
+
+  val holtMaseSql: String =
+    s"""WITH RECURSIVE $nationMonthlySqlCte,
+       |ser AS (SELECT nation, CAST(rev AS DOUBLE) AS y, rev,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY nation ORDER BY m) AS INT) AS i
+       |  FROM monthly),
+       |cnt AS (SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_months
+       |  FROM ser GROUP BY 1 HAVING COUNT(*) >= 3),
+       |r AS (
+       |  SELECT s2.nation, 2 AS i, s2.y AS l, s2.y - s1.y AS b,
+       |    CAST(0 AS DOUBLE) AS sae
+       |  FROM ser s1 JOIN ser s2 ON s1.nation = s2.nation
+       |    AND s1.i = 1 AND s2.i = 2
+       |  UNION ALL
+       |  SELECT r.nation, r.i + 1,
+       |    0.2 * s.y + 0.8 * (r.l + r.b),
+       |    0.1 * ((0.2 * s.y + 0.8 * (r.l + r.b)) - r.l) + 0.9 * r.b,
+       |    r.sae + abs(s.y - (r.l + r.b))
+       |  FROM r JOIN ser s ON s.nation = r.nation AND s.i = r.i + 1),
+       |nv AS (SELECT a.nation,
+       |    CAST(SUM(abs(a.rev - b.rev)) AS BIGINT) AS naive_sae
+       |  FROM ser a JOIN ser b ON a.nation = b.nation AND b.i = a.i - 1
+       |  WHERE a.i >= 3 GROUP BY 1)
+       |SELECT c.nation, c.n_months, r.sae AS holt_sae, nv.naive_sae,
+       |  CASE WHEN nv.naive_sae > 0 THEN r.sae / CAST(nv.naive_sae AS DOUBLE)
+       |  END AS mase
+       |FROM cnt c
+       |JOIN r ON r.nation = c.nation AND r.i = c.n_months
+       |JOIN nv ON nv.nation = c.nation
+       |ORDER BY c.nation""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q286_cohens_d" -> (cohensD _),
+    "q287_holt_mase" -> (holtMase _),
     "q285_permutation_test" -> (permutationTest _),
     "q284_tukey_hsd" -> (tukeyHsd _),
     "q282_poisson_bootstrap" -> (poissonBootstrap _),
@@ -3607,6 +3771,8 @@ object Quality {
   )
 
   def oracles: Map[String, String] = Map(
+    "q286_cohens_d" -> cohensDSql,
+    "q287_holt_mase" -> holtMaseSql,
     "q285_permutation_test" -> permutationTestSql,
     "q284_tukey_hsd" -> tukeyHsdSql,
     "q282_poisson_bootstrap" -> poissonBootstrapSql,

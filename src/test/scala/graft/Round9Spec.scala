@@ -513,4 +513,55 @@ class Round9Spec extends SparkSuite {
     assert(r.getAs[Double]("p_value") >= 0.03,
       s"rejected an exchangeable null: $r")
   }
+
+  // ---- wave 10 ----
+
+  test("q286 effect size: dag identity on exact witnesses, |g| < |d|") {
+    val r = operators.Quality.cohensD(spark, Sf0001).collect().head
+    val (n1, s1) = (r.getAs[Long]("n1"), r.getAs[Long]("s1"))
+    val (n2, s2) = (r.getAs[Long]("n2"), r.getAs[Long]("s2"))
+    val (q1, q2) = (BigInt(r.getAs[String]("sumsq_1")), BigInt(r.getAs[String]("sumsq_2")))
+    val ss1 = q1.toDouble - s1.toDouble * s1.toDouble / n1.toDouble
+    val ss2 = q2.toDouble - s2.toDouble * s2.toDouble / n2.toDouble
+    val df = n1.toDouble + n2.toDouble - 2.0
+    val d = (s1.toDouble / n1 - s2.toDouble / n2) / math.sqrt((ss1 + ss2) / df)
+    assert(r.getAs[Double]("cohens_d") === d, s"$r")
+    val g = r.getAs[Double]("hedges_g")
+    // the Hedges correction always shrinks toward 0
+    assert(math.abs(g) < math.abs(d) && math.signum(g) === math.signum(d), s"$r")
+  }
+
+  test("q287 MASE: error accumulators replay driver-side, naive MAE exact") {
+    val rows = operators.Quality.holtMase(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val monthly = Tables.orders(spark, Sf0001)
+      .join(Tables.customer(spark, Sf0001)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, Sf0001), col("c_nationkey") === col("n_nationkey"))
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
+      .groupBy(col("n_name").as("nation"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("long")).cast("long").as("rev"))
+      .collect().groupBy(_.getString(0)).map { case (n, xs) =>
+        n -> xs.sortBy(_.getLong(1)).map(_.getLong(2))
+      }
+    rows.foreach { r =>
+      val ys = monthly(r.getString(0))
+      var l = ys(1).toDouble; var b = ys(1).toDouble - ys(0).toDouble
+      var sae = 0.0
+      ys.drop(2).foreach { y =>
+        sae += math.abs(y.toDouble - (l + b))
+        val l2 = 0.2 * y.toDouble + 0.8 * (l + b)
+        b = 0.1 * (l2 - l) + 0.9 * b
+        l = l2
+      }
+      assert(r.getAs[Double]("holt_sae") === sae, s"${r.getString(0)} holt sae")
+      val naive = ys.sliding(2).drop(1).map { case Array(a2, b2) =>
+        math.abs(b2 - a2) }.sum
+      assert(r.getAs[Long]("naive_sae") === naive, s"${r.getString(0)} naive sae")
+    }
+  }
 }
