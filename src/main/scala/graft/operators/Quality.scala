@@ -2544,7 +2544,7 @@ object Quality {
     val k = arrs.select(col("nation"),
       size(col("xs")).cast("long").as("n_months"),
       expr("""aggregate(sequence(1, size(xs) - 1),
-             |  named_struct('c', 0L, 'd', 0L, 'tx', 0L, 'ty', 0L),
+             |  named_struct('c', 0L, 'd', 0L, 'tx', 0L, 'ty', 0L, 'tb', 0L),
              |  (acc, i) -> named_struct(
              |    'c', acc.c + size(filter(slice(xs, i + 1, size(xs) - i), b ->
              |      (b.rev > element_at(xs, i).rev AND b.cnt > element_at(xs, i).cnt) OR
@@ -2555,11 +2555,18 @@ object Quality {
              |    'tx', acc.tx + size(filter(slice(xs, i + 1, size(xs) - i), b ->
              |      b.rev = element_at(xs, i).rev)),
              |    'ty', acc.ty + size(filter(slice(xs, i + 1, size(xs) - i), b ->
+             |      b.cnt = element_at(xs, i).cnt)),
+             |    'tb', acc.tb + size(filter(slice(xs, i + 1, size(xs) - i), b ->
+             |      b.rev = element_at(xs, i).rev AND
              |      b.cnt = element_at(xs, i).cnt))))""".stripMargin).as("k"))
     val n0 = expr("n_months * (n_months - 1) div 2")
+    // ties_both published so the SHARP pair-partition identity
+    // C + D + Tx + Ty − Tboth = n₀ is externally checkable (advisor
+    // r9: the earlier spec line was a tautology without it)
     k.select(col("nation"), col("n_months"),
         col("k.c").as("n_conc"), col("k.d").as("n_disc"),
-        col("k.tx").as("ties_x"), col("k.ty").as("ties_y"))
+        col("k.tx").as("ties_x"), col("k.ty").as("ties_y"),
+        col("k.tb").as("ties_both"))
       .withColumn("tau_b",
         when(n0 > col("ties_x") && n0 > col("ties_y"),
           (col("n_conc") - col("n_disc")).cast("double")
@@ -2575,15 +2582,17 @@ object Quality {
        |    CASE WHEN (b.rev > a.rev AND b.cnt < a.cnt)
        |           OR (b.rev < a.rev AND b.cnt > a.cnt) THEN 1 ELSE 0 END AS d,
        |    CASE WHEN b.rev = a.rev THEN 1 ELSE 0 END AS tx,
-       |    CASE WHEN b.cnt = a.cnt THEN 1 ELSE 0 END AS ty
+       |    CASE WHEN b.cnt = a.cnt THEN 1 ELSE 0 END AS ty,
+       |    CASE WHEN b.rev = a.rev AND b.cnt = a.cnt THEN 1 ELSE 0 END AS tb
        |  FROM monthly a JOIN monthly b ON a.nation = b.nation AND a.m < b.m),
        |n AS (SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_months
        |  FROM monthly GROUP BY 1 HAVING COUNT(*) >= 2),
        |s AS (SELECT nation, CAST(SUM(c) AS BIGINT) AS c, CAST(SUM(d) AS BIGINT) AS d,
-       |    CAST(SUM(tx) AS BIGINT) AS tx, CAST(SUM(ty) AS BIGINT) AS ty
+       |    CAST(SUM(tx) AS BIGINT) AS tx, CAST(SUM(ty) AS BIGINT) AS ty,
+       |    CAST(SUM(tb) AS BIGINT) AS tb
        |  FROM p GROUP BY 1)
        |SELECT n.nation, n.n_months, s.c AS n_conc, s.d AS n_disc,
-       |  s.tx AS ties_x, s.ty AS ties_y,
+       |  s.tx AS ties_x, s.ty AS ties_y, s.tb AS ties_both,
        |  CASE WHEN n_months * (n_months - 1) // 2 > tx
        |        AND n_months * (n_months - 1) // 2 > ty THEN
        |    CAST(c - d AS DOUBLE)

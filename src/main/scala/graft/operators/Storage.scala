@@ -984,9 +984,14 @@ object Storage {
       .agg(count(lit(1)).cast("long").as("n_docs_9"),
         sum(when(col("s8") =!= col("s9"), 1L).otherwise(0L)).cast("long")
           .as("moved_in"))
-    a9.join(a8, Seq("shard"), "left")
+    // FULL outer (advisor r9): a shard populated under N=8 but empty
+    // under N=9 must still report its n_docs_8 — a left join from the
+    // N=9 side would silently drop it and break the population-
+    // conservation invariant Round9Spec asserts
+    a9.join(a8, Seq("shard"), "full_outer")
       .select(col("shard"), coalesce(col("n_docs_8"), lit(0L)).as("n_docs_8"),
-        col("n_docs_9"), col("moved_in"))
+        coalesce(col("n_docs_9"), lit(0L)).as("n_docs_9"),
+        coalesce(col("moved_in"), lit(0L)).as("moved_in"))
       .orderBy(col("shard"))
   }
 
@@ -1004,9 +1009,11 @@ object Storage {
       |g9 AS (SELECT s9 AS shard, CAST(COUNT(*) AS BIGINT) AS n9,
       |    CAST(SUM(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END) AS BIGINT) AS moved_in
       |  FROM a GROUP BY 1)
-      |SELECT g9.shard, COALESCE(g8.n8, CAST(0 AS BIGINT)) AS n_docs_8,
-      |  g9.n9 AS n_docs_9, g9.moved_in
-      |FROM g9 LEFT JOIN g8 USING (shard)
+      |SELECT COALESCE(g9.shard, g8.shard) AS shard,
+      |  COALESCE(g8.n8, CAST(0 AS BIGINT)) AS n_docs_8,
+      |  COALESCE(g9.n9, CAST(0 AS BIGINT)) AS n_docs_9,
+      |  COALESCE(g9.moved_in, CAST(0 AS BIGINT)) AS moved_in
+      |FROM g9 FULL OUTER JOIN g8 ON g9.shard = g8.shard
       |ORDER BY shard""".stripMargin
 
   def queries: Map[String, Relational.Q] = Map(

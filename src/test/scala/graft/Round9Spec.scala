@@ -174,11 +174,12 @@ class Round9Spec extends SparkSuite {
       val n0 = n * (n - 1) / 2
       val (c, d) = (r.getAs[Long]("n_conc"), r.getAs[Long]("n_disc"))
       val (tx, ty) = (r.getAs[Long]("ties_x"), r.getAs[Long]("ties_y"))
-      // every pair is exactly one of {concordant, discordant, tied}:
-      // c + d <= n0 − max(tx-only, ty-only) — the sharp identity needs
-      // the both-tied count, but the bounds below are exact
-      assert(c + d <= n0 && tx <= n0 && ty <= n0, s"$r")
-      assert(c + d + math.max(tx, ty) >= c + d, s"$r") // sanity
+      val tb = r.getAs[Long]("ties_both")
+      // every pair is exactly one of {concordant, discordant, tied in
+      // x or y} — the SHARP partition identity (inclusion-exclusion on
+      // the published both-tied count; advisor r9)
+      assert(c + d + tx + ty - tb === n0, s"$r")
+      assert(tb <= math.min(tx, ty) && tx <= n0 && ty <= n0, s"$r")
       Option(r.getAs[Any]("tau_b")).map(_.asInstanceOf[Double]).foreach { t =>
         assert(t >= -1.0 - 1e-12 && t <= 1.0 + 1e-12, s"$r")
         // sign of tau matches sign of c − d
