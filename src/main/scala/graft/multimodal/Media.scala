@@ -237,6 +237,84 @@ object Media {
     path
   }
 
+  /** BMP staging parameter: width cycles doc_id % 6 + 1 ∈ [1, 6] —
+    * every width class exercises a DIFFERENT row padding (3w mod 4
+    * hits 3, 2, 1, 0, 3, 2), so the padding-skip logic is covered by
+    * construction, not by luck. Interpolated into BOTH the Scala
+    * header builder and the DuckDB oracles. */
+  val BmpWidthMod = 6
+
+  /** The 54-byte uncompressed 24-bit BMP header (BITMAPFILEHEADER +
+    * BITMAPINFOHEADER, all multi-byte fields little-endian — the fixed
+    * PUBLIC format q289 decodes): 'BM' + file size + reserved + pixel
+    * offset (54) + DIB size (40) + width + height + planes(1) +
+    * bpp(24) + compression(0 = BI_RGB) + image size + 2835 ppm x/y +
+    * palette zeros. Pure integer fields, no codec. */
+  private[graft] def bmpHeader(w: Int, h: Int, rowSize: Int): Array[Byte] = {
+    val img = h * rowSize
+    val bb = java.nio.ByteBuffer.allocate(54)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("BM".getBytes("US-ASCII"))
+    bb.putInt(54 + img)
+    bb.putInt(0) // reserved
+    bb.putInt(54) // pixel-array offset
+    bb.putInt(40) // BITMAPINFOHEADER size
+    bb.putInt(w)
+    bb.putInt(h) // positive = bottom-up row order
+    bb.putShort(1) // planes
+    bb.putShort(24) // bits per pixel
+    bb.putInt(0) // BI_RGB (uncompressed)
+    bb.putInt(img)
+    bb.putInt(2835); bb.putInt(2835) // 72 dpi in pixels/metre
+    bb.putInt(0); bb.putInt(0) // palette: colors used / important
+    bb.array()
+  }
+
+  /** Stage REAL BMP files (q289/q290 — the image twin of the WAV
+    * program, VERDICT r9 task 4): per doc, a valid 54-byte 24-bit
+    * uncompressed header whose fields derive deterministically from
+    * doc_id (width = id % [[BmpWidthMod]] + 1) and the text length
+    * (height = full padded rows that fit), followed by the doc's
+    * UTF-8 bytes as the pixel array — INCLUDING the bytes at row-pad
+    * positions, so a decoder that fails to skip padding gets wrong
+    * channel sums (the padding discipline is load-bearing, not
+    * decorative). Docs too short for one row are not staged. Same
+    * distributed `_SUCCESS`-guarded writer as [[stagedWavRoot]]. */
+  def stagedBmpRoot(spark: SparkSession, dir: String): String = {
+    val path = graft.Scratch.artifactPath("bmp_corpus", dir, s"_b$BlobBatch")
+    if (!graft.Scratch.artifactComplete(path)) {
+      graft.Scratch.prepareArtifact(path)
+      import spark.implicits._
+      val serializableConf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      Tables.documents(spark, dir)
+        .filter(col("text").isNotNull && col("doc_id") < BlobBatch)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .foreachPartition { it: Iterator[(Long, String)] =>
+          it.foreach { case (docId, text) =>
+            val data = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val w = (docId % BmpWidthMod + 1).toInt
+            val rowSize = (3 * w + 3) / 4 * 4
+            val h = data.length / rowSize
+            if (h >= 1) {
+              val p = new org.apache.hadoop.fs.Path(s"$path/$docId.bmp")
+              val fs = p.getFileSystem(serializableConf.value)
+              val out = fs.create(p, true)
+              try {
+                out.write(bmpHeader(w, h, rowSize))
+                out.write(data, 0, h * rowSize)
+              } finally out.close()
+            }
+          }
+        }
+      val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+      marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .create(marker, true).close()
+    }
+    path
+  }
+
   private def stageBlobs(spark: SparkSession, dir: String, kind: String,
       docs: org.apache.spark.sql.DataFrame): String = {
     val path = graft.Scratch.artifactPath(kind, dir, s"_b$BlobBatch")

@@ -142,6 +142,93 @@ class MultimodalSpec extends SparkSuite {
     assert(r.getAs[Seq[Long]]("xs") === Seq(100L, -1L, -32768L))
   }
 
+  test("q288 twin ≡ q42 kernel: bin-by-bin per asset, row-by-row on the rollup") {
+    import spark.implicits._
+    // per-asset: the expression histogram's normalized fractions must
+    // equal the mapPartitions kernel's features EXACTLY (both are
+    // integer-count / integer-total in double — the same IEEE value)
+    val kernel = Media.byteHistogramFeatures(
+      Media.assets(spark, Sf0001).as[Media.Asset]).toDF()
+      .select(col("asset_id"), col("features"))
+    val twin = Multimodal.byteHistogramExpr(Media.assets(spark, Sf0001))
+      .select(col("asset_id"),
+        expr("""CASE WHEN nb = 0 THEN transform(bins, c -> cast(c as double))
+               |ELSE transform(bins, c -> cast(c as double) / cast(nb as double))
+               |END""".stripMargin).as("features"))
+    assert(kernel.count() > 0)
+    assert(kernel.exceptAll(twin).count() === 0)
+    assert(twin.exceptAll(kernel).count() === 0)
+    // rollup: q288's mean columns are q42's, value-identical
+    val k = Multimodal.mediaFeatures(spark, Sf0001)
+      .select("kind", "n_assets", "mean_bin0", "mean_bin1")
+    val t = Multimodal.mediaFeaturesTwin(spark, Sf0001)
+      .select("kind", "n_assets", "mean_bin0", "mean_bin1")
+    assert(k.exceptAll(t).count() === 0)
+    assert(t.exceptAll(k).count() === 0)
+  }
+
+  test("q289 BMP parser: literal header identity and corrupted-magic rejection") {
+    import spark.implicits._
+    // a known BMP built by the SAME header builder the stager uses:
+    // width 5 (stride 16, 1 pad byte per row — not a zero-pad width),
+    // 2 rows, pixel bytes 0..31
+    val w = 5; val rs = 16; val h = 2
+    val good = Media.bmpHeader(w, h, rs) ++ Array.tabulate[Byte](h * rs)(_.toByte)
+    val bad = good.clone(); bad(0) = 'X'.toByte // corrupt the BM magic
+    val df = Seq((1L, good), (2L, bad)).toDF("id", "content")
+      .withColumn("n_bytes", octet_length(col("content")).cast("long"))
+    val parsed = Multimodal.parseBmpHeader(df).collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    val g = parsed(1L)
+    assert(g.getAs[Boolean]("header_ok"))
+    assert(g.getAs[Long]("width") === w.toLong)
+    assert(g.getAs[Long]("height") === h.toLong)
+    assert(g.getAs[Long]("bpp") === 24L)
+    assert(g.getAs[Long]("row_stride") === rs.toLong)
+    assert(g.getAs[Long]("img_bytes") === (h * rs).toLong)
+    assert(!parsed(2L).getAs[Boolean]("header_ok"),
+      "corrupted magic must fail header_ok")
+    // integer fields still parse on the corrupted file — report, not throw
+    assert(parsed(2L).getAs[Long]("width") === w.toLong)
+  }
+
+  test("q289/q290 staged corpus: headers decode ok; channel sums replay; padding conserved") {
+    val dec = graft.operators.Multimodal.bmpDecode(spark, Sf0001).cache()
+    assert(dec.count() > 0)
+    assert(dec.filter(!col("header_ok")).count() === 0)
+    assert(dec.filter(col("n_bytes") =!= col("img_bytes") + 54).count() === 0)
+    // every width class 1..6 staged — all four padding residues covered
+    assert(dec.select("width").distinct().count() === Media.BmpWidthMod.toLong)
+    dec.unpersist()
+    val stats = graft.operators.Multimodal.bmpPixelStats(spark, Sf0001)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(stats.nonEmpty)
+    // driver replay from the SOURCE TEXT (the staging input): per doc,
+    // channel sums with padding skipped, plus the conservation identity
+    // sum_b + sum_g + sum_r + pad_sum = Σ(whole pixel region)
+    val texts = Tables.documents(spark, Sf0001)
+      .filter(col("text").isNotNull && col("doc_id") < Media.BlobBatch)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    stats.foreach { case (id, r) =>
+      val bytes = texts(id).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(java.lang.Byte.toUnsignedLong)
+      val w = (id % Media.BmpWidthMod + 1).toInt
+      val rs = (3 * w + 3) / 4 * 4
+      val h = bytes.length / rs
+      val region = bytes.take(h * rs)
+      def chanSum(c: Int) = (for (row <- 0 until h; j <- 0 until w)
+        yield region(row * rs + 3 * j + c)).sum
+      assert(r.getAs[Long]("width") === w.toLong && r.getAs[Long]("height") === h.toLong, s"$r")
+      assert(r.getAs[Long]("sum_b") === chanSum(0), s"doc $id sum_b")
+      assert(r.getAs[Long]("sum_g") === chanSum(1), s"doc $id sum_g")
+      assert(r.getAs[Long]("sum_r") === chanSum(2), s"doc $id sum_r")
+      assert(r.getAs[Long]("sum_b") + r.getAs[Long]("sum_g") +
+        r.getAs[Long]("sum_r") + r.getAs[Long]("pad_sum") === region.sum,
+        s"doc $id padding conservation")
+    }
+  }
+
   test("frame sampling: every 4th frame, bytes reassemble arithmetically") {
     val out = Multimodal.frameSample(spark, Sf0001).cache()
     // n_sampled = ceil(n_frames / 4)
