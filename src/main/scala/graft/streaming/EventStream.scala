@@ -45,7 +45,8 @@ object EventStream {
     * `path` may be a directory or a single file; FileStreamSource needs
     * a directory basePath, so a bare file is turned into a glob under
     * its parent. */
-  def readEvents(spark: SparkSession, path: String): DataFrame = {
+  def readEvents(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val streamPath =
       if (path.endsWith(".parquet")) {
@@ -56,10 +57,14 @@ object EventStream {
     val rawSchema = StructType(eventsRawSchema.map { f =>
       if (f.name == "ts") f.copy(dataType = fileSchema("ts").dataType) else f
     })
-    graft.Tables.normalizeEvents(
-      spark.readStream
-        .schema(rawSchema)
-        .parquet(streamPath))
+    val reader = spark.readStream.schema(rawSchema)
+    // maxFilesPerTrigger splits a multi-file source into one microbatch
+    // per file — q291 uses it to force re-delivered duplicates to
+    // arrive in a LATER batch, so the dedup state genuinely carries
+    // across microbatches instead of collapsing into within-batch dedup
+    val withOpt = maxFilesPerTrigger.fold(reader)(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    graft.Tables.normalizeEvents(withOpt.parquet(streamPath))
   }
 
   /** Tumbling event-time window aggregation with watermark. In streaming
