@@ -119,7 +119,12 @@ object PlanInvariants {
       "q283_energy_distance",
       // q285: the 1-row observed-gap frame crossJoin-broadcast into
       // the 32-row permutation frame (q66 scalar rationale)
-      "q285_permutation_test")
+      "q285_permutation_test",
+      // q293: the exact-rational lift ranking is a 40×40 non-equi
+      // self-join on the BOUNDED rule frame (both directions of the
+      // persisted top-20 pairs — bounded by the mining parameter K,
+      // never by the corpus; the q140 summary-record rationale)
+      "q293_lift_top_rules")
 
   /** Per-query shuffle ceilings above the [[defaultShuffleCeiling]].
     * These are the audited round-5 counts — intentionally exact, so an
@@ -223,6 +228,10 @@ object PlanInvariants {
       // frames themselves ride in as broadcasts from the persisted
       // basket artifacts
       "q263_closed_itemsets" -> 8,
+      // q292 runs q263's three-level lattice plan verbatim (shared
+      // itemsetLattice) — same exchange budget, plus nothing: the
+      // maximality flags are map-side literals over the same frame
+      "q292_maximal_itemsets" -> 8,
       // q265's winnowing chain: the doc-partitioned selection window,
       // the selected-position distinct, then TWO independent rollups
       // off the selection frame (per-doc totals → per-source totals;

@@ -778,7 +778,19 @@ object Relational {
     * cost model), then map-side-combines to the bounded (itemset,
     * extension) frame. Anti-monotonicity + closure pinned in
     * Round9Spec. */
-  def closedItemsets(spark: SparkSession, dir: String): DataFrame = {
+  def closedItemsets(spark: SparkSession, dir: String): DataFrame =
+    itemsetLattice(spark, dir)
+      .withColumn("is_closed",
+        col("max_ext").isNull || col("support") > col("max_ext"))
+      .select(col("level"), col("part_a"), col("part_b"), col("part_c"),
+        col("support"), col("max_ext").as("max_ext_support"), col("is_closed"))
+      .orderBy(col("level"), col("part_a"), col("part_b"), col("part_c"))
+
+  /** The shared itemset-lattice frame behind q263/q292: every mined
+    * itemset (L1 singles from the top-20 pairs, the pairs, the top-10
+    * triples) with its exact corpus support and the max support over
+    * its one-item extensions (NULL = no extension exists). */
+  private def itemsetLattice(spark: SparkSession, dir: String): DataFrame = {
     val (items, _) = basketItems(spark, dir)
     val pairs = basketTopPairs(spark, dir)
     val triples = basketTopTriples(spark, dir)
@@ -840,14 +852,41 @@ object Relational {
       .select(lit(3L).as("level"), col("part_a"), col("part_b"), col("part_c"),
         col("cnt").as("support"), col("max_ext"))
     l1.unionByName(l2).unionByName(l3)
-      .withColumn("is_closed",
-        col("max_ext").isNull || col("support") > col("max_ext"))
+  }
+
+  /** Q292: MAXIMAL-ITEMSET FILTER — the other lossless frontier of the
+    * frequent-itemset lattice next to q263's closed set: an itemset is
+    * MAXIMAL (Bayardo, SIGMOD 1998) iff it is frequent and NO proper
+    * superset is frequent. By anti-monotonicity a frequent superset of
+    * any size implies a frequent ONE-item extension, so the published
+    * max one-extension support (computed against the FULL corpus, the
+    * q263 witness) decides maximality exactly: maximal ⟺ support ≥
+    * minsup ∧ max_ext < minsup. minsup is data-derived — the weakest
+    * mined pair's support (the top-20 frontier), published as a column
+    * so the flags are self-evidencing. Maximal ⊆ closed ⊆ frequent is
+    * pinned in Round10Spec (maximal ⇒ max_ext < minsup ≤ support ⇒
+    * strictly closed).
+    *
+    * Scale shape: q263's lattice plan verbatim (shared persisted
+    * basket artifacts, candidate-first extension scans) plus one
+    * bounded head() on the persisted 20-row pair artifact for minsup
+    * (bounded driver control flow, the q226 top-V rationale). */
+  def maximalItemsets(spark: SparkSession, dir: String): DataFrame = {
+    val minsup = basketTopPairs(spark, dir).agg(min(col("cnt"))).head().getLong(0)
+    itemsetLattice(spark, dir)
+      .withColumn("minsup", lit(minsup))
+      .withColumn("is_frequent", col("support") >= lit(minsup))
+      .withColumn("is_maximal", col("support") >= lit(minsup) &&
+        (col("max_ext").isNull || col("max_ext") < lit(minsup)))
       .select(col("level"), col("part_a"), col("part_b"), col("part_c"),
-        col("support"), col("max_ext").as("max_ext_support"), col("is_closed"))
+        col("support"), col("max_ext").as("max_ext_support"),
+        col("minsup"), col("is_frequent"), col("is_maximal"))
       .orderBy(col("level"), col("part_a"), col("part_b"), col("part_c"))
   }
 
-  val closedItemsetsSql: String =
+  /** Shared oracle CTE chain for the q263/q292 itemset lattice (ends
+    * at `u` = every mined itemset with support + max_ext). */
+  private val itemsetLatticeSqlCte: String =
     """WITH items AS (
       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
       |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
@@ -901,11 +940,25 @@ object Relational {
       |l3 AS (SELECT CAST(3 AS BIGINT) AS level, part_a, part_b, part_c,
       |    cnt AS support, max_ext
       |  FROM triples LEFT JOIN l3e USING (part_a, part_b, part_c)),
-      |u AS (SELECT * FROM l1 UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3)
+      |u AS (SELECT * FROM l1 UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3)""".stripMargin
+
+  val closedItemsetsSql: String =
+    s"""$itemsetLatticeSqlCte
       |SELECT level, part_a, part_b, part_c, support,
       |  max_ext AS max_ext_support,
       |  (max_ext IS NULL OR support > max_ext) AS is_closed
       |FROM u ORDER BY level, part_a, part_b, part_c""".stripMargin
+
+  val maximalItemsetsSql: String =
+    s"""$itemsetLatticeSqlCte,
+      |ms AS (SELECT CAST(MIN(cnt) AS BIGINT) AS minsup FROM pairs)
+      |SELECT level, part_a, part_b, part_c, support,
+      |  max_ext AS max_ext_support, ms.minsup,
+      |  support >= ms.minsup AS is_frequent,
+      |  (support >= ms.minsup
+      |    AND (max_ext IS NULL OR max_ext < ms.minsup)) AS is_maximal
+      |FROM u CROSS JOIN ms
+      |ORDER BY level, part_a, part_b, part_c""".stripMargin
 
   /** Q259: ASSOCIATION-RULE METRICS — the directional view q171's
     * symmetric pairs lack: each surviving pair yields the two rules
@@ -935,7 +988,10 @@ object Relational {
     * frequency joins (broadcast of the ≤ 40-part frequency frame)
     * and the output sort are all bounded-frame work; only the item
     * scan behind the frequency filter sees rows per serve. */
-  def basketRules(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared 40-rule frame behind q259/q293: both directions of the
+    * persisted top-20 pairs with antecedent/consequent corpus
+    * frequencies joined in — (ante, cons, cnt, fa, fb). */
+  private def ruleFrame(spark: SparkSession, dir: String): (DataFrame, Long) = {
     val (items, nOrders) = basketItems(spark, dir)
     val pairs = basketTopPairs(spark, dir)
       .select(col("part_a").as("pa"), col("part_b").as("pb"), col("cnt"))
@@ -947,12 +1003,17 @@ object Relational {
       .select(col("pa").as("ante"), col("pb").as("cons"), col("cnt"))
       .unionByName(pairs
         .select(col("pb").as("ante"), col("pa").as("cons"), col("cnt")))
-    val n = lit(nOrders)
-    rules
+    val joined = rules
       .join(broadcast(freq.select(col("pk").as("ante"), col("pf").as("fa"))),
         Seq("ante"))
       .join(broadcast(freq.select(col("pk").as("cons"), col("pf").as("fb"))),
         Seq("cons"))
+    (joined, nOrders)
+  }
+
+  def basketRules(spark: SparkSession, dir: String): DataFrame = {
+    val (ruled, nOrders) = ruleFrame(spark, dir)
+    ruled
       .withColumn("confidence",
         expr("CAST((2 * cnt * 1000000 + fa) div (2 * fa) AS DOUBLE)") / 1000000)
       // d38: the cnt·N / N² / (N−fb)·fa·10⁶ products overflow BIGINT at
@@ -1019,6 +1080,106 @@ object Relational {
       |    CAST((2 * (nn - fb) * fa * 1000000 + nn * (fa - cnt))
       |      // (2 * nn * (fa - cnt)) AS DOUBLE) / 1000000 END AS conviction
       |FROM m ORDER BY ante, cons""".stripMargin
+
+  /** Q293: LIFT-RANKED TOP-K RULE EXPORT — the deployable rule table
+    * that closes the association-mining surface (VERDICT r9 task 7):
+    * the top-10 rules by lift, ranked by the EXACT RATIONAL comparison
+    * rather than any rounded float key — lift(s) > lift(r) ⟺
+    * cnt_s·fa_r·fb_r > cnt_r·fa_s·fb_s (the corpus N cancels), so two
+    * rules whose lifts differ past the 6th decimal still order
+    * correctly, and exact TIES fall to the (ante, cons) total order.
+    * rank = |{rules strictly better}| (0-based, gap-free by the total
+    * order). Published metrics are q259's half-up micro rationals
+    * (support, confidence, lift, signed leverage) over the exact
+    * BIGINT witnesses.
+    *
+    * Exactness: the cross-multiplied comparison runs in DECIMAL(38,0)
+    * (cnt·fa·fb ≤ N³ ≈ 1e33 at 100 TB orders — inside d38; the oracle
+    * mirrors with HUGEINT).
+    *
+    * Scale shape: the ranking self-join is 40×40 on the BOUNDED rule
+    * frame (both directions of the persisted top-20 pairs — bounded
+    * by the mining parameter, never by the corpus), an allowlisted
+    * broadcast nested loop; corpus-scale work is only the shared
+    * artifact-served frequency scan. localCheckpoint: the 40-row
+    * frame feeds both sides of the rank join — one build. */
+  def liftTopRules(spark: SparkSession, dir: String): DataFrame = {
+    val (ruled, nOrders) = ruleFrame(spark, dir)
+    val k = ruled.localCheckpoint()
+    val s = k.select(col("ante").as("s_ante"), col("cons").as("s_cons"),
+      col("cnt").as("s_cnt"), col("fa").as("s_fa"), col("fb").as("s_fb"))
+    val sLift = expr("cast(s_cnt as decimal(38,0)) * fa * fb")
+    val rLift = expr("cast(cnt as decimal(38,0)) * s_fa * s_fb")
+    val better = (sLift > rLift) ||
+      (sLift === rLift && (col("s_ante") < col("ante") ||
+        (col("s_ante") === col("ante") && col("s_cons") < col("cons"))))
+    k.join(s, better, "left")
+      .groupBy(col("ante"), col("cons"), col("cnt"), col("fa"), col("fb"))
+      .agg(count(col("s_ante")).cast("long").as("rank"))
+      .filter(col("rank") < 10)
+      .withColumn("nD", lit(nOrders).cast("decimal(38,0)"))
+      .withColumn("fab", expr("cast(fa as decimal(38,0)) * fb"))
+      .select(col("rank"), col("ante"), col("cons"),
+        lit(nOrders).as("n_orders"), col("cnt").as("n_together"),
+        col("fa").as("n_ante"), col("fb").as("n_cons"),
+        (expr("CAST((2 * cnt * nD * 1000000 + nD * nD) div (2 * nD * nD) AS DOUBLE)")
+          / 1000000).as("support"),
+        (expr("CAST((2 * cnt * 1000000 + fa) div (2 * fa) AS DOUBLE)")
+          / 1000000).as("confidence"),
+        (expr("(2 * cnt * nD * 1000000 + fab) div (2 * fab)").cast("double")
+          / 1000000).as("lift"),
+        (expr("""cast(sign(cnt * nD - fab) as bigint)
+                * ((2 * abs(cnt * nD - fab) * 1000000 + nD * nD)
+                   div (2 * nD * nD))""").cast("double")
+          / 1000000).as("leverage"))
+      .orderBy(col("rank"))
+  }
+
+  val liftTopRulesSql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      |n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM items),
+      |pf AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS pf FROM items GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.pk AS pa, b.pk AS pb, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2
+      |  ORDER BY cnt DESC, pa, pb LIMIT 20),
+      |rules AS (
+      |  SELECT pa AS ante, pb AS cons, cnt FROM pairs
+      |  UNION ALL
+      |  SELECT pb AS ante, pa AS cons, cnt FROM pairs),
+      |m AS (
+      |  SELECT r.ante, r.cons, r.cnt, fa.pf AS fa, fb.pf AS fb,
+      |    CAST(n.n_orders AS HUGEINT) AS nn,
+      |    CAST(fa.pf AS HUGEINT) * fb.pf AS fab
+      |  FROM rules r
+      |  JOIN pf fa ON r.ante = fa.pk
+      |  JOIN pf fb ON r.cons = fb.pk
+      |  CROSS JOIN n),
+      |rk AS (
+      |  SELECT m.*,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM m s
+      |     WHERE CAST(s.cnt AS HUGEINT) * m.fa * m.fb
+      |             > CAST(m.cnt AS HUGEINT) * s.fa * s.fb
+      |        OR (CAST(s.cnt AS HUGEINT) * m.fa * m.fb
+      |              = CAST(m.cnt AS HUGEINT) * s.fa * s.fb
+      |            AND (s.ante < m.ante
+      |                 OR (s.ante = m.ante AND s.cons < m.cons)))) AS rank
+      |  FROM m)
+      |SELECT rank, ante, cons, CAST(nn AS BIGINT) AS n_orders,
+      |  cnt AS n_together, fa AS n_ante, fb AS n_cons,
+      |  CAST((2 * cnt * nn * 1000000 + nn * nn) // (2 * nn * nn) AS DOUBLE)
+      |    / 1000000 AS support,
+      |  CAST((2 * cnt * 1000000 + fa) // (2 * fa) AS DOUBLE) / 1000000
+      |    AS confidence,
+      |  CAST((2 * cnt * nn * 1000000 + fab) // (2 * fab) AS DOUBLE)
+      |    / 1000000 AS lift,
+      |  CAST(CASE WHEN cnt * nn - fab >= 0 THEN 1 ELSE -1 END
+      |    * ((2 * ABS(cnt * nn - fab) * 1000000 + nn * nn)
+      |       // (2 * nn * nn)) AS DOUBLE) / 1000000 AS leverage
+      |FROM rk WHERE rank < 10 ORDER BY rank""".stripMargin
 
   /** Q173: ABC / PARETO CLASSIFICATION — inventory analytics' 80/95
     * rule: rank parts by revenue and classify into A (parts up to 80%
@@ -1576,6 +1737,8 @@ object Relational {
     "q258_basket_triples" -> (basketTriples _),
     "q259_basket_rules" -> (basketRules _),
     "q263_closed_itemsets" -> (closedItemsets _),
+    "q292_maximal_itemsets" -> (maximalItemsets _),
+    "q293_lift_top_rules" -> (liftTopRules _),
     "q173_abc_classification" -> (abcClassification _),
     "q175_ratio_to_parent" -> (ratioToParent _),
     "q1_pricing_summary" -> (pricingSummary _),
@@ -1606,6 +1769,8 @@ object Relational {
     "q258_basket_triples" -> basketTriplesSql,
     "q259_basket_rules" -> basketRulesSql,
     "q263_closed_itemsets" -> closedItemsetsSql,
+    "q292_maximal_itemsets" -> maximalItemsetsSql,
+    "q293_lift_top_rules" -> liftTopRulesSql,
     "q173_abc_classification" -> abcClassificationSql,
     "q175_ratio_to_parent" -> ratioToParentSql,
     "q1_pricing_summary" -> pricingSummarySql,

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Relational, StreamingQueries}
+
+/** Behavior pins for the round-10 operator tail. Oracles are the
+  * primary gate; these assert each operator's DEFINING property — the
+  * invariant a hash compare can't name.
+  */
+class Round10Spec extends SparkSuite {
+
+  test("q291 staging: duplicates live in their own part-file; stream drops exactly them") {
+    // the fixture's precondition for cross-batch re-delivery under
+    // maxFilesPerTrigger=1: >= 2 part-files, one carrying ONLY the
+    // event_id % 5 == 0 re-deliveries
+    val root = StreamingQueries.redeliveryRoot(spark, Sf0001)
+    val staged = spark.read.parquet(root)
+      .select(col("event_id"), input_file_name().as("f")).cache()
+    val files = staged.select("f").distinct().collect().map(_.getString(0))
+    assert(files.length >= 2, s"staged corpus must span >= 2 files: ${files.toSeq}")
+    val byFile = staged.groupBy(col("f"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(pmod(col("event_id"), lit(5)) === 0, 1L).otherwise(0L)).as("m5"))
+      .collect()
+    staged.unpersist()
+    val dupFiles = byFile.filter(r => r.getAs[Long]("n") === r.getAs[Long]("m5"))
+    val origFiles = byFile.filter(r => r.getAs[Long]("n") > r.getAs[Long]("m5"))
+    assert(dupFiles.nonEmpty, "no all-duplicate part-file — re-delivery batch missing")
+    assert(origFiles.nonEmpty, "no original part-file")
+    // audit identity against a batch replay of the SOURCE table
+    val expected = Tables.events(spark, Sf0001)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("event_id")).as("uniq"),
+        sum(when(pmod(col("event_id"), lit(5)) === 0, 1L).otherwise(0L)).as("re"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("uniq"), r.getAs[Long]("re"))).toMap
+    val rows = StreamingQueries.streamRedelivery(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (uniq, re) = expected(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_unique_events") === uniq, s"$r")
+      assert(r.getAs[Long]("n_redelivered") === re, s"$r")
+      assert(re > 0, s"fixture degenerate — no re-deliveries for $r")
+    }
+  }
+
+  test("q292: maximal => frequent and closed; flags re-derive from the published witnesses") {
+    val maximal = Relational.maximalItemsets(spark, Sf0001).collect()
+    assert(maximal.nonEmpty)
+    val closed = Relational.closedItemsets(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("level"), r.getAs[Long]("part_a"),
+        Option(r.getAs[Any]("part_b")), Option(r.getAs[Any]("part_c"))) ->
+        r.getAs[Boolean]("is_closed")).toMap
+    maximal.foreach { r =>
+      val minsup = r.getAs[Long]("minsup")
+      val sup = r.getAs[Long]("support")
+      val ext = Option(r.getAs[Any]("max_ext_support")).map(_.asInstanceOf[Long])
+      // flags are pure functions of the published witnesses
+      assert(r.getAs[Boolean]("is_frequent") === (sup >= minsup), s"$r")
+      assert(r.getAs[Boolean]("is_maximal") ===
+        (sup >= minsup && ext.forall(_ < minsup)), s"$r")
+      // Bayardo containment: maximal => closed (max_ext < minsup <=
+      // support is a STRICT support drop on every extension)
+      if (r.getAs[Boolean]("is_maximal")) {
+        val key = (r.getAs[Long]("level"), r.getAs[Long]("part_a"),
+          Option(r.getAs[Any]("part_b")), Option(r.getAs[Any]("part_c")))
+        assert(closed(key), s"maximal itemset not closed: $r")
+      }
+    }
+    // the fixture exercises both branches
+    assert(maximal.exists(_.getAs[Boolean]("is_maximal")))
+    assert(maximal.exists(r => !r.getAs[Boolean]("is_maximal")))
+  }
+
+  test("q293: exact-rational ranking agrees with a driver-side BigInt replay of all 40 rules") {
+    val top = Relational.liftTopRules(spark, Sf0001).collect()
+    assert(top.length === 10)
+    // ranks are gap-free 0..9 in order
+    assert(top.map(_.getAs[Long]("rank")).toSeq === (0L until 10L))
+    // replay: rank EVERY rule from q259's published exact witnesses
+    // with BigInt cross-multiplication — no floats anywhere
+    val all = Relational.basketRules(spark, Sf0001).collect().map { r =>
+      (r.getAs[Long]("ante"), r.getAs[Long]("cons"),
+        BigInt(r.getAs[Long]("n_together")),
+        BigInt(r.getAs[Long]("n_ante")), BigInt(r.getAs[Long]("n_cons")))
+    }
+    val ordered = all.sortWith { case ((a1, c1, n1, fa1, fb1), (a2, c2, n2, fa2, fb2)) =>
+      val l = n1 * fa2 * fb2
+      val rr = n2 * fa1 * fb1
+      l > rr || (l == rr && (a1 < a2 || (a1 == a2 && c1 < c2)))
+    }
+    val expect = ordered.take(10).map(t => (t._1, t._2)).toSeq
+    assert(top.map(r => (r.getAs[Long]("ante"), r.getAs[Long]("cons"))).toSeq
+      === expect, "lift ranking diverged from the exact replay")
+    // lift is direction-symmetric: each pair's two rules carry the
+    // same published lift and leverage
+    top.groupBy(r => {
+      val a = r.getAs[Long]("ante"); val c = r.getAs[Long]("cons")
+      (math.min(a, c), math.max(a, c))
+    }).values.filter(_.length === 2).foreach { g =>
+      assert(g(0).getAs[Double]("lift") === g(1).getAs[Double]("lift"))
+      assert(g(0).getAs[Double]("leverage") === g(1).getAs[Double]("leverage"))
+    }
+  }
+}
