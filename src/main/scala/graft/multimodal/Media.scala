@@ -315,6 +315,49 @@ object Media {
     path
   }
 
+  /** The SECOND BMP generation for q295's near-dup pairs: every 7th
+    * staged image re-rendered with ONE pixel byte perturbed (+1 mod
+    * 256 on the pixel array's byte 1 — pixel 0's G channel), the
+    * minimal content edit a perceptual fingerprint must shrug off.
+    * Same geometry, same header; only the one byte differs, so the
+    * DuckDB oracle replays the variant from the text with the same
+    * +1 fold. */
+  def stagedBmpRootV2(spark: SparkSession, dir: String): String = {
+    val path = graft.Scratch.artifactPath("bmp_corpus_v2", dir, s"_b$BlobBatch")
+    if (!graft.Scratch.artifactComplete(path)) {
+      graft.Scratch.prepareArtifact(path)
+      import spark.implicits._
+      val serializableConf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      Tables.documents(spark, dir)
+        .filter(col("text").isNotNull && col("doc_id") < BlobBatch &&
+          col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .foreachPartition { it: Iterator[(Long, String)] =>
+          it.foreach { case (docId, text) =>
+            val data = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val w = (docId % BmpWidthMod + 1).toInt
+            val rowSize = (3 * w + 3) / 4 * 4
+            val h = data.length / rowSize
+            if (h >= 1) {
+              val px = data.take(h * rowSize).clone()
+              px(1) = ((java.lang.Byte.toUnsignedInt(px(1)) + 1) % 256).toByte
+              val p = new org.apache.hadoop.fs.Path(s"$path/$docId.bmp")
+              val fs = p.getFileSystem(serializableConf.value)
+              val out = fs.create(p, true)
+              try { out.write(bmpHeader(w, h, rowSize)); out.write(px) }
+              finally out.close()
+            }
+          }
+        }
+      val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+      marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .create(marker, true).close()
+    }
+    path
+  }
+
   private def stageBlobs(spark: SparkSession, dir: String, kind: String,
       docs: org.apache.spark.sql.DataFrame): String = {
     val path = graft.Scratch.artifactPath(kind, dir, s"_b$BlobBatch")

@@ -858,10 +858,208 @@ object Multimodal {
        |    AS mean_r
        |FROM ch ORDER BY doc_id""".stripMargin
 
+  /** Fingerprint geometry for q294/q295: 56 bits (7 bands × 8 bits —
+    * bit 56+ would sign-wrap BIGINT shifts differently across
+    * engines), each bit the mean-luma vote of one contiguous
+    * pixel-index band; Hamming radius 3 ⇒ ≥ 4 of 7 bands intact on
+    * any near-pair (pigeonhole), so band-collision candidate
+    * generation is LOSSLESS at the radius. */
+  private val FpBits = 56
+  private val FpBands = 7
+  private val FpHamming = 3
+
+  /** Per-image 56-bit BLOCK-LUMA fingerprint from the REAL decoded
+    * pixels: luma = 299R + 587G + 114B (integer ITU-R BT.601 ×1000),
+    * pixel-index band b = [b·np/56, (b+1)·np/56), bit b = 1 iff the
+    * band's mean luma exceeds the image mean — decided by EXACT
+    * cross-multiplication in DECIMAL(38) (sum_band·np vs
+    * sum_total·n_band; the products pass BIGINT at ~1e8-pixel files).
+    * One in-expression pass over the pixel array (each pixel visited
+    * by exactly one band fold); np ≥ 56 keeps every band non-empty
+    * (and every sequence() ascending — the q290 lesson). */
+  private[graft] def bmpFingerprints(spark: SparkSession, root: String,
+      gen: Int): DataFrame = {
+    def byteAt(o: String) =
+      s"CAST(conv(substring(hx, ($o) * 2 + 1, 2), 16, 10) AS BIGINT)"
+    val px = (c: Int) => byteAt(s"(i div width) * row_stride + 3 * (i % width) + $c")
+    val luma = s"(299 * ${px(2)} + 587 * ${px(1)} + 114 * ${px(0)})"
+    val scanned = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bmp")
+      .load(root)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.bmp$", 1).cast("long").as("doc_id"),
+        col("length").cast("long").as("n_bytes"),
+        col("content"))
+    parseBmpHeader(scanned)
+      .filter(col("header_ok"))
+      .withColumn("np", col("width") * col("height"))
+      .filter(col("np") >= FpBits)
+      .withColumn("hx", expr("hex(substring(content, 55, cast(img_bytes as int)))"))
+      .withColumn("bs", expr(
+        s"""transform(sequence(0, ${FpBits - 1}), b ->
+           |  aggregate(sequence(cast(b * np div $FpBits as int),
+           |                     cast((b + 1) * np div $FpBits as int) - 1),
+           |    0L, (a, i) -> a + $luma))""".stripMargin))
+      .withColumn("luma_sum", expr("aggregate(bs, 0L, (a, x) -> a + x)"))
+      .withColumn("fp", expr(
+        s"""aggregate(sequence(0, ${FpBits - 1}), 0L, (f, b) ->
+           |  f + CASE WHEN cast(element_at(bs, b + 1) as decimal(38,0)) * np
+           |             > cast(luma_sum as decimal(38,0))
+           |               * ((b + 1) * np div $FpBits - b * np div $FpBits)
+           |           THEN shiftleft(1L, b) ELSE 0L END)""".stripMargin))
+      .select(col("doc_id"), lit(gen.toLong).as("gen"),
+        col("np").as("n_pixels"), col("luma_sum"), col("fp"))
+  }
+
+  /** Q294: PERCEPTUAL IMAGE FINGERPRINT — the image analog of the
+    * text dedup family's SimHash (q201): a 56-bit block-luma hash
+    * over the REAL decoded pixel array ([[bmpFingerprints]]), fully
+    * DuckDB-oracled (the oracle recomputes luma, band sums, and every
+    * majority bit from the text bytes with HUGEINT cross-
+    * multiplication — no parse logic shared). The exact luma_sum
+    * witness rides along.
+    *
+    * Scale shape: per-file-parallel binaryFile scan, one
+    * in-expression pixel pass (the inherent decode cost), output sort
+    * the only exchange. */
+  def bmpFingerprint(spark: SparkSession, dir: String): DataFrame =
+    bmpFingerprints(spark, Media.stagedBmpRoot(spark, dir), 1)
+      .select(col("doc_id"), col("n_pixels"), col("luma_sum"), col("fp"))
+      .orderBy(col("doc_id"))
+
+  /** Oracle CTE chain recomputing the fingerprint from the documents
+    * text. `perturb` replays the gen-2 single-byte edit (+1 mod 256
+    * on pixel-array byte 1 = pixel 0's G channel). */
+  private def bmpFingerprintSqlCte(tag: String, docFilter: String,
+      perturb: Boolean): String = {
+    def chan(c: Int, idx: String) =
+      if (perturb && c == 1)
+        s"(CASE WHEN i = 0 THEN (ascii(substring(text, $idx, 1)) + 1) % 256" +
+          s" ELSE ascii(substring(text, $idx, 1)) END)"
+      else s"ascii(substring(text, $idx, 1))"
+    val idx = (c: Int) => s"CAST((i // w) * rs + 3 * (i % w) + ${c + 1} AS INT)"
+    s"""d$tag AS (
+       |  SELECT doc_id, text,
+       |    CAST(doc_id % ${Media.BmpWidthMod} + 1 AS BIGINT) AS w,
+       |    CAST((3 * (doc_id % ${Media.BmpWidthMod} + 1) + 3) // 4 * 4 AS BIGINT) AS rs,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS len
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND doc_id < ${Media.BlobBatch}$docFilter),
+       |g$tag AS (
+       |  SELECT doc_id, text, w, rs, w * (len // rs) AS np
+       |  FROM d$tag WHERE len >= rs AND w * (len // rs) >= $FpBits),
+       |l$tag AS (
+       |  SELECT doc_id, np,
+       |    list_transform(generate_series(0, CAST(np AS INT) - 1), i ->
+       |      299 * ${chan(2, idx(2))}
+       |      + 587 * ${chan(1, idx(1))}
+       |      + 114 * ${chan(0, idx(0))}) AS lumas
+       |  FROM g$tag),
+       |bb$tag AS (
+       |  SELECT doc_id, np,
+       |    list_transform(generate_series(0, ${FpBits - 1}), b ->
+       |      list_sum(list_slice(lumas,
+       |        CAST(b * np // $FpBits + 1 AS INT),
+       |        CAST((b + 1) * np // $FpBits AS INT)))) AS bs
+       |  FROM l$tag),
+       |f$tag AS (
+       |  SELECT doc_id, np, bs, list_sum(bs) AS total FROM bb$tag),
+       |fp$tag AS (
+       |  SELECT doc_id, CAST(np AS BIGINT) AS n_pixels,
+       |    CAST(total AS BIGINT) AS luma_sum,
+       |    CAST(list_sum(list_transform(generate_series(0, ${FpBits - 1}), b ->
+       |      CASE WHEN CAST(bs[CAST(b + 1 AS INT)] AS HUGEINT) * np
+       |             > CAST(total AS HUGEINT)
+       |               * ((b + 1) * np // $FpBits - b * np // $FpBits)
+       |           THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS fp
+       |  FROM f$tag)""".stripMargin
+  }
+
+  val bmpFingerprintSql: String =
+    s"""WITH ${bmpFingerprintSqlCte("1", "", perturb = false)}
+       |SELECT doc_id, n_pixels, luma_sum, fp FROM fp1
+       |ORDER BY doc_id""".stripMargin
+
+  /** Q295: IMAGE NEAR-DUP BY BANDED HAMMING — the multimodal × dedup
+    * intersection the brief's near-dup family lacked: pairs of images
+    * whose 56-bit perceptual fingerprints differ in ≤ 3 bits, found
+    * by LSH BANDING (7 bands × 8 bits: a ≤3-bit difference leaves
+    * ≥ 4 bands intact, so every true pair collides in ≥ 1 band —
+    * candidate generation is LOSSLESS at the radius, the q31/q201
+    * discipline on image content). The corpus is generation 1 plus
+    * the gen-2 single-byte-perturbed renditions
+    * ([[Media.stagedBmpRootV2]]): each planted (orig, variant) pair
+    * shares geometry and all-but-one luma, so the fingerprint differs
+    * in the few bands whose mean sits within one byte of the global
+    * mean — real near-dups by construction. Verification is the
+    * exact popcount of the XOR (bit_count — integer, both engines);
+    * candidates additionally block on n_pixels (same-geometry
+    * co-key, the q30 length-band analog).
+    *
+    * Oracle: banding is pure optimization (lossless at the radius),
+    * so DuckDB verifies with the direct same-np pair join + exact
+    * Hamming filter over its own fingerprint replay — agreement
+    * proves decode, fingerprint, banding AND verification end-to-end.
+    *
+    * Scale shape: candidate-pairs-before-payload — the banded
+    * self-join carries (band, value, np, id, gen, fp): the 8-byte
+    * fingerprint IS the payload, nothing wider travels; at 100 TB the
+    * fingerprint widens and the band count/width scale with corpus
+    * cardinality (more selective buckets), the same knob family as
+    * q31's band geometry. localCheckpoint: the union frame feeds both
+    * sides of the self-join — one decode pass, not two (the q263
+    * xOrders rule). */
+  def bmpNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val fps = bmpFingerprints(spark, Media.stagedBmpRoot(spark, dir), 1)
+      .unionByName(bmpFingerprints(spark, Media.stagedBmpRootV2(spark, dir), 2))
+      .localCheckpoint()
+    val banded = fps.select(col("doc_id"), col("gen"), col("n_pixels"), col("fp"),
+      explode(expr(
+        s"""transform(sequence(0, ${FpBands - 1}), b ->
+           |  named_struct('b', b, 'v', shiftright(fp, b * 8) & 255))""".stripMargin))
+        .as("bk"))
+      .select(col("bk.b").as("b"), col("bk.v").as("v"), col("n_pixels"),
+        col("doc_id"), col("gen"), col("fp"))
+    val a = banded.select(col("b"), col("v"), col("n_pixels"),
+      col("doc_id").as("id_a"), col("gen").as("gen_a"), col("fp").as("fp_a"))
+    val bside = banded.select(col("b"), col("v"), col("n_pixels"),
+      col("doc_id").as("id_b"), col("gen").as("gen_b"), col("fp").as("fp_b"))
+    a.join(bside, Seq("b", "v", "n_pixels"))
+      .filter(col("id_a") < col("id_b") ||
+        (col("id_a") === col("id_b") && col("gen_a") < col("gen_b")))
+      .select(col("id_a"), col("gen_a"), col("fp_a"),
+        col("id_b"), col("gen_b"), col("fp_b"), col("n_pixels"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)").cast("long"))
+      .filter(col("hamming") <= FpHamming)
+      .select(col("id_a"), col("gen_a"), col("id_b"), col("gen_b"),
+        col("n_pixels"), col("hamming"))
+      .orderBy(col("id_a"), col("gen_a"), col("id_b"), col("gen_b"))
+  }
+
+  val bmpNearDupSql: String =
+    s"""WITH ${bmpFingerprintSqlCte("1", "", perturb = false)},
+       |${bmpFingerprintSqlCte("2", " AND doc_id % 7 = 0", perturb = true)},
+       |u AS (
+       |  SELECT doc_id, 1 AS gen, n_pixels, fp FROM fp1
+       |  UNION ALL
+       |  SELECT doc_id, 2 AS gen, n_pixels, fp FROM fp2)
+       |SELECT a.doc_id AS id_a, CAST(a.gen AS BIGINT) AS gen_a,
+       |  b.doc_id AS id_b, CAST(b.gen AS BIGINT) AS gen_b,
+       |  a.n_pixels,
+       |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+       |FROM u a JOIN u b ON a.n_pixels = b.n_pixels
+       |  AND (a.doc_id < b.doc_id
+       |       OR (a.doc_id = b.doc_id AND a.gen < b.gen))
+       |WHERE bit_count(xor(a.fp, b.fp)) <= $FpHamming
+       |ORDER BY id_a, gen_a, id_b, gen_b""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
     "q288_media_features_twin" -> (mediaFeaturesTwin _),
     "q289_bmp_decode" -> (bmpDecode _),
     "q290_bmp_pixel_stats" -> (bmpPixelStats _),
+    "q294_bmp_fingerprint" -> (bmpFingerprint _),
+    "q295_bmp_neardup" -> (bmpNearDup _),
     "q270_wav_turning_points" -> (wavTurningPoints _),
     "q278_wav_channel_stats" -> (wavChannelStats _),
     "q262_wav_decode" -> (wavDecode _),
@@ -880,6 +1078,8 @@ object Multimodal {
     "q288_media_features_twin" -> mediaFeaturesTwinSql,
     "q289_bmp_decode" -> bmpDecodeSql,
     "q290_bmp_pixel_stats" -> bmpPixelStatsSql,
+    "q294_bmp_fingerprint" -> bmpFingerprintSql,
+    "q295_bmp_neardup" -> bmpNearDupSql,
     "q43_frame_sample" -> frameSampleSql,
     "q244_blob_manifest" -> blobManifestSql,
     "q260_blob_sync_diff" -> blobSyncDiffSql,

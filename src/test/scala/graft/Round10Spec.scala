@@ -72,6 +72,76 @@ class Round10Spec extends SparkSuite {
     assert(maximal.exists(r => !r.getAs[Boolean]("is_maximal")))
   }
 
+  test("q294/q295: fingerprints replay driver-side; banded pairs equal the exact quadratic set") {
+    import graft.operators.Multimodal
+    import graft.multimodal.Media
+    // driver replay of the 56-bit block-luma fingerprint from raw bytes
+    def fpOf(bytes: Array[Byte], w: Int): Option[(Long, Long, Long)] = {
+      val rs = (3 * w + 3) / 4 * 4
+      val h = bytes.length / rs
+      val np = w.toLong * h
+      if (h < 1 || np < 56) None
+      else {
+        val lumas = (0 until np.toInt).map { i =>
+          val base = (i / w) * rs + 3 * (i % w)
+          def u(c: Int) = java.lang.Byte.toUnsignedLong(bytes(base + c))
+          299 * u(2) + 587 * u(1) + 114 * u(0)
+        }
+        val total = lumas.map(BigInt(_)).sum
+        var fp = 0L
+        (0 until 56).foreach { b =>
+          val lo = (b * np / 56).toInt; val hi = ((b + 1) * np / 56).toInt
+          val bs = lumas.slice(lo, hi).map(BigInt(_)).sum
+          if (bs * np > total * (hi - lo)) fp |= 1L << b
+        }
+        Some((np, total.toLong, fp))
+      }
+    }
+    val texts = Tables.documents(spark, Sf0001)
+      .filter(col("text").isNotNull && col("doc_id") < Media.BlobBatch)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val g1 = texts.flatMap { case (id, bs) =>
+      fpOf(bs, (id % Media.BmpWidthMod + 1).toInt).map(id -> _)
+    }.toMap
+    val q294 = Multimodal.bmpFingerprint(spark, Sf0001).collect()
+    assert(q294.nonEmpty && q294.length === g1.size)
+    q294.foreach { r =>
+      val (np, total, fp) = g1(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_pixels") === np, s"$r")
+      assert(r.getAs[Long]("luma_sum") === total, s"$r")
+      assert(r.getAs[Long]("fp") === fp, s"$r")
+    }
+    // gen-2 replay: the staged single-byte perturbation
+    val g2 = texts.filter(_._1 % 7 == 0).flatMap { case (id, bs) =>
+      val w = (id % Media.BmpWidthMod + 1).toInt
+      val rs = (3 * w + 3) / 4 * 4
+      val h = bs.length / rs
+      if (h < 1) None
+      else {
+        val px = bs.take(h * rs)
+        px(1) = ((java.lang.Byte.toUnsignedInt(px(1)) + 1) % 256).toByte
+        fpOf(px, w).map(id -> _)
+      }
+    }.toMap
+    // the banded result must equal the EXACT quadratic same-geometry
+    // pair set (banding is lossless at radius 3 — pigeonhole over
+    // 7 bands) — computed with no banding at all
+    val all = g1.toSeq.map { case (id, (np, _, fp)) => (id, 1L, np, fp) } ++
+      g2.toSeq.map { case (id, (np, _, fp)) => (id, 2L, np, fp) }
+    val expect = (for {
+      x <- all; y <- all
+      if x._3 == y._3 && (x._1 < y._1 || (x._1 == y._1 && x._2 < y._2))
+      if java.lang.Long.bitCount(x._4 ^ y._4) <= 3
+    } yield (x._1, x._2, y._1, y._2)).toSet
+    val got = Multimodal.bmpNearDup(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("gen_a"),
+        r.getAs[Long]("id_b"), r.getAs[Long]("gen_b")))
+    assert(got.toSet === expect, "banded pair set diverged from the exact sweep")
+    assert(got.nonEmpty, "fixture degenerate — no near-dup pairs")
+  }
+
   test("q293: exact-rational ranking agrees with a driver-side BigInt replay of all 40 rules") {
     val top = Relational.liftTopRules(spark, Sf0001).collect()
     assert(top.length === 10)
