@@ -1054,7 +1054,125 @@ object Multimodal {
        |WHERE bit_count(xor(a.fp, b.fp)) <= $FpHamming
        |ORDER BY id_a, gen_a, id_b, gen_b""".stripMargin
 
+  /** Q296: BMP 2×2 BOX-FILTER DOWNSAMPLE — the brief's RESIZE step
+    * made content-real for images (Media.resizeStub models only the
+    * plumbing; this computes actual output pixels): each output pixel
+    * is the integer-floor mean of its ≤2×2 source block (edge blocks
+    * at odd width/height average the 1 or 2 pixels that exist —
+    * count ∈ {1,2,4}, never zero-padded), per channel, from the REAL
+    * decoded pixel array with row padding skipped. Published are the
+    * output geometry and the exact per-channel sums and peaks of the
+    * DOWNSAMPLED values, which the DuckDB oracle recomputes from the
+    * text bytes with the same block index math — agreement proves
+    * the resize kernel end-to-end, not just its shape.
+    *
+    * Convention (pinned both engines): floor division for the block
+    * mean (the standard integer box filter); geometry out_w =
+    * ⌈w/2⌉, out_h = ⌈h/2⌉ from the DECODED header fields.
+    *
+    * Scale shape: per-file-parallel binaryFile scan; ONE
+    * in-expression fold over output pixels (≤12 byte reads each —
+    * work linear in blob size, the inherent resize cost); output
+    * sort the only exchange. */
+  def bmpDownsample(spark: SparkSession, dir: String): DataFrame = {
+    val root = Media.stagedBmpRoot(spark, dir)
+    def byteAt(o: String) =
+      s"CAST(conv(substring(hx, ($o) * 2 + 1, 2), 16, 10) AS BIGINT)"
+    // downsampled channel value at output pixel j (R = j div ow,
+    // C = j % ow): floor mean of the bh×bw source block
+    def v(c: Int) = {
+      def at(r: String, cc: String) =
+        byteAt(s"($r) * row_stride + 3 * ($cc) + $c")
+      s"""((${at("2 * (j div ow)", "2 * (j % ow)")}
+         |  + CASE WHEN 2 * (j % ow) + 1 < width
+         |      THEN ${at("2 * (j div ow)", "2 * (j % ow) + 1")} ELSE 0L END
+         |  + CASE WHEN 2 * (j div ow) + 1 < height
+         |      THEN ${at("2 * (j div ow) + 1", "2 * (j % ow)")} ELSE 0L END
+         |  + CASE WHEN 2 * (j % ow) + 1 < width AND 2 * (j div ow) + 1 < height
+         |      THEN ${at("2 * (j div ow) + 1", "2 * (j % ow) + 1")} ELSE 0L END)
+         | div (least(2L, width - 2 * (j % ow))
+         |      * least(2L, height - 2 * (j div ow))))""".stripMargin
+    }
+    val scanned = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bmp")
+      .load(root)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.bmp$", 1).cast("long").as("doc_id"),
+        col("length").cast("long").as("n_bytes"),
+        col("content"))
+    parseBmpHeader(scanned)
+      .filter(col("header_ok") && col("width") * col("height") >= 1)
+      .withColumn("ow", expr("(width + 1) div 2"))
+      .withColumn("oh", expr("(height + 1) div 2"))
+      .withColumn("hx", expr("hex(substring(content, 55, cast(img_bytes as int)))"))
+      .withColumn("st", expr(
+        s"""aggregate(sequence(0, cast(ow * oh as int) - 1),
+           |  named_struct('sb', 0L, 'sg', 0L, 'sr', 0L,
+           |               'pb', 0L, 'pg', 0L, 'pr', 0L),
+           |  (a, j) -> named_struct(
+           |    'sb', a.sb + ${v(0)}, 'sg', a.sg + ${v(1)},
+           |    'sr', a.sr + ${v(2)},
+           |    'pb', greatest(a.pb, ${v(0)}),
+           |    'pg', greatest(a.pg, ${v(1)}),
+           |    'pr', greatest(a.pr, ${v(2)})))""".stripMargin))
+      .select(col("doc_id"), col("width"), col("height"),
+        col("ow").as("out_w"), col("oh").as("out_h"),
+        (col("ow") * col("oh")).as("n_out_pixels"),
+        col("st.sb").as("sum_b"), col("st.sg").as("sum_g"),
+        col("st.sr").as("sum_r"),
+        col("st.pb").as("peak_b"), col("st.pg").as("peak_g"),
+        col("st.pr").as("peak_r"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the identical block index math over the text characters
+    * (ASCII byte ≡ codepoint) — the staged FILE bytes vs the source
+    * TEXT, sharing no decode logic. */
+  val bmpDownsampleSql: String = {
+    def ch(c: Int, r: String, cc: String) =
+      s"ascii(substring(text, CAST(($r) * rs + 3 * ($cc) + ${c + 1} AS INT), 1))"
+    def v(c: Int) =
+      s"""(${ch(c, "2 * (j // ow)", "2 * (j % ow)")}
+         |      + CASE WHEN 2 * (j % ow) + 1 < w
+         |          THEN ${ch(c, "2 * (j // ow)", "2 * (j % ow) + 1")} ELSE 0 END
+         |      + CASE WHEN 2 * (j // ow) + 1 < h
+         |          THEN ${ch(c, "2 * (j // ow) + 1", "2 * (j % ow)")} ELSE 0 END
+         |      + CASE WHEN 2 * (j % ow) + 1 < w AND 2 * (j // ow) + 1 < h
+         |          THEN ${ch(c, "2 * (j // ow) + 1", "2 * (j % ow) + 1")} ELSE 0 END)
+         |     // (least(2, w - 2 * (j % ow)) * least(2, h - 2 * (j // ow)))""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id, text,
+       |    CAST(doc_id % ${Media.BmpWidthMod} + 1 AS BIGINT) AS w,
+       |    CAST((3 * (doc_id % ${Media.BmpWidthMod} + 1) + 3) // 4 * 4 AS BIGINT) AS rs,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS len
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND doc_id < ${Media.BlobBatch}),
+       |g AS (
+       |  SELECT doc_id, text, w, rs, len // rs AS h,
+       |    (w + 1) // 2 AS ow, (len // rs + 1) // 2 AS oh
+       |  FROM d WHERE len >= rs),
+       |vals AS (
+       |  SELECT doc_id, w, h, ow, oh,
+       |    list_transform(generate_series(0, CAST(ow * oh AS INT) - 1), j ->
+       |      ${v(0)}) AS vb,
+       |    list_transform(generate_series(0, CAST(ow * oh AS INT) - 1), j ->
+       |      ${v(1)}) AS vg,
+       |    list_transform(generate_series(0, CAST(ow * oh AS INT) - 1), j ->
+       |      ${v(2)}) AS vr
+       |  FROM g)
+       |SELECT doc_id, w AS width, h AS height, ow AS out_w, oh AS out_h,
+       |  ow * oh AS n_out_pixels,
+       |  CAST(list_sum(vb) AS BIGINT) AS sum_b,
+       |  CAST(list_sum(vg) AS BIGINT) AS sum_g,
+       |  CAST(list_sum(vr) AS BIGINT) AS sum_r,
+       |  CAST(list_max(vb) AS BIGINT) AS peak_b,
+       |  CAST(list_max(vg) AS BIGINT) AS peak_g,
+       |  CAST(list_max(vr) AS BIGINT) AS peak_r
+       |FROM vals ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, Relational.Q] = Map(
+    "q296_bmp_downsample" -> (bmpDownsample _),
     "q288_media_features_twin" -> (mediaFeaturesTwin _),
     "q289_bmp_decode" -> (bmpDecode _),
     "q290_bmp_pixel_stats" -> (bmpPixelStats _),
@@ -1080,6 +1198,7 @@ object Multimodal {
     "q290_bmp_pixel_stats" -> bmpPixelStatsSql,
     "q294_bmp_fingerprint" -> bmpFingerprintSql,
     "q295_bmp_neardup" -> bmpNearDupSql,
+    "q296_bmp_downsample" -> bmpDownsampleSql,
     "q43_frame_sample" -> frameSampleSql,
     "q244_blob_manifest" -> blobManifestSql,
     "q260_blob_sync_diff" -> blobSyncDiffSql,

@@ -983,8 +983,11 @@ object Quality {
       |      FROM c)
       |SELECT 'src0' AS sample_a, 'rest' AS sample_b, n1, n2,
       |  CAST(d_num AS BIGINT) AS d_num, CAST(v AS BIGINT) AS at_value,
-      |  CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS d_stat,
-      |  (CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE))
+      |  -- d_num ≤ n1·n2 grows ~n² past 2^53: VARCHAR-route (q286 finding)
+      |  CAST(CAST(d_num AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(n1 * n2 AS VARCHAR) AS DOUBLE) AS d_stat,
+      |  (CAST(CAST(d_num AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(n1 * n2 AS VARCHAR) AS DOUBLE))
       |    * SQRT((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
       |        / CAST(n1 + n2 AS DOUBLE)) AS ks_scaled
       |FROM d WHERE rn = 1""".stripMargin
@@ -2507,8 +2510,12 @@ object Quality {
        |  CAST(e_total AS BIGINT) AS n_late, t_num,
        |  CAST(var_num AS VARCHAR) AS var_num,
        |  CASE WHEN var_num > 0 THEN
-       |    CAST(t_num AS DOUBLE) * SQRT(CAST(n_total AS DOUBLE))
-       |      / SQRT(CAST(var_num AS DOUBLE)) END AS z_trend
+       |    -- t_num/var_num grow ~n²/n⁴: route the >2^53-capable
+       |    -- witnesses through VARCHAR→DOUBLE (strtod, correctly
+       |    -- rounded) — DuckDB 1.0.0's direct HUGEINT→DOUBLE is not
+       |    -- (the q286 depth-sweep finding)
+       |    CAST(CAST(t_num AS VARCHAR) AS DOUBLE) * SQRT(CAST(n_total AS DOUBLE))
+       |      / SQRT(CAST(CAST(var_num AS VARCHAR) AS DOUBLE)) END AS z_trend
        |FROM u""".stripMargin
   }
 
@@ -2768,17 +2775,23 @@ object Quality {
       |    CAST(n_total AS HUGEINT) * (n_total - 1) * (2 * n_total + 5) AS t0
       |  FROM pairs CROSS JOIN grp CROSS JOIN vals),
       |z AS (SELECT *,
-      |    CAST(t0 - a3 - b3 AS DOUBLE) / 72.0
-      |      + (CAST(c1 AS DOUBLE) * CAST(d1 AS DOUBLE))
+      |    -- the n³-class tie witnesses pass 2^53 at large corpora:
+      |    -- VARCHAR-route every exact-integer→DOUBLE conversion
+      |    -- (q286 finding: direct HUGEINT→DOUBLE is not correctly
+      |    -- rounded in DuckDB 1.0.0)
+      |    CAST(CAST(t0 - a3 - b3 AS VARCHAR) AS DOUBLE) / 72.0
+      |      + (CAST(CAST(c1 AS VARCHAR) AS DOUBLE) * CAST(CAST(d1 AS VARCHAR) AS DOUBLE))
       |        / (36.0 * CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) - 1.0)
       |           * (CAST(n_total AS DOUBLE) - 2.0))
-      |      + (CAST(c2 AS DOUBLE) * CAST(d2 AS DOUBLE))
+      |      + (CAST(CAST(c2 AS VARCHAR) AS DOUBLE) * CAST(CAST(d2 AS VARCHAR) AS DOUBLE))
       |        / (8.0 * CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) - 1.0)) AS vr
       |  FROM one)
       |SELECT CAST(5 AS BIGINT) AS k_groups, n_total,
       |  CAST(j2 AS VARCHAR) AS j2, CAST(mean2 AS VARCHAR) AS mean2,
       |  CASE WHEN vr > 0.0 THEN
-      |    (CAST(j2 AS DOUBLE) - CAST(mean2 AS DOUBLE)) / (2.0 * SQRT(vr))
+      |    -- j2/mean2 grow ~n² past 2^53: VARCHAR-route (q286 finding)
+      |    (CAST(CAST(j2 AS VARCHAR) AS DOUBLE)
+      |     - CAST(CAST(mean2 AS VARCHAR) AS DOUBLE)) / (2.0 * SQRT(vr))
       |  END AS z_trend
       |FROM z""".stripMargin
 
@@ -2898,7 +2911,9 @@ object Quality {
        |SELECT m AS n_docs, CAST(3 AS BIGINT) AS n_raters, c0, c1, c2, s AS s_agree,
        |  CAST(s AS DOUBLE) / (6.0 * CAST(m AS DOUBLE)) AS p_bar,
        |  CAST(q AS DOUBLE) / (9.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)) AS p_e,
-       |  CASE WHEN den <> 0 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS kappa
+       |  -- num/den grow ~m² past 2^53: VARCHAR-route (q286 finding)
+       |  CASE WHEN den <> 0 THEN CAST(CAST(num AS VARCHAR) AS DOUBLE)
+       |    / CAST(CAST(den AS VARCHAR) AS DOUBLE) END AS kappa
        |FROM w""".stripMargin
 
   /** Q275: BRIER-SCORE MURPHY DECOMPOSITION — the q156 calibration
@@ -3640,8 +3655,15 @@ object Quality {
       |  FROM orders
       |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
       |w AS (SELECT *,
-      |    CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS ss1,
-      |    CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS ss2,
+      |    -- the Σy² witnesses exceed 2^53 at sf0.1: DuckDB 1.0.0's
+      |    -- direct HUGEINT→DOUBLE cast is not correctly rounded up
+      |    -- there (1-ulp error caught by the round-10 depth sweep),
+      |    -- while VARCHAR→DOUBLE (strtod) is — route through it, the
+      |    -- exact conversion Spark's Decimal.toDouble performs
+      |    CAST(CAST(q1 AS VARCHAR) AS DOUBLE)
+      |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS ss1,
+      |    CAST(CAST(q2 AS VARCHAR) AS DOUBLE)
+      |      - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS ss2,
       |    CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0 AS df
       |  FROM agg),
       |z AS (SELECT *, (ss1 + ss2) / df AS sp2,

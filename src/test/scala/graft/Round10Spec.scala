@@ -142,6 +142,45 @@ class Round10Spec extends SparkSuite {
     assert(got.nonEmpty, "fixture degenerate — no near-dup pairs")
   }
 
+  test("q296: box-filter downsample replays driver-side, edge blocks included") {
+    import graft.operators.Multimodal
+    import graft.multimodal.Media
+    val texts = Tables.documents(spark, Sf0001)
+      .filter(col("text").isNotNull && col("doc_id") < Media.BlobBatch)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .toMap
+    val rows = Multimodal.bmpDownsample(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    // fixture must exercise BOTH odd width and odd height (edge blocks)
+    assert(rows.exists(_.getAs[Long]("width") % 2 === 1))
+    assert(rows.exists(_.getAs[Long]("height") % 2 === 1))
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val bytes = texts(id).map(java.lang.Byte.toUnsignedLong)
+      val w = (id % Media.BmpWidthMod + 1).toInt
+      val rs = (3 * w + 3) / 4 * 4
+      val h = bytes.length / rs
+      val (ow, oh) = ((w + 1) / 2, (h + 1) / 2)
+      def px(row: Int, c0: Int, ch: Int) = bytes(row * rs + 3 * c0 + ch)
+      def block(rr: Int, cc: Int, ch: Int): Long = {
+        val vs = for {
+          dr <- 0 until math.min(2, h - 2 * rr)
+          dc <- 0 until math.min(2, w - 2 * cc)
+        } yield px(2 * rr + dr, 2 * cc + dc, ch)
+        vs.sum / vs.length
+      }
+      def chan(ch: Int) =
+        for (rr <- 0 until oh; cc <- 0 until ow) yield block(rr, cc, ch)
+      assert(r.getAs[Long]("out_w") === ow.toLong && r.getAs[Long]("out_h") === oh.toLong, s"$r")
+      assert(r.getAs[Long]("sum_b") === chan(0).sum, s"doc $id sum_b")
+      assert(r.getAs[Long]("sum_g") === chan(1).sum, s"doc $id sum_g")
+      assert(r.getAs[Long]("sum_r") === chan(2).sum, s"doc $id sum_r")
+      assert(r.getAs[Long]("peak_r") === chan(2).max, s"doc $id peak_r")
+    }
+  }
+
   test("q293: exact-rational ranking agrees with a driver-side BigInt replay of all 40 rules") {
     val top = Relational.liftTopRules(spark, Sf0001).collect()
     assert(top.length === 10)
