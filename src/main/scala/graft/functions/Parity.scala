@@ -32,6 +32,15 @@ object Parity {
   //    Spark side (cast intermediates down) or Spark rounds on overflow.
   //  * numeric outputs are DOUBLE, never DECIMAL (see class doc); the
   //    oracle mirrors dec2/dec6 with CAST(<decimal expr> AS DOUBLE).
+  //  * ABOVE 2^53 (unscaled), DuckDB 1.0.0's direct HUGEINT→DOUBLE and
+  //    DECIMAL→DOUBLE casts are NOT correctly rounded (round-10 q286
+  //    depth-sweep finding: a Σy² witness converted 1 ulp low at
+  //    sf0.1), while VARCHAR→DOUBLE (strtod) is and matches Spark's
+  //    Decimal.toDouble bit-for-bit. Any oracle converting an exact
+  //    integer witness that can exceed 2^53 must route it
+  //    CAST(CAST(x AS VARCHAR) AS DOUBLE); the dec2/dec6 mirrors are
+  //    exempt only while their unscaled values stay below 2^53 — the
+  //    domain the class doc already pins.
 
   /** Exact money value for INTERNAL arithmetic: double -> DECIMAL(18,2).
     * Oracle mirror: CAST(x AS DECIMAL(18,2)). Not for output columns —

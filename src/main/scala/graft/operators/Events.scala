@@ -3262,14 +3262,21 @@ object Events {
       |  CAST(sxx AS VARCHAR) AS sxx,
       |  CAST(sxy AS VARCHAR) AS sxy,
       |  CAST(syy AS VARCHAR) AS syy,
-      |  CASE WHEN den > 0 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS theta,
+      |  -- num/den/vy are n·Σxy-class witnesses past 2^53: VARCHAR-route
+      |  -- every exact-integer→DOUBLE conversion (the q286 finding —
+      |  -- DuckDB 1.0.0's direct HUGEINT→DOUBLE is not correctly rounded)
+      |  CASE WHEN den > 0 THEN CAST(CAST(num AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(den AS VARCHAR) AS DOUBLE) END AS theta,
       |  CASE WHEN den > 0 AND vy > 0 THEN
-      |    (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
-      |      / (CAST(den AS DOUBLE) * CAST(vy AS DOUBLE)) END AS rho_sq,
+      |    (CAST(CAST(num AS VARCHAR) AS DOUBLE) * CAST(CAST(num AS VARCHAR) AS DOUBLE))
+      |      / (CAST(CAST(den AS VARCHAR) AS DOUBLE)
+      |         * CAST(CAST(vy AS VARCHAR) AS DOUBLE)) END AS rho_sq,
       |  CASE WHEN den > 0 AND vy > 0 THEN
-      |    CAST(vy AS DOUBLE) / (CAST(n AS DOUBLE) * n)
-      |      * (1.0 - (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
-      |        / (CAST(den AS DOUBLE) * CAST(vy AS DOUBLE))) END AS var_adjusted
+      |    CAST(CAST(vy AS VARCHAR) AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+      |      * (1.0 - (CAST(CAST(num AS VARCHAR) AS DOUBLE)
+      |                * CAST(CAST(num AS VARCHAR) AS DOUBLE))
+      |        / (CAST(CAST(den AS VARCHAR) AS DOUBLE)
+      |           * CAST(CAST(vy AS VARCHAR) AS DOUBLE))) END AS var_adjusted
       |FROM t""".stripMargin
 
   def queries: Map[String, Relational.Q] = Map(

@@ -2401,7 +2401,10 @@ object Quality {
        |  CAST(ssr AS VARCHAR) AS ssr_scaled,
        |  CAST(ssd AS VARCHAR) AS ssd_scaled,
        |  CASE WHEN ssr > 0 THEN
-       |    CAST(ssd AS DOUBLE) / CAST(ssr AS DOUBLE)
+       |    -- squared-residual witnesses pass 2^53: VARCHAR-route
+       |    -- (q286 finding)
+       |    CAST(CAST(ssd AS VARCHAR) AS DOUBLE)
+       |      / CAST(CAST(ssr AS VARCHAR) AS DOUBLE)
        |  END AS dw
        |FROM agg ORDER BY nation""".stripMargin
 
