@@ -872,7 +872,13 @@ object Relational {
     * bounded head() on the persisted 20-row pair artifact for minsup
     * (bounded driver control flow, the q226 top-V rationale). */
   def maximalItemsets(spark: SparkSession, dir: String): DataFrame = {
-    val minsup = basketTopPairs(spark, dir).agg(min(col("cnt"))).head().getLong(0)
+    // Defensive read (ADVICE r10): on a degenerate corpus the pairs
+    // artifact is empty and min() returns one NULL row — degrade to the
+    // empty lattice (q263's behavior) instead of an NPE at plan time.
+    // The sentinel value is irrelevant then: an empty pair frame means
+    // the lattice below is empty too.
+    val minsup = Option(basketTopPairs(spark, dir).agg(min(col("cnt"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(Long.MaxValue)
     itemsetLattice(spark, dir)
       .withColumn("minsup", lit(minsup))
       .withColumn("is_frequent", col("support") >= lit(minsup))
@@ -1071,14 +1077,20 @@ object Relational {
       |SELECT ante, cons, cnt AS n_together, fa AS n_ante, fb AS n_cons,
       |  CAST((2 * cnt * 1000000 + fa) // (2 * fa) AS DOUBLE) / 1000000
       |    AS confidence,
-      |  CAST((2 * cnt * nn * 1000000 + fab) // (2 * fab) AS DOUBLE)
-      |    / 1000000 AS lift,
+      |  -- micro-lift and micro-conviction are UNBOUNDED in corpus size
+      |  -- (≈1e6·N when fa=fb=cnt=1 resp. fa−cnt=1), so unlike the
+      |  -- ≤1e6-bounded confidence/leverage micro-units they can cross
+      |  -- 2^53 — VARCHAR-route per the Parity product-class rule (the
+      |  -- engine side is a BIGINT div, correctly rounded by long→double)
+      |  CAST(CAST((2 * cnt * nn * 1000000 + fab) // (2 * fab) AS VARCHAR)
+      |    AS DOUBLE) / 1000000 AS lift,
       |  CAST(CASE WHEN cnt * nn - fab >= 0 THEN 1 ELSE -1 END
       |    * ((2 * ABS(cnt * nn - fab) * 1000000 + nn * nn)
       |       // (2 * nn * nn)) AS DOUBLE) / 1000000 AS leverage,
       |  CASE WHEN fa > cnt THEN
-      |    CAST((2 * (nn - fb) * fa * 1000000 + nn * (fa - cnt))
-      |      // (2 * nn * (fa - cnt)) AS DOUBLE) / 1000000 END AS conviction
+      |    CAST(CAST((2 * (nn - fb) * fa * 1000000 + nn * (fa - cnt))
+      |      // (2 * nn * (fa - cnt)) AS VARCHAR) AS DOUBLE) / 1000000
+      |  END AS conviction
       |FROM m ORDER BY ante, cons""".stripMargin
 
   /** Q293: LIFT-RANKED TOP-K RULE EXPORT — the deployable rule table
@@ -1174,8 +1186,10 @@ object Relational {
       |    / 1000000 AS support,
       |  CAST((2 * cnt * 1000000 + fa) // (2 * fa) AS DOUBLE) / 1000000
       |    AS confidence,
-      |  CAST((2 * cnt * nn * 1000000 + fab) // (2 * fab) AS DOUBLE)
-      |    / 1000000 AS lift,
+      |  -- micro-lift is unbounded (≈1e6·N at fa=fb=cnt=1) → can cross
+      |  -- 2^53; VARCHAR-route per the Parity product-class rule
+      |  CAST(CAST((2 * cnt * nn * 1000000 + fab) // (2 * fab) AS VARCHAR)
+      |    AS DOUBLE) / 1000000 AS lift,
       |  CAST(CASE WHEN cnt * nn - fab >= 0 THEN 1 ELSE -1 END
       |    * ((2 * ABS(cnt * nn - fab) * 1000000 + nn * nn)
       |       // (2 * nn * nn)) AS DOUBLE) / 1000000 AS leverage
