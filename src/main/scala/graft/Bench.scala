@@ -149,6 +149,17 @@ object Bench {
         spark.catalog.dropTempView("bench_warmup_rocksdb")
       } finally spark.conf.set(provKey, prevProv)
     }
+    // Dev-only state-store selector (the driver never sets it): lets the
+    // streaming queries be measured under RocksDB vs the default
+    // HDFS-backed provider without code edits — the r10 task-7 question
+    // (which backend should the 100 TB deployment pick for the
+    // watermark-flush class, q215/q273). q99 keeps its own query-scoped
+    // RocksDB conf either way (its API requires it).
+    sys.env.get("SPARK_GRAFT_STATE_STORE").foreach { s =>
+      if (s == "rocksdb") spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    }
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     // dev-only subset filter (comma-separated name substrings); the
     // driver never sets it, so driver rounds always time every query
@@ -280,6 +291,34 @@ object Bench {
     // without manual adjudication. Pass/fail-neutral — emitted for the
     // reader, never gated on.
     val calUnits = if (calMedian > 0) total / calMedian else -1.0
+    // Contention-robust headlines (VERDICT r10 task 1): `total_cal_units`
+    // divides a cross-pass query-median sum by the cross-pass probe
+    // MEDIAN — a stall window that covers one whole pass inflates ~1/3
+    // of the per-query medians while the probe median can still come
+    // from a quiet pass, so three same-code r10 readings spanned 1.49×.
+    // Two forms that survive a one-pass stall:
+    //  * total_cal_units_robust — each pass's OWN query-time sum divided
+    //    by that pass's OWN probe (a whole-pass slowdown scales numerator
+    //    and denominator together), median across passes. Only queries
+    //    timed in EVERY pass contribute, so a failed rep cannot shrink
+    //    one pass's coverage relative to another's.
+    //  * total_cal_units_min — each query's fastest rep (its least-
+    //    contended measurement) summed, over the fastest probe: the
+    //    "quiet-container" estimate extractable from a contended run.
+    val completeNames = selected.map(_._1)
+      .filter(n => passes.forall(_(n).isDefined))
+    val perPassRatios = passes.flatMap { p =>
+      p(calibrationName).filter(_ > 0).map { probe =>
+        completeNames.map(n => p(n).get).sum / probe
+      }
+    }.sorted
+    val calUnitsRobust =
+      if (perPassRatios.isEmpty) -1.0
+      else perPassRatios(perPassRatios.length / 2)
+    val totalMin = spreads.map(_._2._1).sum
+    val calUnitsMin =
+      if (calTimes.nonEmpty && calTimes.head > 0) totalMin / calTimes.head
+      else -1.0
     // Gate numbers vs evidence payload (VERDICT r9 task 1): the driver
     // keeps only a bounded HEAD and TAIL of the artifact, and the r9
     // drift_remeasure block (44 entries on a noisy container) grew past
@@ -287,7 +326,7 @@ object Bench {
     // text. Emit GATES LAST on the tail-facing metric line (after every
     // unbounded payload) and GATES FIRST on the head-facing summary
     // line, so both truncation directions retain them.
-    val gates = f""""n_queries":${results.size},"calibration":$calMedian%.4f,"failed":$failedJson,"total":$total%.3f,"total_cal_units":$calUnits%.1f"""
+    val gates = f""""n_queries":${results.size},"calibration":$calMedian%.4f,"failed":$failedJson,"total":$total%.3f,"total_cal_units":$calUnits%.1f,"total_cal_units_robust":$calUnitsRobust%.1f,"total_min":$totalMin%.3f,"total_cal_units_min":$calUnitsMin%.1f"""
     val payload = s""""worst":$worst,"worst_cal_units":$worstCal,"calibration_passes":$calPasses,"drift_flags":$driftFlagsJson,"drift_remeasure":$driftRemeasureJson"""
     // summary-first line: survives head-truncation of the artifact
     // (gates lead; the drift re-measure payload is metric-line-only)
