@@ -9,11 +9,16 @@ import graft.Tables
   * `binary` columns with typed metadata, plus the batch plumbing a real
   * decode/feature/resize/frame-sample stage needs.
   *
-  * No media codecs exist in this environment, so the DECODE step is a
-  * clearly-marked deterministic stub ([[DecodeStub]]); everything
-  * around it — binary columns, metadata struct, per-partition batched
-  * processing (the Scala analog of `mapInPandas` arrow batches), frame
-  * slicing, partition-by-kind layout — is real and tested.
+  * The three modalities now carry CONTENT-REAL decoders over staged
+  * public formats: audio = RIFF/WAVE PCM ([[stagedWavRoot]], q262+),
+  * image = uncompressed 24-bit BMP ([[stagedBmpRoot]], q289+), video =
+  * YUV4MPEG2 ([[stagedY4mRoot]], q297/q299) — header fields, frame
+  * markers, and sample/pixel/luma planes all parsed from the bytes and
+  * oracled against the staging derivations. [[DecodeStub]] remains
+  * ONLY as the batch-contract plumbing demo for the parquet-embedded
+  * binary-column layout (q41's metadata shape, q42's mapPartitions
+  * batch contract): its "metadata" is arithmetic on byte length, never
+  * content decode, and no query treats it as one.
   *
   * Scale notes: content rides as `binary` through narrow stages only;
   * feature extraction is mapPartitions (no shuffle); frame sampling
@@ -348,6 +353,84 @@ object Media {
               val out = fs.create(p, true)
               try { out.write(bmpHeader(w, h, rowSize)); out.write(px) }
               finally out.close()
+            }
+          }
+        }
+      val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+      marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .create(marker, true).close()
+    }
+    path
+  }
+
+  /** Y4M staging parameters — width/height cycle small coprime-ish
+    * moduli so frame size w·h hits [4, 20] across files and the
+    * frame count (text length ÷ frame size) spans ~2–140. Single-digit
+    * dims keep the ASCII header a fixed 36 bytes (the engine still
+    * PARSES it — the constant is a fixture property, not a decoder
+    * assumption). Interpolated into BOTH the Scala writer and the
+    * DuckDB oracles. */
+  val Y4mWidthMod = 4 // w = id % 4 + 2 ∈ [2, 5]
+  val Y4mHeightMod = 3 // h = id % 3 + 2 ∈ [2, 4]
+  val Y4mFpsNum = 25
+  val Y4mFpsDen = 1
+
+  /** The YUV4MPEG2 stream header (PUBLIC format: a single ASCII
+    * parameter line, newline-terminated): magic + frame geometry +
+    * frame rate (F<num>:<den>) + progressive + square pixels +
+    * `Cmono` colorspace, under which each frame payload is exactly
+    * w·h luma bytes (one plane, no chroma) — pure integers and raw
+    * bytes, no codec, decodable exactly on both engines. */
+  private[graft] def y4mHeader(w: Int, h: Int): Array[Byte] =
+    s"YUV4MPEG2 W$w H$h F$Y4mFpsNum:$Y4mFpsDen Ip A1:1 Cmono\n"
+      .getBytes("US-ASCII")
+
+  /** Per-frame marker preceding every frame's payload bytes. */
+  private[graft] val Y4mFrameMarker: Array[Byte] =
+    "FRAME\n".getBytes("US-ASCII")
+
+  /** Stage REAL Y4M videos (q297/q299 — the video leg of the WAV/BMP
+    * program, VERDICT r10 task 2, retiring the last [[DecodeStub]]
+    * content surface): per doc, a valid YUV4MPEG2 stream whose
+    * geometry derives deterministically from doc_id (w = id %
+    * [[Y4mWidthMod]] + 2, h = id % [[Y4mHeightMod]] + 2) with the
+    * doc's UTF-8 bytes sliced into full w·h luma frames, each behind
+    * its own `FRAME\n` marker — so the DuckDB oracle recomputes every
+    * field and every frame's luma statistics from the documents table
+    * while the engine PARSES header, markers, and planes from the
+    * staged bytes. Docs too short for one frame are not staged. Same
+    * distributed `_SUCCESS`-guarded writer as [[stagedWavRoot]]. */
+  def stagedY4mRoot(spark: SparkSession, dir: String): String = {
+    val path = graft.Scratch.artifactPath("y4m_corpus", dir, s"_b$BlobBatch")
+    if (!graft.Scratch.artifactComplete(path)) {
+      graft.Scratch.prepareArtifact(path)
+      import spark.implicits._
+      val serializableConf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      Tables.documents(spark, dir)
+        .filter(col("text").isNotNull && col("doc_id") < BlobBatch)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .foreachPartition { it: Iterator[(Long, String)] =>
+          it.foreach { case (docId, text) =>
+            val data = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val w = (docId % Y4mWidthMod + 2).toInt
+            val h = (docId % Y4mHeightMod + 2).toInt
+            val fs = w * h
+            val n = data.length / fs
+            if (n >= 1) {
+              val p = new org.apache.hadoop.fs.Path(s"$path/$docId.y4m")
+              val fs2 = p.getFileSystem(serializableConf.value)
+              val out = fs2.create(p, true)
+              try {
+                out.write(y4mHeader(w, h))
+                var f = 0
+                while (f < n) {
+                  out.write(Y4mFrameMarker)
+                  out.write(data, f * fs, fs)
+                  f += 1
+                }
+              } finally out.close()
             }
           }
         }

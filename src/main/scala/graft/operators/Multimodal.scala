@@ -1171,7 +1171,392 @@ object Multimodal {
        |FROM vals ORDER BY doc_id""".stripMargin
   }
 
+  /** Frame-sampling stride for q299 — every 3rd frame, the q43
+    * semantics on real container content. Interpolated into BOTH the
+    * engine plan and the DuckDB oracle. */
+  private val FrameEvery = 3
+
+  /** Append the parsed YUV4MPEG2 stream-header fields to a frame
+    * carrying (`content` BINARY, `n_bytes` BIGINT). The header is one
+    * newline-terminated ASCII parameter line (magic + geometry +
+    * frame rate + interlacing + aspect + colorspace); under `Cmono`
+    * each frame is a 6-byte `FRAME\n` marker + exactly width·height
+    * luma bytes. `header_ok` pins the full parameter-line grammar,
+    * that the payload divides into whole frames, and that EVERY
+    * frame's marker bytes are intact (a forall over the frame index
+    * space — structural validation of the whole stream, not just the
+    * head). Package-visible so MultimodalSpec can drive it against
+    * literal byte arrays (kernel/literal identity + corrupted-magic
+    * + torn-frame rejection), mirroring [[parseWavHeader]]. */
+  private[graft] def parseY4mHeader(df: DataFrame): DataFrame =
+    df.withColumn("hdr_line", regexp_extract(
+        expr("cast(substring(content, 1, 64) as string)"), "^([^\n]*)\n", 1))
+      .withColumn("header_len", (length(col("hdr_line")) + 1).cast("long"))
+      // try_cast: a corrupt header yields '' extracts — NULL fields and
+      // header_ok=false, never an ANSI cast error (the q262 discipline)
+      .withColumn("width", expr(
+        "try_cast(regexp_extract(hdr_line, '^YUV4MPEG2 W([0-9]+) ', 1) as bigint)"))
+      .withColumn("height", expr(
+        "try_cast(regexp_extract(hdr_line, ' H([0-9]+) ', 1) as bigint)"))
+      .withColumn("fps_num", expr(
+        "try_cast(regexp_extract(hdr_line, ' F([0-9]+):', 1) as bigint)"))
+      .withColumn("fps_den", expr(
+        "try_cast(regexp_extract(hdr_line, ' F[0-9]+:([0-9]+) ', 1) as bigint)"))
+      .withColumn("frame_bytes", col("width") * col("height"))
+      .withColumn("frame_stride", col("frame_bytes") + lit(6L))
+      .withColumn("n_frames", expr(
+        """CASE WHEN frame_bytes >= 1 AND n_bytes > header_len
+          |THEN (n_bytes - header_len) div frame_stride ELSE 0L END""".stripMargin))
+      .withColumn("header_ok", coalesce(
+        col("hdr_line").rlike(
+          "^YUV4MPEG2 W[0-9]+ H[0-9]+ F[0-9]+:[0-9]+ Ip A1:1 Cmono$") &&
+          col("frame_bytes") >= 1 && col("fps_num") >= 1 &&
+          col("n_frames") >= 1 &&
+          expr("(n_bytes - header_len) % frame_stride = 0") &&
+          expr("""forall(sequence(0L, n_frames - 1), f ->
+                 |  cast(substring(content,
+                 |    cast(header_len + f * frame_stride + 1 as int), 6)
+                 |    as string) = 'FRAME\n')""".stripMargin),
+        lit(false)))
+
+  /** Q297: Y4M VIDEO CONTAINER DECODE — the video leg of the
+    * WAV/BMP content-decode program (VERDICT r10 task 2, retiring
+    * [[Media.DecodeStub]]'s last content surface): parse the
+    * YUV4MPEG2 stream header (a fixed PUBLIC format: one ASCII
+    * parameter line, then `FRAME\n`-delimited raw planes) from REAL
+    * staged .y4m blobs ([[Media.stagedY4mRoot]]) read through
+    * `binaryFile`. Every published field — geometry, frame rate,
+    * frame size, FRAME COUNT, the derived exact duration — is DECODED
+    * FROM THE BYTES (the frame count from the stream length and the
+    * marker grammar, validated marker-by-marker); the DuckDB oracle
+    * recomputes the same integers from the documents table (the
+    * staging derivations), so the hash compare proves the container
+    * parse end-to-end.
+    *
+    * Scale shape: per-file-parallel binaryFile scan; the header parse
+    * reads the first 64 bytes, the marker validation is one
+    * in-expression pass over 6-byte slices (work linear in blob
+    * size — the inherent demux cost); output sort the only
+    * exchange. */
+  def y4mDecode(spark: SparkSession, dir: String): DataFrame = {
+    val root = Media.stagedY4mRoot(spark, dir)
+    val scanned = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.y4m")
+      .load(root)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.y4m$", 1).cast("long").as("doc_id"),
+        col("length").cast("long").as("n_bytes"),
+        col("content"))
+    parseY4mHeader(scanned)
+      .select(col("doc_id"), col("header_ok"), col("width"), col("height"),
+        col("fps_num"), col("fps_den"), col("frame_bytes"), col("n_frames"),
+        col("n_bytes"),
+        // exact integer milliseconds: n·1000·den div num (25 fps → 40 ms/frame)
+        expr("n_frames * 1000 * fps_den div fps_num").as("duration_ms"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: recomputes every stream field from the STAGING
+    * derivations (geometry from doc_id, frame count from the text
+    * length, file size from the header-grammar arithmetic) — shares
+    * no parsing logic with the engine. */
+  val y4mDecodeSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(doc_id % ${Media.Y4mWidthMod} + 2 AS BIGINT) AS w,
+       |    CAST(doc_id % ${Media.Y4mHeightMod} + 2 AS BIGINT) AS h,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS len
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND doc_id < ${Media.BlobBatch})
+       |SELECT doc_id, TRUE AS header_ok, w AS width, h AS height,
+       |  CAST(${Media.Y4mFpsNum} AS BIGINT) AS fps_num,
+       |  CAST(${Media.Y4mFpsDen} AS BIGINT) AS fps_den,
+       |  w * h AS frame_bytes, len // (w * h) AS n_frames,
+       |  -- length() not octet_length(): DuckDB 1.0 has no VARCHAR
+       |  -- octet_length, and the header is ASCII (chars ≡ bytes)
+       |  CAST(length('YUV4MPEG2 W' || CAST(w AS VARCHAR)
+       |      || ' H' || CAST(h AS VARCHAR)
+       |      || ' F${Media.Y4mFpsNum}:${Media.Y4mFpsDen} Ip A1:1 Cmono'
+       |      || chr(10)) AS BIGINT)
+       |    + (len // (w * h)) * (6 + w * h) AS n_bytes,
+       |  (len // (w * h)) * 1000 * ${Media.Y4mFpsDen}
+       |    // ${Media.Y4mFpsNum} AS duration_ms
+       |FROM d WHERE len >= w * h
+       |ORDER BY doc_id""".stripMargin
+
+  /** Q299: Y4M FRAME SAMPLING WITH LUMA STATISTICS — q43's
+    * every-k-th-frame semantics on REAL container content: demux
+    * every ${FrameEvery}rd frame of each staged Y4M stream (offsets
+    * from the DECODED header fields and the marker grammar, never the
+    * staging rule) and publish the frame's exact luma-plane byte sum,
+    * peak, and half-up micro-unit mean — the per-frame statistics a
+    * video-curation gate (black-frame detection, scene cut) runs. The
+    * DuckDB oracle recomputes each sampled frame's statistics from
+    * the text bytes at the same slice arithmetic, sharing no demux
+    * logic with the engine.
+    *
+    * Scale shape: per-file-parallel binaryFile scan; frame explosion
+    * is bounded by the sampling stride (output rows = n_frames/k);
+    * each sampled frame's fold touches only ITS OWN ≤w·h plane bytes
+    * (hex of the frame slice, not the whole blob); the only exchange
+    * is the output sort. */
+  def y4mFrameLuma(spark: SparkSession, dir: String): DataFrame = {
+    val root = Media.stagedY4mRoot(spark, dir)
+    def byteAt(o: String) =
+      s"CAST(conv(substring(fhx, ($o) * 2 + 1, 2), 16, 10) AS BIGINT)"
+    val scanned = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.y4m")
+      .load(root)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.y4m$", 1).cast("long").as("doc_id"),
+        col("length").cast("long").as("n_bytes"),
+        col("content"))
+    parseY4mHeader(scanned)
+      .filter(col("header_ok"))
+      .withColumn("frame_idx",
+        explode(expr(s"sequence(0L, n_frames - 1, ${FrameEvery}L)")))
+      .withColumn("fhx", expr(
+        """hex(substring(content,
+          |  cast(header_len + frame_idx * frame_stride + 6 + 1 as int),
+          |  cast(frame_bytes as int)))""".stripMargin))
+      .withColumn("st", expr(
+        s"""aggregate(sequence(0, cast(frame_bytes as int) - 1),
+           |  named_struct('s', 0L, 'p', 0L),
+           |  (a, i) -> named_struct('s', a.s + ${byteAt("i")},
+           |                         'p', greatest(a.p, ${byteAt("i")})))""".stripMargin))
+      .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+        col("n_frames"), col("st.s").as("luma_sum"), col("st.p").as("luma_peak"),
+        (expr("(2 * st.s * 1000000 + frame_bytes) div (2 * frame_bytes)")
+          .cast("double") / 1000000).as("luma_mean"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  /** Oracle: frame f's plane is text bytes [f·w·h, (f+1)·w·h) (ASCII
+    * byte ≡ codepoint, the q264/q290 argument) — the same slice
+    * arithmetic over the SOURCE text vs the engine's demux of the
+    * staged FILE. */
+  val y4mFrameLumaSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text,
+       |    CAST(doc_id % ${Media.Y4mWidthMod} + 2 AS BIGINT) AS w,
+       |    CAST(doc_id % ${Media.Y4mHeightMod} + 2 AS BIGINT) AS h,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS len
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND doc_id < ${Media.BlobBatch}),
+       |g AS (
+       |  SELECT doc_id, text, w, h, w * h AS fs, len // (w * h) AS n
+       |  FROM d WHERE len >= w * h),
+       |f AS (
+       |  SELECT doc_id, text, w, h, fs, n,
+       |    unnest(generate_series(0, CAST(n AS INT) - 1, $FrameEvery)) AS fi
+       |  FROM g),
+       |s AS (
+       |  SELECT doc_id, fi, w, h, fs, n,
+       |    list_transform(generate_series(1, CAST(fs AS INT)), j ->
+       |      ascii(substring(text, CAST(fi * fs + j AS INT), 1))) AS bs
+       |  FROM f)
+       |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx, w AS width,
+       |  h AS height, n AS n_frames,
+       |  CAST(list_sum(bs) AS BIGINT) AS luma_sum,
+       |  CAST(list_max(bs) AS BIGINT) AS luma_peak,
+       |  CAST((2 * list_sum(bs) * 1000000 + fs) // (2 * fs) AS DOUBLE)
+       |    / 1000000 AS luma_mean
+       |FROM s ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** Scene-cut threshold for q300: a cut is a consecutive-frame mean-
+    * luma jump > 16 luma units, decided EXACTLY as |Δ plane sum| >
+    * 16·frame_bytes (same denominator — the comparison never leaves
+    * integers). Interpolated into BOTH engines. */
+  private val CutLumaJump = 16
+
+  /** Q300: VIDEO SCENE-CUT DETECTION — the classic shot-boundary
+    * screen over the REAL demuxed Y4M streams: per video, the number
+    * of consecutive-frame mean-luma jumps beyond [[CutLumaJump]], the
+    * largest jump (exact sum delta + half-up micro-unit mean delta),
+    * and the first cut's frame index. ALL frames participate (stride
+    * 1 — unlike q299's sampling, a cut between skipped frames must
+    * not be missed); offsets come from the DECODED header and marker
+    * grammar. The DuckDB oracle recomputes every per-frame sum and
+    * every delta from the text slice arithmetic.
+    *
+    * Exactness: plane sums are exact longs; the cut test and the max
+    * delta are pure integer comparisons (means share the frame-size
+    * denominator, so |Δmean| > T ⟺ |Δsum| > T·fs exactly).
+    *
+    * Scale shape: per-file-parallel binaryFile scan; ONE hex of the
+    * payload region and one fold per frame (work linear in blob size
+    * — the inherent decode cost); per-video output is a single
+    * bounded row; output sort the only exchange. */
+  def y4mSceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    val root = Media.stagedY4mRoot(spark, dir)
+    // unsigned byte at 0-based offset `o` of the hex-encoded PAYLOAD
+    // region (everything after the parameter line)
+    def byteAt(o: String) =
+      s"CAST(conv(substring(hx, ($o) * 2 + 1, 2), 16, 10) AS BIGINT)"
+    val scanned = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.y4m")
+      .load(root)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.y4m$", 1).cast("long").as("doc_id"),
+        col("length").cast("long").as("n_bytes"),
+        col("content"))
+    parseY4mHeader(scanned)
+      .filter(col("header_ok"))
+      .withColumn("hx", expr(
+        "hex(substring(content, cast(header_len + 1 as int), cast(n_bytes - header_len as int)))"))
+      .withColumn("sums", expr(
+        s"""transform(sequence(0, cast(n_frames as int) - 1), f ->
+           |  aggregate(sequence(0, cast(frame_bytes as int) - 1), 0L,
+           |    (a, i) -> a + ${byteAt("f * frame_stride + 6 + i")}))""".stripMargin))
+      // guard every sequence over [1, n_frames-1]: at n_frames = 1 that
+      // range is DESCENDING, not empty (the q290 lesson)
+      .withColumn("cuts", expr(
+        s"""CASE WHEN n_frames >= 2 THEN
+           |  filter(sequence(1L, n_frames - 1), f ->
+           |    abs(element_at(sums, cast(f + 1 as int))
+           |        - element_at(sums, cast(f as int)))
+           |      > $CutLumaJump * frame_bytes)
+           |ELSE cast(array() as array<bigint>) END""".stripMargin))
+      .withColumn("max_delta", expr(
+        s"""CASE WHEN n_frames >= 2 THEN
+           |  aggregate(sequence(1L, n_frames - 1), 0L, (a, f) ->
+           |    greatest(a, abs(element_at(sums, cast(f + 1 as int))
+           |                    - element_at(sums, cast(f as int)))))
+           |ELSE 0L END""".stripMargin))
+      .select(col("doc_id"), col("n_frames"), col("frame_bytes"),
+        size(col("cuts")).cast("long").as("n_cuts"),
+        expr("try_element_at(cuts, 1)").as("first_cut_idx"),
+        col("max_delta").as("max_delta_sum"),
+        (expr("(2 * max_delta * 1000000 + frame_bytes) div (2 * frame_bytes)")
+          .cast("double") / 1000000).as("max_delta_mean"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: per-frame sums from the text slices (q299's arithmetic),
+    * deltas and the exact integer cut test replayed over the sum list
+    * (DuckDB lists are 1-indexed; generate_series(1, 0) is EMPTY
+    * there, so only the list_max needs the n ≥ 2 guard). */
+  val y4mSceneCutsSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text,
+       |    CAST(doc_id % ${Media.Y4mWidthMod} + 2 AS BIGINT) AS w,
+       |    CAST(doc_id % ${Media.Y4mHeightMod} + 2 AS BIGINT) AS h,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS len
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND doc_id < ${Media.BlobBatch}),
+       |g AS (
+       |  SELECT doc_id, text, w * h AS fs, len // (w * h) AS n
+       |  FROM d WHERE len >= w * h),
+       |s AS (
+       |  SELECT doc_id, fs, n,
+       |    list_transform(generate_series(0, CAST(n AS INT) - 1), f ->
+       |      list_sum(list_transform(generate_series(1, CAST(fs AS INT)), j ->
+       |        ascii(substring(text, CAST(f * fs + j AS INT), 1))))) AS sums
+       |  FROM g),
+       |c AS (
+       |  SELECT doc_id, fs, n, sums,
+       |    list_filter(generate_series(1, CAST(n AS INT) - 1), f ->
+       |      abs(sums[f + 1] - sums[f]) > $CutLumaJump * fs) AS cuts,
+       |    CASE WHEN n >= 2 THEN list_max(
+       |      list_transform(generate_series(1, CAST(n AS INT) - 1), f ->
+       |        abs(sums[f + 1] - sums[f])))
+       |    ELSE 0 END AS maxd
+       |  FROM s)
+       |SELECT doc_id, n AS n_frames, fs AS frame_bytes,
+       |  CAST(len(cuts) AS BIGINT) AS n_cuts,
+       |  CAST(cuts[1] AS BIGINT) AS first_cut_idx,
+       |  CAST(maxd AS BIGINT) AS max_delta_sum,
+       |  CAST((2 * maxd * 1000000 + fs) // (2 * fs) AS DOUBLE) / 1000000
+       |    AS max_delta_mean
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Q298: SPARK IMAGE-DATASOURCE DECODE — the idiomatic Spark
+    * multimodal scan path (VERDICT r10 task 3): read the SAME staged
+    * BMPs through the built-in `spark.read.format("image")` source
+    * (ImageIO-backed, from spark-mllib) and publish its decoded
+    * geometry (height, width, nChannels, OpenCV mode) plus exact
+    * per-channel byte sums over the datasource's packed BGR `data`
+    * buffer. Twin discipline: the DuckDB oracle recomputes everything
+    * from the documents table, and MultimodalSpec pins
+    * datasource-decode ≡ q290's hand-rolled expression decode
+    * (sums/geometry equal per image) — two independent decoders, one
+    * truth. Note the datasource's data buffer is PACKED (ImageIO
+    * strips the BMP row padding) and row order is top-down (q290
+    * reads the file's bottom-up rows) — whole-image channel sums are
+    * invariant to both, which is what makes the pin exact.
+    *
+    * Scale shape: the image source parallelizes per file like
+    * binaryFile; the channel fold is one in-expression pass over the
+    * decoded buffer; output sort the only exchange. */
+  def imageDatasourceDecode(spark: SparkSession, dir: String): DataFrame = {
+    val root = Media.stagedBmpRoot(spark, dir)
+    def byteAt(o: String) =
+      s"CAST(conv(substring(hx, ($o) * 2 + 1, 2), 16, 10) AS BIGINT)"
+    val px = (c: Int) => byteAt(s"3 * i + $c")
+    spark.read.format("image")
+      .option("dropInvalid", "true")
+      .option("pathGlobFilter", "*.bmp")
+      .load(root)
+      .select(
+        regexp_extract(col("image.origin"), "([0-9]+)\\.bmp$", 1)
+          .cast("long").as("doc_id"),
+        col("image.height").cast("long").as("height"),
+        col("image.width").cast("long").as("width"),
+        col("image.nChannels").cast("long").as("n_channels"),
+        col("image.mode").cast("long").as("mode"),
+        col("image.data").as("data"))
+      .withColumn("np", col("width") * col("height"))
+      .withColumn("hx", expr("hex(data)"))
+      .withColumn("st", expr(
+        s"""aggregate(sequence(0, cast(np as int) - 1),
+           |  named_struct('sb', 0L, 'sg', 0L, 'sr', 0L),
+           |  (a, i) -> named_struct(
+           |    'sb', a.sb + ${px(0)}, 'sg', a.sg + ${px(1)},
+           |    'sr', a.sr + ${px(2)}))""".stripMargin))
+      .select(col("doc_id"), col("height"), col("width"),
+        col("n_channels"), col("mode"), col("np").as("n_pixels"),
+        col("st.sb").as("sum_b"), col("st.sg").as("sum_g"),
+        col("st.sr").as("sum_r"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: geometry from the staging derivations; channel sums via
+    * q290's stride/padding index math over the text characters (the
+    * padding bytes never enter a sum, matching the datasource's
+    * packed buffer); nChannels/mode are the image schema's constants
+    * for 24-bit color (3 channels, OpenCV CV_8UC3 = 16). */
+  val imageDatasourceDecodeSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text,
+       |    CAST(doc_id % ${Media.BmpWidthMod} + 1 AS BIGINT) AS w,
+       |    CAST((3 * (doc_id % ${Media.BmpWidthMod} + 1) + 3) // 4 * 4 AS BIGINT) AS rs,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS len
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND doc_id < ${Media.BlobBatch}),
+       |g AS (
+       |  SELECT doc_id, text, w, rs, len // rs AS h, w * (len // rs) AS np
+       |  FROM d WHERE len >= rs),
+       |ch AS (
+       |  SELECT doc_id, w, h, np,
+       |    list_sum(list_transform(generate_series(0, CAST(np AS INT) - 1), i ->
+       |      ascii(substring(text, CAST((i // w) * rs + 3 * (i % w) + 1 AS INT), 1)))) AS sb,
+       |    list_sum(list_transform(generate_series(0, CAST(np AS INT) - 1), i ->
+       |      ascii(substring(text, CAST((i // w) * rs + 3 * (i % w) + 2 AS INT), 1)))) AS sg,
+       |    list_sum(list_transform(generate_series(0, CAST(np AS INT) - 1), i ->
+       |      ascii(substring(text, CAST((i // w) * rs + 3 * (i % w) + 3 AS INT), 1)))) AS sr
+       |  FROM g)
+       |SELECT doc_id, h AS height, w AS width,
+       |  CAST(3 AS BIGINT) AS n_channels, CAST(16 AS BIGINT) AS mode,
+       |  np AS n_pixels,
+       |  CAST(sb AS BIGINT) AS sum_b, CAST(sg AS BIGINT) AS sum_g,
+       |  CAST(sr AS BIGINT) AS sum_r
+       |FROM ch ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q297_y4m_decode" -> (y4mDecode _),
+    "q300_y4m_scene_cuts" -> (y4mSceneCuts _),
+    "q298_image_datasource" -> (imageDatasourceDecode _),
+    "q299_y4m_frame_luma" -> (y4mFrameLuma _),
     "q296_bmp_downsample" -> (bmpDownsample _),
     "q288_media_features_twin" -> (mediaFeaturesTwin _),
     "q289_bmp_decode" -> (bmpDecode _),
@@ -1194,6 +1579,10 @@ object Multimodal {
     // q42 omitted: mapPartitions batch path, spec-tested instead —
     // its feature math is fully oracled through the q288 twin.
     "q288_media_features_twin" -> mediaFeaturesTwinSql,
+    "q297_y4m_decode" -> y4mDecodeSql,
+    "q300_y4m_scene_cuts" -> y4mSceneCutsSql,
+    "q298_image_datasource" -> imageDatasourceDecodeSql,
+    "q299_y4m_frame_luma" -> y4mFrameLumaSql,
     "q289_bmp_decode" -> bmpDecodeSql,
     "q290_bmp_pixel_stats" -> bmpPixelStatsSql,
     "q294_bmp_fingerprint" -> bmpFingerprintSql,

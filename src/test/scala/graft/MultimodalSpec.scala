@@ -229,6 +229,121 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("q297 Y4M parser: literal stream identity; magic, torn-frame and torn-marker rejection") {
+    import spark.implicits._
+    // a known stream built by the SAME header builder the stager uses:
+    // 7×3 (width 7 not in the staged universe {2..5} — proves the parse
+    // reads bytes, not the staging distribution), 2 frames of 21 bytes
+    val w = 7; val h = 3; val fs = w * h
+    val marker = Media.Y4mFrameMarker
+    val plane1 = Array.tabulate[Byte](fs)(_.toByte)
+    val plane2 = Array.tabulate[Byte](fs)(i => (i + 40).toByte)
+    val good = Media.y4mHeader(w, h) ++ marker ++ plane1 ++ marker ++ plane2
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    val torn = good.dropRight(1) // payload no longer divides into frames
+    // corrupt the SECOND frame's marker: header and sizes stay intact,
+    // only the per-frame structural validation can catch it
+    val badMarker = good.clone(); badMarker(36 + 6 + fs) = 'G'.toByte
+    val df = Seq((1L, good), (2L, badMagic), (3L, torn), (4L, badMarker))
+      .toDF("id", "content")
+      .withColumn("n_bytes", octet_length(col("content")).cast("long"))
+    val parsed = Multimodal.parseY4mHeader(df).collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    val g = parsed(1L)
+    assert(g.getAs[Boolean]("header_ok"))
+    assert(g.getAs[Long]("header_len") === 36L)
+    assert(g.getAs[Long]("width") === w.toLong)
+    assert(g.getAs[Long]("height") === h.toLong)
+    assert(g.getAs[Long]("fps_num") === Media.Y4mFpsNum.toLong)
+    assert(g.getAs[Long]("fps_den") === Media.Y4mFpsDen.toLong)
+    assert(g.getAs[Long]("frame_bytes") === fs.toLong)
+    assert(g.getAs[Long]("n_frames") === 2L)
+    assert(!parsed(2L).getAs[Boolean]("header_ok"), "corrupt magic must fail")
+    assert(!parsed(3L).getAs[Boolean]("header_ok"), "torn frame must fail")
+    assert(!parsed(4L).getAs[Boolean]("header_ok"), "torn marker must fail")
+    // geometry still parses on the torn-frame file — report, not throw
+    assert(parsed(3L).getAs[Long]("width") === w.toLong)
+  }
+
+  test("q297/q299 staged corpus: streams decode ok; sampled frame lumas replay from source text") {
+    val dec = graft.operators.Multimodal.y4mDecode(spark, Sf0001).cache()
+    assert(dec.count() > 0)
+    assert(dec.filter(!col("header_ok")).count() === 0)
+    // stream-size law: file = header(36) + n · (marker(6) + plane)
+    assert(dec.filter(col("n_bytes") =!=
+      lit(36L) + col("n_frames") * (col("frame_bytes") + 6)).count() === 0)
+    assert(dec.filter(!col("width").between(2, 1 + Media.Y4mWidthMod)).count() === 0)
+    assert(dec.filter(col("duration_ms") =!= col("n_frames") * 40).count() === 0)
+    dec.unpersist()
+    val rows = graft.operators.Multimodal.y4mFrameLuma(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val texts = Tables.documents(spark, Sf0001)
+      .filter(col("text").isNotNull && col("doc_id") < Media.BlobBatch)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    // driver replay from the SOURCE TEXT (the staging input): frame f's
+    // plane is text bytes [f·fs, (f+1)·fs); only every-3rd frame appears
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id"); val f = r.getAs[Long]("frame_idx")
+      assert(f % 3 === 0, s"doc $id frame $f not on the sampling stride")
+      val bytes = texts(id).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(java.lang.Byte.toUnsignedLong)
+      val fs = (r.getAs[Long]("width") * r.getAs[Long]("height")).toInt
+      val plane = bytes.slice(f.toInt * fs, f.toInt * fs + fs)
+      assert(r.getAs[Long]("luma_sum") === plane.sum, s"doc $id frame $f sum")
+      assert(r.getAs[Long]("luma_peak") === plane.max, s"doc $id frame $f peak")
+    }
+    // per-doc sampled-frame count = ceil(n_frames / 3)
+    val perDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    perDoc.foreach { case (id, rs) =>
+      val n = rs.head.getAs[Long]("n_frames")
+      assert(rs.length.toLong === (n + 2) / 3, s"doc $id sampled count")
+    }
+  }
+
+  test("q300 scene cuts: census replays from source text with the exact integer test") {
+    val rows = graft.operators.Multimodal.y4mSceneCuts(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val texts = Tables.documents(spark, Sf0001)
+      .filter(col("text").isNotNull && col("doc_id") < Media.BlobBatch)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val fs = r.getAs[Long]("frame_bytes").toInt
+      val n = r.getAs[Long]("n_frames").toInt
+      val bytes = texts(id).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(java.lang.Byte.toUnsignedLong)
+      val sums = (0 until n).map(f => bytes.slice(f * fs, (f + 1) * fs).sum)
+      val deltas = (1 until n).map(f => (sums(f) - sums(f - 1)).abs)
+      val cuts = (1 until n).filter(f => deltas(f - 1) > 16L * fs)
+      assert(r.getAs[Long]("n_cuts") === cuts.length.toLong, s"doc $id cuts")
+      assert(Option(r.getAs[java.lang.Long]("first_cut_idx")).map(_.toLong)
+        === cuts.headOption.map(_.toLong), s"doc $id first cut")
+      assert(r.getAs[Long]("max_delta_sum")
+        === (if (n >= 2) deltas.max else 0L), s"doc $id max delta")
+    }
+  }
+
+  test("q298 image datasource ≡ q290 expression decoder (two decoders, one truth)") {
+    val ds = graft.operators.Multimodal.imageDatasourceDecode(spark, Sf0001).cache()
+    assert(ds.count() > 0)
+    // the datasource decodes every staged BMP as 3-channel CV_8UC3
+    assert(ds.filter(col("n_channels") =!= 3 || col("mode") =!= 16).count() === 0)
+    val ex = graft.operators.Multimodal.bmpPixelStats(spark, Sf0001)
+      .select(col("doc_id"), col("width").as("x_w"), col("height").as("x_h"),
+        col("sum_b").as("x_b"), col("sum_g").as("x_g"), col("sum_r").as("x_r"))
+    // inner join must lose no rows on either side, and every geometry
+    // and channel-sum must agree between ImageIO and the hand decoder
+    val j = ds.join(ex, Seq("doc_id")).cache()
+    assert(j.count() === ds.count())
+    assert(j.count() === ex.count())
+    assert(j.filter(col("width") =!= col("x_w") || col("height") =!= col("x_h") ||
+      col("sum_b") =!= col("x_b") || col("sum_g") =!= col("x_g") ||
+      col("sum_r") =!= col("x_r")).count() === 0)
+    j.unpersist(); ds.unpersist()
+  }
+
   test("frame sampling: every 4th frame, bytes reassemble arithmetically") {
     val out = Multimodal.frameSample(spark, Sf0001).cache()
     // n_sampled = ceil(n_frames / 4)
