@@ -181,7 +181,31 @@ object Bench {
         .groupBy("l_returnflag", "l_linestatus")
         .agg(org.apache.spark.sql.functions.sum("l_quantity").as("q"),
           org.apache.spark.sql.functions.count("*").as("n"))
-    val timed = selected :+ (calibrationName -> probe)
+    // Probe battery (round-11): the scan/agg probe's OWN reading moves
+    // ±20% across sessions in ways the query medians don't follow (an
+    // IO-bound shape — page-cache state dominates it), which caps the
+    // precision of any single-probe cal-unit comparison; two round-11
+    // same-code runs had raw per-query medians within 4% while their
+    // probes disagreed 7%. Two more fixed shapes probe the other
+    // resources — a high-cardinality shuffle and a pure-compute string
+    // kernel — so cross-round analysis can normalize against whichever
+    // resource actually drifted. `calibration` stays the scan probe for
+    // cross-round continuity; the battery medians ride alongside.
+    val shuffleProbeName = "__calibration_shuffle"
+    val shuffleProbe: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, dir) => s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_partkey")
+        .agg(org.apache.spark.sql.functions.sum("l_quantity").as("q"),
+          org.apache.spark.sql.functions.count("*").as("n"))
+    val computeProbeName = "__calibration_compute"
+    val computeProbe: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, dir) => s.read.parquet(s"$dir/documents.parquet")
+        .select(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.length(
+            org.apache.spark.sql.functions.regexp_replace(
+              org.apache.spark.sql.functions.col("text"), "[aeiou]", ""))).as("x"))
+    val timed = selected :+ (calibrationName -> probe) :+
+      (shuffleProbeName -> shuffleProbe) :+ (computeProbeName -> computeProbe)
     // `reps` full passes over the suite, each in a fresh shuffled order.
     // A failed rep records NO time: a query dying in 50ms at plan time
     // must not contribute a near-zero median that makes the headline
@@ -214,6 +238,12 @@ object Bench {
     val results = spreads.map { case (name, (_, med, _)) => name -> med }
     val calTimes = passes.flatMap(_(calibrationName)).sorted
     val calMedian = if (calTimes.isEmpty) -1.0 else calTimes(calTimes.length / 2)
+    def probeMedian(name: String): Double = {
+      val ts = passes.flatMap(_(name)).sorted
+      if (ts.isEmpty) -1.0 else ts(ts.length / 2)
+    }
+    val calShuffle = probeMedian(shuffleProbeName)
+    val calCompute = probeMedian(computeProbeName)
     // Drift auto-adjudication (round-9, VERDICT r8 task 3): a single
     // rep far above its siblings on identical code is the q147/q91
     // drift class (GC/page-cache spike) — previously adjudicated by a
@@ -302,9 +332,16 @@ object Bench {
     //    and denominator together), median across passes. Only queries
     //    timed in EVERY pass contribute, so a failed rep cannot shrink
     //    one pass's coverage relative to another's.
-    //  * total_cal_units_min — each query's fastest rep (its least-
-    //    contended measurement) summed, over the fastest probe: the
-    //    "quiet-container" estimate extractable from a contended run.
+    //  * total_min / total_cal_units_min — each query's fastest rep (its
+    //    least-contended measurement) summed; the cal-unit form divides
+    //    by the MEDIAN probe (dividing by the fastest probe mixed two
+    //    different windows and overstated whenever the probe's own min
+    //    was an outlier — the round-11 R1/R2 finding). Empirically the
+    //    RAW total_min is the most reproducible cross-session statistic
+    //    on same-class hardware (292.3 vs 290.5 s across two round-11
+    //    sessions whose probes disagreed by 7%): prefer it for
+    //    round-over-round trend reads; use cal-units only to adjudicate
+    //    gross (≥2×) container-speed changes.
     val completeNames = selected.map(_._1)
       .filter(n => passes.forall(_(n).isDefined))
     val perPassRatios = passes.flatMap { p =>
@@ -316,9 +353,7 @@ object Bench {
       if (perPassRatios.isEmpty) -1.0
       else perPassRatios(perPassRatios.length / 2)
     val totalMin = spreads.map(_._2._1).sum
-    val calUnitsMin =
-      if (calTimes.nonEmpty && calTimes.head > 0) totalMin / calTimes.head
-      else -1.0
+    val calUnitsMin = if (calMedian > 0) totalMin / calMedian else -1.0
     // Gate numbers vs evidence payload (VERDICT r9 task 1): the driver
     // keeps only a bounded HEAD and TAIL of the artifact, and the r9
     // drift_remeasure block (44 entries on a noisy container) grew past
@@ -326,7 +361,7 @@ object Bench {
     // text. Emit GATES LAST on the tail-facing metric line (after every
     // unbounded payload) and GATES FIRST on the head-facing summary
     // line, so both truncation directions retain them.
-    val gates = f""""n_queries":${results.size},"calibration":$calMedian%.4f,"failed":$failedJson,"total":$total%.3f,"total_cal_units":$calUnits%.1f,"total_cal_units_robust":$calUnitsRobust%.1f,"total_min":$totalMin%.3f,"total_cal_units_min":$calUnitsMin%.1f"""
+    val gates = f""""n_queries":${results.size},"calibration":$calMedian%.4f,"calibration_shuffle":$calShuffle%.4f,"calibration_compute":$calCompute%.4f,"failed":$failedJson,"total":$total%.3f,"total_cal_units":$calUnits%.1f,"total_cal_units_robust":$calUnitsRobust%.1f,"total_min":$totalMin%.3f,"total_cal_units_min":$calUnitsMin%.1f"""
     val payload = s""""worst":$worst,"worst_cal_units":$worstCal,"calibration_passes":$calPasses,"drift_flags":$driftFlagsJson,"drift_remeasure":$driftRemeasureJson"""
     // summary-first line: survives head-truncation of the artifact
     // (gates lead; the drift re-measure payload is metric-line-only)
