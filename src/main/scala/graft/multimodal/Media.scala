@@ -441,6 +441,58 @@ object Media {
     path
   }
 
+  /** The SECOND Y4M generation for q302's near-dup pairs (the video
+    * analog of [[stagedBmpRootV2]]): every 7th staged video
+    * re-rendered with ONE plane byte perturbed (+1 mod 256 on plane
+    * byte 1 — frame 0's second luma sample; frame size ≥ 4 so the
+    * index always exists), the minimal content edit a temporal
+    * fingerprint must shrug off. Same geometry, same header, same
+    * markers; only the one byte differs, so the DuckDB oracle replays
+    * the variant from the text with the same +1 fold. */
+  def stagedY4mRootV2(spark: SparkSession, dir: String): String = {
+    val path = graft.Scratch.artifactPath("y4m_corpus_v2", dir, s"_b$BlobBatch")
+    if (!graft.Scratch.artifactComplete(path)) {
+      graft.Scratch.prepareArtifact(path)
+      import spark.implicits._
+      val serializableConf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      Tables.documents(spark, dir)
+        .filter(col("text").isNotNull && col("doc_id") < BlobBatch &&
+          col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .foreachPartition { it: Iterator[(Long, String)] =>
+          it.foreach { case (docId, text) =>
+            val data = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val w = (docId % Y4mWidthMod + 2).toInt
+            val h = (docId % Y4mHeightMod + 2).toInt
+            val fs = w * h
+            val n = data.length / fs
+            if (n >= 1) {
+              val px = data.take(n * fs).clone()
+              px(1) = ((java.lang.Byte.toUnsignedInt(px(1)) + 1) % 256).toByte
+              val p = new org.apache.hadoop.fs.Path(s"$path/$docId.y4m")
+              val fs2 = p.getFileSystem(serializableConf.value)
+              val out = fs2.create(p, true)
+              try {
+                out.write(y4mHeader(w, h))
+                var f = 0
+                while (f < n) {
+                  out.write(Y4mFrameMarker)
+                  out.write(px, f * fs, fs)
+                  f += 1
+                }
+              } finally out.close()
+            }
+          }
+        }
+      val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+      marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .create(marker, true).close()
+    }
+    path
+  }
+
   private def stageBlobs(spark: SparkSession, dir: String, kind: String,
       docs: org.apache.spark.sql.DataFrame): String = {
     val path = graft.Scratch.artifactPath(kind, dir, s"_b$BlobBatch")

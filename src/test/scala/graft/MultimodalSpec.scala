@@ -325,6 +325,70 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("q301/q302: video fingerprints replay driver-side; banded pairs equal the exact quadratic set") {
+    // driver replay of the 56-bit plane-luma fingerprint from the
+    // CONCATENATED planes (what a correct marker-skipping demux yields)
+    def fpOf(planes: Array[Byte]): Option[(Long, Long, Long)] = {
+      val pb = planes.length
+      if (pb < 56) None
+      else {
+        val lumas = planes.map(java.lang.Byte.toUnsignedLong)
+        val total = lumas.map(BigInt(_)).sum
+        var fp = 0L
+        (0 until 56).foreach { b =>
+          val lo = (b.toLong * pb / 56).toInt
+          val hi = ((b + 1).toLong * pb / 56).toInt
+          val bs = lumas.slice(lo, hi).map(BigInt(_)).sum
+          if (bs * pb > total * (hi - lo)) fp |= 1L << b
+        }
+        Some((pb.toLong, total.toLong, fp))
+      }
+    }
+    val texts = Tables.documents(spark, Sf0001)
+      .filter(col("text").isNotNull && col("doc_id") < Media.BlobBatch)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def planesOf(id: Long, bs: Array[Byte]): Option[Array[Byte]] = {
+      val fs = ((id % Media.Y4mWidthMod + 2) * (id % Media.Y4mHeightMod + 2)).toInt
+      val n = bs.length / fs
+      if (n < 1) None else Some(bs.take(n * fs))
+    }
+    val g1 = texts.flatMap { case (id, bs) =>
+      planesOf(id, bs).flatMap(fpOf).map(id -> _)
+    }.toMap
+    val q301 = graft.operators.Multimodal.y4mFingerprint(spark, Sf0001).collect()
+    assert(q301.nonEmpty && q301.length === g1.size)
+    q301.foreach { r =>
+      val (pb, total, fp) = g1(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("plane_bytes") === pb, s"$r")
+      assert(r.getAs[Long]("luma_sum") === total, s"$r")
+      assert(r.getAs[Long]("fp") === fp, s"$r")
+    }
+    // gen-2 replay: the staged single-plane-byte perturbation
+    val g2 = texts.filter(_._1 % 7 == 0).flatMap { case (id, bs) =>
+      planesOf(id, bs).flatMap { px =>
+        val p = px.clone()
+        p(1) = ((java.lang.Byte.toUnsignedInt(p(1)) + 1) % 256).toByte
+        fpOf(p)
+      }.map(id -> _)
+    }.toMap
+    // the banded result must equal the EXACT quadratic same-length pair
+    // set (banding lossless at radius 3 by pigeonhole over 7 bands)
+    val all = g1.toSeq.map { case (id, (pb, _, fp)) => (id, 1L, pb, fp) } ++
+      g2.toSeq.map { case (id, (pb, _, fp)) => (id, 2L, pb, fp) }
+    val expect = (for {
+      x <- all; y <- all
+      if x._3 == y._3 && (x._1 < y._1 || (x._1 == y._1 && x._2 < y._2))
+      if java.lang.Long.bitCount(x._4 ^ y._4) <= 3
+    } yield (x._1, x._2, y._1, y._2)).toSet
+    val got = graft.operators.Multimodal.y4mNearDup(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("gen_a"),
+        r.getAs[Long]("id_b"), r.getAs[Long]("gen_b")))
+    assert(got.toSet === expect, "banded pair set diverged from the exact sweep")
+    assert(got.nonEmpty, "fixture degenerate — no near-dup pairs")
+  }
+
   test("q298 image datasource ≡ q290 expression decoder (two decoders, one truth)") {
     val ds = graft.operators.Multimodal.imageDatasourceDecode(spark, Sf0001).cache()
     assert(ds.count() > 0)
