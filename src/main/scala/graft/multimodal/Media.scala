@@ -242,6 +242,51 @@ object Media {
     path
   }
 
+  /** The SECOND WAV generation for q304's near-dup pairs (the audio
+    * analog of [[stagedBmpRootV2]]/[[stagedY4mRootV2]]): every 7th
+    * staged file re-rendered with ONE data byte perturbed (+1 mod 256
+    * on data byte 1 — sample 0's HIGH byte, so the edit moves one
+    * sample by ±256 or a sign wrap: a real one-sample glitch the
+    * energy-envelope fingerprint must shrug off). Same header (data
+    * length unchanged); the DuckDB oracle replays the variant from
+    * the text with the same +1 fold on the high byte. */
+  def stagedWavRootV2(spark: SparkSession, dir: String): String = {
+    val path = graft.Scratch.artifactPath("wav_corpus_v2", dir, s"_b$BlobBatch")
+    if (!graft.Scratch.artifactComplete(path)) {
+      graft.Scratch.prepareArtifact(path)
+      import spark.implicits._
+      val serializableConf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      Tables.documents(spark, dir)
+        .filter(col("text").isNotNull && col("doc_id") < BlobBatch &&
+          col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .foreachPartition { it: Iterator[(Long, String)] =>
+          it.foreach { case (docId, text) =>
+            val data = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            if (data.length >= 2) {
+              val px = data.clone()
+              px(1) = ((java.lang.Byte.toUnsignedInt(px(1)) + 1) % 256).toByte
+              val channels = (docId % 2 + 1).toInt
+              val rate = WavRates(((docId % 3) + 3).toInt % 3)
+              val p = new org.apache.hadoop.fs.Path(s"$path/$docId.wav")
+              val fs = p.getFileSystem(serializableConf.value)
+              val out = fs.create(p, true)
+              try {
+                out.write(wavHeader(px.length, channels, rate, WavBits))
+                out.write(px)
+              } finally out.close()
+            }
+          }
+        }
+      val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+      marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .create(marker, true).close()
+    }
+    path
+  }
+
   /** BMP staging parameter: width cycles doc_id % 6 + 1 ∈ [1, 6] —
     * every width class exercises a DIFFERENT row padding (3w mod 4
     * hits 3, 2, 1, 0, 3, 2), so the padding-skip logic is covered by

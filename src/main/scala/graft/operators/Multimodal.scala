@@ -1646,6 +1646,170 @@ object Multimodal {
        |WHERE bit_count(xor(a.fp, b.fp)) <= $FpHamming
        |ORDER BY id_a, gen_a, id_b, gen_b""".stripMargin
 
+  /** Per-file 56-bit ENERGY-ENVELOPE fingerprint from the decoded
+    * signed PCM stream — the audio analog of [[bmpFingerprints]] /
+    * [[y4mFingerprints]]: sample-index band b = [b·ns/56,
+    * (b+1)·ns/56), bit b = 1 iff the band's mean |sample| exceeds the
+    * stream mean |sample| — the coarse loudness envelope an audio
+    * perceptual hash quantizes. The |sample| values ride q264's
+    * SIGNED little-endian int16 decode (sign fold applied before
+    * abs — unsigned-vs-signed changes |·| for high-byte samples, so
+    * the convention is load-bearing). Exact DECIMAL(38)
+    * cross-multiplication; ns ≥ 56 keeps every band non-empty. */
+  private[graft] def wavFingerprints(spark: SparkSession, root: String,
+      gen: Int): DataFrame = {
+    val sgn = (v: String) => s"(CASE WHEN $v >= 32768 THEN $v - 65536 ELSE $v END)"
+    val sample = sgn("CAST(conv(concat(substring(h, i * 4 + 3, 2), " +
+      "substring(h, i * 4 + 1, 2)), 16, 10) AS BIGINT)")
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.wav")
+      .load(root)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.wav$", 1).cast("long").as("doc_id"),
+        col("content"))
+      .withColumn("data_bytes", expr(leInt(41, 4)))
+      .withColumn("ns", expr("data_bytes div 2"))
+      .filter(col("ns") >= FpBits)
+      .withColumn("h", expr("hex(substring(content, 45, cast(ns * 2 as int)))"))
+      .withColumn("bs", expr(
+        s"""transform(sequence(0, ${FpBits - 1}), b ->
+           |  aggregate(sequence(cast(b * ns div $FpBits as int),
+           |                     cast((b + 1) * ns div $FpBits as int) - 1),
+           |    0L, (a, i) -> a + abs($sample)))""".stripMargin))
+      .withColumn("abs_sum", expr("aggregate(bs, 0L, (a, x) -> a + x)"))
+      .withColumn("fp", expr(
+        s"""aggregate(sequence(0, ${FpBits - 1}), 0L, (f, b) ->
+           |  f + CASE WHEN cast(element_at(bs, b + 1) as decimal(38,0)) * ns
+           |             > cast(abs_sum as decimal(38,0))
+           |               * ((b + 1) * ns div $FpBits - b * ns div $FpBits)
+           |           THEN shiftleft(1L, b) ELSE 0L END)""".stripMargin))
+      .select(col("doc_id"), lit(gen.toLong).as("gen"),
+        col("ns").as("n_samples"), col("abs_sum"), col("fp"))
+  }
+
+  /** Q303: AUDIO ENERGY-ENVELOPE FINGERPRINT — the perceptual-hash
+    * discipline on the LAST modality (q294 image, q301 video): a
+    * 56-bit loudness-envelope hash over the decoded signed PCM
+    * samples, fully DuckDB-oracled (the oracle recomputes samples,
+    * the sign fold, band |sample| sums, and every majority bit from
+    * the text bytes with HUGEINT cross-multiplication — no parse
+    * logic shared). The exact abs_sum witness rides along.
+    *
+    * Scale shape: per-file-parallel binaryFile scan, one
+    * in-expression sample pass, output sort the only exchange. */
+  def wavFingerprint(spark: SparkSession, dir: String): DataFrame =
+    wavFingerprints(spark, Media.stagedWavRoot(spark, dir), 1)
+      .select(col("doc_id"), col("n_samples"), col("abs_sum"), col("fp"))
+      .orderBy(col("doc_id"))
+
+  /** Oracle CTE chain recomputing the audio fingerprint from the
+    * documents text (sample i = text bytes 2i, 2i+1 little-endian,
+    * SIGNED fold, then abs). `perturb` replays the gen-2 single-byte
+    * edit (+1 mod 256 on data byte 1 = sample 0's HIGH byte). */
+  private def wavFingerprintSqlCte(tag: String, docFilter: String,
+      perturb: Boolean): String = {
+    val hi =
+      if (perturb)
+        "(CASE WHEN i = 0 THEN (ascii(substring(text, 2, 1)) + 1) % 256" +
+          " ELSE ascii(substring(text, 2 * i + 2, 1)) END)"
+      else "ascii(substring(text, 2 * i + 2, 1))"
+    s"""d$tag AS (
+       |  SELECT doc_id, text, octet_length(encode(text)) // 2 AS ns
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND doc_id < ${Media.BlobBatch}$docFilter),
+       |s$tag AS (
+       |  SELECT doc_id, ns,
+       |    list_transform(list_transform(
+       |        list_transform(generate_series(0, CAST(ns AS INT) - 1),
+       |          i -> ascii(substring(text, 2 * i + 1, 1)) + 256 * $hi),
+       |        v -> CASE WHEN v >= 32768 THEN v - 65536 ELSE v END),
+       |      v -> abs(v)) AS xs
+       |  FROM d$tag WHERE ns >= $FpBits),
+       |bb$tag AS (
+       |  SELECT doc_id, ns,
+       |    list_transform(generate_series(0, ${FpBits - 1}), b ->
+       |      list_sum(list_slice(xs,
+       |        CAST(b * ns // $FpBits + 1 AS INT),
+       |        CAST((b + 1) * ns // $FpBits AS INT)))) AS bs
+       |  FROM s$tag),
+       |f$tag AS (
+       |  SELECT doc_id, ns, bs, list_sum(bs) AS total FROM bb$tag),
+       |fp$tag AS (
+       |  SELECT doc_id, CAST(ns AS BIGINT) AS n_samples,
+       |    CAST(total AS BIGINT) AS abs_sum,
+       |    CAST(list_sum(list_transform(generate_series(0, ${FpBits - 1}), b ->
+       |      CASE WHEN CAST(bs[CAST(b + 1 AS INT)] AS HUGEINT) * ns
+       |             > CAST(total AS HUGEINT)
+       |               * ((b + 1) * ns // $FpBits - b * ns // $FpBits)
+       |           THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS fp
+       |  FROM f$tag)""".stripMargin
+  }
+
+  val wavFingerprintSql: String =
+    s"""WITH ${wavFingerprintSqlCte("1", "", perturb = false)}
+       |SELECT doc_id, n_samples, abs_sum, fp FROM fp1
+       |ORDER BY doc_id""".stripMargin
+
+  /** Q304: AUDIO NEAR-DUP BY BANDED HAMMING — closes the multimodal ×
+    * dedup matrix (q295 image, q302 video): pairs of audio files
+    * whose energy-envelope fingerprints differ in ≤ 3 bits, via the
+    * same 7-band × 8-bit LSH (lossless at the radius by pigeonhole),
+    * co-keyed on n_samples. The corpus is generation 1 plus gen-2
+    * one-sample-glitched renditions ([[Media.stagedWavRootV2]]) —
+    * planted near-dups whose single ±256/sign-wrap sample edit the
+    * envelope hash must absorb. Exact popcount verification; the
+    * oracle replays both generations from the text and verifies with
+    * the direct same-length pair join.
+    *
+    * Scale shape: candidate-pairs-before-payload; the 8-byte
+    * fingerprint IS the payload on the banded self-join;
+    * localCheckpoint: one decode pass feeds both sides. */
+  def wavNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val fps = wavFingerprints(spark, Media.stagedWavRoot(spark, dir), 1)
+      .unionByName(wavFingerprints(spark, Media.stagedWavRootV2(spark, dir), 2))
+      .localCheckpoint()
+    val banded = fps.select(col("doc_id"), col("gen"), col("n_samples"),
+      col("fp"),
+      explode(expr(
+        s"""transform(sequence(0, ${FpBands - 1}), b ->
+           |  named_struct('b', b, 'v', shiftright(fp, b * 8) & 255))""".stripMargin))
+        .as("bk"))
+      .select(col("bk.b").as("b"), col("bk.v").as("v"), col("n_samples"),
+        col("doc_id"), col("gen"), col("fp"))
+    val a = banded.select(col("b"), col("v"), col("n_samples"),
+      col("doc_id").as("id_a"), col("gen").as("gen_a"), col("fp").as("fp_a"))
+    val bside = banded.select(col("b"), col("v"), col("n_samples"),
+      col("doc_id").as("id_b"), col("gen").as("gen_b"), col("fp").as("fp_b"))
+    a.join(bside, Seq("b", "v", "n_samples"))
+      .filter(col("id_a") < col("id_b") ||
+        (col("id_a") === col("id_b") && col("gen_a") < col("gen_b")))
+      .select(col("id_a"), col("gen_a"), col("fp_a"),
+        col("id_b"), col("gen_b"), col("fp_b"), col("n_samples"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)").cast("long"))
+      .filter(col("hamming") <= FpHamming)
+      .select(col("id_a"), col("gen_a"), col("id_b"), col("gen_b"),
+        col("n_samples"), col("hamming"))
+      .orderBy(col("id_a"), col("gen_a"), col("id_b"), col("gen_b"))
+  }
+
+  val wavNearDupSql: String =
+    s"""WITH ${wavFingerprintSqlCte("1", "", perturb = false)},
+       |${wavFingerprintSqlCte("2", " AND doc_id % 7 = 0", perturb = true)},
+       |u AS (
+       |  SELECT doc_id, 1 AS gen, n_samples, fp FROM fp1
+       |  UNION ALL
+       |  SELECT doc_id, 2 AS gen, n_samples, fp FROM fp2)
+       |SELECT a.doc_id AS id_a, CAST(a.gen AS BIGINT) AS gen_a,
+       |  b.doc_id AS id_b, CAST(b.gen AS BIGINT) AS gen_b,
+       |  a.n_samples,
+       |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+       |FROM u a JOIN u b ON a.n_samples = b.n_samples
+       |  AND (a.doc_id < b.doc_id
+       |       OR (a.doc_id = b.doc_id AND a.gen < b.gen))
+       |WHERE bit_count(xor(a.fp, b.fp)) <= $FpHamming
+       |ORDER BY id_a, gen_a, id_b, gen_b""".stripMargin
+
   /** Q298: SPARK IMAGE-DATASOURCE DECODE — the idiomatic Spark
     * multimodal scan path (VERDICT r10 task 3): read the SAME staged
     * BMPs through the built-in `spark.read.format("image")` source
@@ -1733,6 +1897,8 @@ object Multimodal {
     "q300_y4m_scene_cuts" -> (y4mSceneCuts _),
     "q301_y4m_fingerprint" -> (y4mFingerprint _),
     "q302_y4m_neardup" -> (y4mNearDup _),
+    "q303_wav_fingerprint" -> (wavFingerprint _),
+    "q304_wav_neardup" -> (wavNearDup _),
     "q298_image_datasource" -> (imageDatasourceDecode _),
     "q299_y4m_frame_luma" -> (y4mFrameLuma _),
     "q296_bmp_downsample" -> (bmpDownsample _),
@@ -1761,6 +1927,8 @@ object Multimodal {
     "q300_y4m_scene_cuts" -> y4mSceneCutsSql,
     "q301_y4m_fingerprint" -> y4mFingerprintSql,
     "q302_y4m_neardup" -> y4mNearDupSql,
+    "q303_wav_fingerprint" -> wavFingerprintSql,
+    "q304_wav_neardup" -> wavNearDupSql,
     "q298_image_datasource" -> imageDatasourceDecodeSql,
     "q299_y4m_frame_luma" -> y4mFrameLumaSql,
     "q289_bmp_decode" -> bmpDecodeSql,

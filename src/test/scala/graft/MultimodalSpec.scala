@@ -389,6 +389,66 @@ class MultimodalSpec extends SparkSuite {
     assert(got.nonEmpty, "fixture degenerate — no near-dup pairs")
   }
 
+  test("q303/q304: audio fingerprints replay driver-side; banded pairs equal the exact quadratic set") {
+    // driver replay: signed LE int16 samples (q264 convention), abs,
+    // 56 bands over sample-index space, majority bit vs stream mean
+    def fpOf(data: Array[Byte]): Option[(Long, Long, Long)] = {
+      val ns = data.length / 2
+      if (ns < 56) None
+      else {
+        val xs = (0 until ns).map { i =>
+          val v = java.lang.Byte.toUnsignedInt(data(2 * i)) +
+            256 * java.lang.Byte.toUnsignedInt(data(2 * i + 1))
+          math.abs(if (v >= 32768) v - 65536 else v).toLong
+        }
+        val total = xs.map(BigInt(_)).sum
+        var fp = 0L
+        (0 until 56).foreach { b =>
+          val lo = (b.toLong * ns / 56).toInt
+          val hi = ((b + 1).toLong * ns / 56).toInt
+          val bs = xs.slice(lo, hi).map(BigInt(_)).sum
+          if (bs * ns > total * (hi - lo)) fp |= 1L << b
+        }
+        Some((ns.toLong, total.toLong, fp))
+      }
+    }
+    val texts = Tables.documents(spark, Sf0001)
+      .filter(col("text").isNotNull && col("doc_id") < Media.BlobBatch)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val g1 = texts.flatMap { case (id, bs) => fpOf(bs).map(id -> _) }.toMap
+    val q303 = graft.operators.Multimodal.wavFingerprint(spark, Sf0001).collect()
+    assert(q303.nonEmpty && q303.length === g1.size)
+    q303.foreach { r =>
+      val (ns, total, fp) = g1(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_samples") === ns, s"$r")
+      assert(r.getAs[Long]("abs_sum") === total, s"$r")
+      assert(r.getAs[Long]("fp") === fp, s"$r")
+    }
+    // gen-2 replay: +1 mod 256 on data byte 1 = sample 0's HIGH byte
+    val g2 = texts.filter(_._1 % 7 == 0).flatMap { case (id, bs) =>
+      if (bs.length < 2) None
+      else {
+        val px = bs.clone()
+        px(1) = ((java.lang.Byte.toUnsignedInt(px(1)) + 1) % 256).toByte
+        fpOf(px).map(id -> _)
+      }
+    }.toMap
+    val all = g1.toSeq.map { case (id, (ns, _, fp)) => (id, 1L, ns, fp) } ++
+      g2.toSeq.map { case (id, (ns, _, fp)) => (id, 2L, ns, fp) }
+    val expect = (for {
+      x <- all; y <- all
+      if x._3 == y._3 && (x._1 < y._1 || (x._1 == y._1 && x._2 < y._2))
+      if java.lang.Long.bitCount(x._4 ^ y._4) <= 3
+    } yield (x._1, x._2, y._1, y._2)).toSet
+    val got = graft.operators.Multimodal.wavNearDup(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("gen_a"),
+        r.getAs[Long]("id_b"), r.getAs[Long]("gen_b")))
+    assert(got.toSet === expect, "banded pair set diverged from the exact sweep")
+    assert(got.nonEmpty, "fixture degenerate — no near-dup pairs")
+  }
+
   test("q298 image datasource ≡ q290 expression decoder (two decoders, one truth)") {
     val ds = graft.operators.Multimodal.imageDatasourceDecode(spark, Sf0001).cache()
     assert(ds.count() > 0)
