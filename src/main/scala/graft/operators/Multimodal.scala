@@ -1892,7 +1892,93 @@ object Multimodal {
        |  CAST(sr AS BIGINT) AS sum_r
        |FROM ch ORDER BY doc_id""".stripMargin
 
+  /** Q305: RENDITION-COMPLETENESS AUDIT — the pre-packing gate a
+    * multimodal training pipeline runs over its blob store: one scan
+    * of ALL FOUR staged corpora (text blobs, WAV, BMP, Y4M) unioned
+    * into a single manifest, rolled up per document into a modality
+    * coverage map — which renditions exist, each rendition's staged
+    * byte cost, how many modalities, and the total footprint. Absence
+    * is as load-bearing as presence: BMP/Y4M staging skips docs
+    * shorter than one row/frame, so the NULL pattern is a real
+    * derivation the oracle recomputes from the staging rules (file
+    * sizes too: header + payload arithmetic per format).
+    *
+    * Scale shape: four per-file-parallel binaryFile LISTINGS (the
+    * scans read metadata only — no content column is ever selected,
+    * so blob bytes never enter the plan), one map-side-combinable
+    * per-doc rollup, output sort. Two exchanges total at any corpus
+    * size. */
+  def assetCoverage(spark: SparkSession, dir: String): DataFrame = {
+    def manifest(root: String, glob: String, recursive: Boolean,
+        tag: String): DataFrame = {
+      val rd = spark.read.format("binaryFile").option("pathGlobFilter", glob)
+      val rd2 = if (recursive) rd.option("recursiveFileLookup", "true") else rd
+      rd2.load(root).select(
+        regexp_extract(col("path"), "([0-9]+)\\.[a-z0-9]+$", 1)
+          .cast("long").as("doc_id"),
+        col("length").cast("long").as("bytes"),
+        lit(tag).as("modality"))
+    }
+    manifest(Media.stagedBlobRoot(spark, dir), "*.bin", recursive = true, "text")
+      .unionByName(manifest(Media.stagedWavRoot(spark, dir), "*.wav",
+        recursive = false, "audio"))
+      .unionByName(manifest(Media.stagedBmpRoot(spark, dir), "*.bmp",
+        recursive = false, "image"))
+      .unionByName(manifest(Media.stagedY4mRoot(spark, dir), "*.y4m",
+        recursive = false, "video"))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(when(col("modality") === "text", col("bytes"))).as("text_bytes"),
+        max(when(col("modality") === "audio", col("bytes"))).as("audio_bytes"),
+        max(when(col("modality") === "image", col("bytes"))).as("image_bytes"),
+        max(when(col("modality") === "video", col("bytes"))).as("video_bytes"))
+      .withColumn("n_modalities",
+        (col("text_bytes").isNotNull.cast("int") +
+          col("audio_bytes").isNotNull.cast("int") +
+          col("image_bytes").isNotNull.cast("int") +
+          col("video_bytes").isNotNull.cast("int")).cast("long"))
+      .withColumn("total_bytes",
+        (coalesce(col("text_bytes"), lit(0L)) +
+          coalesce(col("audio_bytes"), lit(0L)) +
+          coalesce(col("image_bytes"), lit(0L)) +
+          coalesce(col("video_bytes"), lit(0L))).cast("long"))
+      .select(col("doc_id"), col("text_bytes"), col("audio_bytes"),
+        col("image_bytes"), col("video_bytes"), col("n_modalities"),
+        col("total_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: every presence flag and every file size recomputed from
+    * the four staging rules — blob = the text bytes; WAV = 44-byte
+    * header + text; BMP = 54 + full padded rows (absent below one
+    * row); Y4M = 36-byte parameter line + per-frame (6 + w·h)
+    * (absent below one frame). */
+  val assetCoverageSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS len,
+       |    CAST((3 * (doc_id % ${Media.BmpWidthMod} + 1) + 3) // 4 * 4 AS BIGINT) AS brs,
+       |    (CAST(doc_id % ${Media.Y4mWidthMod} + 2 AS BIGINT)
+       |     * CAST(doc_id % ${Media.Y4mHeightMod} + 2 AS BIGINT)) AS vfs
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND doc_id < ${Media.BlobBatch}),
+       |m AS (
+       |  SELECT doc_id, len AS text_bytes, 44 + len AS audio_bytes,
+       |    CASE WHEN len >= brs THEN 54 + (len // brs) * brs END AS image_bytes,
+       |    CASE WHEN len >= vfs THEN 36 + (len // vfs) * (6 + vfs) END AS video_bytes
+       |  FROM d)
+       |SELECT doc_id, text_bytes, audio_bytes,
+       |  CAST(image_bytes AS BIGINT) AS image_bytes,
+       |  CAST(video_bytes AS BIGINT) AS video_bytes,
+       |  CAST(2 + CASE WHEN image_bytes IS NULL THEN 0 ELSE 1 END
+       |         + CASE WHEN video_bytes IS NULL THEN 0 ELSE 1 END
+       |    AS BIGINT) AS n_modalities,
+       |  CAST(text_bytes + audio_bytes + COALESCE(image_bytes, 0)
+       |       + COALESCE(video_bytes, 0) AS BIGINT) AS total_bytes
+       |FROM m ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q305_asset_coverage" -> (assetCoverage _),
     "q297_y4m_decode" -> (y4mDecode _),
     "q300_y4m_scene_cuts" -> (y4mSceneCuts _),
     "q301_y4m_fingerprint" -> (y4mFingerprint _),
@@ -1929,6 +2015,7 @@ object Multimodal {
     "q302_y4m_neardup" -> y4mNearDupSql,
     "q303_wav_fingerprint" -> wavFingerprintSql,
     "q304_wav_neardup" -> wavNearDupSql,
+    "q305_asset_coverage" -> assetCoverageSql,
     "q298_image_datasource" -> imageDatasourceDecodeSql,
     "q299_y4m_frame_luma" -> y4mFrameLumaSql,
     "q289_bmp_decode" -> bmpDecodeSql,

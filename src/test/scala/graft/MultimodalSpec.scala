@@ -468,6 +468,28 @@ class MultimodalSpec extends SparkSuite {
     j.unpersist(); ds.unpersist()
   }
 
+  test("q305 asset coverage: every staged doc has text+audio; absence follows the staging rules") {
+    val rows = graft.operators.Multimodal.assetCoverage(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      // text and audio stage unconditionally for every non-null doc
+      assert(!r.isNullAt(r.fieldIndex("text_bytes")), s"doc $id text")
+      assert(r.getAs[Long]("audio_bytes") === r.getAs[Long]("text_bytes") + 44,
+        s"doc $id wav size law")
+      val n = r.getAs[Long]("n_modalities")
+      assert(n >= 2 && n <= 4, s"doc $id n_modalities $n")
+      // image/bmp absence iff the doc is shorter than one padded row
+      val w = (id % Media.BmpWidthMod + 1).toInt
+      val rs = (3 * w + 3) / 4 * 4
+      assert(r.isNullAt(r.fieldIndex("image_bytes"))
+        === (r.getAs[Long]("text_bytes") < rs), s"doc $id image presence")
+    }
+    // the fixture must exercise at least one incomplete doc (the NULL
+    // pattern is load-bearing) and at least one fully-covered doc
+    assert(rows.exists(_.getAs[Long]("n_modalities") === 4L))
+  }
+
   test("frame sampling: every 4th frame, bytes reassemble arithmetically") {
     val out = Multimodal.frameSample(spark, Sf0001).cache()
     // n_sampled = ceil(n_frames / 4)
