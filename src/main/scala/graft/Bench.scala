@@ -361,7 +361,12 @@ object Bench {
     // text. Emit GATES LAST on the tail-facing metric line (after every
     // unbounded payload) and GATES FIRST on the head-facing summary
     // line, so both truncation directions retain them.
-    val gates = f""""n_queries":${results.size},"calibration":$calMedian%.4f,"calibration_shuffle":$calShuffle%.4f,"calibration_compute":$calCompute%.4f,"failed":$failedJson,"total":$total%.3f,"total_cal_units":$calUnits%.1f,"total_cal_units_robust":$calUnitsRobust%.1f,"total_min":$totalMin%.3f,"total_cal_units_min":$calUnitsMin%.1f"""
+    // total_min leads the gate block, adjacent to failed (VERDICT r11
+    // task 8): the round-11 probe-variance finding made the raw
+    // min-of-reps sum THE cross-round statistic (≤2.2% across three
+    // independent sessions while probe cal-units swung ±20%), so it must
+    // be the first gate field a truncated artifact retains, not the last.
+    val gates = f""""total_min":$totalMin%.3f,"failed":$failedJson,"n_queries":${results.size},"calibration":$calMedian%.4f,"calibration_shuffle":$calShuffle%.4f,"calibration_compute":$calCompute%.4f,"total":$total%.3f,"total_cal_units":$calUnits%.1f,"total_cal_units_robust":$calUnitsRobust%.1f,"total_cal_units_min":$calUnitsMin%.1f"""
     val payload = s""""worst":$worst,"worst_cal_units":$worstCal,"calibration_passes":$calPasses,"drift_flags":$driftFlagsJson,"drift_remeasure":$driftRemeasureJson"""
     // summary-first line: survives head-truncation of the artifact
     // (gates lead; the drift re-measure payload is metric-line-only)

@@ -19,7 +19,7 @@ mis-rounded conversions at the audited scale (no domain argument needed).
 
 Usage: python3 tools/ulp_audit.py <sfDir> <verifyOutDir>
 """
-import sys, json, os, math
+import sys, json, os, math, re
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -33,11 +33,15 @@ def route_all_double_casts(sql):
     n = 0
     i = 0
     out = sql
+    # Word-boundary site detection (advisor r11): a raw "AS DOUBLE"
+    # substring scan would also fire on aliases like `AS doubled` /
+    # `AS double_x` and attempt a bogus rewrite.
+    site = re.compile(r"\bAS\s+DOUBLE\b", re.IGNORECASE)
     while True:
-        u = out.upper()
-        j = u.find("AS DOUBLE", i)
-        if j < 0:
+        m = site.search(out, i)
+        if m is None:
             break
+        j = m.start()
         # scan back for the matching 'CAST('
         depth = 0
         k = j - 1
@@ -48,7 +52,11 @@ def route_all_double_casts(sql):
                 depth += 1
             elif c == '(':
                 if depth == 0:
-                    if out[:k].rstrip().upper().endswith('CAST'):
+                    # Require a STANDALONE CAST token: a bare
+                    # endswith('CAST') would also match TRY_CAST (whose
+                    # null-on-error semantics the rewrite must not touch).
+                    if re.search(r"(?<![A-Za-z0-9_])CAST\s*\Z",
+                                 out[:k], re.IGNORECASE):
                         start = k + 1
                     break
                 depth -= 1
@@ -63,7 +71,7 @@ def route_all_double_casts(sql):
         routed = f"CAST({inner} AS VARCHAR) "
         out = out[:start] + routed + out[j:]
         n += 1
-        i = start + len(routed) + len("AS DOUBLE")
+        i = start + len(routed) + (m.end() - m.start())
     return out, n
 
 
@@ -112,7 +120,10 @@ def main(sf_dir, out_dir):
                   f"2^53 at this SF and is NOT correctly rounded")
     print(f"{n_same} bit-identical / {n_diff} diverging / {n_err} skipped; "
           f"{n_sites} unrouted CAST(... AS DOUBLE) sites audited")
-    return 1 if n_diff else 0
+    # SKIPs are failures (advisor r11): a malformed rewrite that makes an
+    # oracle unrunnable silently removes it from audit coverage — the green
+    # state is 0 skips, so any skip must fail the exit code loudly.
+    return 1 if (n_diff or n_err) else 0
 
 
 if __name__ == "__main__":
