@@ -365,6 +365,69 @@ object Media {
     path
   }
 
+  /** Stage REAL PNG files carrying the SAME pixel content as
+    * [[stagedBmpRoot]] (q307 — the compressed-codec leg of the image
+    * program, VERDICT r11 task 3): per doc, the identical w×h BGR
+    * pixel grid (text bytes at the BMP stride/padding offsets,
+    * bottom-up file rows flipped to top-down image rows) encoded
+    * through the JDK's ImageIO PNG writer — a real DEFLATE-compressed
+    * codec, offline, no extra jars. Content identity makes the
+    * BMP-side oracle exact for the PNG path: the `format("image")`
+    * decode of these blobs must reproduce q298's geometry and channel
+    * sums bit-for-bit, which is also what frees the fixture from any
+    * PNG-side byte arithmetic (nothing could recompute DEFLATE output
+    * sizes in SQL — and nothing needs to). Same distributed
+    * `_SUCCESS`-guarded writer as [[stagedBmpRoot]]. */
+  def stagedPngRoot(spark: SparkSession, dir: String): String = {
+    val path = graft.Scratch.artifactPath("png_corpus", dir, s"_b$BlobBatch")
+    if (!graft.Scratch.artifactComplete(path)) {
+      graft.Scratch.prepareArtifact(path)
+      import spark.implicits._
+      val serializableConf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      Tables.documents(spark, dir)
+        .filter(col("text").isNotNull && col("doc_id") < BlobBatch)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .foreachPartition { it: Iterator[(Long, String)] =>
+          it.foreach { case (docId, text) =>
+            val data = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val w = (docId % BmpWidthMod + 1).toInt
+            val rowSize = (3 * w + 3) / 4 * 4
+            val h = data.length / rowSize
+            if (h >= 1) {
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+              var y = 0
+              while (y < h) {
+                // BMP file rows are bottom-up: image row y = file row h-1-y
+                val fr = (h - 1 - y) * rowSize
+                var x = 0
+                while (x < w) {
+                  val b = data(fr + 3 * x) & 0xff
+                  val g = data(fr + 3 * x + 1) & 0xff
+                  val r = data(fr + 3 * x + 2) & 0xff
+                  img.setRGB(x, y, (r << 16) | (g << 8) | b)
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", bos)
+              val p = new org.apache.hadoop.fs.Path(s"$path/$docId.png")
+              val fs = p.getFileSystem(serializableConf.value)
+              val out = fs.create(p, true)
+              try out.write(bos.toByteArray) finally out.close()
+            }
+          }
+        }
+      val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+      marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .create(marker, true).close()
+    }
+    path
+  }
+
   /** The SECOND BMP generation for q295's near-dup pairs: every 7th
     * staged image re-rendered with ONE pixel byte perturbed (+1 mod
     * 256 on the pixel array's byte 1 — pixel 0's G channel), the

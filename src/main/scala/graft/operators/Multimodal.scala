@@ -1251,8 +1251,14 @@ object Multimodal {
       .select(col("doc_id"), col("header_ok"), col("width"), col("height"),
         col("fps_num"), col("fps_den"), col("frame_bytes"), col("n_frames"),
         col("n_bytes"),
-        // exact integer milliseconds: n·1000·den div num (25 fps → 40 ms/frame)
-        expr("n_frames * 1000 * fps_den div fps_num").as("duration_ms"))
+        // exact integer milliseconds: n·1000·den div num (25 fps → 40 ms/frame).
+        // Guarded like every other parsed field (try_cast discipline): a
+        // corrupt parameter line reading `F0:...` parses fps_num=0 via
+        // try_cast, and under ANSI an unguarded integral `div` would throw
+        // DIVIDE_BY_ZERO and fail the whole scan instead of surfacing that
+        // file's header_ok=false row with a NULL duration.
+        expr("CASE WHEN fps_num >= 1 THEN n_frames * 1000 * fps_den div fps_num END")
+          .as("duration_ms"))
       .orderBy(col("doc_id"))
   }
 
@@ -1828,17 +1834,26 @@ object Multimodal {
     * Scale shape: the image source parallelizes per file like
     * binaryFile; the channel fold is one in-expression pass over the
     * decoded buffer; output sort the only exchange. */
-  def imageDatasourceDecode(spark: SparkSession, dir: String): DataFrame = {
-    val root = Media.stagedBmpRoot(spark, dir)
+  def imageDatasourceDecode(spark: SparkSession, dir: String): DataFrame =
+    imageSourceChannelSums(spark, Media.stagedBmpRoot(spark, dir), "bmp")
+
+  /** Shared body of q298/q307: `format("image")` scan over one staged
+    * corpus + the in-expression BGR channel fold over the decoded
+    * packed buffer. The format is whatever ImageIO sniffs from the
+    * bytes — the SAME code path decodes uncompressed BMP and
+    * DEFLATE-compressed PNG, which is exactly the point of the q307
+    * cross-format pin. */
+  private def imageSourceChannelSums(spark: SparkSession, root: String,
+      ext: String): DataFrame = {
     def byteAt(o: String) =
       s"CAST(conv(substring(hx, ($o) * 2 + 1, 2), 16, 10) AS BIGINT)"
     val px = (c: Int) => byteAt(s"3 * i + $c")
     spark.read.format("image")
       .option("dropInvalid", "true")
-      .option("pathGlobFilter", "*.bmp")
+      .option("pathGlobFilter", s"*.$ext")
       .load(root)
       .select(
-        regexp_extract(col("image.origin"), "([0-9]+)\\.bmp$", 1)
+        regexp_extract(col("image.origin"), s"([0-9]+)\\.$ext$$", 1)
           .cast("long").as("doc_id"),
         col("image.height").cast("long").as("height"),
         col("image.width").cast("long").as("width"),
@@ -1891,6 +1906,37 @@ object Multimodal {
        |  CAST(sb AS BIGINT) AS sum_b, CAST(sg AS BIGINT) AS sum_g,
        |  CAST(sr AS BIGINT) AS sum_r
        |FROM ch ORDER BY doc_id""".stripMargin
+
+  /** Q307: COMPRESSED-CODEC (PNG) DECODE VIA CROSS-FORMAT IDENTITY —
+    * extends the image program from raw containers to a REAL
+    * compressed codec (VERDICT r11 task 3): [[Media.stagedPngRoot]]
+    * encodes the BMP corpus's exact pixel grids through the JDK's
+    * ImageIO PNG writer (DEFLATE + filter prediction — bytes on disk
+    * share NOTHING with the pixel values), and this query decodes them
+    * back through the idiomatic `format("image")` scan with the same
+    * channel fold as q298. Content identity is the oracle trick: the
+    * pixel grids equal the BMP corpus's by construction, so the
+    * staging-derivation oracle that proves q298 proves this path with
+    * zero compromise — a hash match here means inflate + unfilter +
+    * channel extraction reproduced every pixel of every image exactly.
+    * MultimodalSpec additionally pins PNG-datasource ≡ BMP-expression
+    * decode (q290) per image, and that the staged blobs really carry
+    * the PNG magic — three independent decoders (hand-rolled BMP
+    * expressions, ImageIO-BMP, ImageIO-PNG-after-recompression), one
+    * truth.
+    *
+    * Scale shape: identical to q298 — per-file-parallel image scan
+    * (decompression runs inside the scan, the inherent codec cost),
+    * one in-expression fold per decoded buffer, output sort the only
+    * exchange. */
+  def pngDatasourceDecode(spark: SparkSession, dir: String): DataFrame =
+    imageSourceChannelSums(spark, Media.stagedPngRoot(spark, dir), "png")
+
+  /** Oracle: byte-identical to q298's — content identity across the
+    * two staged formats makes the BMP staging derivations exact for
+    * the PNG path (and is the only exact oracle possible: no SQL could
+    * recompute DEFLATE). */
+  val pngDatasourceDecodeSql: String = imageDatasourceDecodeSql
 
   /** Q305: RENDITION-COMPLETENESS AUDIT — the pre-packing gate a
     * multimodal training pipeline runs over its blob store: one scan
@@ -1986,6 +2032,7 @@ object Multimodal {
     "q303_wav_fingerprint" -> (wavFingerprint _),
     "q304_wav_neardup" -> (wavNearDup _),
     "q298_image_datasource" -> (imageDatasourceDecode _),
+    "q307_png_decode" -> (pngDatasourceDecode _),
     "q299_y4m_frame_luma" -> (y4mFrameLuma _),
     "q296_bmp_downsample" -> (bmpDownsample _),
     "q288_media_features_twin" -> (mediaFeaturesTwin _),
@@ -2017,6 +2064,7 @@ object Multimodal {
     "q304_wav_neardup" -> wavNearDupSql,
     "q305_asset_coverage" -> assetCoverageSql,
     "q298_image_datasource" -> imageDatasourceDecodeSql,
+    "q307_png_decode" -> pngDatasourceDecodeSql,
     "q299_y4m_frame_luma" -> y4mFrameLumaSql,
     "q289_bmp_decode" -> bmpDecodeSql,
     "q290_bmp_pixel_stats" -> bmpPixelStatsSql,

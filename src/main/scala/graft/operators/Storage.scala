@@ -1016,7 +1016,225 @@ object Storage {
       |FROM g9 FULL OUTER JOIN g8 ON g9.shard = g8.shard
       |ORDER BY shard""".stripMargin
 
+  /** Retention horizon for [[retentionPurge]]: partitions strictly
+    * older than this year are dropped. The reference pins "Lifecycle
+    * policy: purge >1 year" (README.md:43) against a moving clock; a
+    * static corpus pins the horizon as a constant instead (the fixture
+    * discipline — the operator's arithmetic is identical), interpolated
+    * into BOTH the engine predicate and the DuckDB oracle. The corpus
+    * spans order years 1995–2001, so 1998 exercises both sides. */
+  val RetentionHorizonYear = 1998
+
+  private[graft] lazy val retentionBase: String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_retention_" +
+      ProcessHandle.current().pid()
+    graft.Scratch.deleteOnExit(p)
+    p
+  }
+
+  /** Q306: RETENTION/LIFECYCLE PURGE — the reference's raw-bucket
+    * lifecycle policy ("purge >1 year", README.md:43) as a live
+    * operator, the storage-policy→operator upgrade q260 gave S10's
+    * rsync: age-partitioned data is expired by PARTITION DROP, with a
+    * deletion manifest and post-purge witnesses the oracle recomputes
+    * end-to-end.
+    *
+    * Pipeline per invocation: (1) stage orders as a year-partitioned
+    * warehouse table (rebuilt each call — the purge mutates it);
+    * (2) ledger EVERY partition FROM THE ARTIFACT — row count, exact
+    * canonical-payload byte cost, and a q169-style content digest
+    * (md5 over the sorted per-row md5s) — and persist it as the
+    * deletion manifest BEFORE anything is dropped (the manifest must
+    * outlive the data it describes); (3) drop each partition directory
+    * older than [[RetentionHorizonYear]] — a metadata operation per
+    * partition, exactly how warehouse retention jobs run (DROP
+    * PARTITION / object-store prefix delete), never a row-level
+    * rewrite; (4) re-ledger the SURVIVING table and publish manifest ⋈
+    * survivors. A purged partition must come back (n_rows_after = 0,
+    * digest_after NULL); a retained one must reproduce its EXACT
+    * pre-purge digest — deletion happened, and deletion touched
+    * nothing else. The DuckDB oracle recomputes counts, byte costs,
+    * digests, and the horizon arithmetic from the source table alone,
+    * so the hash compare proves artifact ≡ source AND purge ≡ policy.
+    *
+    * Scale shape: the stage write shuffles once on the partition key;
+    * each ledger is one map-side-combinable agg (the per-year digest
+    * list is bounded per partition; at 100 TB the q169 two-level
+    * chunk-tree note applies verbatim); the purge loop is driver-side
+    * FS metadata over |years| ≈ 7 entries (bounded control flow, like
+    * any DROP PARTITION); the final join carries |years| rows. */
+  def retentionPurge(spark: SparkSession, dir: String): DataFrame = {
+    val sf = dir.stripSuffix("/").split('/').last
+    val tablePath = s"$retentionBase/orders_$sf"
+    val manifestPath = s"$retentionBase/manifest_$sf"
+    Tables.orders(spark, dir)
+      .withColumn("order_year", year(col("o_orderdate")).cast("int"))
+      .repartition(col("order_year"))
+      .write.mode("overwrite").partitionBy("order_year").parquet(tablePath)
+    // per-partition ledger: count + canonical byte cost + content
+    // digest, computed from a READBACK of the staged artifact (never
+    // the source — the manifest must witness what is on disk)
+    def ledger(df: DataFrame): DataFrame = df
+      .withColumn("canon", concat_ws("|", col("o_orderkey"),
+        col("o_orderstatus"), col("o_orderdate").cast("string")))
+      .groupBy(col("order_year").cast("bigint").as("order_year"))
+      .agg(count(lit(1)).cast("bigint").as("n_rows"),
+        sum(octet_length(col("canon"))).cast("bigint").as("n_bytes"),
+        md5(concat_ws("", array_sort(collect_list(md5(col("canon"))))))
+          .as("digest"))
+    ledger(spark.read.parquet(tablePath))
+      .withColumn("action",
+        when(col("order_year") < RetentionHorizonYear, lit("purged"))
+          .otherwise(lit("retained")))
+      .write.mode("overwrite").parquet(manifestPath)
+    // the purge: partition-directory drops through Hadoop's FileSystem
+    // (works unchanged on HDFS/S3A); driver-side loop over |years|
+    // entries — bounded metadata control flow, not a data path
+    val hp = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partRe = "^order_year=([0-9]{4})$".r
+    fs.listStatus(hp).foreach { st =>
+      st.getPath.getName match {
+        case partRe(y) if y.toInt < RetentionHorizonYear =>
+          fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
+    val after = ledger(spark.read.parquet(tablePath))
+      .select(col("order_year"), col("n_rows").as("n_rows_after"),
+        col("digest").as("digest_after"))
+    spark.read.parquet(manifestPath)
+      .join(after, Seq("order_year"), "left")
+      .select(col("order_year"), col("action"), col("n_rows"),
+        col("n_bytes"), col("digest"),
+        coalesce(col("n_rows_after"), lit(0L)).as("n_rows_after"),
+        col("digest_after"))
+      .orderBy(col("order_year"))
+  }
+
+  /** Oracle: counts, byte costs, digests AND the horizon arithmetic
+    * recomputed from the source table alone — agreement proves the
+    * staged artifact matched the source, the purge dropped exactly the
+    * policy's partitions, and the survivors are byte-identical. */
+  val retentionPurgeSql: String =
+    s"""WITH y AS (
+       |  SELECT EXTRACT(year FROM o_orderdate) AS yr,
+       |    CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|'
+       |      || CAST(o_orderdate AS VARCHAR) AS canon
+       |  FROM orders),
+       |m AS (
+       |  SELECT CAST(yr AS BIGINT) AS order_year,
+       |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    CAST(SUM(octet_length(encode(canon))) AS BIGINT) AS n_bytes,
+       |    md5(string_agg(md5(canon), '' ORDER BY md5(canon))) AS digest
+       |  FROM y GROUP BY 1)
+       |SELECT order_year,
+       |  CASE WHEN order_year < $RetentionHorizonYear
+       |    THEN 'purged' ELSE 'retained' END AS action,
+       |  n_rows, n_bytes, digest,
+       |  CAST(CASE WHEN order_year < $RetentionHorizonYear
+       |    THEN 0 ELSE n_rows END AS BIGINT) AS n_rows_after,
+       |  CASE WHEN order_year < $RetentionHorizonYear
+       |    THEN NULL ELSE digest END AS digest_after
+       |FROM m ORDER BY order_year""".stripMargin
+
+  /** Catalog-table triple for [[cboStarJoin]], built once per
+    * (process, sf) and ANALYZEd with full column statistics — the
+    * prerequisite the CBO reads (row counts, NDVs, min/max) live in
+    * the catalog, not the file footers. */
+  private[graft] def analyzedTables(spark: SparkSession, dir: String): (String, String, String) = {
+    val tag = s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+    val names = (s"graft_cbo_orders_$tag", s"graft_cbo_customer_$tag",
+      s"graft_cbo_nation_$tag")
+    val all = Seq(names._1, names._2, names._3)
+    // guard on ALL tables (the q56 torn-build rule)
+    if (!all.forall(spark.catalog.tableExists)) {
+      all.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      all.foreach(t => graft.Scratch.deleteOnExit(s"$wh/$t"))
+      Tables.orders(spark, dir).write.saveAsTable(names._1)
+      Tables.customer(spark, dir).write.saveAsTable(names._2)
+      Tables.nation(spark, dir).write.saveAsTable(names._3)
+      all.foreach(t =>
+        spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS"))
+    }
+    names
+  }
+
+  /** Run `body` with the cost-based optimizer + stats-driven join
+    * reorder enabled, restoring the session's previous values after —
+    * the confs are session-global and every OTHER registered query's
+    * plan is pinned by PlanInvariantsSpec under the default optimizer,
+    * so the CBO window must close before this function returns. */
+  private[graft] def withCbo[T](spark: SparkSession)(body: => T): T = {
+    val ks = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    val prev = ks.map(k => k -> spark.conf.getOption(k))
+    ks.foreach(spark.conf.set(_, "true"))
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** The q308 star text over the analyzed catalog tables — written in
+    * the DELIBERATELY bad syntactic order (fact ⋈ mid-dim first, tiny
+    * dim last) so the stats-driven reorder has something to fix. */
+  private[graft] def cboStarText(o: String, c: String, n: String): String =
+    s"""SELECT n_name, COUNT(*) AS n_orders,
+       |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+       |FROM $o JOIN $c ON o_custkey = c_custkey
+       |JOIN $n ON c_nationkey = n_nationkey
+       |WHERE o_orderstatus = 'F'
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Q308: COST-BASED-OPTIMIZER STATS SURFACE — the engine-side
+    * capability SURVEY §4.2 names as relied-upon, demonstrated live
+    * instead of documented: the three star tables are registered in
+    * the session catalog, `ANALYZE TABLE ... COMPUTE STATISTICS FOR
+    * ALL COLUMNS` persists row counts + per-column NDV/min/max, and
+    * the star query EXECUTES under `spark.sql.cbo.enabled` +
+    * `spark.sql.cbo.joinReorder.enabled` — the DP join reorder
+    * rewrites the deliberately mis-ordered FROM clause (fact first,
+    * 25-row nation last) into the dimension-first order the
+    * cardinalities dictate. StorageSpec pins the plan effect
+    * stats-on vs stats-off (leaf order flips, rowCount statistics
+    * present); the oracle pins the result, which must be
+    * plan-invariant.
+    *
+    * The CBO window is scoped: the query MATERIALIZES inside
+    * [[withCbo]] (plan time = execution time for a lazy DataFrame, so
+    * returning an unexecuted frame would let the conf restore defeat
+    * the demonstration), and the returned frame is the readback — the
+    * q85 stored-result discipline.
+    *
+    * Scale shape: this IS the scale operator — at 100 TB the reorder
+    * it demonstrates is the difference between shuffling the fact
+    * table against a mid-size dim before the tiny dim can prune, and
+    * broadcasting both dims; the ANALYZE cost amortizes over every
+    * query on the table. */
+  def cboStarJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (o, c, n) = analyzedTables(spark, dir)
+    val sf = dir.stripSuffix("/").split('/').last
+    val outPath = s"$retentionBase/cbo_star_$sf"
+    withCbo(spark) {
+      spark.sql(cboStarText(o, c, n))
+        .write.mode("overwrite").parquet(outPath)
+    }
+    spark.read.parquet(outPath).orderBy(col("n_name"))
+  }
+
+  val cboStarJoinSql: String =
+    """SELECT n_name, COUNT(*) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   def queries: Map[String, Relational.Q] = Map(
+    "q306_retention_purge" -> (retentionPurge _),
+    "q308_cbo_star" -> (cboStarJoin _),
     "q272_rendezvous_shards" -> (rendezvousShards _),
     "q195_lateral_topk" -> (lateralTopOrders _),
     "q192_variant_roundtrip" -> (variantRoundtrip _),
@@ -1039,6 +1257,8 @@ object Storage {
   )
 
   def oracles: Map[String, String] = Map(
+    "q306_retention_purge" -> retentionPurgeSql,
+    "q308_cbo_star" -> cboStarJoinSql,
     "q272_rendezvous_shards" -> rendezvousShardsSql,
     "q195_lateral_topk" -> lateralTopOrdersSql,
     "q192_variant_roundtrip" -> variantRoundtripSql,

@@ -612,6 +612,17 @@ object StreamingQueries {
   def streamCuration(spark: SparkSession, dir: String): DataFrame =
     streamCurationOn(spark, dir, s"$dir/{documents.parquet}", "cura")
 
+  /** TEST-ONLY crash injection for the q184 sink (VERDICT r11 task 4):
+    * invoked at the two torn-write points of every batch — after the
+    * staging write but before the publish rename (`"staged"`), and
+    * after the publish but before foreachBatch returns, i.e. before
+    * the checkpoint commit (`"published"`). A hook that throws kills
+    * the stream exactly there; StreamingSpec restarts from the same
+    * checkpoint and pins committed-table ≡ uninterrupted-run for both
+    * tear positions. Production path: a no-op. */
+  @volatile private[graft] var tornBatchHook: (Long, String) => Unit =
+    (_, _) => ()
+
   private[graft] def streamCurationOn(spark: SparkSession, dir: String,
       streamPath: String, tagPrefix: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
@@ -663,9 +674,15 @@ object StreamingQueries {
         // a local-filesystem check would silently answer false and
         // every batch would restart offsets as if no state existed
         val outHPath = new org.apache.hadoop.fs.Path(outPath)
-        val outExists = outHPath
-          .getFileSystem(ss.sparkContext.hadoopConfiguration)
-          .exists(outHPath)
+        val outFs = outHPath.getFileSystem(ss.sparkContext.hadoopConfiguration)
+        // probe for a COMMITTED partition, not bare dir existence: a
+        // batch torn between staging write and publish leaves the sink
+        // dir behind EMPTY (creating the staging child created the
+        // parent), and a bare-existence probe would then read an empty
+        // dir as parquet on restart and die on schema inference — found
+        // by the crash-injection spec, the q184 torn-batch test
+        val outExists = outFs.exists(outHPath) &&
+          outFs.listStatus(outHPath).exists(_.getPath.getName.startsWith("batch="))
         val prior =
           if (outExists)
             Some(ss.read.parquet(outPath).filter(col("batch") < batchId)
@@ -698,8 +715,11 @@ object StreamingQueries {
         // batch=N.tmp + FileSystem.rename), which HDFS rename gives
         // directly. The prior-state PROBE above is already FS-correct;
         // only the publish step carries the local restriction.
-        graft.Scratch.publishStaged(s"$outPath/batch=$batchId")(stage =>
-          packed.write.mode("overwrite").parquet(stage))
+        graft.Scratch.publishStaged(s"$outPath/batch=$batchId") { stage =>
+          packed.write.mode("overwrite").parquet(stage)
+          tornBatchHook(batchId, "staged")
+        }
+        tornBatchHook(batchId, "published")
         ()
       }
       .option("checkpointLocation", chk)

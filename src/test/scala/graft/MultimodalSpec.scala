@@ -468,6 +468,34 @@ class MultimodalSpec extends SparkSuite {
     j.unpersist(); ds.unpersist()
   }
 
+  test("q307 PNG datasource ≡ q290 BMP expression decoder (cross-format identity)") {
+    val png = graft.operators.Multimodal.pngDatasourceDecode(spark, Sf0001).cache()
+    assert(png.count() > 0)
+    assert(png.filter(col("n_channels") =!= 3 || col("mode") =!= 16).count() === 0)
+    val ex = graft.operators.Multimodal.bmpPixelStats(spark, Sf0001)
+      .select(col("doc_id"), col("width").as("x_w"), col("height").as("x_h"),
+        col("sum_b").as("x_b"), col("sum_g").as("x_g"), col("sum_r").as("x_r"))
+    // inner join must lose no rows on either side: the PNG corpus stages
+    // exactly the BMP corpus's docs, and every geometry and channel sum
+    // must survive the DEFLATE round-trip bit-for-bit
+    val j = png.join(ex, Seq("doc_id")).cache()
+    assert(j.count() === png.count())
+    assert(j.count() === ex.count())
+    assert(j.filter(col("width") =!= col("x_w") || col("height") =!= col("x_h") ||
+      col("sum_b") =!= col("x_b") || col("sum_g") =!= col("x_g") ||
+      col("sum_r") =!= col("x_r")).count() === 0)
+    j.unpersist(); png.unpersist()
+    // the staged blobs really carry the compressed format: PNG magic,
+    // not a renamed BMP — the decode above genuinely exercised inflate
+    val root = Media.stagedPngRoot(spark, Sf0001)
+    val f = new java.io.File(root).listFiles()
+      .filter(_.getName.endsWith(".png")).minBy(_.getName)
+    val head = java.nio.file.Files.readAllBytes(f.toPath).take(8)
+    val magic = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt,
+      0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    assert(head.sameElements(magic), head.mkString(","))
+  }
+
   test("q305 asset coverage: every staged doc has text+audio; absence follows the staging rules") {
     val rows = graft.operators.Multimodal.assetCoverage(spark, Sf0001).collect()
     assert(rows.nonEmpty)

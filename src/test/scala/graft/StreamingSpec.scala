@@ -398,4 +398,57 @@ class StreamingSpec extends SparkSuite {
     assert(single.exists(_.getAs[Long]("first_doc") < mid), s"mid=$mid")
     assert(single.exists(_.getAs[Long]("last_doc") >= mid), s"mid=$mid")
   }
+
+  test("q184 torn batch: a crash at either tear point replays to the uninterrupted result (no dup, no loss)") {
+    import java.nio.file.{Files, Paths}
+    import graft.operators.StreamingQueries
+    // uninterrupted reference (same corpus, single batch)
+    val single = StreamingQueries.streamCuration(spark, Sf0001).collect().toSeq
+    assert(single.nonEmpty)
+    val docsAll = Tables.documents(spark, Sf0001)
+    val ids = docsAll.filter(col("doc_id") % 5 === 0 && col("text").isNotNull)
+      .select(col("doc_id")).orderBy(col("doc_id")).collect().map(_.getLong(0))
+    val mid = ids(ids.length / 2)
+    // two tear positions: "staged" = the batch output was written to the
+    // staging dir but the publish rename never ran (and the checkpoint
+    // never committed); "published" = the partition went live but the
+    // crash landed BEFORE the checkpoint commit, so the batch is
+    // re-delivered against its own already-published output — the
+    // exactly-once claim the batch<id exclusion carries
+    for (phase <- Seq("staged", "published")) {
+      val streamDir = Files.createTempDirectory(s"graft_torn_$phase").toString
+      graft.Scratch.deleteOnExit(streamDir)
+      def land(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = s"$streamDir/_stage_$name"
+        df.coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        Files.move(part.toPath, Paths.get(s"$streamDir/$name"))
+        graft.Scratch.deleteNow(tmp)
+        Files.setLastModifiedTime(Paths.get(s"$streamDir/$name"),
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      val t0 = System.currentTimeMillis() - 600000
+      land(docsAll.filter(col("doc_id") < mid), "1.parquet", t0)
+      land(docsAll.filter(col("doc_id") >= mid), "2.parquet", t0 + 60000)
+      // arm: kill batch 0 exactly once at this phase's tear point
+      val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+      StreamingQueries.tornBatchHook = (bid, ph) =>
+        if (ph == phase && bid == 0L && fired.compareAndSet(false, true))
+          throw new RuntimeException(s"injected torn write at $phase")
+      val died =
+        try {
+          intercept[Exception] {
+            StreamingQueries.streamCurationOn(spark, Sf0001, streamDir,
+              s"torn$phase", maxFilesPerTrigger = Some(1)).collect()
+          }
+        } finally StreamingQueries.tornBatchHook = (_, _) => ()
+      assert(fired.get(), s"$phase hook never fired: $died")
+      // restart from the same checkpoint (same dir+prefix → same tag):
+      // batch 0 re-delivers (its commit is missing), then batch 1 runs
+      val resumed = StreamingQueries.streamCurationOn(spark, Sf0001, streamDir,
+        s"torn$phase", maxFilesPerTrigger = Some(1)).collect().toSeq
+      assert(resumed === single, s"$phase: ${resumed.size} vs ${single.size}")
+    }
+  }
 }
