@@ -239,7 +239,7 @@ object StreamingQueries {
   // LANDED DATA (q81's partitioned parquet, q86's aggregate table — scales
   // with the corpus) stays on java.io.tmpdir so RAM-backed scratch never
   // holds a 1:1 copy of the dataset.
-  private lazy val fileSinkDataBase: String = {
+  private[graft] lazy val fileSinkDataBase: String = {
     val p = s"${System.getProperty("java.io.tmpdir")}/graft_stream_sink_" +
       ProcessHandle.current().pid()
     graft.Scratch.deleteOnExit(p)
@@ -301,59 +301,65 @@ object StreamingQueries {
     * each microbatch's partial aggregate merges into a stored
     * aggregate table via a full outer join, so the stored table is
     * refreshed in O(aggregate key space) per trigger regardless of
-    * history size. `localCheckpoint(eager)` materializes the merge
-    * BEFORE the overwrite — Spark cannot overwrite a parquet path
-    * that feeds the very plan being written (self-overwrite reads
-    * half-deleted input otherwise).
+    * history size.
     *
-    * foreachBatch is an AT-LEAST-ONCE surface: a driver crash between
-    * the table rewrite and the checkpoint commit re-delivers the same
-    * batch on restart. The stored table therefore carries the last
-    * applied batch id and the merge SKIPS ids already applied — the
-    * standard idempotent-foreachBatch pattern; only with that guard
-    * is the refresh exactly-once. (The one-value max() read is
-    * driver-side control flow over a bounded aggregate table, per the
-    * walkForwardFolds contract.)
+    * CRASH-ATOMIC VERSIONED COMMITS (rewritten r12 after the q184
+    * crash-injection program): the previous shape rewrote ONE table
+    * dir with mode(overwrite), so a crash mid-overwrite destroyed the
+    * merged history and the torn-dir recovery could only "rebuild from
+    * this batch" — silent loss of every earlier batch's contribution.
+    * Now each applied batch writes a NEW immutable version dir
+    * (`v<batchId>/`, complete iff Spark's own `_SUCCESS` landed) and
+    * the previous complete version is garbage-collected only AFTER the
+    * new one is live — the poor-man's Delta/Iceberg commit log, ≤ 2
+    * live versions at any instant. Every crash window is covered: a
+    * tear mid-write leaves a torn `v<id>` beside the intact previous
+    * version (rebuilt over on re-delivery); a tear before the
+    * checkpoint commit re-delivers a batch whose version is already
+    * complete — `applied >= batchId` skips it (the idempotent-
+    * foreachBatch guard, now carried by version DIR NAMES, never by a
+    * column in a table that might itself be torn). Versioning also
+    * removes the self-overwrite hazard entirely (the merge reads
+    * v_old and writes v_new — different paths), so the old
+    * localCheckpoint materialization is gone. All probes run through
+    * Hadoop's FileSystem (the q184 rule) and the version listing is
+    * driver-side metadata over ≤ 2 entries.
     *
     * Scale: the merge never touches history; monoid aggregates only
     * (count/sum), same contract as q85. foreachBatch is where a real
-    * deployment would issue MERGE INTO against a warehouse table. */
+    * deployment would issue MERGE INTO against a warehouse table
+    * (jar-verified n/a offline — NOTES round-12). */
   def streamIncrementalAgg(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     val ev = EventStream.readEvents(spark, s"$dir/events.parquet")
       .select(col("event_type"), col("value"))
     val tag = math.abs(dir.hashCode).toString
     val aggPath = s"$fileSinkDataBase/agg_$tag"
     val chk = s"$fileSinkCkptBase/aggchk_$tag"
+    // complete versions = v<digits> children whose own _SUCCESS landed
+    def completeVersions(ss: SparkSession): Seq[(Long, String)] = {
+      val base = new org.apache.hadoop.fs.Path(aggPath)
+      val fs = base.getFileSystem(ss.sparkContext.hadoopConfiguration)
+      if (!fs.exists(base)) Nil
+      else fs.listStatus(base).toSeq.flatMap { st =>
+        val nm = st.getPath.getName
+        if (nm.length > 1 && nm.startsWith("v") && nm.drop(1).forall(_.isDigit)
+            && fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+          Some(nm.drop(1).toLong -> st.getPath.toString)
+        else None
+      }
+    }
     val q = ev.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ss = batch.sparkSession
         val partial = batch.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), sum(money(col("value"))).as("s"))
-        // completeness = the _SUCCESS marker, not bare dir existence
-        // (the persisted-fixture discipline): a crash mid-overwrite
-        // leaves a torn dir whose max(last_batch) read would corrupt
-        // the merge — discard it and rebuild from this batch instead.
-        // Probed through Hadoop's FileSystem (the q184 rule): under an
-        // HDFS/S3A sink base a java.nio check would silently answer
-        // false and every batch would rebuild from scratch.
-        val okPath = new org.apache.hadoop.fs.Path(s"$aggPath/_SUCCESS")
-        val complete = okPath
-          .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
-          .exists(okPath)
-        if (!complete) graft.Scratch.deleteNow(aggPath)
-        val existing =
-          if (complete) Some(batch.sparkSession.read.parquet(aggPath))
-          else None
-        // max() over a ZERO-row table (an empty first microbatch still
-        // writes a 0-row parquet) is NULL — treat absent/NULL as "no
-        // batch applied yet" (-1) instead of NPE-ing on getLong
-        val alreadyApplied = existing.exists(e =>
-          Option(e.agg(max(col("last_batch"))).head().get(0))
-            .map(_.asInstanceOf[Long]).getOrElse(-1L) >= batchId)
-        if (!alreadyApplied) {
-          val merged = existing match {
-            case Some(cur) =>
-              cur.withColumnsRenamed(Map("n" -> "n_b", "s" -> "s_b"))
-                .drop("last_batch")
+        val versions = completeVersions(ss)
+        val applied = versions.map(_._1).maxOption.getOrElse(-1L)
+        if (applied < batchId) {
+          val merged = versions.sortBy(-_._1).headOption match {
+            case Some((_, latest)) =>
+              ss.read.parquet(latest)
+                .withColumnsRenamed(Map("n" -> "n_b", "s" -> "s_b"))
                 .join(partial, Seq("event_type"), "full_outer")
                 .select(
                   col("event_type"),
@@ -367,9 +373,16 @@ object StreamingQueries {
                     .cast("decimal(28,2)").as("s"))
             case None => partial
           }
-          merged.withColumn("last_batch", lit(batchId))
-            .localCheckpoint(true)
-            .write.mode("overwrite").parquet(aggPath)
+          merged.write.mode("overwrite").parquet(s"$aggPath/v$batchId")
+          tornBatchHook(batchId, "agg_committed")
+          // GC AFTER the new version is complete: every other child
+          // (the superseded version, any torn dir) goes — never the
+          // one just committed
+          val base = new org.apache.hadoop.fs.Path(aggPath)
+          val fs = base.getFileSystem(ss.sparkContext.hadoopConfiguration)
+          fs.listStatus(base).foreach { st =>
+            if (st.getPath.getName != s"v$batchId") fs.delete(st.getPath, true)
+          }
         }
         ()
       }
@@ -377,7 +390,8 @@ object StreamingQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(aggPath)
+    val (_, latest) = completeVersions(spark).maxBy(_._1)
+    spark.read.parquet(latest)
       .select(col("event_type"), col("n"), dec2(col("s")).as("sum_value"))
       .orderBy(col("event_type"))
   }

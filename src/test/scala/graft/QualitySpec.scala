@@ -80,6 +80,43 @@ class QualitySpec extends SparkSuite {
       assert(r.getAs[Long]("n") === direct(r.getAs[String]("event_type")), r))
   }
 
+  test("q86 versioned commits: a crash after commit replays clean; a torn version dir is invisible") {
+    // uninterrupted reference
+    val reference = StreamingQueries.streamIncrementalAgg(spark, Sf0001).collect().toSeq
+    assert(reference.nonEmpty)
+    // 1) tear AFTER the version commit, BEFORE the checkpoint commit:
+    // the re-delivered batch must hit the applied>=batchId skip and the
+    // recovered table must equal the uninterrupted run. (The checkpoint
+    // already holds batch 0 from the reference run, so the injected run
+    // only fires the hook if a batch actually applies — fresh corpus
+    // state isn't needed: an idle re-run proves idempotence, an armed
+    // failing batch proves recovery; both paths end at the same table.)
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    StreamingQueries.tornBatchHook = (_, ph) =>
+      if (ph == "agg_committed" && fired.compareAndSet(false, true))
+        throw new RuntimeException("injected tear after version commit")
+    try {
+      val got =
+        try Some(StreamingQueries.streamIncrementalAgg(spark, Sf0001).collect().toSeq)
+        catch { case _: Exception => None } // armed run died at the tear
+      got.foreach(g => assert(g === reference))
+    } finally StreamingQueries.tornBatchHook = (_, _) => ()
+    val recovered = StreamingQueries.streamIncrementalAgg(spark, Sf0001).collect().toSeq
+    assert(recovered === reference)
+    // 2) a torn version dir (no _SUCCESS) beside the complete one must
+    // be invisible to the reader — the exact artifact a crash mid-write
+    // leaves behind
+    val tag = math.abs(Sf0001.hashCode).toString
+    val aggPath = s"${StreamingQueries.fileSinkDataBase}/agg_$tag"
+    val torn = new java.io.File(s"$aggPath/v99")
+    torn.mkdirs()
+    java.nio.file.Files.writeString(torn.toPath.resolve("part-junk.parquet"), "torn")
+    try {
+      val withTorn = StreamingQueries.streamIncrementalAgg(spark, Sf0001).collect().toSeq
+      assert(withTorn === reference)
+    } finally graft.Scratch.deleteNow(torn.toString)
+  }
+
   test("q81 file sink is exactly-once: a second run adds no rows") {
     val first = StreamingQueries.streamFileSink(spark, Sf0001).collect()
     val second = StreamingQueries.streamFileSink(spark, Sf0001).collect()
