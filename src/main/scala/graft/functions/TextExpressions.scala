@@ -43,6 +43,42 @@ case class RollingMinHash(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Native rolling MD5 fingerprint kernel for q200 (round-12): the
+  * minimum md5 hex digest over every `k`-char gram of the text, in one
+  * compiled loop per row. Bit-identical to the HOF formulation
+  * `array_min(transform(sequence(1, length(text) - k + 1), i ->
+  * md5(substr(text, i, k))))` for texts of >= k chars (pinned in
+  * TextAnalysisSpec): grams are char-windows hashed over their UTF-8
+  * byte spans in place, and digests compare as unsigned byte arrays —
+  * the hex encoding is byte-monotone, so the minimum digest IS the
+  * lexicographically-minimum hex string. Texts shorter than `k` hash
+  * their whole content once ([[RollingMinHash]]'s convention; q200
+  * filters them out before the kernel).
+  *
+  * Why: the HOF form dispatches an interpreted lambda per gram and
+  * allocates a 32-char hex string per gram (~200 per document, ~1M per
+  * pass at sf0.1) just to keep the minimum; here one reused
+  * MessageDigest hashes each byte span and only the winning digest is
+  * hex-encoded. */
+case class RollingMd5Min(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1, s"gram size must be >= 1, got $k")
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_rolling_md5_min"
+
+  override def nullSafeEval(s: Any): Any =
+    RollingHashKernel.minMd5Gram(s.asInstanceOf[UTF8String], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.RollingHashKernel.minMd5Gram($t, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** MinHash-LSH banding in ONE compiled pass per document (q31's hot
   * path): tokenize on single spaces, hash each `w`-token shingle's byte
   * span in place (a shingle joined by single spaces IS a contiguous
@@ -145,6 +181,36 @@ case class SimHashSig(child: Expression, bits: Int)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, t =>
       s"${ev.value} = graft.functions.RollingHashKernel.simHash($t, $bits);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** All ordered index pairs (i < j) of a string array as
+  * array<struct<a, b>> in one compiled pass — the combinatorial pair
+  * expansion behind the co-occurrence family (q130/q226). Identical
+  * output (same pairs, same order) to the interpreted nested-HOF form
+  * `flatten(transform(ts, (x, i) -> transform(slice(ts, i + 2,
+  * size(ts)), y -> struct(x, y))))` — pinned in TextAnalysisSpec —
+  * which dispatches two lambda levels and allocates a slice array per
+  * element (~C(|ts|, 2) interpreted ops per row, the round-12 q226
+  * finding: 1.5M struct allocations per pass at sf0.1). NULL for NULL
+  * input, empty for arrays below 2 elements, exactly like the HOF. */
+case class ArrayOrderedPairs(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("a", StringType), StructField("b", StringType))),
+    containsNull = false)
+  override def prettyName: String = "graft_ordered_pairs"
+
+  override def nullSafeEval(a: Any): Any =
+    RollingHashKernel.orderedPairs(a.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.RollingHashKernel.orderedPairs($t);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -262,6 +328,85 @@ object RollingHashKernel {
       i += 1
     }
     min
+  }
+
+  def orderedPairs(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val elems = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { elems(i) = arr.getUTF8String(i); i += 1 }
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out(k) = new GenericInternalRow(Array[Any](elems(i), elems(j)))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** One MessageDigest per thread, reset per gram — getInstance per row
+    * (let alone per gram) measurably dominates 8-byte digests. */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val HexBytes = "0123456789abcdef".getBytes
+
+  def minMd5Gram(t: UTF8String, k: Int): UTF8String = {
+    val nBytes = t.numBytes()
+    val bytes = t.getBytes
+    val nChars = t.numChars()
+    val charOffs = new Array[Int](nChars + 1)
+    var b = 0
+    var c = 0
+    while (b < nBytes) {
+      charOffs(c) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      c += 1
+    }
+    charOffs(nChars) = nBytes
+    val windows = math.max(nChars - (k - 1), 1)
+    val md = md5Local.get()
+    // two 16-byte buffers: digest into `cur`, keep the minimum in `best`
+    var best = new Array[Byte](16)
+    var cur = new Array[Byte](16)
+    var have = false
+    var i = 0
+    while (i < windows) {
+      val start = charOffs(i)
+      val end = charOffs(math.min(i + k, nChars))
+      md.reset()
+      md.update(bytes, start, end - start)
+      md.digest(cur, 0, 16)
+      if (!have || {
+        var j = 0
+        var cmp = 0
+        while (cmp == 0 && j < 16) {
+          cmp = (cur(j) & 0xff) - (best(j) & 0xff)
+          j += 1
+        }
+        cmp < 0
+      }) {
+        val tmp = best; best = cur; cur = tmp
+        have = true
+      }
+      i += 1
+    }
+    val hex = new Array[Byte](32)
+    var j = 0
+    while (j < 16) {
+      hex(2 * j) = HexBytes((best(j) >> 4) & 0xf)
+      hex(2 * j + 1) = HexBytes(best(j) & 0xf)
+      j += 1
+    }
+    UTF8String.fromBytes(hex)
   }
 
   /** Token boundaries of `bytes` split on single spaces (0x20), exactly

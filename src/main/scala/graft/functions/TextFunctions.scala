@@ -59,6 +59,24 @@ object TextFunctions {
     org.apache.spark.sql.GraftSqlShim.column(
       RollingMinHash(org.apache.spark.sql.GraftSqlShim.expression(text), k))
 
+  /** Min md5 hex digest over every k-char gram — q200's engine-portable
+    * rolling fingerprint as one codegen'd loop per row
+    * ([[graft.functions.RollingMd5Min]]; bit-identical to the
+    * `array_min(transform(...md5(substr)...))` HOF form, pinned in
+    * TextAnalysisSpec). */
+  def rollingMd5Min(text: Column, k: Int): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      RollingMd5Min(org.apache.spark.sql.GraftSqlShim.expression(text), k))
+
+  /** All ordered (i < j) element pairs of a string array as
+    * array<struct<a, b>> in one compiled pass
+    * ([[graft.functions.ArrayOrderedPairs]]; pair set and order
+    * identical to the nested-transform HOF form, pinned in
+    * TextAnalysisSpec). */
+  def orderedPairs(arr: Column): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      ArrayOrderedPairs(org.apache.spark.sql.GraftSqlShim.expression(arr)))
+
   /** MinHash-LSH band hashes in one compiled pass
     * ([[graft.functions.LshBands]]): array of (band, band_hash) structs,
     * NULL when the text has fewer than `w` tokens. */

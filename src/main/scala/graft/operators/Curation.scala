@@ -1532,6 +1532,10 @@ object Curation {
       .collect().map(_.getString(0)).toSeq
     def mapped(c: Column): Column =
       when(c.isInCollection(vocab), c).otherwise(lit("<unk>"))
+    // (round-12 note: checkpointing `pairs` measured flat locally and
+    // would materialize a token-scale frame at 100 TB — recomputing the
+    // tokenize+explode for the second consumer is the cheaper side of
+    // the guide §5 trade, so the double evaluation stays.)
     val pairs = d.filter(size(col("t")) >= 2)
       .select(col("doc_id"), col("source"),
         explode(zip_with(
@@ -1902,11 +1906,11 @@ object Curation {
     val nDocs = d.agg(count(lit(1)).as("n_docs"))
     val vocabLit = typedlit(df.select(col("tok")).collect()
       .map(_.getString(0))) // 64 rows: bounded driver control flow
+    // round-12: compiled pair expansion (ArrayOrderedPairs) replaces the
+    // interpreted nested transform — same pairs, q226's kernel
     d.select(array_sort(array_intersect(col("ts"), vocabLit)).as("vt"))
-      .select(explode(flatten(transform(col("vt"), (x, i) =>
-        transform(slice(col("vt"), i + lit(2), size(col("vt"))),
-          y => struct(x.as("x"), y.as("y")))))).as("p"))
-      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .select(explode(graft.functions.TextFunctions.orderedPairs(col("vt"))).as("p"))
+      .groupBy(col("p.a").as("x"), col("p.b").as("y"))
       .agg(count(lit(1)).as("c_xy"))
       .filter(col("c_xy") >= CoocMinSupport)
       .join(broadcast(df.select(col("tok").as("x"), col("c").as("c_x"))), Seq("x"))

@@ -441,7 +441,11 @@ object Derivations {
     * 2-column frame; exposed for the spec's edge-case frames. */
   private[graft] def quantilesDistributed(spark: SparkSession, in: DataFrame): DataFrame = {
     val Seq(grpCol, valCol) = in.columns.toSeq
-    def rows = in.select(col(grpCol).as("st"), col(valCol).as("v"))
+    // round-12: the 2-column proxy is checkpointed once; the sketch,
+    // histogram and fetch passes walk blocks instead of re-running the
+    // input lineage per pass
+    val rows = in.select(col(grpCol).as("st"), col(valCol).as("v"))
+      .localCheckpoint()
     val ps = Seq(0.5, 0.95)
     val nBuckets = spark.conf.get("spark.sql.shuffle.partitions").toInt.max(2)
     // shared first pass (TwoPass.scoreBuckets): sampled balance-only
@@ -662,9 +666,12 @@ object Derivations {
   def equiDepthHistogram(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val b = HistogramBuckets
-    def rows = Tables.lineitem(spark, dir).select(
+    // round-12: one lineitem scan — the 1-column cents proxy is
+    // checkpointed once for the kernel's passes AND the true-count agg
+    val rows = Tables.lineitem(spark, dir).select(
       (col("l_extendedprice").cast("decimal(18,2)") * 100)
         .cast("decimal(18,0)").cast("long").as("c"))
+      .localCheckpoint()
     val lookup = TwoPass.groupRankLookup(spark,
       rows.select(lit("all").as("k"), col("c")),
       n => 1L +: (1 to b).map(k => (k * n + b - 1) / b))

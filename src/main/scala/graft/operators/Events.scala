@@ -1233,6 +1233,10 @@ object Events {
       .groupBy(col("user_id"), col("event_type"), col("session_id"))
       .agg(min(col("ts_ns")).as("s"), max(col("ts_ns")).as("e"))
       .withColumn("e", col("e") + SessionTailNs)
+      // round-12: both sides of the self-join read `sessions` — without
+      // materialization the session window+agg chain evaluated twice;
+      // checkpoint the narrow (user, type, s, e) frame once
+      .localCheckpoint()
     val a = sessions.select(col("user_id"), col("event_type").as("type_a"),
       col("s").as("sa"), col("e").as("ea"))
     val b = sessions.select(col("user_id"), col("event_type").as("type_b"),
@@ -1300,7 +1304,10 @@ object Events {
       .orderBy(col("ts_ns"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val lookbackNs = 3600L * 1000 * 1000 * 1000
-    def lat = Tables.events(spark, dir)
+    // round-12: the attribution window (shuffle + sort on user_id) ran
+    // once per kernel pass plus once for the summary agg; checkpoint
+    // the 1-column latency frame so the window runs exactly once
+    val lat = Tables.events(spark, dir)
       .filter(col("event_type").isInCollection(Seq("click", "purchase")))
       .withColumn("last_click_ns",
         max(when(col("event_type") === "click", col("ts_ns"))).over(w))
@@ -1308,6 +1315,7 @@ object Events {
         && col("last_click_ns").isNotNull
         && col("ts_ns") - col("last_click_ns") <= lookbackNs)
       .select(expr("(ts_ns - last_click_ns) div 1000000000").as("lat_s"))
+      .localCheckpoint()
     val lookup = TwoPass.groupRankLookup(spark,
       lat.select(lit("all").as("k"), col("lat_s").as("c")),
       n => Seq((n + 1) / 2, (9 * n + 9) / 10))
@@ -1576,9 +1584,21 @@ object Events {
       .groupBy(col("user_id"), col("event_type"), col("session_id"))
       .agg(min(col("ts_ns")).as("s"),
         (max(col("ts_ns")) + SessionTailNs).as("e"))
-    val deltas = sessions.select(col("event_type"), col("s").as("ns"), lit(1L).as("d"))
-      .unionAll(sessions.select(col("event_type"), col("e").as("ns"), lit(-1L).as("d")))
+    // round-12: the previous unionAll of two projections evaluated the
+    // whole session window+agg subtree TWICE (Catalyst does not fuse
+    // common union branches above an exchange); emitting both sweep
+    // deltas from ONE pass via explode halves the heavy stage — plan:
+    // 2 window/agg evaluations -> 1 (guide §2.4, remove repeated work)
+    val deltas = sessions.select(col("event_type"),
+        explode(array(
+          struct(col("s").as("ns"), lit(1L).as("d")),
+          struct(col("e").as("ns"), lit(-1L).as("d")))).as("sw"))
+      .select(col("event_type"), col("sw.ns").as("ns"), col("sw.d").as("d"))
       .withColumn("hb", expr("ns div 3600000000000"))
+      // deltas feeds both the per-hour net agg and the within-hour sweep
+      // join — checkpoint the narrow (type, ns, d, hb) stream so the
+      // session window runs exactly once however many consumers follow
+      .localCheckpoint()
     val net = deltas.groupBy(col("event_type"), col("hb"))
       .agg(sum(col("d")).as("net"))
     val wOff = Window.partitionBy(col("event_type")).orderBy(col("hb"))
@@ -2762,6 +2782,8 @@ object Events {
         expr("ts_ns div 1000").as("ts_us"))
     val horizon = ev.agg(max(col("ts_us")).as("mt")).withColumn("k", lit(1))
     val byUser = Window.partitionBy(col("user_id"))
+    // round-12: the user window + per-user agg lineage fed the kernel's
+    // three passes and the duration derivation — checkpoint it once
     val perUser = ev
       .withColumn("c", min(when(col("event_type") === "click",
         col("ts_us"))).over(byUser))
@@ -2771,6 +2793,7 @@ object Events {
         min(when(col("event_type") === "purchase" && col("ts_us") > col("c"),
           col("ts_us"))).as("p"),
         count(lit(1)).cast("long").as("n_ev"))
+      .localCheckpoint()
     val thr = TwoPass.groupRankLookup(spark,
       perUser.select(lit("all").as("k"), col("n_ev").as("c")),
       n => Seq((n + 1) / 2))("all").at.values.head

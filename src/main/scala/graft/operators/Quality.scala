@@ -158,6 +158,10 @@ object Quality {
   def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Parity._
     import spark.implicits._
+    // round-12: the kernel lazily persists the (k, c) proxy across its
+    // own passes (TwoPass.cached); an eager caller-side checkpoint
+    // measured WORSE here (scan-only lineage — the extra materialize
+    // job costs more than the two parquet re-scans it saves)
     def rows = Tables.events(spark, dir).select(col("event_type").as("et"),
       (col("value").cast("decimal(18,2)") * 100).cast("decimal(18,0)")
         .cast("long").as("c"))
@@ -357,17 +361,24 @@ object Quality {
     * each pass is one map-side-combined bounded histogram + one
     * pruned single-bucket fetch, and the med/mad thresholds travel
     * back as a broadcast |types|-row frame. Final scan is one
-    * aggregation with integer conditionals. */
+    * aggregation with integer conditionals.
+    *
+    * Round-12: the narrow (k, c) proxy is localCheckpoint'ed once and
+    * feeds BOTH kernel calls, the deviation derivation and the final
+    * aggregation — one events scan total where the previous shape
+    * re-scanned parquet per kernel pass (guide §5/§8: materialize the
+    * small decision rows once, never the payload). */
   def madOutliers(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Parity._
     import spark.implicits._
-    def rows = Tables.events(spark, dir).select(col("event_type").as("k"),
+    val rows = Tables.events(spark, dir).select(col("event_type").as("k"),
       (col("value").cast("decimal(18,2)") * 100).cast("decimal(18,0)")
         .cast("long").as("c"))
+      .localCheckpoint()
     val med = TwoPass.groupRankLookup(spark, rows, n => Seq((n + 1) / 2))
       .toSeq.map { case (k, gr) => (k, gr.at((gr.n + 1) / 2)) }
       .toDF("k", "med")
-    def dev = rows.join(broadcast(med), Seq("k"))
+    val dev = rows.join(broadcast(med), Seq("k"))
       .select(col("k"), abs(col("c") - col("med")).as("c"))
     val mad = TwoPass.groupRankLookup(spark, dev, n => Seq((n + 1) / 2))
       .toSeq.map { case (k, gr) => (k, gr.at((gr.n + 1) / 2)) }
@@ -1359,13 +1370,16 @@ object Quality {
     import spark.implicits._
     val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
       .cast("decimal(18,0)").cast("long")
-    def rows = Tables.orders(spark, dir)
+    // round-12: one orders scan + dim joins — the narrow (k, c) proxy
+    // is checkpointed once for the kernel passes AND the final agg
+    val rows = Tables.orders(spark, dir)
       .join(broadcast(Tables.customer(spark, dir)
           .select(col("c_custkey"), col("c_nationkey"))),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)),
         col("c_nationkey") === col("n_nationkey"))
       .select(col("n_name").as("k"), cents.as("c"))
+      .localCheckpoint()
     val lookup = TwoPass.groupRankLookup(spark, rows,
       n => { val t = n / 10; Seq(t, n - t + 1).filter(r => r >= 1 && r <= n) })
     val th = lookup.toSeq.map { case (nation, gr) =>
@@ -2111,8 +2125,11 @@ object Quality {
   def brownForsythe(spark: SparkSession, dir: String): DataFrame = {
     val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
       .cast("decimal(18,0)").cast("long")
+    // round-12: one orders scan — the (k, c) proxy is checkpointed for
+    // the kernel passes and reused (renamed) by the pivot aggregation
     val rows = Tables.orders(spark, dir)
       .select(col("o_orderpriority").as("k"), cents.as("c"))
+      .localCheckpoint()
     // all five priorities exist at every TPC-H SF (q223's precondition
     // too); getOrElse keeps an absent group a NaN-F, never a crash
     val meds: Map[String, Long] =
@@ -2129,8 +2146,8 @@ object Quality {
           .as(s"s${i + 1}"))
     } :+ sum(col("z").cast("decimal(38,0)") * col("z"))
       .cast("decimal(38,0)").as("ssq")
-    val pivoted = Tables.orders(spark, dir)
-      .select(col("o_orderpriority").as("g"), cents.as("y"))
+    val pivoted = rows
+      .select(col("k").as("g"), col("c").as("y"))
       .withColumn("z", abs(col("y") - medCol))
       .groupBy()
       .agg(aggs.head, aggs.tail: _*)

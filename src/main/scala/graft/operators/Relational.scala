@@ -352,9 +352,11 @@ object Relational {
     val li = Tables.lineitem(spark, dir)
     val p = money(col("l_extendedprice"))
     // price carried as exact cents (long) for sketch/bucket/rank math,
-    // as decimal for the output sums
-    def rows = li.select(col("l_returnflag"), p.as("p"),
+    // as decimal for the output sums; round-12: checkpointed once so
+    // the sketch, histogram and rank passes walk blocks, not parquet
+    val rows = li.select(col("l_returnflag"), p.as("p"),
       (p * 100).cast("long").as("pc"))
+      .localCheckpoint()
     val nBuckets = spark.conf.get("spark.sql.shuffle.partitions").toInt.max(2)
     // job 0: boundary sketch — a MERGEABLE percentile sketch with
     // bounded memory (q82's sufficient-statistics discipline) over a
@@ -520,13 +522,17 @@ object Relational {
     * throw, not corrupt, at the ~sf10 point where widening past
     * (38,0) becomes the driver-side last mile, same stance as q135). */
   def giniConcentration(spark: SparkSession, dir: String): DataFrame = {
-    def rows = Tables.orders(spark, dir)
+    // round-12: the orders⋈customer lineage ran once per pass (sketch,
+    // histogram, final rank scan — three joins); checkpoint the narrow
+    // (segment, cents, orderkey) proxy once and walk blocks instead
+    val rows = Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment").as("segment"),
         (col("o_totalprice").cast("decimal(18,2)") * 100)
           .cast("decimal(18,0)").cast("long").as("cents"),
         col("o_orderkey"))
+      .localCheckpoint()
     val nBuckets = spark.conf.get("spark.sql.shuffle.partitions").toInt.max(2)
     val bucketOf = TwoPass.scoreBuckets(rows, col("cents"), nBuckets)
     val sub = rows.withColumn("b", bucketOf(col("cents")))
@@ -1209,11 +1215,15 @@ object Relational {
     * driver control flow, broadcast offsets, within-bucket window.
     * The class rollup is a 3-row aggregation. */
   def abcClassification(spark: SparkSession, dir: String): DataFrame = {
-    def rows = Tables.lineitem(spark, dir)
+    // round-12: the per-part revenue frame is a full shuffled
+    // aggregation — it ran once per pass (sketch, subtotal, rank scan);
+    // checkpoint it once so the shuffle is paid exactly once
+    val rows = Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey").as("pk"))
       .agg(sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
         .cast("decimal(18,0)").cast("long")).as("c"))
       .withColumn("sc", -col("c"))
+      .localCheckpoint()
     val nBuckets = spark.conf.get("spark.sql.shuffle.partitions").toInt.max(2)
     val bucketOf = TwoPass.scoreBuckets(rows, col("sc"), nBuckets)
     val sub = rows.withColumn("b", bucketOf(col("sc")))

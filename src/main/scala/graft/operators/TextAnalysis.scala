@@ -355,9 +355,13 @@ object TextAnalysis {
   def rollingFingerprintMd5(spark: SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir)
       .filter(col("text").isNotNull && length(col("text")) >= 8)
-      .select(col("doc_id"), expr(
-        "array_min(transform(sequence(1, length(text) - 7)," +
-          " i -> md5(substr(text, i, 8))))").as("fingerprint"))
+      // round-12: the interpreted HOF (one lambda dispatch + one 32-char
+      // hex allocation per gram, ~1M grams per pass at sf0.1) moved into
+      // the compiled RollingMd5Min kernel — same md5-of-substr semantics,
+      // bit-identity pinned in TextAnalysisSpec
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.rollingMd5Min(col("text"), 8)
+          .as("fingerprint"))
       .groupBy(col("fingerprint"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") > 1)
@@ -1224,11 +1228,13 @@ object TextAnalysis {
   def cooccurrenceLift(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val (sets, top, nDocs) = coocFrames(spark, dir)
+    // round-12: pair expansion moved from the interpreted nested HOF
+    // (two lambda levels + a slice allocation per element, ~C(|ts|,2)
+    // dispatches per doc) into the compiled ArrayOrderedPairs kernel —
+    // identical pairs, pinned in TextAnalysisSpec
     val pairs = sets
-      .select(col("source"), explode(expr(
-        """flatten(transform(ts, (x, i) ->
-          |  transform(slice(ts, i + 2, size(ts)),
-          |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+      .select(col("source"),
+        explode(graft.functions.TextFunctions.orderedPairs(col("ts"))).as("p"))
       .groupBy(col("source"), col("p.a").as("token_a"), col("p.b").as("token_b"))
       .agg(count(lit(1)).cast("long").as("n_docs_both"))
       .filter(col("n_docs_both") >= CoocMinSupport)

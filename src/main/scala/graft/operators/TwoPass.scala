@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Shared first pass of the distributed two-pass rank family
   * (q91 ntile, q94 budget selection, q51 targeted quantiles): sampled
@@ -14,6 +15,48 @@ import org.apache.spark.sql.functions._
   * below originally existed in two of the three call sites and not the
   * third). */
 private[graft] object TwoPass {
+
+  /** Materialize the kernel's narrow decision frame once and reuse it
+    * across the kernel's sketch/histogram/fetch passes (round-12
+    * optimization, guide §5: caching pays exactly when a frame is
+    * reused and recomputing it is dearer than holding it).
+    *
+    * Every kernel in this file walks its input THREE times (boundary
+    * sketch, bounded histogram, pruned fetch); without this, each walk
+    * re-runs the input's whole lineage — a parquet scan plus the
+    * caller's projection/join chain, three times per call (and q147
+    * pays it twice over). The input is always the narrow (k, c[, w])
+    * proxy — a few fixed-width columns, never payloads — so the
+    * materialized footprint is the cheap side of the guide §8 rule:
+    * decide over small rows, move them once. MEMORY_AND_DISK spills
+    * gracefully when a 100 TB deployment's proxy outgrows storage
+    * memory.
+    *
+    * Frames the CALLER already materialized (persisted, or a
+    * `localCheckpoint` — the q147/q145 shape: one base frame feeds the
+    * kernel call(s) plus the final aggregation) are left alone —
+    * `own = false` — so a shared cache is not dropped from under the
+    * caller and a checkpointed frame is not duplicated into storage.
+    * All kernel results are collected driver-side maps, so the
+    * kernel-owned cache can always be released before returning. */
+  private def cached(rows: DataFrame): (DataFrame, Boolean) = {
+    // A frame that is a checkpoint — or a pure column-level reshape of
+    // one (Project/Filter only) — re-scans in-memory blocks, so a second
+    // materialization would only duplicate storage.
+    def materialized(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p match {
+        case _: org.apache.spark.sql.execution.LogicalRDD => true
+        case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          materialized(pr.child)
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          materialized(f.child)
+        case _ => false
+      }
+    if (!materialized(rows.queryExecution.logical) &&
+        rows.storageLevel == StorageLevel.NONE)
+      (rows.persist(StorageLevel.MEMORY_AND_DISK), true)
+    else (rows, false)
+  }
 
   /** Bucket function for `value` with ~`nBuckets` balanced buckets.
     *
@@ -96,7 +139,7 @@ private[graft] object TwoPass {
     // dropped up front (a zero-total group would otherwise be kept in
     // `totals` but skipped from `wants`, making med(k) throw); a group
     // with NO positive weight simply has no median and is omitted.
-    val rows0 = rows.filter(col("w") > 0)
+    val (rows0, own) = cached(rows.filter(col("w") > 0))
     val nBuckets = spark.conf.get("spark.sql.shuffle.partitions").toInt.max(2)
     val bucketOf = scoreBuckets(rows0, col("c"), nBuckets)
     val hist = rows0.withColumn("b", bucketOf(col("c")))
@@ -123,13 +166,15 @@ private[graft] object TwoPass {
       .groupBy(col("k")).agg(min(col("c")).as("m"))
       .collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (own) rows0.unpersist(false)
     totals.flatMap { case (k, w) => med.get(k).map(m => k -> (w, m)) }.toMap
   }
 
-  def groupRankLookup(spark: SparkSession, rows: DataFrame,
+  def groupRankLookup(spark: SparkSession, rows0: DataFrame,
       ranksFor: Long => Seq[Long]): Map[String, GroupRanks] = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
+    val (rows, own) = cached(rows0)
     val nBuckets = spark.conf.get("spark.sql.shuffle.partitions").toInt.max(2)
     val bucketOf = scoreBuckets(rows, col("c"), nBuckets)
     val hist = rows.withColumn("b", bucketOf(col("c")))
@@ -161,6 +206,7 @@ private[graft] object TwoPass {
       .map { case (k, rs) =>
         k -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap
       }
+    if (own) rows.unpersist(false)
     sizes.map { case (k, n) =>
       k -> GroupRanks(n, fetched.getOrElse(k, Map.empty))
     }.toMap

@@ -177,6 +177,34 @@ class TextAnalysisSpec extends SparkSuite {
     assert(both.filter(not(col("kernel") <=> col("hof"))).count() === 0)
   }
 
+  test("RollingMd5Min kernel is bit-equal to the array_min md5-HOF form") {
+    import spark.implicits._
+    // corpus + crafted edges: exact k-length, k+1, repeats, multi-byte
+    // UTF-8 (char windows must hash the chars' byte spans, not bytes)
+    val docs = (Seq("abcdefgh", "abcdefghi", "aaaaaaaaaa", "zzzzzzzz",
+      "héllo wörld ünïcode", "ascii and then émoji 😀 tail pad") ++
+      Tables.documents(spark, Sf0001).select("text")
+        .na.drop().as[String].collect().toSeq)
+      .filter(_.length >= 8).toDF("text")
+    val both = docs.select(
+      graft.functions.TextFunctions.rollingMd5Min(col("text"), 8).as("kernel"),
+      expr("array_min(transform(sequence(1, length(text) - 7)," +
+        " i -> md5(substr(text, i, 8))))").as("hof"))
+    assert(both.filter(not(col("kernel") <=> col("hof"))).count() === 0)
+  }
+
+  test("ArrayOrderedPairs kernel equals the nested-transform HOF form") {
+    import spark.implicits._
+    val arrs = Seq(Seq("a", "b", "c", "d"), Seq("x"), Seq(),
+      Seq("t1", "t2"), ('a' to 'z').map(_.toString)).toDF("ts")
+    val both = arrs.select(
+      graft.functions.TextFunctions.orderedPairs(col("ts")).as("kernel"),
+      expr("""flatten(transform(ts, (x, i) ->
+             |  transform(slice(ts, i + 2, size(ts)),
+             |    y -> struct(x AS a, y AS b))))""".stripMargin).as("hof"))
+    assert(both.filter(not(col("kernel") <=> col("hof"))).count() === 0)
+  }
+
   test("q102 accounting: totals are conserved and merges only shrink") {
     val out = TextAnalysis.applyTokenizer(spark, Sf0001).collect()
     assert(out.nonEmpty)
