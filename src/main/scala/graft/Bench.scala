@@ -67,6 +67,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // round-12: several operators localCheckpoint their narrow
+      // decision frames; the blocks are freed by ContextCleaner only
+      // after a JVM GC enqueues the weak references, and the default
+      // periodic-GC interval (30 min) exceeds a full bench run — so a
+      // 900-query session accumulated block-manager state and slowed
+      // its own tail (measured: q265 3.4 s inside the long run vs
+      // 1.6 s fresh). A 45 s periodic GC keeps cleanup continuous;
+      // same remedy Spark documents for long-running drivers.
+      .config("spark.cleaner.periodicGC.interval", "45s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: JIT the scan/agg/write paths once, untimed

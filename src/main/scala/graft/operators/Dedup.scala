@@ -104,8 +104,17 @@ object Dedup {
     val rare = toks.join(dfreq, Seq("tok"))
       .groupBy("doc_id")
       .agg(min_by(col("tok"), struct(col("df"), col("tok"))).as("rtok"))
+    // round-12: `d` feeds both sides of the banded self-join — without
+    // materialization the whole tokenize→dfreq→rarest-anchor chain
+    // evaluated twice; checkpoint the 4-narrow-column anchor frame
+    // (one row per doc; the token payload stays un-materialized —
+    // candidate-pairs-before-payload is unchanged). LAZY on purpose:
+    // q257 composes this producer beside q216's and an eager
+    // materialize job would serialize subtrees the scheduler otherwise
+    // overlaps (measured +0.4 s on q257 with eager).
     val d = docs.join(rare, Seq("doc_id"))
       .select(col("doc_id"), col("band"), col("ftok"), col("rtok"))
+      .localCheckpoint(false)
     // one side emits (band, band+1), the other its own band: bands
     // within 1 of each other meet regardless of which doc is longer;
     // least/greatest + distinct collapses the double match of
@@ -417,10 +426,16 @@ object Dedup {
     * (candidate-pairs-before-payload); verification joins shingle
     * sets for surviving pairs only. */
   def minhashLshMd5(spark: SparkSession, dir: String): DataFrame = {
+    // round-12: `docs` feeds the signature pass AND both verification
+    // joins, and `sig` feeds both sides of the band self-join — without
+    // materialization the shingle build ran three times and the whole
+    // md5+32-min signature aggregation twice. Checkpoint both narrow
+    // frames once (docs: one array row per doc; sig: 32 longs per doc).
     val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
       .select(col("doc_id"),
         array_distinct(wordShingles(col("text"), 3)).as("ts"))
       .filter(size(col("ts")) >= 1)
+      .localCheckpoint()
     val v = docs.select(col("doc_id"), explode(col("ts")).as("g"))
       .select(col("doc_id"), md5(col("g")).as("m"))
       .select(col("doc_id"),
@@ -431,6 +446,7 @@ object Dedup {
         .bitwiseAND(lit(4294967295L))).as(s"s$p")
     }
     val sig = v.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .localCheckpoint()
     val bandCols = (0 until 8).map { b =>
       struct(lit(b).as("band"),
         concat_ws(":", (0 until 4).map(r => col(s"s${4 * b + r}")): _*).as("key"))

@@ -1524,6 +1524,10 @@ object Relational {
       .select(col("c_mktsegment").as("segment"), col("o_orderkey"),
         (col("o_totalprice").cast("decimal(18,2)") * 100)
           .cast("decimal(18,0)").cast("long").as("cents"))
+      // round-12: `j` feeds the quartile aggregate AND the rank-window
+      // chain — checkpoint the 3-column frame so the scan+dim join runs
+      // once for both consumers
+      .localCheckpoint()
     val byPrice = Window.partitionBy(col("segment")).orderBy(col("cents"))
     val pick = Window.partitionBy(col("segment"))
       .orderBy(col("cents").desc, col("o_orderkey"))
