@@ -1268,6 +1268,10 @@ object Dedup {
       .join(broadcast(base.select(col("v"), col("base"))), Seq("v"))
       .withColumn("rn", col("base") + row_number().over(inGroup))
       .select(col("rn"), col("doc_id"))
+    // (round-12 note: checkpointing `ranked` measured FLAT — the verify
+    // stage's tokenize+intersect dominates and exchange reuse already
+    // shares the scan below the rank window — so the double reference
+    // stays un-materialized.)
     val lhs = ranked
       .withColumn("tgt", explode(array(
         (1 until SnmWindow).map(j => col("rn") + j): _*)))
