@@ -380,6 +380,19 @@ object Bench {
     // summary-first line: survives head-truncation of the artifact
     // (gates lead; the drift re-measure payload is metric-line-only)
     println(s"""{"metric":"summary",$gates,"reps":$reps,"sf":"$sfDir","drift_flags":$driftFlagsJson}""")
+    // per-query [min, median] as its OWN bounded line (round-13, VERDICT
+    // r12 task 2): BENCH_r11 kept only a tail of the metric line, whose
+    // unbounded drift payload pushed the per-query map out of the capture
+    // window — the cross-round PERF diff got n_common: 0 and no per-query
+    // baseline. This line is bounded (3-decimal, two numbers per query,
+    // no spread/drift payload, ~12 KB at 305 queries) and prints BEFORE
+    // the metric line, so a tail-truncation that eats the metric line's
+    // middle still leaves every query's timing in the artifact. Additive:
+    // the metric line below is unchanged (same fields, same statistics).
+    val perQueryJson = spreads.map { case (k, (mn, md, _)) =>
+      s"\"" + k + "\":[" + f"$mn%.3f,$md%.3f" + "]"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"per_query","agg":"[min,median]","queries_min_median":$perQueryJson,"total_min":${f"$totalMin%.3f"},"reps":$reps,"sf":"$sfDir"}""")
     // metric line (driver contract): gate fields repeat AFTER the
     // per-query map AND the drift payload so tail-truncation keeps them
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadJson,"reps":$reps,"agg":"median","sf":"$sfDir",$payload,$gates}""")

@@ -30,8 +30,21 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => names.forall(_.exists(n.startsWith)) }
+    // Exact-name selection (ADVICE r12: startsWith made "q26" also dump
+    // q261/q263/...; evidence files must select exactly what was asked).
+    // A trailing '*' opts back into prefix matching explicitly.
+    def matches(pat: String, n: String): Boolean =
+      if (pat.endsWith("*")) n.startsWith(pat.dropRight(1)) else n == pat
+    // Internal BUILD-path frames whose plans are invisible in the
+    // registered query's explain (hidden behind a localCheckpoint or a
+    // persisted artifact) — dumpable by name for optimization evidence.
+    val internals: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+      "internal_q183_perdoc" -> ((s: SparkSession, d: String) =>
+        graft.operators.Curation.bigramPerDoc(s, d)),
+      "internal_q265_winnow_select" -> ((s: SparkSession, d: String) =>
+        graft.operators.TextAnalysis.winnowSelect(Tables.documents(s, d))))
+    val selected = (SparkEntry.queries.toSeq ++ internals).sortBy(_._1)
+      .filter { case (n, _) => names.forall(_.exists(matches(_, n))) }
     selected.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
@@ -40,7 +53,10 @@ object PlanDump {
           txt.getBytes(StandardCharsets.UTF_8))
         println(s"[plandump] wrote $name")
       } catch {
-        case e: Throwable => println(s"[plandump] $name FAILED: ${e.getMessage.take(120)}")
+        // NonFatal: an OOM/linkage error must abort the dump, not print
+        // a per-query FAILED line and carry on (ADVICE r12)
+        case scala.util.control.NonFatal(e) =>
+          println(s"[plandump] $name FAILED: ${e.getMessage.take(120)}")
       }
     }
     spark.stop()

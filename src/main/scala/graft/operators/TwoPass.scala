@@ -140,6 +140,11 @@ private[graft] object TwoPass {
     // `totals` but skipped from `wants`, making med(k) throw); a group
     // with NO positive weight simply has no median and is omitted.
     val (rows0, own) = cached(rows.filter(col("w") > 0))
+    // try/finally (round-13, ADVICE r12): the kernel-owned persist must
+    // be released even when a pass throws — otherwise the MEMORY_AND_DISK
+    // blocks leak for the session (only Bench/Verify run the periodic-GC
+    // remedy; PlanAudit, tests and embedding drivers do not).
+    try {
     val nBuckets = spark.conf.get("spark.sql.shuffle.partitions").toInt.max(2)
     val bucketOf = scoreBuckets(rows0, col("c"), nBuckets)
     val hist = rows0.withColumn("b", bucketOf(col("c")))
@@ -166,8 +171,8 @@ private[graft] object TwoPass {
       .groupBy(col("k")).agg(min(col("c")).as("m"))
       .collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    if (own) rows0.unpersist(false)
     totals.flatMap { case (k, w) => med.get(k).map(m => k -> (w, m)) }.toMap
+    } finally if (own) rows0.unpersist(false)
   }
 
   def groupRankLookup(spark: SparkSession, rows0: DataFrame,
@@ -175,6 +180,7 @@ private[graft] object TwoPass {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val (rows, own) = cached(rows0)
+    try { // release the kernel-owned persist on ANY exit (ADVICE r12)
     val nBuckets = spark.conf.get("spark.sql.shuffle.partitions").toInt.max(2)
     val bucketOf = scoreBuckets(rows, col("c"), nBuckets)
     val hist = rows.withColumn("b", bucketOf(col("c")))
@@ -206,9 +212,9 @@ private[graft] object TwoPass {
       .map { case (k, rs) =>
         k -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap
       }
-    if (own) rows.unpersist(false)
     sizes.map { case (k, n) =>
       k -> GroupRanks(n, fetched.getOrElse(k, Map.empty))
     }.toMap
+    } finally if (own) rows.unpersist(false)
   }
 }

@@ -1,12 +1,18 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB-oracle compare.
 
-Usage: python3 tools/parity.py <sfDir> <verifyOutDir>
+Usage: python3 tools/parity.py <sfDir> <verifyOutDir> [--only-present]
 
 Reads each <verifyOutDir>/<name>/ spark parquet result, runs the matching
 oracle SQL from oracle_sql.json in DuckDB over the sfDir tables, and
 compares values with columns sorted by name and rows sorted by all
 columns (order-insensitive, like the driver's hash).
+
+--only-present: skip oracle entries whose dump dir does not exist — for
+checking a SUBSET Verify run (3rd-arg name filter) without every absent
+query counting as FAIL. An EMPTY dump dir (query ran, wrote nothing)
+still fails. The driver always runs full Verify, so its compare never
+skips.
 """
 import sys, json, glob, os
 import duckdb
@@ -19,7 +25,7 @@ def canon(df):
     df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="first")
     return df.reset_index(drop=True)
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only_present=False):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -27,7 +33,11 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    n_skip = 0
     for name in sorted(oracles):
+        if only_present and not os.path.isdir(f"{out_dir}/{name}"):
+            n_skip += 1
+            continue
         files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output")
@@ -82,8 +92,11 @@ def main(sf_dir, out_dir):
             files = sorted(glob.glob(f"{d}/*.parquet"))
             n = con.execute(f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0] if files else 0
             print(f"INFO {name}: no oracle, {n} rows")
-    print(f"\n{n_pass} pass / {n_fail} fail")
+    skipped = f" ({n_skip} absent skipped)" if n_skip else ""
+    print(f"\n{n_pass} pass / {n_fail} fail{skipped}")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sys.exit(main(args[0], args[1],
+                  only_present="--only-present" in sys.argv))
