@@ -1829,11 +1829,19 @@ object Quality {
       .join(broadcast(stats), Seq("source"))
       .withColumn("j", lit(1))
       .join(broadcast(pooled), Seq("j"))
-      .withColumn("mapped", expr(
-        """element_at(filter(arr, e ->
-          |  CAST(n1 AS DECIMAL(38,0)) * e.cumall
-          |    >= CAST(ntot AS DECIMAL(38,0)) * cums), 1).v"""
-          .stripMargin))
+      // round-13: the first-match was an interpreted HOF `filter` with a
+      // DECIMAL(38,0) multiply per pooled-CDF element per row (guide §4
+      // — q241 read 3.9 s). The predicate is monotone along the array
+      // (cumall strictly ascending), so the compiled binary search
+      // [[graft.functions.CdfFirstAtLeast]] returns the identical first
+      // match in O(log |arr|) with the product compare exact in 128
+      // bits — equivalence pinned in QualitySpec against the HOF form.
+      .withColumn("mapped", org.apache.spark.sql.GraftSqlShim.column(
+        graft.functions.CdfFirstAtLeast(
+          org.apache.spark.sql.GraftSqlShim.expression(col("arr")),
+          org.apache.spark.sql.GraftSqlShim.expression(col("n1")),
+          org.apache.spark.sql.GraftSqlShim.expression(col("ntot")),
+          org.apache.spark.sql.GraftSqlShim.expression(col("cums")))))
       .select(col("source"), col("v"), col("n_at_v"),
         col("cums").cast("long").as("src_cum"),
         col("mapped").cast("long").as("mapped_v"))

@@ -371,4 +371,42 @@ class QualitySpec extends SparkSuite {
     assert(byEntity === fixed, s"recursive=$byEntity fixed=$fixed")
     assert(byEntity.values.forall(_ > 0), s"degenerate cascade: $byEntity")
   }
+
+  test("CdfFirstAtLeast kernel equals the decimal filter-HOF first match") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftSqlShim.{column, expression}
+    val rng = new scala.util.Random(7)
+    // random monotone CDFs incl. 128-bit territory: cumall/cums up to
+    // ~1e18 make n1*cumall overflow a signed long, exercising the
+    // multiplyHigh compare against the DECIMAL(38,0) ground truth
+    val rows = (1 to 400).map { i =>
+      val len = 1 + rng.nextInt(12)
+      val big = i % 3 == 0
+      // big steps capped at 2^56 so 12 accumulated steps stay < 2^63
+      val step = () => 1L + (if (big) math.abs(rng.nextLong()) % (1L << 56)
+                             else rng.nextInt(1000).toLong)
+      val cums0 = Iterator.iterate(step())(c => c + step()).take(len).toArray
+      val vs = cums0.indices.map(j => (j * 7 + i).toLong)
+      val n1 = 1L + (if (big) math.abs(rng.nextLong()) % (1L << 40)
+                     else rng.nextInt(500).toLong)
+      val ntot = n1 + math.abs(rng.nextLong()) % (if (big) 1L << 40 else 2000L)
+      // cums beyond the last cumall exercises the no-match -> NULL path
+      val cums = math.abs(rng.nextLong()) % (cums0.last + cums0.last / 2 + 1)
+      (vs.zip(cums0).map { case (v, c) => (v, c) }, n1, ntot, cums)
+    }.toDF("arr0", "n1", "ntot", "cums")
+      .select(expr("transform(arr0, e -> named_struct('v', e._1, 'cumall', e._2))")
+        .as("arr"), col("n1"), col("ntot"), col("cums"))
+    val both = rows.select(
+      column(graft.functions.CdfFirstAtLeast(expression(col("arr")),
+        expression(col("n1")), expression(col("ntot")),
+        expression(col("cums")))).as("kernel"),
+      expr("""try_element_at(filter(arr, e ->
+             |  CAST(n1 AS DECIMAL(38,0)) * e.cumall
+             |    >= CAST(ntot AS DECIMAL(38,0)) * cums), 1).v"""
+        .stripMargin).as("hof"))
+    assert(both.filter(not(col("kernel") <=> col("hof"))).count() === 0)
+    // at least one NULL and one non-NULL case actually exercised
+    assert(both.filter(col("kernel").isNull).count() > 0)
+    assert(both.filter(col("kernel").isNotNull).count() > 0)
+  }
 }
