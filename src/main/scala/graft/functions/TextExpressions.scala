@@ -79,6 +79,95 @@ case class RollingMd5Min(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** ALL rolling-md5 grams of a text as array<struct<pos: long,
+  * h: string>> in one compiled pass (round-13, VERDICT r12 task 5 —
+  * q265's winnowing BUILD path): bit-identical, for texts of >= k
+  * chars, to the interpreted HOF
+  * `transform(sequence(1, n_grams), p -> named_struct('pos',
+  * CAST(p AS BIGINT), 'h', md5(substr(text, p, k))))` with
+  * n_grams = numChars - k + 1 (pinned in TextAnalysisSpec, incl.
+  * multi-byte UTF-8) — 1-based char positions, each gram hashed over
+  * its UTF-8 byte span in place with one reused MessageDigest instead
+  * of an interpreted lambda dispatch + substr copy + md5-expression
+  * round trip per gram. Texts shorter than k return an EMPTY array
+  * (call sites filter length >= k before the kernel; the HOF's
+  * sequence(1, n<=0) would error/degenerate there, so the contract is
+  * pinned only for length >= k). NULL for NULL input. */
+case class RollingMd5Grams(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1, s"gram size must be >= 1, got $k")
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", LongType, nullable = false),
+    StructField("h", StringType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_rolling_md5_grams"
+
+  override def nullSafeEval(s: Any): Any =
+    RollingHashKernel.md5Grams(s.asInstanceOf[UTF8String], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.RollingHashKernel.md5Grams($t, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Vocabulary table for [[BigramUnkPairs]]: a hash set of the in-vocab
+  * symbols plus the fold target — a plain serializable holder so
+  * generated code can reference it via `addReferenceObj` (the
+  * [[BpeMergeTable]] pattern). */
+final class UnkVocab(words: Array[String], unkWord: String) extends Serializable {
+  val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.length * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+  val unk: UTF8String = UTF8String.fromString(unkWord)
+  def fold(t: UTF8String): UTF8String =
+    if (t != null && set.contains(t)) t else unk
+}
+
+/** Adjacent-token bigram emission with `<unk>` vocabulary folding in
+  * ONE compiled pass (round-13, VERDICT r12 task 6 — q183's hot path):
+  * for a token array t, the n-1 structs (w1 = fold(t[i]),
+  * w2 = fold(t[i+1])), where fold keeps in-vocab tokens and maps
+  * everything else (including NULL, matching `when(c.isInCollection(v),
+  * c).otherwise('<unk>')` under a NULL condition) to the fold target.
+  * Identical output (same pairs, same order — pinned in
+  * TextAnalysisSpec) to the interpreted form
+  * `explode(zip_with(slice(t, 1, n-1), slice(t, 2, n-1),
+  * (a, b) -> struct(fold(a), fold(b))))`, which paid two slice array
+  * copies per document plus an interpreted lambda and TWO 64-entry
+  * set-membership expressions per pair; here each token is folded
+  * exactly once through one hash set. Empty array below 2 elements;
+  * NULL for NULL input. */
+case class BigramUnkPairs(child: Expression, vocab: Seq[String], unkWord: String)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("w1", StringType, nullable = false),
+    StructField("w2", StringType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_bigram_unk_pairs"
+
+  @transient private lazy val table = new UnkVocab(vocab.toArray, unkWord)
+
+  override def nullSafeEval(a: Any): Any =
+    RollingHashKernel.bigramUnkPairs(a.asInstanceOf[ArrayData], table)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unkVocab", table,
+      classOf[UnkVocab].getName)
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.RollingHashKernel.bigramUnkPairs($t, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** MinHash-LSH banding in ONE compiled pass per document (q31's hot
   * path): tokenize on single spaces, hash each `w`-token shingle's byte
   * span in place (a shingle joined by single spaces IS a contiguous
@@ -335,7 +424,16 @@ object RollingHashKernel {
     if (n < 2) return new GenericArrayData(Array.empty[Any])
     val elems = new Array[UTF8String](n)
     var i = 0
-    while (i < n) { elems(i) = arr.getUTF8String(i); i += 1 }
+    // null-element guard (ADVICE r12): UnsafeArrayData.getUTF8String on
+    // a null slot returns an EMPTY string (GenericArrayData returns
+    // null), which would diverge from the nested-transform HOF this
+    // kernel claims parity with (the HOF preserves nulls in struct
+    // fields). Current call sites (q130/q226 token arrays) cannot
+    // contain nulls, but the function is exposed as general API.
+    while (i < n) {
+      elems(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      i += 1
+    }
     val out = new Array[Any](n * (n - 1) / 2)
     var k = 0
     i = 0
@@ -407,6 +505,71 @@ object RollingHashKernel {
       j += 1
     }
     UTF8String.fromBytes(hex)
+  }
+
+  /** All k-char-gram md5 digests of `t` as (pos, hex) structs — the
+    * [[RollingMd5Grams]] kernel. Same char-window/byte-span discipline
+    * as [[minMd5Gram]]; every digest is hex-encoded (the consumer keys
+    * on the hex text), the saving is the per-gram lambda dispatch and
+    * substr copy. Empty array when numChars < k. */
+  def md5Grams(t: UTF8String, k: Int): ArrayData = {
+    val nBytes = t.numBytes()
+    val bytes = t.getBytes
+    val nChars = t.numChars()
+    if (nChars < k) return new GenericArrayData(Array.empty[Any])
+    val charOffs = new Array[Int](nChars + 1)
+    var b = 0
+    var c = 0
+    while (b < nBytes) {
+      charOffs(c) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      c += 1
+    }
+    charOffs(nChars) = nBytes
+    val windows = nChars - k + 1
+    val md = md5Local.get()
+    val digest = new Array[Byte](16)
+    val out = new Array[Any](windows)
+    var i = 0
+    while (i < windows) {
+      val start = charOffs(i)
+      val end = charOffs(i + k)
+      md.reset()
+      md.update(bytes, start, end - start)
+      md.digest(digest, 0, 16)
+      val hex = new Array[Byte](32)
+      var j = 0
+      while (j < 16) {
+        hex(2 * j) = HexBytes((digest(j) >> 4) & 0xf)
+        hex(2 * j + 1) = HexBytes(digest(j) & 0xf)
+        j += 1
+      }
+      out(i) = new GenericInternalRow(
+        Array[Any]((i + 1).toLong, UTF8String.fromBytes(hex)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Adjacent bigram pairs with `<unk>` folding — the [[BigramUnkPairs]]
+    * kernel. Each token is folded through the vocab set ONCE (the HOF
+    * form folds each interior token twice, as w2 then w1). */
+  def bigramUnkPairs(arr: ArrayData, vocab: UnkVocab): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val folded = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      folded(i) = vocab.fold(if (arr.isNullAt(i)) null else arr.getUTF8String(i))
+      i += 1
+    }
+    val out = new Array[Any](n - 1)
+    i = 0
+    while (i < n - 1) {
+      out(i) = new GenericInternalRow(Array[Any](folded(i), folded(i + 1)))
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Token boundaries of `bytes` split on single spaces (0x20), exactly

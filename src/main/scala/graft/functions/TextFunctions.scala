@@ -68,6 +68,24 @@ object TextFunctions {
     org.apache.spark.sql.GraftSqlShim.column(
       RollingMd5Min(org.apache.spark.sql.GraftSqlShim.expression(text), k))
 
+  /** All k-char-gram md5 digests as array<struct<pos, h>> in one
+    * compiled pass ([[graft.functions.RollingMd5Grams]]; bit-identical
+    * to the `transform(sequence(...), p -> named_struct('pos', p, 'h',
+    * md5(substr(text, p, k))))` HOF form for texts >= k chars, pinned
+    * in TextAnalysisSpec). */
+  def rollingMd5Grams(text: Column, k: Int): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      RollingMd5Grams(org.apache.spark.sql.GraftSqlShim.expression(text), k))
+
+  /** Adjacent-token bigrams with `<unk>` vocabulary folding as
+    * array<struct<w1, w2>> in one compiled pass
+    * ([[graft.functions.BigramUnkPairs]]; identical pairs and order to
+    * the zip_with-slices HOF form, pinned in TextAnalysisSpec). */
+  def bigramUnkPairs(toks: Column, vocab: Seq[String], unk: String): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      BigramUnkPairs(org.apache.spark.sql.GraftSqlShim.expression(toks),
+        vocab, unk))
+
   /** All ordered (i < j) element pairs of a string array as
     * array<struct<a, b>> in one compiled pass
     * ([[graft.functions.ArrayOrderedPairs]]; pair set and order

@@ -1523,27 +1523,34 @@ object Curation {
     * corrupts) — the row-scale passes carry only counts either way.
     * Documents with < 2 tokens have no transitions and drop from the
     * report on both engines (mirrored len >= 2). */
-  def bigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+  /** The q183 per-document surprisal pipeline BEFORE the checkpoint —
+    * extracted so PlanDump can capture the build-path plan (the
+    * registered query's explain shows only the post-checkpoint
+    * LogicalRDD). Identical logic, called exactly once by
+    * [[bigramSurprisal]]. */
+  private[graft] def bigramPerDoc(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).filter(col("text").isNotNull)
       .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
     val vocab: Seq[String] = d.select(explode(col("t")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("tok")).limit(SurprisalVocab)
       .collect().map(_.getString(0)).toSeq
-    def mapped(c: Column): Column =
-      when(c.isInCollection(vocab), c).otherwise(lit("<unk>"))
     // (round-12 note: checkpointing `pairs` measured flat locally and
     // would materialize a token-scale frame at 100 TB — recomputing the
     // tokenize+explode for the second consumer is the cheaper side of
     // the guide §5 trade, so the double evaluation stays.)
+    // round-13: the pair stream was zip_with over two slice copies with
+    // an interpreted lambda plus TWO 64-entry set-membership expressions
+    // per pair (guide §4 — and pairs evaluates twice, so every cost
+    // doubled). graft.functions.BigramUnkPairs emits the identical
+    // (w1, w2) structs in one compiled pass, folding each token through
+    // one hash set exactly once (pinned in TextAnalysisSpec).
     val pairs = d.filter(size(col("t")) >= 2)
       .select(col("doc_id"), col("source"),
-        explode(zip_with(
-          slice(col("t"), lit(1), size(col("t")) - 1),
-          slice(col("t"), lit(2), size(col("t")) - 1),
-          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        explode(graft.functions.TextFunctions.bigramUnkPairs(
+          col("t"), vocab, "<unk>")).as("p"))
       .select(col("doc_id"), col("source"),
-        mapped(col("p.a")).as("w1"), mapped(col("p.b")).as("w2"))
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
     val bigrams = pairs.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).cast("bigint").as("c12"))
     val surp = bigrams
@@ -1551,17 +1558,20 @@ object Curation {
         .over(Window.partitionBy(col("w1"))).cast("bigint"))
       .withColumn("s6", expr("(2 * c1 * 1000000 + c12) div (2 * c12)"))
       .select(col("w1"), col("w2"), col("s6"))
+    pairs.join(broadcast(surp), Seq("w1", "w2"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+        sum(col("s6")).cast("bigint").as("ssum"))
+      .withColumn("mean6", expr("(2 * ssum + n_pairs) div (2 * n_pairs)"))
+  }
+
+  def bigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
     // localCheckpoint: the rank kernel makes two more passes (histogram
     // + pruned fetch) and the report a third — lazily each would replay
     // the whole explode->join->agg pipeline (the q129 trap; measured
     // 5.1 s -> 1.4 s at sf0.1). The materialized frame is |docs| rows
     // of four narrow columns, executor-local blocks.
-    val perDoc = pairs.join(broadcast(surp), Seq("w1", "w2"))
-      .groupBy(col("doc_id"), col("source"))
-      .agg(count(lit(1)).cast("bigint").as("n_pairs"),
-        sum(col("s6")).cast("bigint").as("ssum"))
-      .withColumn("mean6", expr("(2 * ssum + n_pairs) div (2 * n_pairs)"))
-      .localCheckpoint()
+    val perDoc = bigramPerDoc(spark, dir).localCheckpoint()
     val gr = TwoPass.groupRankLookup(spark,
       perDoc.select(lit("all").as("k"), col("mean6").as("c")),
       n => Seq(math.max(n / 3, 1L), math.max(2 * n / 3, 1L)))

@@ -446,10 +446,16 @@ object TextAnalysis {
         (length(col("text")) - (WinnowK - 1)).cast("long").as("n_grams"),
         col("text"))
       .repartition(col("doc_id")) // the one (doc-scale) exchange
+    // round-13: the gram stream was an interpreted `transform` lambda —
+    // one dispatch + substr copy + md5-expression round trip PER CHAR
+    // POSITION (~1M grams per build at sf0.1; the build measured ~6 s).
+    // graft.functions.RollingMd5Grams computes the identical
+    // (pos, hex-md5) structs in one compiled pass per row (bit-identity
+    // pinned in TextAnalysisSpec); the min_by window, full-window filter
+    // and distinct downstream are unchanged.
     val grams = d.select(col("doc_id"), col("source"), col("n_grams"),
-        explode(expr(s"transform(sequence(1, cast(n_grams as int)), " +
-          s"p -> named_struct('pos', cast(p as bigint), 'h', md5(substr(text, p, $WinnowK))))"))
-          .as("g"))
+        explode(graft.functions.TextFunctions.rollingMd5Grams(
+          col("text"), WinnowK)).as("g"))
       .select(col("doc_id"), col("source"), col("n_grams"),
         col("g.pos").as("pos"), col("g.h").as("h"))
     val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))

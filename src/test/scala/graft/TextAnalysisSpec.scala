@@ -193,6 +193,59 @@ class TextAnalysisSpec extends SparkSuite {
     assert(both.filter(not(col("kernel") <=> col("hof"))).count() === 0)
   }
 
+  test("RollingMd5Grams kernel is bit-equal to the transform md5-HOF form") {
+    import spark.implicits._
+    // the q265 build-path contract: same corpus-plus-edges fixture class
+    // as the RollingMd5Min pin — exact k-length, repeats, multi-byte
+    // UTF-8 (char windows hash the chars' byte spans, not raw bytes)
+    val docs = (Seq("abcdefgh", "abcdefghi", "aaaaaaaaaa", "zzzzzzzz",
+      "héllo wörld ünïcode", "ascii and then émoji 😀 tail pad") ++
+      Tables.documents(spark, Sf0001).select("text")
+        .na.drop().as[String].collect().toSeq)
+      .filter(_.length >= 8).toDF("text")
+    val both = docs.select(
+      graft.functions.TextFunctions.rollingMd5Grams(col("text"), 8).as("kernel"),
+      expr("transform(sequence(1, length(text) - 7), " +
+        "p -> named_struct('pos', cast(p as bigint), " +
+        "'h', md5(substr(text, p, 8))))").as("hof"))
+    assert(both.filter(not(col("kernel") <=> col("hof"))).count() === 0)
+  }
+
+  test("BigramUnkPairs kernel equals the zip_with-slices HOF form") {
+    import spark.implicits._
+    val vocab = Seq("the", "a", "dog", "cat", "ran")
+    // edges: all-in-vocab, all-OOV, length 2, repeated tokens, empty
+    // strings as tokens (split can yield them), vocab word at both ends
+    val docs = (Seq("the dog ran", "zz yy xx", "a cat", "the the the",
+      " leading", "trailing ", "a", "onlyoov") ++
+      Tables.documents(spark, Sf0001).select("text")
+        .na.drop().as[String].collect().toSeq).toDF("text")
+      .select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+    val vocabList = vocab.map(v => s"'$v'").mkString(", ")
+    val both = docs.select(
+      graft.functions.TextFunctions.bigramUnkPairs(col("t"), vocab, "<unk>")
+        .as("kernel"),
+      expr(s"""zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+              |  (x, y) -> struct(
+              |    CASE WHEN x IN ($vocabList) THEN x ELSE '<unk>' END AS w1,
+              |    CASE WHEN y IN ($vocabList) THEN y ELSE '<unk>' END AS w2))"""
+        .stripMargin).as("hof"))
+    assert(both.filter(not(col("kernel") <=> col("hof"))).count() === 0)
+  }
+
+  test("ArrayOrderedPairs preserves null elements like the HOF (ADVICE r12)") {
+    import spark.implicits._
+    val arrs = Seq(Seq("a", null, "c"), Seq(null, null), Seq("x", "y"))
+      .toDF("ts")
+    val both = arrs.select(
+      graft.functions.TextFunctions.orderedPairs(col("ts")).as("kernel"),
+      expr("""flatten(transform(ts, (x, i) ->
+             |  transform(slice(ts, i + 2, size(ts)),
+             |    y -> struct(x AS a, y AS b))))""".stripMargin).as("hof"))
+    assert(both.filter(not(col("kernel") <=> col("hof"))).count() === 0)
+  }
+
   test("ArrayOrderedPairs kernel equals the nested-transform HOF form") {
     import spark.implicits._
     val arrs = Seq(Seq("a", "b", "c", "d"), Seq("x"), Seq(),
