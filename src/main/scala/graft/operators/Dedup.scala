@@ -643,18 +643,41 @@ object Dedup {
     }
     var edges = canon(pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
       .localCheckpoint(true)
+    // Round-13 (VERDICT r12 task 1 — the q64 32-core pathology): each
+    // contraction round runs 2 window shuffles + a distinct + the
+    // convergence check, all at the SESSION shuffle width. The verified
+    // near-dup pair graph is orders of magnitude smaller than the corpus
+    // (a few hundred edges at bench SFs), so at local[32] the per-round
+    // task-launch/stage overhead dominated: q64 read 4.09 s at 32 cores
+    // vs 0.29 s at 8 (scaling ratio 0.08). Fix is SCALE-ADAPTIVE, not a
+    // local[32] constant: size the loop's shuffle width from the
+    // MEASURED edge count (~100k edges per partition, floor 1, ceiling
+    // the session width — a 100 TB pair graph keeps full parallelism),
+    // and make the convergence check one action in the common case: the
+    // edge count is already known per round, counts differing proves
+    // non-convergence without the exceptAll job; the exact set compare
+    // runs only when counts match. The conf is restored on every exit.
+    val spark = edges.sparkSession
+    val sessionWidth = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    var prevCount = edges.count()
     var rounds = 0
     var done = false
-    // terminates in O(log n) rounds (Kiveris et al. thm. 3/4); the cap
-    // is a regression guard far above that bound for any physical graph,
-    // never a tuning knob
-    while (!done) {
-      rounds += 1
-      require(rounds <= 200, s"star contraction failed to converge after $rounds rounds")
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      done = next.count() == edges.count() && next.exceptAll(edges).isEmpty
-      edges = next
-    }
+    try {
+      // terminates in O(log n) rounds (Kiveris et al. thm. 3/4); the cap
+      // is a regression guard far above that bound for any physical
+      // graph, never a tuning knob
+      while (!done) {
+        rounds += 1
+        require(rounds <= 200, s"star contraction failed to converge after $rounds rounds")
+        val width = math.max(1L, math.min(prevCount / 100000L + 1, sessionWidth.toLong))
+        spark.conf.set("spark.sql.shuffle.partitions", width.toString)
+        val next = smallStar(largeStar(edges)).localCheckpoint(true)
+        val nextCount = next.count()
+        done = nextCount == prevCount && next.exceptAll(edges).isEmpty
+        prevCount = nextCount
+        edges = next
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionWidth.toString)
     // fixpoint = stars centered at component minima: every non-center
     // node appears exactly once as u with its center as v; centers
     // label themselves
