@@ -185,18 +185,23 @@ object MlQueries {
     * Scale shape: one shuffle (the grouped moment aggregation, map-side
     * combined) + the bounded output sort. */
   def groupedOls(spark: SparkSession, dir: String): DataFrame = {
+    // round-13: per-row moments in exact LONG (domain-bounded — y*y
+    // <= ~1e18 cents² stays inside long; ANSI throws on violation),
+    // cast to decimal per row for the row-count-scaled SUMS, which stay
+    // decimal exactly as before (identical integer values => identical
+    // sums; oracle unchanged). See kfoldOls for the full argument.
     val li = Tables.lineitem(spark, dir).select(
       col("l_returnflag"),
-      col("l_quantity").cast("decimal(18,0)").as("x"),
+      col("l_quantity").cast("long").as("x"),
       (col("l_extendedprice").cast("decimal(18,2)") * 100)
-        .cast("decimal(18,0)").as("y"))
+        .cast("decimal(18,0)").cast("long").as("y"))
     val s = li.groupBy(col("l_returnflag")).agg(
       count(lit(1)).as("n"),
-      sum(col("x")).cast("decimal(19,0)").as("sx"),
-      sum(col("y")).cast("decimal(19,0)").as("sy"),
-      sum(col("x") * col("x")).cast("decimal(19,0)").as("sxx"),
-      sum(col("x") * col("y")).cast("decimal(19,0)").as("sxy"),
-      sum(col("y") * col("y")).cast("decimal(28,0)").as("syy"))
+      sum(col("x").cast("decimal(19,0)")).cast("decimal(19,0)").as("sx"),
+      sum(col("y").cast("decimal(19,0)")).cast("decimal(19,0)").as("sy"),
+      sum((col("x") * col("x")).cast("decimal(19,0)")).cast("decimal(19,0)").as("sxx"),
+      sum((col("x") * col("y")).cast("decimal(19,0)")).cast("decimal(19,0)").as("sxy"),
+      sum((col("y") * col("y")).cast("decimal(28,0)")).cast("decimal(28,0)").as("syy"))
     val nD = col("n").cast("decimal(10,0)")
     val num = (nD * col("sxy") - col("sx") * col("sy")).cast("decimal(19,0)")
     val dx = (nD * col("sxx") - col("sx") * col("sx")).cast("decimal(19,0)")
@@ -276,17 +281,30 @@ object MlQueries {
     * against the broadcast 5-row coefficient frame) — everything else
     * moves the 5-row frame. */
   def kfoldOls(spark: SparkSession, dir: String): DataFrame = {
+    // round-13 (guide §4 / §2.3 narrower types): the per-ROW arithmetic
+    // is exact LONG — the old decimal(18,0) x/y made every product a
+    // BigDecimal multiply per row (decimal(18,0)² exceeds the compact-
+    // long precision), twice over since the frame feeds two passes.
+    // Values are DOMAIN-bounded, not row-count-bounded, so this is safe
+    // at any corpus size: quantity is integral (both engines' oracles
+    // already assume it — DuckDB casts it straight to BIGINT), cents
+    // <= ~1e9, so x*y <= ~5e10 and y*1e6 <= ~1e15 sit far inside long
+    // range (ANSI throws on a domain violation, never corrupts). The
+    // SUMS stay DECIMAL — those grow with row count and would overflow
+    // long at 100 TB (the round-12 note) — each product is cast to
+    // decimal per row (compact, long-backed) before aggregation;
+    // identical integer values, identical sums, oracle unchanged.
     val li = Tables.lineitem(spark, dir).select(
       expr("l_orderkey % 5").as("fold"),
-      col("l_quantity").cast("decimal(18,0)").as("x"),
+      col("l_quantity").cast("long").as("x"),
       (col("l_extendedprice").cast("decimal(18,2)") * 100)
-        .cast("decimal(18,0)").as("y"))
+        .cast("decimal(18,0)").cast("long").as("y"))
     val perFold = li.groupBy(col("fold")).agg(
       count(lit(1)).as("n"),
-      sum(col("x")).cast("decimal(19,0)").as("sx"),
-      sum(col("y")).cast("decimal(19,0)").as("sy"),
-      sum(col("x") * col("x")).cast("decimal(19,0)").as("sxx"),
-      sum(col("x") * col("y")).cast("decimal(28,0)").as("sxy"))
+      sum(col("x").cast("decimal(19,0)")).cast("decimal(19,0)").as("sx"),
+      sum(col("y").cast("decimal(19,0)")).cast("decimal(19,0)").as("sy"),
+      sum((col("x") * col("x")).cast("decimal(19,0)")).cast("decimal(19,0)").as("sxx"),
+      sum((col("x") * col("y")).cast("decimal(28,0)")).cast("decimal(28,0)").as("sxy"))
     val all = Window.partitionBy()
     def tr(c: String) = (sum(col(c)).over(all) - col(c)).as(s"t_$c")
     val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
@@ -310,14 +328,21 @@ object MlQueries {
         """case when dx = 0 then null else
           |cast(sign(numi) as decimal(2,0)) * ((2 * abs(numi) * 1000000 + dx) div (2 * dx))
           |end""".stripMargin))
-      .select(col("fold").as("tfold"), col("t_n"), col("b6"), col("a6"))
+      .select(col("fold").as("tfold"), col("t_n"), col("b6"), col("a6"),
+        // published coefficients re-read as exact longs for the row-scale
+        // residual pass: micro-cent magnitudes are domain-bounded
+        // (|a6| <= ~1e13, |b6*x| <= ~5e9, y*1e6 <= ~1e15), so the
+        // decimal(38,0) -> long casts are exact and the per-row residual
+        // is pure long arithmetic (ANSI throws on a domain violation)
+        col("b6").cast("long").as("b6l"), col("a6").cast("long").as("a6l"))
     val scored = li.join(broadcast(train), col("fold") === col("tfold"))
       .select(col("fold"),
-        (abs(d38(col("y")) * 1000000 - col("a6") - col("b6") * d38(col("x"))))
+        abs(col("y") * 1000000L - col("a6l") - col("b6l") * col("x"))
           .as("abs_e"),
         col("t_n"), col("b6"), col("a6"))
     scored.groupBy(col("fold"), col("t_n"), col("b6"), col("a6"))
-      .agg(count(lit(1)).as("n_test"), sum(col("abs_e")).as("sae"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(col("abs_e").cast("decimal(38,0)")).as("sae"))
       .select(col("fold").cast("int").as("fold"),
         col("t_n").cast("bigint").as("n_train"),
         col("n_test").cast("bigint").as("n_test"),
