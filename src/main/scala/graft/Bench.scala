@@ -76,6 +76,17 @@ object Bench {
       // 1.6 s fresh). A 45 s periodic GC keeps cleanup continuous;
       // same remedy Spark documents for long-running drivers.
       .config("spark.cleaner.periodicGC.interval", "45s")
+      // round-13 measured NON-change: AQE size-based partition
+      // coalescing (coalescePartitions.parallelismFirst=false) was
+      // tried for the r12 "32-core over-parallelization" list and made
+      // the suite WORSE across the board (min-of-reps +7-58% on a
+      // 12-query class-spanning set; q30 +33%, q8 +58%) — this suite's
+      // post-shuffle work is CPU-dense per shuffled byte (quadratic
+      // verifies, window chains), so coalescing tiny-byte stages to one
+      // partition serializes real compute. parallelismFirst=true (the
+      // default) is the right setting here at every scale; the r12
+      // scaling-block 0.08-0.4 ratios were median contamination by
+      // drift/build reps, not a plan defect (OPTIMIZATION_r13.md).
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: JIT the scan/agg/write paths once, untimed

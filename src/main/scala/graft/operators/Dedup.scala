@@ -426,16 +426,23 @@ object Dedup {
     * (candidate-pairs-before-payload); verification joins shingle
     * sets for surviving pairs only. */
   def minhashLshMd5(spark: SparkSession, dir: String): DataFrame = {
-    // round-12: `docs` feeds the signature pass AND both verification
-    // joins, and `sig` feeds both sides of the band self-join — without
-    // materialization the shingle build ran three times and the whole
-    // md5+32-min signature aggregation twice. Checkpoint both narrow
-    // frames once (docs: one array row per doc; sig: 32 longs per doc).
-    val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    // round-12 checkpointed `docs` too; round-13 REVERTS that half
+    // (ADVICE r12 medium): the shingle ARRAY column is text-scale, so
+    // materializing it into executor block storage contradicted the
+    // family's payload invariant (payloads are fetched only after pair
+    // resolution, never staged corpus-wide — SCALE.md). `docs` is now a
+    // def re-derived per consumer: the signature pass reads it once and
+    // the two verification joins re-run the scan+shingle kernel, but the
+    // broadcast of the tiny candidate set means no shingle array ever
+    // shuffles — the payload moves zero times, at the price of two extra
+    // compiled scan passes (~0.2 s each locally; at 100 TB re-scanning
+    // is the cheap side of guide §5's trade vs corpus-scale storage).
+    // `sig` stays checkpointed: 32 longs per doc, the legitimate narrow
+    // proxy, feeding both sides of the band self-join.
+    def docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
       .select(col("doc_id"),
         array_distinct(wordShingles(col("text"), 3)).as("ts"))
       .filter(size(col("ts")) >= 1)
-      .localCheckpoint()
     val v = docs.select(col("doc_id"), explode(col("ts")).as("g"))
       .select(col("doc_id"), md5(col("g")).as("m"))
       .select(col("doc_id"),
