@@ -1003,17 +1003,23 @@ object Curation {
     * corpus. */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    // round-13: the dedup key is md5 as 16 RAW BYTES (unhex) instead of
+    // the 32-char hex string — a bijection of the same digest, so every
+    // distinct/group count is unchanged (oracle green) while the
+    // distinct + group-by shuffles carry half the key bytes (guide
+    // §2.3); and the source-pair expansion reuses the compiled
+    // ArrayOrderedPairs kernel (same pairs, same order, same field
+    // names — spec-pinned) instead of the two-level interpreted HOF.
     val gs = d
       .select(col("source"), explode(wordShingles(col("text"), 8)).as("gram"))
-      .select(md5(col("gram")).as("gh"), col("source"))
+      .select(unhex(md5(col("gram"))).as("gh"), col("source"))
       .distinct()
     val tot = gs.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
     gs.groupBy(col("gh"))
       .agg(sort_array(collect_set(col("source"))).as("ss"))
       .filter(size(col("ss")) >= 2)
-      .select(explode(flatten(transform(col("ss"), (x, i) =>
-        transform(slice(col("ss"), i + lit(2), size(col("ss"))),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(explode(graft.functions.TextFunctions.orderedPairs(col("ss")))
+        .as("p"))
       .groupBy(col("p.a").as("source_a"), col("p.b").as("source_b"))
       .agg(count(lit(1)).as("shared_grams"))
       .join(broadcast(tot.select(
