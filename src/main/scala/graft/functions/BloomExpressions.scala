@@ -31,8 +31,15 @@ object BloomKernel {
   private val Seed1 = 42L
   private val Seed2 = 0x9E3779B97F4A7C15L
 
-  def indices(t: UTF8String, bits: Long, k: Int): GenericArrayData = {
-    val bytes = t.getBytes
+  def indices(t: UTF8String, bits: Long, k: Int): GenericArrayData =
+    indices(t.getBytes, bits, k)
+
+  /** BINARY-value overload (round-13): the gram-index family keys on
+    * md5 RAW BYTES now, so the build/probe hash the 16-byte value
+    * directly. Same double-hash definition; a string value hashes its
+    * UTF-8 bytes through the overload above — the two entry points can
+    * never disagree because both end here. */
+  def indices(bytes: Array[Byte], bits: Long, k: Int): GenericArrayData = {
     val h1 = XXH64.hashUnsafeBytes(bytes, Offset, bytes.length, Seed1)
     val h2 = XXH64.hashUnsafeBytes(bytes, Offset, bytes.length, Seed2) | 1L
     val out = new Array[Any](k)
@@ -44,8 +51,10 @@ object BloomKernel {
     new GenericArrayData(out)
   }
 
-  def probe(t: UTF8String, words: Array[Long], bits: Long, k: Int): Boolean = {
-    val bytes = t.getBytes
+  def probe(t: UTF8String, words: Array[Long], bits: Long, k: Int): Boolean =
+    probe(t.getBytes, words, bits, k)
+
+  def probe(bytes: Array[Byte], words: Array[Long], bits: Long, k: Int): Boolean = {
     val h1 = XXH64.hashUnsafeBytes(bytes, Offset, bytes.length, Seed1)
     val h2 = XXH64.hashUnsafeBytes(bytes, Offset, bytes.length, Seed2) | 1L
     var j = 0
@@ -58,18 +67,27 @@ object BloomKernel {
   }
 }
 
-/** The k bloom bit indices of a string value — the BUILD side. */
+/** The k bloom bit indices of a string or binary value — the BUILD
+  * side. */
 case class BloomIndices(child: Expression, bits: Long, k: Int)
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression {
   require(bits > 0 && (bits & 63L) == 0L, s"bits must be a positive multiple of 64, got $bits")
   require(k >= 1, s"k must be >= 1, got $k")
 
-  override def inputTypes = Seq(StringType)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType | org.apache.spark.sql.types.BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"$prettyName requires string or binary input, got $other")
+    }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_bloom_indices"
 
-  override def nullSafeEval(s: Any): Any =
-    BloomKernel.indices(s.asInstanceOf[UTF8String], bits, k)
+  override def nullSafeEval(s: Any): Any = s match {
+    case u: UTF8String => BloomKernel.indices(u, bits, k)
+    case b: Array[Byte] => BloomKernel.indices(b, bits, k)
+  }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, t =>
@@ -83,16 +101,24 @@ case class BloomIndices(child: Expression, bits: Long, k: Int)
   * bitset is a reference object (serialized once per task binary), not
   * a plan literal. */
 case class BloomProbe(child: Expression, words: Array[Long], bits: Long, k: Int)
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression {
   require(words.length.toLong * 64L == bits,
     s"words.length ${words.length} inconsistent with bits $bits")
 
-  override def inputTypes = Seq(StringType)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType | org.apache.spark.sql.types.BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"$prettyName requires string or binary input, got $other")
+    }
   override def dataType: DataType = BooleanType
   override def prettyName: String = "graft_bloom_probe"
 
-  override def nullSafeEval(s: Any): Any =
-    BloomKernel.probe(s.asInstanceOf[UTF8String], words, bits, k)
+  override def nullSafeEval(s: Any): Any = s match {
+    case u: UTF8String => BloomKernel.probe(u, words, bits, k)
+    case b: Array[Byte] => BloomKernel.probe(b, words, bits, k)
+  }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("bloomWords", words, "long[]")

@@ -49,8 +49,10 @@ object Indexes {
     * gram size + bucket/bloom geometry; phrase index on phrase length
     * + buckets. Interpolated from the constants themselves. */
   private def indexVariant(kind: String): String = kind match {
-    case "gram_index" => s"_g${GramK}b$IndexBuckets"
-    case "gram_bloom" => s"_g${GramK}m${BloomBits}k$BloomHashes"
+    // v2 (round-13): gh is md5 RAW BYTES (binary), not hex — a durable
+    // artifact root must not serve a v1 string-keyed index to v2 code
+    case "gram_index" => s"_g${GramK}b${IndexBuckets}v2"
+    case "gram_bloom" => s"_g${GramK}m${BloomBits}k${BloomHashes}v2"
     case "phrase_index" => s"_p${PhraseLen}b$IndexBuckets"
     case _ => ""
   }
@@ -64,12 +66,19 @@ object Indexes {
   private[operators] def bucketOf(gh: Column): Column =
     pmod(xxhash64(gh), lit(IndexBuckets.toLong)).cast("int")
 
-  /** Distinct (doc_id, gh=md5(gram)) frame of 8-token grams — the q71
-    * shape: grams travel as 16-byte hashes, never gram text; per-doc
-    * distinct happens before any join so multiplicity can't amplify. */
+  /** Distinct (doc_id, gh=unhex(md5(gram))) frame of 8-token grams —
+    * the q71 shape: grams travel as hashes, never gram text; per-doc
+    * distinct happens before any join so multiplicity can't amplify.
+    * Round-13: gh is md5's 16 RAW BYTES (the comment above always said
+    * "16-byte hashes"; the column was actually the 32-char hex string)
+    * — a bijection of the same digest, so every distinct/join/group
+    * count is unchanged while the distinct + index shuffles and the
+    * persisted index itself carry half the key bytes (guide §2.3; the
+    * q115 treatment). Bloom build/probe hash the binary value through
+    * the same BloomKernel definition on both sides. */
   private def gramFrame(d: DataFrame): DataFrame =
     d.select(col("doc_id"), explode(wordShingles(col("text"), GramK)).as("gram"))
-      .select(col("doc_id"), md5(col("gram")).as("gh"))
+      .select(col("doc_id"), unhex(md5(col("gram"))).as("gh"))
       .distinct()
 
   /** Build (once per sf dir, `_SUCCESS`-guarded) the corpus gram index:

@@ -557,7 +557,8 @@ object StreamingQueries {
       .filter(col("doc_id") % Indexes.BatchMod === 0 && col("text").isNotNull)
       .select(col("doc_id"),
         explode(wordShingles(col("text"), Indexes.GramK)).as("gram"))
-      .select(col("doc_id"), md5(col("gram")).as("gh"))
+      // md5 raw bytes: must match the v2 binary-keyed gram index
+      .select(col("doc_id"), unhex(md5(col("gram"))).as("gh"))
       // NULL bucket for bloom-rejected grams: equi-join keys never
       // match NULL, so only candidates probe the index
       .withColumn("bucket",
@@ -674,7 +675,8 @@ object StreamingQueries {
         val contaminated = gated
           .select(col("doc_id"),
             explode(wordShingles(col("text"), Indexes.GramK)).as("gram"))
-          .select(col("doc_id"), md5(col("gram")).as("gh"))
+          // md5 raw bytes: must match the v2 binary-keyed gram index
+          .select(col("doc_id"), unhex(md5(col("gram"))).as("gh"))
           .withColumn("bucket",
             when(Indexes.bloomMightContain(col("gh"), bloom),
               Indexes.bucketOf(col("gh"))))

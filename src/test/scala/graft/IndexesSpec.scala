@@ -14,7 +14,8 @@ class IndexesSpec extends SparkSuite {
   private def grams(df: org.apache.spark.sql.DataFrame) =
     df.filter(col("text").isNotNull)
       .select(col("doc_id"), explode(wordShingles(col("text"), 8)).as("gram"))
-      .select(col("doc_id"), md5(col("gram")).as("gh"))
+      // round-13: gh is md5 raw bytes, mirroring Indexes.gramFrame
+      .select(col("doc_id"), unhex(md5(col("gram"))).as("gh"))
       .distinct()
 
   test("q104: bit-identical to the bloom-free direct join (no false negatives)") {
